@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Defaults are chosen for correctness-parity with the reference pipeline
+  * (see SURVEY.md §7.1) and for scale:
+  *   - UTC session timezone everywhere (reference uses UTC ingestion dates,
+  *     `dubai-dataset/lambdas/data-ingestion/lambda_handler.py:273`).
+  *   - ANSI off so failed casts/parses yield null, matching the reference's
+  *     `strptime(..., strict=False)` semantics
+  *     (`notebooks/preprocessing_with_polars.ipynb:1490-1494`).
+  *   - AQE on: runtime shuffle-partition coalescing and skew-join splitting
+  *     are what make a fixed partition count survive a 100× scale-up.
+  *   - Shuffle partitions default to the local core count; on a real
+  *     cluster this is expected to be overridden to ~2-3× total cores.
+  */
+object Session {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Vectorized parquet + pushdown are on by default; pinned here so a
+      // cluster-side config override can't silently regress scan perf.
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.enableVectorizedReader", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Tune an externally-created session (Verify/Bench get theirs from the
+    * driver contract) to engine defaults that are safe to set post-hoc. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}
