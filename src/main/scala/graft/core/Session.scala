@@ -32,6 +32,10 @@ object Session {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Vectorized parquet + pushdown are on by default; pinned here so a
       // cluster-side config override can't silently regress scan perf.
+      // Parquet TIMESTAMP(NANOS) (e.g. events.ts in the testdata) is
+      // otherwise an illegal type for Spark's reader; read as long and
+      // convert at the catalog layer (Tables.load).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
@@ -43,6 +47,7 @@ object Session {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -10,16 +10,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (verify via `PushedFilters`/`ReadSchema` in `.explain("formatted")`).
   */
 object Tables {
+  // NOTE: TESTDATA.md's table list is stale — the sf dirs each contain 10
+  // parquet files, including documents/embeddings (verified on disk).
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Dimension tables small enough to broadcast at any scale factor the
-    * engine targets (region/nation are fixed-size in TPC-H-style data). */
-  val broadcastable: Set[String] = Set("region", "nation")
+  // Broadcast decisions live at the join sites (see queries.Relational
+  // q17/q18: explicit broadcast() on nation/region) rather than as
+  // catalog metadata — ADVICE.md r1 flagged the unused-val drift risk.
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) — read as long (see
+    // Session's nanosAsLong) and surfaced as a proper TimestampType at
+    // microsecond precision (epoch-second semantics unchanged).
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
 
   /** Register every table as a temp view for `spark.sql` queries. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,203 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Deduplication operators for LLM training-data pipelines, over the
+  * `documents` table: exact (hash groupBy), exact n-gram Jaccard via an
+  * inverted shingle index, MinHash+LSH banding, and SimHash banding.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - NOTHING here is all-pairs. Candidate generation is always a
+  *    shuffle-join on a short key (shingle, band hash, simhash band), so
+  *    cost is proportional to the number of colliding pairs, not n².
+  *  - MinHash signatures are computed MAP-SIDE from the shingle array
+  *    (`array_min(transform(...))`) — no explode, no shuffle until the
+  *    band join itself.
+  *  - All hashing uses xxhash64 over seeded strings: deterministic across
+  *    runs/executors, no RNG state to synchronize.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Distinct 3-gram word shingles of lowercased text, as an array. */
+  def shingleArray(text: Column): Column = {
+    val ts = TextOps.tokens(text)
+    array_distinct(
+      when(size(ts) >= 3,
+        transform(sequence(lit(1), size(ts) - 2), i =>
+          concat_ws(" ",
+            element_at(ts, i),
+            element_at(ts, i + 1),
+            element_at(ts, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** doc_id -> exploded distinct shingles (the inverted-index rows). */
+  def shingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(shingleArray(col("text"))).as("s"))
+
+  val MinHashK = 32   // signature length
+  val Bands = 8       // LSH bands
+  val RowsPerBand = 4 // MinHashK / Bands
+
+  /** MinHash signature entry i: min over shingles of a seeded xxhash64.
+    * Map-side only — a per-row array computation, no shuffle.
+    */
+  private def minhash(sh: Column, i: Int): Column =
+    array_min(transform(sh, x => xxhash64(concat(lit(s"mh$i#"), x))))
+
+  /** doc_id, sig (array<long> of MinHashK), band (0..Bands-1), band_hash.
+    * One row per (doc, band) after the posexplode.
+    */
+  def minhashBands(df: DataFrame): DataFrame = {
+    val withSig = df
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array((0 until MinHashK).map(i => minhash(col("sh"), i)): _*).as("sig"))
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*))
+    }
+    withSig.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs from LSH banding, with the signature-
+    * estimated Jaccard (fraction of agreeing minhashes). Join key is
+    * (band, band_hash): only docs colliding in some band ever meet.
+    */
+  def minhashCandidates(df: DataFrame, minEstJaccard: Double): DataFrame = {
+    val b = minhashBands(df)
+    val a = b.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+      col("band"), col("band_hash"))
+    val c = b.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+      col("band"), col("band_hash"))
+    val est = size(filter(
+      zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
+      v => v === 1)).cast("double") / MinHashK
+    a.join(c, Seq("band", "band_hash"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sig1"), col("sig2"))
+      .distinct()
+      .select(col("d1"), col("d2"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** 64-bit SimHash from token multiset: explode tokens, per-bit majority
+    * vote via 64 conditional sums (partial aggregation map-side), then
+    * reassemble the signature with shifts/ORs.
+    */
+  def simhash(df: DataFrame): DataFrame = {
+    val toks = df.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * chunks; pairs sharing any chunk are candidates (catches all pairs
+    * with hamming distance <= 3 by pigeonhole); verify with bit_count.
+    */
+  def simhashPairs(df: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(df)
+    val banded = sh.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+      col("band"), col("chunk"))
+    val c = banded.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+      col("band"), col("chunk"))
+    a.join(c, Seq("band", "chunk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  def defs: Seq[Q] = Seq(
+    // Exact dedup via content hash (the 100 TB shape: groupBy on md5,
+    // never a string-compare join).
+    Q("q27_dedup_exact",
+      (s, d) =>
+        docs(s, d).agg(
+          countDistinct(md5(col("text"))).as("n_unique"),
+          count(lit(1)).as("n_total")),
+      Some("""SELECT CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
+                     COUNT(*) AS n_total FROM documents""")),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    // join on shingle (not doc x doc), intersection counts from the
+    // grouped join, sizes joined back. jaccard is a ratio of exact ints
+    // -> bit-identical across engines.
+    Q("q32_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(docs(s, d)).distinct()
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        val j = col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))
+        inter
+          .join(sz.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+          .join(sz.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+          .filter(j >= 0.6)
+          .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+              FROM pr
+              JOIN sz sa ON sa.doc_id = d1
+              JOIN sz sb ON sb.doc_id = d2
+              WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
+              ORDER BY d1, d2""")),
+
+    // MinHash+LSH banded near-dup candidates (no SQL oracle: xxhash64 is
+    // engine-specific; verified behaviorally against q32's exact pairs in
+    // DedupSpec + rows-only check here).
+    Q("q33_minhash_lsh",
+      (s, d) => minhashCandidates(docs(s, d), 0.5),
+      None),
+
+    // SimHash banded near-dup pairs (rows-only; hamming <= 6).
+    Q("q34_simhash",
+      (s, d) => simhashPairs(docs(s, d), 6),
+      None)
+  )
+}

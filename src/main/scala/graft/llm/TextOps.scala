@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table: token counting, quality scoring, n-gram-heuristic
+  * language ID, and document fingerprinting.
+  *
+  * All of these are pure column expressions (split/filter/transform/
+  * regexp_* — codegen'd, no UDFs), so they scan-parallelize trivially:
+  * at 100 TB each is a single embarrassingly-parallel projection with no
+  * shuffle except the final small aggregate where one exists.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  private def stopArray(words: Seq[String]): Column =
+    array(words.map(lit): _*)
+
+  /** Count of tokens that appear in `stop`. */
+  def stopHits(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => array_contains(stopArray(stop), t)))
+
+  val EnglishStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Normalized-text fingerprint: md5 of whitespace-collapsed lowercase
+    * text, first 8 hex chars (the reference-style rolling-hash use case —
+    * stable identity for exact-dup detection and sharding).
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 8)
+
+  def defs: Seq[Q] = Seq(
+    // Q25 [E] per-language corpus stats (SURVEY §2B).
+    Q("q25_text_stats",
+      (s, d) =>
+        docs(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("docs"),
+            round(avg(col("n_chars")), 0).cast("long").as("avg_chars"),
+            sum(when(lower(col("text")).like("%data%"), 1).otherwise(0)).as("hits"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(*) AS docs,
+                     CAST(ROUND(AVG(n_chars), 0) AS BIGINT) AS avg_chars,
+                     CAST(SUM(CASE WHEN LOWER(text) LIKE '%data%' THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Token counting (whitespace tokenizer; BPE-ish regex variant in
+    // `q29_quality`'s punct split). Empty text counts 0.
+    Q("q28_token_count",
+      (s, d) =>
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            when(trim(col("text")) === "", 0)
+              .otherwise(size(tokens(col("text")))).as("n_tokens"))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some("""SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN 0
+                          ELSE CAST(LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS INT)
+                     END AS n_tokens
+              FROM documents ORDER BY doc_id LIMIT 200""")),
+
+    // Quality scoring: length / punctuation / stopword-ratio features.
+    Q("q29_quality",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            size(toks).as("n_tokens"),
+            stopHits(toks, EnglishStop).as("n_stop"),
+            length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).as("n_punct"),
+            round(stopHits(toks, EnglishStop).cast("double") / size(toks), 4)
+              .as("stop_ratio"))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks,
+                       text
+                FROM documents)
+              SELECT doc_id,
+                     CAST(LEN(toks) AS INT) AS n_tokens,
+                     CAST(LEN(list_filter(toks,
+                       x -> list_contains(['the','a','and','of','to','in','is'], x))) AS INT) AS n_stop,
+                     CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INT) AS n_punct,
+                     ROUND(CAST(LEN(list_filter(toks,
+                       x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE)
+                           / LEN(toks), 4) AS stop_ratio
+              FROM t ORDER BY doc_id LIMIT 200""")),
+
+    // Language-ID n-gram/stopword heuristic -> confusion matrix against
+    // the labeled `lang` column. Deterministic tie-break: en >= es >= de.
+    Q("q30_langid",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val en = stopHits(toks, Seq("the", "and", "of"))
+        val es = stopHits(toks, Seq("el", "la", "de"))
+        val de = stopHits(toks, Seq("der", "die", "und"))
+        docs(s, d)
+          .select(
+            col("lang"),
+            when(en >= es && en >= de, "en")
+              .when(es >= de, "es")
+              .otherwise("de").as("pred"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some("""WITH t AS (
+                SELECT lang,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+                FROM documents),
+              p AS (
+                SELECT lang,
+                       LEN(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS en,
+                       LEN(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS es,
+                       LEN(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS de
+                FROM t)
+              SELECT lang,
+                     CASE WHEN en >= es AND en >= de THEN 'en'
+                          WHEN es >= de THEN 'es'
+                          ELSE 'de' END AS pred,
+                     COUNT(*) AS n
+              FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Document fingerprinting: stable 8-hex-char id from normalized text.
+    Q("q31_fingerprint",
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some("""SELECT doc_id,
+                     SUBSTR(MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')), 1, 8) AS fp
+              FROM documents ORDER BY doc_id LIMIT 200"""))
+  )
+}
