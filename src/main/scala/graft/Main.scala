@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Session, Tables}
+import graft.etl.{Profiler, SchemaOptimizer, Writers}
+import graft.ingest.Ingestor
+
+/** OP-41: the engine's CLI — what Step Functions + GitHub Actions drive
+  * in the reference becomes four subcommands over one Spark session.
+  *
+  *   ingest <landingDir> <url>...        chunked HTTP→landing streaming
+  *   profile <sfDir> <table>             per-column ANALYZE table
+  *   preprocess <inParquet> <outDir>     SchemaOptimizer pipeline + audit
+  *   query <sfDir> <name>                run one registered query
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    var started: Option[SparkSession] = None
+    def spark: SparkSession = started.getOrElse {
+      val s = Session.local(); started = Some(s); s
+    }
+    try {
+      args.toList match {
+        case "ingest" :: landing :: urls if urls.nonEmpty =>
+          val report = Ingestor.ingest(urls, landing,
+            concurrency = sys.env.getOrElse("CONCURRENCY", "3").toInt)
+          report.toDF(spark).show(truncate = false)
+          println(s"counters=${report.counters}")
+          if (report.failed.nonEmpty) sys.exit(1)
+
+        case "profile" :: sfDir :: table :: Nil =>
+          Profiler.profileDF(Tables.load(spark, sfDir, table)).show(100, truncate = false)
+
+        case "preprocess" :: in :: out :: Nil =>
+          val df = spark.read.parquet(in)
+          val (optimized, quarantined) = SchemaOptimizer.optimize(df)
+          Writers.parquet(optimized, s"$out/optimized")
+          Writers.quarantine(quarantined, s"$out/quarantine")
+          println(s"optimized_schema=${optimized.schema.simpleString}")
+
+        case "query" :: sfDir :: name :: Nil =>
+          SparkEntry.queries.get(name) match {
+            case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
+            case None =>
+              System.err.println(
+                s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+              sys.exit(2)
+          }
+
+        case _ => usage(); sys.exit(2)
+      }
+    } finally started.foreach(_.stop())
+  }
+
+  private def usage(): Unit =
+    System.err.println(
+      """usage: graft.Main <command>
+        |  ingest <landingDir> <url>...
+        |  profile <sfDir> <table>
+        |  preprocess <inParquet> <outDir>
+        |  query <sfDir> <name>""".stripMargin)
+}

@@ -1,0 +1,46 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2A OP-05/06/07).
+  *
+  * The reference writes one Brotli parquet file per table
+  * (`notebooks/preprocessing_with_polars.ipynb:4036-4042`) and routes
+  * ingested files under `{prefix}/{YYYY}/{MM}/{DD}/`
+  * (`lambda_handler.py:273,280-281`). Spark-side: zstd parquet (brotli
+  * codec jar absent in this image — declared deviation, SURVEY §7.4) and
+  * `partitionBy` on a derived ingest_date column. Multipart/commit
+  * mechanics (OP-02/03) are Hadoop committer territory — configured, not
+  * reimplemented.
+  */
+object Writers {
+
+  val DefaultCompression = "zstd"
+
+  /** OP-05: compressed parquet sink. */
+  def parquet(df: DataFrame, path: String,
+      compression: String = DefaultCompression): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .parquet(path)
+
+  /** OP-07: dated partition layout — one partition dir per ingest date
+    * (UTC, from the session timezone pinned in Session). Readers prune
+    * on ingest_date for free (partition pruning).
+    */
+  def datePartitioned(df: DataFrame, path: String,
+      compression: String = DefaultCompression): Unit =
+    df.withColumn("ingest_date", current_date())
+      .write.mode("append")
+      .option("compression", compression)
+      .partitionBy("ingest_date")
+      .parquet(path)
+
+  /** OP-06: quarantine/audit sink — same parquet path shape as the
+    * reference's `problematic_rows.parquet`, kept separate from the
+    * optimized output so the cleaning step leaves an audit trail.
+    */
+  def quarantine(df: DataFrame, path: String): Unit =
+    parquet(df, path)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 
 /** One verifiable query: a Spark DataFrame program plus (where the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
@@ -22,7 +22,8 @@ final case class Q(
   */
 object Registry {
   def all: Seq[Q] =
-    Relational.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs
+    Relational.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
+      Multimodal.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

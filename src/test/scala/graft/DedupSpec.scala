@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+/** Near-dup machinery: MinHash LSH candidates vs exact Jaccard ground
+  * truth, SimHash behavior, and the no-cartesian scale guarantee.
+  */
+class DedupSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** 40 base docs + near-identical variants of the first 5. */
+  private lazy val docs = {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("spark", "query", "table", "row", "scan", "join",
+      "hash", "sort", "data", "batch", "window", "merge", "filter", "agg")
+    def text(): String = Seq.fill(60)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, text()))
+    val nearDups = base.take(5).map { case (i, t) =>
+      // mutate one token near the end -> jaccard stays ~0.95
+      (100L + i, t.split(' ').updated(55, "mutated").mkString(" "))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((base ++ nearDups).map(Row.fromTuple), 2),
+      schema)
+  }
+
+  test("minhash LSH finds planted near-duplicates, no all-pairs scan") {
+    val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.5)
+    val pairs = cands.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, 100L + i)), s"missed planted pair ($i, ${100 + i})")
+    }
+    // scale guarantee: candidate generation must be a shuffle join on
+    // (band, band_hash), never a cartesian product
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+  }
+
+  test("minhash est_jaccard correlates with ground truth on planted pairs") {
+    val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.5)
+      .filter(col("d2") >= 100)
+    val est = cands.collect().map(r => r.getDouble(2))
+    assert(est.nonEmpty && est.forall(_ >= 0.5))
+  }
+
+  test("simhash: identical docs hamming 0; near-dups small; distinct docs large") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      val h = java.lang.Long.bitCount(sig(i) ^ sig(100L + i))
+      assert(h <= 10, s"near-dup pair ($i) hamming $h")
+    }
+    val far = java.lang.Long.bitCount(sig(10L) ^ sig(20L))
+    assert(far > 5, s"independent docs implausibly close: $far")
+  }
+
+  test("simhash banding catches exact duplicates") {
+    val withExact = docs.unionAll(
+      docs.filter(col("doc_id") === 3L)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val pairs = Dedup.simhashPairs(withExact, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 1003L && p._3 == 0))
+  }
+}

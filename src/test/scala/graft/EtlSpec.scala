@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{Profiler, Readers, SchemaOptimizer}
+
+/** OP-04 null normalization, OP-10 regex drop, OP-14/15 quarantine
+  * invariants, OP-16 guarded casts, OP-25 date parse, profiler sanity.
+  */
+class EtlSpec extends AnyFunSuite with TestSpark {
+  import org.apache.spark.sql.Row
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+
+  private val strSchema = StructType(Seq(
+    StructField("a", StringType), StructField("b", StringType)))
+
+  test("OP-04: multi-token null markers become SQL NULL; idempotent") {
+    val in = df(strSchema,
+      Row("x", "null"), Row("", "None"), Row("NULL", "keep"), Row(null, "y"))
+    val once = Readers.normalizeAllNullMarkers(in)
+    assert(once.filter(col("a").isNull).count() == 3)
+    assert(once.filter(col("b").isNull).count() == 2)
+    assert(once.filter(col("b") === "keep").count() == 1)
+    val twice = Readers.normalizeAllNullMarkers(once)
+    assert(twice.collect().toSet == once.collect().toSet)
+  }
+
+  test("OP-04: csv reader round-trips and nulls markers") {
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    val f = new java.io.File(dir, "t.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("name,qty"); w.println("alpha,1"); w.println("null,2")
+    w.println("None,3"); w.println(",4"); w.close()
+    val out = Readers.csv(spark, f.getAbsolutePath)
+    assert(out.count() == 4)
+    assert(out.filter(col("name").isNull).count() == 3)
+    assert(out.schema("qty").dataType == IntegerType) // inferred
+  }
+
+  test("OP-10: regex column drop mirrors the 40->27 _ar exclusion") {
+    val cols = (1 to 5).map(i => s"c$i") ++ (1 to 3).map(i => s"c${i}_ar")
+    val schema = StructType(cols.map(StructField(_, StringType)))
+    val in = df(schema, Row(Seq.fill(8)("v"): _*))
+    val out = SchemaOptimizer.dropColumnsMatching(in, ".*_ar$")
+    assert(out.columns.toSeq == (1 to 5).map(i => s"c$i"))
+  }
+
+  test("OP-14/15: quarantine split is an exact partition of the input") {
+    val schema = StructType(Seq(
+      StructField("v", LongType), StructField("w", LongType)))
+    val rows = (-100L to 100L).map(i => Row(i * 50, i)) :+
+      Row(null, 5L) :+ Row(7L, null)
+    val in = df(schema, rows: _*)
+    val bounds = Seq(SchemaOptimizer.Bounds("v", -1000, 1000),
+      SchemaOptimizer.Bounds("w", -50, 50))
+    val (kept, quarantined) = SchemaOptimizer.quarantineSplit(in, bounds)
+    assert(kept.count() + quarantined.count() == in.count())
+    // every quarantined row violates some bound (non-null out-of-range)
+    val violators = quarantined.filter(
+      (col("v").isNotNull && !col("v").between(-1000, 1000)) ||
+        (col("w").isNotNull && !col("w").between(-50, 50)))
+    assert(violators.count() == quarantined.count())
+    // nulls are kept, not quarantined
+    assert(kept.filter(col("v").isNull || col("w").isNull).count() == 2)
+  }
+
+  test("OP-16: guarded cast nulls out-of-range instead of overflowing") {
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val in = df(schema, Row(100L), Row(200L), Row(40000L), Row(null))
+    val out = in.select(
+      SchemaOptimizer.guardedCast(col("v"), 0, 127, ShortType).as("s"))
+    val got = out.collect().map(r => if (r.isNullAt(0)) None else Some(r.getShort(0)))
+    assert(got.toSet == Set(Some(100.toShort), None))
+    assert(got.count(_.isEmpty) == 3)
+  }
+
+  test("OP-25: non-strict date parse nulls failures, keeps valid") {
+    val schema = StructType(Seq(StructField("d", StringType)))
+    val in = df(schema, Row("2024-01-05"), Row("garbage"), Row(null))
+    val out = SchemaOptimizer.parseDates(in, Seq("d"))
+    assert(out.schema("d").dataType == DateType)
+    assert(out.filter(col("d").isNotNull).count() == 1)
+  }
+
+  test("OP-18/19/33: profiler computes min/max, ratio, extrapolated bytes") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType)))
+    val rows = (1L to 1000L).map(i => Row(i, s"g${i % 4}"))
+    val in = df(schema, rows: _*)
+    val prof = Profiler.profile(in, sampleRows = 1000)
+    val id = prof.find(_.name == "id").get
+    assert(id.min.contains(1.0) && id.max.contains(1000.0))
+    assert(id.estTotalBytes == 8.0 * 1000)
+    val cat = prof.find(_.name == "cat").get
+    assert(cat.distinctRatio.exists(r => r > 0.003 && r < 0.005)) // 4/1000
+    assert(cat.min.isEmpty)
+    // HLL mode runs and lands in the same ballpark
+    val approx = Profiler.profile(in, sampleRows = 1000, approxDistinct = true)
+    val aid = approx.find(_.name == "id").get
+    assert(aid.distinctRatio.exists(r => r > 0.8 && r < 1.2))
+  }
+
+  test("optimize: end-to-end downcast + quarantine on a mixed table") {
+    val schema = StructType(Seq(
+      StructField("small", LongType), StructField("big", LongType),
+      StructField("name_ar", StringType), StructField("name", StringType)))
+    val rows = (1L to 500L).map(i => Row(i % 100, i * 10000000000L, "x", "y"))
+    val in = df(schema, rows: _*)
+    val (opt, quar) = SchemaOptimizer.optimize(in, sampleRows = 500)
+    assert(!opt.columns.contains("name_ar"))
+    assert(opt.schema("small").dataType == ShortType) // 0..99 unsigned rung
+    assert(opt.schema("big").dataType == LongType)
+    assert(opt.count() + quar.count() == 500)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Ingestor
+
+/** OP-01/02/03/36–40 behavioral tests: N URLs → N landing files,
+  * counters match, one failure yields a partial-success report, zero-byte
+  * bodies produce empty files.
+  */
+class IngestorSpec extends AnyFunSuite with TestSpark {
+
+  private def withServer(routes: Map[String, Array[Byte]])(
+      body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, bytes) =>
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length.toLong)
+          if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    }
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("streams N files with bounded concurrency; counters add up") {
+    val payloadA = ("a" * 100000).getBytes
+    val payloadB = ("b" * 5000).getBytes
+    withServer(Map("/a.csv" -> payloadA, "/b.csv" -> payloadB)) { base =>
+      val landing = Files.createTempDirectory("graft-land").toString
+      val report = Ingestor.ingest(
+        Seq(s"$base/a.csv", s"$base/b.csv"), landing,
+        concurrency = 2, chunkBytes = 4096, dated = false)
+      assert(report.failed.isEmpty)
+      assert(report.counters.files == 2)
+      assert(report.counters.errors == 0)
+      assert(report.counters.bytes == payloadA.length + payloadB.length)
+      val a = new java.io.File(s"$landing/a.csv")
+      assert(a.length() == payloadA.length)
+      // report surfaces as a DataFrame (the Lambda's JSON summary shape)
+      assert(report.toDF(spark).count() == 2)
+    }
+  }
+
+  test("one bad URL -> partial success, good files still land") {
+    withServer(Map("/ok.csv" -> "data".getBytes)) { base =>
+      val landing = Files.createTempDirectory("graft-land2").toString
+      val report = Ingestor.ingest(
+        Seq(s"$base/ok.csv", s"$base/missing.csv"), landing,
+        concurrency = 3, dated = false)
+      assert(report.succeeded.map(_.url) == Seq(s"$base/ok.csv"))
+      assert(report.failed.size == 1)
+      assert(report.counters.errors == 1)
+      assert(new java.io.File(s"$landing/ok.csv").exists())
+      assert(!new java.io.File(s"$landing/missing.csv").exists())
+    }
+  }
+
+  test("zero-byte body still writes an (empty) landing object") {
+    withServer(Map("/empty.csv" -> Array.emptyByteArray)) { base =>
+      val landing = Files.createTempDirectory("graft-land3").toString
+      val report = Ingestor.ingest(Seq(s"$base/empty.csv"), landing,
+        dated = false)
+      assert(report.failed.isEmpty)
+      val f = new java.io.File(s"$landing/empty.csv")
+      assert(f.exists() && f.length() == 0)
+    }
+  }
+
+  test("OP-09 url routing: suffix map match, basename fallback") {
+    val m = Map("rent_contracts" -> "rent_contracts.csv")
+    assert(Ingestor.suffixFromUrl(
+      "https://x/api?download=Rent_Contracts.csv", m) == "rent_contracts.csv")
+    assert(Ingestor.suffixFromUrl("https://x/path/file.csv") == "file.csv")
+    assert(Ingestor.suffixFromUrl("https://x/") == "data.csv")
+  }
+
+  test("dated landing layout: {prefix}/{yyyy/MM/dd}/{name}") {
+    val p = Ingestor.datedPath("/tmp/landing", "t.csv")
+    assert(p.matches("/tmp/landing/\\d{4}/\\d{2}/\\d{2}/t\\.csv"))
+  }
+}

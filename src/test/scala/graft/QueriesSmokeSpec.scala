@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Every registered query runs end-to-end on sf0.001 (plan resolves,
+  * executes, schema materializes). Value correctness is the DuckDB
+  * oracle gate's job; this catches analysis/runtime regressions fast.
+  */
+class QueriesSmokeSpec extends AnyFunSuite with TestSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} executes on sf0.001") {
+      val df = q.fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.schema.fields.nonEmpty)
+    }
+  }
+
+  test("registry wiring: every oracle key has a query") {
+    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
+  }
+
+  test("q17/q18 join dimensions via broadcast (no shuffled dim join)") {
+    val plan = Registry.queries("q18_multijoin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join should not SMJ:\n$plan")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** ANN machinery: brute-force correctness on a constructed corpus and
+  * LSH recall of planted near-identical vectors.
+  */
+class SimilaritySpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** 60 deterministic pseudo-random vectors; vec 500 is a tiny
+    * perturbation of vec 1 (cosine ~0.9999).
+    */
+  private lazy val vectors = {
+    val rng = new scala.util.Random(11)
+    val base = (0L until 60L).map { i =>
+      (i, Array.fill(32)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val clone = {
+      val v = base(1)._2.toArray
+      v(0) = v(0) + 0.001f
+      (500L, v.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((base :+ clone).map(Row.fromTuple), 2),
+      schema)
+  }
+
+  test("brute-force top-k: planted clone of query ranks first") {
+    val top = Similarity.bruteForceTopK(vectors, queryVecId = 1L, k = 5).collect()
+    assert(top.head.getLong(0) == 500L)
+    assert(top.head.getDouble(1) > 0.999)
+    // similarities sorted non-increasing
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH ANN: near-identical vector lands in a shared bucket (recall)") {
+    val ann = Similarity.annTopK(vectors, queryVecId = 1L, k = 5).collect()
+    assert(ann.nonEmpty, "no LSH candidates at all")
+    assert(ann.head.getLong(0) == 500L,
+      s"clone not retrieved; got ${ann.map(_.getLong(0)).mkString(",")}")
+  }
+
+  test("LSH candidates are a subset of the corpus, no self-match") {
+    val ids = Similarity.annTopK(vectors, queryVecId = 1L, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L))
+    assert(ids.subsetOf((0L until 60L).toSet + 500L))
+  }
+}
