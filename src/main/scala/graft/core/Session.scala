@@ -39,6 +39,15 @@ object Session {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // InferFiltersFromGenerate synthesizes `size(genInput) > 0` filters
+      // and pushes them below exchanges, INLINING the generator input
+      // expression. For higher-order-function inputs (shingling, minhash)
+      // that re-evaluates the whole lambda chain — including any split()
+      // referenced inside it, once per element — on the pre-repartition
+      // partition layout: measured 10-30 s vs ~2 s at sf0.1 on the
+      // near-dup queries. The rule only saves generating empty arrays.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Tune an externally-created session (Verify/Bench get theirs from the
@@ -48,6 +57,8 @@ object Session {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark
   }
 }

@@ -25,9 +25,24 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
-  /** Distinct 3-gram word shingles of lowercased text, as an array. */
-  def shingleArray(text: Column): Column = {
-    val ts = TextOps.tokens(text)
+  /** Spread rows across the full shuffle-partition count BEFORE per-row
+    * heavy computation. The documents table arrives as few parquet row
+    * groups (often one), so without this every interpreted array-lambda
+    * (shingling, signatures) runs on a single core — measured 22 s vs
+    * <1 s at sf0.1. At cluster scale the same repartition also defeats
+    * input-file skew. The shuffled payload (doc_id + text) is tiny
+    * relative to the compute it unlocks.
+    */
+  private def spread(df: DataFrame): DataFrame = df.repartition(col("doc_id"))
+
+  /** Distinct 3-gram word shingles over an ALREADY-MATERIALIZED token
+    * array column. The input must be a plain attribute, not the split()
+    * expression itself: expressions referenced inside a higher-order
+    * lambda are re-evaluated on every lambda invocation (no CSE), so an
+    * inlined split() would re-run the regex ~3x per shingle —
+    * measured 15 s vs <1 s over 5,000 docs at sf0.1.
+    */
+  def shingleArrayFromTokens(ts: Column): Column =
     array_distinct(
       when(size(ts) >= 3,
         transform(sequence(lit(1), size(ts) - 2), i =>
@@ -36,31 +51,60 @@ object Dedup {
             element_at(ts, i + 1),
             element_at(ts, i + 2))))
         .otherwise(array().cast("array<string>")))
-  }
+
+  /** doc_id + materialized shingle array (tokens projected first so the
+    * tokenizer runs exactly once per row — see shingleArrayFromTokens).
+    */
+  def withShingleArray(df: DataFrame): DataFrame =
+    spread(df)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      // emptiness guard HERE, at token level: a pushed-down copy of this
+      // filter costs one split() per row; a size(sh) filter would inline
+      // the whole shingle lambda chain (see shingleArrayFromTokens note)
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), shingleArrayFromTokens(col("ts")).as("sh"))
 
   /** doc_id -> exploded distinct shingles (the inverted-index rows). */
   def shingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(shingleArray(col("text"))).as("s"))
+    withShingleArray(df).select(col("doc_id"), explode(col("sh")).as("s"))
 
   val MinHashK = 32   // signature length
   val Bands = 8       // LSH bands
   val RowsPerBand = 4 // MinHashK / Bands
 
-  /** MinHash signature entry i: min over shingles of a seeded xxhash64.
-    * Map-side only — a per-row array computation, no shuffle.
+  /** Per-signature-slot mixing constants (splitmix64 of the slot index,
+    * driver-side): slot i's hash family is h -> h*A(i) + B(i) over the
+    * ONE xxhash64 of each shingle. This keeps signature computation to a
+    * single string hash per shingle + 2 integer ops per slot, instead of
+    * MinHashK string hashes — the difference between 46 s and ~2 s at
+    * sf0.1.
     */
-  private def minhash(sh: Column, i: Int): Column =
-    array_min(transform(sh, x => xxhash64(concat(lit(s"mh$i#"), x))))
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val mixA: IndexedSeq[Long] =
+    (0 until MinHashK).map(i => splitmix64(2L * i) | 1L) // odd multipliers
+  private val mixB: IndexedSeq[Long] =
+    (0 until MinHashK).map(i => splitmix64(2L * i + 1))
+
+  /** MinHash signature entry i over pre-hashed shingles. Map-side only —
+    * a per-row array computation, no shuffle.
+    */
+  private def minhash(hashes: Column, i: Int): Column =
+    array_min(transform(hashes, h => h * lit(mixA(i)) + lit(mixB(i))))
 
   /** doc_id, sig (array<long> of MinHashK), band (0..Bands-1), band_hash.
     * One row per (doc, band) after the posexplode.
     */
   def minhashBands(df: DataFrame): DataFrame = {
-    val withSig = df
-      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val withSig = withShingleArray(df)
+      // hash every shingle ONCE; all MinHashK slots derive from this
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
       .select(col("doc_id"),
-        array((0 until MinHashK).map(i => minhash(col("sh"), i)): _*).as("sig"))
+        array((0 until MinHashK).map(i => minhash(col("hs"), i)): _*).as("sig"))
     val bandCols = (0 until Bands).map { b =>
       xxhash64(concat_ws(",",
         (0 until RowsPerBand).map(r =>
@@ -97,7 +141,7 @@ object Dedup {
     * reassemble the signature with shifts/ORs.
     */
   def simhash(df: DataFrame): DataFrame = {
-    val toks = df.select(col("doc_id"),
+    val toks = spread(df).select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { i =>

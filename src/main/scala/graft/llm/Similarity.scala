@@ -37,21 +37,31 @@ object Similarity {
 
   val LshTables = 8
   val LshBitsPerTable = 8
+  private val MaxDim = 512
 
-  /** Deterministic pseudo-random hyperplane component: hash of
-    * (plane, dim) mapped into [-1, 1). No RNG state — identical on every
-    * executor and every run.
+  /** Deterministic pseudo-random hyperplane components in [-1, 1),
+    * PRECOMPUTED on the driver (splitmix64 of (plane, dim)) and embedded
+    * as array literals — the executor does one multiply per dimension
+    * instead of re-hashing (plane, dim) per row.
     */
-  private def planeComponent(plane: Int, i: Column): Column =
-    (pmod(xxhash64(concat(lit(s"pl$plane#"), i.cast("string"))), lit(2000L))
-      .cast("double") / 1000.0) - 1.0
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def plane(p: Int): Seq[Double] =
+    (0 until MaxDim).map { i =>
+      (math.floorMod(splitmix64(p.toLong * MaxDim + i), 2000L).toDouble / 1000.0) - 1.0
+    }
 
   /** Sign bit (at position `bit`) of the projection onto deterministic
-    * hyperplane `plane`. */
-  private def lshBit(vec: Column, plane: Int, bit: Int): Column = {
+    * hyperplane `p` (vectors shorter than MaxDim use its prefix). */
+  private def lshBit(vec: Column, p: Int, bit: Int): Column = {
+    // slice the plane to the vector's length: zip_with pads the shorter
+    // side with nulls, which would null out the whole projection
     val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x * planeComponent(plane, i)),
+      zip_with(vec, slice(typedlit(plane(p)), lit(1), size(vec)), (x, w) => x * w),
       lit(0.0), (acc, v) => acc + v)
     when(proj >= 0, shiftleft(lit(1), bit)).otherwise(lit(0))
   }
@@ -96,7 +106,10 @@ object Similarity {
     * vs the brute-force baseline measured in SimilaritySpec).
     */
   def annTopK(vectors: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val vecs = vectors.select(col("vec_id"),
+    // repartition before the per-row projection folds: the embeddings
+    // table is a single parquet row group, and the LshTables*LshBits
+    // hyperplane projections would otherwise run on one core
+    val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
     val banded = lshBuckets(vecs)
     val q = banded.filter(col("vec_id") === queryVecId)
