@@ -30,19 +30,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+
+    def runOnce(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
+
+    // Warm-up pass: JIT + codegen-cache + page-cache the inputs so the
+    // timed pass measures steady-state query cost, not JVM startup (the
+    // first query otherwise absorbs ~4 s of warmup).
+    names.foreach(runOnce)
+
     var failed = List.empty[String]
     val times = names.map { name =>
       val t0 = System.nanoTime()
-      val ok =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          true
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
+      val ok = runOnce(name)
       val sec = (System.nanoTime() - t0) / 1e9
       if (!ok) failed ::= name
       name -> sec

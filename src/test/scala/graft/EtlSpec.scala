@@ -107,6 +107,39 @@ class EtlSpec extends AnyFunSuite with TestSpark {
     assert(aid.distinctRatio.exists(r => r > 0.8 && r < 1.2))
   }
 
+  test("pipeline golden: CSV -> optimize -> parquet shrinks like the reference") {
+    // Mirrors the reference's flagship result (4.2 GiB CSV -> 127 MiB
+    // brotli parquet, ~33x): low-cardinality strings + dates + small
+    // ints compress away under dictionary encoding + downcasts. We pin a
+    // conservative directional bar (>=5x) on a synthetic sample.
+    val dir = Files.createTempDirectory("graft-golden").toFile
+    val csvFile = new java.io.File(dir, "rent.csv")
+    val w = new java.io.PrintWriter(csvFile)
+    w.println("contract_id,area_name,area_name_ar,contract_start_date,annual_amount,is_free_hold")
+    val areas = Seq("marina", "downtown", "jlt", "deira")
+    (0 until 20000).foreach { i =>
+      val d = f"2023-${i % 12 + 1}%02d-${i % 28 + 1}%02d"
+      w.println(s"C$i,${areas(i % 4)},x${areas(i % 4)},$d,${1000 + i % 500},${i % 2}")
+    }
+    w.close()
+    val csvBytes = csvFile.length()
+
+    val raw = Readers.csv(spark, csvFile.getAbsolutePath)
+    val (optimized, quarantined) = SchemaOptimizer.optimize(
+      raw, dateCols = Seq("contract_start_date"), sampleRows = 20000)
+    assert(!optimized.columns.contains("area_name_ar"))
+    assert(optimized.schema("contract_start_date").dataType == DateType)
+    assert(optimized.count() + quarantined.count() == 20000)
+
+    val outDir = new java.io.File(dir, "opt")
+    graft.etl.Writers.parquet(optimized, outDir.getAbsolutePath)
+    val parquetBytes = outDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(parquetBytes > 0)
+    assert(parquetBytes * 5 < csvBytes,
+      s"expected >=5x compression, got csv=$csvBytes parquet=$parquetBytes")
+  }
+
   test("optimize: end-to-end downcast + quarantine on a mixed table") {
     val schema = StructType(Seq(
       StructField("small", LongType), StructField("big", LongType),
