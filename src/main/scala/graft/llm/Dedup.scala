@@ -195,17 +195,24 @@ object Dedup {
     // -> bit-identical across engines.
     Q("q32_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(docs(s, d)).distinct()
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // Carry the set size WITH each exploded shingle row: the sizes
+        // would otherwise need a second scan over the (recomputed)
+        // shingle arrays plus two joins back onto the pair table. The
+        // extra int per shuffle row is free; the self-join's two
+        // exchanges on `s` are identical, so ReuseExchange computes the
+        // shingling once.
+        val sh = withShingleArray(docs(s, d))
+          .select(col("doc_id"), size(col("sh")).as("n"),
+            explode(col("sh")).as("s"))
         val inter = sh.as("a")
           .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .groupBy(
+            col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.n").as("na"), col("b.n").as("nb"))
           .agg(count(lit(1)).as("inter"))
         val j = col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))
         inter
-          .join(sz.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-          .join(sz.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
           .filter(j >= 0.6)
           .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
           .orderBy(col("d1"), col("d2"))
