@@ -18,6 +18,23 @@ object Writers {
 
   val DefaultCompression = "zstd"
 
+  /** OP-02/03: the reference's hand-rolled S3 multipart protocol
+    * (create -> buffered >=5 MB parts -> complete, abort on error) maps to
+    * Hadoop S3A's transparent multipart + the job-commit protocol. These
+    * are the settings that reproduce the reference's tuning
+    * (S3_PART_MB=50, abort-on-error, magic committer for atomic commits
+    * without rename): apply via `SparkSession.builder.config(...)` or
+    * core-site when the warehouse is s3a://.
+    */
+  val s3aMultipartConf: Map[String, String] = Map(
+    "spark.hadoop.fs.s3a.multipart.size" -> (50L * 1024 * 1024).toString,
+    "spark.hadoop.fs.s3a.multipart.purge" -> "true",
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
+
   /** OP-05: compressed parquet sink. */
   def parquet(df: DataFrame, path: String,
       compression: String = DefaultCompression): Unit =
