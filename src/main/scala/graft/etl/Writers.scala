@@ -60,4 +60,19 @@ object Writers {
     */
   def quarantine(df: DataFrame, path: String): Unit =
     parquet(df, path)
+
+  /** Bucketed managed table: rows are hash-partitioned into `buckets`
+    * files per partition ON WRITE, so joins/aggregations between tables
+    * bucketed on the same key skip the shuffle entirely — the
+    * co-located-join layout for fact-to-fact joins too large to
+    * broadcast (BucketSpec pins the no-Exchange plan).
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, compression: String = DefaultCompression): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.etl.Writers
+
+/** Storage-layout scale paths: bucketed co-located joins (no shuffle)
+  * and partition pruning on the dated layout.
+  */
+class BucketSpec extends AnyFunSuite with TestSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("join of same-key bucketed tables runs without a shuffle exchange") {
+    Writers.bucketedTable(
+      Tables.load(spark, sf, "orders"), "b_orders", Seq("o_custkey"), 8)
+    Writers.bucketedTable(
+      Tables.load(spark, sf, "customer"), "b_customer", Seq("c_custkey"), 8)
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // sanity: result matches the unbucketed join
+    val direct = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(joined.count() == direct)
+  }
+
+  test("dated partition layout prunes at the scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Writers.datePartitioned(Tables.load(spark, sf, "nation"), dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("ingest_date") === current_date())
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("ingest_date"), s"no partition pruning:\n$plan")
+    assert(read.count() == 25)
+  }
+}
