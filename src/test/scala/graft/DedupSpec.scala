@@ -63,6 +63,21 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(far > 5, s"independent docs implausibly close: $far")
   }
 
+  test("minhash recalls every exact near-dup pair in the real testdata") {
+    // Deterministic end-to-end recall check at sf0.001: every pair the
+    // exact n-gram Jaccard query reports at >= 0.8 must appear among the
+    // banded MinHash candidates (est >= 0.5).
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.queries.Registry.queries("q32_ngram_jaccard")(spark, sf)
+      .collect().filter(_.getDouble(2) >= 0.8)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = graft.queries.Registry.queries("q33_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata lost its planted near-dups?")
+    assert(exact.subsetOf(cands),
+      s"missed ${exact -- cands} of ${exact.size} exact pairs")
+  }
+
   test("simhash banding catches exact duplicates") {
     val withExact = docs.unionAll(
       docs.filter(col("doc_id") === 3L)
