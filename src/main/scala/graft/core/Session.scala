@@ -24,6 +24,10 @@ object Session {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // Native expression registration (graft_cosine, graft_minhash_sig,
+      // ...): extensions are a create-time-only config, so every session
+      // factory in the repo must set it (tune() can't add it post-hoc).
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

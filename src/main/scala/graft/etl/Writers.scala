@@ -68,11 +68,21 @@ object Writers {
     * broadcast (BucketSpec pins the no-Exchange plan).
     */
   def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
-      buckets: Int, compression: String = DefaultCompression): Unit =
+      buckets: Int, compression: String = DefaultCompression): Unit = {
+    // With the in-memory catalog the table registration dies with the JVM
+    // but its warehouse directory survives; a later session's saveAsTable
+    // then refuses with LOCATION_ALREADY_EXISTS. Clear both.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .option("compression", compression)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -1,0 +1,415 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's per-row hot paths.
+  *
+  * The higher-order-function formulations (`aggregate(zip_with(...))`,
+  * `array_min(transform(...))`, explode + 64-column aggregation) these
+  * replace are evaluated by the Catalyst interpreter one lambda call per
+  * element, allocating an intermediate array per HOF per row. At 100 TB
+  * that interpreter overhead dominates the actual arithmetic. Each
+  * expression here is a single tight Java/Scala loop over the underlying
+  * `ArrayData` — no per-element boxing, no intermediate arrays — and
+  * participates in whole-stage codegen (either with an inline generated
+  * loop, or through a compiled call into this class, which keeps the
+  * surrounding codegen stage intact).
+  *
+  * Numeric parity: folds accumulate left-to-right in element order, the
+  * same order as the HOF `aggregate` they replace and as the DuckDB
+  * oracle's `list_sum(list_transform(...))` — results are bit-identical,
+  * which the oracle's value-hash compare requires.
+  *
+  * Hash parity: string hashing is Spark's own xxhash64 (seed 42), so
+  * signatures match what `functions.xxhash64` would produce on the same
+  * input. Reference for the operator semantics: near-dup/minhash per
+  * SURVEY.md §2 (LLM-pipeline extensions).
+  */
+object Exprs {
+
+  /** splitmix64 — deterministic per-slot mixing constants (same scheme
+    * across MinHash slots and LSH hyperplanes; no RNG state to ship).
+    */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Sequential-fold dot product of two array<double> columns (shorter
+  * length wins, matching `zip_with`'s non-null overlap after a size
+  * guard). Inline codegen: one fused loop inside the enclosing
+  * whole-stage-codegen function.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must already be array<double>: the Fns wrappers cast (a plain
+  // Cast, codegen'd) — AbstractDataType/ExpectsInputTypes are private[sql]
+  // in Spark 4, so implicit input coercion isn't available to extensions.
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass cosine similarity of two array<double> columns:
+  * dot/(sqrt(dot_aa)*sqrt(dot_bb)) with all three sums accumulated
+  * left-to-right in one loop — bit-identical to computing the three
+  * folds separately (the accumulators are independent).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      sxy += xv * yv; sxx += xv * xv; syy += yv * yv
+      i += 1
+    }
+    sxy / (math.sqrt(sxx) * math.sqrt(syy))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sxy = ctx.freshName("sxy")
+      val sxx = ctx.freshName("sxx")
+      val syy = ctx.freshName("syy")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sxy = 0.0; double $sxx = 0.0; double $syy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  $sxy += $xv * $yv; $sxx += $xv * $xv; $syy += $yv * $yv;
+         |}
+         |${ev.value} = $sxy / (java.lang.Math.sqrt($sxx) * java.lang.Math.sqrt($syy));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct xxhash64 values (seed 42 — Spark's `xxhash64` on strings) of
+  * the n-gram word shingles of a token array: tokenize → shingle →
+  * hash → dedupe in ONE pass per row, never materializing shingle
+  * strings into an output array. Downstream joins/minhash operate on the
+  * 8-byte hash instead of a ~20+-byte string, shrinking the shuffle.
+  * Codegen calls into `compute` (a compiled method) so the enclosing
+  * whole-stage-codegen stage is preserved.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  private val sep = UTF8String.fromString(" ")
+
+  def compute(a: ArrayData): ArrayData = {
+    val len = a.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = a.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      seen.add(XxHash64Function.hash(sh, StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val K = 32
+  // Per-slot affine mixers over the ONE xxhash64 of each shingle: slot i
+  // sees h*A(i)+B(i). One string hash per shingle + 2 integer ops per
+  // slot, instead of K string hashes.
+  val mixA: Array[Long] = Array.tabulate(K)(i => Exprs.splitmix64(2L * i) | 1L)
+  val mixB: Array[Long] = Array.tabulate(K)(i => Exprs.splitmix64(2L * i + 1))
+}
+
+/** MinHash signature (K=32 slots) over pre-hashed shingles, all slots in
+  * one pass over the hash array. Empty input yields a
+  * Long.MaxValue-filled signature (callers filter empty docs upstream).
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression {
+  import MinHashSig._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  def compute(a: ArrayData): ArrayData = {
+    val sig = Array.fill(K)(Long.MaxValue)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var s = 0
+      while (s < K) {
+        val v = h * mixA(s) + mixB(s)
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from a token array: hash each token (xxhash64, seed
+  * 42), per-bit majority vote over the token MULTISET (each occurrence
+  * votes), bit set on count >= 0. Replaces an explode + 64-column
+  * aggregation — the signature becomes a map-side projection and the
+  * only shuffle left in near-dup detection is the band join itself.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  def compute(a: ArrayData): Long = {
+    val cnt = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (cnt(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  val Tables = 8
+  val BitsPerTable = 8
+  val MaxDim = 512
+  // Deterministic pseudo-random hyperplane components in [-1, 1):
+  // splitmix64 of (plane, dim), computed once per JVM. plane p =
+  // table*BitsPerTable + bit. Same constants as the HOF formulation this
+  // replaces, so LSH bucket assignments (and measured recall) carry over.
+  lazy val planes: Array[Array[Double]] =
+    Array.tabulate(Tables * BitsPerTable) { p =>
+      Array.tabulate(MaxDim) { i =>
+        (math.floorMod(Exprs.splitmix64(p.toLong * MaxDim + i), 2000L).toDouble / 1000.0) - 1.0
+      }
+    }
+}
+
+/** All `Tables` random-hyperplane LSH bucket ids of an array<double>
+  * vector in one pass: 64 projections (8 tables x 8 bits) share one
+  * loop nest over the vector instead of 64 interpreted zip_with folds.
+  * Vectors shorter than MaxDim use each plane's prefix.
+  */
+case class HyperplaneBuckets(child: Expression)
+    extends UnaryExpression {
+  import HyperplaneBuckets._
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lsh_buckets"
+
+  def compute(a: ArrayData): ArrayData = {
+    val dim = math.min(a.numElements(), MaxDim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = a.getDouble(i); i += 1 }
+    val buckets = new Array[Int](Tables)
+    var t = 0
+    while (t < Tables) {
+      var bucket = 0
+      var b = 0
+      while (b < BitsPerTable) {
+        val plane = planes(t * BitsPerTable + b)
+        var proj = 0.0
+        var d = 0
+        while (d < dim) { proj += v(d) * plane(d); d += 1 }
+        if (proj >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBuckets", this, classOf[HyperplaneBuckets].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registers the native expressions into every session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the public
+  * extension point (Column↔Expression converters are private[sql] in
+  * Spark 4, so `call_function` over registered names is the supported
+  * way to place a custom Expression in a DataFrame plan). Registration
+  * also makes them first-class SQL functions: `SELECT graft_cosine(a,b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def d(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    d("graft_dot", classOf[DotProduct], es => DotProduct(es(0), es(1))),
+    d("graft_cosine", classOf[CosineSim], es => CosineSim(es(0), es(1))),
+    d("graft_shingle_hashes", classOf[ShingleHashes],
+      es => ShingleHashes(es.head, 3)),
+    d("graft_minhash_sig", classOf[MinHashSig], es => MinHashSig(es.head)),
+    d("graft_simhash64", classOf[SimHash64], es => SimHash64(es.head)),
+    d("graft_lsh_buckets", classOf[HyperplaneBuckets],
+      es => HyperplaneBuckets(es.head)))
+}
+
+/** Column-level API over the native expressions (requires a session built
+  * with GraftExtensions — `graft.core.Session.builder` wires it in).
+  */
+object Fns {
+  private def dbl(a: Column): Column = a.cast("array<double>")
+
+  /** Sequential-fold dot product of two vector columns (cast to
+    * array<double> first, so array<float> embeddings widen once). */
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("graft_dot", dbl(a), dbl(b))
+
+  /** One-pass cosine similarity; bit-identical to
+    * dot/(sqrt(dot_aa)*sqrt(dot_bb)) computed as separate folds. */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("graft_cosine", dbl(a), dbl(b))
+
+  /** Distinct xxhash64 values of 3-gram word shingles of a token array. */
+  def shingleHashes(tokens: Column): Column =
+    call_function("graft_shingle_hashes", tokens)
+
+  /** MinHash signature (array<long> of MinHashSig.K) over shingle hashes. */
+  def minhashSig(hashes: Column): Column =
+    call_function("graft_minhash_sig", hashes)
+
+  /** 64-bit SimHash of a token array (multiset-weighted majority vote). */
+  def simhash64(tokens: Column): Column =
+    call_function("graft_simhash64", tokens)
+
+  /** All HyperplaneBuckets.Tables LSH bucket ids for an embedding. */
+  def lshBuckets(vec: Column): Column =
+    call_function("graft_lsh_buckets", dbl(vec))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.{Fns, MinHashSig => MinHashSigExpr}
 import graft.queries.Q
 
 /** Deduplication operators for LLM training-data pipelines, over the
@@ -68,47 +69,41 @@ object Dedup {
   def shingles(df: DataFrame): DataFrame =
     withShingleArray(df).select(col("doc_id"), explode(col("sh")).as("s"))
 
-  val MinHashK = 32   // signature length
+  /** doc_id + distinct xxhash64 shingle hashes via the native
+    * ShingleHashes expression: tokenize → shingle → hash → dedupe in one
+    * compiled pass per row, no intermediate shingle-string array. The
+    * 8-byte hash replaces the shingle string as join/minhash input, so
+    * the inverted-index shuffle carries longs instead of ~20-byte
+    * strings. (HOF formulation kept above as the reference semantics —
+    * FnsSpec pins native == HOF+xxhash64.)
+    */
+  def withShingleHashes(df: DataFrame): DataFrame =
+    spread(df)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), Fns.shingleHashes(col("ts")).as("hs"))
+
+  val MinHashK: Int = MinHashSigExpr.K // signature length (32)
   val Bands = 8       // LSH bands
   val RowsPerBand = 4 // MinHashK / Bands
 
-  /** Per-signature-slot mixing constants (splitmix64 of the slot index,
-    * driver-side): slot i's hash family is h -> h*A(i) + B(i) over the
-    * ONE xxhash64 of each shingle. This keeps signature computation to a
-    * single string hash per shingle + 2 integer ops per slot, instead of
-    * MinHashK string hashes — the difference between 46 s and ~2 s at
-    * sf0.1.
-    */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  private val mixA: IndexedSeq[Long] =
-    (0 until MinHashK).map(i => splitmix64(2L * i) | 1L) // odd multipliers
-  private val mixB: IndexedSeq[Long] =
-    (0 until MinHashK).map(i => splitmix64(2L * i + 1))
-
-  /** MinHash signature entry i over pre-hashed shingles. Map-side only —
-    * a per-row array computation, no shuffle.
-    */
-  private def minhash(hashes: Column, i: Int): Column =
-    array_min(transform(hashes, h => h * lit(mixA(i)) + lit(mixB(i))))
-
   /** doc_id, sig (array<long> of MinHashK), band (0..Bands-1), band_hash.
     * One row per (doc, band) after the posexplode.
+    *
+    * The signature is the native MinHashSig expression: ONE xxhash64 per
+    * shingle (inside ShingleHashes), then all MinHashK slots in a single
+    * compiled pass (slot i sees h*A(i)+B(i), affine mixers from
+    * splitmix64 — the difference between 46 s and ~2 s at sf0.1 vs
+    * per-slot string hashing, and another ~3x over the interpreted
+    * array_min(transform(...)) per-slot fold). Band hashes are xxhash64
+    * straight over the band's long slots — no string concat.
     */
   def minhashBands(df: DataFrame): DataFrame = {
-    val withSig = withShingleArray(df)
-      // hash every shingle ONCE; all MinHashK slots derive from this
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
-      .select(col("doc_id"),
-        array((0 until MinHashK).map(i => minhash(col("hs"), i)): _*).as("sig"))
+    val withSig = withShingleHashes(df)
+      .select(col("doc_id"), Fns.minhashSig(col("hs")).as("sig"))
     val bandCols = (0 until Bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until RowsPerBand).map(r =>
-          element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*))
+      xxhash64((0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
     }
     withSig.select(col("doc_id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
@@ -136,24 +131,15 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** 64-bit SimHash from token multiset: explode tokens, per-bit majority
-    * vote via 64 conditional sums (partial aggregation map-side), then
-    * reassemble the signature with shifts/ORs.
+  /** 64-bit SimHash from token multiset via the native SimHash64
+    * expression: per-row tight loop (hash each token occurrence, per-bit
+    * majority vote, bit set on count >= 0) — a pure map-side projection.
+    * Replaces an explode + 64-column aggregation whose shuffle carried
+    * one row per TOKEN; signatures now never leave the scan stage.
     */
-  def simhash(df: DataFrame): DataFrame = {
-    val toks = spread(df).select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), sig.as("sig"))
-  }
+  def simhash(df: DataFrame): DataFrame =
+    spread(df).select(col("doc_id"),
+      Fns.simhash64(TextOps.tokens(col("text"))).as("sig"))
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks; pairs sharing any chunk are candidates (catches all pairs
@@ -200,10 +186,13 @@ object Dedup {
         // shingle arrays plus two joins back onto the pair table. The
         // extra int per shuffle row is free; the self-join's two
         // exchanges on `s` are identical, so ReuseExchange computes the
-        // shingling once.
-        val sh = withShingleArray(docs(s, d))
-          .select(col("doc_id"), size(col("sh")).as("n"),
-            explode(col("sh")).as("s"))
+        // shingling once. The inverted index carries the 8-byte shingle
+        // HASH (native ShingleHashes), not the string: identical
+        // intersection counts (64-bit collisions are negligible), ~3x
+        // smaller shuffle rows.
+        val sh = withShingleHashes(docs(s, d))
+          .select(col("doc_id"), size(col("hs")).as("n"),
+            explode(col("hs")).as("s"))
         val inter = sh.as("a")
           .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(

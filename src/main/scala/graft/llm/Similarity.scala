@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.Fns
 import graft.queries.Q
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
@@ -23,66 +24,43 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
-  /** Array<float> -> array<double>, elementwise. */
-  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  /** Array<float> -> array<double> (a single Cast, not a per-element
+    * lambda — codegen'd). */
+  def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product — native DotProduct expression. The HOF
+    * reference formulation (`aggregate(zip_with(a,b,_*_), 0.0, _+_)`)
+    * folds in the same element order, so values are bit-identical; the
+    * native loop just skips the interpreter and the zipped intermediate
+    * array (FnsSpec pins the equality).
+    */
+  def dot(a: Column, b: Column): Column = Fns.dotProduct(a, b)
 
   /** L2 norm of an array<double> column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass native cosine: bit-identical to
+    * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) — independent accumulators
+    * in one loop. */
+  def cosine(a: Column, b: Column): Column = Fns.cosineSim(a, b)
 
-  val LshTables = 8
-  val LshBitsPerTable = 8
-  private val MaxDim = 512
-
-  /** Deterministic pseudo-random hyperplane components in [-1, 1),
-    * PRECOMPUTED on the driver (splitmix64 of (plane, dim)) and embedded
-    * as array literals — the executor does one multiply per dimension
-    * instead of re-hashing (plane, dim) per row.
-    */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  private def plane(p: Int): Seq[Double] =
-    (0 until MaxDim).map { i =>
-      (math.floorMod(splitmix64(p.toLong * MaxDim + i), 2000L).toDouble / 1000.0) - 1.0
-    }
-
-  /** Sign bit (at position `bit`) of the projection onto deterministic
-    * hyperplane `p` (vectors shorter than MaxDim use its prefix). */
-  private def lshBit(vec: Column, p: Int, bit: Int): Column = {
-    // slice the plane to the vector's length: zip_with pads the shorter
-    // side with nulls, which would null out the whole projection
-    val proj = aggregate(
-      zip_with(vec, slice(typedlit(plane(p)), lit(1), size(vec)), (x, w) => x * w),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, shiftleft(lit(1), bit)).otherwise(lit(0))
-  }
-
-  /** Random-hyperplane bucket id for LSH table `table` (an
-    * LshBitsPerTable-bit signature over that table's planes). Map-side
-    * only: a per-row array fold, no shuffle, no model state.
-    */
-  def lshBucket(vec: Column, table: Int): Column =
-    (0 until LshBitsPerTable)
-      .map(b => lshBit(vec, table * LshBitsPerTable + b, b))
-      .reduce((a, c) => a.bitwiseOR(c))
+  val LshTables: Int = graft.functions.HyperplaneBuckets.Tables
+  val LshBitsPerTable: Int = graft.functions.HyperplaneBuckets.BitsPerTable
 
   /** One row per (vec, table) with that table's bucket — candidates for a
     * query are the union over tables of its buckets (standard multi-table
     * LSH: recall compounds across tables, cost stays bucket-sized).
+    *
+    * Buckets come from the native HyperplaneBuckets expression: all
+    * LshTables*LshBitsPerTable deterministic hyperplane projections
+    * (splitmix64-derived components, same constants as the HOF
+    * formulation this replaced) share ONE compiled loop nest per row,
+    * instead of 64 interpreted zip_with folds each allocating a zipped
+    * array. Map-side only: no shuffle, no model state.
     */
   def lshBuckets(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), col("v"),
-      posexplode(array((0 until LshTables).map(t => lshBucket(col("v"), t)): _*))
-        .as(Seq("tbl", "bucket")))
+      posexplode(Fns.lshBuckets(col("v"))).as(Seq("tbl", "bucket")))
 
   /** Brute-force cosine top-k for one query vector (by vec_id), the
     * correctness baseline: broadcast the 1-row query side.

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fns, HyperplaneBuckets, MinHashSig}
+import graft.llm.TextOps
+
+/** Native Catalyst expressions vs their higher-order-function reference
+  * formulations, on real testdata: values must be IDENTICAL (the HOFs
+  * fold in the same element order), not merely close — the DuckDB
+  * oracle hash-compares rendered values, so any drift would show there.
+  */
+class FnsSpec extends AnyFunSuite with TestSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def embPairs = {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+  }
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  test("native dot == HOF fold, bit-identical on real embeddings") {
+    val bad = embPairs
+      .select(Fns.dotProduct(col("x"), col("y")).as("n"), hofDot(col("x"), col("y")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
+  test("native cosine == dot/(norm*norm) HOF formulation, bit-identical") {
+    val hofCos = hofDot(col("x"), col("y")) /
+      (sqrt(hofDot(col("x"), col("x"))) * sqrt(hofDot(col("y"), col("y"))))
+    val bad = embPairs
+      .select(Fns.cosineSim(col("x"), col("y")).as("n"), hofCos.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
+  test("native shingle hashes == xxhash64 over HOF shingle array (as sets)") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val hof = array_sort(transform(
+      graft.llm.Dedup.shingleArrayFromTokens(col("ts")), s => xxhash64(s)))
+    val bad = docs
+      .select(array_sort(Fns.shingleHashes(col("ts"))).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
+  test("native minhash sig == per-slot array_min(transform) with same mixers") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), Fns.shingleHashes(col("ts")).as("hs"))
+    val hofSig = array((0 until MinHashSig.K).map { i =>
+      array_min(transform(col("hs"),
+        h => h * lit(MinHashSig.mixA(i)) + lit(MinHashSig.mixB(i))))
+    }: _*)
+    val bad = docs.select(Fns.minhashSig(col("hs")).as("n"), hofSig.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
+  test("native simhash64 == explode + 64-column majority-vote aggregation") {
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(50)
+    val native = docs
+      .select(col("doc_id"), Fns.simhash64(TextOps.tokens(col("text"))).as("sig"))
+    // reference formulation: one row per token, 64 conditional sums
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val refSig = (0 until 64).map { i =>
+      when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val ref = agg.select(col("doc_id"), refSig.as("sig"))
+    val bad = native.as("n").join(ref.as("r"), "doc_id")
+      .filter(col("n.sig") =!= col("r.sig")).count()
+    assert(bad == 0)
+  }
+
+  test("native LSH buckets == per-plane HOF projections with same planes") {
+    val vecs = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def planeLit(p: Int) = typedlit(HyperplaneBuckets.planes(p).toSeq)
+    def hofBucket(t: Int) = (0 until HyperplaneBuckets.BitsPerTable).map { b =>
+      val proj = aggregate(
+        zip_with(col("v"), slice(planeLit(t * HyperplaneBuckets.BitsPerTable + b),
+          lit(1), size(col("v"))), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    val hof = array((0 until HyperplaneBuckets.Tables).map(hofBucket): _*)
+    val bad = vecs.select(Fns.lshBuckets(col("v")).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
+  test("expressions are SQL-callable via GraftExtensions registration") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c," +
+        " graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d," +
+        " graft_simhash64(array('a','b','a')) AS s").collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("native cosine stays inside a whole-stage-codegen span") {
+    val df = embPairs.select(Fns.cosineSim(col("x"), col("y")).as("c"))
+    df.collect() // AQE only materializes codegen stages in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the project carrying graft_cosine must print as "*(n) Project"
+    assert("\\*\\(\\d+\\) Project \\[graft_cosine".r.findFirstIn(plan).isDefined,
+      s"graft_cosine not inside a codegen stage:\n$plan")
+  }
+}
