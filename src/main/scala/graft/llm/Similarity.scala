@@ -175,6 +175,55 @@ object Similarity {
     // asserted in SimilaritySpec).
     Q("q37_ann_lsh",
       (s, d) => annTopK(emb(s, d), queryVecId = 0L, k = 10),
+      None),
+
+    // IVF-style ANN (rows-only; recall vs brute force in SimilaritySpec).
+    Q("q50_ann_ivf",
+      (s, d) => ivfTopK(emb(s, d), queryVecId = 0L, k = 10),
       None)
   )
+
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** Corpus vectors tagged with their nearest-centroid cell id.
+    * The "codebook" is the first IvfCells vectors (a deterministic
+    * training sample standing in for k-means — the partitioning
+    * mechanics, which are what matters for the engine, are identical).
+    * Assignment is a broadcast of the tiny codebook + IvfCells native
+    * dot products per row, map-side only; `rank` selects the top
+    * `probes` cells per vector (1 for corpus, IvfProbes for the query).
+    */
+  def ivfCells(codebook: DataFrame, rows: DataFrame, probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(Fns.cosineSim(col("v"), col("cv")).desc, col("cell"))
+    rows.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** IVF ANN: candidates live in the query's IvfProbes nearest cells;
+    * rank candidates by exact cosine. The inverted-file structure makes
+    * per-query cost proportional to the probed cells' population, not
+    * the corpus — the other classic ANN layout besides LSH (q37).
+    */
+  def ivfTopK(vectors: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val corpus = ivfCells(vecs, vecs, probes = 1)
+    val q = ivfCells(vecs, vecs.filter(col("vec_id") === queryVecId), IvfProbes)
+      .select(col("v").as("qv"), col("cell"))
+    val sim = cosine(col("v"), col("qv"))
+    corpus
+      .filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), Seq("cell"))
+      .select(col("vec_id"), round(sim, 4).as("sim"), sim.as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("sim"))
+  }
 }

@@ -137,6 +137,53 @@ object TextOps {
                      COUNT(*) AS n
               FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // TF-IDF: highest-scoring term per document. Term frequencies and
+    // document frequencies are two hash aggregations over the exploded
+    // token stream (map-side partials shrink the shuffle to the distinct
+    // (doc,term) / term keys); the corpus size joins in as a broadcast
+    // 1-row aggregate. Scale shape: nothing is per-document state — at
+    // 100 TB this is three shuffles, all on short keys.
+    Q("q49_tfidf",
+      (s, d) => {
+        val docsDf = docs(s, d)
+        val tok = docsDf
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docsDf.agg(count(lit(1)).as("n_docs"))
+        val score = col("tf") * log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(score.desc, col("term"))
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term"), round(score, 4).as("score"))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+                FROM documents),
+              tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                WHERE term <> '' GROUP BY 1, 2),
+              dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              scored AS (
+                SELECT doc_id, term,
+                       tf * LN(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+              SELECT doc_id, term, ROUND(score, 4) AS score
+              FROM (SELECT *, ROW_NUMBER() OVER
+                      (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                    FROM scored) x
+              WHERE rn = 1 ORDER BY doc_id LIMIT 200""")),
+
     // Document fingerprinting: stable 8-hex-char id from normalized text.
     Q("q31_fingerprint",
       (s, d) =>

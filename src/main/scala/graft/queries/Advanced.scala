@@ -115,6 +115,98 @@ object Advanced {
                       WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof
               FROM events e ORDER BY event_id LIMIT 200""")),
 
+    // CUBE with per-dimension grouping flags (all 4 subtotal levels).
+    Q("q41_cube",
+      (s, d) =>
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("int").as("gs"),
+            grouping(col("o_orderpriority")).cast("int").as("gp"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("gs"), col("gp"), col("n"))
+          .orderBy(col("status"), col("prio"), col("gs"), col("gp")),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                     COALESCE(o_orderpriority, 'ALL') AS prio,
+                     CAST(GROUPING(o_orderstatus) AS INT) AS gs,
+                     CAST(GROUPING(o_orderpriority) AS INT) AS gp,
+                     COUNT(*) AS n
+              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              ORDER BY status, prio, gs, gp""")),
+
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` both interpolate at (n-1)*p — identical
+    // values, unlike approx_percentile which is sketch-based).
+    Q("q42_percentile",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                     ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+                     ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                     ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Gap-based sessionization: a >30-minute silence starts a new
+    // session. One shuffle by user, two window passes over the same
+    // sort (lag -> flag, running sum -> session id) — the batch form of
+    // the streaming session-window operator.
+    Q("q43_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSess = when(
+          lag(col("ts"), 1).over(w).isNull ||
+            col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTE"),
+          1).otherwise(0)
+        t(s, d, "events")
+          .withColumn("ns", newSess)
+          .withColumn("sess", sum(col("ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"))
+          .agg(max(col("sess")).cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT user_id,
+                     CAST(SUM(ns) AS BIGINT) AS n_sessions,
+                     COUNT(*) AS n_events
+              FROM flagged GROUP BY user_id ORDER BY user_id""")),
+
+    // PIVOT: order counts per year x status (explicit value list so the
+    // output schema is static — the only pivot shape that scales, since
+    // an inferred value list needs an extra pass over the data).
+    Q("q48_pivot",
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn("y", year(col("o_orderdate")).cast("int"))
+          .groupBy(col("y"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+          .select(col("y"), col("F").as("n_f"), col("O").as("n_o"),
+            col("P").as("n_p"))
+          .orderBy(col("y")),
+      Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // Time-range self join: same-user event pairs within one hour.
     Q("q47_range_join",
       (s, d) => {

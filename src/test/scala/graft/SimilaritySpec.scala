@@ -49,6 +49,27 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
       s"clone not retrieved; got ${ann.map(_.getLong(0)).mkString(",")}")
   }
 
+  test("IVF ANN: planted clone shares the query's probed cells (recall)") {
+    val ivf = Similarity.ivfTopK(vectors, queryVecId = 1L, k = 5).collect()
+    assert(ivf.nonEmpty, "no IVF candidates at all")
+    // the near-identical vector maps to the same nearest centroid as the
+    // query, so with IvfProbes >= 1 it must be retrieved and rank first
+    assert(ivf.head.getLong(0) == 500L,
+      s"clone not retrieved; got ${ivf.map(_.getLong(0)).mkString(",")}")
+    val sims = ivf.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("IVF probes bound the candidate set (not the whole corpus)") {
+    import org.apache.spark.sql.functions.col
+    val vecs = vectors.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val corpusCells = Similarity.ivfCells(vecs, vecs, probes = 1)
+    // every vector lands in exactly one cell, and cells partition the corpus
+    assert(corpusCells.count() == vectors.count())
+    assert(corpusCells.select("vec_id").distinct().count() == vectors.count())
+  }
+
   test("LSH candidates are a subset of the corpus, no self-match") {
     val ids = Similarity.annTopK(vectors, queryVecId = 1L, k = 50)
       .collect().map(_.getLong(0)).toSet
