@@ -112,4 +112,35 @@ object Profiler {
       .toDF()
       .orderBy(desc("estTotalBytes"))
   }
+
+  /** One binary Datasketches-HLL sketch per column (values hashed as
+    * strings so every column type is sketchable uniformly).
+    *
+    * This is the 100 TB distinct-profiling shape: sketches are
+    * MERGEABLE, so each partition/day/ingest-batch profiles itself
+    * independently and the per-slice sketch rows union losslessly later
+    * (`unionSketches`) — no re-scan of history when new data lands,
+    * unlike `countDistinct` or a re-run of `approx_count_distinct` over
+    * the full input.
+    */
+  def distinctSketches(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val names = if (columns.isEmpty) df.columns.toSeq else columns
+    val aggs = names.map(n => hll_sketch_agg(col(n).cast("string")).as(n))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Union per-column sketch rows produced by `distinctSketches` over
+    * independent slices into one combined sketch row.
+    */
+  def unionSketches(sketchRows: DataFrame): DataFrame = {
+    val names = sketchRows.columns.toSeq
+    val aggs = names.map(n => hll_union_agg(col(n)).as(n))
+    sketchRows.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Distinct-count estimates from a sketch row. */
+  def sketchEstimates(sketchRow: DataFrame): DataFrame = {
+    val names = sketchRow.columns.toSeq
+    sketchRow.select(names.map(n => hll_sketch_estimate(col(n)).as(n)): _*)
+  }
 }

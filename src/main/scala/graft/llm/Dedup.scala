@@ -131,6 +131,35 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Near-dup candidates of a NEW document batch against a
+    * PRE-COMPUTED corpus band table (persisted output of
+    * `minhashBands`). Only the new docs are shingled/signed/banded; the
+    * corpus side is read as-is and joined on (band, band_hash).
+    *
+    * This is the incremental shape a growing training corpus needs: at
+    * 100 TB the historical index is bucketed/partitioned by band_hash
+    * on storage, each new ingest batch probes it with a co-located
+    * join, and the new batch's own bands are appended to the index —
+    * nothing is ever re-signed.
+    */
+  def incrementalCandidates(newDocs: DataFrame, corpusBands: DataFrame,
+      minEstJaccard: Double): DataFrame = {
+    val nb = minhashBands(newDocs).select(col("doc_id").as("d_new"),
+      col("sig").as("sig_new"), col("band"), col("band_hash"))
+    val cb = corpusBands.select(col("doc_id").as("d_old"),
+      col("sig").as("sig_old"), col("band"), col("band_hash"))
+    val est = size(filter(
+      zip_with(col("sig_new"), col("sig_old"), (x, y) => (x === y).cast("int")),
+      v => v === 1)).cast("double") / MinHashK
+    nb.join(cb, Seq("band", "band_hash"))
+      .filter(col("d_new") =!= col("d_old"))
+      .select(col("d_new"), col("d_old"), col("sig_new"), col("sig_old"))
+      .distinct()
+      .select(col("d_new"), col("d_old"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
   /** 64-bit SimHash from token multiset via the native SimHash64
     * expression: per-row tight loop (hash each token occurrence, per-bit
     * majority vote, bit set on count >= 0) — a pure map-side projection.

@@ -78,6 +78,21 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       s"missed ${exact -- cands} of ${exact.size} exact pairs")
   }
 
+  test("incremental candidates: new batch probes a persisted corpus index") {
+    // corpus = the 40 base docs, banded ONCE (simulating a stored index);
+    // the new batch holds the 5 near-dup variants and must find its
+    // originals without the corpus being re-signed.
+    val base = docs.filter(col("doc_id") < 100)
+    val corpusIndex = Dedup.minhashBands(base)
+    val newBatch = docs.filter(col("doc_id") >= 100)
+    val pairs = Dedup.incrementalCandidates(newBatch, corpusIndex, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((100L + i, i)),
+        s"missed planted pair (${100 + i}, $i) in $pairs")
+    }
+  }
+
   test("simhash banding catches exact duplicates") {
     val withExact = docs.unionAll(
       docs.filter(col("doc_id") === 3L)
