@@ -360,8 +360,14 @@ case class HyperplaneBuckets(child: Expression)
   * also makes them first-class SQL functions: `SELECT graft_cosine(a,b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // Whole-operator extension (graft.plans.TopK): rewrite filtered
+    // row_number windows into the two-phase top-k-per-key operator and
+    // teach the planner its physical form.
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+
+/** The TopKPerKey whole-operator extension: plan rewrite, physical shape
+  * (one shuffle, no Window sort), and row-identical results vs the
+  * un-rewritten window formulation on real testdata.
+  */
+class TopKSpec extends AnyFunSuite with TestSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topkQuery(k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  private def withRuleDisabled[T](f: => T): T = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.get(key, "")
+    spark.conf.set(key, (if (prev.isEmpty) "" else prev + ",") + "graft.plans.TopKRewrite")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  test("filtered row_number plans as two-phase TopKPerKey, one shuffle, no Window") {
+    val df = topkQuery(3)
+    df.collect()
+    // AQE prints Final and Initial plans; count shuffles in the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyFinal"), s"no final exec:\n$plan")
+    assert(plan.contains("TopKPerKeyPartial"), s"no partial exec:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived the rewrite:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("rewritten results are row-identical to the window formulation") {
+    def canon(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val rewritten = canon(topkQuery(3))
+    val baseline = withRuleDisabled {
+      val df = topkQuery(3)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), s"baseline unexpectedly rewritten:\n$plan")
+      canon(df)
+    }
+    assert(rewritten == baseline)
+    assert(rewritten.nonEmpty)
+  }
+
+  test("rn === 1 form yields exactly the per-key minimum") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val top1 = Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val plan = { top1.collect(); top1.queryExecution.executedPlan.toString }
+    assert(plan.contains("TopKPerKeyFinal"), s"rn===1 not rewritten:\n$plan")
+    // expected: the lexicographically-first (o_orderdate, o_orderkey) per key
+    val expected = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = top1.select(col("o_custkey"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("rank/dense_rank and non-literal bounds are NOT rewritten") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ranked = Tables.load(spark, sf, "orders")
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    ranked.collect()
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("TopKPerKey"),
+      s"rank() was wrongly rewritten:\n$plan")
+  }
+}
