@@ -77,6 +77,20 @@ class TopKSpec extends AnyFunSuite with TestSpark {
     assert(got == expected)
   }
 
+  test("SQL ROW_NUMBER pattern is rewritten identically to the DataFrame path") {
+    Tables.registerAll(spark, sf)
+    val df = spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2""".stripMargin)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), s"SQL path not rewritten:\n$plan")
+  }
+
   test("rank/dense_rank and non-literal bounds are NOT rewritten") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
