@@ -286,6 +286,47 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Count of tokens that appear in a fixed word set (stopword-ratio
+  * quality scoring, language-ID heuristics): one hash-set probe per
+  * token instead of an interpreted `filter(toks, array_contains(...))`
+  * lambda that rescans the word array per element.
+  */
+case class StopHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_stop_hits"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def compute(a: ArrayData): Int = {
+    val n = a.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(a.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopHits", this, classOf[StopHits].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneBuckets {
   val Tables = 8
   val BitsPerTable = 8
@@ -383,6 +424,18 @@ object GraftExtensions {
       es => ShingleHashes(es.head, 3)),
     d("graft_minhash_sig", classOf[MinHashSig], es => MinHashSig(es.head)),
     d("graft_simhash64", classOf[SimHash64], es => SimHash64(es.head)),
+    d("graft_stop_hits", classOf[StopHits], { es =>
+      // second arg must be a foldable array<string> literal (the word set
+      // is part of the expression, not per-row data)
+      val words = es(1) match {
+        case e if e.foldable =>
+          e.eval().asInstanceOf[ArrayData].toArray[UTF8String](StringType)
+            .map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft_stop_hits expects a literal word array, got $other")
+      }
+      StopHits(es.head, words)
+    }),
     d("graft_lsh_buckets", classOf[HyperplaneBuckets],
       es => HyperplaneBuckets(es.head)))
 }
@@ -414,6 +467,12 @@ object Fns {
   /** 64-bit SimHash of a token array (multiset-weighted majority vote). */
   def simhash64(tokens: Column): Column =
     call_function("graft_simhash64", tokens)
+
+  /** Count of tokens present in the fixed `words` set. */
+  def stopHits(tokens: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function("graft_stop_hits", tokens, array(words.map(lit): _*))
+  }
 
   /** All HyperplaneBuckets.Tables LSH bucket ids for an embedding. */
   def lshBuckets(vec: Column): Column =

@@ -23,12 +23,13 @@ object TextOps {
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  private def stopArray(words: Seq[String]): Column =
-    array(words.map(lit): _*)
-
-  /** Count of tokens that appear in `stop`. */
+  /** Count of tokens that appear in `stop` — native StopHits expression
+    * (one hash-set probe per token; the HOF
+    * `size(filter(toks, array_contains(...)))` reference formulation is
+    * pinned equal in FnsSpec).
+    */
   def stopHits(toks: Column, stop: Seq[String]): Column =
-    size(filter(toks, t => array_contains(stopArray(stop), t)))
+    graft.functions.Fns.stopHits(toks, stop)
 
   val EnglishStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 

@@ -105,6 +105,18 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(bad == 0)
   }
 
+  test("native stop-hits == HOF filter/array_contains count") {
+    val words = TextOps.EnglishStop
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select(TextOps.tokens(col("text")).as("ts"))
+    val hof = size(filter(col("ts"),
+      t => array_contains(array(words.map(lit): _*), t)))
+    val bad = docs
+      .select(Fns.stopHits(col("ts"), words).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
   test("expressions are SQL-callable via GraftExtensions registration") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c," +
