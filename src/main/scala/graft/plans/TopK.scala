@@ -183,7 +183,8 @@ case class TopKPerKeyFinalExec(
   * an integer literal, and a non-empty ordering. Disabled like any rule
   * via spark.sql.optimizer.excludedRules=graft.plans.TopKRewrite.
   */
-object TopKRewrite extends Rule[LogicalPlan] {
+object TopKRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   val MaxK = 10000 // beyond this a full sort is no worse; keep heaps small
 
   private def boundFor(cond: Expression, rn: Attribute): Option[Int] = cond match {
@@ -200,11 +201,18 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case f @ Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           partitionSpec, orderSpec, child, _)) if orderSpec.nonEmpty =>
-      boundFor(cond, alias.toAttribute) match {
-        case Some(k) if k >= 1 && k <= MaxK =>
-          TopKPerKey(partitionSpec, orderSpec, k, alias.toAttribute, child)
-        case _ => f
-      }
+      // Any conjunct bounding the row number selects top-k; the rest of
+      // the conjunction (if any) stays as a residual Filter on top.
+      val rn = alias.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = conjuncts.flatMap(c => boundFor(c, rn))
+      if (bounds.nonEmpty && bounds.min >= 1 && bounds.min <= MaxK) {
+        val k = bounds.min
+        val topk = TopKPerKey(partitionSpec, orderSpec, k, rn, child)
+        val residual = conjuncts.filter(c => boundFor(c, rn).isEmpty)
+        if (residual.isEmpty) topk
+        else Filter(residual.reduce(org.apache.spark.sql.catalyst.expressions.And), topk)
+      } else f
   }
 }
 

@@ -91,6 +91,29 @@ class TopKSpec extends AnyFunSuite with TestSpark {
     assert(plan.contains("TopKPerKeyFinal"), s"SQL path not rewritten:\n$plan")
   }
 
+  test("conjunction: rn bound is extracted, residual predicate survives") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val df = Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 2 && col("rn") <= 4)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), s"conjunction not rewritten:\n$plan")
+    // equivalence against the pure window formulation
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val baseline = withRuleDisabled {
+      canon(Tables.load(spark, sf, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 2 && col("rn") <= 4)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn")))
+    }
+    assert(canon(df) == baseline)
+    assert(baseline.forall(t => t._3 >= 2 && t._3 <= 4))
+  }
+
   test("rank/dense_rank and non-literal bounds are NOT rewritten") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
