@@ -207,6 +207,63 @@ object Advanced {
                      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
               FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // Semi-structured JSON column: parse events.props with an explicit
+    // schema (from_json — codegen'd Jackson parse, no UDF) and aggregate
+    // the extracted field. At scale the parse is a map-side projection;
+    // only the small per-type aggregate shuffles.
+    Q("q51_json_extract",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                     MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Equal-width histogram over a fixed range: pure arithmetic bucket
+    // id + hash aggregate — the scalable form of distribution analysis
+    // (no global sort, unlike ntile).
+    Q("q52_histogram",
+      (s, d) => {
+        val lo = 800.0; val hi = 600000.0; val nb = 10
+        val bucket = least(lit(nb - 1),
+          greatest(lit(0),
+            floor((col("o_totalprice") - lo) / ((hi - lo) / nb)).cast("int")))
+        t(s, d, "orders")
+          .select(bucket.as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT LEAST(9, GREATEST(0,
+                       CAST(FLOOR((o_totalprice - 800.0) / 59920.0) AS INT))) AS bucket,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // Correlation / covariance aggregates per group (rounded — the
+    // co-moment accumulation order differs across engines in the last
+    // ulps).
+    Q("q53_corr",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cv"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                     ROUND(CORR(l_quantity, l_extendedprice), 4) AS r,
+                     ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cv
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Time-range self join: same-user event pairs within one hour.
     Q("q47_range_join",
       (s, d) => {
