@@ -114,14 +114,67 @@ class TopKSpec extends AnyFunSuite with TestSpark {
     assert(baseline.forall(t => t._3 >= 2 && t._3 <= 4))
   }
 
-  test("rank/dense_rank and non-literal bounds are NOT rewritten") {
+  test("dense_rank is NOT rewritten") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val ranked = Tables.load(spark, sf, "orders")
-      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      .withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 3)
     ranked.collect()
     val plan = ranked.queryExecution.executedPlan.toString
     assert(plan.contains("Window") && !plan.contains("TopKPerKey"),
-      s"rank() was wrongly rewritten:\n$plan")
+      s"dense_rank() was wrongly rewritten:\n$plan")
+  }
+
+  test("rank() is rewritten, keeps boundary ties, row-identical to Window") {
+    // order by o_orderdate alone → heavy ties (dates repeat per customer)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    def query(): DataFrame = Tables.load(spark, sf, "orders")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+    val df = query()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyFinal"), s"rank() not rewritten:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived:\n$plan")
+    def canon(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val rewritten = canon(df)
+    val baseline = withRuleDisabled { canon(query()) }
+    assert(rewritten == baseline)
+    assert(rewritten.nonEmpty)
+  }
+
+  test("unpartitioned row_number (no PARTITION BY) is rewritten and correct") {
+    // the empty-partition case: must plan (AllTuples final), not crash
+    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+    def query(): DataFrame = Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .select(col("o_orderkey"), col("rn"))
+    val df = query()
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyFinal"), s"global top-k not rewritten:\n$plan")
+    val baseline = withRuleDisabled {
+      query().collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    }
+    assert(got == baseline)
+    assert(got.size == 7)
+  }
+
+  test("partial-phase key-map flush (tiny maxKeysInFlight) stays correct") {
+    val key = "spark.graft.topk.maxKeysInFlight"
+    spark.conf.set(key, "4") // force many flush generations at sf0.001
+    try {
+      def canon(d: DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val flushed = canon(topkQuery(3))
+      val baseline = withRuleDisabled { canon(topkQuery(3)) }
+      assert(flushed == baseline)
+      assert(flushed.nonEmpty)
+    } finally spark.conf.unset(key)
   }
 }
