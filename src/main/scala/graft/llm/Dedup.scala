@@ -83,6 +83,81 @@ object Dedup {
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), Fns.shingleHashes(col("ts")).as("hs"))
 
+  /** Document-frequency cap for the inverted shingle index. A shingle
+    * shared by m documents emits m*(m-1)/2 join rows in ONE reducer's key
+    * group — a boilerplate 3-gram ("terms of service …") shared by 10^6
+    * docs at 100 TB is a task-killing skew key. Shingles past the cap are
+    * near-universal boilerplate and contribute almost nothing to Jaccard
+    * discrimination, so the standard fix is to drop them from the index
+    * and compute Jaccard over the capped shingle space (cf. common-term
+    * filtering in near-dup detection).
+    */
+  val DefaultMaxShingleDf = 64
+
+  /** Inverted shingle-hash index rows (doc_id, s, n) with the hot-shingle
+    * cap applied: shingle hashes whose document frequency exceeds maxDf
+    * are dropped, and `n` is the doc's POST-cap shingle count so Jaccard
+    * is consistent (intersection and union over the same capped space).
+    *
+    * Scale shape: the df pass is a groupBy on the 8-byte hash (map-side
+    * combine, short rows); the hot set it emits is small by construction
+    * (only keys with df > maxDf), so the anti-join broadcasts; the
+    * per-doc recount is one window over doc_id, whose group size is
+    * bounded by document length — no skew.
+    */
+  def invertedShingleIndex(df: DataFrame, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingleHashes(df)
+      .select(col("doc_id"), explode(col("hs")).as("s"))
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("s"))
+    sh.join(hot, Seq("s"), "left_anti")
+      .select(col("doc_id"), col("s"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+  }
+
+  /** Near-dup pairs by n-gram Jaccard over the capped inverted index.
+    * "Hash" Jaccard, not literally exact: intersections count 64-bit
+    * xxhash64 shingle hashes, so a hash collision can inflate a count —
+    * negligible in practice but probabilistic by construction (the
+    * string-shingle formulation in `shingles` is the exact reference
+    * semantics, pinned equivalent in FnsSpec/DedupSpec).
+    */
+  def hashJaccardPairs(df: DataFrame, minJaccard: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val idx = invertedShingleIndex(df, maxDf)
+    val inter = idx.as("a")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    inter
+      .filter(j >= minJaccard)
+      .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
+  }
+
+  /** Verify LSH candidate pairs with their true (uncapped) shingle-hash
+    * Jaccard: the signature arrays are fetched by two equi-joins on the
+    * doc ids — per-pair cost, never per-pair-of-corpus — and the
+    * intersection is computed map-side from the two arrays. This is the
+    * scale-safe route to EXACT near-dup decisions: LSH prunes the pair
+    * space, this operator certifies the survivors.
+    */
+  def jaccardOnCandidates(df: DataFrame, candidates: DataFrame): DataFrame = {
+    val sh = withShingleHashes(df)
+    candidates.select(col("d1"), col("d2"))
+      .join(sh.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"))
+      .withColumn("i", size(array_intersect(col("h1"), col("h2"))))
+      .select(col("d1"), col("d2"),
+        round(col("i").cast("double") /
+          (size(col("h1")) + size(col("h2")) - col("i")), 4).as("jaccard"))
+  }
+
   val MinHashK: Int = MinHashSigExpr.K // signature length (32)
   val Bands = 8       // LSH bands
   val RowsPerBand = 4 // MinHashK / Bands
@@ -122,12 +197,15 @@ object Dedup {
     val est = size(filter(
       zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / MinHashK
+    // est is computed and thresholded MAP-SIDE in the join stage, so the
+    // dedup exchange carries (d1, d2, double) — not the two 32-slot long
+    // signature arrays (~8x smaller shuffle rows; est is functionally
+    // determined by the pair, so distinct-after is equivalent).
     a.join(c, Seq("band", "band_hash"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sig1"), col("sig2"))
-      .distinct()
       .select(col("d1"), col("d2"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -151,12 +229,14 @@ object Dedup {
     val est = size(filter(
       zip_with(col("sig_new"), col("sig_old"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / MinHashK
+    // same shuffle-shrink as minhashCandidates: estimate, threshold, THEN
+    // dedup on the slim (d_new, d_old, est) rows — sigs never ride the
+    // distinct exchange
     nb.join(cb, Seq("band", "band_hash"))
       .filter(col("d_new") =!= col("d_old"))
-      .select(col("d_new"), col("d_old"), col("sig_new"), col("sig_old"))
-      .distinct()
       .select(col("d_new"), col("d_old"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
       .orderBy(col("d_new"), col("d_old"))
   }
 
@@ -208,42 +288,28 @@ object Dedup {
     // join on shingle (not doc x doc), intersection counts from the
     // grouped join, sizes joined back. jaccard is a ratio of exact ints
     // -> bit-identical across engines.
+    // The inverted index carries the 8-byte shingle HASH (native
+    // ShingleHashes), not the string: identical intersection counts
+    // (64-bit collisions negligible — hash-based, not literally exact;
+    // see hashJaccardPairs), ~3x smaller shuffle rows. The index is
+    // df-capped (DefaultMaxShingleDf) so a boilerplate shingle can't
+    // blow up one reducer; the oracle applies the identical cap on
+    // shingle STRINGS (df is collision-insensitive at these scales).
     Q("q32_ngram_jaccard",
-      (s, d) => {
-        // Carry the set size WITH each exploded shingle row: the sizes
-        // would otherwise need a second scan over the (recomputed)
-        // shingle arrays plus two joins back onto the pair table. The
-        // extra int per shuffle row is free; the self-join's two
-        // exchanges on `s` are identical, so ReuseExchange computes the
-        // shingling once. The inverted index carries the 8-byte shingle
-        // HASH (native ShingleHashes), not the string: identical
-        // intersection counts (64-bit collisions are negligible), ~3x
-        // smaller shuffle rows.
-        val sh = withShingleHashes(docs(s, d))
-          .select(col("doc_id"), size(col("hs")).as("n"),
-            explode(col("hs")).as("s"))
-        val inter = sh.as("a")
-          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(
-            col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            col("a.n").as("na"), col("b.n").as("nb"))
-          .agg(count(lit(1)).as("inter"))
-        val j = col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter"))
-        inter
-          .filter(j >= 0.6)
-          .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
-          .orderBy(col("d1"), col("d2"))
-      },
-      Some("""WITH tok AS (
-                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+      (s, d) => hashJaccardPairs(docs(s, d), minJaccard = 0.6)
+        .orderBy(col("d1"), col("d2")),
+      Some(s"""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
                 FROM documents),
-              sh AS (
+              sh0 AS (
                 SELECT DISTINCT doc_id, s FROM (
                   SELECT doc_id,
                          UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
                                  for i in generate_series(1, LEN(ts)-2)]) AS s
                   FROM tok WHERE LEN(ts) >= 3) u),
+              keep AS (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
               sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
               pr AS (
                 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

@@ -190,20 +190,27 @@ object Similarity {
     * The "codebook" is the first IvfCells vectors (a deterministic
     * training sample standing in for k-means — the partitioning
     * mechanics, which are what matters for the engine, are identical).
-    * Assignment is a broadcast of the tiny codebook + IvfCells native
-    * dot products per row, map-side only; `rank` selects the top
-    * `probes` cells per vector (1 for corpus, IvfProbes for the query).
+    *
+    * Assignment is fully MAP-SIDE: the codebook is collapsed to a single
+    * broadcast row holding array<struct<cell, cv>>, and each vector
+    * scores all cells in one projection — struct(-sim, cell) per cell,
+    * sort_array (ascending on negated sim, cell breaks ties), slice to
+    * the top `probes` (1 for corpus, IvfProbes for the query), explode.
+    * Semantically a per-row argmax; the previous formulation (crossJoin
+    * + row_number window) paid a corpus-wide shuffle keyed on vec_id for
+    * the same answer.
     */
   def ivfCells(codebook: DataFrame, rows: DataFrame, probes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = codebook.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(Fns.cosineSim(col("v"), col("cv")).desc, col("cell"))
-    rows.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= probes)
-      .select(col("vec_id"), col("v"), col("cell"))
+    val cb = codebook.filter(col("vec_id") < IvfCells)
+      .select(struct(col("vec_id").as("cell"), col("v").as("cv")).as("c"))
+      .agg(collect_list(col("c")).as("cb"))
+    val scored = transform(col("cb"), c =>
+      struct((-cosine(col("v"), c.getField("cv"))).as("negsim"),
+        c.getField("cell").as("cell")))
+    rows.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"),
+        explode(slice(sort_array(scored), 1, probes)).as("sc"))
+      .select(col("vec_id"), col("v"), col("sc.cell").as("cell"))
   }
 
   /** IVF ANN: candidates live in the query's IvfProbes nearest cells;

@@ -93,6 +93,57 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("hot-shingle df cap bounds the inverted index's worst key") {
+    // 300 docs that all open with the same boilerplate phrase: uncapped,
+    // each boilerplate shingle is one join key producing C(300,2) ~ 45k
+    // rows — the 100 TB skew-killer. Two of the docs are true near-dups
+    // of each other; their discriminating shingles are rare and must
+    // survive the cap.
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    def body(): String = Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val boiler = "terms of service apply here"
+    val base = (0L until 300L).map(i => (i, s"$boiler ${body()}"))
+    val nearDup = {
+      val t = base(7)._2.split(' ').updated(30, "mutated").mkString(" ")
+      (900L, t)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((base :+ nearDup).map(Row.fromTuple), 4),
+      schema)
+
+    val maxDf = 64
+    val idx = Dedup.invertedShingleIndex(df, maxDf)
+    val worstDf = idx.groupBy(col("s")).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    assert(worstDf <= maxDf,
+      s"a shingle with df=$worstDf survived the cap — m^2 join-row skew at scale")
+
+    // the boilerplate shingles (df=301) must be gone, so per-key join
+    // fan-out is bounded by maxDf^2 instead of corpus^2
+    val pairs = Dedup.hashJaccardPairs(df, minJaccard = 0.6, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 7L && p._2 == 900L && p._3 >= 0.8),
+      s"planted near-dup lost under the cap: ${pairs.mkString(",")}")
+    // boilerplate alone must NOT make unrelated docs near-dups
+    assert(pairs.forall(p => (p._1, p._2) == (7L, 900L)),
+      s"boilerplate-only pairs leaked through: ${pairs.mkString(",")}")
+  }
+
+  test("jaccardOnCandidates certifies LSH candidates with true jaccard") {
+    val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.5)
+    val verified = Dedup.jaccardOnCandidates(docs, cands)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // one verdict per candidate pair, planted pairs certified high
+    assert(verified.size == cands.count())
+    (0L until 5L).foreach { i =>
+      val j = verified.getOrElse((i, 100L + i),
+        fail(s"planted pair ($i, ${100 + i}) not among candidates"))
+      assert(j >= 0.8, s"planted pair ($i, ${100 + i}) verified at $j")
+    }
+  }
+
   test("simhash banding catches exact duplicates") {
     val withExact = docs.unionAll(
       docs.filter(col("doc_id") === 3L)

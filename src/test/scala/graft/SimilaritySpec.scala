@@ -70,6 +70,21 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(corpusCells.select("vec_id").distinct().count() == vectors.count())
   }
 
+  test("IVF cell assignment is map-side: no corpus shuffle in the plan") {
+    import org.apache.spark.sql.functions.col
+    val vecs = vectors.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val corpusCells = Similarity.ivfCells(vecs, vecs, probes = 1)
+    corpusCells.collect()
+    val plan = corpusCells.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the only allowed exchange is the codebook's SinglePartition collapse
+    // (16 rows feeding a broadcast); the corpus side must not shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-wide shuffle in IVF assignment:\n$plan")
+    assert(!plan.contains("Window"), s"window sort survived:\n$plan")
+  }
+
   test("LSH candidates are a subset of the corpus, no self-match") {
     val ids = Similarity.annTopK(vectors, queryVecId = 1L, k = 50)
       .collect().map(_.getLong(0)).toSet
