@@ -6,12 +6,11 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.{Files, Paths}
 import java.time.format.DateTimeFormatter
 import java.time.{ZoneOffset, ZonedDateTime}
-import java.util.concurrent.Executors
-import java.util.concurrent.atomic.LongAdder
+import java.util.concurrent.atomic.{AtomicBoolean, LongAdder}
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
 
-import scala.concurrent.duration.Duration
+import scala.concurrent.duration.{Duration, MILLISECONDS}
 import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.util.matching.Regex
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,8 +21,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Design mapping:
   *  - chunked streaming (`:194-209`): fixed-size buffer copy from the
   *    HTTP body stream — memory is O(chunk), never O(file);
+  *  - progress events with percent from Content-Length
+  *    (`:171-174,205-215`): `file_progress` at each 10% boundary when the
+  *    server declares a length;
+  *  - MB/s accounting (`:107,237`): per-file mbps in each FileResult and
+  *    an aggregate in the Report;
   *  - bounded concurrency (`:266-291`, Semaphore(CONCURRENCY)): a fixed
   *    thread pool of the same width;
+  *  - hard timeouts (the Lambda runs under a 15-minute cap,
+  *    `dubai_dataset_stack.py:98-107`): connect timeout on the client,
+  *    response timeout on the request, and a per-file watchdog that
+  *    closes the body stream mid-read — a stalled server fails the FILE
+  *    in bounded time, never the batch;
   *  - op counters (`:35-59`): LongAdders, snapshotted into the summary;
   *  - error recovery (`:251-264`): per-file status records, partial
   *    success — one failed URL never aborts the batch;
@@ -41,6 +50,7 @@ object Ingestor {
       dest: String,
       bytes: Long,
       millis: Long,
+      mbps: Double,
       status: String, // "success" | "error"
       error: String)
 
@@ -50,12 +60,25 @@ object Ingestor {
   final case class Report(results: Seq[FileResult], counters: Counters) {
     def succeeded: Seq[FileResult] = results.filter(_.status == "success")
     def failed: Seq[FileResult] = results.filter(_.status == "error")
+    /** Aggregate throughput over successful files (sum bytes / sum time —
+      * the per-strategy MB/s figure the reference's profiling notebook
+      * publishes).
+      */
+    def totalMbps: Double = {
+      val ok = succeeded
+      val ms = ok.map(_.millis).sum
+      if (ms <= 0) 0.0 else roundMbps(ok.map(_.bytes).sum, ms)
+    }
     /** Per-file status as a DataFrame (the Lambda's JSON summary). */
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
       results.toDF()
     }
   }
+
+  private def roundMbps(bytes: Long, ms: Long): Double =
+    if (ms <= 0) 0.0
+    else math.round((bytes / 1e6) / (ms / 1000.0) * 1000.0) / 1000.0
 
   /** OP-09: route a URL to a destination file name — lowercase substring
     * match over a suffix map, falling back to the URL basename.
@@ -91,63 +114,107 @@ object Ingestor {
       url: String,
       dest: String,
       chunkBytes: Int,
+      fileTimeoutMs: Long,
+      watchdog: ScheduledExecutorService,
       counters: (LongAdder, LongAdder, LongAdder, LongAdder, LongAdder)): FileResult = {
     val (reqs, chunks, files, errors, bytesTotal) = counters
     val t0 = System.nanoTime()
+    val timedOut = new AtomicBoolean(false)
     try {
-      val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+      val req = HttpRequest.newBuilder(URI.create(url)).GET()
+        .timeout(java.time.Duration.ofMillis(fileTimeoutMs))
+        .build()
       reqs.increment()
       val resp: HttpResponse[InputStream] =
         client.send(req, HttpResponse.BodyHandlers.ofInputStream())
       if (resp.statusCode() / 100 != 2)
         throw new RuntimeException(s"HTTP ${resp.statusCode()}")
+      // total size if the server declares one (-1 for chunked bodies)
+      val total = resp.headers().firstValueAsLong("Content-Length").orElse(-1L)
       Files.createDirectories(Paths.get(dest).getParent)
       val in = resp.body()
+      // HttpRequest.timeout only covers time-to-response-headers; a body
+      // that stalls MID-stream would block read() forever. The watchdog
+      // closes the stream at the deadline, failing this file in bounded
+      // time (the reference gets the same guarantee from the Lambda cap).
+      val kill = watchdog.schedule(new Runnable {
+        override def run(): Unit = {
+          timedOut.set(true)
+          try in.close() catch { case _: Throwable => () }
+        }
+      }, fileTimeoutMs, TimeUnit.MILLISECONDS)
       val out = new BufferedOutputStream(new FileOutputStream(dest), chunkBytes)
       var written = 0L
       try {
         val buf = new Array[Byte](chunkBytes)
+        var nextPct = 10L
         var n = in.read(buf)
         while (n >= 0) {
           if (n > 0) {
             out.write(buf, 0, n)
             written += n
             chunks.increment()
+            if (total > 0) {
+              val pct = written * 100 / total
+              if (pct >= nextPct) {
+                while (nextPct <= pct) nextPct += 10
+                log("file_progress", "url" -> url,
+                  "percent" -> (nextPct - 10), "bytes" -> written,
+                  "total" -> total)
+              }
+            }
           }
           n = in.read(buf)
         }
       } finally {
-        out.close(); in.close()
+        kill.cancel(false)
+        out.close(); try in.close() catch { case _: Throwable => () }
       }
+      if (timedOut.get())
+        throw new RuntimeException(s"timeout after ${fileTimeoutMs} ms")
       // OP-03: zero-byte bodies still produce an (empty) landing file —
       // the FileOutputStream above already created it.
       files.increment()
       bytesTotal.add(written)
       val ms = (System.nanoTime() - t0) / 1000000
-      log("file_complete", "url" -> url, "bytes" -> written, "ms" -> ms)
-      FileResult(url, dest, written, ms, "success", "")
+      val mbps = roundMbps(written, ms)
+      log("file_complete", "url" -> url, "bytes" -> written, "ms" -> ms,
+        "mbps" -> mbps)
+      FileResult(url, dest, written, ms, mbps, "success", "")
     } catch {
       case e: Throwable =>
         errors.increment()
         // OP-40: abort semantics — remove the partial object.
         try Files.deleteIfExists(Paths.get(dest)) catch { case _: Throwable => () }
         val ms = (System.nanoTime() - t0) / 1000000
-        log("file_error", "url" -> url, "error" -> e.getMessage, "ms" -> ms)
-        FileResult(url, dest, 0L, ms, "error", String.valueOf(e.getMessage))
+        val msg =
+          if (timedOut.get()) s"timeout after ${fileTimeoutMs} ms"
+          else String.valueOf(e.getMessage)
+        log("file_error", "url" -> url, "error" -> msg, "ms" -> ms)
+        FileResult(url, dest, 0L, ms, 0.0, "error", msg)
     }
   }
 
-  /** OP-36: fan out over `urls` with at most `concurrency` in flight. */
+  /** OP-36: fan out over `urls` with at most `concurrency` in flight.
+    * Every request is bounded: `fileTimeoutMs` per file (headers AND
+    * body), 10 s connect, and the batch await is derived from the file
+    * budget — a hung server can cost one file slot, never the batch.
+    */
   def ingest(
       urls: Seq[String],
       landingDir: String,
       concurrency: Int = 3,
       chunkBytes: Int = 1024 * 1024,
       suffixMap: Map[String, String] = Map(),
-      dated: Boolean = true): Report = {
+      dated: Boolean = true,
+      fileTimeoutMs: Long = 15 * 60 * 1000L): Report = {
     val pool = Executors.newFixedThreadPool(math.max(1, concurrency))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val watchdog = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "ingest-watchdog"); t.setDaemon(true); t
+    })
     val client = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
       .followRedirects(HttpClient.Redirect.NORMAL).build()
     val counters = (new LongAdder, new LongAdder, new LongAdder,
       new LongAdder, new LongAdder)
@@ -156,11 +223,20 @@ object Ingestor {
         val name = suffixFromUrl(url, suffixMap)
         val dest =
           if (dated) datedPath(landingDir, name) else s"$landingDir/$name"
-        Future(streamOne(client, url, dest, chunkBytes, counters))
+        Future(streamOne(client, url, dest, chunkBytes, fileTimeoutMs,
+          watchdog, counters))
       }
-      val results = Await.result(Future.sequence(futures), Duration.Inf)
+      // worst case: ceil(n/concurrency) sequential waves each taking the
+      // full per-file budget, plus slack — bounded, unlike Duration.Inf
+      val waves = (urls.size + math.max(1, concurrency) - 1) /
+        math.max(1, concurrency)
+      val atMost = Duration(fileTimeoutMs * (waves + 1) + 30000, MILLISECONDS)
+      val results = Await.result(Future.sequence(futures), atMost)
       val (reqs, chunks, files, errors, bytes) = counters
       Report(results, Counters(reqs.sum, chunks.sum, files.sum, errors.sum, bytes.sum))
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      watchdog.shutdownNow()
+    }
   }
 }

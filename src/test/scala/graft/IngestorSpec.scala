@@ -75,6 +75,61 @@ class IngestorSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("stalling server fails the file in bounded time, not forever") {
+    // headers + 4 bytes arrive, then the body stalls: HttpRequest.timeout
+    // can't catch this (headers already came) — the watchdog must
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/stall.csv", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(200, 100000L)
+        ex.getResponseBody.write("abcd".getBytes)
+        ex.getResponseBody.flush()
+        Thread.sleep(8000) // far past the file timeout below
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val landing = Files.createTempDirectory("graft-land4").toString
+      val t0 = System.nanoTime()
+      val report = Ingestor.ingest(Seq(s"$base/stall.csv"), landing,
+        dated = false, fileTimeoutMs = 1000)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(report.failed.size == 1)
+      assert(report.failed.head.error.contains("timeout"),
+        s"unexpected error: ${report.failed.head.error}")
+      assert(elapsedMs < 6000, s"stall not bounded: ${elapsedMs}ms")
+      assert(!new java.io.File(s"$landing/stall.csv").exists(),
+        "partial object left behind after timeout")
+    } finally server.stop(0)
+  }
+
+  test("file_progress events carry Content-Length percent; mbps reported") {
+    val payload = ("x" * 200000).getBytes
+    withServer(Map("/big.csv" -> payload)) { base =>
+      val landing = Files.createTempDirectory("graft-land5").toString
+      val captured = new java.io.ByteArrayOutputStream()
+      val prevErr = System.err
+      System.setErr(new java.io.PrintStream(captured, true))
+      val report =
+        try Ingestor.ingest(Seq(s"$base/big.csv"), landing,
+          chunkBytes = 16384, dated = false)
+        finally System.setErr(prevErr)
+      val events = captured.toString
+      assert(events.contains(""""event":"file_progress""""),
+        s"no progress events in: $events")
+      assert(events.contains(""""total":"${payload.length}"""".replace(
+        "${payload.length}", payload.length.toString)),
+        s"progress lacks Content-Length total: $events")
+      // MB/s accounting: per-file and aggregate
+      assert(report.succeeded.head.mbps > 0.0)
+      assert(report.totalMbps > 0.0)
+      assert(report.toDF(spark).columns.contains("mbps"))
+    }
+  }
+
   test("OP-09 url routing: suffix map match, basename fallback") {
     val m = Map("rent_contracts" -> "rent_contracts.csv")
     assert(Ingestor.suffixFromUrl(
