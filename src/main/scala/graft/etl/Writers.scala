@@ -74,8 +74,12 @@ object Writers {
     // then refuses with LOCATION_ALREADY_EXISTS. Clear both.
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // saveAsTable lowercases identifiers for the warehouse location; a
+    // mixed-case `table` would otherwise delete a nonexistent path and
+    // leave the LOCATION_ALREADY_EXISTS failure in place
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -159,14 +159,24 @@ case class ShingleHashes(child: Expression, n: Int)
   private val sep = UTF8String.fromString(" ")
 
   def compute(a: ArrayData): ArrayData = {
-    val len = a.numElements()
-    if (len < n) return new GenericArrayData(Array.empty[Long])
+    // registered as a public SQL function, so the input array may carry
+    // NULL elements — skip them (a null token neither forms nor breaks a
+    // shingle) instead of NPE-ing in the hash
+    val len0 = a.numElements()
+    val toks = new Array[UTF8String](len0)
+    var m = 0
+    var p = 0
+    while (p < len0) {
+      if (!a.isNullAt(p)) { toks(m) = a.getUTF8String(p); m += 1 }
+      p += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
-    while (i <= len - n) {
+    while (i <= m - n) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = a.getUTF8String(i + j); j += 1 }
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
       val sh = UTF8String.concatWs(sep, parts: _*)
       seen.add(XxHash64Function.hash(sh, StringType, 42L))
       i += 1
@@ -260,11 +270,14 @@ case class SimHash64(child: Expression)
     val n = a.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
-        b += 1
+      // null tokens cast no vote (public SQL function — no NPE)
+      if (!a.isNullAt(i)) {
+        val h = XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -309,7 +322,8 @@ case class StopHits(child: Expression, words: Seq[String])
     var hits = 0
     var i = 0
     while (i < n) {
-      if (set.contains(a.getUTF8String(i))) hits += 1
+      // null tokens are never stopword hits (public SQL function — no NPE)
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) hits += 1
       i += 1
     }
     hits

@@ -32,6 +32,22 @@ class BucketSpec extends AnyFunSuite with TestSpark {
     assert(joined.count() == direct)
   }
 
+  test("mixed-case table name: rewrite clears the stale lowercase location") {
+    // saveAsTable lowercases the identifier for its warehouse path, so
+    // the stale-location cleanup must too. Simulate a previous session's
+    // leftover: the LOWERCASE location exists but no catalog entry — a
+    // cleanup keyed on the mixed-case name would delete the wrong path
+    // and die with LOCATION_ALREADY_EXISTS
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val stale = java.nio.file.Paths.get(warehouse, "b_mixedcase")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("junk"), "x".getBytes)
+    val nation = Tables.load(spark, sf, "nation")
+    Writers.bucketedTable(nation, "B_MixedCase", Seq("n_nationkey"), 4)
+    assert(spark.table("B_MixedCase").count() == 25)
+  }
+
   test("dated partition layout prunes at the scan (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Writers.datePartitioned(Tables.load(spark, sf, "nation"), dir)

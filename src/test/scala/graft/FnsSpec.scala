@@ -126,6 +126,23 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("null array elements are skipped, not NPEs (public SQL surface)") {
+    val r = spark.sql(
+      "SELECT graft_simhash64(array('a', CAST(NULL AS STRING), 'b')) AS s," +
+        " graft_simhash64(array('a', 'b')) AS s2," +
+        " graft_shingle_hashes(array('a', CAST(NULL AS STRING), 'b', 'c'), 3) AS sh," +
+        " graft_shingle_hashes(array('a', 'b', 'c'), 3) AS sh2")
+      .collect().head
+    // a null token casts no vote / forms no shingle: results equal the
+    // null-free formulation
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    val hits = graft.functions.Fns.stopHits(
+      array(lit("the"), lit(null).cast("string"), lit("zzz")), Seq("the", "a"))
+    val n = spark.range(1).select(hits.as("n")).collect().head.getInt(0)
+    assert(n == 1)
+  }
+
   test("native cosine stays inside a whole-stage-codegen span") {
     val df = embPairs.select(Fns.cosineSim(col("x"), col("y")).as("c"))
     df.collect() // AQE only materializes codegen stages in the FINAL plan

@@ -34,6 +34,61 @@ class SkewSpec extends AnyFunSuite with TestSpark {
     assert(salted == direct)
   }
 
+  test("two-phase sessionization: hot user spread across blocks, identical results") {
+    import java.sql.Timestamp
+    import graft.queries.Sessionize
+    // one hot user with 5,000 events over ~3.5 days (spanning many
+    // 6-hour blocks, some gaps > 30 min), plus 20 normal users
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType)))
+    val t0 = 1700000000000L
+    val rng = new scala.util.Random(23)
+    val hot = (0L until 5000L).map { i =>
+      // mostly 1-minute steps, occasional 40-minute silences
+      val step = if (rng.nextInt(50) == 0) 40L * 60000 else 60000L
+      (i, step)
+    }.scanLeft((0L, t0)) { case ((_, acc), (i, step)) => (i, acc + step) }
+      .drop(1).map { case (i, ts) => Row(7L, new Timestamp(ts), i) }
+    val normal = (0L until 20L).flatMap { u =>
+      (0L until 30L).map { i =>
+        Row(100L + u, new Timestamp(t0 + i * 45 * 60000 + u * 1000), 10000L + u * 100 + i)
+      }
+    }
+    val events = spark.createDataFrame(
+      spark.sparkContext.parallelize(hot ++ normal, 8), schema)
+
+    val twoPhase = Sessionize.sessionCountsAtScale(events,
+      gapMinutes = 30, blockMinutes = 360)
+    // the phase-1 exchange must be keyed on (user_id, block): that's
+    // what spreads the hot user across tasks
+    twoPhase.collect()
+    val plan = twoPhase.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("__blk"), s"no block key in plan:\n$plan")
+    assert("hashpartitioning\\(user_id[^)]*__blk".r.findFirstIn(plan).isDefined,
+      s"phase-1 shuffle not keyed on (user_id, __blk):\n$plan")
+
+    // identical to the single-window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val direct = events
+      .withColumn("ns", when(
+        lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTE"),
+        1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ns")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = twoPhase
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == direct)
+    // sanity: the hot user genuinely has many sessions and blocks
+    val hotRow = got.find(_._1 == 7L).get
+    assert(hotRow._3 == 5000L && hotRow._2 > 50L)
+  }
+
   test("salted join equals direct join") {
     val dim = {
       val schema = StructType(Seq(
