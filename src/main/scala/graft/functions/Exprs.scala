@@ -299,6 +299,61 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash whose per-token hash is the first 8 bytes of MD5
+  * (big-endian) instead of xxhash64. Same majority-vote rule as
+  * [[SimHash64]]; the point of this variant is that MD5 is shared by
+  * every engine, so the signature is ORACLE-CHECKABLE: DuckDB reproduces
+  * it bit-for-bit from SUBSTR(MD5(t),1,8)/(9,8) (q55's oracle), where
+  * xxhash64 seeds/implementations are Spark-specific.
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash_md5"
+
+  def compute(a: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cnt = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(a.getUTF8String(i).getBytes)
+        // first 8 digest bytes, big-endian: bits 63..32 are the first 4
+        // bytes (= first 8 hex chars), bits 31..0 the next 4 — exactly
+        // DuckDB's SUBSTR(MD5(t),1,8) / SUBSTR(MD5(t),9,8) halves
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (digest(k) & 0xFFL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (cnt(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashMd5", this, classOf[SimHashMd5].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of tokens that appear in a fixed word set (stopword-ratio
   * quality scoring, language-ID heuristics): one hash-set probe per
   * token instead of an interpreted `filter(toks, array_contains(...))`
@@ -438,6 +493,7 @@ object GraftExtensions {
       es => ShingleHashes(es.head, 3)),
     d("graft_minhash_sig", classOf[MinHashSig], es => MinHashSig(es.head)),
     d("graft_simhash64", classOf[SimHash64], es => SimHash64(es.head)),
+    d("graft_simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es.head)),
     d("graft_stop_hits", classOf[StopHits], { es =>
       // second arg must be a foldable array<string> literal (the word set
       // is part of the expression, not per-row data)
@@ -481,6 +537,10 @@ object Fns {
   /** 64-bit SimHash of a token array (multiset-weighted majority vote). */
   def simhash64(tokens: Column): Column =
     call_function("graft_simhash64", tokens)
+
+  /** 64-bit SimHash from MD5-derived token hashes (oracle-checkable). */
+  def simhashMd5(tokens: Column): Column =
+    call_function("graft_simhash_md5", tokens)
 
   /** Count of tokens present in the fixed `words` set. */
   def stopHits(tokens: Column, words: Seq[String]): Column = {

@@ -330,9 +330,43 @@ object Dedup {
       (s, d) => minhashCandidates(docs(s, d), 0.5),
       None),
 
-    // SimHash banded near-dup pairs (rows-only; hamming <= 6).
+    // SimHash banded near-dup pairs (rows-only; hamming <= 6). The
+    // xxhash64-based signature is engine-specific, so the PAIRS stay
+    // rows-only — the ALGORITHM is hash-checked via q55 below.
     Q("q34_simhash",
       (s, d) => simhashPairs(docs(s, d), 6),
-      None)
+      None),
+
+    // Oracle-checked SimHash: identical majority-vote algorithm, but the
+    // per-token hash is the first 8 bytes of MD5 — a hash both engines
+    // share — so DuckDB reproduces every signature bit-for-bit. Rendered
+    // as a 64-char bit string (lpad(bin(..)) vs STRING_AGG) to sidestep
+    // signed-64 overflow in SQL. This pins the simhash semantics with a
+    // value-hash check; q34 keeps the fast xxhash64 path.
+    Q("q55_simhash_md5",
+      (s, d) =>
+        spread(docs(s, d)).select(col("doc_id"),
+          lpad(bin(Fns.simhashMd5(TextOps.tokens(col("text")))), 64, "0")
+            .as("sig"))
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+                SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS t
+                FROM documents),
+              h AS (
+                SELECT doc_id,
+                       CAST('0x' || SUBSTR(MD5(t), 1, 8) AS BIGINT) AS hi,
+                       CAST('0x' || SUBSTR(MD5(t), 9, 8) AS BIGINT) AS lo
+                FROM tok),
+              votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b)
+                                      ELSE (hi >> (b - 32)) END & 1) = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM h, (SELECT UNNEST(generate_series(0, 63)) AS b)
+                GROUP BY doc_id, b)
+              SELECT doc_id,
+                     STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
+                                ORDER BY b DESC) AS sig
+              FROM votes GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
