@@ -107,8 +107,12 @@ object Dedup {
     */
   def invertedShingleIndex(df: DataFrame, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one explicit exchange on s that BOTH consumers (the df pass and the
+    // anti-join probe side) read via ReuseExchange — without it each
+    // branch re-runs the tokenize+shingle+hash scan, the expensive part
     val sh = withShingleHashes(df)
       .select(col("doc_id"), explode(col("hs")).as("s"))
+      .repartition(col("s"))
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("s"))
