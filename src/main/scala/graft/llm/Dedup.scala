@@ -162,6 +162,47 @@ object Dedup {
           (size(col("h1")) + size(col("h2")) - col("i")), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair list: each
+    * doc's component id converges to the MINIMUM doc_id reachable through
+    * pairs — the grouping step that turns pairwise candidates into dedup
+    * clusters (keep the min doc of each component, drop the rest).
+    *
+    * Iterative min-label propagation over the edge list: every round is
+    * one shuffle join (neighbor minimum) + one outer join (label merge),
+    * and rounds needed = graph diameter — tiny for near-dup clusters,
+    * which are band-collision cliques, not long chains. Each round is
+    * localCheckpoint'ed so lineage (and recomputation) doesn't grow with
+    * iterations — the standard shape for iterative graph algorithms on
+    * Spark; at cluster scale swap in `checkpoint` on reliable storage.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true) // probed every round — materialize once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("src"), col("comp")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
+        .select(col("dst").as("node"), col("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("new_comp"),
+          col("comp"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("new_comp") =!= col("comp")).isEmpty
+      labels = updated.select(col("node"), col("new_comp").as("comp"))
+      iters += 1
+    }
+    labels
+  }
+
   val MinHashK: Int = MinHashSigExpr.K // signature length (32)
   val Bands = 8       // LSH bands
   val RowsPerBand = 4 // MinHashK / Bands
@@ -371,6 +412,47 @@ object Dedup {
               SELECT doc_id,
                      STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
                                 ORDER BY b DESC) AS sig
-              FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+              FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Dedup clusters: connected components over the capped exact-Jaccard
+    // pair graph (>= 0.6). The oracle rebuilds the same pairs (q32's SQL)
+    // and computes reachability minima with a recursive CTE — the CTE's
+    // UNION dedups (node, label) rows, so it terminates and MIN(label)
+    // per node is exactly the component representative.
+    Q("q56_dedup_groups",
+      (s, d) =>
+        connectedComponents(hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+          .select(col("node").as("doc_id"), col("comp"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                FROM documents),
+              sh0 AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              keep AS (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT d1, d2 FROM pr
+                JOIN sz sa ON sa.doc_id = d1
+                JOIN sz sb ON sb.doc_id = d2
+                WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+              edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach AS (
+                SELECT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+              SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
+              FROM reach GROUP BY node ORDER BY doc_id"""))
   )
 }

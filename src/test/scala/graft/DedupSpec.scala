@@ -144,6 +144,25 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("connected components: chains collapse to one cluster, min id wins") {
+    // chain 1-2-3-4-5 needs multi-round label propagation (diameter 4);
+    // 10-11 is an isolated pair; 20-21-22 a triangle
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(4L, 5L),
+        Row(10L, 11L),
+        Row(20L, 21L), Row(21L, 22L), Row(20L, 22L)).reverse, 3),
+      pairSchema)
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L), s"chain not collapsed: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert((20L to 22L).forall(comp(_) == 20L))
+    assert(comp.size == 10)
+  }
+
   test("simhash banding catches exact duplicates") {
     val withExact = docs.unionAll(
       docs.filter(col("doc_id") === 3L)
