@@ -180,7 +180,45 @@ object Similarity {
     // IVF-style ANN (rows-only; recall vs brute force in SimilaritySpec).
     Q("q50_ann_ivf",
       (s, d) => ivfTopK(emb(s, d), queryVecId = 0L, k = 10),
-      None)
+      None),
+
+    // Embedding near-dup GROUPS: the q35 cosine pair graph collapsed to
+    // dedup clusters via connected components (min reachable vec_id) —
+    // the same pairs-to-clusters step as q56, over the embedding
+    // modality. Oracle: recursive-CTE reachability over the identical
+    // explicit-double cosine pairs.
+    Q("q57_embedding_dedup_groups",
+      (s, d) => {
+        val v = emb(s, d).filter(col("vec_id") < 40)
+          .select(col("vec_id"), asDouble(col("embedding")).as("a"))
+        val p = v.select(col("vec_id").as("v1"), col("a").as("pa"))
+        val q = v.select(col("vec_id").as("v2"), col("a").as("qa"))
+        val sim = dot(col("pa"), col("qa")) / (norm(col("pa")) * norm(col("qa")))
+        val pairs = p.join(broadcast(q), col("v1") < col("v2"))
+          .filter(sim >= 0.25)
+          .select(col("v1").as("d1"), col("v2").as("d2"))
+        graft.llm.Dedup.connectedComponents(pairs)
+          .select(col("node").as("vec_id"), col("comp"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings WHERE vec_id < 40),
+              pairs AS (
+                SELECT p.vec_id AS d1, q.vec_id AS d2
+                FROM v p JOIN v q ON p.vec_id < q.vec_id
+                WHERE list_sum(list_transform(generate_series(1, LEN(p.a)),
+                        i -> p.a[i] * q.a[i]))
+                      / (SQRT(list_sum(list_transform(p.a, x -> x*x)))
+                       * SQRT(list_sum(list_transform(q.a, x -> x*x)))) >= 0.25),
+              edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach AS (
+                SELECT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+              SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS comp
+              FROM reach GROUP BY node ORDER BY vec_id"""))
   )
 
   val IvfCells = 16
