@@ -22,8 +22,9 @@ final case class Q(
   */
 object Registry {
   def all: Seq[Q] =
-    Relational.defs ++ Advanced.defs ++ Sessionize.defs ++ TextOps.defs ++
-      Dedup.defs ++ Similarity.defs ++ Multimodal.defs
+    Relational.defs ++ Advanced.defs ++ Sessionize.defs ++
+      ScaleWindows.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
+      Multimodal.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

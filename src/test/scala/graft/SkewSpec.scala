@@ -89,6 +89,32 @@ class SkewSpec extends AnyFunSuite with TestSpark {
     assert(hotRow._3 == 5000L && hotRow._2 > 50L)
   }
 
+  test("two-phase running sum: block-partitioned, identical to single window") {
+    import graft.queries.ScaleWindows
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+    val twoPhase = ScaleWindows.runningSumAtScale(orders)
+      .select(col("o_orderkey"), col("running"))
+    twoPhase.collect()
+    val plan = twoPhase.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(o_custkey[^)]*__blk".r.findFirstIn(plan).isDefined,
+      s"phase-1 window not keyed on (o_custkey, __blk):\n$plan")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val direct = orders.select(col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("running"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val got = twoPhase.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == direct)
+    assert(got.nonEmpty)
+  }
+
   test("salted join equals direct join") {
     val dim = {
       val schema = StructType(Seq(
