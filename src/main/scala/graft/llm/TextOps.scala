@@ -194,6 +194,33 @@ object TextOps {
           .limit(200),
       Some("""SELECT doc_id,
                      SUBSTR(MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')), 1, 8) AS fp
-              FROM documents ORDER BY doc_id LIMIT 200"""))
+              FROM documents ORDER BY doc_id LIMIT 200""")),
+
+    // Deterministic train/val/test split: bucket = md5(doc_id) % 100 →
+    // 90/5/5. Hash-based membership (not RNG sampling) is how training
+    // pipelines get REPRODUCIBLE splits: any engine, any run, any subset
+    // of the corpus assigns each doc identically — which is exactly what
+    // the oracle verifies. Map-side only; the only shuffle is the final
+    // 3-row aggregate.
+    Q("q59_hash_split",
+      (s, d) => {
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(100))
+        docs(s, d)
+          .select(when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT CASE
+                       WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+                       WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+                       ELSE 'test'
+                     END AS split,
+                     COUNT(*) AS n
+              FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 }
