@@ -127,6 +127,12 @@ object Dedup {
     * negligible in practice but probabilistic by construction (the
     * string-shingle formulation in `shingles` is the exact reference
     * semantics, pinned equivalent in FnsSpec/DedupSpec).
+    *
+    * The self-join is left to the planner (SortMergeJoin): a
+    * shuffle_hash hint measures ~15% faster at sf0.1 (DiagJaccard), but
+    * SHJ's build side doesn't spill — on a 100 TB index one fat
+    * partition would OOM where SMJ degrades to disk. Deliberate choice
+    * of robustness over the local win.
     */
   def hashJaccardPairs(df: DataFrame, minJaccard: Double,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {

@@ -66,6 +66,18 @@ object DiagJaccard {
       inter.filter(j >= 0.6).count()
     }
 
+    def cappedShj() = {
+      val idx = Dedup.invertedShingleIndex(docs)
+      val inter = idx.as("a").hint("shuffle_hash")
+        .join(idx.as("b").hint("shuffle_hash"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+      inter.filter(j >= 0.6).count()
+    }
+
     time("warmup")(docs.count())
     time("current 1st")(println("  pairs=" + current()))
     time("current 2nd")(println("  pairs=" + current()))
@@ -73,6 +85,12 @@ object DiagJaccard {
     time("windowed df>=2 2nd")(println("  pairs=" + windowed()))
     time("grouped postings 1st")(println("  pairs=" + grouped()))
     time("grouped postings 2nd")(println("  pairs=" + grouped()))
+    time("capped SMJ (shipping) 1st")(
+      println("  pairs=" + Dedup.hashJaccardPairs(docs, 0.6).count()))
+    time("capped SMJ (shipping) 2nd")(
+      println("  pairs=" + Dedup.hashJaccardPairs(docs, 0.6).count()))
+    time("capped SHJ hint 1st")(println("  pairs=" + cappedShj()))
+    time("capped SHJ hint 2nd")(println("  pairs=" + cappedShj()))
     spark.stop()
   }
 }
