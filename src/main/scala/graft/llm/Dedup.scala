@@ -272,8 +272,17 @@ object Dedup {
     * nothing is ever re-signed.
     */
   def incrementalCandidates(newDocs: DataFrame, corpusBands: DataFrame,
-      minEstJaccard: Double): DataFrame = {
-    val nb = minhashBands(newDocs).select(col("doc_id").as("d_new"),
+      minEstJaccard: Double): DataFrame =
+    incrementalCandidatesFromBands(minhashBands(newDocs), corpusBands,
+      minEstJaccard)
+
+  /** Same probe, but over ALREADY-COMPUTED bands for the new batch —
+    * callers that also append the batch to the index (StreamingDedup)
+    * sign each batch exactly once.
+    */
+  def incrementalCandidatesFromBands(newBands: DataFrame,
+      corpusBands: DataFrame, minEstJaccard: Double): DataFrame = {
+    val nb = newBands.select(col("doc_id").as("d_new"),
       col("sig").as("sig_new"), col("band"), col("band_hash"))
     val cb = corpusBands.select(col("doc_id").as("d_old"),
       col("sig").as("sig_old"), col("band"), col("band_hash"))

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+import graft.streaming.StreamingDedup
+
+/** Streaming near-dup dedup: each micro-batch probes the persisted band
+  * index for candidates against all PRIOR batches, then appends its own
+  * bands — the corpus is never re-signed.
+  */
+class StreamingDedupSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("micro-batches probe and extend the persisted band index") {
+    val landing = Files.createTempDirectory("sdedup-land").toString
+    val index = Files.createTempDirectory("sdedup-idx").toString + "/bands"
+    val out = Files.createTempDirectory("sdedup-out").toString
+
+    val rng = new scala.util.Random(31)
+    val vocab = Vector("spark", "query", "table", "row", "scan", "join",
+      "hash", "sort", "data", "batch", "window", "merge", "filter", "agg")
+    def text(): String = Seq.fill(60)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    def writeBatch(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+
+    // batch 1: 20 distinct docs
+    val base = (0L until 20L).map(i => (i, text()))
+    writeBatch("b1.json", base)
+    StreamingDedup.start(spark, landing, schema, index, out).awaitTermination()
+
+    val bandsAfter1 = spark.read.parquet(index).count()
+    assert(bandsAfter1 == 20L * Dedup.Bands, s"index rows: $bandsAfter1")
+    assert(!new java.io.File(s"$out/candidates").exists(),
+      "first batch has no prior corpus — no candidates output expected")
+
+    // batch 2: one near-dup of doc 3 (one token mutated) + 5 fresh docs
+    val nearDup = (103L,
+      base(3)._2.split(' ').updated(55, "mutated").mkString(" "))
+    writeBatch("b2.json",
+      nearDup +: (200L until 205L).map(i => (i, text())))
+    StreamingDedup.start(spark, landing, schema, index, out).awaitTermination()
+
+    // cross-batch candidate found without re-signing batch 1
+    val cands = spark.read.parquet(s"$out/candidates")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((103L, 3L)), s"missed planted pair in $cands")
+    // the index grew by exactly batch 2's bands
+    val bandsAfter2 = spark.read.parquet(index).count()
+    assert(bandsAfter2 == 26L * Dedup.Bands, s"index rows: $bandsAfter2")
+  }
+}
