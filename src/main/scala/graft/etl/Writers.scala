@@ -61,6 +61,36 @@ object Writers {
   def quarantine(df: DataFrame, path: String): Unit =
     parquet(df, path)
 
+  /** Compact a parquet directory's accumulated small files into
+    * ~`targetMB` outputs — the maintenance step every streaming append
+    * sink (Incremental, StreamingDedup) eventually needs: micro-batches
+    * write a few small files each, and at 100 TB a scan's task count and
+    * footer-read overhead are driven by FILE count, not byte count.
+    *
+    * Output file count = ceil(current bytes / targetMB), rows preserved.
+    * The swap is write-to-temp + delete + rename: atomic enough on
+    * HDFS-like stores (rename is metadata-only); on object stores run it
+    * against a quiesced table or use a table format with commit logs —
+    * the compaction itself is the same repartition+write.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetMB: Int = 512): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    spark.read.parquet(dir)
+      .repartition(n)
+      .write.mode("overwrite")
+      .option("compression", DefaultCompression)
+      .parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    n
+  }
+
   /** Bucketed managed table: rows are hash-partitioned into `buckets`
     * files per partition ON WRITE, so joins/aggregations between tables
     * bucketed on the same key skip the shuffle entirely — the

@@ -48,6 +48,22 @@ class BucketSpec extends AnyFunSuite with TestSpark {
     assert(spark.table("B_MixedCase").count() == 25)
   }
 
+  test("compaction collapses small files, preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val orders = Tables.load(spark, sf, "orders")
+    // simulate a streaming sink's debris: 20 tiny files
+    orders.repartition(20).write
+      .option("compression", "zstd").parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 20)
+    val before = spark.read.parquet(dir).count()
+    val n = graft.etl.Writers.compact(spark, dir, targetMB = 512)
+    assert(n == 1, s"expected 1 output file for tiny input, got $n")
+    assert(parquetFiles() == 1)
+    assert(spark.read.parquet(dir).count() == before)
+  }
+
   test("dated partition layout prunes at the scan (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Writers.datePartitioned(Tables.load(spark, sf, "nation"), dir)
