@@ -163,6 +163,34 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(comp.size == 10)
   }
 
+  test("connected components match in-memory union-find on random graphs") {
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    val rng = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val edges = Seq.fill(25)((rng.nextInt(n), rng.nextInt(n)))
+        .filter(p => p._1 != p._2).distinct
+      // reference: union-find, then min node id per component
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOf = nodes.groupBy(find).map { case (_, ns) => ns.map(n => find(n)) -> ns.min }
+      val expected = nodes.map(v => v.toLong -> minOf.collectFirst {
+        case (reps, m) if reps.contains(find(v)) => m.toLong
+      }.get).toMap
+      val pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          edges.map { case (a, b) => Row(a.toLong, b.toLong) }, 3),
+        pairSchema)
+      val got = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("simhash banding catches exact duplicates") {
     val withExact = docs.unionAll(
       docs.filter(col("doc_id") === 3L)
