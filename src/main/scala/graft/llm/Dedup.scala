@@ -468,6 +468,80 @@ object Dedup {
                 UNION
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
               SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
-              FROM reach GROUP BY node ORDER BY doc_id"""))
+              FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // End-to-end corpus curation — the whole training-data funnel in one
+    // pass: total docs, docs passing quality gates (English, >= 30
+    // tokens, stopword ratio >= 5%), and of those, docs surviving
+    // near-dup dedup (only a component's min doc_id is kept). The
+    // stopword gate is spelled 20*n_stop >= n_tokens — integer
+    // arithmetic, no float division for either engine to disagree on.
+    Q("q61_corpus_curation",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val annotated = docs(s, d).select(
+          col("doc_id"), col("lang"),
+          size(toks).as("nt"),
+          TextOps.stopHits(toks, TextOps.EnglishStop).as("ns"))
+        val nonCanonical = connectedComponents(
+          hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+          .filter(col("node") =!= col("comp"))
+          .select(col("node").as("doc_id"), lit(1).as("dup"))
+        val isQuality = col("lang") === "en" && col("nt") >= 30 &&
+          col("ns") * 20 >= col("nt")
+        annotated.join(nonCanonical, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(isQuality, 1).otherwise(0)).as("n_quality"),
+            sum(when(isQuality && col("dup").isNull, 1).otherwise(0))
+              .as("n_curated"))
+      },
+      Some(s"""WITH RECURSIVE tok AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                FROM documents),
+              sh0 AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              keep AS (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT d1, d2 FROM pr
+                JOIN sz sa ON sa.doc_id = d1
+                JOIN sz sb ON sb.doc_id = d2
+                WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+              edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach AS (
+                SELECT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node, MIN(label) AS comp
+                       FROM reach GROUP BY node),
+              noncanon AS (SELECT node AS doc_id FROM comp WHERE node <> comp),
+              ann AS (
+                SELECT t.doc_id, t.lang,
+                       LEN(t.ts) AS nt,
+                       LEN(list_filter(t.ts,
+                         x -> list_contains(['the','a','and','of','to','in','is'], x))) AS ns,
+                       (n.doc_id IS NOT NULL) AS dup
+                FROM tok t LEFT JOIN noncanon n USING (doc_id))
+              SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN lang = 'en' AND nt >= 30
+                                    AND ns * 20 >= nt THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_quality,
+                     CAST(SUM(CASE WHEN lang = 'en' AND nt >= 30
+                                    AND ns * 20 >= nt AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_curated
+              FROM ann"""))
   )
 }

@@ -182,6 +182,50 @@ object Similarity {
       (s, d) => ivfTopK(emb(s, d), queryVecId = 0L, k = 10),
       None),
 
+    // Batched ANN: top-3 cosine neighbors for EACH of 5 query vectors in
+    // one job — the production shape (queries arrive in batches, not one
+    // at a time). The per-query ranking is row_number over qid, which
+    // TopKRewrite plans as the two-phase TopKPerKey operator: the
+    // shuffle carries <= 3 candidates per (partition, query) instead of
+    // every scored row — the composition of the custom operator with the
+    // similarity surface, under the value-hash oracle.
+    Q("q60_batch_ann",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = emb(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val queries = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val sim = cosine(col("v"), col("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim_raw").desc, col("vec_id"))
+        v.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), sim.as("sim_raw"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"),
+            round(col("sim_raw"), 4).as("sim"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              q AS (SELECT vec_id AS qid, a AS qa FROM v WHERE vec_id < 5),
+              s AS (
+                SELECT q.qid, v.vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) AS sim
+                FROM v, q WHERE v.vec_id <> q.qid),
+              r AS (
+                SELECT qid, vec_id, sim,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id) AS INT) AS rn
+                FROM s)
+              SELECT qid, vec_id, ROUND(sim, 4) AS sim, rn
+              FROM r WHERE rn <= 3 ORDER BY qid, rn""")),
+
     // Embedding near-dup GROUPS: the q35 cosine pair graph collapsed to
     // dedup clusters via connected components (min reachable vec_id) —
     // the same pairs-to-clusters step as q56, over the embedding
