@@ -69,6 +69,14 @@ object Ingestor {
       val ms = ok.map(_.millis).sum
       if (ms <= 0) 0.0 else roundMbps(ok.map(_.bytes).sum, ms)
     }
+    /** GB-seconds consumed (memory-footprint proxy × wall time summed
+      * per file) — the unit of the reference's per-strategy ingest cost
+      * model: multiply by the platform's $/GB-s to price a run.
+      */
+    def gbSeconds(memoryGb: Double = 0.5): Double = {
+      val s = results.map(_.millis).sum / 1000.0
+      math.round(s * memoryGb * 10000.0) / 10000.0
+    }
     /** Per-file status as a DataFrame (the Lambda's JSON summary). */
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._

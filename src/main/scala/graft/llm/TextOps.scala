@@ -196,6 +196,47 @@ object TextOps {
                      SUBSTR(MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')), 1, 8) AS fp
               FROM documents ORDER BY doc_id LIMIT 200""")),
 
+    // Token-budget sequence packing: assign docs (per language, in
+    // doc_id order) to training chunks by cumulative token offset —
+    // chunk = floor(tokens_before_this_doc / budget). The offset-based
+    // rule is the streaming-friendly form of greedy bin packing (a
+    // chunk can overrun by at most one document, never undershoot),
+    // fully deterministic, and a pure window cumsum — no per-bin state.
+    // At scale the window keys by (lang) with doc_id order; a hot
+    // language can take the q54/q58-style two-phase treatment.
+    Q("q62_token_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 2000L
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(trim(col("text")) === "", 0)
+              .otherwise(size(tokens(col("text")))).cast("long").as("nt"))
+          .withColumn("chunk",
+            floor(coalesce(sum(col("nt")).over(w), lit(0L)) / budget))
+          .groupBy(col("lang"), col("chunk"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .orderBy(col("lang"), col("chunk"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                       END AS nt
+                FROM documents),
+              c AS (
+                SELECT lang, nt,
+                       CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY lang
+                              ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            / 2000.0) AS BIGINT) AS chunk
+                FROM t)
+              SELECT lang, chunk, COUNT(*) AS n_docs,
+                     CAST(SUM(nt) AS BIGINT) AS n_tokens
+              FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Deterministic train/val/test split: bucket = md5(doc_id) % 100 →
     // 90/5/5. Hash-based membership (not RNG sampling) is how training
     // pipelines get REPRODUCIBLE splits: any engine, any run, any subset

@@ -123,9 +123,10 @@ class IngestorSpec extends AnyFunSuite with TestSpark {
       assert(events.contains(""""total":"${payload.length}"""".replace(
         "${payload.length}", payload.length.toString)),
         s"progress lacks Content-Length total: $events")
-      // MB/s accounting: per-file and aggregate
+      // MB/s + GB-s accounting: per-file and aggregate
       assert(report.succeeded.head.mbps > 0.0)
       assert(report.totalMbps > 0.0)
+      assert(report.gbSeconds() > 0.0)
       assert(report.toDF(spark).columns.contains("mbps"))
     }
   }
