@@ -102,6 +102,36 @@ object Multimodal {
                      CAST(OCTET_LENGTH(ENCODE(text)) % 640 AS INT) AS width,
                      CAST((doc_id * 31) % 480 AS INT) AS height,
                      CAST(OCTET_LENGTH(ENCODE(text)) % 16 AS INT) AS n_frames
-              FROM documents ORDER BY doc_id LIMIT 200"""))
+              FROM documents ORDER BY doc_id LIMIT 200""")),
+
+    // Storage accounting + frame-sampling savings per media type: total
+    // payload bytes per format and how many frames a stride-4 sampler
+    // keeps (the decode-cost estimate you consult BEFORE launching the
+    // decode stage). Exercises binary-column aggregation and the
+    // sampleFrames operator under the value-hash oracle:
+    // size(sequence(0, n-1, 4)) == ceil(n/4) for n > 0.
+    Q("q63_media_storage",
+      (s, d) => {
+        val m = sampleFrames(mediaTable(Tables.load(s, d, "documents")), stride = 4)
+        m.groupBy(col("media_type"))
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum(octet_length(col("media"))).as("total_bytes"),
+            sum(col("n_frames")).cast("long").as("frames_total"),
+            sum(size(col("sampled_frames"))).cast("long").as("frames_sampled"))
+          .orderBy(col("media_type"))
+      },
+      Some("""WITH m AS (
+                SELECT 'image/fake-' || source AS media_type,
+                       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+                       CAST(OCTET_LENGTH(ENCODE(text)) % 16 AS INT) AS n_frames
+                FROM documents)
+              SELECT media_type, COUNT(*) AS n_media,
+                     CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                     CAST(SUM(n_frames) AS BIGINT) AS frames_total,
+                     CAST(SUM(CASE WHEN n_frames > 0
+                                   THEN CAST(CEIL(n_frames / 4.0) AS INT)
+                                   ELSE 0 END) AS BIGINT) AS frames_sampled
+              FROM m GROUP BY 1 ORDER BY 1"""))
   )
 }
