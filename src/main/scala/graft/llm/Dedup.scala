@@ -78,8 +78,17 @@ object Dedup {
     * FnsSpec pins native == HOF+xxhash64.)
     */
   def withShingleHashes(df: DataFrame): DataFrame =
-    spread(df)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    withShingleHashesFromTokens(
+      spread(df).select(col("doc_id"), TextOps.tokens(col("text")).as("ts")))
+
+  /** Same, over an ALREADY-TOKENIZED (doc_id, ts) projection — the
+    * shared-scan form: a caller that needs the token arrays for another
+    * branch too (q61's quality gates) tokenizes once behind one explicit
+    * exchange and both consumers reuse it (ReuseExchange), instead of
+    * re-scanning and re-tokenizing the corpus per branch.
+    */
+  def withShingleHashesFromTokens(tok: DataFrame): DataFrame =
+    tok
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), Fns.shingleHashes(col("ts")).as("hs"))
 
@@ -105,12 +114,15 @@ object Dedup {
     * per-doc recount is one window over doc_id, whose group size is
     * bounded by document length — no skew.
     */
-  def invertedShingleIndex(df: DataFrame, maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+  def invertedShingleIndex(df: DataFrame, maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    invertedShingleIndexFromHashes(withShingleHashes(df), maxDf)
+
+  private def invertedShingleIndexFromHashes(hashes: DataFrame, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one explicit exchange on s that BOTH consumers (the df pass and the
     // anti-join probe side) read via ReuseExchange — without it each
     // branch re-runs the tokenize+shingle+hash scan, the expensive part
-    val sh = withShingleHashes(df)
+    val sh = hashes
       .select(col("doc_id"), explode(col("hs")).as("s"))
       .repartition(col("s"))
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -135,8 +147,19 @@ object Dedup {
     * of robustness over the local win.
     */
   def hashJaccardPairs(df: DataFrame, minJaccard: Double,
-      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val idx = invertedShingleIndex(df, maxDf)
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    jaccardPairsFromIndex(invertedShingleIndex(df, maxDf), minJaccard)
+
+  /** [[hashJaccardPairs]] over a pre-tokenized (doc_id, ts) projection —
+    * see [[withShingleHashesFromTokens]] for when to use this form.
+    */
+  def hashJaccardPairsFromTokens(tok: DataFrame, minJaccard: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    jaccardPairsFromIndex(
+      invertedShingleIndexFromHashes(withShingleHashesFromTokens(tok), maxDf),
+      minJaccard)
+
+  private def jaccardPairsFromIndex(idx: DataFrame, minJaccard: Double): DataFrame = {
     val inter = idx.as("a")
       .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
@@ -181,7 +204,25 @@ object Dedup {
     * iterations — the standard shape for iterative graph algorithms on
     * Spark; at cluster scale swap in `checkpoint` on reliable storage.
     */
+  /** The RDD backing an eagerly localCheckpoint'ed DataFrame — the
+    * handle `Dataset.unpersist()` does NOT reach (it only talks to the
+    * CacheManager; checkpoint blocks live as persisted RDDs).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    // the final result moves to a RELIABLE checkpoint (files, readable
+    // cluster-wide through the checkpoint dir) so every in-memory round
+    // block can be released deterministically before returning; deploys
+    // point this at shared storage, local runs get a temp dir
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     val edges = pairs
       .select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -189,6 +230,11 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
+    // handle to the round's checkpoint blocks, released as soon as the
+    // NEXT round materializes — relying on the ContextCleaner to GC
+    // superseded rounds leaves them pinned non-deterministically on
+    // long-lived sessions (round-4 verdict)
+    var labelsRdd = checkpointRdd(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -204,9 +250,18 @@ object Dedup {
         .localCheckpoint(true)
       converged = updated.filter(col("new_comp") =!= col("comp")).isEmpty
       labels = updated.select(col("node"), col("new_comp").as("comp"))
+      // the new checkpoint is materialized; the previous round's blocks
+      // can never be read again
+      labelsRdd.foreach(_.unpersist(blocking = false))
+      labelsRdd = checkpointRdd(updated)
       iters += 1
     }
-    labels
+    // one pass from the last in-memory round to checkpoint files, then
+    // drop every block this call created — zero persisted-RDD delta
+    val result = labels.checkpoint(eager = true)
+    labelsRdd.foreach(_.unpersist(blocking = false))
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    result
   }
 
   val MinHashK: Int = MinHashSigExpr.K // signature length (32)
@@ -478,13 +533,22 @@ object Dedup {
     // arithmetic, no float division for either engine to disagree on.
     Q("q61_corpus_curation",
       (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        val annotated = docs(s, d).select(
+        // ONE scan+tokenize pass for both branches: the quality gates and
+        // the pair graph read the same (doc_id, lang, ts) projection above
+        // the same explicit doc_id exchange (ReuseExchange) — tokenizing
+        // per branch doubled the expensive pass (round-4 verdict). The
+        // exchange is the one `spread` would insert anyway, so the pair
+        // branch's plan is unchanged.
+        val tok = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokens(col("text")).as("ts"))
+          .repartition(col("doc_id"))
+        val annotated = tok.select(
           col("doc_id"), col("lang"),
-          size(toks).as("nt"),
-          TextOps.stopHits(toks, TextOps.EnglishStop).as("ns"))
+          size(col("ts")).as("nt"),
+          TextOps.stopHits(col("ts"), TextOps.EnglishStop).as("ns"))
         val nonCanonical = connectedComponents(
-          hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+          hashJaccardPairsFromTokens(tok, minJaccard = 0.6))
           .filter(col("node") =!= col("comp"))
           .select(col("node").as("doc_id"), lit(1).as("dup"))
         val isQuality = col("lang") === "en" && col("nt") >= 30 &&

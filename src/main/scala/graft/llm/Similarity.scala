@@ -104,6 +104,44 @@ object Similarity {
       .select(col("vec_id"), col("sim"))
   }
 
+  /** Batched ANN through the LSH index: the whole query batch probes the
+    * banded corpus in ONE equi-join on (tbl, bucket), so per-query cost
+    * stays bucket-sized — corpus × batch never materializes (q60's
+    * brute-force scoring is the correctness baseline; this is the shape
+    * that survives 100 TB). `queries` carries (qid, qv double array).
+    *
+    * Cosine is computed map-side in the join stage and the cross-table
+    * candidate dedup runs on slim (qid, vec_id, sim) rows — sim is
+    * functionally determined by the pair, so dedup-after-score is
+    * equivalent and the vectors never ride the dedup exchange (same
+    * trick as minhashCandidates' est-before-distinct). Ranking is
+    * row_number over qid, which TopKRewrite plans as the two-phase
+    * TopKPerKey operator: <= k candidates per (partition, query) reach
+    * the final shuffle. A small batch side broadcasts under AQE; a large
+    * one degrades to a plain shuffle join on the bucket key.
+    */
+  def batchAnnTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val banded = lshBuckets(vecs)
+    val qb = lshBuckets(queries.select(col("qid").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("tbl"), col("bucket"))
+    val sim = cosine(col("v"), col("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    banded.join(qb, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), sim.as("sim_raw"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Q26 [E] per-vector element aggregation via explode (SURVEY §2B).
     Q("q26_vec_explode",
@@ -180,6 +218,20 @@ object Similarity {
     // IVF-style ANN (rows-only; recall vs brute force in SimilaritySpec).
     Q("q50_ann_ivf",
       (s, d) => ivfTopK(emb(s, d), queryVecId = 0L, k = 10),
+      None),
+
+    // Batched ANN THROUGH the LSH index — q60's batch semantics with
+    // bucket-sized per-query cost (rows-only: xxhash64 bucketing is
+    // engine-specific; recall vs q60's brute-force baseline asserted in
+    // SimilaritySpec).
+    Q("q64_batch_ann_lsh",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            asDouble(col("embedding")).as("qv"))
+        batchAnnTopK(e, q, k = 3)
+      },
       None),
 
     // Batched ANN: top-3 cosine neighbors for EACH of 5 query vectors in

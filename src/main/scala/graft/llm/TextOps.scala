@@ -40,6 +40,54 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 8)
 
+  /** Token-budget sequence packing, skew-safe two-phase form: assign each
+    * doc (per language, in doc_id order) to training chunk
+    * floor(tokens_before_this_doc / budget).
+    *
+    * A single cumsum window keyed on `lang` alone puts an ENTIRE
+    * language's rows in one task — `lang` has ~5 distinct values, so at
+    * 100 TB that's a multi-TB single-task sort (and AQE's skew splitting
+    * does not apply to Window). Same cure as
+    * [[graft.queries.ScaleWindows.runningSumAtScale]]:
+    *
+    * Phase 1 windows by (lang, doc_id-range block) — `floor(doc_id /
+    * blockSize)` is non-decreasing in the ORDER BY, so each block is a
+    * contiguous slice of the language's doc sequence and its local
+    * exclusive prefix sum is a piece of the global one.
+    *
+    * Phase 2 turns per-(lang, block) token totals into exclusive block
+    * offsets with a window over block SUMMARIES (rows per language =
+    * number of blocks, independent of corpus row rate), then joins the
+    * offset back on the keys phase 1 already partitioned by.
+    *
+    * Token counts are longs, so the regrouped addition is exact —
+    * bit-identical to the single-window form (pinned in SkewSpec).
+    */
+  def packChunks(docsDf: DataFrame, budget: Long,
+      blockSize: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf.select(
+      col("doc_id"), col("lang"),
+      when(trim(col("text")) === "", 0)
+        .otherwise(size(tokens(col("text")))).cast("long").as("nt"),
+      floor(col("doc_id") / blockSize).as("__blk"))
+    val wLocal = Window.partitionBy(col("lang"), col("__blk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("local_before",
+      coalesce(sum(col("nt")).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("lang"), col("__blk"))
+      .agg(sum(col("nt")).as("blk_sum"))
+      .select(col("lang"), col("__blk"),
+        coalesce(sum(col("blk_sum")).over(wOff), lit(0L)).as("offset"))
+    local.join(offsets, Seq("lang", "__blk"))
+      .select(col("doc_id"), col("lang"), col("nt"),
+        floor((col("local_before") + col("offset")) / budget).as("chunk"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Q25 [E] per-language corpus stats (SURVEY §2B).
     Q("q25_text_stats",
@@ -201,25 +249,16 @@ object TextOps {
     // chunk = floor(tokens_before_this_doc / budget). The offset-based
     // rule is the streaming-friendly form of greedy bin packing (a
     // chunk can overrun by at most one document, never undershoot),
-    // fully deterministic, and a pure window cumsum — no per-bin state.
-    // At scale the window keys by (lang) with doc_id order; a hot
-    // language can take the q54/q58-style two-phase treatment.
+    // fully deterministic, and a pure cumsum — no per-bin state.
+    // Computed via the two-phase packChunks so no task ever sorts a
+    // whole language (the oracle keeps the single-window SQL: integer
+    // sums make the regrouped form bit-identical).
     Q("q62_token_packing",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val budget = 2000L
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        docs(s, d)
-          .select(col("doc_id"), col("lang"),
-            when(trim(col("text")) === "", 0)
-              .otherwise(size(tokens(col("text")))).cast("long").as("nt"))
-          .withColumn("chunk",
-            floor(coalesce(sum(col("nt")).over(w), lit(0L)) / budget))
+      (s, d) =>
+        packChunks(docs(s, d), budget = 2000L)
           .groupBy(col("lang"), col("chunk"))
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-          .orderBy(col("lang"), col("chunk"))
-      },
+          .orderBy(col("lang"), col("chunk")),
       Some("""WITH t AS (
                 SELECT doc_id, lang,
                        CASE WHEN TRIM(text) = '' THEN 0

@@ -191,6 +191,25 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("connected components release every storage block they create") {
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(4L, 5L),
+        Row(10L, 11L)), 2),
+      pairSchema)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc = Dedup.connectedComponents(pairs)
+    val got = cc.collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"connectedComponents left persisted RDDs behind: $leaked")
+    // the reliably-checkpointed result stays fully usable afterwards
+    assert(got.length == 7)
+    assert(cc.filter(col("comp") === 1L).count() == 5)
+  }
+
   test("simhash banding catches exact duplicates") {
     val withExact = docs.unionAll(
       docs.filter(col("doc_id") === 3L)

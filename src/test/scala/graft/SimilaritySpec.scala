@@ -85,6 +85,34 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("Window"), s"window sort survived:\n$plan")
   }
 
+  test("batched ANN through the LSH index: recall matches single-probe, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val queries = vectors.filter(col("vec_id").isin(1L, 2L))
+      .select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+    val batched = Similarity.batchAnnTopK(vectors, queries, k = 5)
+    val rows = batched.collect()
+    // the planted clone must top qid=1's list — same recall bar as the
+    // single-probe annTopK test
+    val q1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getInt(3))
+    assert(q1.nonEmpty, "no candidates for qid=1")
+    assert(q1.head.getLong(1) == 500L,
+      s"clone not retrieved for qid=1; got ${q1.map(_.getLong(1)).mkString(",")}")
+    assert(q1.head.getDouble(2) > 0.999)
+    // both queries produced ranked, non-increasing lists
+    Seq(1L, 2L).foreach { qid =>
+      val sims = rows.filter(_.getLong(0) == qid).sortBy(_.getInt(3))
+        .map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"qid=$qid not ranked: $sims")
+    }
+    // candidates come from bucket joins, never corpus x batch
+    val plan = batched.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in plan:\n$plan")
+  }
+
   test("LSH candidates are a subset of the corpus, no self-match") {
     val ids = Similarity.annTopK(vectors, queryVecId = 1L, k = 50)
       .collect().map(_.getLong(0)).toSet

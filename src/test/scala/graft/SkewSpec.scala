@@ -115,6 +115,37 @@ class SkewSpec extends AnyFunSuite with TestSpark {
     assert(got.nonEmpty)
   }
 
+  test("two-phase token packing: block-partitioned, identical to single window") {
+    import graft.llm.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val documents = graft.core.Tables.load(spark, sf, "documents")
+    // small block size so the testdata genuinely spans many blocks per lang
+    val twoPhase = TextOps.packChunks(documents, budget = 500L, blockSize = 16L)
+    twoPhase.collect()
+    val plan = twoPhase.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(lang[^)]*__blk".r.findFirstIn(plan).isDefined,
+      s"phase-1 window not keyed on (lang, __blk):\n$plan")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val direct = documents
+      .select(col("doc_id"), col("lang"),
+        when(trim(col("text")) === "", 0)
+          .otherwise(size(split(trim(lower(col("text"))), "\\s+")))
+          .cast("long").as("nt"))
+      .withColumn("chunk",
+        floor(coalesce(sum(col("nt")).over(w), lit(0L)) / 500L))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val got = twoPhase.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == direct)
+    assert(got.nonEmpty)
+    // sanity: multiple blocks per language actually occurred
+    val blocks = documents.select(floor(col("doc_id") / 16L)).distinct().count()
+    assert(blocks > 5)
+  }
+
   test("salted join equals direct join") {
     val dim = {
       val schema = StructType(Seq(
