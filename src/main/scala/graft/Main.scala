@@ -23,9 +23,17 @@ object Main {
     }
     try {
       args.toList match {
+        case "ingest" :: "--config" :: config :: landing :: Nil =>
+          // the reference's flagship flow: parameters.json → ingest
+          val report = Ingestor.ingestFromConfig(spark, config, landing)
+          report.toDF(spark).show(truncate = false)
+          println(s"counters=${report.counters}")
+          if (report.failed.nonEmpty) sys.exit(1)
+
         case "ingest" :: landing :: urls if urls.nonEmpty =>
           val report = Ingestor.ingest(urls, landing,
-            concurrency = sys.env.getOrElse("CONCURRENCY", "3").toInt)
+            concurrency = sys.env.getOrElse("CONCURRENCY", "3").toInt,
+            suffixMap = Ingestor.DefaultSuffixMap)
           report.toDF(spark).show(truncate = false)
           println(s"counters=${report.counters}")
           if (report.failed.nonEmpty) sys.exit(1)
@@ -57,6 +65,7 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       """usage: graft.Main <command>
+        |  ingest --config <parameters.json> <landingDir>
         |  ingest <landingDir> <url>...
         |  profile <sfDir> <table>
         |  preprocess <inParquet> <outDir>

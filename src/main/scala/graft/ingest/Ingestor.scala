@@ -88,6 +88,31 @@ object Ingestor {
     if (ms <= 0) 0.0
     else math.round((bytes / 1e6) / (ms / 1000.0) * 1000.0) / 1000.0
 
+  /** The reference's default URL→file-name routing table
+    * (`dubai-dataset/lambdas/data-ingestion/lambda_handler.py:72-79`):
+    * any URL containing a table key lands under that table's file name.
+    */
+  val DefaultSuffixMap: Map[String, String] = Map(
+    "rent_contracts" -> "rent_contracts.csv",
+    "transactions" -> "transactions.csv",
+    "projects" -> "projects.csv",
+    "units" -> "units.csv",
+    "developers" -> "developers.csv",
+    "buildings" -> "buildings.csv")
+
+  /** Dated bulk-ingest URL list: substitute `{date}` in `template` for
+    * each day in [startDate, startDate + days), formatted with
+    * `pattern` — the reference's profiling notebook enumerates
+    * `AIS_{YYYY_MM_DD}.zip` URLs exactly this way
+    * (`notebooks/data_ingestion_with_profiling.ipynb:764-775`).
+    */
+  def datedUrls(template: String, startDate: String, days: Int,
+      pattern: String = "yyyy_MM_dd"): Seq[String] = {
+    val fmt = DateTimeFormatter.ofPattern(pattern)
+    val start = java.time.LocalDate.parse(startDate)
+    (0 until days).map(d => template.replace("{date}", start.plusDays(d).format(fmt)))
+  }
+
   /** OP-09: route a URL to a destination file name — lowercase substring
     * match over a suffix map, falling back to the URL basename.
     */
@@ -246,5 +271,58 @@ object Ingestor {
       pool.shutdown()
       watchdog.shutdownNow()
     }
+  }
+
+  /** Parsed parameters.json — the reference's flagship config shape
+    * (`dubai-dataset/config/parameters.json:1-10`) plus its env-var knobs
+    * folded into the same document: `file_urls` (required),
+    * `s3_path_prefix` (default "raw"), `concurrency` (default 2),
+    * `http_chunk_kb` (default 1024), optional `suffix_map` object
+    * overriding [[DefaultSuffixMap]].
+    */
+  final case class IngestConfig(
+      fileUrls: Seq[String],
+      pathPrefix: String,
+      concurrency: Int,
+      chunkBytes: Int,
+      suffixMap: Map[String, String])
+
+  /** Read an [[IngestConfig]] through the OP-08 JSON source. */
+  def readConfig(spark: SparkSession, path: String): IngestConfig = {
+    val row = graft.etl.Readers.jsonConfig(spark, path).head()
+    val schema = row.schema
+    def has(n: String) =
+      schema.fieldNames.contains(n) && !row.isNullAt(schema.fieldIndex(n))
+    require(has("file_urls"), s"$path: missing required field file_urls")
+    val urls = row.getSeq[String](schema.fieldIndex("file_urls"))
+    def str(n: String, dflt: String) =
+      if (has(n)) row.getString(schema.fieldIndex(n)) else dflt
+    def num(n: String, dflt: Long) = // JSON integers arrive as LongType
+      if (has(n)) row.getLong(schema.fieldIndex(n)) else dflt
+    val suffixMap =
+      if (has("suffix_map")) {
+        val s = row.getStruct(schema.fieldIndex("suffix_map"))
+        s.schema.fieldNames.zipWithIndex.collect {
+          case (n, i) if !s.isNullAt(i) => n -> s.getString(i)
+        }.toMap
+      } else DefaultSuffixMap
+    IngestConfig(
+      fileUrls = urls,
+      pathPrefix = str("s3_path_prefix", "raw"),
+      concurrency = num("concurrency", 2L).toInt,
+      chunkBytes = num("http_chunk_kb", 1024L).toInt * 1024,
+      suffixMap = suffixMap)
+  }
+
+  /** The reference's flagship flow end to end: read parameters.json,
+    * ingest its URLs under `{landingDir}/{path_prefix}` with the
+    * configured suffix map / concurrency / chunk size.
+    */
+  def ingestFromConfig(spark: SparkSession, configPath: String,
+      landingDir: String): Report = {
+    val c = readConfig(spark, configPath)
+    ingest(c.fileUrls, s"$landingDir/${c.pathPrefix}",
+      concurrency = c.concurrency, chunkBytes = c.chunkBytes,
+      suffixMap = c.suffixMap)
   }
 }

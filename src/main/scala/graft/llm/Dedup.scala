@@ -264,6 +264,19 @@ object Dedup {
     result
   }
 
+  /** Constants for the oracle-checked MD5 minhash (q65): slot i is the
+    * min over shingles of (A(i)*h + B(i)) mod M with h the first 8 hex
+    * chars of md5(shingle). A < 2^30 and h < 2^32 keep every product
+    * under 2^62 — exact in signed 64-bit on Spark AND DuckDB (no
+    * overflow, no wrap-around semantics to emulate).
+    */
+  val Md5MinhashK = 16
+  val Md5MinhashMod = 2147483647L // 2^31 - 1
+  val Md5MinhashMixers: Seq[(Long, Long)] = (1 to Md5MinhashK).map { i =>
+    ((i.toLong * 2654435761L) % 1073741789L,
+      (i.toLong * 2246822519L) % 2147483647L)
+  }
+
   val MinHashK: Int = MinHashSigExpr.K // signature length (32)
   val Bands = 8       // LSH bands
   val RowsPerBand = 4 // MinHashK / Bands
@@ -483,6 +496,47 @@ object Dedup {
                      STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
                                 ORDER BY b DESC) AS sig
               FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Oracle-checked MinHash: the identical min-over-affine-mixers
+    // algorithm as q33's signature, but the per-shingle hash is the
+    // first 8 hex chars of MD5 — a hash both engines share — so DuckDB
+    // reproduces every slot bit-for-bit (the q55 treatment applied to
+    // minhash). Every operand is bounded (A < 2^30, h < 2^32, product
+    // < 2^62) so the integer arithmetic stays in signed-64 range on
+    // both engines. q33 keeps the fast xxhash64 path; this entry pins
+    // the ALGORITHM under the value-hash oracle.
+    Q("q65_minhash_md5",
+      (s, d) => {
+        val hv = withShingleArray(docs(s, d))
+          .select(col("doc_id"),
+            transform(col("sh"), sh =>
+              conv(substring(md5(sh), 1, 8), 16, 10).cast("long")).as("hv"))
+        val slots = Md5MinhashMixers.map { case (a, b) =>
+          array_min(transform(col("hv"), h =>
+            (lit(a) * h + lit(b)) % Md5MinhashMod)).cast("string")
+        }
+        hv.select(col("doc_id"), concat_ws("-", slots: _*).as("sig"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val slotSql = Md5MinhashMixers.map { case (a, b) =>
+          s"CAST(list_min(list_transform(hv, h -> ($a * h + $b) % $Md5MinhashMod)) AS VARCHAR)"
+        }.mkString(" || '-' || ")
+        s"""WITH tok AS (
+             SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+             FROM documents),
+           sh AS (
+             SELECT doc_id,
+                    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in generate_series(1, LEN(ts)-2)]) AS sh
+             FROM tok WHERE LEN(ts) >= 3),
+           hv AS (
+             SELECT doc_id,
+                    list_transform(sh, s -> CAST('0x' || SUBSTR(MD5(s), 1, 8) AS BIGINT)) AS hv
+             FROM sh)
+           SELECT doc_id, $slotSql AS sig
+           FROM hv ORDER BY doc_id"""
+      }),
 
     // Dedup clusters: connected components over the capped exact-Jaccard
     // pair graph (>= 0.6). The oracle rebuilds the same pairs (q32's SQL)

@@ -131,6 +131,59 @@ class IngestorSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("end-to-end config-driven ingest: parameters.json -> landed files") {
+    val payload = ("x" * 2048).getBytes
+    withServer(Map(
+      "/dl/rent_contracts.csv" -> payload,
+      "/dl/other.bin" -> "y".getBytes)) { base =>
+      val landing = Files.createTempDirectory("graft-cfg").toString
+      val cfgPath = Files.createTempFile("graft-params", ".json")
+      Files.writeString(cfgPath,
+        s"""{
+           |  "file_urls": ["$base/dl/rent_contracts.csv", "$base/dl/other.bin"],
+           |  "s3_path_prefix": "raw",
+           |  "concurrency": 2,
+           |  "http_chunk_kb": 4
+           |}""".stripMargin)
+      val report = Ingestor.ingestFromConfig(spark, cfgPath.toString, landing)
+      assert(report.failed.isEmpty, report.failed.mkString("; "))
+      // the default SUFFIX_MAP routes the rent_contracts URL; the
+      // unmatched URL falls back to its basename — both under the
+      // config's path prefix in the dated layout
+      val rc = Ingestor.datedPath(s"$landing/raw", "rent_contracts.csv")
+      val ob = Ingestor.datedPath(s"$landing/raw", "other.bin")
+      assert(new java.io.File(rc).length() == payload.length)
+      assert(new java.io.File(ob).exists())
+    }
+  }
+
+  test("readConfig defaults mirror the reference knobs; suffix_map overrides") {
+    val minimal = Files.createTempFile("graft-params-min", ".json")
+    Files.writeString(minimal, """{"file_urls": ["http://x/y.csv"]}""")
+    val c = Ingestor.readConfig(spark, minimal.toString)
+    assert(c.fileUrls == Seq("http://x/y.csv"))
+    assert(c.pathPrefix == "raw")
+    assert(c.concurrency == 2)
+    assert(c.chunkBytes == 1024 * 1024)
+    assert(c.suffixMap == Ingestor.DefaultSuffixMap)
+
+    val overridden = Files.createTempFile("graft-params-ovr", ".json")
+    Files.writeString(overridden,
+      """{"file_urls": ["http://x/y.csv"],
+        |  "suffix_map": {"special": "special.csv"}}""".stripMargin)
+    val o = Ingestor.readConfig(spark, overridden.toString)
+    assert(o.suffixMap == Map("special" -> "special.csv"))
+  }
+
+  test("datedUrls enumerates the template over a day range") {
+    val urls = Ingestor.datedUrls(
+      "https://example.com/AIS_{date}.zip", "2024-02-27", 3)
+    assert(urls == Seq(
+      "https://example.com/AIS_2024_02_27.zip",
+      "https://example.com/AIS_2024_02_28.zip",
+      "https://example.com/AIS_2024_02_29.zip"))
+  }
+
   test("OP-09 url routing: suffix map match, basename fallback") {
     val m = Map("rent_contracts" -> "rent_contracts.csv")
     assert(Ingestor.suffixFromUrl(
