@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Writers
+
+/** Persisted near-dup pair table.
+  *
+  * Every q56/q61-class job (dedup clustering, survivorship, curation
+  * funnels) starts from the same expensive artifact — the near-dup pair
+  * graph — and rebuilding it per query re-scans, re-tokenizes, and
+  * re-shingles the whole corpus. This operator materializes the pairs
+  * once and maintains them as the corpus grows, so downstream jobs read
+  * a slim (d1, d2, jaccard) table instead of paying the pair-graph
+  * construction again:
+  *
+  *  - [[build]]: full pair graph ([[Dedup.hashJaccardPairs]]) → parquet;
+  *  - [[append]]: a NEW document batch contributes only its own pairs —
+  *    exact intra-batch pairs plus cross pairs from an LSH probe of the
+  *    persisted band index, certified with true per-pair Jaccard; the
+  *    historical corpus is never re-shingled (the incremental-dedup
+  *    shape, producing durable pairs instead of transient candidates);
+  *  - [[compact]]: fold the small files the appends accumulate (at
+  *    100 TB a scan's task count is driven by file count, not bytes);
+  *  - [[clusters]]: connected components over the stored pairs.
+  *
+  * At cluster scale the table lives bucketed by d1 (or in a commit-log
+  * table format for atomic appends); every join/cluster shape here is
+  * unchanged by that layout choice.
+  */
+object PairStore {
+
+  /** Build (or rebuild) the pair table from the full corpus. */
+  def build(docs: DataFrame, dir: String, minJaccard: Double,
+      maxDf: Int = Dedup.DefaultMaxShingleDf): Unit =
+    Writers.parquet(Dedup.hashJaccardPairs(docs, minJaccard, maxDf), dir)
+
+  /** Append a new batch's pairs: intra-batch exact pairs (the capped
+    * inverted-index route, same semantics as [[build]]) plus cross
+    * batch-vs-corpus pairs — LSH candidates from probing `corpusBands`
+    * (the persisted index [[graft.streaming.StreamingDedup]] maintains),
+    * certified with TRUE uncapped Jaccard over `allDocs` at per-pair
+    * cost. Certification is uncapped by construction (it intersects the
+    * two docs' full shingle-hash sets), i.e. strictly more precise than
+    * the capped index route at boundary pairs.
+    */
+  def append(newDocs: DataFrame, allDocs: DataFrame, corpusBands: DataFrame,
+      dir: String, minJaccard: Double, minEstJaccard: Double = 0.5): Unit = {
+    val intra = Dedup.hashJaccardPairs(newDocs, minJaccard)
+    val candidates = Dedup
+      .incrementalCandidatesFromBands(Dedup.minhashBands(newDocs),
+        corpusBands, minEstJaccard)
+      .select(col("d_new").as("d1"), col("d_old").as("d2"))
+    val cross = Dedup.jaccardOnCandidates(allDocs, candidates)
+      .filter(col("jaccard") >= minJaccard)
+      // canonical d1 < d2 so the stored pair set stays orientation-free
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"), col("jaccard"))
+    intra.unionByName(cross)
+      .write.mode("append")
+      .option("compression", Writers.DefaultCompression)
+      .parquet(dir)
+  }
+
+  /** The stored pair table. */
+  def pairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Dedup clusters over the stored pairs — [[Dedup.connectedComponents]]
+    * without re-deriving the pair graph.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(pairs(spark, dir))
+
+  /** Fold append-accumulated small files; returns the new file count. */
+  def compact(spark: SparkSession, dir: String, targetMB: Int = 512): Int =
+    Writers.compact(spark, dir, targetMB)
+}

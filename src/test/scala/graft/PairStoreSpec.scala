@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, PairStore}
+
+/** Persisted pair-table operator: clustering over stored pairs must
+  * equal clustering over freshly computed pairs, and incremental appends
+  * must pick up cross-batch near-dups without re-shingling the corpus.
+  */
+class PairStoreSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def mkDocs(rows: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), schema)
+
+  /** 40 base docs + near-identical variants of the first 5 (the DedupSpec
+    * fixture shape: planted pairs have jaccard ~0.95).
+    */
+  private lazy val corpus = {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("spark", "query", "table", "row", "scan", "join",
+      "hash", "sort", "data", "batch", "window", "merge", "filter", "agg")
+    def text(): String = Seq.fill(60)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, text()))
+    val nearDups = base.take(5).map { case (i, t) =>
+      (100L + i, t.split(' ').updated(55, "mutated").mkString(" "))
+    }
+    (base ++ nearDups, mkDocs(base ++ nearDups))
+  }
+
+  test("clusters over the persisted table equal clusters over fresh pairs") {
+    val dir = Files.createTempDirectory("graft-pairs").toString + "/pairs"
+    val (_, docs) = corpus
+    PairStore.build(docs, dir, minJaccard = 0.6)
+    val stored = PairStore.clusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = Dedup.connectedComponents(Dedup.hashJaccardPairs(docs, 0.6))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == fresh)
+    // the planted pairs genuinely cluster (test isn't vacuous)
+    assert((0L until 5L).forall(i => stored.contains((100L + i, i))))
+  }
+
+  test("append picks up cross-batch pairs from the band index; compact preserves rows") {
+    val tmp = Files.createTempDirectory("graft-pairs-inc").toString
+    val dir = s"$tmp/pairs"
+    val (baseRows, docs) = corpus
+    PairStore.build(docs, dir, minJaccard = 0.6)
+    val before = PairStore.pairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // persisted band index for the existing corpus (what StreamingDedup
+    // maintains); the new batch: a near-dup of doc 7 plus one intra-batch
+    // duplicate pair (200, 201)
+    val bandsDir = s"$tmp/bands"
+    Dedup.minhashBands(docs).write.parquet(bandsDir)
+    val doc7 = baseRows.find(_._1 == 7L).get._2
+    val newBatch = mkDocs(Seq(
+      (200L, doc7.split(' ').updated(10, "changed").mkString(" ")),
+      (201L, doc7.split(' ').updated(10, "changed").mkString(" "))))
+    val allDocs = docs.unionByName(newBatch)
+    PairStore.append(newBatch, allDocs, spark.read.parquet(bandsDir),
+      dir, minJaccard = 0.6)
+
+    val after = PairStore.pairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.subsetOf(after))
+    assert(after.contains((7L, 200L)), s"cross-batch pair missed: $after")
+    assert(after.contains((200L, 201L)), s"intra-batch pair missed: $after")
+
+    // clusters now merge the new docs into doc 7's component
+    val comp = PairStore.clusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(200L) == comp(7L) && comp(201L) == comp(7L))
+
+    // compaction folds the append's small files, preserving the row set
+    val files = PairStore.compact(spark, dir, targetMB = 512)
+    assert(files == 1)
+    val compacted = PairStore.pairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted == after)
+  }
+}
