@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Corpus-curation operators beyond dedup: test-set decontamination,
+  * deterministic data-mixture sampling, and within-document repetition
+  * scoring. All three are pure hash/column arithmetic shared by both
+  * engines, so every entry is value-hash-checked against DuckDB.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** The q59 split rule: md5(doc_id) % 100 → 90/5/5 train/val/test. */
+  private def splitCol = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100))
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  def defs: Seq[Q] = Seq(
+    // Train/test DECONTAMINATION: count test-split docs whose normalized
+    // content fingerprint also appears in the train split — the standard
+    // leakage check before an eval set ships (a training pipeline that
+    // can't answer this can't publish benchmarks). Composition of the
+    // q59 hash split and the q31 fingerprint; the check is one
+    // distinct + one join on the 8-hex fingerprint key. 100 TB shape:
+    // both sides shuffle on fp (near-unique, no skew key), train-side
+    // distinct is a map-side-combined hash agg — no broadcast assumed.
+    Q("q66_decontamination",
+      (s, d) => {
+        val t = docs(s, d).select(
+          col("doc_id"), splitCol.as("split"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        val trainFp = t.filter(col("split") === "train")
+          .select(col("fp")).distinct()
+          .withColumn("in_train", lit(1))
+        t.filter(col("split") === "test")
+          .join(trainFp, Seq("fp"), "left")
+          .agg(
+            count(lit(1)).as("n_test"),
+            sum(when(col("in_train").isNotNull, 1).otherwise(0))
+              .as("n_contaminated"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+                            WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+                            ELSE 'test'
+                       END AS split,
+                       SUBSTR(MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')), 1, 8) AS fp
+                FROM documents),
+              train AS (SELECT DISTINCT fp FROM t WHERE split = 'train')
+              SELECT COUNT(*) AS n_test,
+                     CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+              FROM t LEFT JOIN train tr ON tr.fp = t.fp
+              WHERE t.split = 'test'""")),
+
+    // Deterministic DATA-MIXTURE sampling: per-language target rates
+    // (en 100%, es 50%, de 25%, everything else 10%) enforced by hash
+    // bucket membership, not RNG — any engine, any run, any corpus
+    // subset keeps exactly the same documents, which is what makes a
+    // training mixture reproducible (and is exactly what the oracle
+    // verifies). The ":mix" salt decorrelates this hash from the q59
+    // split hash. Fully map-side; the only shuffle is the per-language
+    // aggregate.
+    Q("q67_data_mixture",
+      (s, d) => {
+        val rate = when(col("lang") === "en", 100)
+          .when(col("lang") === "es", 50)
+          .when(col("lang") === "de", 25)
+          .otherwise(10)
+        val bucket = pmod(
+          conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8),
+            16, 10).cast("long"), lit(100))
+        docs(s, d)
+          .select(col("lang"), when(bucket < rate, 1).otherwise(0).as("keep"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_sampled"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN
+                       CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) AS BIGINT) % 100
+                       < CASE WHEN lang = 'en' THEN 100
+                              WHEN lang = 'es' THEN 50
+                              WHEN lang = 'de' THEN 25
+                              ELSE 10 END
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Within-document REPETITION ratio: 1 - distinct/total 3-gram
+    // shingles — the boilerplate/looping-text quality signal (high
+    // ratio = the doc repeats itself). Pure per-row column arithmetic
+    // over the same shingle machinery as the dedup stack; no shuffle
+    // except the ORDER BY.
+    Q("q68_repetition",
+      (s, d) => {
+        val t = docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 3)
+        t.select(col("doc_id"),
+            (size(col("ts")) - 2).as("n_shingles"),
+            size(Dedup.shingleArrayFromTokens(col("ts"))).as("n_distinct"))
+          .withColumn("rep_ratio",
+            round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              t AS (
+                SELECT doc_id,
+                       CAST(LEN(ts) - 2 AS INT) AS n_shingles,
+                       CAST(LEN(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                               for i in generate_series(1, LEN(ts)-2)])) AS INT) AS n_distinct
+                FROM tok WHERE LEN(ts) >= 3)
+              SELECT doc_id, n_shingles, n_distinct,
+                     ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 4) AS rep_ratio
+              FROM t ORDER BY doc_id LIMIT 200"""))
+  )
+}
