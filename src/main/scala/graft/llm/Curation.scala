@@ -17,11 +17,62 @@ object Curation {
     Tables.load(s, d, "documents")
 
   /** The q59 split rule: md5(doc_id) % 100 → 90/5/5 train/val/test. */
-  private def splitCol = {
+  def splitCol: org.apache.spark.sql.Column = {
     val bucket = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(100))
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** (n_test, n_contaminated): test-split docs whose normalized content
+    * fingerprint also appears in the train split — see q66.
+    */
+  def decontaminationCounts(docsDf: DataFrame): DataFrame = {
+    val t = docsDf.select(
+      col("doc_id"), splitCol.as("split"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val trainFp = t.filter(col("split") === "train")
+      .select(col("fp")).distinct()
+      .withColumn("in_train", lit(1))
+    t.filter(col("split") === "test")
+      .join(trainFp, Seq("fp"), "left")
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("in_train").isNotNull, 1).otherwise(0))
+          .as("n_contaminated"))
+  }
+
+  /** Per-language (n_docs, n_sampled) under deterministic salted-hash
+    * mixture sampling — see q67. `rates` maps lang → keep percent.
+    */
+  def mixtureCounts(docsDf: DataFrame, rates: Map[String, Int],
+      defaultRate: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    val bucket = pmod(
+      conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8),
+        16, 10).cast("long"), lit(100))
+    docsDf
+      .select(col("lang"), when(bucket < rate, 1).otherwise(0).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-doc 3-gram repetition: (n_shingles, n_distinct, rep_ratio) —
+    * see q68.
+    */
+  def repetitionRatios(docsDf: DataFrame): DataFrame = {
+    val t = docsDf
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    t.select(col("doc_id"),
+        (size(col("ts")) - 2).as("n_shingles"),
+        size(Dedup.shingleArrayFromTokens(col("ts"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
   }
 
   def defs: Seq[Q] = Seq(
@@ -34,20 +85,7 @@ object Curation {
     // both sides shuffle on fp (near-unique, no skew key), train-side
     // distinct is a map-side-combined hash agg — no broadcast assumed.
     Q("q66_decontamination",
-      (s, d) => {
-        val t = docs(s, d).select(
-          col("doc_id"), splitCol.as("split"),
-          TextOps.fingerprint(col("text")).as("fp"))
-        val trainFp = t.filter(col("split") === "train")
-          .select(col("fp")).distinct()
-          .withColumn("in_train", lit(1))
-        t.filter(col("split") === "test")
-          .join(trainFp, Seq("fp"), "left")
-          .agg(
-            count(lit(1)).as("n_test"),
-            sum(when(col("in_train").isNotNull, 1).otherwise(0))
-              .as("n_contaminated"))
-      },
+      (s, d) => decontaminationCounts(docs(s, d)),
       Some("""WITH t AS (
                 SELECT doc_id,
                        CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
@@ -71,21 +109,8 @@ object Curation {
     // split hash. Fully map-side; the only shuffle is the per-language
     // aggregate.
     Q("q67_data_mixture",
-      (s, d) => {
-        val rate = when(col("lang") === "en", 100)
-          .when(col("lang") === "es", 50)
-          .when(col("lang") === "de", 25)
-          .otherwise(10)
-        val bucket = pmod(
-          conv(substring(
-            md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8),
-            16, 10).cast("long"), lit(100))
-        docs(s, d)
-          .select(col("lang"), when(bucket < rate, 1).otherwise(0).as("keep"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_sampled"))
-          .orderBy(col("lang"))
-      },
+      (s, d) => mixtureCounts(docs(s, d),
+        Map("en" -> 100, "es" -> 50, "de" -> 25), defaultRate = 10),
       Some("""SELECT lang, COUNT(*) AS n_docs,
                      CAST(SUM(CASE WHEN
                        CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) AS BIGINT) % 100
@@ -102,18 +127,9 @@ object Curation {
     // over the same shingle machinery as the dedup stack; no shuffle
     // except the ORDER BY.
     Q("q68_repetition",
-      (s, d) => {
-        val t = docs(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-          .filter(size(col("ts")) >= 3)
-        t.select(col("doc_id"),
-            (size(col("ts")) - 2).as("n_shingles"),
-            size(Dedup.shingleArrayFromTokens(col("ts"))).as("n_distinct"))
-          .withColumn("rep_ratio",
-            round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
-          .orderBy(col("doc_id"))
-          .limit(200)
-      },
+      (s, d) => repetitionRatios(docs(s, d))
+        .orderBy(col("doc_id"))
+        .limit(200),
       Some("""WITH tok AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
                 FROM documents),

@@ -142,6 +142,33 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Full-corpus embedding near-dup candidate pairs through the LSH
+    * bucket index: pairs sharing a bucket in ANY of the LshTables
+    * tables, verified with exact cosine >= minCos. q35's all-pairs probe
+    * (bounded subset) is the correctness baseline; this is the corpus
+    * shape — candidate cost is the sum of per-bucket pair counts, never
+    * n². Cosine is computed map-side in the join stage and the
+    * cross-table dedup runs on slim (v1, v2, sim) rows (the
+    * batchAnnTopK/minhashCandidates shuffle-shrink).
+    */
+  def embeddingNearDupPairs(vectors: DataFrame, minCos: Double): DataFrame = {
+    val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val banded = lshBuckets(vecs)
+    val a = banded.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("tbl"), col("bucket"))
+    val b = banded.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("tbl"), col("bucket"))
+    val sim = cosine(col("va"), col("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), sim.as("sim_raw"))
+      .filter(col("sim_raw") >= minCos)
+      .dropDuplicates("v1", "v2")
+      .select(col("v1"), col("v2"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Q26 [E] per-vector element aggregation via explode (SURVEY §2B).
     Q("q26_vec_explode",
@@ -218,6 +245,17 @@ object Similarity {
     // IVF-style ANN (rows-only; recall vs brute force in SimilaritySpec).
     Q("q50_ann_ivf",
       (s, d) => ivfTopK(emb(s, d), queryVecId = 0L, k = 10),
+      None),
+
+    // Embedding near-dup pairs over the WHOLE corpus through the LSH
+    // bucket index — q35's semantics at the n²-free scale shape
+    // (rows-only: xxhash64 bucketing is engine-specific; planted-pair
+    // recall + subset-of-exact asserted in SimilaritySpec). Threshold
+    // 0.35 sits inside the testdata's similarity range (max pairwise
+    // cosine at sf0.01 is ~0.51) so the entry exercises real
+    // collisions, not an empty set.
+    Q("q69_embedding_neardup_lsh",
+      (s, d) => embeddingNearDupPairs(emb(s, d), minCos = 0.35),
       None),
 
     // Batched ANN THROUGH the LSH index — q60's batch semantics with

@@ -1,0 +1,97 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Curation
+
+/** Curation operators on constructed corpora where the expected answer
+  * is computable in plain Scala: decontamination must count planted
+  * cross-split duplicates, mixture sampling must match per-row hash
+  * membership, repetition must reflect exact shingle arithmetic.
+  */
+class CurationSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** Mirror of the engine's md5-bucket rule (first 8 hex chars of
+    * md5(decimal doc_id), as unsigned, % 100).
+    */
+  private def bucket(docId: Long, salt: String = ""): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest((docId.toString + salt).getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+  }
+
+  private def split(docId: Long): String = {
+    val b = bucket(docId)
+    if (b < 90) "train" else if (b < 95) "val" else "test"
+  }
+
+  test("decontamination counts planted train->test duplicates exactly") {
+    // pick real ids per split from the hash rule itself
+    val ids = (0L until 400L)
+    val trainIds = ids.filter(split(_) == "train")
+    val testIds = ids.filter(split(_) == "test")
+    assert(trainIds.nonEmpty && testIds.size >= 3,
+      s"split sample too small: ${testIds.size} test ids")
+    val leaked = "this exact document leaked into the eval set"
+    val rows =
+      // one train doc whose text reappears (modulo whitespace/case) in
+      // TWO test docs; every other doc is unique
+      Seq(Row(trainIds.head, "en", leaked),
+        Row(testIds(0), "en", leaked.toUpperCase),
+        Row(testIds(1), "en", leaked.replace(" ", "   "))) ++
+        (trainIds.tail.take(50).map(i => Row(i, "en", s"unique train doc $i")) :+
+          Row(testIds(2), "en", "unique test doc"))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Curation.decontaminationCounts(docs).head()
+    val expectedTest = rows.count(r => split(r.getLong(0)) == "test")
+    assert(got.getLong(0) == expectedTest.toLong)
+    assert(got.getLong(1) == 2L,
+      s"expected exactly the 2 planted leaks, got ${got.getLong(1)}")
+  }
+
+  test("mixture sampling matches per-row hash membership computed independently") {
+    val rows = (0L until 300L).map { i =>
+      Row(i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "xx",
+        s"doc $i")
+    }
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val rates = Map("en" -> 100, "es" -> 50)
+    val got = Curation.mixtureCounts(docs, rates, defaultRate = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy(_.getString(1)).map { case (lang, rs) =>
+      val rate = rates.getOrElse(lang, 10)
+      lang -> (rs.size.toLong,
+        rs.count(r => bucket(r.getLong(0), ":mix") < rate).toLong)
+    }
+    assert(got == expected)
+    // en keeps everything; the others genuinely subsample
+    assert(got("en")._1 == got("en")._2)
+    assert(got("xx")._2 < got("xx")._1)
+  }
+
+  test("repetition ratio is exact shingle arithmetic") {
+    val rows = Seq(
+      Row(1L, "en", "a b c a b c a b c"), // 9 tokens, 7 shingles, 3 distinct
+      Row(2L, "en", "one two three four five"), // no repetition
+      Row(3L, "en", "x y")) // < 3 tokens -> excluded
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Curation.repetitionRatios(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((7, 3, BigDecimal(1.0 - 3.0 / 7).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) == ((3, 3, 0.0)))
+  }
+}

@@ -113,6 +113,31 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
       s"nested-loop join in plan:\n$plan")
   }
 
+  test("embedding near-dup pairs via LSH: planted clone found, pairs verified, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val pairs = Similarity.embeddingNearDupPairs(vectors, minCos = 0.9)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the planted near-identical pair (1, 500) must collide in some bucket
+    assert(rows.exists(p => p._1 == 1L && p._2 == 500L && p._3 > 0.999),
+      s"planted pair missed: ${rows.mkString(",")}")
+    // every emitted pair is verified (>= threshold) and canonical
+    assert(rows.forall(p => p._3 >= 0.9 && p._1 < p._2))
+    // exact pairwise ground truth at the same threshold: LSH output must
+    // be a subset (banding can miss, never invent)
+    val v = vectors.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("a"))
+    val exact = v.select(col("vec_id").as("v1"), col("a").as("pa"))
+      .join(broadcast(v.select(col("vec_id").as("v2"), col("a").as("qa"))),
+        col("v1") < col("v2"))
+      .filter(Similarity.cosine(col("pa"), col("qa")) >= 0.9)
+      .select(col("v1"), col("v2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+    val plan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+  }
+
   test("LSH candidates are a subset of the corpus, no self-match") {
     val ids = Similarity.annTopK(vectors, queryVecId = 1L, k = 50)
       .collect().map(_.getLong(0)).toSet
