@@ -48,6 +48,19 @@ object Main {
           Writers.quarantine(quarantined, s"$out/quarantine")
           println(s"optimized_schema=${optimized.schema.simpleString}")
 
+        // persisted near-dup pair table (PairStore): build once, then
+        // cluster/compact without re-deriving the pair graph
+        case "pairs" :: "build" :: docsParquet :: dir :: Nil =>
+          graft.llm.PairStore.build(spark.read.parquet(docsParquet), dir,
+            minJaccard = sys.env.getOrElse("MIN_JACCARD", "0.6").toDouble)
+          println(s"pairs=${graft.llm.PairStore.pairs(spark, dir).count()}")
+
+        case "pairs" :: "clusters" :: dir :: Nil =>
+          graft.llm.PairStore.clusters(spark, dir).show(50, truncate = false)
+
+        case "pairs" :: "compact" :: dir :: Nil =>
+          println(s"files=${graft.llm.PairStore.compact(spark, dir)}")
+
         case "query" :: sfDir :: name :: Nil =>
           SparkEntry.queries.get(name) match {
             case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
@@ -69,5 +82,6 @@ object Main {
         |  ingest <landingDir> <url>...
         |  profile <sfDir> <table>
         |  preprocess <inParquet> <outDir>
+        |  pairs build <docsParquet> <pairsDir> | pairs clusters <pairsDir> | pairs compact <pairsDir>
         |  query <sfDir> <name>""".stripMargin)
 }

@@ -79,6 +79,19 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(got("xx")._2 < got("xx")._1)
   }
 
+  test("decontamination plan: fingerprint equi-join, no nested loop") {
+    val rows = (0L until 100L).map(i => Row(i, "en", s"doc number $i text"))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val q = Curation.decontaminationCounts(docs)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    assert(plan.contains("fp"), s"fingerprint key missing from plan:\n$plan")
+  }
+
   test("repetition ratio is exact shingle arithmetic") {
     val rows = Seq(
       Row(1L, "en", "a b c a b c a b c"), // 9 tokens, 7 shingles, 3 distinct
