@@ -199,10 +199,10 @@ class DedupSpec extends AnyFunSuite with TestSpark {
         Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(4L, 5L),
         Row(10L, 11L)), 2),
       pairSchema)
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val cc = Dedup.connectedComponents(pairs)
     val got = cc.collect()
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty,
       s"connectedComponents left persisted RDDs behind: $leaked")
     // the reliably-checkpointed result stays fully usable afterwards
