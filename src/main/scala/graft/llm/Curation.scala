@@ -121,6 +121,48 @@ object Curation {
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Per-language QUALITY TOP-K — curation's "keep the best k examples
+    // per stratum" selection: rank docs within each language by stopword
+    // ratio (the natural-language signal) and keep the top 3. The
+    // filtered row_number plans as the TopKPerKey whole-operator
+    // extension, so <= k candidates per (partition, lang) reach the
+    // shuffle instead of a full per-language sort — asserted in
+    // CurationSpec. Ratio ordering is IEEE division of small ints,
+    // identical across engines; doc_id breaks ties deterministically.
+    Q("q70_quality_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = TextOps.tokens(col("text"))
+        val scored = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(toks).as("nt"),
+            TextOps.stopHits(toks, TextOps.EnglishStop).as("ns"))
+          .filter(col("nt") >= 10)
+        val ratio = col("ns").cast("double") / col("nt")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(ratio.desc, col("doc_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("lang"), col("doc_id"),
+            round(ratio, 4).as("stop_ratio"), col("rn"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                       LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS nt,
+                       LEN(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                           x -> list_contains(['the','a','and','of','to','in','is'], x))) AS ns
+                FROM documents),
+              f AS (SELECT * FROM t WHERE nt >= 10),
+              r AS (
+                SELECT lang, doc_id, CAST(ns AS DOUBLE) / nt AS ratio,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY CAST(ns AS DOUBLE) / nt DESC, doc_id) AS INT) AS rn
+                FROM f)
+              SELECT lang, doc_id, ROUND(ratio, 4) AS stop_ratio, rn
+              FROM r WHERE rn <= 3 ORDER BY lang, rn""")),
+
     // Within-document REPETITION ratio: 1 - distinct/total 3-gram
     // shingles — the boilerplate/looping-text quality signal (high
     // ratio = the doc repeats itself). Pure per-row column arithmetic

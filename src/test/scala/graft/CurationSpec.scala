@@ -92,6 +92,22 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(plan.contains("fp"), s"fingerprint key missing from plan:\n$plan")
   }
 
+  test("quality top-k rides the TopKPerKey operator, not a full Window sort") {
+    val q = graft.queries.Registry.queries("q70_quality_topk")(
+      spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // at most 3 per language, rn consecutive from 1
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.length <= 3, s"$lang has ${rs.length} rows")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length), s"$lang rns")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyFinal"), s"no TopKPerKey in plan:\n$plan")
+    assert(plan.contains("TopKPerKeyPartial"), s"no partial phase:\n$plan")
+  }
+
   test("repetition ratio is exact shingle arithmetic") {
     val rows = Seq(
       Row(1L, "en", "a b c a b c a b c"), // 9 tokens, 7 shingles, 3 distinct
