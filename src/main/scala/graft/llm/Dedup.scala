@@ -538,6 +538,79 @@ object Dedup {
            FROM hv ORDER BY doc_id"""
       }),
 
+    // Oracle-checked MinHash+LSH CANDIDATE GENERATION: the full banding
+    // pipeline — sign (q65's MD5 slots), band 4x4, equi-join colliding
+    // bands, estimate jaccard as the agreeing-slot fraction — with every
+    // step reproducible in DuckDB, so the PAIRS themselves value-hash
+    // match (q33 keeps the fast xxhash64 form; q65 pinned the signature,
+    // this pins the banded join semantics end to end). Same shuffle
+    // shape as q33: join key is (band, band key), est is computed
+    // map-side before the distinct so signatures never ride the dedup
+    // exchange.
+    Q("q71_minhash_lsh_md5",
+      (s, d) => {
+        val hv = withShingleArray(docs(s, d))
+          .select(col("doc_id"),
+            transform(col("sh"), sh =>
+              conv(substring(md5(sh), 1, 8), 16, 10).cast("long")).as("hv"))
+        val slotCols = Md5MinhashMixers.map { case (a, b) =>
+          array_min(transform(col("hv"), h =>
+            (lit(a) * h + lit(b)) % Md5MinhashMod))
+        }
+        val slots = hv.select(col("doc_id"), array(slotCols: _*).as("s"))
+        val banded = slots.select(col("doc_id"), col("s"),
+          posexplode(array((0 until 4).map(b =>
+            concat_ws(",", (0 until 4).map(i =>
+              element_at(col("s"), b * 4 + i + 1).cast("string")): _*)): _*))
+            .as(Seq("b", "key")))
+        val a = banded.select(col("doc_id").as("d1"), col("s").as("sa"),
+          col("b"), col("key"))
+        val c = banded.select(col("doc_id").as("d2"), col("s").as("sb"),
+          col("b"), col("key"))
+        val est = size(filter(
+          zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / Md5MinhashK
+        a.join(c, Seq("b", "key"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"), round(est, 4).as("est_jaccard"))
+          .distinct()
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some {
+        val slotList = Md5MinhashMixers.map { case (a, b) =>
+          s"list_min(list_transform(hv, h -> ($a * h + $b) % $Md5MinhashMod))"
+        }.mkString("[", ", ", "]")
+        s"""WITH tok AS (
+             SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+             FROM documents),
+           sh AS (
+             SELECT doc_id,
+                    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in generate_series(1, LEN(ts)-2)]) AS sh
+             FROM tok WHERE LEN(ts) >= 3),
+           hv AS (
+             SELECT doc_id,
+                    list_transform(sh, s -> CAST('0x' || SUBSTR(MD5(s), 1, 8) AS BIGINT)) AS hv
+             FROM sh),
+           slots AS (SELECT doc_id, $slotList AS s FROM hv),
+           banded AS (
+             SELECT doc_id, b,
+                    CAST(s[4*b+1] AS VARCHAR) || ',' || CAST(s[4*b+2] AS VARCHAR) || ',' ||
+                    CAST(s[4*b+3] AS VARCHAR) || ',' || CAST(s[4*b+4] AS VARCHAR) AS key
+             FROM slots, (SELECT UNNEST([0, 1, 2, 3]) AS b)),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+             FROM banded a JOIN banded c
+               ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
+           SELECT p.d1, p.d2,
+                  ROUND(CAST(LEN(list_filter(generate_series(1, ${Md5MinhashK}),
+                        i -> sa.s[i] = sb.s[i])) AS DOUBLE) / ${Md5MinhashK}, 4) AS est_jaccard
+           FROM pairs p
+           JOIN slots sa ON sa.doc_id = p.d1
+           JOIN slots sb ON sb.doc_id = p.d2
+           ORDER BY d1, d2"""
+      }),
+
     // Dedup clusters: connected components over the capped exact-Jaccard
     // pair graph (>= 0.6). The oracle rebuilds the same pairs (q32's SQL)
     // and computes reachability minima with a recursive CTE — the CTE's
