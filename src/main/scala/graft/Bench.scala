@@ -48,21 +48,29 @@ object Bench {
     // first query otherwise absorbs ~4 s of warmup).
     names.foreach(runOnce)
 
-    // Median of 3 timed passes per query: a one-off box hiccup (driver
-    // contention, GC) can inflate a single pass 10x — the r4 artifact
-    // showed 3-6 s for 0.3 s scans. The median is immune to one outlier;
-    // total = sum of per-query medians.
+    // Median of 3 timed passes per query, run PASS-MAJOR (all queries
+    // pass 1, then pass 2, then pass 3) instead of query-major: a
+    // sustained contention window on the box poisons back-to-back
+    // samples, so with query-major sampling one burst inflated all three
+    // samples of a single query and the median kept it (r5's official
+    // artifact showed q61 at 7.79 s vs 3.21 s clean). Interleaving puts
+    // the burst on DIFFERENT queries in different passes, so each
+    // query's median still sees >= 2 quiet samples. Median is immune to
+    // the one poisoned sample; total = sum of per-query medians.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     var failed = List.empty[String]
+    val samples = collection.mutable.Map
+      .empty[String, List[(Double, Boolean)]].withDefaultValue(Nil)
+    for (_ <- 1 to passes; name <- names) {
+      val t0 = System.nanoTime()
+      val ok = runOnce(name)
+      val sec = (System.nanoTime() - t0) / 1e9
+      samples(name) ::= (sec, ok)
+    }
     val times = names.map { name =>
-      val samples = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = runOnce(name)
-        val sec = (System.nanoTime() - t0) / 1e9
-        (sec, ok)
-      }
-      if (samples.exists(!_._2)) failed ::= name
-      val sorted = samples.map(_._1).sorted
+      val s = samples(name)
+      if (s.exists(!_._2)) failed ::= name
+      val sorted = s.map(_._1).sorted
       name -> sorted(sorted.size / 2)
     }
 

@@ -462,6 +462,85 @@ case class HyperplaneBuckets(child: Expression)
     copy(child = newChild)
 }
 
+object Md5HyperplaneBuckets {
+  val Tables = 4
+  val BitsPerTable = 8
+  val MaxDim = 64
+  // Engine-agnostic hyperplane components: comp(t,b,i) = (unsigned value
+  // of the first 8 hex chars of MD5("t:b:i")) - 2^31, as a double. Any
+  // engine with an MD5 function reproduces these planes exactly — DuckDB
+  // spells the same component as
+  //   CAST('0x'||SUBSTR(MD5(t||':'||b||':'||i),1,8) AS BIGINT) - 2147483648
+  // — so the projection sign bits (and hence the LSH candidate sets) are
+  // identical across engines, which is what puts the ANN family under
+  // the value-hash oracle. The fast splitmix64 path (HyperplaneBuckets)
+  // remains the production default; this variant costs nothing extra at
+  // runtime (planes are computed once per JVM, the per-row loop is the
+  // same shape) and exists for cross-engine verifiability.
+  lazy val planes: Array[Array[Double]] =
+    Array.tabulate(Tables * BitsPerTable) { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val t = p / BitsPerTable
+      val b = p % BitsPerTable
+      Array.tabulate(MaxDim) { i =>
+        val hex = md.digest(s"$t:$b:$i".getBytes("UTF-8"))
+          .take(4).map(x => f"$x%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) - 2147483648L).toDouble
+      }
+    }
+}
+
+/** MD5-derived random-hyperplane LSH bucket ids — same loop shape as
+  * HyperplaneBuckets (all Tables*BitsPerTable projections share one
+  * compiled loop nest per row), different (engine-agnostic) plane
+  * constants. See Md5HyperplaneBuckets for the cross-engine contract.
+  */
+case class Md5HyperplaneBuckets(child: Expression)
+    extends UnaryExpression {
+  import Md5HyperplaneBuckets._
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lsh_buckets_md5"
+
+  def compute(a: ArrayData): ArrayData = {
+    val dim = math.min(a.numElements(), MaxDim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = a.getDouble(i); i += 1 }
+    val buckets = new Array[Int](Tables)
+    var t = 0
+    while (t < Tables) {
+      var bucket = 0
+      var b = 0
+      while (b < BitsPerTable) {
+        val plane = planes(t * BitsPerTable + b)
+        var proj = 0.0
+        var d = 0
+        while (d < dim) { proj += v(d) * plane(d); d += 1 }
+        if (proj >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5LshBuckets", this,
+      classOf[Md5HyperplaneBuckets].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registers the native expressions into every session built with
   * `spark.sql.extensions=graft.functions.GraftExtensions` — the public
   * extension point (Column↔Expression converters are private[sql] in
@@ -507,7 +586,9 @@ object GraftExtensions {
       StopHits(es.head, words)
     }),
     d("graft_lsh_buckets", classOf[HyperplaneBuckets],
-      es => HyperplaneBuckets(es.head)))
+      es => HyperplaneBuckets(es.head)),
+    d("graft_lsh_buckets_md5", classOf[Md5HyperplaneBuckets],
+      es => Md5HyperplaneBuckets(es.head)))
 }
 
 /** Column-level API over the native expressions (requires a session built
@@ -551,4 +632,9 @@ object Fns {
   /** All HyperplaneBuckets.Tables LSH bucket ids for an embedding. */
   def lshBuckets(vec: Column): Column =
     call_function("graft_lsh_buckets", dbl(vec))
+
+  /** MD5-derived LSH bucket ids (engine-agnostic planes — see
+    * Md5HyperplaneBuckets; oracle-checkable counterpart of lshBuckets). */
+  def md5LshBuckets(vec: Column): Column =
+    call_function("graft_lsh_buckets_md5", dbl(vec))
 }

@@ -62,6 +62,17 @@ object Similarity {
     vecs.select(col("vec_id"), col("v"),
       posexplode(Fns.lshBuckets(col("v"))).as(Seq("tbl", "bucket")))
 
+  /** MD5-derived hyperplane buckets (graft.functions.Md5HyperplaneBuckets):
+    * same banding shape as lshBuckets, but the plane components are
+    * derived from MD5 so DuckDB reproduces the identical sign bits in
+    * exact arithmetic — the variant that puts LSH-bucketed ANN under the
+    * value-hash oracle (the splitmix64 path stays the fast default, the
+    * same convention as q33-xxhash64 vs q65-md5 in Dedup).
+    */
+  def md5LshBuckets(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("v"),
+      posexplode(Fns.md5LshBuckets(col("v"))).as(Seq("tbl", "bucket")))
+
   /** Brute-force cosine top-k for one query vector (by vec_id), the
     * correctness baseline: broadcast the 1-row query side.
     */
@@ -83,13 +94,21 @@ object Similarity {
     * one of the LshTables tables; rank within the candidate set (recall
     * vs the brute-force baseline measured in SimilaritySpec).
     */
-  def annTopK(vectors: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+  def annTopK(vectors: DataFrame, queryVecId: Long, k: Int): DataFrame =
+    annTopKBanded(vectors, queryVecId, k, lshBuckets)
+
+  /** annTopK through the MD5-derived planes — hash-checkable (q72). */
+  def md5AnnTopK(vectors: DataFrame, queryVecId: Long, k: Int): DataFrame =
+    annTopKBanded(vectors, queryVecId, k, md5LshBuckets)
+
+  private def annTopKBanded(vectors: DataFrame, queryVecId: Long, k: Int,
+      bander: DataFrame => DataFrame): DataFrame = {
     // repartition before the per-row projection folds: the embeddings
     // table is a single parquet row group, and the LshTables*LshBits
     // hyperplane projections would otherwise run on one core
     val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-    val banded = lshBuckets(vecs)
+    val banded = bander(vecs)
     val q = banded.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), col("tbl"), col("bucket"))
     val sim = cosine(col("v"), col("qv"))
@@ -151,20 +170,41 @@ object Similarity {
     * cross-table dedup runs on slim (v1, v2, sim) rows (the
     * batchAnnTopK/minhashCandidates shuffle-shrink).
     */
-  def embeddingNearDupPairs(vectors: DataFrame, minCos: Double): DataFrame = {
+  def embeddingNearDupPairs(vectors: DataFrame, minCos: Double): DataFrame =
+    nearDupPairsBanded(vectors, minCos, lshBuckets)
+
+  /** embeddingNearDupPairs through the MD5-derived planes — the
+    * hash-checkable sibling (q73), same slim-join plan. */
+  def md5NearDupPairs(vectors: DataFrame, minCos: Double): DataFrame =
+    nearDupPairsBanded(vectors, minCos, md5LshBuckets)
+
+  /** The bucket self-join runs on slim (vec_id, tbl, bucket) rows ONLY —
+    * the corpus's vectors never traverse the ×LshTables bucket exchange
+    * (they'd otherwise ride it 8 times, the heaviest column in the
+    * heaviest shuffle at 100 TB). Candidate id-pairs are deduped while
+    * still slim, then the two vectors are fetched by id equi-joins
+    * against the SAME repartition(vec_id) exchange the banding read from
+    * (ReuseExchange: one vector shuffle total) and scored with exact
+    * cosine — the `Dedup.jaccardOnCandidates` verify-after-candidates
+    * shape.
+    */
+  private def nearDupPairsBanded(vectors: DataFrame, minCos: Double,
+      bander: DataFrame => DataFrame): DataFrame = {
     val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-    val banded = lshBuckets(vecs)
-    val a = banded.select(col("vec_id").as("v1"), col("v").as("va"),
-      col("tbl"), col("bucket"))
-    val b = banded.select(col("vec_id").as("v2"), col("v").as("vb"),
-      col("tbl"), col("bucket"))
-    val sim = cosine(col("va"), col("vb"))
-    a.join(b, Seq("tbl", "bucket"))
+    val slim = bander(vecs).select(col("vec_id"), col("tbl"), col("bucket"))
+    val cand = slim.select(col("vec_id").as("v1"), col("tbl"), col("bucket"))
+      .join(slim.select(col("vec_id").as("v2"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"))
+      .distinct()
+    val va = vecs.select(col("vec_id").as("v1"), col("v").as("va"))
+    val vb = vecs.select(col("vec_id").as("v2"), col("v").as("vb"))
+    val sim = cosine(col("va"), col("vb"))
+    cand.join(va, Seq("v1")).join(vb, Seq("v2"))
       .select(col("v1"), col("v2"), sim.as("sim_raw"))
       .filter(col("sim_raw") >= minCos)
-      .dropDuplicates("v1", "v2")
       .select(col("v1"), col("v2"), round(col("sim_raw"), 4).as("sim"))
       .orderBy(col("v1"), col("v2"))
   }
@@ -242,10 +282,52 @@ object Similarity {
       (s, d) => annTopK(emb(s, d), queryVecId = 0L, k = 10),
       None),
 
-    // IVF-style ANN (rows-only; recall vs brute force in SimilaritySpec).
+    // IVF-style ANN — hash-checked: the codebook (first IvfCells
+    // vectors), the argmax cell assignment (sim DESC, cell ties ascending
+    // — exactly ivfCells' sort_array(struct(-sim, cell)) order), the
+    // 4-cell probe, and the exact-cosine ranking are all spelled in
+    // explicit-double DuckDB SQL, so both engines derive the identical
+    // inverted-file layout and candidate set.
     Q("q50_ann_ivf",
       (s, d) => ivfTopK(emb(s, d), queryVecId = 0L, k = 10),
-      None),
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT vec_id AS cell, a AS cv FROM v WHERE vec_id < 16),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              qcell AS (
+                SELECT cell FROM (
+                  SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS rn
+                  FROM scored WHERE vec_id = 0) t WHERE rn <= 4),
+              q AS (SELECT a AS qa FROM v WHERE vec_id = 0)
+              SELECT c.vec_id,
+                     ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
+                             i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))), 4) AS sim
+              FROM corpus c
+              JOIN qcell USING (cell)
+              JOIN v ON v.vec_id = c.vec_id
+              CROSS JOIN q
+              WHERE c.vec_id <> 0
+              ORDER BY list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) DESC,
+                       c.vec_id
+              LIMIT 10""")),
 
     // Embedding near-dup pairs over the WHOLE corpus through the LSH
     // bucket index — q35's semantics at the n²-free scale shape
@@ -271,6 +353,99 @@ object Similarity {
         batchAnnTopK(e, q, k = 3)
       },
       None),
+
+    // LSH ANN with MD5-derived hyperplanes — the hash-checked sibling of
+    // q37 (the q65/q55 convention: keep the fast splitmix64/xxhash64 path
+    // as the default, add an MD5 variant both engines compute exactly).
+    // The oracle derives the SAME 4x8 plane components from MD5, folds
+    // the projections in the same element order (bit-identical doubles,
+    // q35/q36-proven), and therefore lands the identical sign bits →
+    // identical buckets → identical candidate set.
+    Q("q72_ann_lsh_md5",
+      (s, d) => md5AnnTopK(emb(s, d), queryVecId = 0L, k = 10),
+      Some(s"""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              planes AS (
+                SELECT t, b,
+                       LIST(CAST(CAST('0x' || SUBSTR(MD5(t || ':' || b || ':' || i), 1, 8) AS BIGINT)
+                                 - 2147483648 AS DOUBLE) ORDER BY i) AS p
+                FROM generate_series(0, 3) AS ts(t),
+                     generate_series(0, 7) AS bs(b),
+                     generate_series(0, 63) AS ds(i)
+                GROUP BY t, b),
+              buckets AS (
+                SELECT v.vec_id, pl.t AS tbl,
+                       CAST(SUM(CASE WHEN list_sum(list_transform(
+                                        generate_series(1, LEN(v.a)),
+                                        j -> pl.p[j] * v.a[j])) >= 0
+                                     THEN CAST(1 << pl.b AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM v CROSS JOIN planes pl
+                GROUP BY v.vec_id, pl.t),
+              cand AS (
+                SELECT DISTINCT b1.vec_id
+                FROM buckets b1 JOIN buckets b2
+                  ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+                WHERE b2.vec_id = 0 AND b1.vec_id <> 0),
+              q AS (SELECT a AS qa FROM v WHERE vec_id = 0)
+              SELECT v.vec_id,
+                     ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
+                             i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))), 4) AS sim
+              FROM v JOIN cand USING (vec_id) CROSS JOIN q
+              ORDER BY list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) DESC,
+                       v.vec_id
+              LIMIT 10""")),
+
+    // Full-corpus embedding near-dup pairs with MD5-derived hyperplanes —
+    // the hash-checked sibling of q69 (same slim bucket join + exact
+    // cosine verification; the candidate PAIR SET itself crosses the
+    // engines, so banding, threshold, and scores are all oracle-pinned).
+    Q("q73_embedding_neardup_md5",
+      (s, d) => md5NearDupPairs(emb(s, d), minCos = 0.35),
+      Some(s"""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              planes AS (
+                SELECT t, b,
+                       LIST(CAST(CAST('0x' || SUBSTR(MD5(t || ':' || b || ':' || i), 1, 8) AS BIGINT)
+                                 - 2147483648 AS DOUBLE) ORDER BY i) AS p
+                FROM generate_series(0, 3) AS ts(t),
+                     generate_series(0, 7) AS bs(b),
+                     generate_series(0, 63) AS ds(i)
+                GROUP BY t, b),
+              buckets AS (
+                SELECT v.vec_id, pl.t AS tbl,
+                       CAST(SUM(CASE WHEN list_sum(list_transform(
+                                        generate_series(1, LEN(v.a)),
+                                        j -> pl.p[j] * v.a[j])) >= 0
+                                     THEN CAST(1 << pl.b AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM v CROSS JOIN planes pl
+                GROUP BY v.vec_id, pl.t),
+              cand AS (
+                SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
+                FROM buckets b1 JOIN buckets b2
+                  ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+                WHERE b1.vec_id < b2.vec_id)
+              SELECT c.v1, c.v2,
+                     ROUND(list_sum(list_transform(generate_series(1, LEN(p.a)),
+                             i -> p.a[i] * q.a[i]))
+                       / (SQRT(list_sum(list_transform(p.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.a, x -> x*x)))), 4) AS sim
+              FROM cand c
+              JOIN v p ON p.vec_id = c.v1
+              JOIN v q ON q.vec_id = c.v2
+              WHERE list_sum(list_transform(generate_series(1, LEN(p.a)),
+                      i -> p.a[i] * q.a[i]))
+                    / (SQRT(list_sum(list_transform(p.a, x -> x*x)))
+                     * SQRT(list_sum(list_transform(q.a, x -> x*x)))) >= 0.35
+              ORDER BY v1, v2""")),
 
     // Batched ANN: top-3 cosine neighbors for EACH of 5 query vectors in
     // one job — the production shape (queries arrive in batches, not one

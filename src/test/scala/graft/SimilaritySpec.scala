@@ -138,6 +138,47 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
   }
 
+  test("MD5-plane LSH ANN: planted clone retrieved (same recall bar as splitmix)") {
+    val ann = Similarity.md5AnnTopK(vectors, queryVecId = 1L, k = 5).collect()
+    assert(ann.nonEmpty, "no MD5-LSH candidates at all")
+    assert(ann.head.getLong(0) == 500L,
+      s"clone not retrieved; got ${ann.map(_.getLong(0)).mkString(",")}")
+    assert(ann.head.getDouble(1) > 0.999)
+  }
+
+  test("MD5-plane near-dup pairs: planted pair found, subset of exact ground truth") {
+    import org.apache.spark.sql.functions._
+    val pairs = Similarity.md5NearDupPairs(vectors, minCos = 0.9)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.exists(p => p._1 == 1L && p._2 == 500L && p._3 > 0.999),
+      s"planted pair missed: ${rows.mkString(",")}")
+    val v = vectors.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("a"))
+    val exact = v.select(col("vec_id").as("v1"), col("a").as("pa"))
+      .join(broadcast(v.select(col("vec_id").as("v2"), col("a").as("qa"))),
+        col("v1") < col("v2"))
+      .filter(Similarity.cosine(col("pa"), col("qa")) >= 0.9)
+      .select(col("v1"), col("v2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+  }
+
+  test("near-dup bucket self-join ships no vectors (slim id-only exchange)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val pairs = Similarity.embeddingNearDupPairs(vectors, minCos = 0.9)
+    val plan = pairs.queryExecution.optimizedPlan
+    val bucketJoins = plan.collect {
+      case j: Join
+          if j.condition.exists(_.references.exists(_.name == "bucket")) => j
+    }
+    assert(bucketJoins.nonEmpty, s"no bucket join in plan:\n$plan")
+    bucketJoins.foreach { j =>
+      val arrayCols = j.children.flatMap(_.output)
+        .filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrayCols.isEmpty,
+        s"array<double> vectors ride the bucket-join exchange: $arrayCols")
+    }
+  }
+
   test("LSH candidates are a subset of the corpus, no self-match") {
     val ids = Similarity.annTopK(vectors, queryVecId = 1L, k = 50)
       .collect().map(_.getLong(0)).toSet
