@@ -261,6 +261,94 @@ object Dedup {
     val result = labels.checkpoint(eager = true)
     labelsRdd.foreach(_.unpersist(blocking = false))
     checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(graph diameter exceeds the label-propagation budget — use " +
+          "connectedComponentsStar for high-diameter graphs)")
+    result
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds on ANY graph shape, where min-label
+    * propagation above needs diameter rounds (fine for near-dup cliques,
+    * quadratic-ish work on long chains such as transitive fuzzy-dup at
+    * low thresholds).
+    *
+    * Each round is two grouped-min + join passes over the edge list:
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    * At the joint fixpoint the edge set is a star forest rooted at each
+    * component's minimum id — the same (node, comp=min reachable id)
+    * contract as [[connectedComponents]], so the two are interchangeable
+    * (DedupSpec pins equality). Rounds are localCheckpoint'ed and
+    * released like the propagation loop; raises if maxIters is hit
+    * without reaching the fixpoint rather than returning a partially
+    * contracted labeling.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    // directed-down canonical edges (u > v), deduped
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var edgesRdd = checkpointRdd(edges)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // large-star over the symmetric neighbor view: for each node u,
+      // m = min(N(u) ∪ {u}); larger neighbors re-point to m
+      val sym = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the directed-down result: every u re-points its
+      // (all smaller) neighbors and itself to its minimum neighbor
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = large.join(mins2, Seq("u"))
+      val small = withM
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionAll(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint when the edge set is unchanged (set equality via
+      // size + one-sided difference — both driver probes are bounded,
+      // the same class as the propagation loop's convergence check)
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edgesRdd.foreach(_.unpersist(blocking = false))
+      edges = small
+      edgesRdd = checkpointRdd(edges)
+      iters += 1
+    }
+    if (!converged) {
+      edgesRdd.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    }
+    // the fixpoint is a star forest (leaf -> root=component min); labels
+    // are the leaf edges plus one self-label per root
+    val labels = edges.select(col("u").as("node"), col("v").as("comp"))
+      .unionAll(edges.select(col("v").as("node"), col("v").as("comp")).distinct())
+      .distinct()
+    val result = labels.checkpoint(eager = true)
+    edgesRdd.foreach(_.unpersist(blocking = false))
     result
   }
 

@@ -25,9 +25,14 @@ import graft.etl.Writers
   *    100 TB a scan's task count is driven by file count, not bytes);
   *  - [[clusters]]: connected components over the stored pairs.
   *
-  * At cluster scale the table lives bucketed by d1 (or in a commit-log
-  * table format for atomic appends); every join/cluster shape here is
-  * unchanged by that layout choice.
+  * At cluster scale the table lives bucketed by d1 ([[buildBucketed]]):
+  * Spark records the hash-bucket layout in the catalog, so every later
+  * d1-keyed join/aggregation over the stored pairs starts pre-partitioned
+  * — no exchange on the stored side (PairStoreSpec pins the plan).
+  * Bucket metadata lives in the catalog, not the parquet footers, so the
+  * plain-directory [[build]] remains the portable default; a warehouse
+  * deployment (Hive metastore / commit-log table format) makes the
+  * bucketed layout durable across sessions.
   */
 object PairStore {
 
@@ -35,6 +40,33 @@ object PairStore {
   def build(docs: DataFrame, dir: String, minJaccard: Double,
       maxDf: Int = Dedup.DefaultMaxShingleDf): Unit =
     Writers.parquet(Dedup.hashJaccardPairs(docs, minJaccard, maxDf), dir)
+
+  /** Build the pair table as a d1-bucketed, d1-sorted catalog table (at
+    * `dir` when given, else the session warehouse). `NumBuckets` is the
+    * cluster-scale knob: buckets ≈ executors × a small factor so each
+    * task owns a few whole buckets.
+    */
+  def buildBucketed(docs: DataFrame, table: String, minJaccard: Double,
+      maxDf: Int = Dedup.DefaultMaxShingleDf, dir: Option[String] = None,
+      buckets: Int = NumBuckets): Unit = {
+    val w = Dedup.hashJaccardPairs(docs, minJaccard, maxDf)
+      .write.mode("overwrite")
+      .option("compression", Writers.DefaultCompression)
+      .bucketBy(buckets, "d1").sortBy("d1")
+      .format("parquet")
+    dir.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  val NumBuckets = 32
+
+  /** The stored bucketed pair table — reads resolve through the catalog
+    * so the bucket spec reaches the planner. */
+  def bucketedPairs(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Clusters over the bucketed table (same contract as [[clusters]]). */
+  def clustersBucketed(spark: SparkSession, table: String): DataFrame =
+    Dedup.connectedComponents(bucketedPairs(spark, table))
 
   /** Append a new batch's pairs: intra-batch exact pairs (the capped
     * inverted-index route, same semantics as [[build]]) plus cross

@@ -191,6 +191,74 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("star contraction: chain of 1000 converges in O(log n) rounds") {
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    // a 1000-node chain has diameter 999: min-label propagation would
+    // need 999 rounds (and must now raise within its 20-round budget),
+    // while large-star/small-star contracts it within the 15-round cap
+    // given here — the O(log n) evidence the operator exists for
+    val chain = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until 999L).map(i => Row(i, i + 1)), 4),
+      pairSchema)
+    val comp = Dedup.connectedComponentsStar(chain, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 1000)
+    assert(comp.values.forall(_ == 0L), "chain not fully contracted to min id")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain)
+    }
+  }
+
+  test("star contraction matches label propagation on random graphs") {
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    val rng = new scala.util.Random(43)
+    (1 to 2).foreach { trial =>
+      val edges = Seq.fill(25)((rng.nextInt(30), rng.nextInt(30)))
+        .filter(p => p._1 != p._2).distinct
+      val pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          edges.map { case (a, b) => Row(a.toLong, b.toLong) }, 3),
+        pairSchema)
+      val prop = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"trial $trial: $star vs $prop")
+    }
+  }
+
+  test("star contraction raises instead of returning unconverged labels") {
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    val chain = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until 200L).map(i => Row(i, i + 1)), 2),
+      pairSchema)
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponentsStar(chain, maxIters = 1)
+    }
+  }
+
+  test("star contraction releases every storage block it creates") {
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(4L, 5L),
+        Row(10L, 11L)), 2),
+      pairSchema)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val cc = Dedup.connectedComponentsStar(pairs)
+    val got = cc.collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"connectedComponentsStar left persisted RDDs behind: $leaked")
+    assert(got.length == 7)
+  }
+
   test("connected components release every storage block they create") {
     val pairSchema = StructType(Seq(
       StructField("d1", LongType), StructField("d2", LongType)))

@@ -50,6 +50,55 @@ class PairStoreSpec extends AnyFunSuite with TestSpark {
     assert((0L until 5L).forall(i => stored.contains((100L + i, i))))
   }
 
+  test("bucketed table: d1-keyed reads start pre-partitioned (no exchange on the stored side)") {
+    val tmp = Files.createTempDirectory("graft-pairs-bkt").toString
+    val (_, docs) = corpus
+    PairStore.buildBucketed(docs, "pairs_bkt", minJaccard = 0.6,
+      dir = Some(s"$tmp/pairs_bkt"))
+    try {
+      val stored = PairStore.bucketedPairs(spark, "pairs_bkt")
+      // row set identical to the plain layout
+      val expect = Dedup.hashJaccardPairs(docs, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == expect)
+      // a d1-keyed aggregation plans with ZERO shuffles: the catalog's
+      // bucket spec satisfies the required ClusteredDistribution
+      val agg = stored.groupBy(col("d1")).agg(count(lit(1)).as("n"))
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"d1 aggregation over the bucketed table shuffled:\n$aggPlan")
+      // a self-join on d1 shuffles NEITHER side once the broadcast
+      // shortcut is off (at 100 TB the pair table isn't broadcastable —
+      // this pins the plan that survives scale: bucketed SMJ, no
+      // shuffle exchange on either side)
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val selfJoin = stored.as("a").join(stored.as("b"), Seq("d1"))
+        selfJoin.collect()
+        val joinPlan = selfJoin.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!joinPlan.contains("Exchange hashpartitioning"),
+          s"d1 self-join over the bucketed table shuffled:\n$joinPlan")
+        assert(joinPlan.contains("Bucketed: true"),
+          s"bucketed scan not used:\n$joinPlan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      }
+      // clusters over the bucketed table == clusters over the plain one
+      val viaBucketed = PairStore.clustersBucketed(spark, "pairs_bkt")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaFresh = Dedup.connectedComponents(Dedup.hashJaccardPairs(docs, 0.6))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaBucketed == viaFresh)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairs_bkt")
+    }
+  }
+
   test("append picks up cross-batch pairs from the band index; compact preserves rows") {
     val tmp = Files.createTempDirectory("graft-pairs-inc").toString
     val dir = s"$tmp/pairs"
