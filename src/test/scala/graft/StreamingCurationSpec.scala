@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Curation
+import graft.streaming.StreamingCuration
+
+/** Streaming curation parity: the accumulated streaming answer over 3
+  * micro-batches must equal the batch q66/q67 answers on the union of
+  * the batches — including a training document that arrives AFTER the
+  * test document it contaminates.
+  */
+class StreamingCurationSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  private val rates = Map("en" -> 100, "es" -> 50, "de" -> 25)
+  private val defaultRate = 10
+
+  /** Mirror of the engine's md5-bucket split rule (CurationSpec). */
+  private def split(docId: Long): String = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(docId.toString.getBytes("UTF-8"))
+    val b = java.lang.Long.parseLong(
+      d.take(4).map("%02x".format(_)).mkString, 16) % 100
+    if (b < 90) "train" else if (b < 95) "val" else "test"
+  }
+
+  test("3 micro-batches accumulate to the batch decontamination + mixture answers") {
+    val landing = Files.createTempDirectory("scur-land").toString
+    val state = Files.createTempDirectory("scur-state").toString
+    val out = Files.createTempDirectory("scur-out").toString
+
+    val ids = 0L until 200L
+    val trainIds = ids.filter(split(_) == "train")
+    val testIds = ids.filter(split(_) == "test")
+    assert(testIds.size >= 2 && trainIds.size >= 60,
+      s"split sample too small: ${testIds.size} test, ${trainIds.size} train")
+    val langs = Vector("en", "es", "de", "fr")
+    def lang(i: Long): String = langs((i % 4).toInt)
+    val leak = "this exact document leaked into the eval set"
+    def unique(i: Long): String = s"unique document $i about spark tables"
+
+    // batch 1: a test doc carrying the leak BEFORE any train copy exists,
+    // plus ordinary docs
+    val b1 = Seq((testIds(0), lang(testIds(0)), leak.toUpperCase)) ++
+      trainIds.take(20).map(i => (i, lang(i), unique(i)))
+    // batch 2: the TRAIN copy of the leak arrives late (retro-probe must
+    // flag batch 1's test doc), plus ordinary docs
+    val b2 = Seq((trainIds(20), lang(trainIds(20)), leak)) ++
+      trainIds.slice(21, 41).map(i => (i, lang(i), unique(i)))
+    // batch 3: another test doc with the leak (flagged on arrival; the
+    // whitespace variant exercises fingerprint normalization), the rest
+    val b3 = Seq((testIds(1), lang(testIds(1)),
+        leak.replace("document ", "document   "))) ++
+      trainIds.slice(41, 61).map(i => (i, lang(i), unique(i)))
+
+    def writeBatch(name: String, docs: Seq[(Long, String, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, l, t) =>
+          s"""{"doc_id":$i,"lang":"$l","text":"$t"}"""
+        }.mkString("\n").getBytes)
+
+    Seq(("b1.json", b1), ("b2.json", b2), ("b3.json", b3)).foreach {
+      case (name, docs) =>
+        writeBatch(name, docs)
+        StreamingCuration.start(spark, landing, schema, state, out,
+          rates, defaultRate).awaitTermination()
+    }
+
+    val all = b1 ++ b2 ++ b3
+    val allDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(all.map(Row.fromTuple), 2), schema)
+
+    // decontamination: accumulated == batch, and the planted leaks are
+    // genuinely what it counts (both test docs, incl. the late-train one)
+    val batchDecon = Curation.decontaminationCounts(allDf).head()
+    val streamDecon =
+      StreamingCuration.contaminationCounts(spark, state, out).head()
+    assert(streamDecon.getLong(0) == batchDecon.getLong(0),
+      s"n_test: stream ${streamDecon.getLong(0)} vs batch ${batchDecon.getLong(0)}")
+    assert(streamDecon.getLong(1) == batchDecon.getLong(1),
+      s"n_contaminated: stream ${streamDecon.getLong(1)} vs batch ${batchDecon.getLong(1)}")
+    assert(batchDecon.getLong(1) == 2L,
+      s"expected the 2 planted leaks, got ${batchDecon.getLong(1)}")
+
+    // mixture: accumulated per-language totals == batch answer
+    val batchMix = Curation.mixtureCounts(allDf, rates, defaultRate)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val streamMix = StreamingCuration.mixtureTotals(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamMix.toSeq == batchMix.toSeq,
+      s"mixture: stream ${streamMix.mkString(",")} vs batch ${batchMix.mkString(",")}")
+  }
+}
