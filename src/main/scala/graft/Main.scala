@@ -38,6 +38,17 @@ object Main {
           println(s"counters=${report.counters}")
           if (report.failed.nonEmpty) sys.exit(1)
 
+        case "pipeline" :: config :: landing :: out :: Nil =>
+          // config → ingest → CSV + null-normalize → SchemaOptimizer →
+          // dated partitioned parquet + quarantine audit, one command
+          val (report, tables) =
+            graft.etl.Pipeline.run(spark, config, landing, out)
+          report.toDF(spark).show(truncate = false)
+          tables.foreach(t => println(
+            s"table=${t.table} rows=${t.rows} quarantined=${t.quarantined} " +
+              s"schema=${t.schema}"))
+          if (report.failed.nonEmpty) sys.exit(1)
+
         case "profile" :: sfDir :: table :: Nil =>
           Profiler.profileDF(Tables.load(spark, sfDir, table)).show(100, truncate = false)
 
@@ -78,6 +89,7 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       """usage: graft.Main <command>
+        |  pipeline <parameters.json> <landingDir> <outDir>
         |  ingest --config <parameters.json> <landingDir>
         |  ingest <landingDir> <url>...
         |  profile <sfDir> <table>
