@@ -709,7 +709,27 @@ object Dedup {
         connectedComponents(hashJaccardPairs(docs(s, d), minJaccard = 0.6))
           .select(col("node").as("doc_id"), col("comp"))
           .orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE tok AS (
+      Some(dedupGroupsOracle)),
+
+    // The same clusters through the large-star/small-star contraction —
+    // the high-diameter-safe CC (O(log n) rounds) under the SAME
+    // recursive-CTE oracle as q56: both algorithms must land the
+    // identical (doc_id, comp=min reachable id) labeling, so the new
+    // operator is value-hash-checked, not just spec-tested.
+    Q("q74_dedup_groups_star",
+      (s, d) =>
+        connectedComponentsStar(hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+          .select(col("node").as("doc_id"), col("comp"))
+          .orderBy(col("doc_id")),
+      Some(dedupGroupsOracle)),
+  ) ++ moreDefs
+
+  /** Recursive-CTE reachability oracle shared by q56 (label propagation)
+    * and q74 (star contraction): rebuild the capped exact-Jaccard pair
+    * graph (q32's SQL), then MIN reachable label per node.
+    */
+  private lazy val dedupGroupsOracle: String =
+    s"""WITH RECURSIVE tok AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
                 FROM documents),
               sh0 AS (
@@ -738,8 +758,9 @@ object Dedup {
                 UNION
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
               SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
-              FROM reach GROUP BY node ORDER BY doc_id""")),
+              FROM reach GROUP BY node ORDER BY doc_id"""
 
+  private def moreDefs: Seq[Q] = Seq(
     // End-to-end corpus curation — the whole training-data funnel in one
     // pass: total docs, docs passing quality gates (English, >= 30
     // tokens, stopword ratio >= 5%), and of those, docs surviving

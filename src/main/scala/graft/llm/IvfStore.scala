@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Writers
+
+/** Persisted IVF index — the ANN analog of [[PairStore]].
+  *
+  * [[Similarity.ivfTopK]] re-derives the codebook and re-assigns every
+  * corpus vector to its cell on every query; at 100 TB that assignment
+  * pass (|corpus| × IvfCells cosines) dominates and must be paid ONCE:
+  *
+  *  - [[build]]: codebook (cell, cv) + corpus cell assignment, the cells
+  *    written `partitionBy(cell)` so a probe reads only its cells'
+  *    files (partition pruning — the on-disk form of an inverted file);
+  *  - [[append]]: new vectors are assigned against the STORED codebook
+  *    and appended to their cell partitions — the historical corpus is
+  *    never re-scored (the PairStore/StreamingDedup growth shape);
+  *  - [[topK]]: rank the query's IvfProbes nearest cells' population by
+  *    exact cosine. The codebook read is a bounded driver action
+  *    (IvfCells rows — same class as the CC convergence probe), and the
+  *    driver-side cell ranking folds components in ascending index
+  *    order, exactly the engine's CosineSim order, so stored-index
+  *    results equal the from-scratch [[Similarity.ivfTopK]] bit for bit
+  *    (IvfStoreSpec pins equality).
+  */
+object IvfStore {
+
+  /** Build the index: codebook + cell-partitioned corpus layout. */
+  def build(vectors: DataFrame, dir: String): Unit = {
+    val vecs = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    vecs.filter(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+      .write.mode("overwrite")
+      .option("compression", Writers.DefaultCompression)
+      .parquet(s"$dir/codebook")
+    Similarity.ivfCells(vecs, vecs, probes = 1)
+      .write.mode("overwrite")
+      .option("compression", Writers.DefaultCompression)
+      .partitionBy("cell")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Assign a NEW batch against the stored codebook and append it to its
+    * cell partitions; existing vectors are untouched.
+    */
+  def append(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val vecs = newVectors.repartition(col("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    Similarity.ivfAssign(codebook, vecs, probes = 1)
+      .write.mode("append")
+      .option("compression", Writers.DefaultCompression)
+      .partitionBy("cell")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Exact-cosine top-k over the stored index: only the query's
+    * IvfProbes nearest cells are read (cell partition pruning).
+    */
+  def topK(spark: SparkSession, dir: String, qv: Array[Double], k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    // bounded: the codebook is IvfCells rows by construction
+    val codebook = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probed = codebook
+      .map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(Similarity.IvfProbes)
+      .map(_._1)
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+    val candidates = excludeId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+    val sim = Similarity.cosine(col("v"), lit(qv))
+    candidates
+      .select(col("vec_id"), round(sim, 4).as("sim"), sim.as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** Driver-side cosine in the engine's fold order (ascending index,
+    * independent accumulators — CosineSim's exact arithmetic).
+    */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    var i = 0
+    while (i < n) {
+      sxy += a(i) * b(i); sxx += a(i) * a(i); syy += b(i) * b(i)
+      i += 1
+    }
+    sxy / (math.sqrt(sxx) * math.sqrt(syy))
+  }
+}

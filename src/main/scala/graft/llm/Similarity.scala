@@ -547,9 +547,18 @@ object Similarity {
     * + row_number window) paid a corpus-wide shuffle keyed on vec_id for
     * the same answer.
     */
-  def ivfCells(codebook: DataFrame, rows: DataFrame, probes: Int): DataFrame = {
-    val cb = codebook.filter(col("vec_id") < IvfCells)
-      .select(struct(col("vec_id").as("cell"), col("v").as("cv")).as("c"))
+  def ivfCells(codebook: DataFrame, rows: DataFrame, probes: Int): DataFrame =
+    ivfAssign(
+      codebook.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell"), col("v").as("cv")),
+      rows, probes)
+
+  /** Cell assignment against an explicit (cell, cv) codebook — the form
+    * [[IvfStore]] reuses so corpus growth never re-derives the codebook.
+    */
+  def ivfAssign(codebook: DataFrame, rows: DataFrame, probes: Int): DataFrame = {
+    val cb = codebook
+      .select(struct(col("cell"), col("cv")).as("c"))
       .agg(collect_list(col("c")).as("cb"))
     val scored = transform(col("cb"), c =>
       struct((-cosine(col("v"), c.getField("cv"))).as("negsim"),

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{IvfStore, Similarity}
+
+/** Persisted IVF index: stored-index answers must equal the from-scratch
+  * ivfTopK, probes must prune to the probed cell partitions, and appends
+  * must assign against the stored codebook without touching history.
+  */
+class IvfStoreSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** SimilaritySpec's fixture: 60 vectors + vec 500 a near-clone of 1. */
+  private lazy val vectors = {
+    val rng = new scala.util.Random(11)
+    val base = (0L until 60L).map { i =>
+      (i, Array.fill(32)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val clone = {
+      val v = base(1)._2.toArray
+      v(0) = v(0) + 0.001f
+      (500L, v.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((base :+ clone).map(Row.fromTuple), 2),
+      schema)
+  }
+
+  private def queryVec(id: Long): Array[Double] =
+    vectors.filter(col("vec_id") === id)
+      .select(Similarity.asDouble(col("embedding")))
+      .head().getSeq[Double](0).toArray
+
+  test("stored-index topK equals from-scratch ivfTopK; probe prunes to cells") {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    IvfStore.build(vectors, dir)
+    val top = IvfStore.topK(spark, dir, queryVec(1L), k = 5,
+      excludeId = Some(1L))
+    val stored = top.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = Similarity.ivfTopK(vectors, queryVecId = 1L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == fresh, s"stored $stored vs fresh $fresh")
+    assert(stored.head._1 == 500L)
+    // the probe read only the probed cell partitions
+    val plan = top.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cells scan not partition-pruned:\n$plan")
+  }
+
+  test("append assigns new vectors via the stored codebook") {
+    val dir = Files.createTempDirectory("graft-ivf-app").toString
+    IvfStore.build(vectors, dir)
+    // a near-clone of vec 2 arrives after the build
+    val v2 = vectors.filter(col("vec_id") === 2L)
+      .head().getSeq[Float](1).toArray
+    v2(0) = v2(0) + 0.001f
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row.fromTuple((600L, v2.toSeq))), 1),
+      schema)
+    IvfStore.append(batch, dir)
+    val top = IvfStore.topK(spark, dir, queryVec(2L), k = 3,
+      excludeId = Some(2L))
+      .collect().map(_.getLong(0))
+    assert(top.head == 600L,
+      s"appended clone not retrieved through stored cells: ${top.mkString(",")}")
+  }
+}
