@@ -66,11 +66,40 @@ object Main {
             minJaccard = sys.env.getOrElse("MIN_JACCARD", "0.6").toDouble)
           println(s"pairs=${graft.llm.PairStore.pairs(spark, dir).count()}")
 
+        case "pairs" :: "build-bucketed" :: docsParquet :: table :: dir :: Nil =>
+          graft.llm.PairStore.buildBucketed(spark.read.parquet(docsParquet),
+            table, minJaccard = sys.env.getOrElse("MIN_JACCARD", "0.6").toDouble,
+            dir = Some(dir))
+          println(s"pairs=${graft.llm.PairStore.bucketedPairs(spark, table).count()}")
+
         case "pairs" :: "clusters" :: dir :: Nil =>
           graft.llm.PairStore.clusters(spark, dir).show(50, truncate = false)
 
+        // star contraction: the high-diameter-safe clustering (O(log n)
+        // rounds on chains where label propagation needs diameter rounds)
+        case "pairs" :: "clusters-star" :: dir :: Nil =>
+          graft.llm.Dedup.connectedComponentsStar(
+            graft.llm.PairStore.pairs(spark, dir)).show(50, truncate = false)
+
         case "pairs" :: "compact" :: dir :: Nil =>
           println(s"files=${graft.llm.PairStore.compact(spark, dir)}")
+
+        // persisted IVF ANN index: build/append once, probe many
+        case "ivf" :: "build" :: vecsParquet :: dir :: Nil =>
+          graft.llm.IvfStore.build(spark.read.parquet(vecsParquet), dir)
+          println(s"cells=${spark.read.parquet(s"$dir/cells").count()}")
+
+        case "ivf" :: "append" :: vecsParquet :: dir :: Nil =>
+          graft.llm.IvfStore.append(spark.read.parquet(vecsParquet), dir)
+          println(s"cells=${spark.read.parquet(s"$dir/cells").count()}")
+
+        case "ivf" :: "query" :: dir :: vecId :: k :: Nil =>
+          val id = vecId.toLong
+          val qv = spark.read.parquet(s"$dir/cells")
+            .filter(org.apache.spark.sql.functions.col("vec_id") === id)
+            .head().getSeq[Double](1).toArray
+          graft.llm.IvfStore.topK(spark, dir, qv, k.toInt, excludeId = Some(id))
+            .show(k.toInt, truncate = false)
 
         case "query" :: sfDir :: name :: Nil =>
           SparkEntry.queries.get(name) match {
@@ -94,6 +123,8 @@ object Main {
         |  ingest <landingDir> <url>...
         |  profile <sfDir> <table>
         |  preprocess <inParquet> <outDir>
-        |  pairs build <docsParquet> <pairsDir> | pairs clusters <pairsDir> | pairs compact <pairsDir>
+        |  pairs build <docsParquet> <pairsDir> | pairs build-bucketed <docsParquet> <table> <dir>
+        |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir> | pairs compact <pairsDir>
+        |  ivf build <vecsParquet> <ivfDir> | ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k>
         |  query <sfDir> <name>""".stripMargin)
 }
