@@ -75,6 +75,75 @@ object Curation {
         round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4))
   }
 
+  /** Per-doc corpus-wide duplicated-n-gram ratio: the fraction of a
+    * document's distinct 3-gram shingles that also occur in at least one
+    * OTHER document — the n-gram-granularity form of exact-substring
+    * dedup's "how much of this doc is duplicated text" statistic (the
+    * curation signal for boilerplate-heavy or scraped-twice content;
+    * cf. Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499).
+    *
+    * 100 TB shape: one shuffle on the 16-hex md5 shingle key (slim rows:
+    * doc_id + 16-byte key), then a window count over the key partition —
+    * LINEAR in a hot key's group size (unlike the pair join in q32,
+    * which is quadratic and needs the df cap). The per-doc rollup
+    * shuffles bounded groups (<= doc length).
+    */
+  def dupNgramRatios(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Dedup.shingles(docsDf)
+      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("k"))
+    val dfreq = count(lit(1)).over(Window.partitionBy(col("k")))
+    keyed
+      .select(col("doc_id"), (dfreq >= 2).as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("dup"), 1).otherwise(0)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup") / col("n_shingles"), 4))
+  }
+
+  /** N-gram-overlap decontamination (GPT-3 style, finer than q66's
+    * whole-doc fingerprint): a test-split doc is contaminated if ANY of
+    * its distinct n-gram shingles also appears in the train split.
+    * Returns one row: (n_test, n_contaminated, n_overlap_grams), where
+    * n_test counts test docs long enough to have an n-gram.
+    *
+    * n defaults to 8: long enough that overlap means genuinely shared
+    * text (not vocabulary coincidence), the same reasoning as GPT-3's
+    * 13-gram choice scaled to this corpus's ~50-token docs.
+    *
+    * 100 TB shape: both sides shuffle on the near-unique 16-hex md5 gram
+    * key; the train-side distinct is a map-side-combined hash agg; the
+    * per-doc hit rollup shuffles bounded groups. No broadcast assumed.
+    */
+  def ngramOverlapDecontamination(docsDf: DataFrame, n: Int = 8): DataFrame = {
+    val t = docsDf
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), splitCol.as("split"),
+        TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+    val gram = array_distinct(
+      transform(sequence(lit(1), size(col("ts")) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(col("ts"), i + j)): _*)))
+    val grams = t
+      .select(col("doc_id"), col("split"), explode(gram).as("g"))
+      .select(col("doc_id"), col("split"),
+        substring(md5(col("g")), 1, 16).as("k"))
+    val train = grams.filter(col("split") === "train")
+      .select(col("k")).distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(col("split") === "test")
+      .join(train, Seq("k"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("hit").isNotNull, 1).otherwise(0)).as("n_hit"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("n_hit") > 0, 1).otherwise(0)).as("n_contaminated"),
+        sum(col("n_hit")).as("n_overlap_grams"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Train/test DECONTAMINATION: count test-split docs whose normalized
     // content fingerprint also appears in the train split — the standard
@@ -183,6 +252,69 @@ object Curation {
                 FROM tok WHERE LEN(ts) >= 3)
               SELECT doc_id, n_shingles, n_distinct,
                      ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 4) AS rep_ratio
-              FROM t ORDER BY doc_id LIMIT 200"""))
+              FROM t ORDER BY doc_id LIMIT 200""")),
+
+    // Corpus-wide DUPLICATED-N-GRAM ratio per doc — q68 measures a doc
+    // repeating ITSELF; this measures a doc repeating the REST OF THE
+    // CORPUS (the exact-substring-dedup curation signal at 3-gram
+    // granularity). The engine joins/windows on a 16-hex md5 of the
+    // shingle so the shuffle never carries shingle text; the oracle
+    // recomputes the identical keys.
+    Q("q76_dup_ngram_ratio",
+      (s, d) => dupNgramRatios(docs(s, d))
+        .orderBy(col("doc_id"))
+        .limit(200),
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       UNNEST(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                             for i in generate_series(1, LEN(ts)-2)])) AS s
+                FROM tok WHERE LEN(ts) >= 3),
+              k AS (SELECT doc_id, SUBSTR(MD5(s), 1, 16) AS k FROM sh),
+              f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY k) >= 2 AS dup FROM k)
+              SELECT doc_id,
+                     COUNT(*) AS n_shingles,
+                     CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                     ROUND(CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*), 4) AS dup_ratio
+              FROM f GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // N-GRAM-OVERLAP decontamination — the GPT-3-style check at 8-gram
+    // granularity: q66 only catches whole-doc duplicates (identical
+    // normalized fingerprint); this catches a test doc that SHARES A
+    // PASSAGE with any train doc. Both engines hash the same 8-gram
+    // strings to the same 16-hex keys, so counts are value-pinned.
+    Q("q77_ngram_decontamination",
+      (s, d) => ngramOverlapDecontamination(docs(s, d)),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+                            WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+                            ELSE 'test'
+                       END AS split,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              g AS (
+                SELECT doc_id, split, SUBSTR(MD5(s), 1, 16) AS k
+                FROM (SELECT doc_id, split,
+                        UNNEST(list_distinct(
+                          [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                                 || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+                                 || ' ' || ts[i+7]
+                           for i in generate_series(1, LEN(ts)-7)])) AS s
+                      FROM t WHERE LEN(ts) >= 8)),
+              train AS (SELECT DISTINCT k FROM g WHERE split = 'train'),
+              o AS (
+                SELECT g.doc_id,
+                       SUM(CASE WHEN tr.k IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                FROM g LEFT JOIN train tr ON tr.k = g.k
+                WHERE g.split = 'test'
+                GROUP BY g.doc_id)
+              SELECT COUNT(*) AS n_test,
+                     CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                     CAST(SUM(n_hit) AS BIGINT) AS n_overlap_grams
+              FROM o"""))
   )
 }

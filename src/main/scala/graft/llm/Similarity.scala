@@ -139,12 +139,24 @@ object Similarity {
     * the final shuffle. A small batch side broadcasts under AQE; a large
     * one degrades to a plain shuffle join on the bucket key.
     */
-  def batchAnnTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def batchAnnTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    batchAnnTopKBanded(vectors, queries, k, lshBuckets)
+
+  /** batchAnnTopK through the MD5-derived planes — the hash-checkable
+    * sibling (q75), completing the convention: every LSH family member
+    * (single-probe q37/q72, batch q64/q75, all-pairs q69/q73) has a fast
+    * splitmix64 path and an oracle-pinned MD5 path with the same plan.
+    */
+  def md5BatchAnnTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    batchAnnTopKBanded(vectors, queries, k, md5LshBuckets)
+
+  private def batchAnnTopKBanded(vectors: DataFrame, queries: DataFrame,
+      k: Int, bander: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-    val banded = lshBuckets(vecs)
-    val qb = lshBuckets(queries.select(col("qid").as("vec_id"), col("qv").as("v")))
+    val banded = bander(vecs)
+    val qb = bander(queries.select(col("qid").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("tbl"), col("bucket"))
     val sim = cosine(col("v"), col("qv"))
@@ -483,6 +495,61 @@ object Similarity {
                        / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
                         * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) AS sim
                 FROM v, q WHERE v.vec_id <> q.qid),
+              r AS (
+                SELECT qid, vec_id, sim,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id) AS INT) AS rn
+                FROM s)
+              SELECT qid, vec_id, ROUND(sim, 4) AS sim, rn
+              FROM r WHERE rn <= 3 ORDER BY qid, rn""")),
+
+    // Batched ANN through the MD5-derived LSH index — the hash-checked
+    // sibling of q64: banding, the one (tbl, bucket) batch probe join,
+    // slim dedup, and per-query ranking all cross the engines, so the
+    // candidate sets AND ranks are oracle-pinned (q64 keeps the fast
+    // splitmix64 path, the q33/q65 convention).
+    Q("q75_batch_ann_md5",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            asDouble(col("embedding")).as("qv"))
+        md5BatchAnnTopK(e, q, k = 3)
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              planes AS (
+                SELECT t, b,
+                       LIST(CAST(CAST('0x' || SUBSTR(MD5(t || ':' || b || ':' || i), 1, 8) AS BIGINT)
+                                 - 2147483648 AS DOUBLE) ORDER BY i) AS p
+                FROM generate_series(0, 3) AS ts(t),
+                     generate_series(0, 7) AS bs(b),
+                     generate_series(0, 63) AS ds(i)
+                GROUP BY t, b),
+              buckets AS (
+                SELECT v.vec_id, pl.t AS tbl,
+                       CAST(SUM(CASE WHEN list_sum(list_transform(
+                                        generate_series(1, LEN(v.a)),
+                                        j -> pl.p[j] * v.a[j])) >= 0
+                                     THEN CAST(1 << pl.b AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM v CROSS JOIN planes pl
+                GROUP BY v.vec_id, pl.t),
+              cand AS (
+                SELECT DISTINCT bq.vec_id AS qid, bv.vec_id
+                FROM buckets bv JOIN buckets bq
+                  ON bv.tbl = bq.tbl AND bv.bucket = bq.bucket
+                WHERE bq.vec_id < 5 AND bv.vec_id <> bq.vec_id),
+              s AS (
+                SELECT c.qid, c.vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(cv.a)),
+                         i -> cv.a[i] * qv.a[i]))
+                       / (SQRT(list_sum(list_transform(cv.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(qv.a, x -> x*x)))) AS sim
+                FROM cand c
+                JOIN v cv ON cv.vec_id = c.vec_id
+                JOIN v qv ON qv.vec_id = c.qid),
               r AS (
                 SELECT qid, vec_id, sim,
                        CAST(ROW_NUMBER() OVER (PARTITION BY qid

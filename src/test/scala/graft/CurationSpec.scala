@@ -108,6 +108,42 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(plan.contains("TopKPerKeyPartial"), s"no partial phase:\n$plan")
   }
 
+  test("dup-ngram ratio: cross-doc shared shingles counted exactly") {
+    val rows = Seq(
+      Row(1L, "en", "a b c d"), // shingles {a b c, b c d}
+      Row(2L, "en", "a b c x"), // shingles {a b c, b c x} — shares "a b c"
+      Row(3L, "en", "p q r s")) // fully unique
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Curation.dupNgramRatios(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0))))
+  }
+
+  test("ngram decontamination flags shared passages, not shared vocabulary") {
+    val ids = (0L until 400L)
+    val trainIds = ids.filter(split(_) == "train")
+    val testIds = ids.filter(split(_) == "test")
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val rows = Seq(
+      Row(trainIds.head, "en", passage + " filler one two"),
+      // test doc embedding the passage verbatim -> exactly one shared 8-gram
+      Row(testIds(0), "en", "intro words go here then " + passage),
+      // test doc reusing the VOCABULARY but never an 8-token run
+      Row(testIds(1), "en",
+        "alpha beta gamma delta epsilon zeta eta off theta on"))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Curation.ngramOverlapDecontamination(docs).head()
+    assert(got.getLong(0) == 2L, s"n_test = ${got.getLong(0)}")
+    assert(got.getLong(1) == 1L, s"n_contaminated = ${got.getLong(1)}")
+    assert(got.getLong(2) == 1L, s"n_overlap_grams = ${got.getLong(2)}")
+  }
+
   test("repetition ratio is exact shingle arithmetic") {
     val rows = Seq(
       Row(1L, "en", "a b c a b c a b c"), // 9 tokens, 7 shingles, 3 distinct

@@ -162,6 +162,24 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(rows.map(p => (p._1, p._2)).toSet.subsetOf(exact))
   }
 
+  test("MD5-plane batched ANN agrees with per-query MD5 ANN") {
+    import org.apache.spark.sql.functions._
+    val qids = Seq(0L, 1L, 2L)
+    val queries = vectors.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+    val batch = Similarity.md5BatchAnnTopK(vectors, queries, k = 3)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    qids.foreach { q =>
+      val single = Similarity.md5AnnTopK(vectors, q, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(q, Seq.empty) == single,
+        s"batch != single-probe for qid=$q")
+    }
+  }
+
   test("near-dup bucket self-join ships no vectors (slim id-only exchange)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val pairs = Similarity.embeddingNearDupPairs(vectors, minCos = 0.9)
