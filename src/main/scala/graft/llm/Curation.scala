@@ -104,6 +104,26 @@ object Curation {
         round(col("n_dup") / col("n_shingles"), 4))
   }
 
+  /** (doc_id, split, k) rows: each doc's DISTINCT n-gram shingles as
+    * 16-hex md5 keys, tagged with the q59 hash split — the shared
+    * projection behind batch ([[ngramOverlapDecontamination]]) and
+    * streaming ([[graft.streaming.StreamingCuration]]) n-gram
+    * decontamination. Docs shorter than n tokens emit nothing.
+    */
+  def gramKeys(docsDf: DataFrame, n: Int): DataFrame = {
+    val t = docsDf
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), splitCol.as("split"),
+        TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+    val gram = array_distinct(
+      transform(sequence(lit(1), size(col("ts")) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(col("ts"), i + j)): _*)))
+    t.select(col("doc_id"), col("split"), explode(gram).as("g"))
+      .select(col("doc_id"), col("split"),
+        substring(md5(col("g")), 1, 16).as("k"))
+  }
+
   /** N-gram-overlap decontamination (GPT-3 style, finer than q66's
     * whole-doc fingerprint): a test-split doc is contaminated if ANY of
     * its distinct n-gram shingles also appears in the train split.
@@ -119,18 +139,7 @@ object Curation {
     * per-doc hit rollup shuffles bounded groups. No broadcast assumed.
     */
   def ngramOverlapDecontamination(docsDf: DataFrame, n: Int = 8): DataFrame = {
-    val t = docsDf
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), splitCol.as("split"),
-        TextOps.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-    val gram = array_distinct(
-      transform(sequence(lit(1), size(col("ts")) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(col("ts"), i + j)): _*)))
-    val grams = t
-      .select(col("doc_id"), col("split"), explode(gram).as("g"))
-      .select(col("doc_id"), col("split"),
-        substring(md5(col("g")), 1, 16).as("k"))
+    val grams = gramKeys(docsDf, n)
     val train = grams.filter(col("split") === "train")
       .select(col("k")).distinct()
       .withColumn("hit", lit(1))

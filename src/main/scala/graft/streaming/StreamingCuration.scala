@@ -97,6 +97,98 @@ object StreamingCuration {
       .start()
   }
 
+  /** Streaming N-GRAM decontamination — the q77 semantics incrementally
+    * (the same state shape as [[start]]'s fingerprint check, at 8-gram
+    * granularity): per micro-batch, each doc's distinct gram keys are
+    * computed ONCE ([[graft.llm.Curation.gramKeys]]); the batch's
+    * test-doc grams probe the persisted train-gram index, the batch's
+    * train grams retro-probe the persisted test-gram table (late-arriving
+    * train contamination is still caught), and both state tables grow by
+    * append only — history is never re-tokenized.
+    *
+    * Hits are stored as (doc_id, k) PAIRS, so folding with distinct
+    * counts ([[ngramContaminationTotals]]) is idempotent across batches:
+    * a gram flagged by both the forward probe and a later retro-probe, or
+    * by several train batches, counts once — exactly the batch-q77
+    * answer over everything ingested (StreamingCurationSpec pins it).
+    *
+    * 100 TB shape: every probe is an equi-join on the near-unique 16-hex
+    * key; per-batch cost is proportional to the batch's gram count plus
+    * the probed history partitions — bucket both state tables by k the
+    * way the band index is bucketed by band_hash.
+    */
+  def startNgramDecon(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      stateDir: String,
+      outDir: String,
+      n: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val trainGramDir = s"$stateDir/train_grams"
+    val testGramDir = s"$stateDir/test_grams"
+    val stream = spark.readStream
+      .schema(schema)
+      .json(landingDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = new Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val grams = graft.llm.Curation.gramKeys(batch, n).localCheckpoint(true)
+        val newTrain = grams.filter(col("split") === "train")
+          .select(col("k")).distinct()
+        val newTest = grams.filter(col("split") === "test")
+          .select(col("doc_id"), col("k"))
+        // new test grams vs the whole train history (incl. this batch)
+        val trainAll =
+          if (fs.exists(new Path(trainGramDir)))
+            spark.read.parquet(trainGramDir).unionByName(newTrain)
+          else newTrain
+        val hitsNew = newTest.join(trainAll, Seq("k"), "left_semi")
+        // new train grams vs already-stored test grams (late train)
+        val hitsLate =
+          if (fs.exists(new Path(testGramDir)))
+            spark.read.parquet(testGramDir)
+              .join(newTrain, Seq("k"), "left_semi")
+          else hitsNew.limit(0)
+        hitsNew.unionByName(hitsLate)
+          .write.mode("append")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$outDir/gram_hits")
+        newTrain.write.mode("append")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(trainGramDir)
+        newTest.write.mode("append")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(testGramDir)
+      }
+      .start()
+  }
+
+  /** Accumulated (n_test, n_contaminated, n_overlap_grams) — equal to
+    * the batch q77 answer over the union of every ingested batch.
+    * Distinct counts make replayed/multi-source hits idempotent.
+    */
+  def ngramContaminationTotals(spark: SparkSession, stateDir: String,
+      outDir: String): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nTest = spark.read.parquet(s"$stateDir/test_grams")
+      .agg(countDistinct(col("doc_id")).as("n_test"))
+    val hitsDir = s"$outDir/gram_hits"
+    val hits =
+      if (fs.exists(new Path(hitsDir)))
+        spark.read.parquet(hitsDir)
+          .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+            countDistinct(col("doc_id"), col("k")).as("n_overlap_grams"))
+      else nTest.select(lit(0L).as("n_contaminated"),
+        lit(0L).as("n_overlap_grams"))
+    nTest.crossJoin(hits)
+  }
+
   /** Accumulated (n_test, n_contaminated) — equal to the batch q66
     * answer over the union of every ingested batch. Contaminated doc ids
     * are distinct-counted: a test doc flagged by several train batches

@@ -99,4 +99,58 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
     assert(streamMix.toSeq == batchMix.toSeq,
       s"mixture: stream ${streamMix.mkString(",")} vs batch ${batchMix.mkString(",")}")
   }
+
+  test("3 micro-batches accumulate to the batch q77 n-gram decon answer") {
+    val landing = Files.createTempDirectory("sgram-land").toString
+    val state = Files.createTempDirectory("sgram-state").toString
+    val out = Files.createTempDirectory("sgram-out").toString
+
+    val ids = 0L until 400L
+    val trainIds = ids.filter(split(_) == "train")
+    val testIds = ids.filter(split(_) == "test")
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    def unique(i: Long): String =
+      s"wholly unique document number $i about partitioned spark tables and shuffles"
+
+    // batch 1: a test doc embedding the passage BEFORE any train copy
+    val b1 = Seq((testIds(0), "en", "intro words go here then " + passage)) ++
+      trainIds.take(15).map(i => (i, "en", unique(i)))
+    // batch 2: the train copy arrives late — retro-probe must flag b1's doc
+    val b2 = Seq((trainIds(15), "en", passage + " closing filler words")) ++
+      trainIds.slice(16, 31).map(i => (i, "en", unique(i)))
+    // batch 3: a second test doc with the passage (flagged on arrival) and
+    // a vocabulary-only test doc that must NOT be flagged
+    val b3 = Seq(
+      (testIds(1), "en", passage + " with a different ending"),
+      (testIds(2), "en", "alpha beta gamma delta epsilon zeta eta off theta on")) ++
+      trainIds.slice(31, 46).map(i => (i, "en", unique(i)))
+
+    def writeBatch(name: String, docs: Seq[(Long, String, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, l, t) =>
+          s"""{"doc_id":$i,"lang":"$l","text":"$t"}"""
+        }.mkString("\n").getBytes)
+
+    Seq(("b1.json", b1), ("b2.json", b2), ("b3.json", b3)).foreach {
+      case (name, docs) =>
+        writeBatch(name, docs)
+        StreamingCuration.startNgramDecon(spark, landing, schema, state, out)
+          .awaitTermination()
+    }
+
+    val all = b1 ++ b2 ++ b3
+    val allDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(all.map(Row.fromTuple), 2), schema)
+    val batchAns = Curation.ngramOverlapDecontamination(allDf).head()
+    val streamAns =
+      StreamingCuration.ngramContaminationTotals(spark, state, out).head()
+    Seq("n_test", "n_contaminated", "n_overlap_grams").zipWithIndex.foreach {
+      case (nm, i) =>
+        assert(streamAns.getLong(i) == batchAns.getLong(i),
+          s"$nm: stream ${streamAns.getLong(i)} vs batch ${batchAns.getLong(i)}")
+    }
+    // both planted passage carriers flagged, the vocabulary-only doc not
+    assert(batchAns.getLong(1) == 2L,
+      s"expected the 2 planted passage leaks, got ${batchAns.getLong(1)}")
+  }
 }
