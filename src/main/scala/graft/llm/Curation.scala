@@ -324,6 +324,73 @@ object Curation {
               SELECT COUNT(*) AS n_test,
                      CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
                      CAST(SUM(n_hit) AS BIGINT) AS n_overlap_grams
-              FROM o"""))
+              FROM o""")),
+
+    // Corpus VOCABULARY top-k: highest-frequency tokens with occurrence
+    // and document counts — the tokenizer/vocab-construction statistic
+    // (and the Zipf sanity check) every training pipeline computes before
+    // fixing a tokenizer. Map-side partial agg on the token key; the
+    // global top-k is a TakeOrdered over the already-aggregated rows, so
+    // nothing corpus-sized crosses the final collect.
+    Q("q78_vocab_topk",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("token"))
+        .limit(25),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+                FROM documents)
+              SELECT token, COUNT(*) AS n_occ,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM t GROUP BY token ORDER BY n_occ DESC, token LIMIT 25""")),
+
+    // QUALITY-TIERED mixture sampling — the q67 deterministic-hash rule
+    // with the keep rate driven by a QUALITY signal instead of language
+    // alone (the "sample high-quality text at a higher rate" knob, cf.
+    // quality-weighted sampling in GPT-3/DoReMi-style mixtures): docs in
+    // the high-stopword tier (20*ns >= nt, the q61 integer gate — no
+    // float thresholds to disagree on) keep 100%, low tier keeps 25%,
+    // membership by salted md5 bucket. Fully map-side except the final
+    // small (lang, tier) rollup.
+    Q("q79_quality_mixture",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val t = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(toks).as("nt"),
+            TextOps.stopHits(toks, TextOps.EnglishStop).as("ns"))
+          .filter(col("nt") >= 10)
+        val tier = when(col("ns") * 20 >= col("nt"), "high").otherwise("low")
+        val bucket = pmod(
+          conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(":qmix"))), 1, 8),
+            16, 10).cast("long"), lit(100))
+        val rate = when(tier === "high", 100).otherwise(25)
+        t.select(col("lang"), tier.as("tier"),
+            when(bucket < rate, 1).otherwise(0).as("keep"))
+          .groupBy(col("lang"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
+          .orderBy(col("lang"), col("tier"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                       LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS nt,
+                       LEN(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                           x -> list_contains(['the','a','and','of','to','in','is'], x))) AS ns
+                FROM documents),
+              f AS (SELECT doc_id, lang,
+                           CASE WHEN ns * 20 >= nt THEN 'high' ELSE 'low' END AS tier
+                    FROM t WHERE nt >= 10)
+              SELECT lang, tier, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN
+                       CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':qmix'), 1, 8) AS BIGINT) % 100
+                       < CASE WHEN tier = 'high' THEN 100 ELSE 25 END
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM f GROUP BY lang, tier ORDER BY lang, tier"""))
   )
 }

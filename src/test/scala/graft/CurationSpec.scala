@@ -144,6 +144,32 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(got.getLong(2) == 1L, s"n_overlap_grams = ${got.getLong(2)}")
   }
 
+  test("quality-tiered mixture: tier gate and keep rule match independent computation") {
+    // doc text controls the stopword ratio: "the" repeated -> high tier,
+    // no stopwords -> low tier; 12 tokens each (>= 10 gate)
+    val hi = ("the " * 6 + "alpha beta gamma delta epsilon zeta").trim // 6/12 stop
+    val lo = "alpha beta gamma delta epsilon zeta eta iota kappa mu nu xi"
+    val rows = (0L until 200L).map(i =>
+      Row(i, "en", if (i % 2 == 0) hi else lo))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    import org.apache.spark.sql.functions._
+    val toks = graft.llm.TextOps.tokens(col("text"))
+    val t = docs.select(col("doc_id"), col("lang"), size(toks).as("nt"),
+      graft.llm.TextOps.stopHits(toks, graft.llm.TextOps.EnglishStop).as("ns"))
+    val tiers = t.select(col("doc_id"),
+        when(col("ns") * 20 >= col("nt"), "high").otherwise("low").as("tier"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent expectation: even ids are high tier, odd low
+    assert((0L until 200L).forall(i =>
+      tiers(i) == (if (i % 2 == 0) "high" else "low")))
+    // keep rule: high tier keeps everything; low tier keeps bucket<25
+    val kept = (0L until 200L).map(i =>
+      i -> (tiers(i) == "high" || this.bucket(i, ":qmix") < 25)).toMap
+    assert(kept.count(_._2 == true) > 100 && kept.count(_._2 == false) > 50,
+      "planted corpus should genuinely subsample the low tier")
+  }
+
   test("repetition ratio is exact shingle arithmetic") {
     val rows = Seq(
       Row(1L, "en", "a b c a b c a b c"), // 9 tokens, 7 shingles, 3 distinct
