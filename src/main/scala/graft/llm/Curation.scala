@@ -139,14 +139,23 @@ object Curation {
     * per-doc hit rollup shuffles bounded groups. No broadcast assumed.
     */
   def ngramOverlapDecontamination(docsDf: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE tokenize+explode pass: a train-distinct + probe-join
+    // formulation filters each split BELOW the shared subtree (pushdown
+    // splits it into two full corpus scans — the q61 double-tokenize
+    // trap, and repartition doesn't stop it because Filter pushes
+    // through RepartitionByExpression). Instead, resolve "does any train
+    // doc contain this gram" as a window max over the gram key: one
+    // exchange on k, group cost linear in the gram's document frequency,
+    // and the split filter CANNOT push below the window it depends on.
     val grams = gramKeys(docsDf, n)
-    val train = grams.filter(col("split") === "train")
-      .select(col("k")).distinct()
-      .withColumn("hit", lit(1))
-    grams.filter(col("split") === "test")
-      .join(train, Seq("k"), "left")
+    val inTrain = max(when(col("split") === "train", 1).otherwise(0))
+      .over(Window.partitionBy(col("k")))
+    grams
+      .select(col("doc_id"), col("split"), inTrain.as("in_train"))
+      .filter(col("split") === "test")
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("hit").isNotNull, 1).otherwise(0)).as("n_hit"))
+      .agg(sum(col("in_train")).as("n_hit"))
       .agg(
         count(lit(1)).as("n_test"),
         sum(when(col("n_hit") > 0, 1).otherwise(0)).as("n_contaminated"),
@@ -334,6 +343,9 @@ object Curation {
     // nothing corpus-sized crosses the final collect.
     Q("q78_vocab_topk",
       (s, d) => docs(s, d)
+        // spread first: the single-row-group parquet otherwise puts the
+        // whole tokenize+explode on one core (Dedup.spread rationale)
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
