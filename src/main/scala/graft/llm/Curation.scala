@@ -28,18 +28,22 @@ object Curation {
     * fingerprint also appears in the train split — see q66.
     */
   def decontaminationCounts(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // window max over the fingerprint, not train-distinct + probe-join:
+    // the join form filters each split below the shared scan+fingerprint
+    // subtree, scanning the corpus text twice (see
+    // ngramOverlapDecontamination — same pushdown trap, same fix). One
+    // scan, one exchange on fp, group cost = fp's duplicate count.
     val t = docsDf.select(
       col("doc_id"), splitCol.as("split"),
       TextOps.fingerprint(col("text")).as("fp"))
-    val trainFp = t.filter(col("split") === "train")
-      .select(col("fp")).distinct()
-      .withColumn("in_train", lit(1))
-    t.filter(col("split") === "test")
-      .join(trainFp, Seq("fp"), "left")
+    val inTrain = max(when(col("split") === "train", 1).otherwise(0))
+      .over(Window.partitionBy(col("fp")))
+    t.select(col("split"), inTrain.as("in_train"))
+      .filter(col("split") === "test")
       .agg(
         count(lit(1)).as("n_test"),
-        sum(when(col("in_train").isNotNull, 1).otherwise(0))
-          .as("n_contaminated"))
+        sum(col("in_train")).as("n_contaminated"))
   }
 
   /** Per-language (n_docs, n_sampled) under deterministic salted-hash

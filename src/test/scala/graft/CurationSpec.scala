@@ -79,7 +79,7 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(got("xx")._2 < got("xx")._1)
   }
 
-  test("decontamination plan: fingerprint equi-join, no nested loop") {
+  test("decontamination plan: one pass over the corpus, window on fp") {
     val rows = (0L until 100L).map(i => Row(i, "en", s"doc number $i text"))
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
@@ -90,6 +90,10 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
     assert(plan.contains("fp"), s"fingerprint key missing from plan:\n$plan")
+    // the join formulation read the corpus once per split branch; the
+    // window formulation must keep it to a single source scan
+    val scans = plan.split("\n").count(_.contains("Scan ExistingRDD"))
+    assert(scans == 1, s"expected 1 source scan, saw $scans:\n$plan")
   }
 
   test("quality top-k rides the TopKPerKey operator, not a full Window sort") {
