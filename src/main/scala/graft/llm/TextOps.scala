@@ -198,16 +198,24 @@ object TextOps {
         val tok = docsDf
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
+        // ONE tokenize pass: df rides a window count over term on top of
+        // the tf aggregate instead of a tf⋈dfreq self-join. The join form
+        // tokenizes the corpus twice — column pruning strips `tf` from the
+        // dfreq branch (its aggregate ends up functions=[]), so the two
+        // subtrees never canonicalize equal and ReuseExchange can't merge
+        // them (verified in the executed plan: 2 full scans, 0 reuse).
         val tf = tok.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val wTerm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term"))
+        val withDf = tf.withColumn("df", count(lit(1)).over(wTerm))
         val n = docsDf.agg(count(lit(1)).as("n_docs"))
         val score = col("tf") * log((col("n_docs") + 1).cast("double") /
           (col("df") + 1))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(score.desc, col("term"))
-        tf.join(dfreq, "term")
+        withDf
           .crossJoin(broadcast(n))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
