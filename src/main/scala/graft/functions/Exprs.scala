@@ -541,6 +541,49 @@ case class Md5HyperplaneBuckets(child: Expression)
     copy(child = newChild)
 }
 
+/** Membership probe of a string column against a serialized Bloom filter
+  * carried as a foldable binary literal — the executor side of a
+  * broadcast-Bloom pre-join filter. The filter is built once from the
+  * SMALL relation (e.g. the eval/test fingerprint set), serialized into
+  * the plan, and probed row-by-row on the HUGE side before any exchange:
+  * only probable hits reach the shuffle, so at 100 TB the big side's
+  * exchange carries ~|small| + fpp·|big| rows instead of |big|. False
+  * positives must be killed downstream by an exact join (the operator
+  * using this keeps results exact; see Curation.bloomDecontamination).
+  *
+  * Probes `mightContainBinary(utf8Bytes)`, matching a filter built with
+  * `putString` (which hashes the UTF-8 bytes) — no String allocation per
+  * row. Deserialized once per executor via the transient lazy val.
+  */
+case class BloomMightContain(filterBytes: Expression, value: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = filterBytes
+  override def right: Expression = value
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      filterBytes.eval().asInstanceOf[Array[Byte]])
+
+  def probe(v: UTF8String): Boolean = bloom.mightContainBinary(v.getBytes)
+
+  override def nullSafeEval(b: Any, v: Any): Any =
+    probe(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, (_, v) => s"${ev.value} = $ref.probe($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(filterBytes = newLeft, value = newRight)
+}
+
 /** Registers the native expressions into every session built with
   * `spark.sql.extensions=graft.functions.GraftExtensions` — the public
   * extension point (Column↔Expression converters are private[sql] in
@@ -588,7 +631,14 @@ object GraftExtensions {
     d("graft_lsh_buckets", classOf[HyperplaneBuckets],
       es => HyperplaneBuckets(es.head)),
     d("graft_lsh_buckets_md5", classOf[Md5HyperplaneBuckets],
-      es => Md5HyperplaneBuckets(es.head)))
+      es => Md5HyperplaneBuckets(es.head)),
+    d("graft_bloom_contains", classOf[BloomMightContain], { es =>
+      // first arg must be a foldable binary literal (the serialized
+      // filter rides the plan, not per-row data)
+      require(es(0).foldable,
+        "graft_bloom_contains expects a literal serialized Bloom filter")
+      BloomMightContain(es(0), es(1))
+    }))
 }
 
 /** Column-level API over the native expressions (requires a session built
@@ -637,4 +687,9 @@ object Fns {
     * Md5HyperplaneBuckets; oracle-checkable counterpart of lshBuckets). */
   def md5LshBuckets(vec: Column): Column =
     call_function("graft_lsh_buckets_md5", dbl(vec))
+
+  /** Probe a string column against a serialized Bloom filter literal
+    * (see BloomMightContain). `filterBytes` must be `lit(bytes)`. */
+  def bloomContains(filterBytes: Column, value: Column): Column =
+    call_function("graft_bloom_contains", filterBytes, value)
 }

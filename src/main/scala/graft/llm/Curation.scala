@@ -46,6 +46,53 @@ object Curation {
         sum(col("in_train")).as("n_contaminated"))
   }
 
+  /** q66's answer via a broadcast-Bloom pre-join filter — the shape for
+    * a corpus so large that shuffling every fingerprint (q66's window
+    * form) is itself the bottleneck. Three steps, result EXACT:
+    *
+    *  1. Build a Bloom filter of the small side's (test split)
+    *     fingerprints with a distributed treeAggregate — partial filters
+    *     built map-side, OR-merged up a tree, never collected as rows.
+    *  2. Probe the huge train side AGAINST THE SERIALIZED FILTER at the
+    *     scan (BloomMightContain, codegen'd): only probable hits —
+    *     ~|test| + fpp·|train| rows — reach the distinct's exchange,
+    *     instead of the full train fingerprint set.
+    *  3. Kill false positives with an exact equi-join on the surviving
+    *     fingerprints; count per q66.
+    *
+    * Trades one extra corpus scan (train and test branches each scan;
+    * fingerprinting is a cheap map-side projection) for an exchange
+    * that no longer grows with the corpus — the right trade at 100 TB.
+    * `expectedItems`/`fpp` size the filter for the test split; an
+    * undersized filter only raises false positives (more rows through
+    * the confirm join), never changes the answer.
+    */
+  def bloomDecontaminationCounts(docsDf: DataFrame,
+      expectedItems: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val t = docsDf.select(
+      col("doc_id"), splitCol.as("split"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val bf = t.filter(col("split") === "test").select(col("fp"))
+      .rdd.treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (f, row) => { f.putString(row.getString(0)); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val trainHits = t
+      .filter(col("split") === "train" &&
+        graft.functions.Fns.bloomContains(lit(bytes), col("fp")))
+      .select(col("fp")).distinct()
+    t.filter(col("split") === "test")
+      .join(trainHits.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+  }
+
   /** Per-language (n_docs, n_sampled) under deterministic salted-hash
     * mixture sampling — see q67. `rates` maps lang → keep percent.
     */
