@@ -67,23 +67,38 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       samples(name) ::= (sec, ok)
     }
+    // Per-query MEDIAN (comparable with earlier rounds) and MIN (the
+    // honest steady-state statistic: box contention is strictly additive
+    // noise, so min-of-passes is the least contaminated sample — VERDICT
+    // r6 asked for both after three rounds of driver-box contamination).
     val times = names.map { name =>
       val s = samples(name)
       if (s.exists(!_._2)) failed ::= name
       val sorted = s.map(_._1).sorted
-      name -> sorted(sorted.size / 2)
+      name -> (sorted(sorted.size / 2), sorted.head)
     }
 
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def qmap(f: ((Double, Double)) => Double): String =
+      times.map { case (k, v) => "\"" + k + "\":" + f"${f(v)}%.3f" }
+        .mkString("{", ",", "}")
     val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = times.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+    val total = times.map(_._2._1).sum
+    val totalMin = times.map(_._2._2).sum
+    val full =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"sf":"$sfDir"}"""
+    // Compact total-only line (<= 200 bytes): the r6 official artifact
+    // recorded parsed:null because the 79-entry per-query line outgrew
+    // the driver's stdout tail window. Print the full line FIRST, then
+    // this short line LAST so any tail window ends on one complete,
+    // parseable JSON line. Full per-query map also at target/bench.json.
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"total_min":${f"$totalMin%.3f"},"nq":${names.size},"failed":$fails,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json + "\n")
-    // Bare line on stdout for the driver's tail-parse.
-    println(json)
+    Files.writeString(Paths.get("target/bench.json"), full + "\n")
+    // Bare lines on stdout for the driver's tail-parse: full first,
+    // compact LAST.
+    println(full)
+    println(compact)
     spark.stop()
   }
 }
