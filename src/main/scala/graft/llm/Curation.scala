@@ -213,18 +213,13 @@ object Curation {
         sum(col("n_hit")).as("n_overlap_grams"))
   }
 
-  def defs: Seq[Q] = Seq(
-    // Train/test DECONTAMINATION: count test-split docs whose normalized
-    // content fingerprint also appears in the train split — the standard
-    // leakage check before an eval set ships (a training pipeline that
-    // can't answer this can't publish benchmarks). Composition of the
-    // q59 hash split and the q31 fingerprint; the check is one
-    // distinct + one join on the 8-hex fingerprint key. 100 TB shape:
-    // both sides shuffle on fp (near-unique, no skew key), train-side
-    // distinct is a map-side-combined hash agg — no broadcast assumed.
-    Q("q66_decontamination",
-      (s, d) => decontaminationCounts(docs(s, d)),
-      Some("""WITH t AS (
+  /** q66's oracle, shared verbatim by the Bloom-prefilter form (q80):
+    * the Bloom filter only PRUNES the train side before an exact
+    * confirm join — it can never change the answer, so both entries
+    * must hash-match the same SQL (the q74-reuses-q56 pattern).
+    */
+  private val DecontaminationOracle =
+    """WITH t AS (
                 SELECT doc_id,
                        CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
                             WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
@@ -236,7 +231,20 @@ object Curation {
               SELECT COUNT(*) AS n_test,
                      CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
               FROM t LEFT JOIN train tr ON tr.fp = t.fp
-              WHERE t.split = 'test'""")),
+              WHERE t.split = 'test'"""
+
+  def defs: Seq[Q] = Seq(
+    // Train/test DECONTAMINATION: count test-split docs whose normalized
+    // content fingerprint also appears in the train split — the standard
+    // leakage check before an eval set ships (a training pipeline that
+    // can't answer this can't publish benchmarks). Composition of the
+    // q59 hash split and the q31 fingerprint; the check is one
+    // distinct + one join on the 8-hex fingerprint key. 100 TB shape:
+    // both sides shuffle on fp (near-unique, no skew key), train-side
+    // distinct is a map-side-combined hash agg — no broadcast assumed.
+    Q("q66_decontamination",
+      (s, d) => decontaminationCounts(docs(s, d)),
+      Some(DecontaminationOracle)),
 
     // Deterministic DATA-MIXTURE sampling: per-language target rates
     // (en 100%, es 50%, de 25%, everything else 10%) enforced by hash
@@ -454,6 +462,15 @@ object Curation {
                        CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':qmix'), 1, 8) AS BIGINT) % 100
                        < CASE WHEN tier = 'high' THEN 100 ELSE 25 END
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-              FROM f GROUP BY lang, tier ORDER BY lang, tier"""))
+              FROM f GROUP BY lang, tier ORDER BY lang, tier""")),
+
+    // q66 through the broadcast-Bloom pre-join filter — the 100 TB shape
+    // where even shuffling every train fingerprint is the bottleneck.
+    // EXACT by construction (the filter only prunes the exchange; false
+    // positives die in the confirm join), so it shares q66's oracle SQL
+    // verbatim and must hash-match it.
+    Q("q80_bloom_decontamination",
+      (s, d) => bloomDecontaminationCounts(docs(s, d)),
+      Some(DecontaminationOracle))
   )
 }

@@ -58,6 +58,37 @@ class CurationSpec extends AnyFunSuite with TestSpark {
       s"expected exactly the 2 planted leaks, got ${got.getLong(1)}")
   }
 
+  test("bloom decontamination equals the window form, even under FP pressure") {
+    val ids = (0L until 600L)
+    val trainIds = ids.filter(split(_) == "train")
+    val testIds = ids.filter(split(_) == "test")
+    assert(testIds.size >= 3)
+    val leaked = "another document that leaked into the eval set"
+    val rows =
+      Seq(Row(trainIds.head, "en", leaked),
+        Row(testIds(0), "en", leaked.toUpperCase),
+        Row(testIds(1), "en", leaked.replace(" ", "  "))) ++
+        trainIds.tail.take(120).map(i => Row(i, "en", s"unique train doc $i")) ++
+        testIds.drop(2).take(10).map(i => Row(i, "en", s"unique test doc $i"))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val expected = Curation.decontaminationCounts(docs).head()
+    assert(expected.getLong(1) == 2L)
+
+    val got = Curation.bloomDecontaminationCounts(docs).head()
+    assert(got == expected)
+
+    // Undersize the filter (capacity 2 for ~12 test fps, fpp 0.3) so the
+    // saturated Bloom pushes false positives through the probe — the
+    // exact confirm join must kill every one of them: same answer, more
+    // candidate rows. This is the "filter only prunes" guarantee q80's
+    // shared oracle depends on.
+    val pressured = Curation
+      .bloomDecontaminationCounts(docs, expectedItems = 2, fpp = 0.3)
+      .head()
+    assert(pressured == expected)
+  }
+
   test("mixture sampling matches per-row hash membership computed independently") {
     val rows = (0L until 300L).map { i =>
       Row(i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "xx",
