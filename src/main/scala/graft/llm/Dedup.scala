@@ -288,6 +288,17 @@ object Dedup {
     * released like the propagation loop; raises if maxIters is hit
     * without reaching the fixpoint rather than returning a partially
     * contracted labeling.
+    *
+    * Fixpoint detection is ONE bounded driver job per round: a
+    * (count, bit_xor(xxhash64(u,v))) signature of the new edge set,
+    * compared against the previous round's signature carried forward —
+    * the old count + exceptAll form cost two jobs and a join per round
+    * (~2 jobs × rounds off q74's clean time). Both sets are distinct, so
+    * equal count + equal 64-bit xor means set equality up to an xor
+    * collision between two DIFFERENT consecutive iterates — probability
+    * ~2^-64 per round, negligible against the join-shaped job it
+    * replaces (DedupSpec still pins label equality vs propagation on
+    * every fixture, including the 1000-chain).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val spark = pairs.sparkSession
@@ -303,6 +314,13 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var edgesRdd = checkpointRdd(edges)
+    // (count, xor-of-row-hashes) set signature — ONE scan, no join
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = sig(edges)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -327,11 +345,12 @@ object Dedup {
         .unionAll(withM.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint when the edge set is unchanged (set equality via
-      // size + one-sided difference — both driver probes are bounded,
-      // the same class as the propagation loop's convergence check)
-      converged = small.count() == edges.count() &&
-        small.exceptAll(edges).isEmpty
+      // fixpoint when the edge set is unchanged: compare this round's
+      // signature to the previous round's (carried forward — the single
+      // bounded driver job per round)
+      val smallSig = sig(small)
+      converged = smallSig == edgeSig
+      edgeSig = smallSig
       edgesRdd.foreach(_.unpersist(blocking = false))
       edges = small
       edgesRdd = checkpointRdd(edges)
