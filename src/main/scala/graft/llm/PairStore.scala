@@ -78,7 +78,37 @@ object PairStore {
     * the capped index route at boundary pairs.
     */
   def append(newDocs: DataFrame, allDocs: DataFrame, corpusBands: DataFrame,
-      dir: String, minJaccard: Double, minEstJaccard: Double = 0.5): Unit = {
+      dir: String, minJaccard: Double, minEstJaccard: Double = 0.5): Unit =
+    batchPairs(newDocs, allDocs, corpusBands, minJaccard, minEstJaccard)
+      .write.mode("append")
+      .option("compression", Writers.DefaultCompression)
+      .parquet(dir)
+
+  /** [[append]] into the d1-bucketed catalog table [[buildBucketed]]
+    * wrote: append-mode saveAsTable with the SAME bucket spec routes the
+    * new pairs through the bucket hash, so an incrementally-grown store
+    * KEEPS the exchange-free d1 reads the bucketed layout exists for
+    * (a plain-directory append would silently demote every later read
+    * to a re-shuffle — the r6 gap). Spark validates the declared spec
+    * against the catalog's and refuses a mismatch rather than mixing
+    * layouts.
+    */
+  def appendBucketed(newDocs: DataFrame, allDocs: DataFrame,
+      corpusBands: DataFrame, table: String, minJaccard: Double,
+      minEstJaccard: Double = 0.5, buckets: Int = NumBuckets): Unit =
+    batchPairs(newDocs, allDocs, corpusBands, minJaccard, minEstJaccard)
+      .write.mode("append")
+      .option("compression", Writers.DefaultCompression)
+      .bucketBy(buckets, "d1").sortBy("d1")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** A new batch's pairs (see [[append]]): exact intra-batch pairs plus
+    * certified cross pairs from the persisted band index.
+    */
+  private def batchPairs(newDocs: DataFrame, allDocs: DataFrame,
+      corpusBands: DataFrame, minJaccard: Double,
+      minEstJaccard: Double): DataFrame = {
     val intra = Dedup.hashJaccardPairs(newDocs, minJaccard)
     val candidates = Dedup
       .incrementalCandidatesFromBands(Dedup.minhashBands(newDocs),
@@ -90,9 +120,6 @@ object PairStore {
       .select(least(col("d1"), col("d2")).as("d1"),
         greatest(col("d1"), col("d2")).as("d2"), col("jaccard"))
     intra.unionByName(cross)
-      .write.mode("append")
-      .option("compression", Writers.DefaultCompression)
-      .parquet(dir)
   }
 
   /** The stored pair table. */

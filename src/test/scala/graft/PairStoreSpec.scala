@@ -99,6 +99,54 @@ class PairStoreSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("appendBucketed grows the catalog table and keeps the exchange-free reads") {
+    val tmp = Files.createTempDirectory("graft-pairs-bkt-inc").toString
+    val (baseRows, docs) = corpus
+    PairStore.buildBucketed(docs, "pairs_bkt_inc", minJaccard = 0.6,
+      dir = Some(s"$tmp/pairs_bkt_inc"))
+    try {
+      // band index for the existing corpus; new batch = near-dup of doc 7
+      // plus an intra-batch duplicate pair (the plain-append fixture)
+      val bandsDir = s"$tmp/bands"
+      Dedup.minhashBands(docs).write.parquet(bandsDir)
+      val doc7 = baseRows.find(_._1 == 7L).get._2
+      val newBatch = mkDocs(Seq(
+        (200L, doc7.split(' ').updated(10, "changed").mkString(" ")),
+        (201L, doc7.split(' ').updated(10, "changed").mkString(" "))))
+      val allDocs = docs.unionByName(newBatch)
+      PairStore.appendBucketed(newBatch, allDocs,
+        spark.read.parquet(bandsDir), "pairs_bkt_inc", minJaccard = 0.6)
+
+      // grown store == a fresh full-corpus build, row for row
+      val grown = PairStore.bucketedPairs(spark, "pairs_bkt_inc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fresh = Dedup.hashJaccardPairs(allDocs, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grown == fresh)
+      assert(grown.contains((7L, 200L)) && grown.contains((200L, 201L)))
+
+      // clusters over the grown table == clusters over fresh pairs
+      val viaBucketed = PairStore.clustersBucketed(spark, "pairs_bkt_inc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaFresh = Dedup.connectedComponents(Dedup.hashJaccardPairs(allDocs, 0.6))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaBucketed == viaFresh)
+
+      // the appended files went through the bucket hash: d1 reads are
+      // STILL exchange-free after growth (the property appendBucketed
+      // exists to preserve)
+      val agg = PairStore.bucketedPairs(spark, "pairs_bkt_inc")
+        .groupBy(col("d1")).agg(count(lit(1)).as("n"))
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"d1 aggregation shuffled after appendBucketed:\n$aggPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairs_bkt_inc")
+    }
+  }
+
   test("append picks up cross-batch pairs from the band index; compact preserves rows") {
     val tmp = Files.createTempDirectory("graft-pairs-inc").toString
     val dir = s"$tmp/pairs"
