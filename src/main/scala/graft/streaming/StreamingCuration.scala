@@ -28,11 +28,74 @@ import graft.llm.{Curation, TextOps}
   * [[contaminationCounts]] / [[mixtureTotals]] fold the accumulated state
   * back to exactly the batch-mode q66/q67 answers over everything
   * ingested so far (StreamingCurationSpec pins equality over 3 batches).
-  * At 100 TB the fingerprint index is the only state that grows with the
-  * corpus, and it is a single slim column — bucket it by fp the way the
-  * band index is bucketed by band_hash.
+  *
+  * State layout (the 100 TB shape): every growing state table is a
+  * BUCKETED catalog table on its probe key — train_fp / test_docs by fp,
+  * train_grams / test_grams by k ([[StateBuckets]] buckets, data files
+  * under `stateDir` so the path-based readers keep working). Each
+  * per-batch probe therefore joins a batch-sized side against a stored
+  * side that is ALREADY partitioned on the join key: only the batch
+  * shuffles, the history never re-exchanges (StreamingCurationSpec pins
+  * the single-exchange plan). Probes against history and against the
+  * current batch run separately — a union of stored + batch would erase
+  * the stored side's bucketing — which is sound because every downstream
+  * fold distinct-counts its hits. [[compactState]] folds the small files
+  * the per-batch appends accumulate, preserving the bucket layout.
   */
 object StreamingCuration {
+
+  /** Buckets per state table — executors × small factor at cluster
+    * scale; 32 here to match the session's shuffle partitions so the
+    * probe side lands 1:1 on the stored layout.
+    */
+  val StateBuckets = 32
+
+  /** Deterministic catalog identifier for a state table rooted at `dir`
+    * (the path itself can't be an identifier; the hash keeps two state
+    * roots in one session distinct). Public so downstream operators and
+    * the spec can reach the bucket-aware catalog entry directly.
+    */
+  def stateTable(dir: String, key: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_stream_${key}_$h"
+  }
+
+  /** Append a batch's rows into the bucketed external state table at
+    * `path` (created on first append; later appends must match the
+    * catalog's bucket spec, so the layout can't silently degrade — the
+    * PairStore.appendBucketed contract).
+    */
+  private def appendState(df: DataFrame, table: String, path: String,
+      keyCol: String): Unit =
+    df.write.mode("append")
+      .option("compression", Writers.DefaultCompression)
+      .option("path", path)
+      .bucketBy(StateBuckets, keyCol).sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** The stored state, bucket-aware when the catalog entry is live; a
+    * plain parquet read of the same files when it isn't (fresh session
+    * with an in-memory catalog — correct, just re-shuffles until the
+    * next append re-registers the table). None before the first append.
+    *
+    * refreshTable first: state appends run through the STREAM's cloned
+    * session, which invalidates the clone's relation cache but not this
+    * session's — without the refresh a later batch probes a stale file
+    * list and silently misses the rows the previous batch appended
+    * (caught by StreamingCurationSpec's late-train scenario).
+    */
+  private def readState(spark: SparkSession, table: String,
+      path: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(table)) {
+      spark.catalog.refreshTable(table)
+      Some(spark.table(table))
+    } else {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    }
 
   def start(
       spark: SparkSession,
@@ -45,6 +108,8 @@ object StreamingCuration {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val trainFpDir = s"$stateDir/train_fp"
     val testDocsDir = s"$stateDir/test_docs"
+    val trainFpTbl = stateTable(stateDir, "train_fp")
+    val testDocsTbl = stateTable(stateDir, "test_docs")
     val stream = spark.readStream
       .schema(schema)
       .json(landingDir)
@@ -53,8 +118,6 @@ object StreamingCuration {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fs = new Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // split + fingerprint computed ONCE per batch, reused across the
         // probe, retro-probe, and both state appends
         val t = batch.select(
@@ -65,30 +128,23 @@ object StreamingCuration {
           .select(col("fp")).distinct()
         val newTest = t.filter(col("split") === "test")
           .select(col("doc_id"), col("fp"))
-        // new test docs vs the whole train history (incl. this batch)
-        val trainAll =
-          if (fs.exists(new Path(trainFpDir)))
-            spark.read.parquet(trainFpDir).unionByName(newTrain)
-          else newTrain
-        val contNew = newTest.join(trainAll, Seq("fp"), "left_semi")
-          .select(col("doc_id"))
+        // new test docs vs train history and vs this batch's own train
+        // fps — separate probes keep the stored side's bucketing live
+        // (duplicate hits are fine: the fold distinct-counts doc_id)
+        val contStored = readState(spark, trainFpTbl, trainFpDir)
+          .map(st => newTest.join(st, Seq("fp"), "left_semi"))
+        val contBatch = newTest.join(newTrain, Seq("fp"), "left_semi")
         // new train fingerprints vs already-stored test docs (late train)
-        val contLate =
-          if (fs.exists(new Path(testDocsDir)))
-            spark.read.parquet(testDocsDir)
-              .join(newTrain, Seq("fp"), "left_semi")
-              .select(col("doc_id"))
-          else contNew.limit(0)
-        contNew.unionByName(contLate)
+        val contLate = readState(spark, testDocsTbl, testDocsDir)
+          .map(_.join(newTrain, Seq("fp"), "left_semi"))
+        (Seq(contBatch) ++ contStored ++ contLate)
+          .reduce(_ unionByName _)
+          .select(col("doc_id"))
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/contaminated")
-        newTrain.write.mode("append")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(trainFpDir)
-        newTest.write.mode("append")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(testDocsDir)
+        appendState(newTrain, trainFpTbl, trainFpDir, "fp")
+        appendState(newTest, testDocsTbl, testDocsDir, "fp")
         Curation.mixtureCounts(batch, rates, defaultRate)
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
@@ -113,9 +169,8 @@ object StreamingCuration {
     * answer over everything ingested (StreamingCurationSpec pins it).
     *
     * 100 TB shape: every probe is an equi-join on the near-unique 16-hex
-    * key; per-batch cost is proportional to the batch's gram count plus
-    * the probed history partitions — bucket both state tables by k the
-    * way the band index is bucketed by band_hash.
+    * key against a k-bucketed state table — per-batch cost proportional
+    * to the batch's gram count; the stored side never re-exchanges.
     */
   def startNgramDecon(
       spark: SparkSession,
@@ -127,6 +182,8 @@ object StreamingCuration {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val trainGramDir = s"$stateDir/train_grams"
     val testGramDir = s"$stateDir/test_grams"
+    val trainGramTbl = stateTable(stateDir, "train_grams")
+    val testGramTbl = stateTable(stateDir, "test_grams")
     val stream = spark.readStream
       .schema(schema)
       .json(landingDir)
@@ -135,37 +192,67 @@ object StreamingCuration {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fs = new Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val grams = graft.llm.Curation.gramKeys(batch, n).localCheckpoint(true)
         val newTrain = grams.filter(col("split") === "train")
           .select(col("k")).distinct()
         val newTest = grams.filter(col("split") === "test")
           .select(col("doc_id"), col("k"))
-        // new test grams vs the whole train history (incl. this batch)
-        val trainAll =
-          if (fs.exists(new Path(trainGramDir)))
-            spark.read.parquet(trainGramDir).unionByName(newTrain)
-          else newTrain
-        val hitsNew = newTest.join(trainAll, Seq("k"), "left_semi")
-        // new train grams vs already-stored test grams (late train)
-        val hitsLate =
-          if (fs.exists(new Path(testGramDir)))
-            spark.read.parquet(testGramDir)
-              .join(newTrain, Seq("k"), "left_semi")
-          else hitsNew.limit(0)
-        hitsNew.unionByName(hitsLate)
+        // forward probes: vs stored train grams (bucketed side stays
+        // exchange-free) and vs this batch's own train grams
+        val hitsStored = readState(spark, trainGramTbl, trainGramDir)
+          .map(st => newTest.join(st, Seq("k"), "left_semi"))
+        val hitsBatch = newTest.join(newTrain, Seq("k"), "left_semi")
+        // retro-probe: new train grams vs already-stored test grams
+        val hitsLate = readState(spark, testGramTbl, testGramDir)
+          .map(_.join(newTrain, Seq("k"), "left_semi"))
+        (Seq(hitsBatch) ++ hitsStored ++ hitsLate)
+          .reduce(_ unionByName _)
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/gram_hits")
-        newTrain.write.mode("append")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(trainGramDir)
-        newTest.write.mode("append")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(testGramDir)
+        appendState(newTrain, trainGramTbl, trainGramDir, "k")
+        appendState(newTest, testGramTbl, testGramDir, "k")
       }
       .start()
+  }
+
+  /** Fold the small files the per-batch appends accumulate in every
+    * state table under `stateDir`, PRESERVING the bucket layout (a plain
+    * directory rewrite would strip the bucket ids from the file names
+    * and silently demote every later probe to a re-shuffle). In-place:
+    * snapshot the rows (localCheckpoint breaks the self-read cycle Spark
+    * refuses to plan), then overwrite the table with the same spec.
+    * Returns per-table file counts after compaction.
+    */
+  def compactState(spark: SparkSession, stateDir: String): Map[String, Int] = {
+    val tables = Seq(
+      ("train_fp", "fp"), ("test_docs", "fp"),
+      ("train_grams", "k"), ("test_grams", "k"))
+    tables.flatMap { case (name, keyCol) =>
+      val tbl = stateTable(stateDir, name)
+      val path = s"$stateDir/$name"
+      if (!spark.catalog.tableExists(tbl)) None
+      else {
+        spark.catalog.refreshTable(tbl)
+        val snap = spark.table(tbl).localCheckpoint(true)
+        snap.write.mode("overwrite")
+          .option("compression", Writers.DefaultCompression)
+          .option("path", path)
+          .bucketBy(StateBuckets, keyCol).sortBy(keyCol)
+          .format("parquet")
+          .saveAsTable(tbl)
+        // release the snapshot blocks (Dataset.unpersist doesn't touch
+        // localCheckpoint blocks — the CC-loop release pattern)
+        snap.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fs.listStatus(p)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        Some(name -> files)
+      }
+    }.toMap
   }
 
   /** Accumulated (n_test, n_contaminated, n_overlap_grams) — equal to

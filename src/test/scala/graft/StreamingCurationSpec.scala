@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,6 +99,44 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(streamMix.toSeq == batchMix.toSeq,
       s"mixture: stream ${streamMix.mkString(",")} vs batch ${batchMix.mkString(",")}")
+
+    // the train_fp state is a bucketed catalog table: a batch-shaped
+    // probe against it shuffles ONLY the probe side (one exchange, and
+    // the state scan reads its bucket layout) — the per-batch cost that
+    // must not grow with history at 100 TB
+    val trainFpTbl = StreamingCuration.stateTable(state, "train_fp")
+    assert(spark.catalog.tableExists(trainFpTbl))
+    spark.catalog.refreshTable(trainFpTbl)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(Row(999L, "en", "probe doc")), 1), schema)
+        .select(col("doc_id"),
+          graft.llm.TextOps.fingerprint(col("text")).as("fp"))
+        .join(spark.table(trainFpTbl), Seq("fp"), "left_semi")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected only the probe side to shuffle, got $exchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"state scan not bucket-aware:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+
+    // compaction folds the per-batch small files, preserves the bucket
+    // layout and the accumulated answer
+    val files = StreamingCuration.compactState(spark, state)
+    assert(files.keySet == Set("train_fp", "test_docs"))
+    val afterCompact =
+      StreamingCuration.contaminationCounts(spark, state, out).head()
+    assert(afterCompact == streamDecon,
+      s"compaction changed the answer: $afterCompact vs $streamDecon")
   }
 
   test("3 micro-batches accumulate to the batch q77 n-gram decon answer") {
@@ -152,5 +191,15 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
     // both planted passage carriers flagged, the vocabulary-only doc not
     assert(batchAns.getLong(1) == 2L,
       s"expected the 2 planted passage leaks, got ${batchAns.getLong(1)}")
+
+    // gram state is bucketed by k; compaction preserves the answer
+    assert(spark.catalog.tableExists(
+      StreamingCuration.stateTable(state, "train_grams")))
+    val files = StreamingCuration.compactState(spark, state)
+    assert(files.keySet == Set("train_grams", "test_grams"))
+    val afterCompact =
+      StreamingCuration.ngramContaminationTotals(spark, state, out).head()
+    assert(afterCompact == streamAns,
+      s"compaction changed the answer: $afterCompact vs $streamAns")
   }
 }
