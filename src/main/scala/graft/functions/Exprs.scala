@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -584,6 +585,76 @@ case class BloomMightContain(filterBytes: Expression, value: Expression)
     copy(filterBytes = newLeft, value = newRight)
 }
 
+/** Broadcast-backed variant of [[BloomMightContain]] — the 100 TB form.
+  * A literal-carried filter rides the PLAN: serialized with every task
+  * binary and rendered into every plan string, which at a realistic
+  * eval-set size (10⁷–10⁸ fingerprints → 12–120 MB of filter) is a
+  * per-task tax. Here the expression holds a `Broadcast[Array[Byte]]`
+  * handle instead: tasks carry only the handle, executors fetch the
+  * blocks once via the torrent protocol, and the filter is deserialized
+  * once per executor (transient lazy val).
+  *
+  * Column construction crosses the Spark-4 Column↔Expression wall the
+  * same way every graft expression does (`call_function` over a
+  * registered name), with one twist: a Broadcast can't travel through a
+  * Column, so [[Fns.bloomContainsBroadcast]] parks the handle in the
+  * driver-side [[BloomBroadcasts]] registry and passes a short token
+  * literal; the function builder (analysis runs on the driver) swaps the
+  * token for the handle, so the built expression never keeps the token
+  * as a child. SQL-side callers keep the literal form
+  * (`graft_bloom_contains`); this one is API-only by design.
+  */
+case class BloomMightContainBc(filter: Broadcast[Array[Byte]],
+    value: Expression) extends UnaryExpression {
+
+  override def child: Expression = value
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_contains_bc"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(filter.value)
+
+  def probe(v: UTF8String): Boolean = bloom.mightContainBinary(v.getBytes)
+
+  override def nullSafeEval(v: Any): Any =
+    probe(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbeBc", this,
+      classOf[BloomMightContainBc].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.probe($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(value = newChild)
+}
+
+/** Driver-side handoff for [[BloomMightContainBc]]: broadcast handles
+  * keyed by a token small enough to ride a string literal through
+  * `call_function`. Entries are tiny (a handle, not the filter bytes)
+  * and keyed by broadcast id, so re-registration is idempotent and
+  * re-analysis of a cached plan resolves to the same handle.
+  */
+object BloomBroadcasts {
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, Broadcast[Array[Byte]]]()
+
+  def register(bc: Broadcast[Array[Byte]]): String = {
+    val token = s"bloom_bc_${bc.id}"
+    reg.put(token, bc)
+    token
+  }
+
+  def resolve(token: String): Broadcast[Array[Byte]] = {
+    val bc = reg.get(token)
+    require(bc != null,
+      s"no broadcast Bloom filter registered under '$token' — build the " +
+        "column via Fns.bloomContainsBroadcast on this driver")
+    bc
+  }
+}
+
 /** Registers the native expressions into every session built with
   * `spark.sql.extensions=graft.functions.GraftExtensions` — the public
   * extension point (Column↔Expression converters are private[sql] in
@@ -638,6 +709,16 @@ object GraftExtensions {
       require(es(0).foldable,
         "graft_bloom_contains expects a literal serialized Bloom filter")
       BloomMightContain(es(0), es(1))
+    }),
+    d("graft_bloom_contains_bc", classOf[BloomMightContainBc], { es =>
+      // first arg is a registry token literal, resolved ON THE DRIVER
+      // (analysis runs there) and replaced by the broadcast handle —
+      // the token never survives into the built expression
+      require(es(0).foldable,
+        "graft_bloom_contains_bc expects a literal registry token " +
+          "(build via Fns.bloomContainsBroadcast)")
+      val token = es(0).eval().asInstanceOf[UTF8String].toString
+      BloomMightContainBc(BloomBroadcasts.resolve(token), es(1))
     }))
 }
 
@@ -689,7 +770,19 @@ object Fns {
     call_function("graft_lsh_buckets_md5", dbl(vec))
 
   /** Probe a string column against a serialized Bloom filter literal
-    * (see BloomMightContain). `filterBytes` must be `lit(bytes)`. */
+    * (see BloomMightContain). `filterBytes` must be `lit(bytes)`.
+    * For filters bigger than a few KB use [[bloomContainsBroadcast]] —
+    * a literal filter is serialized into every task binary. */
   def bloomContains(filterBytes: Column, value: Column): Column =
     call_function("graft_bloom_contains", filterBytes, value)
+
+  /** Probe a string column against a BROADCAST serialized Bloom filter
+    * (see BloomMightContainBc): tasks carry the handle, not the bytes —
+    * the form that scales to a 10⁸-item filter. */
+  def bloomContainsBroadcast(filter: Broadcast[Array[Byte]],
+      value: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_bloom_contains_bc",
+      lit(BloomBroadcasts.register(filter)), value)
+  }
 }

@@ -63,18 +63,33 @@ object Curation {
     * Trades one extra corpus scan (train and test branches each scan;
     * fingerprinting is a cheap map-side projection) for an exchange
     * that no longer grows with the corpus — the right trade at 100 TB.
-    * `expectedItems`/`fpp` size the filter for the test split; an
-    * undersized filter only raises false positives (more rows through
-    * the confirm join), never changes the answer.
+    * `expectedItems`/`fpp` size the filter for the test split;
+    * `expectedItems <= 0` (the default) sizes it from a doc_id-only
+    * count of the test split — one cheap extra job (the split hash
+    * reads a single column; the text is never touched), so the filter
+    * fits its load at any eval-set size instead of trusting a fixed
+    * guess. An undersized filter only raises false positives (more rows
+    * through the confirm join), never changes the answer.
+    *
+    * The serialized filter ships via `sparkContext.broadcast`, not a
+    * plan literal: at 10⁷–10⁸ fingerprints the filter is 12–120 MB, and
+    * a literal would ride every task binary and plan string
+    * (CurationSpec pins the plan stays bytes-free).
     */
   def bloomDecontaminationCounts(docsDf: DataFrame,
-      expectedItems: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
     val t = docsDf.select(
       col("doc_id"), splitCol.as("split"),
       TextOps.fingerprint(col("text")).as("fp"))
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(
+        docsDf.select(splitCol.as("split"))
+          .filter(col("split") === "test").count(),
+        1024L)
     val bf = t.filter(col("split") === "test").select(col("fp"))
-      .rdd.treeAggregate(BloomFilter.create(expectedItems, fpp))(
+      .rdd.treeAggregate(BloomFilter.create(items, fpp))(
         (f, row) => { f.putString(row.getString(0)); f },
         (a, b) => { a.mergeInPlace(b); a })
     val bytes = {
@@ -82,9 +97,10 @@ object Curation {
       bf.writeTo(bos)
       bos.toByteArray
     }
+    val bc = docsDf.sparkSession.sparkContext.broadcast(bytes)
     val trainHits = t
       .filter(col("split") === "train" &&
-        graft.functions.Fns.bloomContains(lit(bytes), col("fp")))
+        graft.functions.Fns.bloomContainsBroadcast(bc, col("fp")))
       .select(col("fp")).distinct()
     t.filter(col("split") === "test")
       .join(trainHits.withColumn("hit", lit(1)), Seq("fp"), "left")

@@ -289,16 +289,19 @@ object Dedup {
     * without reaching the fixpoint rather than returning a partially
     * contracted labeling.
     *
-    * Fixpoint detection is ONE bounded driver job per round: a
+    * Fixpoint detection is one bounded driver job per round: a
     * (count, bit_xor(xxhash64(u,v))) signature of the new edge set,
-    * compared against the previous round's signature carried forward —
-    * the old count + exceptAll form cost two jobs and a join per round
-    * (~2 jobs × rounds off q74's clean time). Both sets are distinct, so
-    * equal count + equal 64-bit xor means set equality up to an xor
-    * collision between two DIFFERENT consecutive iterates — probability
-    * ~2^-64 per round, negligible against the join-shaped job it
-    * replaces (DedupSpec still pins label equality vs propagation on
-    * every fixture, including the 1000-chain).
+    * compared against the previous round's signature carried forward
+    * (r7 measured no wall-clock change vs the count + exceptAll form —
+    * the grouped-min shuffles dominate — but the probe stays the
+    * simpler single job). A signature match alone could collide between
+    * two DIFFERENT consecutive iterates (~2^-64 per round), which would
+    * silently mislabel clusters, so the first match is CONFIRMED with
+    * one exact exceptAll emptiness check — counts already agree, so
+    * one-direction emptiness is set equality. That exact job runs once
+    * at the reported fixpoint, not per round: convergence stays exact,
+    * the per-round cost stays one scan (DedupSpec pins label equality
+    * vs propagation on every fixture, including the 1000-chain).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val spark = pairs.sparkSession
@@ -347,9 +350,11 @@ object Dedup {
         .localCheckpoint(true)
       // fixpoint when the edge set is unchanged: compare this round's
       // signature to the previous round's (carried forward — the single
-      // bounded driver job per round)
+      // bounded driver job per round); a match is confirmed exactly
+      // (counts agree, so one-direction exceptAll emptiness is set
+      // equality) so an xor collision can't end the loop early
       val smallSig = sig(small)
-      converged = smallSig == edgeSig
+      converged = smallSig == edgeSig && small.exceptAll(edges).isEmpty
       edgeSig = smallSig
       edgesRdd.foreach(_.unpersist(blocking = false))
       edges = small

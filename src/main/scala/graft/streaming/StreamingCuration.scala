@@ -44,11 +44,49 @@ import graft.llm.{Curation, TextOps}
   */
 object StreamingCuration {
 
-  /** Buckets per state table — executors × small factor at cluster
-    * scale; 32 here to match the session's shuffle partitions so the
-    * probe side lands 1:1 on the stored layout.
+  /** Default buckets per state table — executors × small factor at
+    * cluster scale; 32 here to match the session's shuffle partitions so
+    * the probe side lands 1:1 on the stored layout. Override with
+    * [[StateBucketsConf]] BEFORE the first append: the count is baked
+    * into the dir's file layout, so it is pinned in a `_graft_buckets`
+    * marker at first open and a reopen under a different value fails
+    * loudly (mixed bucket layouts in one directory assign rows to wrong
+    * buckets and silently corrupt every bucketed probe).
     */
   val StateBuckets = 32
+  val StateBucketsConf = "spark.graft.curation.stateBuckets"
+
+  private def confBuckets(spark: SparkSession): Int =
+    spark.conf.get(StateBucketsConf, StateBuckets.toString).toInt
+
+  private def fsOf(spark: SparkSession, path: Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the bucket count for `stateDir`: the configured value on
+    * first open (pinned into the `_graft_buckets` marker), the pinned
+    * value thereafter — raising if the session conf disagrees rather
+    * than letting a catalog-less reopen append a second layout.
+    */
+  private def pinnedBuckets(spark: SparkSession, stateDir: String): Int = {
+    val conf = confBuckets(spark)
+    val marker = new Path(stateDir, "_graft_buckets")
+    val fs = fsOf(spark, marker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val pinned =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(pinned == conf,
+        s"state dir $stateDir was written with $pinned buckets but " +
+          s"$StateBucketsConf=$conf — reopening under a different bucket " +
+          "count would mix file layouts and corrupt bucketed probes")
+      pinned
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(conf.toString.getBytes("UTF-8")) finally out.close()
+      conf
+    }
+  }
 
   /** Deterministic catalog identifier for a state table rooted at `dir`
     * (the path itself can't be an identifier; the hash keeps two state
@@ -64,16 +102,24 @@ object StreamingCuration {
   /** Append a batch's rows into the bucketed external state table at
     * `path` (created on first append; later appends must match the
     * catalog's bucket spec, so the layout can't silently degrade — the
-    * PairStore.appendBucketed contract).
+    * PairStore.appendBucketed contract). Refuses to append while a
+    * [[compactState]] lock is held on the state dir: the compaction swap
+    * would silently drop an in-flight append's files.
     */
   private def appendState(df: DataFrame, table: String, path: String,
-      keyCol: String): Unit =
+      keyCol: String, buckets: Int): Unit = {
+    val parent = new Path(path).getParent
+    val fs = fsOf(df.sparkSession, parent)
+    require(!fs.exists(new Path(parent, CompactLock)),
+      s"compactState is running on $parent — appends during compaction " +
+        "would be dropped by the directory swap; stop the stream first")
     df.write.mode("append")
       .option("compression", Writers.DefaultCompression)
       .option("path", path)
-      .bucketBy(StateBuckets, keyCol).sortBy(keyCol)
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** The stored state, bucket-aware when the catalog entry is live; a
     * plain parquet read of the same files when it isn't (fresh session
@@ -110,6 +156,7 @@ object StreamingCuration {
     val testDocsDir = s"$stateDir/test_docs"
     val trainFpTbl = stateTable(stateDir, "train_fp")
     val testDocsTbl = stateTable(stateDir, "test_docs")
+    val buckets = pinnedBuckets(spark, stateDir)
     val stream = spark.readStream
       .schema(schema)
       .json(landingDir)
@@ -143,8 +190,8 @@ object StreamingCuration {
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/contaminated")
-        appendState(newTrain, trainFpTbl, trainFpDir, "fp")
-        appendState(newTest, testDocsTbl, testDocsDir, "fp")
+        appendState(newTrain, trainFpTbl, trainFpDir, "fp", buckets)
+        appendState(newTest, testDocsTbl, testDocsDir, "fp", buckets)
         Curation.mixtureCounts(batch, rates, defaultRate)
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
@@ -184,6 +231,7 @@ object StreamingCuration {
     val testGramDir = s"$stateDir/test_grams"
     val trainGramTbl = stateTable(stateDir, "train_grams")
     val testGramTbl = stateTable(stateDir, "test_grams")
+    val buckets = pinnedBuckets(spark, stateDir)
     val stream = spark.readStream
       .schema(schema)
       .json(landingDir)
@@ -210,49 +258,98 @@ object StreamingCuration {
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/gram_hits")
-        appendState(newTrain, trainGramTbl, trainGramDir, "k")
-        appendState(newTest, testGramTbl, testGramDir, "k")
+        appendState(newTrain, trainGramTbl, trainGramDir, "k", buckets)
+        appendState(newTest, testGramTbl, testGramDir, "k", buckets)
       }
       .start()
   }
 
+  /** Name of the per-state-dir compaction lock file — present while
+    * [[compactState]] runs; [[appendState]] refuses to append under it.
+    */
+  val CompactLock = "_graft_compacting"
+
   /** Fold the small files the per-batch appends accumulate in every
     * state table under `stateDir`, PRESERVING the bucket layout (a plain
     * directory rewrite would strip the bucket ids from the file names
-    * and silently demote every later probe to a re-shuffle). In-place:
-    * snapshot the rows (localCheckpoint breaks the self-read cycle Spark
-    * refuses to plan), then overwrite the table with the same spec.
-    * Returns per-table file counts after compaction.
+    * and silently demote every later probe to a re-shuffle). Returns
+    * per-table file counts after compaction.
+    *
+    * Crash-safe: the compacted copy is written to a SIBLING path first —
+    * reading the old table while writing a new one needs no snapshot, so
+    * the original files stay the durable source of truth until the new
+    * copy is complete — then swapped in with directory renames. At every
+    * instant a complete copy of the state exists ON DISK (the old dir
+    * survives as `<table>.__pre_compact` until the swap finishes); an
+    * executor loss mid-write loses only the temp copy. The earlier
+    * in-place form overwrote the only durable copy from a
+    * localCheckpoint snapshot, whose executor-memory blocks cannot be
+    * recomputed after the truncate (ADVICE r7).
+    *
+    * Not concurrency-safe with a RUNNING stream on the same stateDir:
+    * the swap would drop an in-flight append's files. The [[CompactLock]]
+    * marker makes that loud — appends fail while it is held, and a
+    * second concurrent compaction refuses to start — but the lock is
+    * checked per batch, not held across one, so STOP the stream before
+    * compacting; the lock is the tripwire, not the guarantee.
     */
   def compactState(spark: SparkSession, stateDir: String): Map[String, Int] = {
-    val tables = Seq(
-      ("train_fp", "fp"), ("test_docs", "fp"),
-      ("train_grams", "k"), ("test_grams", "k"))
-    tables.flatMap { case (name, keyCol) =>
-      val tbl = stateTable(stateDir, name)
-      val path = s"$stateDir/$name"
-      if (!spark.catalog.tableExists(tbl)) None
-      else {
-        spark.catalog.refreshTable(tbl)
-        val snap = spark.table(tbl).localCheckpoint(true)
-        snap.write.mode("overwrite")
-          .option("compression", Writers.DefaultCompression)
-          .option("path", path)
-          .bucketBy(StateBuckets, keyCol).sortBy(keyCol)
-          .format("parquet")
-          .saveAsTable(tbl)
-        // release the snapshot blocks (Dataset.unpersist doesn't touch
-        // localCheckpoint blocks — the CC-loop release pattern)
-        snap.queryExecution.analyzed.collectFirst {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
-        val p = new Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files = fs.listStatus(p)
-          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        Some(name -> files)
-      }
-    }.toMap
+    val buckets = pinnedBuckets(spark, stateDir)
+    val fs = fsOf(spark, new Path(stateDir))
+    val lock = new Path(stateDir, CompactLock)
+    require(fs.createNewFile(lock),
+      s"another compaction already holds $lock")
+    try {
+      val tables = Seq(
+        ("train_fp", "fp"), ("test_docs", "fp"),
+        ("train_grams", "k"), ("test_grams", "k"))
+      tables.flatMap { case (name, keyCol) =>
+        val tbl = stateTable(stateDir, name)
+        val path = s"$stateDir/$name"
+        if (!spark.catalog.tableExists(tbl)) None
+        else {
+          spark.catalog.refreshTable(tbl)
+          val snap = spark.table(tbl)
+          val schemaDdl = snap.schema.toDDL
+          val tmpTbl = s"${tbl}_compact_tmp"
+          val tmpPath = s"$stateDir/${name}__compact_tmp"
+          spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          if (fs.exists(new Path(tmpPath)))
+            fs.delete(new Path(tmpPath), true)
+          // 1. durable compacted copy beside the original (the bucketed
+          // scan yields one partition per bucket, so the write emits one
+          // file per bucket without an extra repartition)
+          snap.write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .option("path", tmpPath)
+            .bucketBy(buckets, keyCol).sortBy(keyCol)
+            .format("parquet")
+            .saveAsTable(tmpTbl)
+          // 2. swap directories (both tables are external — drops leave
+          // the files); the old dir survives until the new one is in place
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          val pre = new Path(s"$path.__pre_compact")
+          if (fs.exists(pre)) fs.delete(pre, true)
+          require(fs.rename(new Path(path), pre),
+            s"compactState: could not move $path aside")
+          require(fs.rename(new Path(tmpPath), new Path(path)),
+            s"compactState: could not move $tmpPath into place " +
+              s"(previous state preserved at $pre)")
+          // 3. re-register the catalog entry over the swapped files (the
+          // bucket ids live in the file names, so DDL over the existing
+          // files keeps the layout live)
+          spark.sql(
+            s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
+                CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
+                LOCATION '$path'""")
+          fs.delete(pre, true)
+          val files = fs.listStatus(new Path(path))
+            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          Some(name -> files)
+        }
+      }.toMap
+    } finally fs.delete(lock, false)
   }
 
   /** Accumulated (n_test, n_contaminated, n_overlap_grams) — equal to

@@ -89,6 +89,21 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(pressured == expected)
   }
 
+  test("bloom filter ships by broadcast, not as plan-embedded bytes") {
+    val ids = (0L until 400L)
+    val rows = ids.take(200).map(i => Row(i, "en", s"plan pin doc $i"))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val df = Curation.bloomDecontaminationCounts(docs)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_bloom_contains_bc"),
+      s"expected the broadcast bloom probe in the plan:\n$plan")
+    // a literal-carried filter renders as a multi-KB hex blob; the
+    // broadcast handle renders as Broadcast(id) — no long hex runs
+    assert("[0-9A-Fa-f]{512}".r.findFirstIn(plan).isEmpty,
+      "plan embeds a long hex blob — the filter bytes leaked back into the plan")
+  }
+
   test("mixture sampling matches per-row hash membership computed independently") {
     val rows = (0L until 300L).map { i =>
       Row(i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "xx",

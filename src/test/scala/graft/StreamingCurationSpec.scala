@@ -202,4 +202,40 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
     assert(afterCompact == streamAns,
       s"compaction changed the answer: $afterCompact vs $streamAns")
   }
+
+  test("state bucket count is a conf, pinned per dir; mismatched reopen fails loudly") {
+    val landing = Files.createTempDirectory("sbkt-land").toString
+    val state = Files.createTempDirectory("sbkt-state").toString
+    val out = Files.createTempDirectory("sbkt-out").toString
+    Files.write(Paths.get(landing, "b1.json"),
+      (0L until 120L).map(i =>
+        s"""{"doc_id":$i,"lang":"en","text":"bucket conf doc $i"}""")
+        .mkString("\n").getBytes)
+
+    spark.conf.set(StreamingCuration.StateBucketsConf, "8")
+    try {
+      StreamingCuration.start(spark, landing, schema, state, out,
+        rates, defaultRate).awaitTermination()
+      val tbl = StreamingCuration.stateTable(state, "train_fp")
+      val ddl = spark.sql(s"SHOW CREATE TABLE $tbl")
+        .head().getString(0)
+      assert(ddl.contains("8 BUCKETS"),
+        s"state table not bucketed under the configured count:\n$ddl")
+      // accumulated answers still fold correctly under the non-default
+      // bucket count
+      val counts =
+        StreamingCuration.contaminationCounts(spark, state, out).head()
+      assert(counts.getLong(0) >= 1L)
+
+      // reopening the SAME state dir under a different configured count
+      // must fail loudly before any append can mix layouts
+      spark.conf.set(StreamingCuration.StateBucketsConf, "16")
+      val ex = intercept[IllegalArgumentException] {
+        StreamingCuration.start(spark, landing, schema, state, out,
+          rates, defaultRate)
+      }
+      assert(ex.getMessage.contains("bucket"),
+        s"unexpected message: ${ex.getMessage}")
+    } finally spark.conf.unset(StreamingCuration.StateBucketsConf)
+  }
 }
