@@ -84,9 +84,27 @@ object Main {
         case "pairs" :: "compact" :: dir :: Nil =>
           println(s"files=${graft.llm.PairStore.compact(spark, dir)}")
 
+        case "pairs" :: "compact-bucketed" :: table :: Nil =>
+          println(s"files=${graft.llm.PairStore.compactBucketed(spark, table)}")
+
+        // fold a streaming-curation state dir's per-batch appends (stop
+        // the stream first; the compaction lock trips concurrent appends)
+        case "compact-state" :: stateDir :: Nil =>
+          graft.streaming.StreamingCuration.compactState(spark, stateDir)
+            .toSeq.sortBy(_._1)
+            .foreach { case (t, n) => println(s"table=$t files=$n") }
+
         // persisted IVF ANN index: build/append once, probe many
         case "ivf" :: "build" :: vecsParquet :: dir :: Nil =>
           graft.llm.IvfStore.build(spark.read.parquet(vecsParquet), dir)
+          println(s"cells=${spark.read.parquet(s"$dir/cells").count()}")
+
+        // build against a TRAINED codebook (seeded Lloyd's) instead of
+        // the first-IvfCells sample
+        case "ivf" :: "build-trained" :: vecsParquet :: dir :: Nil =>
+          val vecs = spark.read.parquet(vecsParquet)
+          val cb = graft.llm.IvfStore.train(vecs)
+          graft.llm.IvfStore.build(vecs, dir, Some(cb))
           println(s"cells=${spark.read.parquet(s"$dir/cells").count()}")
 
         case "ivf" :: "append" :: vecsParquet :: dir :: Nil =>
@@ -124,7 +142,10 @@ object Main {
         |  profile <sfDir> <table>
         |  preprocess <inParquet> <outDir>
         |  pairs build <docsParquet> <pairsDir> | pairs build-bucketed <docsParquet> <table> <dir>
-        |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir> | pairs compact <pairsDir>
-        |  ivf build <vecsParquet> <ivfDir> | ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k>
+        |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir>
+        |  pairs compact <pairsDir> | pairs compact-bucketed <table>
+        |  compact-state <stateDir>
+        |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
+        |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k>
         |  query <sfDir> <name>""".stripMargin)
 }

@@ -91,6 +91,67 @@ object Writers {
     n
   }
 
+  /** Compact a BUCKETED external table's accumulated small files,
+    * preserving the bucket layout (a plain [[compact]] would strip the
+    * bucket ids from the file names and silently demote every later
+    * bucketed join to a re-shuffle). Crash-safe: the compacted copy is
+    * written beside the original first — reading the old table while
+    * writing a new one needs no snapshot — then swapped in with
+    * directory renames, so a complete copy of the data exists on disk
+    * at every instant (the old dir survives as `<path>.__pre_compact`
+    * until the swap completes). The catalog entry is re-created over
+    * the swapped files via DDL, as EXTERNAL (a managed input becomes
+    * external at its same location). Returns the new file count.
+    *
+    * Callers must quiesce writers to the table first — see
+    * [[graft.streaming.StreamingCuration.compactState]]'s lock for the
+    * streaming case.
+    */
+  def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, keyCol: String, buckets: Int,
+      compression: String = DefaultCompression): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.catalog.refreshTable(table)
+    val snap = spark.table(table)
+    val schemaDdl = snap.schema.toDDL
+    val tmpTbl = s"${table}_compact_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    // 1. durable compacted copy beside the original (a bucketed scan
+    // yields one partition per bucket, so the write emits one file per
+    // bucket without an extra repartition)
+    snap.write.mode("overwrite")
+      .option("compression", compression)
+      .option("path", tmpPath.toString)
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(tmpTbl)
+    // 2. swap directories; the old dir survives until the new one is in
+    // place (a MANAGED original is deleted by its drop — its rows are
+    // already durable in the temp copy)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
+    val pre = new org.apache.hadoop.fs.Path(path + ".__pre_compact")
+    if (fs.exists(pre)) fs.delete(pre, true)
+    if (fs.exists(p) && !fs.rename(p, pre))
+      throw new java.io.IOException(s"compact: could not move $p aside")
+    if (!fs.rename(tmpPath, p))
+      throw new java.io.IOException(
+        s"compact: could not move $tmpPath into place " +
+          s"(previous data preserved at $pre)")
+    // 3. re-register the catalog entry over the swapped files (bucket
+    // ids live in the file names, so DDL keeps the layout live)
+    spark.sql(
+      s"""CREATE TABLE `$table` ($schemaDdl) USING PARQUET
+          CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
+          LOCATION '$p'""")
+    fs.delete(pre, true)
+    fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Bucketed managed table: rows are hash-partitioned into `buckets`
     * files per partition ON WRITE, so joins/aggregations between tables
     * bucketed on the same key skip the shuffle entirely — the

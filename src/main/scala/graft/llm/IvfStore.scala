@@ -27,20 +27,90 @@ import graft.etl.Writers
   */
 object IvfStore {
 
-  /** Build the index: codebook + cell-partitioned corpus layout. */
-  def build(vectors: DataFrame, dir: String): Unit = {
+  /** Build the index: codebook + cell-partitioned corpus layout.
+    * `codebook` defaults to the oracle-pinned first-IvfCells vectors;
+    * pass [[train]]'s output for centroids that actually tile the data.
+    */
+  def build(vectors: DataFrame, dir: String,
+      codebook: Option[DataFrame] = None): Unit = {
     val vecs = vectors.repartition(col("vec_id"))
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    vecs.filter(col("vec_id") < Similarity.IvfCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-      .write.mode("overwrite")
+    val cb = codebook.getOrElse(
+      vecs.filter(col("vec_id") < Similarity.IvfCells)
+        .select(col("vec_id").as("cell"), col("v").as("cv")))
+    cb.write.mode("overwrite")
       .option("compression", Writers.DefaultCompression)
       .parquet(s"$dir/codebook")
-    Similarity.ivfCells(vecs, vecs, probes = 1)
+    Similarity.ivfAssign(cb, vecs, probes = 1)
       .write.mode("overwrite")
       .option("compression", Writers.DefaultCompression)
       .partitionBy("cell")
       .parquet(s"$dir/cells")
+  }
+
+  /** Deterministic seeded Lloyd's (spherical flavor: assignment by max
+    * cosine — exactly [[Similarity.ivfAssign]]'s rule, so a trained
+    * codebook probes through the identical machinery — centroid update
+    * by per-dimension mean). The first-IvfCells "codebook" [[build]]
+    * defaults to is a training SAMPLE standing in for k-means; at 100×
+    * corpus growth recall rests on centroids that tile the data, which
+    * is what the training loop buys.
+    *
+    * Per iteration (`iters` is FIXED — deterministic job count, no
+    * convergence probe):
+    *  - assignment is fully map-side: broadcast codebook, per-row argmax
+    *    (ties to the lower cell id — ivfAssign's sort order);
+    *  - update is one partial-aggregated groupBy mean over slim
+    *    (cell, dim, component) rows — ≤ cells×dim×partitions rows reach
+    *    the exchange, never the corpus;
+    *  - a cell that loses every vector keeps its previous centroid;
+    *  - the k-row iterate is pinned on the driver (same bounded-action
+    *    class as the CC convergence probe and [[topK]]'s codebook read),
+    *    keeping the loop's lineage flat without checkpoint bookkeeping.
+    *
+    * Init is a seeded hash-ranked sample: the k vectors with the
+    * smallest (xxhash64(vec_id, seed), vec_id) — uniform, reproducible,
+    * engine-order-independent. Within-cell means fold in partition
+    * order, so trailing-bit float drift across cluster layouts is
+    * possible; assignments are argmax over well-separated centroids and
+    * ties still break on cell id, so labels stay stable in practice
+    * (SimilaritySpec pins recall, not bits).
+    */
+  def train(vectors: DataFrame, k: Int = Similarity.IvfCells,
+      iters: Int = 5, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecs = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("h"), col("vec_id"))
+    var codebook = vecs
+      .select(col("vec_id"), col("v"),
+        xxhash64(col("vec_id"), lit(seed)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cell"),
+        col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = Similarity.ivfAssign(codebook, vecs, probes = 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("i"), col("x"))).as("ps"))
+        .select(col("cell"),
+          transform(array_sort(col("ps")), p => p.getField("x")).as("cvm"))
+      val next = codebook.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cvm"), col("cv")).as("cv"))
+      // bounded: k rows
+      codebook = next.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toDF("cell", "cv")
+    }
+    vecs.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+    codebook
   }
 
   /** Assign a NEW batch against the stored codebook and append it to its

@@ -135,4 +135,21 @@ object PairStore {
   /** Fold append-accumulated small files; returns the new file count. */
   def compact(spark: SparkSession, dir: String, targetMB: Int = 512): Int =
     Writers.compact(spark, dir, targetMB)
+
+  /** Fold the small files [[appendBucketed]] accumulates in the BUCKETED
+    * pair table, PRESERVING the d1 bucket layout (a plain [[compact]]
+    * rewrite would strip the bucket ids from the file names and demote
+    * every later d1-keyed read to a re-shuffle). Crash-safe sibling
+    * write + directory swap — [[graft.etl.Writers.compactBucketedTable]];
+    * quiesce appenders first. Returns the new file count.
+    */
+  def compactBucketed(spark: SparkSession, table: String,
+      buckets: Int = NumBuckets): Int = {
+    val loc = spark.sql(s"DESCRIBE FORMATTED `$table`").collect()
+      .find(r => r.getString(0).trim.equalsIgnoreCase("Location"))
+      .getOrElse(throw new IllegalStateException(
+        s"no Location row in DESCRIBE FORMATTED $table"))
+      .getString(1).trim
+    Writers.compactBucketedTable(spark, table, loc, "d1", buckets)
+  }
 }

@@ -640,12 +640,33 @@ object Similarity {
     * rank candidates by exact cosine. The inverted-file structure makes
     * per-query cost proportional to the probed cells' population, not
     * the corpus — the other classic ANN layout besides LSH (q37).
+    * Codebook = the oracle-pinned first-IvfCells default; for a TRAINED
+    * codebook use [[ivfTopKWith]] / [[IvfStore.train]].
     */
   def ivfTopK(vectors: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-    val corpus = ivfCells(vecs, vecs, probes = 1)
-    val q = ivfCells(vecs, vecs.filter(col("vec_id") === queryVecId), IvfProbes)
+    val cb = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    ivfTopKImpl(cb, vecs, queryVecId, k)
+  }
+
+  /** [[ivfTopK]] against an EXPLICIT (cell, cv) codebook — the probe for
+    * a trained codebook ([[IvfStore.train]]); same plan shape, only the
+    * broadcast cell centers differ.
+    */
+  def ivfTopKWith(codebook: DataFrame, vectors: DataFrame, queryVecId: Long,
+      k: Int): DataFrame = {
+    val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    ivfTopKImpl(codebook, vecs, queryVecId, k)
+  }
+
+  private def ivfTopKImpl(codebook: DataFrame, vecs: DataFrame,
+      queryVecId: Long, k: Int): DataFrame = {
+    val corpus = ivfAssign(codebook, vecs, probes = 1)
+    val q = ivfAssign(codebook, vecs.filter(col("vec_id") === queryVecId),
+        IvfProbes)
       .select(col("v").as("qv"), col("cell"))
     val sim = cosine(col("v"), col("qv"))
     corpus

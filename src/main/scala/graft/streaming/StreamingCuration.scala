@@ -56,19 +56,19 @@ object StreamingCuration {
   val StateBuckets = 32
   val StateBucketsConf = "spark.graft.curation.stateBuckets"
 
-  private def confBuckets(spark: SparkSession): Int =
-    spark.conf.get(StateBucketsConf, StateBuckets.toString).toInt
-
   private def fsOf(spark: SparkSession, path: Path) =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Resolve the bucket count for `stateDir`: the configured value on
     * first open (pinned into the `_graft_buckets` marker), the pinned
-    * value thereafter — raising if the session conf disagrees rather
-    * than letting a catalog-less reopen append a second layout.
+    * value thereafter — raising if an EXPLICITLY set session conf
+    * disagrees rather than letting a catalog-less reopen append a second
+    * layout. With no explicit conf the marker alone governs, so
+    * maintenance sessions (the `compact-state` CLI) need no conf
+    * plumbing to reopen a non-default dir.
     */
   private def pinnedBuckets(spark: SparkSession, stateDir: String): Int = {
-    val conf = confBuckets(spark)
+    val explicit = spark.conf.getOption(StateBucketsConf).map(_.trim.toInt)
     val marker = new Path(stateDir, "_graft_buckets")
     val fs = fsOf(spark, marker)
     if (fs.exists(marker)) {
@@ -76,15 +76,16 @@ object StreamingCuration {
       val pinned =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
         finally in.close()
-      require(pinned == conf,
+      explicit.foreach(c => require(c == pinned,
         s"state dir $stateDir was written with $pinned buckets but " +
-          s"$StateBucketsConf=$conf — reopening under a different bucket " +
-          "count would mix file layouts and corrupt bucketed probes")
+          s"$StateBucketsConf=$c — reopening under a different bucket " +
+          "count would mix file layouts and corrupt bucketed probes"))
       pinned
     } else {
+      val n = explicit.getOrElse(StateBuckets)
       val out = fs.create(marker, true)
-      try out.write(conf.toString.getBytes("UTF-8")) finally out.close()
-      conf
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+      n
     }
   }
 
@@ -306,48 +307,19 @@ object StreamingCuration {
       tables.flatMap { case (name, keyCol) =>
         val tbl = stateTable(stateDir, name)
         val path = s"$stateDir/$name"
-        if (!spark.catalog.tableExists(tbl)) None
-        else {
-          spark.catalog.refreshTable(tbl)
-          val snap = spark.table(tbl)
-          val schemaDdl = snap.schema.toDDL
-          val tmpTbl = s"${tbl}_compact_tmp"
-          val tmpPath = s"$stateDir/${name}__compact_tmp"
-          spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-          if (fs.exists(new Path(tmpPath)))
-            fs.delete(new Path(tmpPath), true)
-          // 1. durable compacted copy beside the original (the bucketed
-          // scan yields one partition per bucket, so the write emits one
-          // file per bucket without an extra repartition)
-          snap.write.mode("overwrite")
-            .option("compression", Writers.DefaultCompression)
-            .option("path", tmpPath)
-            .bucketBy(buckets, keyCol).sortBy(keyCol)
-            .format("parquet")
-            .saveAsTable(tmpTbl)
-          // 2. swap directories (both tables are external — drops leave
-          // the files); the old dir survives until the new one is in place
-          spark.sql(s"DROP TABLE IF EXISTS $tbl")
-          spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-          val pre = new Path(s"$path.__pre_compact")
-          if (fs.exists(pre)) fs.delete(pre, true)
-          require(fs.rename(new Path(path), pre),
-            s"compactState: could not move $path aside")
-          require(fs.rename(new Path(tmpPath), new Path(path)),
-            s"compactState: could not move $tmpPath into place " +
-              s"(previous state preserved at $pre)")
-          // 3. re-register the catalog entry over the swapped files (the
-          // bucket ids live in the file names, so DDL over the existing
-          // files keeps the layout live)
+        // a maintenance session (the compact-state CLI) starts with an
+        // empty in-memory catalog: re-register the bucketed entry from
+        // the files + the pinned bucket count before compacting
+        if (!spark.catalog.tableExists(tbl) && fs.exists(new Path(path))) {
+          val ddl = spark.read.parquet(path).schema.toDDL
           spark.sql(
-            s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
+            s"""CREATE TABLE $tbl ($ddl) USING PARQUET
                 CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
                 LOCATION '$path'""")
-          fs.delete(pre, true)
-          val files = fs.listStatus(new Path(path))
-            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          Some(name -> files)
         }
+        if (!spark.catalog.tableExists(tbl)) None
+        else Some(name -> Writers.compactBucketedTable(
+          spark, tbl, path, keyCol, buckets))
       }.toMap
     } finally fs.delete(lock, false)
   }

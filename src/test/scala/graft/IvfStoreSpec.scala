@@ -57,6 +57,31 @@ class IvfStoreSpec extends AnyFunSuite with TestSpark {
       s"cells scan not partition-pruned:\n$plan")
   }
 
+  test("build/append/probe work against a TRAINED codebook") {
+    val dir = Files.createTempDirectory("graft-ivf-tr").toString
+    val trained = IvfStore.train(vectors, k = 8, iters = 4)
+    IvfStore.build(vectors, dir, Some(trained))
+    // probe: planted clone of vec 1 retrieved through trained cells
+    val top = IvfStore.topK(spark, dir, queryVec(1L), k = 5,
+      excludeId = Some(1L)).collect()
+    assert(top.head.getLong(0) == 500L,
+      s"clone not retrieved through trained index: ${top.map(_.getLong(0)).mkString(",")}")
+    // append: a late near-clone of vec 2 is assigned against the STORED
+    // trained codebook and found by a later probe
+    val v2 = vectors.filter(col("vec_id") === 2L)
+      .head().getSeq[Float](1).toArray
+    v2(0) = v2(0) + 0.001f
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row.fromTuple((600L, v2.toSeq))), 1),
+      schema)
+    IvfStore.append(batch, dir)
+    val top2 = IvfStore.topK(spark, dir, queryVec(2L), k = 3,
+      excludeId = Some(2L)).collect().map(_.getLong(0))
+    assert(top2.head == 600L,
+      s"appended clone not retrieved through trained cells: ${top2.mkString(",")}")
+  }
+
   test("append assigns new vectors via the stored codebook") {
     val dir = Files.createTempDirectory("graft-ivf-app").toString
     IvfStore.build(vectors, dir)

@@ -142,6 +142,23 @@ class PairStoreSpec extends AnyFunSuite with TestSpark {
         .split("== Initial Plan ==").head
       assert(!aggPlan.contains("Exchange hashpartitioning"),
         s"d1 aggregation shuffled after appendBucketed:\n$aggPlan")
+
+      // bucketed compaction folds the append's small files, preserves
+      // the rows AND the exchange-free bucket layout
+      val files = PairStore.compactBucketed(spark, "pairs_bkt_inc")
+      assert(files <= PairStore.NumBuckets,
+        s"compaction left $files files for ${PairStore.NumBuckets} buckets")
+      val compacted = PairStore.bucketedPairs(spark, "pairs_bkt_inc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(compacted == fresh,
+        "bucketed compaction changed the pair set")
+      val agg2 = PairStore.bucketedPairs(spark, "pairs_bkt_inc")
+        .groupBy(col("d1")).agg(count(lit(1)).as("n"))
+      agg2.collect()
+      val agg2Plan = agg2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!agg2Plan.contains("Exchange hashpartitioning"),
+        s"d1 aggregation shuffled after compactBucketed:\n$agg2Plan")
     } finally {
       spark.sql("DROP TABLE IF EXISTS pairs_bkt_inc")
     }

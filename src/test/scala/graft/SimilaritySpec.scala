@@ -16,9 +16,10 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     StructField("embedding", ArrayType(FloatType))))
 
   /** 60 deterministic pseudo-random vectors; vec 500 is a tiny
-    * perturbation of vec 1 (cosine ~0.9999).
+    * perturbation of vec 1 (cosine ~0.9999). Kept as raw Scala data too,
+    * so ground truth is computable without Spark.
     */
-  private lazy val vectors = {
+  private lazy val raw: Seq[(Long, Seq[Float])] = {
     val rng = new scala.util.Random(11)
     val base = (0L until 60L).map { i =>
       (i, Array.fill(32)(rng.nextGaussian().toFloat).toSeq)
@@ -28,10 +29,11 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
       v(0) = v(0) + 0.001f
       (500L, v.toSeq)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize((base :+ clone).map(Row.fromTuple), 2),
-      schema)
+    base :+ clone
   }
+
+  private lazy val vectors = spark.createDataFrame(
+    spark.sparkContext.parallelize(raw.map(Row.fromTuple), 2), schema)
 
   test("brute-force top-k: planted clone of query ranks first") {
     val top = Similarity.bruteForceTopK(vectors, queryVecId = 1L, k = 5).collect()
@@ -58,6 +60,48 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
       s"clone not retrieved; got ${ivf.map(_.getLong(0)).mkString(",")}")
     val sims = ivf.map(_.getDouble(1)).toSeq
     assert(sims == sims.sorted.reverse)
+  }
+
+  test("trained IVF codebook: recall >= the first-16 sample codebook") {
+    import org.apache.spark.sql.DataFrame
+    import graft.llm.IvfStore
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        sxy += x * y; sxx += x * x; syy += y * y; i += 1
+      }
+      sxy / (math.sqrt(sxx) * math.sqrt(syy))
+    }
+    val queries = (0L until 10L)
+    val k = 5
+    // exact top-k ground truth computed independently in plain Scala
+    def truth(q: Long): Set[Long] = {
+      val qv = raw.find(_._1 == q).get._2
+      raw.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).map(_._1).toSet
+    }
+    def recall(cb: Option[DataFrame]): Double = {
+      val hits = queries.map { q =>
+        val got = cb.fold(Similarity.ivfTopK(vectors, q, k))(
+            c => Similarity.ivfTopKWith(c, vectors, q, k))
+          .collect().map(_.getLong(0)).toSet
+        (got intersect truth(q)).size
+      }.sum
+      hits.toDouble / (k * queries.size)
+    }
+    val first16 = recall(None)
+    val trained = IvfStore.train(vectors, k = Similarity.IvfCells, iters = 5)
+    val trainedRecall = recall(Some(trained))
+    assert(trainedRecall >= first16,
+      s"trained recall $trainedRecall < first-16 sample recall $first16")
+    // the planted clone is still retrieved through the trained codebook
+    val top = Similarity.ivfTopKWith(trained, vectors, 1L, 5).collect()
+    assert(top.head.getLong(0) == 500L,
+      s"clone not retrieved through trained codebook: ${top.map(_.getLong(0)).mkString(",")}")
   }
 
   test("IVF probes bound the candidate set (not the whole corpus)") {

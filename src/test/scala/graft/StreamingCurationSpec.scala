@@ -236,6 +236,21 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
       }
       assert(ex.getMessage.contains("bucket"),
         s"unexpected message: ${ex.getMessage}")
+
+      // maintenance path (the compact-state CLI): a fresh catalog and no
+      // explicit conf — compactState re-registers the tables from the
+      // files + the pinned marker and folds them under the dir's count
+      spark.conf.unset(StreamingCuration.StateBucketsConf)
+      Seq("train_fp", "test_docs").foreach(n => spark.sql(
+        s"DROP TABLE IF EXISTS ${StreamingCuration.stateTable(state, n)}"))
+      val files = StreamingCuration.compactState(spark, state)
+      assert(files.keySet == Set("train_fp", "test_docs"))
+      val ddl2 = spark.sql(s"SHOW CREATE TABLE $tbl").head().getString(0)
+      assert(ddl2.contains("8 BUCKETS"),
+        s"re-registered under the wrong bucket count:\n$ddl2")
+      val counts2 =
+        StreamingCuration.contaminationCounts(spark, state, out).head()
+      assert(counts2 == counts, s"compaction changed the answer: $counts2 vs $counts")
     } finally spark.conf.unset(StreamingCuration.StateBucketsConf)
   }
 }
