@@ -203,6 +203,28 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
       s"compaction changed the answer: $afterCompact vs $streamAns")
   }
 
+  test("a held compaction lock trips appends instead of losing them") {
+    val landing = Files.createTempDirectory("slock-land").toString
+    val state = Files.createTempDirectory("slock-state").toString
+    val out = Files.createTempDirectory("slock-out").toString
+    Files.write(Paths.get(landing, "b1.json"),
+      (0L until 50L).map(i =>
+        s"""{"doc_id":$i,"lang":"en","text":"lock doc $i"}""")
+        .mkString("\n").getBytes)
+    // a compaction lock left on the state dir (compaction in progress)
+    Files.write(Paths.get(state, StreamingCuration.CompactLock),
+      Array.emptyByteArray)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingCuration.start(spark, landing, schema, state, out,
+        rates, defaultRate).awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("compactState is running")),
+      s"append under a compaction lock did not fail loudly: ${messages(ex)}")
+  }
+
   test("state bucket count is a conf, pinned per dir; mismatched reopen fails loudly") {
     val landing = Files.createTempDirectory("sbkt-land").toString
     val state = Files.createTempDirectory("sbkt-state").toString
