@@ -632,25 +632,42 @@ case class BloomMightContainBc(filter: Broadcast[Array[Byte]],
 
 /** Driver-side handoff for [[BloomMightContainBc]]: broadcast handles
   * keyed by a token small enough to ride a string literal through
-  * `call_function`. Entries are tiny (a handle, not the filter bytes)
-  * and keyed by broadcast id, so re-registration is idempotent and
-  * re-analysis of a cached plan resolves to the same handle.
+  * `call_function`. Keyed by broadcast id, so re-registration is
+  * idempotent and re-analysis of a cached plan resolves to the same
+  * handle.
+  *
+  * The registry is only needed between Column construction and the
+  * plan's analysis (the builder swaps the token for the handle), so it
+  * is a BOUNDED FIFO of [[MaxEntries]]: a strong reference held forever
+  * would pin every filter's blocks against the ContextCleaner in a
+  * long-lived driver. Eviction drops only the registry's reference —
+  * built expressions hold the handle directly — letting the cleaner
+  * reclaim the blocks once the last plan using the filter is gone. A
+  * plan first analyzed after MaxEntries LATER filter builds fails
+  * loudly in [[resolve]] rather than probing a missing filter.
   */
 object BloomBroadcasts {
-  private val reg =
-    new java.util.concurrent.ConcurrentHashMap[String, Broadcast[Array[Byte]]]()
+  val MaxEntries = 64
 
-  def register(bc: Broadcast[Array[Byte]]): String = {
+  private val reg =
+    new java.util.LinkedHashMap[String, Broadcast[Array[Byte]]](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Broadcast[Array[Byte]]]): Boolean =
+        size() > MaxEntries
+    }
+
+  def register(bc: Broadcast[Array[Byte]]): String = reg.synchronized {
     val token = s"bloom_bc_${bc.id}"
     reg.put(token, bc)
     token
   }
 
-  def resolve(token: String): Broadcast[Array[Byte]] = {
+  def resolve(token: String): Broadcast[Array[Byte]] = reg.synchronized {
     val bc = reg.get(token)
     require(bc != null,
       s"no broadcast Bloom filter registered under '$token' — build the " +
-        "column via Fns.bloomContainsBroadcast on this driver")
+        "column via Fns.bloomContainsBroadcast on this driver (tokens are " +
+        s"evicted FIFO after $MaxEntries newer registrations)")
     bc
   }
 }
