@@ -79,6 +79,10 @@ object IvfStore {
   def train(vectors: DataFrame, k: Int = Similarity.IvfCells,
       iters: Int = 5, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the returned codebook is driver-pinned by the loop's per-iteration
+    // collect; with zero iterations the init would still reference the
+    // checkpoint blocks released below
+    require(iters >= 1, s"train needs at least one iteration, got $iters")
     val spark = vectors.sparkSession
     import spark.implicits._
     val vecs = vectors.repartition(col("vec_id"))
