@@ -75,6 +75,13 @@ object IvfStore {
     * possible; assignments are argmax over well-separated centroids and
     * ties still break on cell id, so labels stay stable in practice
     * (SimilaritySpec pins recall, not bits).
+    *
+    * Scale assumption: the codebook (k × dim doubles) fits in driver and
+    * executor memory — inherent to broadcast assignment (ivfAssign
+    * collapses it to one broadcast row regardless), and the standard IVF
+    * regime (cells ~ sqrt(corpus): 32k cells × 1k dims ≈ 256 MB at 10⁹
+    * vectors). The corpus itself only ever streams through map-side
+    * assignment and the slim per-dimension mean.
     */
   def train(vectors: DataFrame, k: Int = Similarity.IvfCells,
       iters: Int = 5, seed: Long = 42L): DataFrame = {
