@@ -487,6 +487,43 @@ object Curation {
     // verbatim and must hash-match it.
     Q("q80_bloom_decontamination",
       (s, d) => bloomDecontaminationCounts(docs(s, d)),
-      Some(DecontaminationOracle))
+      Some(DecontaminationOracle)),
+
+    // EXACT-QUOTA stratified sampling: keep exactly min(quota, |stratum|)
+    // docs per language, membership decided by a salted-hash ranking so
+    // the selection is reproducible on any engine, any run, any corpus
+    // ordering — the complement of q67/q79's RATE-based mixture rules
+    // (a rate can't hit "exactly 20 eval docs per language"; a quota
+    // can't express "50% of es"; a real mixture pipeline needs both).
+    // The filtered row_number plans as the TopKPerKey whole-operator
+    // extension: <= quota candidates per (partition, lang) reach the
+    // exchange instead of a per-language full sort — the same plan that
+    // survives a skewed 100 TB lang distribution (CurationSpec pins it).
+    Q("q81_stratified_quota",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val key = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 8),
+          16, 10).cast("long")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("k"), col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), key.as("k"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("doc_id"), col("rn"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8) AS BIGINT) AS k
+                FROM documents),
+              r AS (
+                SELECT lang, doc_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY k, doc_id) AS INT) AS rn
+                FROM t)
+              SELECT lang, doc_id, rn
+              FROM r WHERE rn <= 20 ORDER BY lang, rn"""))
   )
 }

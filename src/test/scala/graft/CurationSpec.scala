@@ -158,6 +158,34 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(plan.contains("TopKPerKeyPartial"), s"no partial phase:\n$plan")
   }
 
+  test("stratified quota sampling: exact per-language quotas through TopKPerKey") {
+    val q = graft.queries.Registry.queries("q81_stratified_quota")(
+      spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // exactly min(quota, stratum size) per language, rn consecutive, and
+    // the selection matches an independently computed hash ranking
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def key(id: Long): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest((id.toString + ":strat").getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = docs.toSeq.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map(_._1).sortBy(id => (key(id), id)).take(20)
+        .zipWithIndex.map { case (id, i) => (lang, id, i + 1) }
+    }.toSet
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect, s"selection diverged from independent ranking")
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+      s"quota sampling not planned through TopKPerKey:\n$plan")
+  }
+
   test("dup-ngram ratio: cross-doc shared shingles counted exactly") {
     val rows = Seq(
       Row(1L, "en", "a b c d"), // shingles {a b c, b c d}
