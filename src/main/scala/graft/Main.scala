@@ -107,6 +107,12 @@ object Main {
           graft.llm.IvfStore.build(vecs, dir, Some(cb))
           println(s"cells=${spark.read.parquet(s"$dir/cells").count()}")
 
+        // fold per-append small files into one file per cell (quiesce
+        // appenders first — same contract as compact-bucketed)
+        case "ivf" :: "compact" :: dir :: Nil =>
+          val n = graft.llm.IvfStore.compact(spark, dir)
+          println(s"files=$n")
+
         case "ivf" :: "append" :: vecsParquet :: dir :: Nil =>
           graft.llm.IvfStore.append(spark.read.parquet(vecsParquet), dir)
           println(s"cells=${spark.read.parquet(s"$dir/cells").count()}")
@@ -146,6 +152,6 @@ object Main {
         |  pairs compact <pairsDir> | pairs compact-bucketed <table>
         |  compact-state <stateDir>
         |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
-        |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k>
+        |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k> | ivf compact <ivfDir>
         |  query <sfDir> <name>""".stripMargin)
 }

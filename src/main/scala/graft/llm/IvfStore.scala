@@ -82,17 +82,34 @@ object IvfStore {
     * regime (cells ~ sqrt(corpus): 32k cells × 1k dims ≈ 256 MB at 10⁹
     * vectors). The corpus itself only ever streams through map-side
     * assignment and the slim per-dimension mean.
+    *
+    * `sampleFraction` bounds the TRAINING SET, not the index: a seeded
+    * Bernoulli `df.sample` applied before the checkpoint, so only the
+    * sample is materialized and each Lloyd's iteration scans the sample,
+    * never the corpus. k-means practice derives centroids from a ~1–10%
+    * sample; at 100 TB the full corpus is read exactly once — by
+    * [[build]]'s single assignment pass against the trained codebook.
+    * The sample must keep comfortably more than k vectors (cells ~
+    * sqrt(corpus) makes any practical fraction safe); a degenerate
+    * sample with fewer than k rows simply trains a smaller codebook.
     */
   def train(vectors: DataFrame, k: Int = Similarity.IvfCells,
-      iters: Int = 5, seed: Long = 42L): DataFrame = {
+      iters: Int = 5, seed: Long = 42L,
+      sampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the returned codebook is driver-pinned by the loop's per-iteration
     // collect; with zero iterations the init would still reference the
     // checkpoint blocks released below
     require(iters >= 1, s"train needs at least one iteration, got $iters")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val spark = vectors.sparkSession
     import spark.implicits._
-    val vecs = vectors.repartition(col("vec_id"))
+    val base =
+      if (sampleFraction < 1.0)
+        vectors.sample(withReplacement = false, sampleFraction, seed)
+      else vectors
+    val vecs = base.repartition(col("vec_id"))
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
       .localCheckpoint(true)
     val w = Window.orderBy(col("h"), col("vec_id"))
@@ -137,6 +154,61 @@ object IvfStore {
       .option("compression", Writers.DefaultCompression)
       .partitionBy("cell")
       .parquet(s"$dir/cells")
+  }
+
+  /** Fold the small files [[append]] accumulates (one per cell per
+    * appended batch) back into one file per cell, preserving the
+    * `partitionBy("cell")` layout so probe-time partition pruning is
+    * untouched (IvfStoreSpec plan-asserts PartitionFilters after a
+    * compaction). `repartition(col("cell"))` puts each cell's rows in
+    * exactly one task, so the dynamic-partition write emits exactly one
+    * file per cell — bounded by the IVF regime (cells ~ sqrt(corpus) →
+    * ~sqrt(corpus) rows per file).
+    *
+    * Crash-safe sibling-write + dir-swap (the
+    * [[graft.etl.Writers.compactBucketedTable]] /
+    * [[graft.streaming.StreamingCuration.compactState]] shape): the
+    * compacted copy is durable at `cells__compact_tmp` BEFORE any
+    * rename, and the previous layout survives at `cells.__pre_compact`
+    * until the new one is in place — a complete copy of the index exists
+    * on disk at every instant. Recovery after a crash mid-swap: if
+    * `cells` is missing, rename whichever of `cells.__pre_compact` or
+    * `cells__compact_tmp` exists back to `cells` (each holds a complete
+    * copy). Callers must quiesce appenders first (same contract as
+    * compactBucketedTable). Returns the new data-file count.
+    */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells__compact_tmp")
+    val pre = new org.apache.hadoop.fs.Path(s"$dir/cells.__pre_compact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(cells.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("compression", Writers.DefaultCompression)
+      .partitionBy("cell")
+      .parquet(tmp.toString)
+    if (fs.exists(pre)) fs.delete(pre, true)
+    if (!fs.rename(cells, pre))
+      throw new java.io.IOException(s"ivf compact: could not move $cells aside")
+    if (!fs.rename(tmp, cells))
+      throw new java.io.IOException(
+        s"ivf compact: could not move $tmp into place " +
+          s"(previous index preserved at $pre)")
+    fs.delete(pre, true)
+    dataFileCount(fs, cells)
+  }
+
+  /** Parquet data files under `p`, recursively (cell partition dirs). */
+  def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Int = {
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 
   /** Exact-cosine top-k over the stored index: only the query's

@@ -594,8 +594,73 @@ object Similarity {
                 UNION
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
               SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS comp
-              FROM reach GROUP BY node ORDER BY vec_id"""))
+              FROM reach GROUP BY node ORDER BY vec_id""")),
+
+    // Trained-IVF probe, oracle-pinned: train a seeded Lloyd's codebook
+    // ([[IvfStore.train]], sampleFraction = 0.5 so the training loop
+    // scans a bounded seeded sample — the 100 TB form, where the corpus
+    // is read once, by the final assignment), PERSIST it to parquet,
+    // read it back, and probe through [[ivfTopKWith]]. The oracle reads
+    // the SAME persisted codebook (doubles round-trip parquet exactly),
+    // so the argmax assignment, 4-cell probe, and exact-cosine ranking
+    // are all value-hash-checked by q50's SQL with the first-16 CTE
+    // swapped for the parquet read — training drift can never break the
+    // hash because both engines derive from the codebook THIS run wrote.
+    Q("q82_ann_ivf_trained",
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = IvfStore.train(e, iters = 3, sampleFraction = 0.5)
+        cb.write.mode("overwrite").parquet(Q82CodebookDir)
+        val stored = s.read.parquet(Q82CodebookDir)
+          .select(col("cell"), col("cv"))
+        ivfTopKWith(stored, e, queryVecId = 0L, k = 10)
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT cell, cv
+                     FROM read_parquet('$Q82CodebookDir/*.parquet')),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              qcell AS (
+                SELECT cell FROM (
+                  SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS rn
+                  FROM scored WHERE vec_id = 0) t WHERE rn <= 4),
+              q AS (SELECT a AS qa FROM v WHERE vec_id = 0)
+              SELECT c.vec_id,
+                     ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
+                             i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))), 4) AS sim
+              FROM corpus c
+              JOIN qcell USING (cell)
+              JOIN v ON v.vec_id = c.vec_id
+              CROSS JOIN q
+              WHERE c.vec_id <> 0
+              ORDER BY list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) DESC,
+                       c.vec_id
+              LIMIT 10"""))
   )
+
+  /** Where q82 persists its trained codebook so the DuckDB oracle can
+    * read the identical bits (`read_parquet`). Static by necessity: the
+    * oracle SQL is a fixed string dumped at Verify time.
+    */
+  val Q82CodebookDir = "/tmp/graft_q82_codebook"
 
   val IvfCells = 16
   val IvfProbes = 4

@@ -82,6 +82,43 @@ class IvfStoreSpec extends AnyFunSuite with TestSpark {
       s"appended clone not retrieved through trained cells: ${top2.mkString(",")}")
   }
 
+  test("compact folds per-append files; answers and pruning survive") {
+    val dir = Files.createTempDirectory("graft-ivf-cmp").toString
+    IvfStore.build(vectors, dir)
+    // two appended batches pile extra small files onto their cells
+    def cloneOf(srcId: Long, newId: Long) = {
+      val v = vectors.filter(col("vec_id") === srcId)
+        .head().getSeq[Float](1).toArray
+      v(0) = v(0) + 0.001f
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row.fromTuple((newId, v.toSeq))), 1),
+        schema)
+    }
+    IvfStore.append(cloneOf(2L, 600L), dir)
+    IvfStore.append(cloneOf(3L, 601L), dir)
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore = IvfStore.dataFileCount(fs, cells)
+    val rowsBefore = spark.read.parquet(cells.toString).count()
+    val topBefore = IvfStore.topK(spark, dir, queryVec(2L), k = 3,
+      excludeId = Some(2L)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val filesAfter = IvfStore.compact(spark, dir)
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink file count: $filesBefore -> $filesAfter")
+    assert(IvfStore.dataFileCount(fs, cells) == filesAfter)
+    assert(spark.read.parquet(cells.toString).count() == rowsBefore)
+    // answers identical through the compacted layout, probe still pruned
+    val top = IvfStore.topK(spark, dir, queryVec(2L), k = 3,
+      excludeId = Some(2L))
+    val topAfter = top.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topAfter == topBefore, s"$topBefore vs $topAfter")
+    val plan = top.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"compacted cells scan not partition-pruned:\n$plan")
+  }
+
   test("append assigns new vectors via the stored codebook") {
     val dir = Files.createTempDirectory("graft-ivf-app").toString
     IvfStore.build(vectors, dir)

@@ -104,6 +104,63 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
       s"clone not retrieved through trained codebook: ${top.map(_.getLong(0)).mkString(",")}")
   }
 
+  test("sample-trained IVF codebook: recall within tolerance of full training") {
+    import org.apache.spark.sql.DataFrame
+    import graft.llm.IvfStore
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        sxy += x * y; sxx += x * x; syy += y * y; i += 1
+      }
+      sxy / (math.sqrt(sxx) * math.sqrt(syy))
+    }
+    val queries = (0L until 10L)
+    val k = 5
+    def truth(q: Long): Set[Long] = {
+      val qv = raw.find(_._1 == q).get._2
+      raw.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).map(_._1).toSet
+    }
+    def recall(cb: DataFrame): Double = {
+      val hits = queries.map { q =>
+        val got = Similarity.ivfTopKWith(cb, vectors, q, k)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect truth(q)).size
+      }.sum
+      hits.toDouble / (k * queries.size)
+    }
+    // k=8 keeps the cells-to-sample ratio honest on the 61-vector
+    // fixture: a 50% sample must still hold several vectors per cell
+    // for sampled centroids to be meaningful (the real-scale regime —
+    // cells ~ sqrt(corpus) — has thousands per cell at any practical
+    // sampleFraction)
+    val full = IvfStore.train(vectors, k = 8, iters = 5)
+    val sampled = IvfStore.train(vectors, k = 8, iters = 5,
+      sampleFraction = 0.5)
+    // centroids came from half the corpus, so recall may dip — but on
+    // the planted-clone fixture it must stay within tolerance of full
+    // training (the 100 TB contract: sample-trained centroids still
+    // tile the data)
+    val fullRecall = recall(full)
+    val sampledRecall = recall(sampled)
+    assert(sampledRecall >= fullRecall - 0.1,
+      s"sampled recall $sampledRecall too far below full $fullRecall")
+    // the clone still lands next to its original through sampled centroids
+    val top = Similarity.ivfTopKWith(sampled, vectors, 1L, 5).collect()
+    assert(top.head.getLong(0) == 500L,
+      s"clone not retrieved through sample-trained codebook: ${top.map(_.getLong(0)).mkString(",")}")
+    // seeded sampling is deterministic: same inputs, same codebook
+    val again = IvfStore.train(vectors, k = 8, iters = 5,
+      sampleFraction = 0.5)
+    val a = sampled.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val b = again.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(a == b, "sample-trained codebook not reproducible")
+  }
+
   test("IVF probes bound the candidate set (not the whole corpus)") {
     import org.apache.spark.sql.functions.col
     val vecs = vectors.select(col("vec_id"),
