@@ -84,13 +84,27 @@ object Main {
         case "pairs" :: "compact" :: dir :: Nil =>
           println(s"files=${graft.llm.PairStore.compact(spark, dir)}")
 
+        // crash recovery: compact-bucketed keeps a complete copy on disk
+        // at every instant, but a crash between its DROP and CREATE
+        // leaves the data durable with no catalog entry (and DESCRIBE-
+        // based rediscovery impossible) — `pairs register <table> <dir>`
+        // re-creates the entry over the surviving files; if the data dir
+        // itself is gone mid-swap, rename `<dir>.__pre_compact` or
+        // `<dir>__compact_tmp` back to `<dir>` first (each is complete)
         case "pairs" :: "compact-bucketed" :: table :: Nil =>
           println(s"files=${graft.llm.PairStore.compactBucketed(spark, table)}")
 
+        case "pairs" :: "register" :: table :: dir :: Nil =>
+          graft.llm.PairStore.registerBucketed(spark, table, dir)
+          println(s"pairs=${graft.llm.PairStore.bucketedPairs(spark, table).count()}")
+
         // fold a streaming-curation state dir's per-batch appends (stop
         // the stream first; the compaction lock trips concurrent appends)
-        case "compact-state" :: stateDir :: Nil =>
-          graft.streaming.StreamingCuration.compactState(spark, stateDir)
+        case "compact-state" :: stateDir :: rest if rest.isEmpty || rest == List("force") =>
+          // `force` breaks a STALE lock left by a compaction driver that
+          // died mid-run — never use it while a compaction is live
+          graft.streaming.StreamingCuration
+            .compactState(spark, stateDir, force = rest.nonEmpty)
             .toSeq.sortBy(_._1)
             .foreach { case (t, n) => println(s"table=$t files=$n") }
 
@@ -149,8 +163,8 @@ object Main {
         |  preprocess <inParquet> <outDir>
         |  pairs build <docsParquet> <pairsDir> | pairs build-bucketed <docsParquet> <table> <dir>
         |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir>
-        |  pairs compact <pairsDir> | pairs compact-bucketed <table>
-        |  compact-state <stateDir>
+        |  pairs compact <pairsDir> | pairs compact-bucketed <table> | pairs register <table> <dir>
+        |  compact-state <stateDir> [force]
         |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
         |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k> | ivf compact <ivfDir>
         |  query <sfDir> <name>""".stripMargin)

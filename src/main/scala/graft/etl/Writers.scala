@@ -105,7 +105,26 @@ object Writers {
     *
     * Callers must quiesce writers to the table first — see
     * [[graft.streaming.StreamingCuration.compactState]]'s lock for the
-    * streaming case.
+    * streaming case. As a backstop against a writer that slipped past
+    * that contract, the table dir's file listing is re-verified
+    * immediately before the swap: if it changed since the snapshot
+    * read, the compaction ABORTS loudly (temp copy deleted, original
+    * untouched) instead of silently dropping the concurrent append.
+    *
+    * Crash recovery — what survives at each step and how to resume:
+    *  - during step 1 (temp write): the original table and its files
+    *    are untouched; delete `<path>__compact_tmp` and the
+    *    `<table>_compact_tmp` catalog entry, re-run.
+    *  - between the DROPs and the first rename: all data still at
+    *    `path`, but no catalog entry — re-register with
+    *    [[registerBucketedTable]] (or the DDL in its doc), then re-run.
+    *  - between the two renames: the original is at
+    *    `<path>.__pre_compact` and the compacted copy at
+    *    `<path>__compact_tmp` — rename either back to `path`, then
+    *    re-register.
+    *  - after the swap, before the CREATE: compacted data is live at
+    *    `path` with no catalog entry — just re-register (done; a
+    *    re-run would also work).
     */
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, keyCol: String, buckets: Int,
@@ -119,6 +138,7 @@ object Writers {
     val tmpPath = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    val listing0 = dataListing(fs, p)
     // 1. durable compacted copy beside the original (a bucketed scan
     // yields one partition per bucket, so the write emits one file per
     // bucket without an extra repartition)
@@ -128,6 +148,19 @@ object Writers {
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet")
       .saveAsTable(tmpTbl)
+    // concurrent-writer backstop: the temp copy was derived from the
+    // listing as of `listing0`; any change since means an append raced
+    // the compaction and the swap could drop its files — abort with the
+    // original intact rather than lose data
+    val listing1 = dataListing(fs, p)
+    if (listing0 != listing1) {
+      spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
+      fs.delete(tmpPath, true)
+      throw new IllegalStateException(
+        s"compact: $path changed while the compacted copy was being " +
+          "written (a concurrent append?) — aborting with the original " +
+          "table untouched; quiesce writers and re-run")
+    }
     // 2. swap directories; the old dir survives until the new one is in
     // place (a MANAGED original is deleted by its drop — its rows are
     // already durable in the temp copy)
@@ -143,13 +176,51 @@ object Writers {
           s"(previous data preserved at $pre)")
     // 3. re-register the catalog entry over the swapped files (bucket
     // ids live in the file names, so DDL keeps the layout live)
-    spark.sql(
-      s"""CREATE TABLE `$table` ($schemaDdl) USING PARQUET
-          CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
-          LOCATION '$p'""")
+    registerBucketedTable(spark, table, p.toString, keyCol, buckets,
+      Some(schemaDdl))
     fs.delete(pre, true)
     fs.listStatus(p)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Sorted (name, length) of the data files directly under `p` — the
+    * fingerprint [[compactBucketedTable]] compares to detect a writer
+    * that raced the compaction.
+    */
+  private def dataListing(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1)
+
+  /** (Re-)create the catalog entry for a bucketed EXTERNAL parquet table
+    * over files already on disk. This is BOTH the maintenance path for a
+    * fresh session whose in-memory catalog forgot the table, AND the
+    * crash-recovery path when a failure between
+    * [[compactBucketedTable]]'s DROP and CREATE leaves the data durable
+    * at `path` with no catalog entry. Schema comes from the files unless
+    * supplied. Equivalent manual DDL:
+    * {{{
+    * CREATE TABLE `t` (<schema>) USING PARQUET
+    *   CLUSTERED BY (key) SORTED BY (key) INTO n BUCKETS LOCATION 'path'
+    * }}}
+    * `keyCol`/`buckets` MUST match the layout the files were written
+    * with (bucket ids live in the file names; a wrong declared count
+    * mis-routes bucketed reads).
+    */
+  def registerBucketedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, keyCol: String, buckets: Int,
+      schemaDdl: Option[String] = None): Unit = {
+    val ddl = schemaDdl.getOrElse(spark.read.parquet(path).schema.toDDL)
+    spark.sql(
+      s"""CREATE TABLE `$table` ($ddl) USING PARQUET
+          CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
+          LOCATION '$path'""")
   }
 
   /** Bucketed managed table: rows are hash-partitioned into `buckets`

@@ -142,6 +142,17 @@ object PairStore {
     * every later d1-keyed read to a re-shuffle). Crash-safe sibling
     * write + directory swap — [[graft.etl.Writers.compactBucketedTable]];
     * quiesce appenders first. Returns the new file count.
+    *
+    * Crash recovery: a complete copy of the pairs exists on disk at
+    * every instant (see compactBucketedTable's step-by-step doc), but a
+    * crash between its DROP and CREATE leaves the data durable with no
+    * catalog entry — and because this method discovers the path via
+    * DESCRIBE FORMATTED, the table can then no longer be reached through
+    * the API. [[registerBucketed]] (CLI: `pairs register <table> <dir>`)
+    * re-creates the entry over the surviving directory; if the dir
+    * itself vanished mid-swap, rename `<dir>.__pre_compact` or
+    * `<dir>__compact_tmp` back into place first (each holds a complete
+    * copy).
     */
   def compactBucketed(spark: SparkSession, table: String,
       buckets: Int = NumBuckets): Int = {
@@ -152,4 +163,15 @@ object PairStore {
       .getString(1).trim
     Writers.compactBucketedTable(spark, table, loc, "d1", buckets)
   }
+
+  /** Re-create the bucketed pair table's catalog entry over files
+    * already on disk — the recovery path after a crash between
+    * [[compactBucketed]]'s DROP and CREATE (the data survives; only the
+    * catalog entry is missing), and the maintenance path for a fresh
+    * session whose in-memory catalog forgot the table. `buckets` must
+    * match the count the files were written with.
+    */
+  def registerBucketed(spark: SparkSession, table: String, path: String,
+      buckets: Int = NumBuckets): Unit =
+    Writers.registerBucketedTable(spark, table, path, "d1", buckets)
 }

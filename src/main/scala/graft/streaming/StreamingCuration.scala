@@ -71,21 +71,46 @@ object StreamingCuration {
     val explicit = spark.conf.getOption(StateBucketsConf).map(_.trim.toInt)
     val marker = new Path(stateDir, "_graft_buckets")
     val fs = fsOf(spark, marker)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val pinned =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    // the claim winner writes content right after createNewFile, so a
+    // concurrent reader can glimpse the empty claimed file — retry
+    // briefly before declaring the marker corrupt
+    def readMarker(): Int = {
+      val deadline = System.currentTimeMillis() + 10000L
+      var txt = ""
+      var done = false
+      while (!done) {
+        val in = fs.open(marker)
+        txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
+        done = txt.nonEmpty || System.currentTimeMillis() > deadline
+        if (!done) Thread.sleep(50L)
+      }
+      require(txt.nonEmpty,
+        s"bucket marker $marker is empty — its creator likely died " +
+          "mid-claim; delete the marker and reopen the state dir")
+      txt.toInt
+    }
+    def validated(pinned: Int): Int = {
       explicit.foreach(c => require(c == pinned,
         s"state dir $stateDir was written with $pinned buckets but " +
           s"$StateBucketsConf=$c — reopening under a different bucket " +
           "count would mix file layouts and corrupt bucketed probes"))
       pinned
-    } else {
+    }
+    if (fs.exists(marker)) validated(readMarker())
+    else {
       val n = explicit.getOrElse(StateBuckets)
-      val out = fs.create(marker, true)
-      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-      n
+      fs.mkdirs(new Path(stateDir))
+      // atomic claim: two sessions first-opening the same dir with
+      // different configured counts must NOT both write (the overwrite
+      // form let both pass the no-marker branch and append mixed bucket
+      // layouts); only the createNewFile winner writes, the loser reads
+      // back and validates like any reopen
+      if (fs.createNewFile(marker)) {
+        val out = fs.create(marker, true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+        n
+      } else validated(readMarker())
     }
   }
 
@@ -103,24 +128,48 @@ object StreamingCuration {
   /** Append a batch's rows into the bucketed external state table at
     * `path` (created on first append; later appends must match the
     * catalog's bucket spec, so the layout can't silently degrade — the
-    * PairStore.appendBucketed contract). Refuses to append while a
-    * [[compactState]] lock is held on the state dir: the compaction swap
-    * would silently drop an in-flight append's files.
+    * PairStore.appendBucketed contract).
+    *
+    * Concurrency contract with [[compactState]] (the lease):
+    *  - refuses to START while the [[CompactLock]] is held;
+    *  - touches the [[AppendHeartbeat]] before AND after the write, so a
+    *    compaction that acquires the lock mid-append keeps waiting until
+    *    the appends have been quiet for a full settle interval;
+    *  - if the lock appeared DURING the write, fails the batch loudly —
+    *    the files may sit on either side of the compaction swap, so the
+    *    checkpoint must replay the batch after the compaction (replays
+    *    are safe: every state fold distinct-counts its keys/doc ids).
+    * An append overlapping a compaction therefore either fully lands
+    * (the compaction waited it out) or fully fails — never a silent drop.
     */
   private def appendState(df: DataFrame, table: String, path: String,
       keyCol: String, buckets: Int): Unit = {
     val parent = new Path(path).getParent
     val fs = fsOf(df.sparkSession, parent)
-    require(!fs.exists(new Path(parent, CompactLock)),
+    val lock = new Path(parent, CompactLock)
+    require(!fs.exists(lock),
       s"compactState is running on $parent — appends during compaction " +
-        "would be dropped by the directory swap; stop the stream first")
+        "would be dropped by the directory swap; stop the stream first " +
+        s"(if no compaction is actually running — e.g. its driver died " +
+        s"mid-run — delete the stale $lock file)")
+    touch(fs, new Path(parent, AppendHeartbeat))
     df.write.mode("append")
       .option("compression", Writers.DefaultCompression)
       .option("path", path)
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+    touch(fs, new Path(parent, AppendHeartbeat))
+    if (fs.exists(lock))
+      throw new IllegalStateException(
+        s"append to $table raced a compaction on $parent (the lock " +
+          "appeared mid-append) — failing the batch loudly so the " +
+          "checkpoint replays it after the compaction finishes")
   }
+
+  /** Create-or-overwrite an empty marker file; its mtime is the signal. */
+  private def touch(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit =
+    fs.create(p, true).close()
 
   /** The stored state, bucket-aware when the catalog entry is live; a
     * plain parquet read of the same files when it isn't (fresh session
@@ -185,14 +234,23 @@ object StreamingCuration {
         // new train fingerprints vs already-stored test docs (late train)
         val contLate = readState(spark, testDocsTbl, testDocsDir)
           .map(_.join(newTrain, Seq("fp"), "left_semi"))
+        // state appends FIRST, then the distinct-folded contaminated
+        // output, then the additive mixture counts LAST: if anything up
+        // to the mixture write fails (including an append racing a
+        // compaction), the checkpoint replay re-appends rows that every
+        // downstream fold distinct-counts away — and the one sink whose
+        // fold is NOT idempotent (mixture sums) runs only once, on the
+        // attempt that reaches it. Probing after the append is sound:
+        // the extra self-hits it can surface are exactly contBatch's,
+        // and the fold distinct-counts doc_id.
+        appendState(newTrain, trainFpTbl, trainFpDir, "fp", buckets)
+        appendState(newTest, testDocsTbl, testDocsDir, "fp", buckets)
         (Seq(contBatch) ++ contStored ++ contLate)
           .reduce(_ unionByName _)
           .select(col("doc_id"))
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/contaminated")
-        appendState(newTrain, trainFpTbl, trainFpDir, "fp", buckets)
-        appendState(newTest, testDocsTbl, testDocsDir, "fp", buckets)
         Curation.mixtureCounts(batch, rates, defaultRate)
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
@@ -254,21 +312,35 @@ object StreamingCuration {
         // retro-probe: new train grams vs already-stored test grams
         val hitsLate = readState(spark, testGramTbl, testGramDir)
           .map(_.join(newTrain, Seq("k"), "left_semi"))
+        // appends before the hits write (see start(): replays after a
+        // loud append-race failure re-append rows the distinct folds
+        // ignore; self-hits surfaced by probing post-append are exactly
+        // hitsBatch's pairs)
+        appendState(newTrain, trainGramTbl, trainGramDir, "k", buckets)
+        appendState(newTest, testGramTbl, testGramDir, "k", buckets)
         (Seq(hitsBatch) ++ hitsStored ++ hitsLate)
           .reduce(_ unionByName _)
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/gram_hits")
-        appendState(newTrain, trainGramTbl, trainGramDir, "k", buckets)
-        appendState(newTest, testGramTbl, testGramDir, "k", buckets)
       }
       .start()
   }
 
   /** Name of the per-state-dir compaction lock file — present while
     * [[compactState]] runs; [[appendState]] refuses to append under it.
+    * Contains its owner + claim timestamp for stale-lock forensics. If
+    * the owning driver died mid-compaction the lock stays behind and
+    * trips every append and compaction: it is then safe to DELETE the
+    * file once no compaction JVM is alive (or pass `force = true` /
+    * `compact-state <dir> force` on the CLI).
     */
   val CompactLock = "_graft_compacting"
+
+  /** Mtime-bearing marker [[appendState]] touches around every state
+    * write; [[compactState]]'s lease wait keys off its age.
+    */
+  val AppendHeartbeat = "_graft_last_append"
 
   /** Fold the small files the per-batch appends accumulate in every
     * state table under `stateDir`, PRESERVING the bucket layout (a plain
@@ -287,20 +359,73 @@ object StreamingCuration {
     * localCheckpoint snapshot, whose executor-memory blocks cannot be
     * recomputed after the truncate (ADVICE r7).
     *
-    * Not concurrency-safe with a RUNNING stream on the same stateDir:
-    * the swap would drop an in-flight append's files. The [[CompactLock]]
-    * marker makes that loud — appends fail while it is held, and a
-    * second concurrent compaction refuses to start — but the lock is
-    * checked per batch, not held across one, so STOP the stream before
-    * compacting; the lock is the tripwire, not the guarantee.
+    * Concurrency with a RUNNING stream on the same stateDir is a LEASE,
+    * not just a tripwire (the r8 form could still drop an append that
+    * was in flight when the lock appeared):
+    *  - the [[CompactLock]] refuses concurrent appends and compactions;
+    *  - after acquiring the lock, the compaction WAITS until the newest
+    *    [[AppendHeartbeat]] is at least `settleMillis` old — an append
+    *    that slipped past the lock check heartbeats before and after its
+    *    write, so the swap cannot start while one is plausibly in
+    *    flight (set `settleMillis` >= the stream's trigger interval);
+    *  - an append that completes under the lock fails ITS batch loudly
+    *    (see [[appendState]]) — replayed by the checkpoint after the
+    *    compaction, idempotently;
+    *  - as a final backstop, [[Writers.compactBucketedTable]] re-checks
+    *    the dir listing right before its swap and aborts if it changed.
+    * If heartbeats keep arriving past `settleTimeoutMillis`, a stream is
+    * actively writing: the compaction gives up loudly — stop the stream
+    * first. `force = true` breaks a STALE lock (a compaction driver that
+    * died mid-run; the lock file records owner + claim time) — never
+    * force while a live compaction is running.
     */
-  def compactState(spark: SparkSession, stateDir: String): Map[String, Int] = {
+  def compactState(spark: SparkSession, stateDir: String,
+      force: Boolean = false, settleMillis: Long = 15000L,
+      settleTimeoutMillis: Long = 120000L): Map[String, Int] = {
     val buckets = pinnedBuckets(spark, stateDir)
     val fs = fsOf(spark, new Path(stateDir))
     val lock = new Path(stateDir, CompactLock)
-    require(fs.createNewFile(lock),
-      s"another compaction already holds $lock")
+    if (!fs.createNewFile(lock)) {
+      if (force) {
+        fs.delete(lock, false)
+        require(fs.createNewFile(lock),
+          s"could not re-claim $lock even under force — another " +
+            "compaction is claiming it concurrently")
+      } else {
+        val claimed = fs.getFileStatus(lock).getModificationTime
+        throw new IllegalStateException(
+          s"another compaction already holds $lock (claimed ${
+            java.time.Instant.ofEpochMilli(claimed)}). If that driver " +
+            "died mid-compaction, delete the lock file or re-run with " +
+            "force = true (CLI: compact-state <dir> force).")
+      }
+    }
+    // owner + claim time, for stale-lock forensics
+    val out = fs.create(lock, true)
+    try out.write(
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${
+        java.time.Instant.now()}".getBytes("UTF-8"))
+    finally out.close()
     try {
+      // the lease wait: no swap while an append is plausibly in flight
+      val hb = new Path(stateDir, AppendHeartbeat)
+      val deadline = System.currentTimeMillis() + settleTimeoutMillis
+      var settled = false
+      while (!settled) {
+        val age =
+          if (fs.exists(hb))
+            System.currentTimeMillis() - fs.getFileStatus(hb).getModificationTime
+          else Long.MaxValue
+        settled = age >= settleMillis
+        if (!settled) {
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"appends to $stateDir were still heartbeating after " +
+                s"$settleTimeoutMillis ms — a stream is running on this " +
+                "state dir; stop it before compacting")
+          Thread.sleep(math.min(250L, math.max(50L, settleMillis / 4)))
+        }
+      }
       val tables = Seq(
         ("train_fp", "fp"), ("test_docs", "fp"),
         ("train_grams", "k"), ("test_grams", "k"))
@@ -310,13 +435,8 @@ object StreamingCuration {
         // a maintenance session (the compact-state CLI) starts with an
         // empty in-memory catalog: re-register the bucketed entry from
         // the files + the pinned bucket count before compacting
-        if (!spark.catalog.tableExists(tbl) && fs.exists(new Path(path))) {
-          val ddl = spark.read.parquet(path).schema.toDDL
-          spark.sql(
-            s"""CREATE TABLE $tbl ($ddl) USING PARQUET
-                CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
-                LOCATION '$path'""")
-        }
+        if (!spark.catalog.tableExists(tbl) && fs.exists(new Path(path)))
+          Writers.registerBucketedTable(spark, tbl, path, keyCol, buckets)
         if (!spark.catalog.tableExists(tbl)) None
         else Some(name -> Writers.compactBucketedTable(
           spark, tbl, path, keyCol, buckets))
@@ -354,8 +474,10 @@ object StreamingCuration {
       outDir: String): DataFrame = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // distinct, not count(1): a batch replayed after an append-race
+    // failure re-appends its test docs, and n_test must not inflate
     val nTest = spark.read.parquet(s"$stateDir/test_docs")
-      .agg(count(lit(1)).as("n_test"))
+      .agg(countDistinct(col("doc_id")).as("n_test"))
     val contDir = s"$outDir/contaminated"
     val nCont =
       if (fs.exists(new Path(contDir)))

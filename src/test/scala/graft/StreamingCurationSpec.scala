@@ -131,7 +131,8 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
 
     // compaction folds the per-batch small files, preserves the bucket
     // layout and the accumulated answer
-    val files = StreamingCuration.compactState(spark, state)
+    val files = StreamingCuration.compactState(spark, state,
+      settleMillis = 200L)
     assert(files.keySet == Set("train_fp", "test_docs"))
     val afterCompact =
       StreamingCuration.contaminationCounts(spark, state, out).head()
@@ -195,7 +196,8 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
     // gram state is bucketed by k; compaction preserves the answer
     assert(spark.catalog.tableExists(
       StreamingCuration.stateTable(state, "train_grams")))
-    val files = StreamingCuration.compactState(spark, state)
+    val files = StreamingCuration.compactState(spark, state,
+      settleMillis = 200L)
     assert(files.keySet == Set("train_grams", "test_grams"))
     val afterCompact =
       StreamingCuration.ngramContaminationTotals(spark, state, out).head()
@@ -223,6 +225,85 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("compactState is running")),
       s"append under a compaction lock did not fail loudly: ${messages(ex)}")
+  }
+
+  test("compaction lease: fresh heartbeats make compactState wait, then fail loudly") {
+    val landing = Files.createTempDirectory("slease-land").toString
+    val state = Files.createTempDirectory("slease-state").toString
+    val out = Files.createTempDirectory("slease-out").toString
+    Files.write(Paths.get(landing, "b1.json"),
+      (0L until 50L).map(i =>
+        s"""{"doc_id":$i,"lang":"en","text":"lease doc $i"}""")
+        .mkString("\n").getBytes)
+    StreamingCuration.start(spark, landing, schema, state, out,
+      rates, defaultRate).awaitTermination()
+    // a just-touched heartbeat = an append may be in flight: with a long
+    // settle and a short timeout the compaction must give up LOUDLY
+    // instead of swapping under the append
+    Files.write(Paths.get(state, StreamingCuration.AppendHeartbeat),
+      Array.emptyByteArray)
+    val ex = intercept[IllegalStateException] {
+      StreamingCuration.compactState(spark, state,
+        settleMillis = 60000L, settleTimeoutMillis = 400L)
+    }
+    assert(ex.getMessage.contains("still heartbeating"),
+      s"unexpected message: ${ex.getMessage}")
+    // the failed attempt released its lock; once the heartbeat has aged
+    // past the settle interval the compaction proceeds and the answer
+    // is unchanged
+    Thread.sleep(300L)
+    val before = StreamingCuration.contaminationCounts(spark, state, out).head()
+    val files = StreamingCuration.compactState(spark, state,
+      settleMillis = 200L)
+    assert(files.keySet == Set("train_fp", "test_docs"))
+    val after = StreamingCuration.contaminationCounts(spark, state, out).head()
+    assert(after == before, s"compaction changed the answer: $after vs $before")
+  }
+
+  test("a stale compaction lock is reported with cleanup guidance; force breaks it") {
+    val landing = Files.createTempDirectory("sstale-land").toString
+    val state = Files.createTempDirectory("sstale-state").toString
+    val out = Files.createTempDirectory("sstale-out").toString
+    Files.write(Paths.get(landing, "b1.json"),
+      (0L until 50L).map(i =>
+        s"""{"doc_id":$i,"lang":"en","text":"stale doc $i"}""")
+        .mkString("\n").getBytes)
+    StreamingCuration.start(spark, landing, schema, state, out,
+      rates, defaultRate).awaitTermination()
+    // a lock left behind by a compaction driver that died mid-run
+    Files.write(Paths.get(state, StreamingCuration.CompactLock),
+      "dead-jvm@nowhere 2026-01-01T00:00:00Z".getBytes)
+    val ex = intercept[IllegalStateException] {
+      StreamingCuration.compactState(spark, state, settleMillis = 100L)
+    }
+    assert(ex.getMessage.contains("force"),
+      s"stale-lock error must point at the recovery path: ${ex.getMessage}")
+    // force breaks the stale lock, compacts, and cleans up after itself
+    val files = StreamingCuration.compactState(spark, state,
+      force = true, settleMillis = 200L)
+    assert(files.keySet == Set("train_fp", "test_docs"))
+    assert(!Files.exists(Paths.get(state, StreamingCuration.CompactLock)),
+      "lock not released after forced compaction")
+  }
+
+  test("concurrent first-open: only one session claims the bucket marker") {
+    val state = Files.createTempDirectory("smarker-state").toString
+    // simulate the loser of a createNewFile race arriving while the
+    // winner's marker is already in place with a DIFFERENT count: the
+    // explicit conf must be validated against the pinned value, not
+    // silently overwrite it (the fs.create(overwrite=true) bug)
+    Files.write(Paths.get(state, "_graft_buckets"), "16".getBytes)
+    spark.conf.set(StreamingCuration.StateBucketsConf, "32")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        StreamingCuration.compactState(spark, state, settleMillis = 100L)
+      }
+      assert(ex.getMessage.contains("16 buckets"),
+        s"unexpected message: ${ex.getMessage}")
+      assert(new String(Files.readAllBytes(
+        Paths.get(state, "_graft_buckets"))) == "16",
+        "marker content must never be overwritten by a later session")
+    } finally spark.conf.unset(StreamingCuration.StateBucketsConf)
   }
 
   test("state bucket count is a conf, pinned per dir; mismatched reopen fails loudly") {
@@ -265,7 +346,8 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
       spark.conf.unset(StreamingCuration.StateBucketsConf)
       Seq("train_fp", "test_docs").foreach(n => spark.sql(
         s"DROP TABLE IF EXISTS ${StreamingCuration.stateTable(state, n)}"))
-      val files = StreamingCuration.compactState(spark, state)
+      val files = StreamingCuration.compactState(spark, state,
+      settleMillis = 200L)
       assert(files.keySet == Set("train_fp", "test_docs"))
       val ddl2 = spark.sql(s"SHOW CREATE TABLE $tbl").head().getString(0)
       assert(ddl2.contains("8 BUCKETS"),
