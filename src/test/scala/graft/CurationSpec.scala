@@ -104,6 +104,39 @@ class CurationSpec extends AnyFunSuite with TestSpark {
       "plan embeds a long hex blob — the filter bytes leaked back into the plan")
   }
 
+  test("bloom registry eviction: a plan analyzed after MaxEntries newer filters fails loudly") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{BloomBroadcasts, Fns}
+    def mkFilter(i: Int) = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+      bf.putBinary(s"item$i".getBytes("UTF-8"))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      spark.sparkContext.broadcast(bos.toByteArray)
+    }
+    // a Column built against filter #0, analyzed only LATER
+    val stale = Fns.bloomContainsBroadcast(mkFilter(0), col("s"))
+    // MaxEntries newer registrations evict #0's token from the FIFO
+    (1 to BloomBroadcasts.MaxEntries).foreach(i =>
+      Fns.bloomContainsBroadcast(mkFilter(i), col("s")))
+    import spark.implicits._
+    val df = Seq("item0").toDF("s")
+    // a column built BEFORE the churn but analyzed within the window
+    // still resolves (tokens are evicted, not invalidated)
+    val fresh = Fns.bloomContainsBroadcast(mkFilter(999), col("s"))
+    assert(df.select(fresh.as("hit")).head().getBoolean(0) === false)
+    // ... but the evicted one fails LOUDLY at analysis, pointing at the
+    // rebuild path — never a silent wrong-filter probe
+    val ex = intercept[Throwable] { df.select(stale.as("hit")).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val msgs = messages(ex)
+    assert(msgs.exists(m => m.contains("no broadcast Bloom filter") &&
+        m.contains("evicted FIFO")),
+      s"evicted-token analysis did not fail with the pinned message: $msgs")
+  }
+
   test("mixture sampling matches per-row hash membership computed independently") {
     val rows = (0L until 300L).map { i =>
       Row(i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "xx",
