@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.core.{Session, Tables}
+
+/** 10x scale rehearsal (VERDICT r8 item 6, dev tool).
+  *
+  * There is no sf1 in /root/testdata, so this synthesizes one under
+  * target/: documents and embeddings are unioned MULT times with ids
+  * re-salted by `id + copy * (max_id + 1)` (texts/vectors identical —
+  * the prescribed shape: every doc gains MULT-1 exact clones, so the
+  * near-dup pair graph grows ~MULT^2 within clone groups, the worst
+  * realistic stress for the banded joins), and the 8 relational tables
+  * are copied as-is. Then it runs the named registry queries once each
+  * and prints one JSON line per query with wall time plus task-metric
+  * totals (shuffle bytes, spill, peak task memory) from a listener —
+  * the evidence SCALE.md needs for where the first knee is.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal <outDir> <mult> <query>...
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val srcDir = "/root/testdata/sf0.1"
+    val outDir = args.headOption.getOrElse("target/scale/sf1")
+    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val names =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq("q32_ngram_jaccard", "q56_dedup_groups", "q61_corpus_curation",
+        "q71_minhash_lsh_md5", "q74_dedup_groups_star")
+
+    val spark = Session.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val marker = Paths.get(outDir, "_SCALE_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(Paths.get(outDir))
+      for (t <- Tables.all if t != "documents" && t != "embeddings")
+        Files.copy(Paths.get(srcDir, s"$t.parquet"),
+          Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      for ((t, idCol) <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
+        val df = spark.read.parquet(s"$srcDir/$t.parquet")
+        val stride = df.agg(max(col(idCol))).head.getLong(0) + 1L
+        df.crossJoin(spark.range(mult).toDF("copy"))
+          .withColumn(idCol, col(idCol) + col("copy") * lit(stride))
+          .drop("copy")
+          // Spread clone groups across input splits so the scan itself
+          // isn't pathologically clustered by copy.
+          .repartition(32, col(idCol))
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      Files.createFile(marker)
+      println(s"[scale] built $outDir at mult=$mult")
+    } else println(s"[scale] reusing $outDir")
+
+    // Task-metric totals per query. LongAdders because tasks complete on
+    // listener-bus threads while the query runs.
+    val shuffleRead, shuffleWrite, memSpill, diskSpill = new LongAdder
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+          memSpill.add(m.memoryBytesSpilled)
+          diskSpill.add(m.diskBytesSpilled)
+          peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+        }
+      }
+    })
+
+    names.foreach { name =>
+      Seq(shuffleRead, shuffleWrite, memSpill, diskSpill).foreach(_.reset())
+      peakMem.set(0)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, outDir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // The listener bus drains asynchronously (and its drain API is
+      // private[spark]); a beat is enough for task-end events at this
+      // scale, and the metrics are diagnostic, not asserted.
+      Thread.sleep(1000)
+      def mb(a: LongAdder) = a.sum() / 1e6
+      println(f"""[scale] {"query":"$name","sec":$sec%.2f,"shuffle_read_mb":${mb(shuffleRead)}%.1f,"shuffle_write_mb":${mb(shuffleWrite)}%.1f,"mem_spill_mb":${mb(memSpill)}%.1f,"disk_spill_mb":${mb(diskSpill)}%.1f,"peak_task_mem_mb":${peakMem.get / 1e6}%.1f}""")
+    }
+    spark.stop()
+  }
+}
