@@ -866,6 +866,96 @@ object Dedup {
                      CAST(SUM(CASE WHEN lang = 'en' AND nt >= 30
                                     AND ns * 20 >= nt AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_curated
-              FROM ann"""))
+              FROM ann""")),
+
+    // The PRODUCTION near-dup decision pipeline end to end under the
+    // value hash: LSH candidate generation (q71's MD5 banding) followed
+    // by the exact-Jaccard VERIFY over each doc's distinct shingle-hash
+    // set, keeping only certified pairs (>= 0.6) — the
+    // [[jaccardOnCandidates]] composition with every step reproducible
+    // in DuckDB. q33+DedupSpec cover the fast xxhash64 form; this pins
+    // the candidates->verify SEMANTICS (banding recall feeding exact
+    // precision) with a hash check.
+    //
+    // Scale shape: candidates come from the banded equi-join on
+    // (band, key) over SLIM (doc_id, b, key) rows — never all-pairs, and
+    // the signature/hash arrays don't ride the banding exchange. The
+    // verify then fetches the two hash arrays by doc-id equi-joins —
+    // per-CANDIDATE cost — and intersects them map-side. Verify Jaccard
+    // is the true UNCAPPED set Jaccard (jaccardOnCandidates' semantics),
+    // deliberately not q32's df-capped index ratio: the cap exists to
+    // bound the inverted index's reducers, a pressure the per-candidate
+    // array intersect doesn't have.
+    Q("q83_lsh_verified",
+      (s, d) => {
+        val hv = withShingleArray(docs(s, d))
+          .select(col("doc_id"),
+            array_distinct(transform(col("sh"), sh =>
+              conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))).as("hv"))
+        val slotCols = Md5MinhashMixers.map { case (a, b) =>
+          array_min(transform(col("hv"), h =>
+            (lit(a) * h + lit(b)) % Md5MinhashMod))
+        }
+        val banded = hv
+          .select(col("doc_id"), array(slotCols: _*).as("s"))
+          .select(col("doc_id"),
+            posexplode(array((0 until 4).map(bnd =>
+              concat_ws(",", (0 until 4).map(i =>
+                element_at(col("s"), bnd * 4 + i + 1).cast("string")): _*)): _*))
+              .as(Seq("b", "key")))
+        val cand = banded.select(col("doc_id").as("d1"), col("b"), col("key"))
+          .join(banded.select(col("doc_id").as("d2"), col("b"), col("key")),
+            Seq("b", "key"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"))
+          .distinct()
+        val j = col("i").cast("double") /
+          (size(col("h1")) + size(col("h2")) - col("i"))
+        cand
+          .join(hv.select(col("doc_id").as("d1"), col("hv").as("h1")), Seq("d1"))
+          .join(hv.select(col("doc_id").as("d2"), col("hv").as("h2")), Seq("d2"))
+          .withColumn("i", size(array_intersect(col("h1"), col("h2"))))
+          .filter(j >= 0.6)
+          .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some {
+        val slotList = Md5MinhashMixers.map { case (a, b) =>
+          s"list_min(list_transform(hv, h -> ($a * h + $b) % $Md5MinhashMod))"
+        }.mkString("[", ", ", "]")
+        s"""WITH tok AS (
+             SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+             FROM documents),
+           sh AS (
+             SELECT doc_id,
+                    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in generate_series(1, LEN(ts)-2)]) AS sh
+             FROM tok WHERE LEN(ts) >= 3),
+           hvt AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(sh,
+                      s -> CAST('0x' || SUBSTR(MD5(s), 1, 8) AS BIGINT))) AS hv
+             FROM sh),
+           slots AS (SELECT doc_id, $slotList AS s FROM hvt),
+           banded AS (
+             SELECT doc_id, b,
+                    CAST(s[4*b+1] AS VARCHAR) || ',' || CAST(s[4*b+2] AS VARCHAR) || ',' ||
+                    CAST(s[4*b+3] AS VARCHAR) || ',' || CAST(s[4*b+4] AS VARCHAR) AS key
+             FROM slots, (SELECT UNNEST([0, 1, 2, 3]) AS b)),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+             FROM banded a JOIN banded c
+               ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+           scored AS (
+             SELECT p.d1, p.d2,
+                    CAST(LEN(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+                      / (LEN(ha.hv) + LEN(hb.hv)
+                         - LEN(list_intersect(ha.hv, hb.hv))) AS j
+             FROM pairs p
+             JOIN hvt ha ON ha.doc_id = p.d1
+             JOIN hvt hb ON hb.doc_id = p.d2)
+           SELECT d1, d2, ROUND(j, 4) AS jaccard
+           FROM scored WHERE j >= 0.6 ORDER BY d1, d2"""
+      })
   )
 }

@@ -653,7 +653,73 @@ object Similarity {
                        / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
                         * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) DESC,
                        c.vec_id
-              LIMIT 10"""))
+              LIMIT 10""")),
+
+    // k-NN majority-vote classification over the labeled embedding
+    // corpus: for each query vector, the 5 cosine-nearest neighbors
+    // (excluding itself) vote with their `label`; ties break to the
+    // smaller label. The similarity-search family's classification
+    // endpoint — nearest-neighbor label transfer is how a curation
+    // pipeline propagates scarce human labels (quality tiers, topics)
+    // across an unlabeled corpus.
+    //
+    // Scale shape: brute-force over the corpus is CORRECT here because
+    // the query side is tiny — it broadcasts, the corpus streams
+    // map-side, and neighbor selection is row_number over qid, which
+    // TopKRewrite plans as two-phase TopKPerKey (<= k rows per
+    // partition per query reach the exchange). For large query batches
+    // the LSH/IVF variants (q60/q64, q50/q82) are the recall/cost
+    // trade; the vote layer composes unchanged on top of either.
+    Q("q85_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = emb(s, d).select(col("vec_id"),
+          asDouble(col("embedding")).as("v"), col("label"))
+        val q = v.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val wNn = Window.partitionBy(col("qid"))
+          .orderBy(col("sim_raw").desc, col("vec_id"))
+        val nn = v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            cosine(col("v"), col("qv")).as("sim_raw"))
+          .withColumn("rn", row_number().over(wNn))
+          .filter(col("rn") <= 5)
+        val wVote = Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("label"))
+        nn.groupBy(col("qid"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("qid"), col("label").as("pred_label"), col("votes"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a,
+                       label
+                FROM embeddings),
+              q AS (SELECT vec_id AS qid, a AS qa FROM v WHERE vec_id < 3),
+              scored AS (
+                SELECT q.qid, v.vec_id, v.label,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) AS sim
+                FROM v CROSS JOIN q
+                WHERE v.vec_id <> q.qid),
+              nn AS (
+                SELECT qid, vec_id, label FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, vec_id) AS rn
+                  FROM scored) t WHERE rn <= 5),
+              votes AS (
+                SELECT qid, label, COUNT(*) AS votes
+                FROM nn GROUP BY 1, 2)
+              SELECT qid, label AS pred_label, votes FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY votes DESC, label) AS vr
+                FROM votes) t
+              WHERE vr = 1 ORDER BY qid"""))
   )
 
   /** Where q82 persists its trained codebook so the DuckDB oracle can

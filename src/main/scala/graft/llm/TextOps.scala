@@ -309,6 +309,73 @@ object TextOps {
                        ELSE 'test'
                      END AS split,
                      COUNT(*) AS n
-              FROM documents GROUP BY 1 ORDER BY 1"""))
+              FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // BM25 keyword retrieval (Robertson/Sparck Jones; the Lucene
+    // +1-inside-the-log idf so scores stay positive): top-10 docs for a
+    // fixed 3-term query. Extends the q49 tf-idf surface from per-doc
+    // term ranking to corpus-level SEARCH — the retrieval primitive a
+    // curation pipeline uses to mine topical subsets.
+    //
+    // Scale shape: the term filter lands right above the tokenize (only
+    // matching-term rows — a few per doc — reach the tf aggregate's
+    // exchange; the corpus-wide token stream never shuffles). df rides a
+    // window over term on top of the tf aggregate (q49's one-pass trick)
+    // and the (n_docs, avgdl) corpus stats join in as a broadcast 1-row
+    // aggregate. Final top-10 is a global TakeOrdered, not a sort.
+    // Per-doc score sums 3 doubles — same cross-engine rounding exposure
+    // as q49's LN scoring, absorbed by round(4).
+    Q("q84_bm25_search",
+      (s, d) => {
+        val terms = Seq("spark", "join", "window")
+        val k1 = 1.2
+        val bp = 0.75
+        val tok = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .select(col("doc_id"), size(col("ts")).as("dl"), col("ts"))
+        val stats = tok.agg(count(lit(1)).as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val tf = tok
+          .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val wTerm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term"))
+        val idf = log((col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5) + 1.0)
+        val termScore = idf * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - bp) +
+            lit(bp) * col("dl") / col("avgdl")))
+        tf.withColumn("df", count(lit(1)).over(wTerm))
+          .crossJoin(broadcast(stats))
+          .groupBy(col("doc_id"))
+          .agg(sum(termScore).as("score_raw"))
+          .orderBy(col("score_raw").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              dl AS (SELECT doc_id, LEN(ts) AS dl, ts FROM tok),
+              stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+              tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, dl, UNNEST(ts) AS term FROM dl) u
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY 1, 2, 3),
+              withdf AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+              scored AS (
+                SELECT doc_id,
+                       SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * (tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score_raw
+                FROM withdf CROSS JOIN stats
+                GROUP BY doc_id)
+              SELECT doc_id, ROUND(score_raw, 4) AS score
+              FROM scored
+              ORDER BY score_raw DESC, doc_id LIMIT 10"""))
   )
 }

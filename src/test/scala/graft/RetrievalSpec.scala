@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Behavioral tests for the round-9 retrieval/classification queries:
+  * q83 (LSH candidates -> exact-Jaccard verify), q84 (BM25 search),
+  * q85 (k-NN label vote). Each builds a planted fixture dir and runs
+  * the REGISTRY entry over it — the same code path the oracle gate
+  * hash-checks — so the assertions pin semantics, not a test-local
+  * re-implementation.
+  */
+class RetrievalSpec extends AnyFunSuite with TestSpark {
+
+  private def fixtureDir(): String =
+    Files.createTempDirectory("graft_retrieval").toString
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("q83: planted near-dups certified with true jaccard, no false pairs") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("spark", "query", "table", "row", "scan", "join",
+      "hash", "sort", "data", "batch", "window", "merge", "filter", "agg")
+    def text(): String = Seq.fill(60)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, text()))
+    val nearDups = base.take(5).map { case (i, t) =>
+      (100L + i, t.split(' ').updated(55, "mutated").mkString(" "))
+    }
+    val dir = fixtureDir()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((base ++ nearDups).map(Row.fromTuple), 2),
+      docSchema).write.parquet(s"$dir/documents.parquet")
+
+    val out = Registry.queries("q83_lsh_verified")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (0L until 5L).foreach { i =>
+      val j = out.getOrElse((i, 100L + i),
+        fail(s"planted pair ($i, ${100 + i}) missing from verified output"))
+      assert(j >= 0.8 && j <= 1.0, s"planted pair verified at $j")
+    }
+    // the verify stage must kill sub-threshold survivors: every emitted
+    // pair carries its certified jaccard >= 0.6
+    assert(out.values.forall(_ >= 0.6), s"uncertified pair leaked: $out")
+    // 40 independent random docs: no cross-base pair should certify
+    assert(out.keys.forall { case (d1, d2) => d2 == d1 + 100L },
+      s"false pair among independent docs: ${out.keys}")
+  }
+
+  test("q84: BM25 ranks term-dense short docs above term-sparse long ones") {
+    // doc 1: 'spark' 5/10 tokens; doc 2: 'spark' once in 100 tokens;
+    // doc 3: all three query terms; doc 4: no query terms (must not appear)
+    val filler = (1 to 96).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, "spark spark spark spark spark a b c d e"),
+      (2L, s"spark $filler x y z"),
+      (3L, "spark join window spark join window a b c d"),
+      (4L, "alpha beta gamma delta"))
+    val dir = fixtureDir()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2),
+      docSchema).write.parquet(s"$dir/documents.parquet")
+
+    val out = Registry.queries("q84_bm25_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L),
+      s"docs without query terms must not score: $out")
+    val score = out.toMap
+    assert(score.values.forall(_ > 0), s"BM25 scores must be positive: $out")
+    // doc 3 matches all three terms -> beats single-term docs; doc 1's
+    // dense tf beats doc 2's single hit in a long doc
+    assert(score(3L) > score(1L) && score(1L) > score(2L),
+      s"ranking violated: $out")
+    // output is sorted by score desc
+    assert(out.map(_._2).sameElements(out.map(_._2).sortBy(-_)), s"unsorted: $out")
+  }
+
+  test("q85: majority label among planted neighbors wins; ties break low") {
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // query vec 0 at e1; 3 label-7 vectors nearly parallel to it, 2
+    // label-1 vectors less aligned, the rest orthogonal-ish far away.
+    def v(x: Float, y: Float): Seq[Float] = Seq(x, y, 0f, 0f)
+    val rows: Seq[(Long, Seq[Float], Int)] = Seq(
+      (0L, v(1f, 0f), 9),
+      (10L, v(1f, 0.01f), 7), (11L, v(1f, 0.02f), 7), (12L, v(1f, 0.03f), 7),
+      (20L, v(1f, 0.2f), 1), (21L, v(1f, 0.25f), 1),
+      (30L, v(0f, 1f), 3), (31L, v(0.1f, 1f), 3), (32L, v(0.2f, 1f), 3))
+    val dir = fixtureDir()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2),
+      embSchema).write.parquet(s"$dir/embeddings.parquet")
+
+    val out = Registry.queries("q85_knn_classify")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // only vec 0 qualifies as a query (vec_id < 3): top-5 = three 7s,
+    // two 1s -> label 7 with 3 votes
+    assert(out.toSeq == Seq((0L, 7, 3L)), s"got: ${out.toSeq}")
+  }
+}
