@@ -888,10 +888,21 @@ object Dedup {
     // array intersect doesn't have.
     Q("q83_lsh_verified",
       (s, d) => {
-        val hv = withShingleArray(docs(s, d))
+        // hv is computed BELOW the one explicit doc_id exchange so the
+        // tokenize+shingle+MD5 pass runs ONCE and all four consumers
+        // (both banded-join sides, both verify array fetches) read the
+        // reused exchange. The withShingleArray form (repartition first,
+        // project above) would re-run the MD5 chain per consumer on
+        // shuffle read — 4 corpus-scale compute passes at 100 TB. The
+        // verify joins key on the exchange's own column (aliased), so
+        // alias-aware output partitioning feeds them shuffle-free.
+        val hv = docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 3)
           .select(col("doc_id"),
-            array_distinct(transform(col("sh"), sh =>
+            array_distinct(transform(shingleArrayFromTokens(col("ts")), sh =>
               conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))).as("hv"))
+          .repartition(col("doc_id"))
         val slotCols = Md5MinhashMixers.map { case (a, b) =>
           array_min(transform(col("hv"), h =>
             (lit(a) * h + lit(b)) % Md5MinhashMod))

@@ -319,12 +319,16 @@ object TextOps {
     //
     // Scale shape: the term filter lands right above the tokenize (only
     // matching-term rows — a few per doc — reach the tf aggregate's
-    // exchange; the corpus-wide token stream never shuffles). df rides a
-    // window over term on top of the tf aggregate (q49's one-pass trick)
-    // and the (n_docs, avgdl) corpus stats join in as a broadcast 1-row
-    // aggregate. Final top-10 is a global TakeOrdered, not a sort.
-    // Per-doc score sums 3 doubles — same cross-engine rounding exposure
-    // as q49's LN scoring, absorbed by round(4).
+    // exchange; the corpus-wide token stream never shuffles). df is a
+    // |terms|-row aggregate broadcast back onto tf — NOT q49's
+    // window-over-term trick, which is right when terms are the whole
+    // vocabulary but here would drain every tf row through <= 3
+    // reducers (a skew wall at corpus scale); the tf subtree feeds both
+    // consumers through one reusable exchange keyed on (doc_id, dl,
+    // term). The (n_docs, avgdl) corpus stats join in as a broadcast
+    // 1-row aggregate. Final top-10 is a global TakeOrdered, not a
+    // sort. Per-doc score sums 3 doubles — same cross-engine rounding
+    // exposure as q49's LN scoring, absorbed by round(4).
     Q("q84_bm25_search",
       (s, d) => {
         val terms = Seq("spark", "join", "window")
@@ -340,14 +344,14 @@ object TextOps {
           .filter(col("term").isin(terms: _*))
           .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val wTerm = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("term"))
+        val dfreq = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
         val idf = log((col("n_docs") - col("df") + 0.5) /
           (col("df") + 0.5) + 1.0)
         val termScore = idf * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - bp) +
             lit(bp) * col("dl") / col("avgdl")))
-        tf.withColumn("df", count(lit(1)).over(wTerm))
+        tf.join(broadcast(dfreq), Seq("term"))
           .crossJoin(broadcast(stats))
           .groupBy(col("doc_id"))
           .agg(sum(termScore).as("score_raw"))

@@ -104,4 +104,29 @@ class RetrievalSpec extends AnyFunSuite with TestSpark {
     // two 1s -> label 7 with 3 votes
     assert(out.toSeq == Seq((0L, 7, 3L)), s"got: ${out.toSeq}")
   }
+
+  test("plan pins: q83 reuses the hv exchange; q84 broadcasts df (no term window); q85 plans TopKPerKey") {
+    val sf = "/root/testdata/sf0.001"
+    // q83: the tokenize+shingle+MD5 pass must run once — every other
+    // consumer reads a ReusedExchange (4 corpus-scale compute passes
+    // otherwise). Runtime reuse (AQE stage reuse), so execute first.
+    val q83 = Registry.queries("q83_lsh_verified")(spark, sf)
+    q83.collect()
+    val p83 = q83.queryExecution.executedPlan.toString
+    assert(p83.contains("ReusedExchange"), s"hv subtree not reused:\n$p83")
+
+    // q84: df must come from a broadcast of the tiny per-term aggregate,
+    // NOT a window over term (<= |terms| reducers would drain the whole
+    // tf stream at corpus scale).
+    val p84 = Registry.queries("q84_bm25_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p84.contains("Window"), s"q84 regressed to a term window:\n$p84")
+    assert(p84.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p84")
+
+    // q85: both row_number stages (neighbor top-5, vote argmax) must
+    // plan through the two-phase TopKPerKey operator.
+    val p85 = Registry.queries("q85_knn_classify")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p85.contains("TopKPerKey"), s"q85 lost the TopKPerKey rewrite:\n$p85")
+  }
 }
