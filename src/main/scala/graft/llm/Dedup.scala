@@ -191,6 +191,47 @@ object Dedup {
           (size(col("h1")) + size(col("h2")) - col("i")), 4).as("jaccard"))
   }
 
+  /** The production dedup funnel with the exact-dup PRE-COLLAPSE the
+    * 30× scale rehearsal proved necessary (SCALE.md): identical texts
+    * are collapsed to one representative (min doc_id per md5(text))
+    * BEFORE the near-dup pair graph, so clone groups never reach the
+    * banded/inverted-index joins — whose cost is quadratic in
+    * clone-group size (Ω(Σ bucket²)). Members are re-attached to their
+    * representative's component afterward, so the output labeling
+    * (doc_id → min reachable id) matches running the pair graph over
+    * the full corpus whenever the df-cap bites equally (exact clones
+    * share every shingle, hence every edge, with their rep — the min
+    * reachable id is achieved at a rep by construction).
+    *
+    * Deliberate semantic delta vs q56 on clone-HEAVY corpora: shingle
+    * document frequencies (the df-cap) are computed over
+    * representatives, so boilerplate detection isn't distorted by
+    * exact duplication — at 100 TB this is the more faithful df, and
+    * the cheaper one.
+    *
+    * Scale shape: the collapse is a slim (doc_id, md5) groupBy with
+    * map-side combine — text never rides its exchange (reps rejoin by
+    * left_semi on doc_id); the expand is one broadcast-able join of
+    * per-doc (rep) against the rep-level component labels.
+    */
+  def dedupGroupsPrecollapsed(df: DataFrame, minJaccard: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val keyed = df.select(col("doc_id"), md5(col("text")).as("ek"))
+    val grp = keyed.groupBy(col("ek"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+    val reps = df.join(
+      grp.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repComp = connectedComponents(hashJaccardPairs(reps, minJaccard, maxDf))
+      .select(col("node").as("rep"), col("comp"))
+    keyed.join(grp, Seq("ek"))
+      .join(repComp, Seq("rep"), "left")
+      // exact-dup members cluster with their rep even when the rep has
+      // no near-dup edges; unique singletons stay out (q56's contract:
+      // only docs with at least one duplicate relation appear)
+      .filter(col("cnt") > 1 || col("comp").isNotNull)
+      .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("comp"))
+  }
+
   /** Connected components over an undirected near-dup pair list: each
     * doc's component id converges to the MINIMUM doc_id reachable through
     * pairs — the grouping step that turns pairwise candidates into dedup
@@ -967,6 +1008,61 @@ object Dedup {
              JOIN hvt hb ON hb.doc_id = p.d2)
            SELECT d1, d2, ROUND(j, 4) AS jaccard
            FROM scored WHERE j >= 0.6 ORDER BY d1, d2"""
-      })
+      }),
+
+    // The dedup funnel with exact-dup pre-collapse ([[dedupGroupsPrecollapsed]]):
+    // clone groups collapse to their min-doc_id representative before
+    // the near-dup pair graph (the SCALE.md knee fix), and members
+    // re-attach to the rep's component after. The oracle mirrors every
+    // stage: MD5(text) grouping, q32's pair pipeline restricted to
+    // representatives (df-cap over reps), recursive-CTE reachability,
+    // then the member expand with COALESCE(comp, rep).
+    Q("q86_dedup_groups_precollapse",
+      (s, d) =>
+        dedupGroupsPrecollapsed(docs(s, d), minJaccard = 0.6)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE keyed AS (
+                SELECT doc_id, text, MD5(text) AS ek FROM documents),
+              grp AS (SELECT ek, MIN(doc_id) AS rep, COUNT(*) AS cnt
+                      FROM keyed GROUP BY ek),
+              reps AS (
+                SELECT k.doc_id, k.text FROM keyed k
+                JOIN grp g ON k.ek = g.ek AND k.doc_id = g.rep),
+              tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                FROM reps),
+              sh0 AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              keep AS (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT d1, d2 FROM pr
+                JOIN sz sa ON sa.doc_id = d1
+                JOIN sz sb ON sb.doc_id = d2
+                WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+              edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach AS (
+                SELECT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node, MIN(label) AS comp
+                       FROM reach GROUP BY node)
+              SELECT k.doc_id, CAST(COALESCE(c.comp, g.rep) AS BIGINT) AS comp
+              FROM keyed k
+              JOIN grp g ON k.ek = g.ek
+              LEFT JOIN comp c ON c.node = g.rep
+              WHERE g.cnt > 1 OR c.comp IS NOT NULL
+              ORDER BY k.doc_id"""))
   )
 }

@@ -144,6 +144,28 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("precollapse dedup groups == full-corpus labeling when the cap doesn't bite") {
+    // clone docs 0 and 1 three times each (exact dups), keep the planted
+    // near-dups: far below the df cap, so the rep-level pair graph and
+    // the full-corpus one see the same edges up to clone attachment
+    val clones = (0L until 2L).flatMap { i =>
+      val t = docs.filter(col("doc_id") === i).head.getString(1)
+      (1 to 3).map(c => (1000L + i * 10 + c, t))
+    }
+    val all = docs.unionAll(spark.createDataFrame(
+      spark.sparkContext.parallelize(clones.map(Row.fromTuple), 2), schema))
+
+    val pre = Dedup.dedupGroupsPrecollapsed(all, minJaccard = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.connectedComponents(
+        Dedup.hashJaccardPairs(all, minJaccard = 0.6))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pre == full,
+      s"precollapse labeling diverged:\npre=$pre\nfull=$full")
+    // clones attach to their representative's component
+    assert(pre(1001L) == pre(0L) && pre(1011L) == pre(1L))
+  }
+
   test("connected components: chains collapse to one cluster, min id wins") {
     // chain 1-2-3-4-5 needs multi-round label propagation (diameter 4);
     // 10-11 is an isolated pair; 20-21-22 a triangle
