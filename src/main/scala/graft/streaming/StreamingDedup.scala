@@ -65,4 +65,76 @@ object StreamingDedup {
       }
       .start()
   }
+
+  /** Always-on EXACT dedup — the stage SCALE.md's rehearsal proved must
+    * run BEFORE any near-dup banding (clone groups cost Ω(m²) in the
+    * banded joins): each micro-batch keeps one representative per
+    * content fingerprint (md5(text), min doc_id within the batch),
+    * drops docs whose fingerprint was seen in ANY earlier batch, writes
+    * survivors under `outDir/unique`, and records its fingerprints in
+    * the seen-set.
+    *
+    * Exactly-once by construction, without locks: the seen-set is laid
+    * out as one `batch=<id>` partition per micro-batch, the probe reads
+    * only partitions with `batch < current`, and BOTH writes overwrite
+    * their own batch partition — so a replayed batch recomputes the
+    * identical survivor set (its own partial state partition is
+    * invisible to the probe) and overwrites, never duplicates.
+    *
+    * Scale shape: the seen-set is probed with a broadcast LEFT SEMI of
+    * the batch's (small) fingerprint set and only the (bounded, <=
+    * batch-sized) hits are broadcast back for the anti join — the
+    * historical seen-set is scanned map-side but NEVER shuffled, the
+    * per-batch exchange cost is the batch's own fingerprints. At 100 TB
+    * the fp partitions compact like any small-file state (see
+    * StreamingCuration.compactState for the lease pattern; here
+    * compaction must preserve the batch=N layout the idempotency
+    * depends on, so fold files WITHIN partitions only).
+    */
+  def startExact(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      stateDir: String,
+      outDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val stream = spark.readStream
+      .schema(schema)
+      .json(landingDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val batchDocs = batch
+          .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .localCheckpoint(true) // reused by probe + both writes
+        val fs = new Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val survivors =
+          if (fs.exists(new Path(stateDir))) {
+            val seen = spark.read.parquet(stateDir)
+              .filter(col("batch") < bid) // replay: own partial state invisible
+            val hits = seen
+              .join(broadcast(batchDocs.select(col("fp"))), Seq("fp"), "left_semi")
+              .select(col("fp")).distinct()
+            batchDocs.join(broadcast(hits), Seq("fp"), "left_anti")
+          } else batchDocs
+        val kept = survivors.localCheckpoint(true)
+        kept.select(col("doc_id"), col("text"), col("fp"))
+          .write.mode("overwrite")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$outDir/unique/batch=$bid")
+        kept.select(col("fp"))
+          .write.mode("overwrite")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$stateDir/batch=$bid")
+      }
+      .start()
+  }
 }

@@ -56,4 +56,43 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     val bandsAfter2 = spark.read.parquet(index).count()
     assert(bandsAfter2 == 26L * Dedup.Bands, s"index rows: $bandsAfter2")
   }
+
+  test("exact streaming dedup: first arrival wins across batches, batch layout idempotent") {
+    val landing = Files.createTempDirectory("sxdedup-land").toString
+    val state = Files.createTempDirectory("sxdedup-state").toString + "/seen"
+    val out = Files.createTempDirectory("sxdedup-out").toString
+
+    def writeBatch(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+
+    // batch 1: texts A,B + an intra-batch clone of A (doc 2); min doc_id
+    // must represent. AvailableNow processes each file as its own batch
+    // only if maxFilesPerTrigger is set, so run batch-by-batch instead.
+    writeBatch("b1.json", Seq((0L, "alpha one"), (1L, "beta two"), (2L, "alpha one")))
+    StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    // batch 2: clone of A (cross-batch dup), clone of B, fresh C
+    writeBatch("b2.json", Seq((10L, "alpha one"), (11L, "beta two"), (12L, "gamma three")))
+    StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    // batch 3: clone of C + fresh D
+    writeBatch("b3.json", Seq((20L, "gamma three"), (21L, "delta four")))
+    StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+
+    val unique = spark.read.parquet(s"$out/unique")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    // one representative per distinct text, first arrival (min doc_id in
+    // its first batch) wins
+    assert(unique == Seq((0L, "alpha one"), (1L, "beta two"),
+      (12L, "gamma three"), (21L, "delta four")), s"got: $unique")
+    // the seen-set carries one batch=N partition per micro-batch — the
+    // layout the replay-idempotency contract depends on
+    val parts = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(parts.length == 3, s"state partitions: ${parts.toSeq}")
+    // fingerprints are globally unique across the whole seen-set
+    val fps = spark.read.parquet(state).select("fp").collect().map(_.getString(0))
+    assert(fps.length == fps.distinct.length && fps.length == 4,
+      s"seen-set fps: ${fps.toSeq}")
+  }
 }
