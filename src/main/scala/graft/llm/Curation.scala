@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -227,6 +227,87 @@ object Curation {
         count(lit(1)).as("n_test"),
         sum(when(col("n_hit") > 0, 1).otherwise(0)).as("n_contaminated"),
         sum(col("n_hit")).as("n_overlap_grams"))
+  }
+
+  /** PII patterns — the C4/Dolma-style scrub set (email, IPv4, and a
+    * NANP-style phone shape), written in the conservative regex subset
+    * (explicit character classes, bounded repetition, no \d/\w/\b) that
+    * Java's engine and RE2-family engines interpret identically, so the
+    * redaction is value-pinned cross-engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** Scrub PII spans, each replaced by a typed placeholder. Replacement
+    * ORDER is part of the contract (email first: an address contains
+    * dot-separated alnum runs an IPv4 pattern could otherwise bite) and
+    * the oracle applies the same order. Pure codegen'd regexp_replace —
+    * at 100 TB this is a shuffle-free map-side projection.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-pattern match counts on the UNREDACTED text — the audit trail a
+    * scrub pass must emit (how much PII, of which kind, per doc).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(EmailRe)).cast("int"),
+    "n_phone" -> regexp_count(text, lit(PhoneRe)).cast("int"),
+    "n_ip" -> regexp_count(text, lit(Ipv4Re)).cast("int"))
+
+  /** (doc_id, pos, line) — a document's "lines" for line-granularity
+    * dedup. The synthetic corpus has no newlines, so a line is a
+    * NON-OVERLAPPING n-token chunk (documented deviation; on real data
+    * swap the chunker for `split(text, '\n')` and everything downstream
+    * is unchanged). Trailing tokens short of a full chunk are dropped —
+    * both engines apply the same rule, so the chunk set is value-pinned.
+    */
+  def lineChunks(docsDf: DataFrame, n: Int = 3): DataFrame = {
+    val t = docsDf
+      // spread first: single-row-group parquet otherwise leaves the
+      // whole tokenize+explode on one core (Dedup.spread rationale)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+    val lines = transform(
+      sequence(lit(0), floor(size(col("ts")) / n).cast("int") - 1),
+      i => concat_ws(" ", (1 to n).map(j => element_at(col("ts"), i * n + j)): _*))
+    t.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+  }
+
+  /** CCNet-style line-level dedup (Wenzek et al. 2019, arXiv:1911.00359):
+    * drop every line whose exact content occurs >= 2 times ACROSS THE
+    * CORPUS (all copies go — the surviving doc keeps only its unique
+    * lines), then report per doc (n_lines, n_kept) and a fingerprint of
+    * the reassembled cleaned text, lines in original order.
+    *
+    * 100 TB shape: corpus frequency is a window count over the line's
+    * 16-hex md5 key — one exchange, group cost LINEAR in a hot line's
+    * frequency (the q76 dup-ngram shape, not a pair join); the per-doc
+    * reassembly shuffles bounded groups (<= lines per doc). The window
+    * partitions on the hash key, not the line text, so grouping is
+    * binary-stable; the short line string rides only for reassembly.
+    */
+  def lineDedup(docsDf: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(substring(md5(col("line")), 1, 16))
+    val kept = lineChunks(docsDf, n)
+      .select(col("doc_id"), col("pos"), col("line"),
+        (count(lit(1)).over(w) < 2).as("keep"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        substring(md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("line"))))),
+            e => e.getField("line")))), 1, 16).as("clean_fp"))
   }
 
   /** q66's oracle, shared verbatim by the Bloom-prefilter form (q80):
@@ -524,6 +605,89 @@ object Curation {
                             ORDER BY k, doc_id) AS INT) AS rn
                 FROM t)
               SELECT lang, doc_id, rn
-              FROM r WHERE rn <= 20 ORDER BY lang, rn"""))
+              FROM r WHERE rn <= 20 ORDER BY lang, rn""")),
+
+    // PII REDACTION (the C4/Dolma scrub step): replace email / IPv4 /
+    // phone spans with typed placeholders and emit the per-doc audit
+    // counts. The corpus is synthetic word-salad with no PII, so the
+    // query PLANTS deterministic spans keyed on doc_id (both engines
+    // build the identical string — the redaction machinery, not the
+    // planting, is what the hash pins; Curation.redactPii is the
+    // generic operator). Fully map-side: counts and the redacted-text
+    // fingerprint are codegen'd regexp expressions over one scan; the
+    // only shuffle is the final TakeOrdered.
+    Q("q87_pii_redaction",
+      (s, d) => {
+        val planted = concat(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("contact user"), col("doc_id").cast("string"),
+              lit("@example.com "))).otherwise(""),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("call 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(" "))).otherwise(""),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+              lit(" "))).otherwise(""),
+          col("text"))
+        val t = docs(s, d).select(col("doc_id"), planted.as("t"))
+        val counts = piiCounts(col("t")).map { case (n, c) => c.as(n) }
+        t.select(
+            (col("doc_id") +: counts :+
+              substring(md5(redactPii(col("t"))), 1, 16).as("red_fp")): _*)
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN 'call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0 THEN 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' ELSE '' END
+                    || text AS t
+                FROM documents)
+              SELECT doc_id,
+                     CAST(LEN(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                     CAST(LEN(regexp_extract_all(t, '555-[0-9]{4}')) AS INT) AS n_phone,
+                     CAST(LEN(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ip,
+                     SUBSTR(MD5(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                         '555-[0-9]{4}', '<PHONE>', 'g')), 1, 16) AS red_fp
+              FROM p ORDER BY doc_id LIMIT 200""")),
+
+    // LINE-LEVEL dedup (CCNet-style): drop every "line" (non-overlapping
+    // 3-token chunk — the corpus has no newlines; see lineChunks) that
+    // occurs >= 2 times corpus-wide, and fingerprint each doc's cleaned,
+    // reassembled text. Finer-grained than whole-doc dedup (q23/q27) and
+    // coarser than n-gram ratios (q76): this one REWRITES the documents,
+    // which is why the clean_fp hash — pinning the surviving lines AND
+    // their order — is the value under test.
+    Q("q88_line_dedup",
+      (s, d) => lineDedup(docs(s, d))
+        .orderBy(col("doc_id"))
+        .limit(200),
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              ln AS (
+                SELECT doc_id,
+                       UNNEST([{'pos': i, 'line': ts[3*i+1] || ' ' || ts[3*i+2] || ' ' || ts[3*i+3]}
+                               for i in generate_series(0, CAST(FLOOR(LEN(ts) / 3) AS BIGINT) - 1)]) AS e
+                FROM tok WHERE LEN(ts) >= 3),
+              l AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM ln),
+              d AS (
+                SELECT doc_id, pos, line,
+                       COUNT(*) OVER (PARTITION BY SUBSTR(MD5(line), 1, 16)) < 2 AS keep
+                FROM l)
+              SELECT doc_id,
+                     CAST(COUNT(*) AS INT) AS n_lines,
+                     CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+                     SUBSTR(MD5(COALESCE(
+                       string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos),
+                       '')), 1, 16) AS clean_fp
+              FROM d GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
   )
 }

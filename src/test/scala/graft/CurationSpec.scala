@@ -296,4 +296,63 @@ class CurationSpec extends AnyFunSuite with TestSpark {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(got(2L) == ((3, 3, 0.0)))
   }
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("pii redaction scrubs emails, phones, and ips with typed placeholders") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "dial 555-0123 or 555-9876 twice",
+      "node 10.0.42.7 peers with 192.168.1.255",
+      "clean text with no pii at all",
+      "mixed a@b.io 555-0000 127.0.0.1 end").toDF("t")
+    val got = df.select(Curation.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "dial <PHONE> or <PHONE> twice",
+      "node <IP> peers with <IP>",
+      "clean text with no pii at all",
+      "mixed <EMAIL> <PHONE> <IP> end"))
+    val counts = df.select(
+        Curation.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(counts == Seq((1, 0, 0), (0, 2, 0), (0, 0, 2), (0, 0, 0), (1, 1, 1)))
+    // the scrub is a pure projection: no exchange anywhere in its plan
+    val plan = df.select(Curation.redactPii(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redaction shuffled:\n$plan")
+  }
+
+  test("line dedup drops corpus-duplicated lines and fingerprints the cleaned text") {
+    // 3-token chunk-lines; "a b c" occurs in two docs -> all copies drop
+    val rows = Seq(
+      Row(1L, "en", "a b c d e f"), // lines: [a b c][d e f]
+      Row(2L, "en", "a b c x y z"), // lines: [a b c][x y z]
+      Row(3L, "en", "p q r s t u v"), // trailing "v" short of a chunk drops
+      Row(4L, "en", "a b c"), // every line duplicated -> empty clean text
+      Row(5L, "en", "x y")) // < 3 tokens -> no lines at all
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val q = Curation.lineDedup(docs)
+    val got = q.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((2, 1, md5hex("d e f").take(16))))
+    assert(got(2L) == ((2, 1, md5hex("x y z").take(16))))
+    assert(got(3L) == ((2, 2, md5hex("p q r s t u").take(16))))
+    assert(got(4L) == ((1, 0, md5hex("").take(16))))
+    // the q76 window shape: one source scan, no pair join
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair join in plan:\n$plan")
+    val scans = plan.split("\n").count(_.contains("Scan ExistingRDD"))
+    assert(scans == 1, s"expected 1 source scan, saw $scans:\n$plan")
+  }
 }
