@@ -787,13 +787,75 @@ object Dedup {
           .select(col("node").as("doc_id"), col("comp"))
           .orderBy(col("doc_id")),
       Some(dedupGroupsOracle)),
+
+    // BEST-OF-CLUSTER representative selection: q56 keeps a component's
+    // MIN doc_id; a curation pipeline usually keeps its BEST member
+    // (here: most tokens, doc_id tie-break — integer ordering both
+    // engines share). One tokenize pass feeds both the pair graph and
+    // the token counts over the same explicit doc_id exchange (the q61
+    // ReuseExchange shape). The argmax is a SINGLE-expression filtered
+    // row_number, so it plans through TopKPerKey (<= 1 candidate per
+    // (partition, comp) reaches the exchange — a boilerplate mega-
+    // cluster with millions of members never funnels through one sort);
+    // n_members comes from a map-side-combined count, NOT a window over
+    // the same sort (two window expressions would block the rewrite),
+    // and joins back one-row-per-comp against one-row-per-comp.
+    Q("q89_best_of_cluster",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .repartition(col("doc_id"))
+        val nt = tok.select(col("doc_id"), size(col("ts")).as("nt"))
+        val comps = connectedComponents(
+          hashJaccardPairsFromTokens(tok, minJaccard = 0.6))
+        val labeled = comps.select(col("node").as("doc_id"), col("comp"))
+          .join(nt, Seq("doc_id"))
+        val sizes = labeled.groupBy(col("comp"))
+          .agg(count(lit(1)).cast("int").as("n_members"))
+        val w = Window.partitionBy(col("comp"))
+          .orderBy(col("nt").desc, col("doc_id"))
+        labeled
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(sizes, Seq("comp"))
+          .select(col("comp"), col("doc_id").as("rep_doc_id"),
+            col("nt").cast("int").as("rep_tokens"), col("n_members"))
+          .orderBy(col("comp"))
+      },
+      Some(dedupGroupsOraclePrefix +
+        """,
+              comp AS (
+                SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
+                FROM reach GROUP BY node),
+              nt AS (
+                SELECT doc_id,
+                       CAST(LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS INT) AS nt
+                FROM documents),
+              j AS (SELECT c.comp, c.doc_id, nt.nt FROM comp c JOIN nt USING (doc_id)),
+              r AS (
+                SELECT comp, doc_id, nt,
+                       ROW_NUMBER() OVER (PARTITION BY comp ORDER BY nt DESC, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY comp) AS n_members
+                FROM j)
+              SELECT comp, doc_id AS rep_doc_id, CAST(nt AS INT) AS rep_tokens,
+                     CAST(n_members AS INT) AS n_members
+              FROM r WHERE rn = 1 ORDER BY comp""")),
   ) ++ moreDefs
 
   /** Recursive-CTE reachability oracle shared by q56 (label propagation)
     * and q74 (star contraction): rebuild the capped exact-Jaccard pair
-    * graph (q32's SQL), then MIN reachable label per node.
+    * graph (q32's SQL), then MIN reachable label per node. The CTE
+    * prefix (through `reach`) is shared with q89's best-of-cluster
+    * oracle, which appends a different final selection.
     */
   private lazy val dedupGroupsOracle: String =
+    dedupGroupsOraclePrefix +
+      """
+              SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
+              FROM reach GROUP BY node ORDER BY doc_id"""
+
+  private lazy val dedupGroupsOraclePrefix: String =
     s"""WITH RECURSIVE tok AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
                 FROM documents),
@@ -821,9 +883,7 @@ object Dedup {
               reach AS (
                 SELECT src AS node, src AS label FROM edges
                 UNION
-                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
-              SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
-              FROM reach GROUP BY node ORDER BY doc_id"""
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)"""
 
   private def moreDefs: Seq[Q] = Seq(
     // End-to-end corpus curation — the whole training-data funnel in one

@@ -300,6 +300,31 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(cc.filter(col("comp") === 1L).count() == 5)
   }
 
+  test("best-of-cluster picks the max-token member of every q56 component") {
+    val sf = "/root/testdata/sf0.001"
+    val reps = graft.queries.Registry.queries("q89_best_of_cluster")(spark, sf)
+    val got = reps.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got.nonEmpty, "sf0.001 should have at least one near-dup cluster")
+    // independent expectation from q56's labeling + per-doc token counts
+    val comps = graft.queries.Registry.queries("q56_dedup_groups")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nt = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(graft.llm.TextOps.tokens(col("text"))).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = comps.groupBy(_._2).map { case (comp, ms) =>
+      val members = ms.map(_._1).sorted
+      val best = members.minBy(d => (-nt(d), d))
+      comp -> ((best, nt(best), members.size))
+    }
+    assert(got == expected)
+    // the argmax rides TopKPerKey, not a full per-comp sort
+    val plan = reps.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyFinal"), s"no TopKPerKey in plan:\n$plan")
+  }
+
   test("simhash banding catches exact duplicates") {
     val withExact = docs.unionAll(
       docs.filter(col("doc_id") === 3L)
