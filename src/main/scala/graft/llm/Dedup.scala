@@ -811,7 +811,10 @@ object Dedup {
           hashJaccardPairsFromTokens(tok, minJaccard = 0.6))
         val labeled = comps.select(col("node").as("doc_id"), col("comp"))
           .join(nt, Seq("doc_id"))
-        val sizes = labeled.groupBy(col("comp"))
+        // count from comps alone — every node IS a doc_id, so routing the
+        // count through `labeled` would add a doc_id-only corpus scan
+        // just to re-prove existence (plan-audited: 2 scans -> 1)
+        val sizes = comps.groupBy(col("comp"))
           .agg(count(lit(1)).cast("int").as("n_members"))
         val w = Window.partitionBy(col("comp"))
           .orderBy(col("nt").desc, col("doc_id"))
