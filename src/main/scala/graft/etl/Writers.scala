@@ -61,6 +61,48 @@ object Writers {
   def quarantine(df: DataFrame, path: String): Unit =
     parquet(df, path)
 
+  /** The deterministic pseudorandom ordering key behind
+    * [[shuffledShards]]: 60 bits of md5(id || seed) as a long — the
+    * repo's salted-md5 convention (q59/q67/q81), so any engine (and the
+    * DuckDB oracle, q90) reproduces the identical shuffle from the ids
+    * alone. No RNG, no state: re-running the export on any cluster
+    * layout yields the same shard membership and the same within-shard
+    * order.
+    */
+  def shuffleKey(idCol: org.apache.spark.sql.Column,
+      seed: String = ":shuf"): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(seed))), 1, 15),
+      16, 10).cast("long")
+
+  /** Shuffled-shard training-data export — the last step of the curation
+    * funnel: write the corpus in a deterministic pseudorandom order,
+    * split into `shards` files a trainer can stream round-robin.
+    *
+    * shard = hash % shards (membership is a pure function of the id, so
+    * it survives re-runs, engine changes, and corpus re-partitioning);
+    * within a shard, rows sort by (hash, id). `repartition(col(shard))`
+    * puts each shard's rows in exactly one task, so the dynamic
+    * partition write emits one file per shard and the local sort IS the
+    * file order. 100 TB shape: one map pass + one exchange hash-keyed on
+    * the uniform shard id (no skew, no range-boundary sampling job, no
+    * global sort); shard count bounds file size, not memory — the local
+    * sort spills if a shard outgrows a task.
+    */
+  def shuffledShards(df: DataFrame, idCol: String, path: String,
+      shards: Int, seed: String = ":shuf",
+      compression: String = DefaultCompression): Unit = {
+    require(shards >= 1, s"need at least one shard, got $shards")
+    df.withColumn("__h", shuffleKey(col(idCol), seed))
+      .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Compact a parquet directory's accumulated small files into
     * ~`targetMB` outputs — the maintenance step every streaming append
     * sink (Incremental, StreamingDedup) eventually needs: micro-batches

@@ -311,6 +311,40 @@ object TextOps {
                      COUNT(*) AS n
               FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // SHUFFLED-EXPORT order: the deterministic pseudorandom (shard,
+    // within-shard rank) every training run replays — the rule
+    // Writers.shuffledShards writes to disk, pinned here value-for-value
+    // (first 25 rows per shard keep the oracle result bounded). The
+    // filtered row_number plans through TopKPerKey, so only <= 25
+    // candidates per (partition, shard) reach the exchange — auditing
+    // the export order never globally sorts the corpus.
+    Q("q90_shuffle_export",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"),
+            graft.etl.Writers.shuffleKey(col("doc_id")).as("h"))
+          .withColumn("shard", pmod(col("h"), lit(8)).cast("int"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 25)
+          .select(col("shard"), col("rn"), col("doc_id"))
+          .orderBy(col("shard"), col("rn"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':shuf'), 1, 15) AS BIGINT) AS h
+                FROM documents),
+              s AS (SELECT doc_id, h, CAST(h % 8 AS INT) AS shard FROM t),
+              r AS (
+                SELECT shard, doc_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY h, doc_id) AS INT) AS rn
+                FROM s)
+              SELECT shard, rn, doc_id
+              FROM r WHERE rn <= 25 ORDER BY shard, rn""")),
+
     // BM25 keyword retrieval (Robertson/Sparck Jones; the Lucene
     // +1-inside-the-log idf so scores stay positive): top-10 docs for a
     // fixed 3-term query. Extends the q49 tf-idf surface from per-doc
