@@ -139,6 +139,14 @@ object Main {
           graft.llm.IvfStore.topK(spark, dir, qv, k.toInt, excludeId = Some(id))
             .show(k.toInt, truncate = false)
 
+        case "export" :: inParquet :: outDir :: shards :: rest
+            if rest.isEmpty || rest.length == 1 =>
+          val idCol = rest.headOption.getOrElse("doc_id")
+          graft.etl.Writers.shuffledShards(
+            spark.read.parquet(inParquet), idCol, outDir, shards.toInt)
+          val n = spark.read.parquet(outDir).count()
+          println(s"exported rows=$n shards=${shards.toInt} dir=$outDir")
+
         case "query" :: sfDir :: name :: Nil =>
           SparkEntry.queries.get(name) match {
             case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
@@ -167,5 +175,6 @@ object Main {
         |  compact-state <stateDir> [force]
         |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
         |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k> | ivf compact <ivfDir>
+        |  export <inParquet> <outDir> <shards> [idCol]
         |  query <sfDir> <name>""".stripMargin)
 }
