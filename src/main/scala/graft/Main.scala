@@ -139,6 +139,12 @@ object Main {
           graft.llm.IvfStore.topK(spark, dir, qv, k.toInt, excludeId = Some(id))
             .show(k.toInt, truncate = false)
 
+        case "curate" :: docsParquet :: outDir :: shards :: Nil =>
+          val r = graft.llm.Curation.curateCorpus(
+            spark.read.parquet(docsParquet), outDir, shards.toInt)
+          println(s"docs=${r.nDocs} after_dedup=${r.nAfterDedup} " +
+            s"exported=${r.nExported} shards_dir=${r.shardsDir}")
+
         case "export" :: inParquet :: outDir :: shards :: rest
             if rest.isEmpty || rest.length == 1 =>
           val idCol = rest.headOption.getOrElse("doc_id")
@@ -176,5 +182,6 @@ object Main {
         |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
         |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k> | ivf compact <ivfDir>
         |  export <inParquet> <outDir> <shards> [idCol]
+        |  curate <docsParquet> <outDir> <shards>
         |  query <sfDir> <name>""".stripMargin)
 }

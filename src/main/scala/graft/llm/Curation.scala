@@ -310,6 +310,64 @@ object Curation {
             e => e.getField("line")))), 1, 16).as("clean_fp"))
   }
 
+  final case class CurateReport(nDocs: Long, nAfterDedup: Long,
+      nExported: Long, shardsDir: String)
+
+  /** The END-TO-END curation funnel as one call, in the ordering the
+    * scale rehearsal prescribes (SCALE.md: exact BEFORE near-dup, so
+    * clone groups never inflate the pair graph):
+    *
+    *  1. exact-collapse + rep-level near-dup clusters
+    *     ([[Dedup.dedupGroupsPrecollapsed]] — pair-graph cost pinned at
+    *     representative scale under any clone multiplicity);
+    *  2. best-of-cluster survivor selection (q89's rule: most tokens,
+    *     doc_id tie-break). Docs with no duplicate relation survive
+    *     as-is — and are windowed SEPARATELY from clustered docs: a
+    *     single window with comp=null for the unique majority would
+    *     drain the whole corpus through one partition;
+    *  3. quality gate (q61's: lang=en, >= 30 tokens, 20*stop >= tokens
+    *     — integer arithmetic, no float thresholds);
+    *  4. PII scrub ([[redactPii]], map-side);
+    *  5. deterministic shuffled-shard export
+    *     ([[graft.etl.Writers.shuffledShards]]).
+    *
+    * Returns funnel counts. The nAfterDedup count re-evaluates the
+    * survivor plan over slim columns (the CC labeling is reliably
+    * checkpointed, so the graph work is not repeated — only the
+    * tokenize scan is); pass `counts = false` to skip it at very large
+    * scale and get -1.
+    */
+  def curateCorpus(docsDf: DataFrame, outDir: String, shards: Int = 16,
+      minJaccard: Double = 0.6, counts: Boolean = true): CurateReport = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docsDf.sparkSession
+    val toks = TextOps.tokens(col("text"))
+    val scored = docsDf.select(
+      col("doc_id"), col("lang"), col("text"),
+      size(toks).as("nt"),
+      TextOps.stopHits(toks, TextOps.EnglishStop).as("ns"))
+    val groups = Dedup.dedupGroupsPrecollapsed(docsDf, minJaccard)
+    val labeled = scored.join(groups, Seq("doc_id"), "left")
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("nt").desc, col("doc_id"))
+    val best = labeled.filter(col("comp").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "comp")
+    val survivors = labeled.filter(col("comp").isNull).drop("comp")
+      .unionByName(best)
+    val quality = survivors.filter(col("lang") === "en" &&
+      col("nt") >= 30 && col("ns") * 20 >= col("nt"))
+    val redacted = quality
+      .select(col("doc_id"), col("lang"), redactPii(col("text")).as("text"))
+    val shardsDir = s"$outDir/shards"
+    graft.etl.Writers.shuffledShards(redacted, "doc_id", shardsDir, shards)
+    val nExported = spark.read.parquet(shardsDir).count()
+    val nAfterDedup =
+      if (counts) survivors.select(col("doc_id")).count() else -1L
+    CurateReport(docsDf.count(), nAfterDedup, nExported, shardsDir)
+  }
+
   /** q66's oracle, shared verbatim by the Bloom-prefilter form (q80):
     * the Bloom filter only PRUNES the train side before an exact
     * confirm join — it can never change the answer, so both entries

@@ -301,6 +301,47 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("curateCorpus runs the whole funnel: dedup, best-rep, quality, redaction, shards") {
+    // quality-passing base text: >= 30 tokens, ~1/3 stopwords, en
+    def good(tag: String, extra: Int = 0): String =
+      (Seq.fill(10)("the") ++ (0 until (20 + extra)).map(i => s"$tag$i"))
+        .mkString(" ")
+    val cloneA = good("alpha")
+    val rows = Seq(
+      // clone group: 3 exact copies; all tie on tokens -> min doc_id (10) survives
+      Row(10L, "en", cloneA), Row(11L, "en", cloneA), Row(12L, "en", cloneA),
+      // near-dup pair: 21 has MORE tokens -> best-of-cluster keeps 21, drops 20
+      Row(20L, "en", good("beta")),
+      Row(21L, "en", good("beta") + " beta20 beta21 beta22"),
+      // unique survivors
+      Row(30L, "en", good("gamma")),
+      Row(31L, "en", "mail me at bob@example.org " + good("delta")),
+      // quality failures: wrong lang, too short, no stopwords
+      Row(40L, "de", good("eps")),
+      Row(41L, "en", "short doc"),
+      Row(42L, "en", (0 until 40).map(i => s"zeta$i").mkString(" ")))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val out = java.nio.file.Files.createTempDirectory("curate").toString
+    val r = Curation.curateCorpus(docs, out, shards = 4)
+    assert(r.nDocs == 10L)
+    // dedup drops 11, 12 (clones of 10) and 20 (near-dup of richer 21)
+    assert(r.nAfterDedup == 7L, s"report: $r")
+    // quality drops 40 (de), 41 (short), 42 (no stopwords)
+    assert(r.nExported == 4L, s"report: $r")
+    val exported = spark.read.parquet(r.shardsDir)
+    val byId = exported.collect()
+      .map(x => x.getLong(x.fieldIndex("doc_id")) ->
+        x.getString(x.fieldIndex("text"))).toMap
+    assert(byId.keySet == Set(10L, 21L, 30L, 31L))
+    // the PII span was scrubbed on the way out
+    assert(byId(31L).contains("<EMAIL>") && !byId(31L).contains("bob@"),
+      s"unredacted export: ${byId(31L)}")
+    // shard column present and within range
+    assert(exported.select("shard").collect()
+      .map(_.getInt(0)).forall(s => s >= 0 && s < 4))
+  }
+
   test("pii redaction scrubs emails, phones, and ips with typed placeholders") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
