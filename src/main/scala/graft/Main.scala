@@ -127,6 +127,11 @@ object Main {
           val n = graft.llm.IvfStore.compact(spark, dir)
           println(s"files=$n")
 
+        case "ivf" :: "recover" :: dir :: Nil =>
+          val restored = graft.llm.IvfStore.recover(spark, dir)
+          println(if (restored) s"restored index at $dir"
+            else s"index at $dir healthy; leftovers swept")
+
         case "ivf" :: "append" :: vecsParquet :: dir :: Nil =>
           graft.llm.IvfStore.append(spark.read.parquet(vecsParquet), dir)
           println(s"cells=${spark.read.parquet(s"$dir/cells").count()}")
@@ -180,7 +185,8 @@ object Main {
         |  pairs compact <pairsDir> | pairs compact-bucketed <table> | pairs register <table> <dir>
         |  compact-state <stateDir> [force]
         |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
-        |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k> | ivf compact <ivfDir>
+        |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k>
+        |  ivf compact <ivfDir> | ivf recover <ivfDir>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  query <sfDir> <name>""".stripMargin)

@@ -200,6 +200,42 @@ object IvfStore {
     dataFileCount(fs, cells)
   }
 
+  /** Mechanical form of [[compact]]'s documented crash recovery: if
+    * `cells` is missing but a complete copy survives at
+    * `cells.__pre_compact` (crash between the two renames) or
+    * `cells__compact_tmp` (crash after moving cells aside), move it
+    * back into place. Returns true if a restore happened, false if the
+    * index was already healthy; throws if `cells` is missing and no
+    * complete copy exists. Safe to call unconditionally before opening
+    * an index.
+    */
+  def recover(spark: SparkSession, dir: String): Boolean = {
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pre = new org.apache.hadoop.fs.Path(s"$dir/cells.__pre_compact")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells__compact_tmp")
+    if (fs.exists(cells)) {
+      // healthy (or crashed before the first rename): drop leftovers so
+      // the next compact starts clean
+      if (fs.exists(pre)) fs.delete(pre, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      false
+    } else {
+      val src =
+        if (fs.exists(pre)) pre
+        else if (fs.exists(tmp)) tmp
+        else throw new java.io.IOException(
+          s"ivf recover: $cells is missing and neither $pre nor $tmp " +
+            "survives — the index was never built or was deleted")
+      if (!fs.rename(src, cells))
+        throw new java.io.IOException(s"ivf recover: could not move $src to $cells")
+      // at most one sibling can remain; it is now stale
+      if (fs.exists(pre)) fs.delete(pre, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      true
+    }
+  }
+
   /** Parquet data files under `p`, recursively (cell partition dirs). */
   def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Int = {

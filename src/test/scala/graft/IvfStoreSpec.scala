@@ -119,6 +119,41 @@ class IvfStoreSpec extends AnyFunSuite with TestSpark {
       s"compacted cells scan not partition-pruned:\n$plan")
   }
 
+  test("recover restores the index from either surviving compaction sibling") {
+    val dir = Files.createTempDirectory("graft-ivf-rec").toString
+    IvfStore.build(vectors, dir)
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pre = new org.apache.hadoop.fs.Path(s"$dir/cells.__pre_compact")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells__compact_tmp")
+    val expected = IvfStore.topK(spark, dir, queryVec(2L), k = 3,
+      excludeId = Some(2L)).collect().toSeq
+
+    // healthy index: no-op, and leftovers are swept
+    fs.mkdirs(tmp)
+    assert(!IvfStore.recover(spark, dir))
+    assert(!fs.exists(tmp) && fs.exists(cells))
+
+    // crash between the two renames: only pre survives
+    assert(fs.rename(cells, pre))
+    assert(IvfStore.recover(spark, dir))
+    assert(fs.exists(cells) && !fs.exists(pre))
+    assert(IvfStore.topK(spark, dir, queryVec(2L), k = 3,
+      excludeId = Some(2L)).collect().toSeq == expected)
+
+    // crash after moving cells aside with the compacted copy durable
+    assert(fs.rename(cells, tmp))
+    assert(IvfStore.recover(spark, dir))
+    assert(fs.exists(cells) && !fs.exists(tmp))
+    assert(IvfStore.topK(spark, dir, queryVec(2L), k = 3,
+      excludeId = Some(2L)).collect().toSeq == expected)
+
+    // nothing survives -> loud failure
+    val empty = Files.createTempDirectory("graft-ivf-rec-empty").toString
+    val ex = intercept[java.io.IOException] { IvfStore.recover(spark, empty) }
+    assert(ex.getMessage.contains("never built or was deleted"))
+  }
+
   test("append assigns new vectors via the stored codebook") {
     val dir = Files.createTempDirectory("graft-ivf-app").toString
     IvfStore.build(vectors, dir)
