@@ -171,6 +171,7 @@ object Pq {
     Tables.load(s, d, "embeddings")
 
   val Q91CodebookDir = "/tmp/graft_q91_pq_codebook"
+  val Q92CodebookDir = "/tmp/graft_q92_pq_codebook"
 
   def defs: Seq[Q] = Seq(
     // PQ ANN: train per-subspace codebooks (seeded, sampled), PERSIST
@@ -212,6 +213,83 @@ object Pq {
               dist AS (
                 SELECT c.vec_id, SUM(q.qd2) AS dist_raw
                 FROM codes c JOIN q USING (sub, cell)
+                WHERE c.vec_id <> 0
+                GROUP BY c.vec_id)
+              SELECT vec_id, ROUND(dist_raw, 4) AS dist
+              FROM dist ORDER BY dist_raw, vec_id LIMIT 10""")),
+
+    // IVF-PQ — the two layouts COMPOSED, which is the standard
+    // billion-scale ANN design: IVF cell pruning bounds WHICH codes a
+    // query scans (the q50 first-16 cell rule, 4 probes), PQ bounds
+    // WHAT each candidate costs (m lookups on an 8-byte code). The
+    // corpus's raw vectors appear only in the map-side cell/code
+    // assignment; candidate ranking never touches them. Oracle =
+    // q50's cell-selection CTEs + q91's ADC CTEs over the same
+    // persisted PQ codebook, joined — hash-pinned end to end.
+    Q("q92_ann_ivfpq",
+      (s, d) => {
+        val e = emb(s, d)
+        val pqCb = train(e, iters = 3, sampleFraction = 0.5)
+        pqCb.write.mode("overwrite").parquet(Q92CodebookDir)
+        val stored = s.read.parquet(Q92CodebookDir)
+        val vecs = e.repartition(col("vec_id"))
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val ivfCb = vecs.filter(col("vec_id") < Similarity.IvfCells)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+        val corpusCells = Similarity.ivfAssign(ivfCb, vecs, probes = 1)
+          .select(col("vec_id"), col("cell"))
+        val qCells = Similarity
+          .ivfAssign(ivfCb, vecs.filter(col("vec_id") === 0L),
+            Similarity.IvfProbes)
+          .select(col("cell"))
+        val qv = vecs.filter(col("vec_id") === 0L)
+          .select(col("v")).head().getSeq[Double](0).toArray
+        val candidates = encode(e, stored)
+          .join(corpusCells, Seq("vec_id"))
+          .join(broadcast(qCells), Seq("cell"), "left_semi")
+        topK(candidates, stored, qv, k = 10, excludeId = Some(0L))
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              ivfcb AS (SELECT vec_id AS cell, a AS cv FROM v WHERE vec_id < 16),
+              scored AS (
+                SELECT v.vec_id, ivfcb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * ivfcb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(ivfcb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN ivfcb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              qcell AS (
+                SELECT cell FROM (
+                  SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS rn
+                  FROM scored WHERE vec_id = 0) t WHERE rn <= 4),
+              cand AS (SELECT vec_id FROM corpus JOIN qcell USING (cell)),
+              pqcb AS (SELECT sub, cell, cv
+                       FROM read_parquet('$Q92CodebookDir/*.parquet')),
+              sd AS (
+                SELECT v.vec_id, pqcb.sub, pqcb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(pqcb.cv)),
+                         i -> (v.a[CAST(pqcb.sub * LEN(pqcb.cv) AS BIGINT) + i] - pqcb.cv[i])
+                            * (v.a[CAST(pqcb.sub * LEN(pqcb.cv) AS BIGINT) + i] - pqcb.cv[i]))) AS d2
+                FROM v CROSS JOIN pqcb),
+              codes AS (
+                SELECT vec_id, sub, cell FROM (
+                  SELECT vec_id, sub, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                           ORDER BY d2, cell) AS rn
+                  FROM sd) t WHERE rn = 1),
+              q AS (SELECT sub, cell, d2 AS qd2 FROM sd WHERE vec_id = 0),
+              dist AS (
+                SELECT c.vec_id, SUM(q.qd2) AS dist_raw
+                FROM codes c JOIN q USING (sub, cell)
+                JOIN cand USING (vec_id)
                 WHERE c.vec_id <> 0
                 GROUP BY c.vec_id)
               SELECT vec_id, ROUND(dist_raw, 4) AS dist

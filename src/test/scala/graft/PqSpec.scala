@@ -67,6 +67,16 @@ class PqSpec extends AnyFunSuite with TestSpark {
     assert(top.head == 999L, s"clone not first: $top")
   }
 
+  test("ivf-pq composition runs end to end with ascending distances") {
+    val got = graft.queries.Registry.queries("q92_ann_ivfpq")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    val ids = got.map(_.getLong(0)).toSeq
+    assert(ids.distinct == ids && !ids.contains(0L))
+    val dists = got.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted, s"distances not ascending: $dists")
+  }
+
   test("ADC top-10 has useful recall vs exact L2 on clustered data") {
     val cb = Pq.train(vectors, iters = 3)
     val codes = Pq.encode(vectors, cb)
