@@ -26,24 +26,29 @@ object Pq {
   val DefaultM = 8 // subspaces
   val DefaultK = 16 // centroids per subspace
 
-  /** Sequential-ascending L2² between a sub-vector column and a centroid
-    * literal — the same fold order DuckDB's list_sum(list_transform)
-    * uses, so cross-engine doubles are bit-equal (the q82 precedent).
+  /** Map-side PQ assignment, ALL subspaces at once: codes(s) = argmin
+    * L2² over subspace s's centroids, ties to the lower cell id
+    * (array_position returns the FIRST index of the minimum). The
+    * codebook rides as ONE literal array<array<array<double>>> and the
+    * argmin is a `transform` over it — data, not unrolled code: an
+    * unrolled m*k*dsub expression tree (128 aggregates here) blows past
+    * the codegen method limit and drops the whole stage to interpreted
+    * eval, which is where a profile showed q91/q92's time going. Every
+    * fold is sequential-ascending (zip_with + aggregate == DuckDB's
+    * list_sum(list_transform) — the q82 bit-equality precedent), and
+    * subspaces/cells enumerate in ascending order, so results are
+    * bit-identical to the unrolled form.
     */
-  private def l2(sv: Column, cv: Array[Double]): Column =
-    aggregate(
-      zip_with(sv, typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, e) => acc + e)
-
-  /** Map-side PQ assignment for subspace `s`: argmin L2² over the
-    * broadcast-literal codebook, ties to the lower cell id
-    * (array_position returns the FIRST index of the minimum).
-    */
-  private def assignExpr(s: Int, dsub: Int,
-      cb: IndexedSeq[Array[Double]]): Column = {
-    val sv = slice(col("v"), s * dsub + 1, dsub)
-    val dists = array(cb.map(cv => l2(sv, cv)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+  private def codesExpr(m: Int, dsub: Int,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    val cbLit = typedlit(books.map(_.map(_.toSeq)))
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(col("v"), s * dsub + 1, lit(dsub))
+      val dists = transform(element_at(cbLit, s + 1), cv =>
+        aggregate(zip_with(sv, cv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
   }
 
   private def booksFrom(codebook: DataFrame): IndexedSeq[IndexedSeq[Array[Double]]] = {
@@ -94,9 +99,11 @@ object Pq {
       (0 until m).map(s => initRows.toIndexedSeq
         .map(v => v.slice(s * dsub, (s + 1) * dsub)))
     for (_ <- 1 to iters) {
-      val stacked = vecs.select(explode(array((0 until m).map(s =>
+      val stacked = vecs
+        .select(col("v"), codesExpr(m, dsub, books).as("codes"))
+        .select(explode(array((0 until m).map(s =>
           struct(lit(s).as("s"),
-            assignExpr(s, dsub, books(s)).as("cell"),
+            element_at(col("codes"), s + 1).as("cell"),
             slice(col("v"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
         .select(col("e.s").as("s"), col("e.cell").as("cell"),
           posexplode(col("e.sv")).as(Seq("i", "x")))
@@ -133,8 +140,7 @@ object Pq {
     vectors
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
       .select(col("vec_id"),
-        array(books.indices.map(s => assignExpr(s, dsub, books(s))): _*)
-          .as("codes"))
+        codesExpr(books.length, dsub, books).as("codes"))
   }
 
   /** Asymmetric-distance top-k over encoded vectors: the query builds a
@@ -156,9 +162,11 @@ object Pq {
         acc
       }.toSeq
     }
-    val dist = books.indices.map(s =>
-      element_at(typedlit(table(s)), element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
+    // ascending-s fold, same order as the unrolled sum
+    val dist = aggregate(
+      zip_with(col("codes"), typedlit(table.map(_.toSeq)),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, e) => acc + e)
     val base = excludeId.fold(codes)(id => codes.filter(col("vec_id") =!= id))
     base
       .select(col("vec_id"), dist.as("dist_raw"))
