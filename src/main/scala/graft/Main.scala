@@ -144,6 +144,25 @@ object Main {
           graft.llm.IvfStore.topK(spark, dir, qv, k.toInt, excludeId = Some(id))
             .show(k.toInt, truncate = false)
 
+        // persisted PQ index: corpus-scale encode paid once at build
+        case "pq" :: "build" :: vecsParquet :: dir :: Nil =>
+          graft.llm.Pq.buildStore(spark.read.parquet(vecsParquet), dir)
+          println(s"codes=${spark.read.parquet(s"$dir/codes").count()}")
+
+        case "pq" :: "append" :: vecsParquet :: dir :: Nil =>
+          graft.llm.Pq.appendStore(spark.read.parquet(vecsParquet), dir)
+          println(s"codes=${spark.read.parquet(s"$dir/codes").count()}")
+
+        case "pq" :: "query" :: vecsParquet :: dir :: vecId :: k :: Nil =>
+          val id = vecId.toLong
+          val qv = spark.read.parquet(vecsParquet)
+            .filter(org.apache.spark.sql.functions.col("vec_id") === id)
+            .select(graft.llm.Similarity.asDouble(
+              org.apache.spark.sql.functions.col("embedding")))
+            .head().getSeq[Double](0).toArray
+          graft.llm.Pq.topKStored(spark, dir, qv, k.toInt,
+            excludeId = Some(id)).show(k.toInt, truncate = false)
+
         case "curate" :: docsParquet :: outDir :: shards :: Nil =>
           val r = graft.llm.Curation.curateCorpus(
             spark.read.parquet(docsParquet), outDir, shards.toInt)
@@ -187,6 +206,8 @@ object Main {
         |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
         |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k>
         |  ivf compact <ivfDir> | ivf recover <ivfDir>
+        |  pq build <vecsParquet> <pqDir> | pq append <vecsParquet> <pqDir>
+        |  pq query <vecsParquet> <pqDir> <vecId> <k>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  query <sfDir> <name>""".stripMargin)

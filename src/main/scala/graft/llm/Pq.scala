@@ -175,6 +175,44 @@ object Pq {
       .select(col("vec_id"), round(col("dist_raw"), 4).as("dist"))
   }
 
+  /** Persist the PQ index: trained codebook + encoded corpus — the
+    * [[IvfStore]] operational shape for PQ: the corpus-scale encode pass
+    * is paid ONCE at build, probes scan only the m-int codes, and new
+    * batches append against the STORED codebook so historical vectors
+    * are never re-encoded. Codes write `repartition(vec_id)` so the
+    * layout is reproducible and append-friendly.
+    */
+  def buildStore(vectors: DataFrame, dir: String, m: Int = DefaultM,
+      k: Int = DefaultK, iters: Int = 3, seed: Long = 42L,
+      sampleFraction: Double = 1.0): Unit = {
+    val cb = train(vectors, m, k, iters, seed, sampleFraction)
+    cb.write.mode("overwrite")
+      .option("compression", graft.etl.Writers.DefaultCompression)
+      .parquet(s"$dir/codebook")
+    val stored = vectors.sparkSession.read.parquet(s"$dir/codebook")
+    encode(vectors.repartition(col("vec_id")), stored)
+      .write.mode("overwrite")
+      .option("compression", graft.etl.Writers.DefaultCompression)
+      .parquet(s"$dir/codes")
+  }
+
+  /** Encode a NEW batch against the stored codebook and append it. */
+  def appendStore(newVectors: DataFrame, dir: String): Unit = {
+    val stored = newVectors.sparkSession.read.parquet(s"$dir/codebook")
+    encode(newVectors.repartition(col("vec_id")), stored)
+      .write.mode("append")
+      .option("compression", graft.etl.Writers.DefaultCompression)
+      .parquet(s"$dir/codes")
+  }
+
+  /** ADC top-k over the stored codes — identical machinery to [[topK]],
+    * fed from the persisted layout (raw vectors never read).
+    */
+  def topKStored(spark: SparkSession, dir: String, qv: Array[Double],
+      k: Int, excludeId: Option[Long] = None): DataFrame =
+    topK(spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook"), qv, k, excludeId)
+
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 

@@ -67,6 +67,35 @@ class PqSpec extends AnyFunSuite with TestSpark {
     assert(top.head == 999L, s"clone not first: $top")
   }
 
+  test("stored PQ index answers equal fresh encode; append never re-encodes history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-store").toString
+    Pq.buildStore(vectors, dir, iters = 2)
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val qv = vectors.filter(col("vec_id") === 0L)
+      .select(graft.llm.Similarity.asDouble(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val fresh = Pq.topK(Pq.encode(vectors, cb), cb, qv, k = 5,
+      excludeId = Some(0L)).collect().toSeq
+    val stored = Pq.topKStored(spark, dir, qv, k = 5, excludeId = Some(0L))
+      .collect().toSeq
+    assert(stored == fresh, s"stored != fresh: $stored vs $fresh")
+    // append a second clone of vec 0: it must join the top without the
+    // existing codes being rewritten
+    val filesBefore = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1000L, vectors.filter(col("vec_id") === 0L)
+          .head().getSeq[Float](1))), 1), schema)
+    Pq.appendStore(extra, dir)
+    val filesAfter = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(filesBefore.subsetOf(filesAfter), "append rewrote existing code files")
+    val top = Pq.topKStored(spark, dir, qv, k = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(999L, 1000L), s"clones not on top: $top")
+  }
+
   test("ivf-pq composition runs end to end with ascending distances") {
     val got = graft.queries.Registry.queries("q92_ann_ivfpq")(
       spark, "/root/testdata/sf0.001").collect()
