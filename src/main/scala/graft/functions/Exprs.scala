@@ -727,6 +727,26 @@ object GraftExtensions {
         "graft_bloom_contains expects a literal serialized Bloom filter")
       BloomMightContain(es(0), es(1))
     }),
+    d("graft_pq_assign", classOf[PqAssignCodes], { es =>
+      // second arg must be a foldable array<array<array<double>>>
+      // literal — the codebook is part of the expression, not row data
+      require(es(1).foldable,
+        "graft_pq_assign expects a literal codebook array")
+      val outer = es(1).eval().asInstanceOf[ArrayData]
+      val books = Array.tabulate(outer.numElements()) { s =>
+        val mid = outer.getArray(s)
+        Array.tabulate(mid.numElements())(c => mid.getArray(c).toDoubleArray())
+      }
+      PqAssignCodes(es(0), books)
+    }),
+    d("graft_pq_adc", classOf[PqAdcDist], { es =>
+      require(es(1).foldable,
+        "graft_pq_adc expects a literal lookup table array")
+      val outer = es(1).eval().asInstanceOf[ArrayData]
+      val table = Array.tabulate(outer.numElements())(s =>
+        outer.getArray(s).toDoubleArray())
+      PqAdcDist(es(0), table)
+    }),
     d("graft_bloom_contains_bc", classOf[BloomMightContainBc], { es =>
       // first arg is a registry token literal, resolved ON THE DRIVER
       // (analysis runs there) and replaced by the broadcast handle —
@@ -737,6 +757,102 @@ object GraftExtensions {
       val token = es(0).eval().asInstanceOf[UTF8String].toString
       BloomMightContainBc(BloomBroadcasts.resolve(token), es(1))
     }))
+}
+
+/** PQ code assignment (see graft.llm.Pq): codes(s) = argmin-L2² cell of
+  * subspace s over a driver-built codebook (m × k × dsub doubles). One
+  * compiled triple loop per row instead of the HOF reference form —
+  * `transform(sequence, s -> argmin(transform(cb, aggregate(zip_with))))`
+  * — whose every layer is a CodegenFallback lambda interpreter call.
+  * Bit-identical to that form: the L2 fold accumulates in ascending
+  * dim order, cells scan ascending, and ties keep the FIRST minimum
+  * (strict `<`), matching array_position(array_min). Assumes
+  * vector length == m * dsub (the trainer enforces it).
+  */
+case class PqAssignCodes(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_assign"
+
+  @transient private lazy val m = books.length
+  @transient private lazy val dsub = books(0)(0).length
+
+  def compute(a: ArrayData): ArrayData = {
+    val v = a.toDoubleArray()
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cells = books(s)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cells.length) {
+        val cv = cells(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = v(s * dsub + i) - cv(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAssign", this, classOf[PqAssignCodes].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric distance: sum over subspaces of the query's
+  * precomputed lookup table at each code — table(s)(codes(s)), folded
+  * in ascending subspace order (same order as the HOF
+  * `aggregate(zip_with(codes, table, element_at))` reference and the
+  * oracle's per-(sub,cell) join + SUM).
+  */
+case class PqAdcDist(child: Expression, table: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  def compute(a: ArrayData): Double = {
+    var acc = 0.0
+    var s = 0
+    val n = math.min(a.numElements(), table.length)
+    while (s < n) {
+      acc += table(s)(a.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcDist].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Column-level API over the native expressions (requires a session built
@@ -775,6 +891,19 @@ object Fns {
   def stopHits(tokens: Column, words: Seq[String]): Column = {
     import org.apache.spark.sql.functions.{array, lit}
     call_function("graft_stop_hits", tokens, array(words.map(lit): _*))
+  }
+
+  /** PQ code assignment over a driver-built codebook (m × k × dsub). */
+  def pqAssign(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function("graft_pq_assign", dbl(vec), typedlit(books))
+  }
+
+  /** PQ asymmetric distance of a code array against a query's m × k
+    * lookup table. */
+  def pqAdcDist(codes: Column, table: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function("graft_pq_adc", codes, typedlit(table))
   }
 
   /** All HyperplaneBuckets.Tables LSH bucket ids for an embedding. */

@@ -27,19 +27,23 @@ object Pq {
   val DefaultK = 16 // centroids per subspace
 
   /** Map-side PQ assignment, ALL subspaces at once: codes(s) = argmin
-    * L2² over subspace s's centroids, ties to the lower cell id
-    * (array_position returns the FIRST index of the minimum). The
-    * codebook rides as ONE literal array<array<array<double>>> and the
-    * argmin is a `transform` over it — data, not unrolled code: an
-    * unrolled m*k*dsub expression tree (128 aggregates here) blows past
-    * the codegen method limit and drops the whole stage to interpreted
-    * eval, which is where a profile showed q91/q92's time going. Every
-    * fold is sequential-ascending (zip_with + aggregate == DuckDB's
-    * list_sum(list_transform) — the q82 bit-equality precedent), and
-    * subspaces/cells enumerate in ascending order, so results are
-    * bit-identical to the unrolled form.
+    * L2² over subspace s's centroids, ties to the lower cell id. Runs
+    * as the native [[graft.functions.PqAssignCodes]] expression — one
+    * compiled triple loop per row; the HOF reference form below every
+    * layer of which is a CodegenFallback interpreter call is pinned
+    * bit-equal in PqSpec. Ascending dim/cell/subspace order matches
+    * DuckDB's list_sum(list_transform) oracle arithmetic (the q82
+    * bit-equality precedent).
     */
   private def codesExpr(m: Int, dsub: Int,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): Column =
+    graft.functions.Fns.pqAssign(col("v"),
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** The HOF formulation codesExpr replaces — kept as the executable
+    * spec of the native expression's semantics (PqSpec pins equality).
+    */
+  private[graft] def codesExprHof(m: Int, dsub: Int,
       books: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
     val cbLit = typedlit(books.map(_.map(_.toSeq)))
     transform(sequence(lit(0), lit(m - 1)), s => {
@@ -162,11 +166,9 @@ object Pq {
         acc
       }.toSeq
     }
-    // ascending-s fold, same order as the unrolled sum
-    val dist = aggregate(
-      zip_with(col("codes"), typedlit(table.map(_.toSeq)),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), (acc, e) => acc + e)
+    // native ascending-s fold (PqAdcDist) — same order as the HOF
+    // aggregate(zip_with(codes, table, element_at)) it replaces
+    val dist = graft.functions.Fns.pqAdcDist(col("codes"), table)
     val base = excludeId.fold(codes)(id => codes.filter(col("vec_id") =!= id))
     base
       .select(col("vec_id"), dist.as("dist_raw"))

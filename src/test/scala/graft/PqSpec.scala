@@ -67,6 +67,49 @@ class PqSpec extends AnyFunSuite with TestSpark {
     assert(top.head == 999L, s"clone not first: $top")
   }
 
+  test("native PQ assignment and ADC are bit-identical to the HOF reference forms") {
+    import graft.functions.Fns
+    val cb = Pq.train(vectors, iters = 2)
+    val rows = cb.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val m = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    val books = (0 until m).map(s => (0 until k).map(c => rows((s, c))))
+    val dsub = books.head.head.length
+    val vdf = vectors.select(col("vec_id"),
+      graft.llm.Similarity.asDouble(col("embedding")).as("v"))
+    val nat = vdf.select(col("vec_id"),
+        Fns.pqAssign(col("v"), books.map(_.map(_.toSeq).toSeq).toSeq).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = vdf.select(col("vec_id"),
+        Pq.codesExprHof(m, dsub, books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(nat == hof, "native assignment diverged from the HOF reference")
+
+    // ADC: same lookup-table sum through both forms
+    val qv = vectors.filter(col("vec_id") === 3L)
+      .select(graft.llm.Similarity.asDouble(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val table: Seq[Seq[Double]] = books.indices.map { s =>
+      books(s).map { cv =>
+        cv.indices.map(i => {
+          val d = qv(s * dsub + i) - cv(i); d * d
+        }).sum
+      }.toSeq
+    }
+    val codes = Pq.encode(vectors, cb)
+    val natD = codes.select(col("vec_id"),
+        Fns.pqAdcDist(col("codes"), table).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hofD = codes.select(col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), typedlit(table),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, e) => acc + e).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(natD == hofD, "native ADC diverged from the HOF reference")
+  }
+
   test("stored PQ index answers equal fresh encode; append never re-encodes history") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-store").toString
     Pq.buildStore(vectors, dir, iters = 2)
