@@ -727,6 +727,8 @@ object GraftExtensions {
         "graft_bloom_contains expects a literal serialized Bloom filter")
       BloomMightContain(es(0), es(1))
     }),
+    d("graft_minhash_sig_md5", classOf[MinHashSigMd5],
+      es => MinHashSigMd5(es.head)),
     d("graft_pq_assign", classOf[PqAssignCodes], { es =>
       // second arg must be a foldable array<array<array<double>>>
       // literal — the codebook is part of the expression, not row data
@@ -757,6 +759,65 @@ object GraftExtensions {
       val token = es(0).eval().asInstanceOf[UTF8String].toString
       BloomMightContainBc(BloomBroadcasts.resolve(token), es(1))
     }))
+}
+
+object MinHashSigMd5 {
+  val K = 16
+  val Mod = 2147483647L // 2^31 - 1
+  // the q65/q71 mixer schedule: operands bounded so a*h+b stays in
+  // signed-64 on any engine (A < 2^30, h < 2^32 -> product < 2^62)
+  val mixA: Array[Long] =
+    Array.tabulate(K)(i => ((i + 1).toLong * 2654435761L) % 1073741789L)
+  val mixB: Array[Long] =
+    Array.tabulate(K)(i => ((i + 1).toLong * 2246822519L) % Mod)
+}
+
+/** MD5-variant MinHash signature (see graft.llm.Dedup q65/q71): slot s =
+  * min over the MD5-derived shingle hashes of (h*A(s)+B(s)) % Mod — all
+  * K slots in one compiled pass instead of K interpreted
+  * `array_min(transform(...))` HOF layers per row. Exact same Long
+  * arithmetic (Java multiply/add/rem), same slot order, so signatures
+  * are bit-identical to the HOF form and to the DuckDB oracle's
+  * list_min(list_transform(...)). Input must be non-empty (callers
+  * filter docs to >= n tokens before shingling; the HOF form returns
+  * null slots on empty input, this one must not be reached with it).
+  */
+case class MinHashSigMd5(child: Expression)
+    extends UnaryExpression {
+  import MinHashSigMd5._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig_md5"
+
+  def compute(a: ArrayData): ArrayData = {
+    val sig = Array.fill(K)(Long.MaxValue)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var s = 0
+      while (s < K) {
+        val v = (h * mixA(s) + mixB(s)) % Mod
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigMd5", this, classOf[MinHashSigMd5].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** PQ code assignment (see graft.llm.Pq): codes(s) = argmin-L2² cell of
@@ -882,6 +943,11 @@ object Fns {
   /** 64-bit SimHash of a token array (multiset-weighted majority vote). */
   def simhash64(tokens: Column): Column =
     call_function("graft_simhash64", tokens)
+
+  /** MD5-variant MinHash signature (array<long> of MinHashSigMd5.K) over
+    * MD5-derived shingle hashes — the oracle-checkable q65/q71 slots. */
+  def md5MinhashSig(hashes: Column): Column =
+    call_function("graft_minhash_sig_md5", hashes)
 
   /** 64-bit SimHash from MD5-derived token hashes (oracle-checkable). */
   def simhashMd5(tokens: Column): Column =

@@ -423,12 +423,13 @@ object Dedup {
     * under 2^62 — exact in signed 64-bit on Spark AND DuckDB (no
     * overflow, no wrap-around semantics to emulate).
     */
-  val Md5MinhashK = 16
-  val Md5MinhashMod = 2147483647L // 2^31 - 1
-  val Md5MinhashMixers: Seq[(Long, Long)] = (1 to Md5MinhashK).map { i =>
-    ((i.toLong * 2654435761L) % 1073741789L,
-      (i.toLong * 2246822519L) % 2147483647L)
-  }
+  val Md5MinhashK: Int = graft.functions.MinHashSigMd5.K
+  val Md5MinhashMod: Long = graft.functions.MinHashSigMd5.Mod // 2^31 - 1
+  // single source of truth is the native expression's companion (the
+  // oracle SQL strings below interpolate these same constants)
+  val Md5MinhashMixers: Seq[(Long, Long)] =
+    graft.functions.MinHashSigMd5.mixA
+      .zip(graft.functions.MinHashSigMd5.mixB).toSeq
 
   val MinHashK: Int = MinHashSigExpr.K // signature length (32)
   val Bands = 8       // LSH bands
@@ -664,11 +665,14 @@ object Dedup {
           .select(col("doc_id"),
             transform(col("sh"), sh =>
               conv(substring(md5(sh), 1, 8), 16, 10).cast("long")).as("hv"))
-        val slots = Md5MinhashMixers.map { case (a, b) =>
-          array_min(transform(col("hv"), h =>
-            (lit(a) * h + lit(b)) % Md5MinhashMod)).cast("string")
-        }
-        hv.select(col("doc_id"), concat_ws("-", slots: _*).as("sig"))
+        // native MinHashSigMd5 (one compiled pass for all slots; the K
+        // interpreted array_min(transform) HOF layers it replaces are
+        // pinned bit-equal in FnsSpec)
+        val sig = hv.select(col("doc_id"),
+          graft.functions.Fns.md5MinhashSig(col("hv")).as("s"))
+        val slots = (1 to Md5MinhashK).map(i =>
+          element_at(col("s"), i).cast("string"))
+        sig.select(col("doc_id"), concat_ws("-", slots: _*).as("sig"))
           .orderBy(col("doc_id"))
       },
       Some {
@@ -706,11 +710,9 @@ object Dedup {
           .select(col("doc_id"),
             transform(col("sh"), sh =>
               conv(substring(md5(sh), 1, 8), 16, 10).cast("long")).as("hv"))
-        val slotCols = Md5MinhashMixers.map { case (a, b) =>
-          array_min(transform(col("hv"), h =>
-            (lit(a) * h + lit(b)) % Md5MinhashMod))
-        }
-        val slots = hv.select(col("doc_id"), array(slotCols: _*).as("s"))
+        // native MinHashSigMd5 — same slots as the HOF form, one pass
+        val slots = hv.select(col("doc_id"),
+          graft.functions.Fns.md5MinhashSig(col("hv")).as("s"))
         val banded = slots.select(col("doc_id"), col("s"),
           posexplode(array((0 until 4).map(b =>
             concat_ws(",", (0 until 4).map(i =>
@@ -1007,12 +1009,9 @@ object Dedup {
             array_distinct(transform(shingleArrayFromTokens(col("ts")), sh =>
               conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))).as("hv"))
           .repartition(col("doc_id"))
-        val slotCols = Md5MinhashMixers.map { case (a, b) =>
-          array_min(transform(col("hv"), h =>
-            (lit(a) * h + lit(b)) % Md5MinhashMod))
-        }
         val banded = hv
-          .select(col("doc_id"), array(slotCols: _*).as("s"))
+          .select(col("doc_id"),
+            graft.functions.Fns.md5MinhashSig(col("hv")).as("s"))
           .select(col("doc_id"),
             posexplode(array((0 until 4).map(bnd =>
               concat_ws(",", (0 until 4).map(i =>

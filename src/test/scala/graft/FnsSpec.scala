@@ -67,6 +67,24 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(bad == 0)
   }
 
+  test("native md5 minhash sig == per-slot array_min(transform) with same mixers") {
+    import graft.functions.MinHashSigMd5
+    val hv = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        transform(graft.llm.Dedup.shingleArrayFromTokens(col("ts")), sh =>
+          conv(substring(md5(sh), 1, 8), 16, 10).cast("long")).as("hv"))
+    val hofSig = array((0 until MinHashSigMd5.K).map { i =>
+      array_min(transform(col("hv"), h =>
+        (h * lit(MinHashSigMd5.mixA(i)) + lit(MinHashSigMd5.mixB(i)))
+          % MinHashSigMd5.Mod))
+    }: _*)
+    val bad = hv.select(Fns.md5MinhashSig(col("hv")).as("n"), hofSig.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
   test("native simhash64 == explode + 64-column majority-vote aggregation") {
     val docs = graft.core.Tables.load(spark, sf, "documents").limit(50)
     val native = docs
