@@ -729,6 +729,8 @@ object GraftExtensions {
     }),
     d("graft_minhash_sig_md5", classOf[MinHashSigMd5],
       es => MinHashSigMd5(es.head)),
+    d("graft_md5_hash32", classOf[Md5Hash32Array],
+      es => Md5Hash32Array(es.head)),
     d("graft_pq_assign", classOf[PqAssignCodes], { es =>
       // second arg must be a foldable array<array<array<double>>>
       // literal — the codebook is part of the expression, not row data
@@ -812,6 +814,53 @@ case class MinHashSigMd5(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhashSigMd5", this, classOf[MinHashSigMd5].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-element MD5-derived 32-bit hash of a string array: element i →
+  * the first 4 MD5 digest bytes as an unsigned 32-bit value in a long —
+  * exactly `conv(substring(md5(s), 1, 8), 16, 10)` (first 8 hex chars
+  * == first 4 digest bytes), computed digest-direct instead of
+  * hex-string round-tripping inside an interpreted `transform` lambda.
+  * The q65/q71/q83 shingle-hash front end; DuckDB reproduces it as
+  * CAST('0x' || SUBSTR(MD5(s), 1, 8) AS BIGINT). Null elements hash to
+  * null (matching md5(null)); empty input yields an empty array.
+  */
+case class Md5Hash32Array(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5_hash32"
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) out(i) = null
+      else {
+        md.reset()
+        val d = md.digest(a.getUTF8String(i).getBytes)
+        out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5Hash32", this, classOf[Md5Hash32Array].getName)
     val ad = classOf[ArrayData].getName
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
   }
@@ -948,6 +997,11 @@ object Fns {
     * MD5-derived shingle hashes — the oracle-checkable q65/q71 slots. */
   def md5MinhashSig(hashes: Column): Column =
     call_function("graft_minhash_sig_md5", hashes)
+
+  /** Per-element first-4-MD5-bytes hash of a string array —
+    * conv(substring(md5(s),1,8),16,10) without the hex round trip. */
+  def md5Hash32(strings: Column): Column =
+    call_function("graft_md5_hash32", strings)
 
   /** 64-bit SimHash from MD5-derived token hashes (oracle-checkable). */
   def simhashMd5(tokens: Column): Column =

@@ -663,8 +663,9 @@ object Dedup {
       (s, d) => {
         val hv = withShingleArray(docs(s, d))
           .select(col("doc_id"),
-            transform(col("sh"), sh =>
-              conv(substring(md5(sh), 1, 8), 16, 10).cast("long")).as("hv"))
+            // native digest-direct hash (== conv(substring(md5(sh),1,8),
+            // 16,10) — FnsSpec pins equality)
+            graft.functions.Fns.md5Hash32(col("sh")).as("hv"))
         // native MinHashSigMd5 (one compiled pass for all slots; the K
         // interpreted array_min(transform) HOF layers it replaces are
         // pinned bit-equal in FnsSpec)
@@ -708,8 +709,9 @@ object Dedup {
       (s, d) => {
         val hv = withShingleArray(docs(s, d))
           .select(col("doc_id"),
-            transform(col("sh"), sh =>
-              conv(substring(md5(sh), 1, 8), 16, 10).cast("long")).as("hv"))
+            // native digest-direct hash (== conv(substring(md5(sh),1,8),
+            // 16,10) — FnsSpec pins equality)
+            graft.functions.Fns.md5Hash32(col("sh")).as("hv"))
         // native MinHashSigMd5 — same slots as the HOF form, one pass
         val slots = hv.select(col("doc_id"),
           graft.functions.Fns.md5MinhashSig(col("hv")).as("s"))
@@ -1006,8 +1008,8 @@ object Dedup {
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
           .filter(size(col("ts")) >= 3)
           .select(col("doc_id"),
-            array_distinct(transform(shingleArrayFromTokens(col("ts")), sh =>
-              conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))).as("hv"))
+            array_distinct(graft.functions.Fns.md5Hash32(
+              shingleArrayFromTokens(col("ts")))).as("hv"))
           .repartition(col("doc_id"))
         val banded = hv
           .select(col("doc_id"),

@@ -67,6 +67,18 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(bad == 0)
   }
 
+  test("native md5 hash32 == conv(substring(md5(s),1,8),16,10) per element") {
+    val sh = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(graft.llm.Dedup.shingleArrayFromTokens(col("ts")).as("sh"))
+    val hof = transform(col("sh"), s =>
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val bad = sh.select(Fns.md5Hash32(col("sh")).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
   test("native md5 minhash sig == per-slot array_min(transform) with same mixers") {
     import graft.functions.MinHashSigMd5
     val hv = graft.core.Tables.load(spark, sf, "documents")
