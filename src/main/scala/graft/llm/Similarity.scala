@@ -655,6 +655,62 @@ object Similarity {
                        c.vec_id
               LIMIT 10""")),
 
+    // SemDeDup-style SEMANTIC dedup: trained-centroid clusters bound
+    // the pair space (cells ~ sqrt(corpus) caps each cluster's
+    // quadratic), within-cluster cosine >= 0.35 pairs feed connected
+    // components — the embedding-space analog of the q56 text funnel,
+    // deterministic where q69/q73's LSH buckets are probabilistic. The
+    // codebook persists to parquet and the oracle reads the same bits
+    // (q82's pattern), so assignment, pair set, and labels all
+    // value-pin. One scan feeds both join sides through a single
+    // cell-keyed exchange.
+    Q("q93_semantic_dedup",
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = IvfStore.train(e, iters = 3, sampleFraction = 0.5)
+        cb.write.mode("overwrite").parquet(Q93CodebookDir)
+        val stored = s.read.parquet(Q93CodebookDir)
+          .select(col("cell"), col("cv"))
+        semanticDedupGroups(stored, e, minCos = 0.35)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT cell, cv
+                     FROM read_parquet('$Q93CodebookDir/*.parquet')),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              pairs AS (
+                SELECT a.vec_id AS d1, b.vec_id AS d2
+                FROM corpus a JOIN corpus b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                JOIN v va ON va.vec_id = a.vec_id
+                JOIN v vb ON vb.vec_id = b.vec_id
+                WHERE list_sum(list_transform(generate_series(1, LEN(va.a)),
+                        i -> va.a[i] * vb.a[i]))
+                      / (SQRT(list_sum(list_transform(va.a, x -> x*x)))
+                       * SQRT(list_sum(list_transform(vb.a, x -> x*x)))) >= 0.35),
+              edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                        UNION ALL SELECT d2, d1 FROM pairs),
+              reach AS (
+                SELECT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+              SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS comp
+              FROM reach GROUP BY node ORDER BY vec_id""")),
+
     // k-NN majority-vote classification over the labeled embedding
     // corpus: for each query vector, the 5 cosine-nearest neighbors
     // (excluding itself) vote with their `label`; ties break to the
@@ -727,6 +783,33 @@ object Similarity {
     * oracle SQL is a fixed string dumped at Verify time.
     */
   val Q82CodebookDir = "/tmp/graft_q82_codebook"
+  val Q93CodebookDir = "/tmp/graft_q93_codebook"
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with a trained codebook (map-side argmax
+    * assignment), compare pairs ONLY within a cluster, and connect
+    * components over the >= minCos pairs. The cells make the pair space
+    * deterministic and tunable — cells ~ sqrt(corpus) bounds each
+    * cluster's pair quadratic, where q57's broadcast all-pairs form is
+    * the exact baseline and q69/q73's LSH buckets are the probabilistic
+    * alternative. One scan feeds both join sides through a single
+    * cell-keyed exchange (ReuseExchange — the q32 shared-exchange
+    * shape); vectors ride the exchange once, slim (cell, id, vec) rows.
+    */
+  def semanticDedupGroups(codebook: DataFrame, vectors: DataFrame,
+      minCos: Double): DataFrame = {
+    val vecs = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val assigned = ivfAssign(codebook, vecs, probes = 1)
+      .repartition(col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("d1"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("d2"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2") && cosine(col("va"), col("vb")) >= minCos)
+      .select(col("d1"), col("d2"))
+    graft.llm.Dedup.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("comp"))
+  }
 
   val IvfCells = 16
   val IvfProbes = 4

@@ -304,4 +304,15 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(!ids.contains(1L))
     assert(ids.subsetOf((0L until 60L).toSet + 500L))
   }
+  test("semantic dedup: near-identical vectors share a cell and a component") {
+    // random vectors: cross-pair cosines hover near 0, so at minCos 0.95
+    // ONLY the planted near-clone pair (1, 500) survives — and identical
+    // argmax assignment puts them in the same trained cell by
+    // construction
+    val cb = graft.llm.IvfStore.train(vectors, k = 8, iters = 2)
+    val groups = Similarity.semanticDedupGroups(cb, vectors, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 500L -> 1L),
+      s"expected exactly the planted pair clustered, got $groups")
+  }
 }
