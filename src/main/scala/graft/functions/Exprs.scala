@@ -838,16 +838,23 @@ case class Md5Hash32Array(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_md5_hash32"
 
+  // one digest per executor thread, not per row: MessageDigest is
+  // stateful/non-thread-safe and the expression instance is shared
+  // across a stage's tasks. @transient — rebuilt after task serialization
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def compute(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = md.get()
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) out(i) = null
       else {
-        md.reset()
-        val d = md.digest(a.getUTF8String(i).getBytes)
+        m.reset()
+        val d = m.digest(a.getUTF8String(i).getBytes)
         out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       }
