@@ -397,6 +397,62 @@ case class StopHits(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Character-level Shannon entropy (nats) of a string in one compiled
+  * pass: code-point counts in first-occurrence order, then a
+  * left-to-right fold of `acc - (cnt/n) * ln(cnt/n)`.
+  *
+  * Bit-identical to the HOF reference formulation
+  * (`aggregate(array_distinct(chars), ...)` over `substr(i, 1)` chars,
+  * pinned in FnsSpec): array_distinct preserves first occurrence, and
+  * the fold's operand order/types match exactly — which the oracle's
+  * value-hash compare requires. The HOF form costs O(distinct × len)
+  * interpreted lambda calls per row (q97 measured 140 s at sf0.1); this
+  * is one O(len) loop.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_entropy"
+
+  def compute(s: UTF8String): Double = {
+    val str = s.toString
+    val counts = new java.util.LinkedHashMap[Integer, Integer]()
+    var total = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1 else prev + 1)
+      total += 1
+      i += Character.charCount(cp)
+    }
+    val n = total.toDouble
+    var ent = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cnt = it.next().toDouble
+      // StrictMath, not Math: Spark's LOG expression evaluates
+      // StrictMath.log, and the JIT's Math.log intrinsic can differ by
+      // 1 ULP — enough to break the bit-identity the oracle hash needs
+      ent = ent - (cnt / n) * StrictMath.log(cnt / n)
+    }
+    ent
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this,
+      classOf[CharEntropy].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneBuckets {
   val Tables = 8
   val BitsPerTable = 8
@@ -704,6 +760,8 @@ object GraftExtensions {
     d("graft_minhash_sig", classOf[MinHashSig], es => MinHashSig(es.head)),
     d("graft_simhash64", classOf[SimHash64], es => SimHash64(es.head)),
     d("graft_simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es.head)),
+    d("graft_char_entropy", classOf[CharEntropy],
+      es => CharEntropy(es.head)),
     d("graft_stop_hits", classOf[StopHits], { es =>
       // second arg must be a foldable array<string> literal (the word set
       // is part of the expression, not per-row data)
@@ -1013,6 +1071,10 @@ object Fns {
   /** 64-bit SimHash from MD5-derived token hashes (oracle-checkable). */
   def simhashMd5(tokens: Column): Column =
     call_function("graft_simhash_md5", tokens)
+
+  /** Character-level Shannon entropy (nats) of a string column. */
+  def charEntropy(text: Column): Column =
+    call_function("graft_char_entropy", text)
 
   /** Count of tokens present in the fixed `words` set. */
   def stopHits(tokens: Column, words: Seq[String]): Column = {

@@ -775,7 +775,56 @@ object Similarity {
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                          ORDER BY votes DESC, label) AS vr
                 FROM votes) t
-              WHERE vr = 1 ORDER BY qid"""))
+              WHERE vr = 1 ORDER BY qid""")),
+
+    // Hard-negative mining for contrastive training: for each query
+    // vector, the top-5 most-similar vectors with a DIFFERENT label —
+    // the high-sim/wrong-class rows a contrastive loss learns most
+    // from. Brute-force scoring against a broadcast 3-query batch is
+    // the exact baseline (the banded form composes via batchAnnTopK +
+    // the same label anti-filter when the corpus side is 100 TB); the
+    // filtered row_number plans through TopKPerKey, so <= 5 candidates
+    // per (partition, query) reach the final exchange.
+    Q("q96_hard_negatives",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = emb(s, d).select(col("vec_id"),
+          asDouble(col("embedding")).as("v"), col("label"))
+        val q = v.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("label").as("qlabel"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim_raw").desc, col("vec_id"))
+        v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid") &&
+            col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("v"), col("qv")).as("sim_raw"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"),
+            round(col("sim_raw"), 4).as("sim"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a,
+                       label
+                FROM embeddings),
+              q AS (SELECT vec_id AS qid, label AS qlabel, a AS qa
+                    FROM v WHERE vec_id < 3),
+              scored AS (
+                SELECT q.qid, v.vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) AS sim_raw
+                FROM v CROSS JOIN q
+                WHERE v.vec_id <> q.qid AND v.label <> q.qlabel)
+              SELECT qid, vec_id, ROUND(sim_raw, 4) AS sim, CAST(rn AS INT) AS rn
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY sim_raw DESC, vec_id) AS rn
+                    FROM scored) t
+              WHERE rn <= 5 ORDER BY qid, rn"""))
   )
 
   /** Where q82 persists its trained codebook so the DuckDB oracle can

@@ -88,6 +88,131 @@ object TextOps {
         floor((col("local_before") + col("offset")) / budget).as("chunk"))
   }
 
+  /** Fixed-width overlapping character chunks (RAG / long-context
+    * pretraining prep): chunk i of a doc covers character offsets
+    * [i*stride, i*stride + width). Pure map-side posexplode of a per-row
+    * offset sequence — chunking 100 TB is scan-bandwidth-bound; the only
+    * shuffle is whatever the caller does next.
+    */
+  def chunkDocs(docsDf: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    docsDf
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), length(col("text")) - 1, lit(stride)),
+          st => col("text").substr(st + lit(1), lit(width)))))
+      .toDF("doc_id", "chunk_id", "chunk")
+  }
+
+  /** Adjacent-token-pair counts over the corpus — the inner counting
+    * step of BPE tokenizer training (and a bigram surface for LM-style
+    * scoring). The pair explode is map-side; counts partially combine
+    * before the single distinct-pair exchange, so the shuffle carries
+    * one row per DISTINCT pair, not per token position.
+    */
+  def adjacentPairCounts(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** BPE tokenizer training (Sennrich-style): every word is a symbol
+    * sequence (its characters plus a terminal `</w>`), and each merge
+    * step fuses the globally most frequent adjacent symbol pair.
+    * Returns the ordered merge table `(step, "a b")`.
+    *
+    * Scale shape: the corpus is tokenized ONCE into a distinct-WORD
+    * frequency table (vocab-sized — ~10^7 rows at 100 TB, not
+    * corpus-sized); all `numMerges` iterations run over that table,
+    * weighted by word count. Each iteration is one slim (pair, weight)
+    * aggregate + a 1-row argmax collect + one map-side fold fusing the
+    * winning pair left-to-right. Ties break lexicographically so the
+    * merge table is deterministic across runs and partitionings.
+    */
+  def bpeTrain(docsDf: DataFrame, numMerges: Int): Seq[(Int, String)] = {
+    val spark = docsDf.sparkSession
+    val words = docsDf
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      // chars of the word, then the terminal symbol
+      .select(
+        concat(
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))),
+          array(lit("</w>"))).as("sym"),
+        col("cnt"))
+    var cur = words.persist()
+    cur.count() // materialize before the loop so tokenize runs once
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    for (step <- 1 to numMerges if merges.size == step - 1) {
+      val top = cur
+        .filter(size(col("sym")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("sym")) - 1),
+          i => concat_ws(" ", element_at(col("sym"), i),
+            element_at(col("sym"), i + 1)))).as("pair"), col("cnt"))
+        .groupBy(col("pair"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val pair = top.head.getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((step, pair))
+        // fuse adjacent (a, b) left-to-right, non-overlapping: fold the
+        // symbols, replacing a trailing `a` when the next symbol is `b`
+        val next = cur.select(
+          aggregate(col("sym"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+                x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("sym"),
+          col("cnt")).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.toList
+  }
+
+  /** Per-document character-level Shannon entropy (nats, 4 dp) — the
+    * low-entropy tail is boilerplate/repetition, the quality signal
+    * CCNet-class filters threshold on. Native one-pass expression
+    * (graft.functions.CharEntropy), so the pass is map-side with no
+    * shuffle and O(len) per row; the O(distinct × len) HOF reference
+    * form below is pinned bit-identical in FnsSpec.
+    */
+  def charEntropy(text: Column): Column =
+    round(graft.functions.Fns.charEntropy(text), 4)
+
+  /** Reference HOF formulation of [[charEntropy]] (pre-round): distinct
+    * chars in first-occurrence order, fold of `acc - (cnt/n) ln(cnt/n)`
+    * — the spelling the DuckDB oracle mirrors with list functions.
+    */
+  private[graft] def charEntropyHof(text: Column): Column = {
+    val chars = transform(sequence(lit(1), length(text)),
+      i => text.substr(i, lit(1)))
+    val n = size(chars).cast("double")
+    aggregate(
+      array_distinct(chars), lit(0.0d),
+      (acc, c) => {
+        val cnt = size(filter(chars, x => x === c)).cast("double")
+        acc - (cnt / n) * log(cnt / n)
+      })
+  }
+
   def defs: Seq[Q] = Seq(
     // Q25 [E] per-language corpus stats (SURVEY §2B).
     Q("q25_text_stats",
@@ -414,6 +539,66 @@ object TextOps {
                 GROUP BY doc_id)
               SELECT doc_id, ROUND(score_raw, 4) AS score
               FROM scored
-              ORDER BY score_raw DESC, doc_id LIMIT 10"""))
+              ORDER BY score_raw DESC, doc_id LIMIT 10""")),
+
+    // Overlapping character chunking (width 80, stride 60) — the
+    // RAG/long-context prep pass. chunk_id is the 0-based window index;
+    // value-level hash pins both the window boundaries and the overlap
+    // bytes across engines. Map-side posexplode; the ORDER BY exists for
+    // the oracle only.
+    Q("q94_doc_chunks",
+      (s, d) =>
+        chunkDocs(docs(s, d), width = 80, stride = 60)
+          .orderBy(col("doc_id"), col("chunk_id"))
+          .limit(300),
+      Some("""SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                     SUBSTR(text, CAST(i * 60 AS INT) + 1, 80) AS chunk
+              FROM documents,
+                   UNNEST(GENERATE_SERIES(0,
+                     CAST((LENGTH(text) - 1) // 60 AS BIGINT))) AS g(i)
+              WHERE LENGTH(text) > 0
+              ORDER BY doc_id, chunk_id LIMIT 300""")),
+
+    // Adjacent-token-pair counts, top 30 — the argmax surface of one BPE
+    // merge step (the full iterative trainer is TextOps.bpeTrain,
+    // merge-sequence-pinned in TextOpsSpec). Deterministic tie-break:
+    // count desc, then pair.
+    Q("q95_bpe_pairs",
+      (s, d) =>
+        adjacentPairCounts(docs(s, d))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(30),
+      Some("""WITH t AS (
+                SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents WHERE TRIM(text) <> ''),
+              p AS (
+                SELECT UNNEST(list_transform(generate_series(1, LEN(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i + 1])) AS pair
+                FROM t WHERE LEN(ts) >= 2)
+              SELECT pair, COUNT(*) AS cnt FROM p
+              GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""")),
+
+    // Character-entropy quality score (nats, 4 dp). Both engines sum
+    // -(p ln p) over the distinct-char set; the summation-order rounding
+    // exposure is absorbed by round(4), the q49/q84 convention.
+    Q("q97_char_entropy",
+      (s, d) =>
+        docs(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), charEntropy(col("text")).as("entropy"))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some("""WITH c AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, CAST(LENGTH(text) AS INT)),
+                         i -> text[i]) AS chars
+                FROM documents WHERE LENGTH(text) > 0)
+              SELECT doc_id,
+                     ROUND(list_sum(list_transform(list_distinct(chars),
+                       ch -> -(CAST(LEN(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                               / LEN(chars))
+                             * LN(CAST(LEN(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                                  / LEN(chars)))), 4) AS entropy
+              FROM c ORDER BY doc_id LIMIT 200"""))
   )
 }

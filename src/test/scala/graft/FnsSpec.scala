@@ -147,6 +147,25 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(bad == 0)
   }
 
+  test("native char entropy == HOF distinct-fold, bit-identical on real text") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) > 0)
+    val bad = docs
+      .select(Fns.charEntropy(col("text")).as("n"),
+        TextOps.charEntropyHof(col("text")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+    // surrogate-pair and repeated-char edges
+    val r = spark.sql(
+      "SELECT graft_char_entropy('aaaa') AS a, graft_char_entropy('ab') AS b," +
+        " graft_char_entropy('😀😀x') AS c").collect().head
+    assert(r.getDouble(0) === 0.0)
+    assert(math.abs(r.getDouble(1) - math.log(2.0)) < 1e-15)
+    // two emoji code points + one ascii: p = (2/3, 1/3)
+    val expected = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(math.abs(r.getDouble(2) - expected) < 1e-15)
+  }
+
   test("expressions are SQL-callable via GraftExtensions registration") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c," +

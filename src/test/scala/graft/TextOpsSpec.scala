@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.TextOps
+
+/** Behavioral tests for the round-10 text operators: character
+  * chunking (q94), adjacent-pair counting (q95), BPE tokenizer
+  * training (the iterative driver loop q95's counting step feeds),
+  * and char-entropy quality scoring (q97).
+  */
+class TextOpsSpec extends AnyFunSuite with TestSpark {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docsOf(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), docSchema)
+
+  test("chunkDocs: boundaries, overlap, tail, and empty-doc exclusion") {
+    val out = TextOps.chunkDocs(
+      docsOf(1L -> "abcdefghij", 2L -> ""), width = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // starts 0,3,6,9: the last window is the short tail; doc 2 is empty
+    // and yields no chunks
+    assert(out.toSeq === Seq(
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"), (1L, 3, "j")))
+  }
+
+  test("chunkDocs: stride == width is non-overlapping and loses no bytes") {
+    val text = "0123456789abcdef" // 16 chars
+    val chunks = TextOps.chunkDocs(docsOf(1L -> text), width = 5, stride = 5)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(chunks.mkString === text)
+  }
+
+  test("adjacentPairCounts counts ordered pairs with multiplicity") {
+    val out = TextOps.adjacentPairCounts(docsOf(1L -> "a b a b c", 2L -> "x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the single-token doc contributes no pairs
+    assert(out === Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L))
+  }
+
+  test("bpeTrain reproduces the classic merge sequence") {
+    // Sennrich et al. 2016's worked example: vocabulary
+    // {low:5, lower:2, newest:6, widest:3} with </w> terminals merges
+    // (e s) -> (es t) -> (est </w>) -> (l o) -> (lo w).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = TextOps.bpeTrain(docsOf(1L -> text), numMerges = 5)
+    assert(merges === Seq(
+      1 -> "e s", 2 -> "es t", 3 -> "est </w>", 4 -> "l o", 5 -> "lo w"))
+  }
+
+  test("bpeTrain stops early when no pair remains") {
+    // one two-char word: after ("a b"), ("ab </w>") nothing is left
+    val merges = TextOps.bpeTrain(docsOf(1L -> "ab"), numMerges = 10)
+    assert(merges === Seq(1 -> "a b", 2 -> "ab </w>"))
+  }
+
+  test("charEntropy: uniform text is 0, two equi-frequent chars are ln 2") {
+    val out = docsOf(1L -> "aaaa", 2L -> "abab")
+      .select(col("doc_id"), TextOps.charEntropy(col("text")).as("e"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(out(0) === 0.0)
+    assert(math.abs(out(1) - math.log(2.0)) < 1e-4)
+  }
+}
