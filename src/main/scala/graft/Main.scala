@@ -163,6 +163,23 @@ object Main {
           graft.llm.Pq.topKStored(spark, dir, qv, k.toInt,
             excludeId = Some(id)).show(k.toInt, truncate = false)
 
+        // BPE tokenizer: train a merge table on a corpus; encode shows
+        // per-doc subword counts under a freshly trained table
+        case "bpe" :: "train" :: docsParquet :: numMerges :: Nil =>
+          graft.llm.TextOps.bpeTrain(
+            spark.read.parquet(docsParquet), numMerges.toInt)
+            .foreach { case (step, pair) => println(s"$step\t$pair") }
+
+        case "bpe" :: "encode" :: docsParquet :: numMerges :: Nil =>
+          val docsDf = spark.read.parquet(docsParquet)
+          val merges = graft.llm.TextOps
+            .bpeTrain(docsDf, numMerges.toInt).map(_._2)
+          graft.llm.TextOps.bpeEncodeTokens(docsDf, merges)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.size(
+                org.apache.spark.sql.functions.col("subwords")).as("n_subwords"))
+            .show(20, truncate = false)
+
         case "curate" :: docsParquet :: outDir :: shards :: Nil =>
           val r = graft.llm.Curation.curateCorpus(
             spark.read.parquet(docsParquet), outDir, shards.toInt)
@@ -208,6 +225,7 @@ object Main {
         |  ivf compact <ivfDir> | ivf recover <ivfDir>
         |  pq build <vecsParquet> <pqDir> | pq append <vecsParquet> <pqDir>
         |  pq query <vecsParquet> <pqDir> <vecId> <k>
+        |  bpe train <docsParquet> <numMerges> | bpe encode <docsParquet> <numMerges>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  query <sfDir> <name>""".stripMargin)

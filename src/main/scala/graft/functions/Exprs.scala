@@ -453,6 +453,69 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE encode of one word against a trained merge table (see
+  * graft.llm.TextOps.bpeTrain): start from code points + `</w>`, then
+  * greedily fuse the adjacent pair with the LOWEST merge rank until no
+  * adjacent pair is mergeable — the standard encode rule, which replays
+  * training's segmentation for in-vocabulary words. One tight loop per
+  * word; the merge table rides the expression as a shared reference
+  * object (the PqAssignCodes codebook pattern), hashed once per task.
+  */
+case class BpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, r) => m.put(p, r) }
+    m
+  }
+
+  def compute(word: UTF8String): ArrayData = {
+    val w = word.toString
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    syms += "</w>"
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r < best) { best = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        syms(bestIdx) = syms(bestIdx) + syms(bestIdx + 1)
+        syms.remove(bestIdx + 1)
+      }
+    }
+    new GenericArrayData(syms.map(UTF8String.fromString).toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this,
+      classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneBuckets {
   val Tables = 8
   val BitsPerTable = 8
@@ -762,6 +825,18 @@ object GraftExtensions {
     d("graft_simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es.head)),
     d("graft_char_entropy", classOf[CharEntropy],
       es => CharEntropy(es.head)),
+    d("graft_bpe_encode", classOf[BpeEncode], { es =>
+      // second arg must be a literal array<string> of "a b" merge pairs
+      // in rank order (the merge table is part of the expression)
+      val pairs = es(1) match {
+        case e if e.foldable =>
+          e.eval().asInstanceOf[ArrayData].toArray[UTF8String](StringType)
+            .map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft_bpe_encode expects a literal merge array, got $other")
+      }
+      BpeEncode(es.head, pairs)
+    }),
     d("graft_stop_hits", classOf[StopHits], { es =>
       // second arg must be a foldable array<string> literal (the word set
       // is part of the expression, not per-row data)
@@ -1075,6 +1150,12 @@ object Fns {
   /** Character-level Shannon entropy (nats) of a string column. */
   def charEntropy(text: Column): Column =
     call_function("graft_char_entropy", text)
+
+  /** BPE-encode a word column against a rank-ordered merge table. */
+  def bpeEncode(word: Column, merges: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function("graft_bpe_encode", word, array(merges.map(lit): _*))
+  }
 
   /** Count of tokens present in the fixed `words` set. */
   def stopHits(tokens: Column, words: Seq[String]): Column = {

@@ -187,6 +187,18 @@ object TextOps {
     merges.toList
   }
 
+  /** Subword tokens of each whitespace token under a trained BPE merge
+    * table (see [[bpeTrain]]) — the encode half of the tokenizer. The
+    * merge table rides the plan as a literal (vocab-sized merge lists
+    * are a few hundred KB; broadcast-register them like the Bloom
+    * registry if they ever grow past that); encoding is a map-side
+    * flatten, so tokenizing 100 TB is scan-bandwidth-bound.
+    */
+  def bpeEncodeTokens(docsDf: DataFrame, merges: Seq[String]): DataFrame =
+    docsDf.select(col("doc_id"),
+      flatten(transform(tokens(col("text")),
+        w => graft.functions.Fns.bpeEncode(w, merges))).as("subwords"))
+
   /** Per-document character-level Shannon entropy (nats, 4 dp) — the
     * low-entropy tail is boilerplate/repetition, the quality signal
     * CCNet-class filters threshold on. Native one-pass expression
@@ -211,6 +223,42 @@ object TextOps {
         val cnt = size(filter(chars, x => x === c)).cast("double")
         acc - (cnt / n) * log(cnt / n)
       })
+  }
+
+  /** Per-document mean bigram log-probability under an add-k-smoothed
+    * bigram model trained on the corpus itself — the perplexity-filter
+    * proxy (CCNet-class pipelines score with a KenLM; the statistical
+    * shape is identical, with the corpus standing in for the external
+    * LM). Low scores flag gibberish/boilerplate.
+    *
+    * Scale shape: the unigram/bigram count tables are VOCAB-sized, not
+    * corpus-sized; the doc-bigram stream joins them on token keys — two
+    * shuffles whose skew (stopword heads) AQE's skew-join splits. The
+    * count tables are reused across both joins from one tokenize pass.
+    */
+  def bigramLogProb(docsDf: DataFrame, k: Double = 0.5): DataFrame = {
+    val toks = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val docBigrams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + 1).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val unigrams = toks
+      .select(explode(col("ts")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val vocab = unigrams.agg(count(lit(1)).as("v"))
+    val bigrams = docBigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cb"))
+    docBigrams
+      .join(bigrams, Seq("a", "b"))
+      .join(unigrams, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(avg(log((col("cb") + k) / (col("ca") + lit(k) * col("v"))))
+        .as("logprob_raw"))
+      .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 
   def defs: Seq[Q] = Seq(
@@ -599,6 +647,32 @@ object TextOps {
                                / LEN(chars))
                              * LN(CAST(LEN(list_filter(chars, x -> x = ch)) AS DOUBLE)
                                   / LEN(chars)))), 4) AS entropy
-              FROM c ORDER BY doc_id LIMIT 200"""))
+              FROM c ORDER BY doc_id LIMIT 200""")),
+
+    // Mean bigram log-probability per doc (add-0.5-smoothed, corpus-
+    // trained) — the perplexity-filter proxy. Docs with < 2 tokens have
+    // no bigrams and drop out in both engines. avg-of-logs summation
+    // order is absorbed by round(4), the q49/q84 convention.
+    Q("q98_bigram_logprob",
+      (s, d) =>
+        bigramLogProb(docs(s, d))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some("""WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents
+                WHERE LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) >= 2),
+              db AS (
+                SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+                FROM toks, UNNEST(generate_series(1, LEN(ts) - 1)) AS g(i)),
+              uni AS (
+                SELECT a, COUNT(*) AS ca
+                FROM (SELECT UNNEST(ts) AS a FROM toks) u GROUP BY a),
+              vc AS (SELECT COUNT(*) AS v FROM uni),
+              bi AS (SELECT a, b, COUNT(*) AS cb FROM db GROUP BY a, b)
+              SELECT doc_id,
+                     ROUND(AVG(LN((cb + 0.5) / (ca + 0.5 * v))), 4) AS logprob
+              FROM db JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN vc
+              GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
   )
 }

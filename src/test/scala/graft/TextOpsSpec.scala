@@ -64,6 +64,19 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
     assert(merges === Seq(1 -> "a b", 2 -> "ab </w>"))
   }
 
+  test("bpeEncode replays training segmentation via merge ranks") {
+    // the classic merge table (see bpeTrain test): encode greedily by
+    // lowest rank — "lowest" becomes [low, est</w>], "newest" keeps its
+    // unmerged head [n, e, w, est</w>] (no (n,e)/(e,w) merge in the
+    // 5-step table), and an OOV word falls back to chars + </w>
+    val merges = Seq("e s", "es t", "est </w>", "l o", "lo w")
+    val out = TextOps.bpeEncodeTokens(
+      docsOf(1L -> "lowest newest zap"), merges)
+      .collect().head.getSeq[String](1)
+    assert(out === Seq("low", "est</w>", "n", "e", "w", "est</w>",
+      "z", "a", "p", "</w>"))
+  }
+
   test("charEntropy: uniform text is 0, two equi-frequent chars are ln 2") {
     val out = docsOf(1L -> "aaaa", 2L -> "abab")
       .select(col("doc_id"), TextOps.charEntropy(col("text")).as("e"))
