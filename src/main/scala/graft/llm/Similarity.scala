@@ -824,7 +824,68 @@ object Similarity {
               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                              ORDER BY sim_raw DESC, vec_id) AS rn
                     FROM scored) t
-              WHERE rn <= 5 ORDER BY qid, rn"""))
+              WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    // Embedding-space class-separation diagnostics: per label, the mean
+    // cosine of members to their own centroid and the mean margin over
+    // the best FOREIGN centroid — low margins flag label noise /
+    // entangled classes before a training run pays for them. The
+    // centroid pass is a slim (label, dim) exchange (corpus vectors
+    // never shuffle); scoring is a broadcast join against the ~|labels|
+    // centroid table with the native one-pass cosine, map-side.
+    Q("q99_class_separation",
+      (s, d) => {
+        val v = emb(s, d).select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+        val cent = v
+          .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg(avg(col("x")).as("cx"))
+          .groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("cx")))),
+            e => e.getField("cx")).as("c"))
+        val scored = v
+          .crossJoin(broadcast(
+            cent.select(col("label").as("clabel"), col("c"))))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            cosine(col("v"), col("c")).as("cos"))
+        val own = scored.filter(col("label") === col("clabel"))
+          .select(col("vec_id"), col("label"), col("cos").as("own"))
+        val other = scored.filter(col("label") =!= col("clabel"))
+          .groupBy(col("vec_id")).agg(max(col("cos")).as("best_other"))
+        own.join(other, Seq("vec_id"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("own")), 4).as("avg_own"),
+            round(avg(col("own") - col("best_other")), 4).as("avg_margin"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              e AS (
+                SELECT vec_id, label, i, a[i] AS x
+                FROM v, UNNEST(generate_series(1, LEN(a))) AS g(i)),
+              c AS (
+                SELECT label AS clabel, i, AVG(x) AS cx
+                FROM e GROUP BY clabel, i),
+              s AS (
+                SELECT e.vec_id, e.label, c.clabel,
+                       SUM(e.x * c.cx)
+                       / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.cx * c.cx))) AS cos
+                FROM e JOIN c USING (i)
+                GROUP BY e.vec_id, e.label, c.clabel),
+              own AS (
+                SELECT vec_id, label, cos AS own FROM s WHERE label = clabel),
+              oth AS (
+                SELECT vec_id, MAX(cos) AS best_other
+                FROM s WHERE label <> clabel GROUP BY vec_id)
+              SELECT label, COUNT(*) AS n, ROUND(AVG(own), 4) AS avg_own,
+                     ROUND(AVG(own - best_other), 4) AS avg_margin
+              FROM own JOIN oth USING (vec_id)
+              GROUP BY label ORDER BY label"""))
   )
 
   /** Where q82 persists its trained codebook so the DuckDB oracle can

@@ -237,9 +237,14 @@ object TextOps {
     * count tables are reused across both joins from one tokenize pass.
     */
   def bigramLogProb(docsDf: DataFrame, k: Double = 0.5): DataFrame = {
+    // explicit exchange below the tokenize so all four consumers
+    // (doc bigrams, bigram counts, unigram counts, vocab size) read ONE
+    // scan+tokenize pass through ReuseExchange — the q61 shape; without
+    // it each subtree re-scans and re-tokenizes the corpus
     val toks = docsDf
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
+      .repartition(col("doc_id"))
     val docBigrams = toks.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("ts")) - 1),
         i => struct(element_at(col("ts"), i).as("a"),
