@@ -170,14 +170,35 @@ object Main {
             spark.read.parquet(docsParquet), numMerges.toInt)
             .foreach { case (step, pair) => println(s"$step\t$pair") }
 
-        case "bpe" :: "encode" :: docsParquet :: numMerges :: Nil =>
+        case "bpe" :: "train" :: docsParquet :: numMerges :: outDir :: Nil =>
+          val merges = graft.llm.TextOps.bpeTrain(
+            spark.read.parquet(docsParquet), numMerges.toInt)
+          graft.llm.TextOps.saveBpeMerges(spark, merges, outDir)
+          println(s"merges=${merges.size} dir=$outDir")
+
+        case "bpe" :: "encode" :: docsParquet :: arg :: Nil =>
           val docsDf = spark.read.parquet(docsParquet)
-          val merges = graft.llm.TextOps
-            .bpeTrain(docsDf, numMerges.toInt).map(_._2)
+          // an integer trains a throwaway table; anything else is a
+          // persisted merges dir from `bpe train ... <outDir>`
+          val merges = arg.toIntOption match {
+            case Some(n) => graft.llm.TextOps.bpeTrain(docsDf, n).map(_._2)
+            case None => graft.llm.TextOps.loadBpeMerges(spark, arg)
+          }
           graft.llm.TextOps.bpeEncodeTokens(docsDf, merges)
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.size(
                 org.apache.spark.sql.functions.col("subwords")).as("n_subwords"))
+            .show(20, truncate = false)
+
+        // bigram LM: train once, score many (the q98 model persisted)
+        case "lm" :: "train" :: docsParquet :: dir :: Nil =>
+          graft.llm.TextOps.saveBigramLm(spark.read.parquet(docsParquet), dir)
+          println(s"vocab=${spark.read.parquet(s"$dir/vocab").head.getLong(0)} dir=$dir")
+
+        case "lm" :: "score" :: docsParquet :: dir :: Nil =>
+          graft.llm.TextOps.bigramLogProbStored(
+            spark.read.parquet(docsParquet), dir)
+            .orderBy(org.apache.spark.sql.functions.col("logprob"))
             .show(20, truncate = false)
 
         case "curate" :: docsParquet :: outDir :: shards :: Nil =>
@@ -225,7 +246,9 @@ object Main {
         |  ivf compact <ivfDir> | ivf recover <ivfDir>
         |  pq build <vecsParquet> <pqDir> | pq append <vecsParquet> <pqDir>
         |  pq query <vecsParquet> <pqDir> <vecId> <k>
-        |  bpe train <docsParquet> <numMerges> | bpe encode <docsParquet> <numMerges>
+        |  bpe train <docsParquet> <numMerges> [mergesDir]
+        |  bpe encode <docsParquet> <numMerges|mergesDir>
+        |  lm train <docsParquet> <lmDir> | lm score <docsParquet> <lmDir>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  query <sfDir> <name>""".stripMargin)

@@ -187,6 +187,20 @@ object TextOps {
     merges.toList
   }
 
+  /** Persist a [[bpeTrain]] merge table as parquet `(step, pair)` so
+    * encode jobs load it instead of retraining (`bpe` CLI). */
+  def saveBpeMerges(spark: SparkSession, merges: Seq[(Int, String)],
+      dir: String): Unit = {
+    import spark.implicits._
+    merges.toDF("step", "pair").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table in rank order. */
+  def loadBpeMerges(spark: SparkSession, dir: String): Seq[String] =
+    spark.read.parquet(dir).orderBy(col("step"))
+      .collect().map(_.getString(1)).toSeq
+
   /** Subword tokens of each whitespace token under a trained BPE merge
     * table (see [[bpeTrain]]) — the encode half of the tokenizer. The
     * merge table rides the plan as a literal (vocab-sized merge lists
@@ -263,6 +277,64 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(avg(log((col("cb") + k) / (col("ca") + lit(k) * col("v"))))
         .as("logprob_raw"))
+      .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
+  }
+
+  /** Train the q98 bigram LM ONCE and persist its three artifacts
+    * (unigram counts, bigram counts, vocab size) as parquet — at 100 TB
+    * the model tables are built in one corpus pass and every later
+    * scoring job joins against the stored vocab-sized tables instead of
+    * re-aggregating the corpus (the PairStore/IvfStore convention).
+    */
+  def saveBigramLm(docsDf: DataFrame, dir: String): Unit = {
+    val toks = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .repartition(col("doc_id"))
+    val unigrams = toks
+      .select(explode(col("ts")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val bigrams = toks.select(
+      explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + 1).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
+    bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    unigrams.agg(count(lit(1)).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** [[bigramLogProb]] against a persisted model (see [[saveBigramLm]]):
+    * scoring scans ONLY the docs being scored plus the stored
+    * vocab-sized tables. Out-of-vocabulary bigrams (docs unseen at
+    * train time) back off to zero counts — the add-k floor — via left
+    * joins, so scoring new corpora is total.
+    */
+  def bigramLogProbStored(docsDf: DataFrame, dir: String,
+      k: Double = 0.5): DataFrame = {
+    val spark = docsDf.sparkSession
+    val toks = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val docBigrams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + 1).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val unigrams = spark.read.parquet(s"$dir/unigrams")
+    val bigrams = spark.read.parquet(s"$dir/bigrams")
+    val vocab = spark.read.parquet(s"$dir/vocab")
+    docBigrams
+      .join(bigrams, Seq("a", "b"), "left")
+      .join(unigrams, Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("cb"), lit(0L)) + k) /
+          (coalesce(col("ca"), lit(0L)) + lit(k) * col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(avg(col("lp")).as("logprob_raw"))
       .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 

@@ -77,6 +77,47 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
       "z", "a", "p", "</w>"))
   }
 
+  test("persisted BPE merges reload in rank order") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe").toString + "/merges"
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = TextOps.bpeTrain(docsOf(1L -> text), numMerges = 5)
+    TextOps.saveBpeMerges(spark, merges, dir)
+    assert(TextOps.loadBpeMerges(spark, dir) === merges.map(_._2))
+  }
+
+  test("stored bigram LM scores == fresh q98 scoring on the train corpus") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm").toString + "/lm"
+    val docs = docsOf(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the log",
+      3L -> "a cat and a dog",
+      4L -> "one")
+    TextOps.saveBigramLm(docs, dir)
+    val fresh = TextOps.bigramLogProb(docs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val stored = TextOps.bigramLogProbStored(docs, dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // same corpus => every bigram/unigram hits the stored tables; the
+    // single-token doc 4 drops in both forms
+    assert(stored.toSeq === fresh.toSeq)
+    assert(fresh.map(_._1).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("stored bigram LM backs off to the add-k floor on unseen bigrams") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm2").toString + "/lm"
+    TextOps.saveBigramLm(docsOf(1L -> "the cat sat"), dir)
+    // "zz qq" has no unigram/bigram counts: p = k / (0 + k*V), V = 3
+    val out = TextOps.bigramLogProbStored(docsOf(9L -> "zz qq"), dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = math.log(0.5 / (0.5 * 3))
+    assert(out.length === 1)
+    assert(math.abs(out.head._2 - expected) < 1e-4)
+  }
+
   test("charEntropy: uniform text is 0, two equi-frequent chars are ln 2") {
     val out = docsOf(1L -> "aaaa", 2L -> "abab")
       .select(col("doc_id"), TextOps.charEntropy(col("text")).as("e"))
