@@ -173,6 +173,35 @@ object Dedup {
       .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
   }
 
+  /** Directed containment pairs over the capped inverted index:
+    * cont_fwd = |shingles(d1) ∩ shingles(d2)| / |shingles(d1)| (and
+    * cont_rev for d2). High containment at LOW Jaccard is the
+    * sub-document duplication signal symmetric measures miss — a short
+    * doc quoted or boilerplate-wrapped inside a long one (the
+    * RefinedWeb-style containment dedup decision). Same index and
+    * intersection join as [[hashJaccardPairs]] — only the final
+    * normalization differs, so the 100 TB shape (df-capped index, slim
+    * s-keyed self-join, SMJ spill safety) carries over unchanged.
+    */
+  def containmentPairs(df: DataFrame, minContainment: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val idx = invertedShingleIndex(df, maxDf)
+    val inter = idx.as("a")
+      .join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    val cFwd = col("inter").cast("double") / col("na")
+    val cRev = col("inter").cast("double") / col("nb")
+    inter
+      .filter(cFwd >= minContainment || cRev >= minContainment)
+      .select(col("d1"), col("d2"),
+        round(cFwd, 4).as("cont_fwd"), round(cRev, 4).as("cont_rev"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Verify LSH candidate pairs with their true (uncapped) shingle-hash
     * Jaccard: the signature arrays are fetched by two equi-joins on the
     * doc ids — per-pair cost, never per-pair-of-corpus — and the
@@ -603,6 +632,38 @@ object Dedup {
               JOIN sz sa ON sa.doc_id = d1
               JOIN sz sb ON sb.doc_id = d2
               WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6
+              ORDER BY d1, d2""")),
+
+    // Directed containment pairs (q32's index and intersection; the
+    // asymmetric normalization catches a short doc contained in a long
+    // one that Jaccard's union denominator dilutes below threshold).
+    Q("q100_containment",
+      (s, d) => containmentPairs(docs(s, d), minContainment = 0.5),
+      Some(s"""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                FROM documents),
+              sh0 AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              keep AS (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     ROUND(CAST(inter AS DOUBLE) / sa.n, 4) AS cont_fwd,
+                     ROUND(CAST(inter AS DOUBLE) / sb.n, 4) AS cont_rev
+              FROM pr
+              JOIN sz sa ON sa.doc_id = d1
+              JOIN sz sb ON sb.doc_id = d2
+              WHERE CAST(inter AS DOUBLE) / sa.n >= 0.5
+                 OR CAST(inter AS DOUBLE) / sb.n >= 0.5
               ORDER BY d1, d2""")),
 
     // MinHash+LSH banded near-dup candidates (no SQL oracle: xxhash64 is

@@ -131,6 +131,33 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       s"boilerplate-only pairs leaked through: ${pairs.mkString(",")}")
   }
 
+  test("containment flags a short doc embedded in a long one; jaccard misses it") {
+    // doc 2 = doc 1's 12 tokens + 48 tokens of filler: every shingle of
+    // doc 1 appears in doc 2 (cont_fwd = 1.0) but the union is dominated
+    // by filler, so jaccard ~ 10/58 << any useful threshold
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val short = Seq.fill(12)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val filler = Seq.fill(48)("pad" + rng.nextInt(40)).mkString(" ")
+    val fx = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, short), Row(2L, s"$short $filler"),
+        Row(3L, Seq.fill(30)("unrelated" + rng.nextInt(30)).mkString(" "))), 2),
+      schema)
+    val pairs = Dedup.containmentPairs(fx, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(pairs.length === 1)
+    val (d1, d2, fwd, rev) = pairs.head
+    assert((d1, d2) === (1L, 2L))
+    assert(fwd === 1.0) // all of doc 1's shingles are inside doc 2
+    assert(rev < 0.5)   // doc 2 is mostly NOT doc 1
+    // the symmetric measure misses this pair at the same threshold
+    val jac = Dedup.hashJaccardPairs(fx, minJaccard = 0.5)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("jaccardOnCandidates certifies LSH candidates with true jaccard") {
     val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.5)
     val verified = Dedup.jaccardOnCandidates(docs, cands)
