@@ -202,6 +202,52 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Winnowed document fingerprints (Schleimer et al. 2003, the MOSS
+    * local-fingerprinting algorithm): hash every POSITIONAL k-gram, then
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-gram hashes. Guarantees: any shared run of >= k + w - 1 tokens
+    * between two docs shares at least one selected fingerprint, while
+    * only ~2/(w+1) of all k-grams are kept — a density-bounded sketch
+    * with a matching guarantee, unlike MinHash's probabilistic recall.
+    *
+    * Hashes are the MD5-derived 32-bit front end (native Md5Hash32Array
+    * — `conv(substring(md5(s),1,8),16,10)` per element) so DuckDB
+    * reproduces identical fingerprints in exact arithmetic (the
+    * q59/q65 convention). Entirely map-side per-row HOFs: the only
+    * shuffle is whatever the caller joins next. Returns (doc_id, fp)
+    * with per-doc distinct fingerprints.
+    */
+  def winnowedFingerprints(df: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val minToks = k + w - 1
+    val grams = transform(
+      sequence(lit(1), size(col("ts")) - (k - 1)),
+      i => concat_ws(" ",
+        (0 until k).map(o => element_at(col("ts"), i + lit(o))): _*))
+    df.select(col("doc_id"), graft.llm.TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= minToks)
+      .select(col("doc_id"), graft.functions.Fns.md5Hash32(grams).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - (w - 1)),
+        j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+  }
+
+  /** Candidate pairs sharing >= `minShared` winnowed fingerprints — the
+    * fingerprint-index join shape (same slim self-join as the inverted
+    * shingle index, over a ~2/(w+1)-density sketch instead of every
+    * k-gram, so the exchange carries a fraction of q32's rows).
+    */
+  def winnowingPairs(df: DataFrame, minShared: Long = 2L,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val fps = winnowedFingerprints(df, k, w)
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Verify LSH candidate pairs with their true (uncapped) shingle-hash
     * Jaccard: the signature arrays are fetched by two equi-joins on the
     * doc ids — per-pair cost, never per-pair-of-corpus — and the
@@ -664,6 +710,33 @@ object Dedup {
               JOIN sz sb ON sb.doc_id = d2
               WHERE CAST(inter AS DOUBLE) / sa.n >= 0.5
                  OR CAST(inter AS DOUBLE) / sb.n >= 0.5
+              ORDER BY d1, d2""")),
+
+    // Winnowing (MOSS) fingerprint pairs: docs sharing >= 2 selected
+    // fingerprints. k=3, w=4: any shared 6-token run is guaranteed a
+    // shared fingerprint; ~2/(w+1) of k-grams are kept. MD5-derived
+    // hashes make the selected minima identical in both engines.
+    Q("q101_winnowing",
+      (s, d) => winnowingPairs(docs(s, d), minShared = 2L),
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              g AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, LEN(ts) - 2),
+                         i -> CAST('0x' || SUBSTR(MD5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8) AS BIGINT)) AS hs
+                FROM tok WHERE LEN(ts) >= 6),
+              f AS (
+                SELECT DISTINCT doc_id, fp FROM (
+                  SELECT doc_id,
+                         UNNEST(list_transform(generate_series(1, LEN(hs) - 3),
+                           j -> list_min(hs[j:j+3]))) AS fp
+                  FROM g) u),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+                FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2, shared FROM pr WHERE shared >= 2
               ORDER BY d1, d2""")),
 
     // MinHash+LSH banded near-dup candidates (no SQL oracle: xxhash64 is

@@ -158,6 +158,31 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(jac.isEmpty)
   }
 
+  test("winnowing: a shared >= k+w-1 token run guarantees a shared fingerprint") {
+    val rng = new scala.util.Random(29)
+    def filler(n: Int, tag: String) =
+      Seq.fill(n)(tag + rng.nextInt(1000)).mkString(" ")
+    // an 8-token run (> k+w-1 = 6) planted inside otherwise-disjoint docs
+    val run = "shared tokens appear in this exact common run"
+    val fx = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, s"${filler(20, "a")} $run ${filler(20, "b")}"),
+        Row(2L, s"${filler(25, "c")} $run ${filler(15, "d")}"),
+        Row(3L, filler(50, "e"))), 2),
+      schema)
+    val fps = Dedup.winnowedFingerprints(fx)
+    val byDoc = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the Schleimer guarantee: docs 1 and 2 share at least one selected
+    // fingerprint; the disjoint doc 3 shares none
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(2L) & byDoc(3L)).isEmpty)
+    // density: the sketch keeps far fewer fingerprints than k-grams
+    // (expected ~2/(w+1) of 46 grams; allow slack for local minima runs)
+    assert(byDoc(1L).size < 46 / 2)
+  }
+
   test("jaccardOnCandidates certifies LSH candidates with true jaccard") {
     val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.5)
     val verified = Dedup.jaccardOnCandidates(docs, cands)
