@@ -235,12 +235,28 @@ object Dedup {
     * fingerprint-index join shape (same slim self-join as the inverted
     * shingle index, over a ~2/(w+1)-density sketch instead of every
     * k-gram, so the exchange carries a fraction of q32's rows).
+    *
+    * `maxFpDf` is the q32 hot-key cap, and the 10×/30× clone rehearsal
+    * is why it is NOT optional: without it an exact-clone group of size
+    * g contributes F·g²/2 join rows per fingerprint (88 GB of spill at
+    * 30× — SCALE.md), the Ω(Σ df²) law of any equality-join candidate
+    * generator. Fingerprints above the cap are boilerplate/clone mass;
+    * exact dedup BEFORE winnowing (q86's pre-collapse ordering) is the
+    * production pipeline's first line.
     */
   def winnowingPairs(df: DataFrame, minShared: Long = 2L,
-      k: Int = 3, w: Int = 4): DataFrame = {
-    val fps = winnowedFingerprints(df, k, w)
-    fps.as("a")
-      .join(fps.as("b"),
+      k: Int = 3, w: Int = 4,
+      maxFpDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // one explicit exchange on fp read by BOTH the df pass and the
+    // anti-join probe side (ReuseExchange — the invertedShingleIndex
+    // shape), so the fingerprint scan runs once
+    val fps = winnowedFingerprints(df, k, w).repartition(col("fp"))
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFpDf)
+      .select(col("fp"))
+    val kept = fps.join(hot, Seq("fp"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
@@ -715,23 +731,27 @@ object Dedup {
     // Winnowing (MOSS) fingerprint pairs: docs sharing >= 2 selected
     // fingerprints. k=3, w=4: any shared 6-token run is guaranteed a
     // shared fingerprint; ~2/(w+1) of k-grams are kept. MD5-derived
-    // hashes make the selected minima identical in both engines.
+    // hashes make the selected minima identical in both engines; the
+    // q32 df-cap (mirrored in the HAVING) bounds hot fingerprints.
     Q("q101_winnowing",
       (s, d) => winnowingPairs(docs(s, d), minShared = 2L),
-      Some("""WITH tok AS (
-                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+      Some(s"""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
                 FROM documents),
               g AS (
                 SELECT doc_id,
                        list_transform(generate_series(1, LEN(ts) - 2),
                          i -> CAST('0x' || SUBSTR(MD5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8) AS BIGINT)) AS hs
                 FROM tok WHERE LEN(ts) >= 6),
-              f AS (
+              f0 AS (
                 SELECT DISTINCT doc_id, fp FROM (
                   SELECT doc_id,
                          UNNEST(list_transform(generate_series(1, LEN(hs) - 3),
                            j -> list_min(hs[j:j+3]))) AS fp
                   FROM g) u),
+              keep AS (SELECT fp FROM f0 GROUP BY fp
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              f AS (SELECT f0.doc_id, f0.fp FROM f0 JOIN keep USING (fp)),
               pr AS (
                 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
                 FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
