@@ -750,6 +750,84 @@ object TextOps {
               SELECT doc_id,
                      ROUND(AVG(LN((cb + 0.5) / (ca + 0.5 * v))), 4) AS logprob
               FROM db JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN vc
-              GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
+              GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // Dynamic quality gate: drop the lowest-decile char-entropy docs,
+    // where the threshold is the corpus's own EXACT p10 (not a fixed
+    // constant — the gate adapts to the corpus). The percentile runs
+    // over the slim (lang, entropy) projection and broadcasts as one
+    // row; the gate itself is map-side. Entropy is 4-dp-rounded BEFORE
+    // the percentile, so the interpolated threshold sits >= ~1e-5 from
+    // every doc value and the boundary compare is engine-stable (the
+    // threshold itself is not output — its rounding is the one
+    // cross-engine exposure counts don't have).
+    Q("q102_entropy_gate",
+      (s, d) => {
+        val ent = docs(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("lang"),
+            charEntropy(col("text")).as("entropy"))
+        val thr = ent.agg(percentile(col("entropy"), lit(0.1)).as("thr"))
+        ent.crossJoin(broadcast(thr))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("entropy") < col("thr"), 1L).otherwise(0L))
+              .as("n_dropped"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH e AS (
+                SELECT doc_id, lang,
+                       ROUND(list_sum(list_transform(list_distinct(list_transform(generate_series(1, CAST(LENGTH(text) AS INT)), i -> text[i])),
+                         ch -> -(CAST(LEN(list_filter(list_transform(generate_series(1, CAST(LENGTH(text) AS INT)), i -> text[i]), x -> x = ch)) AS DOUBLE)
+                                 / LENGTH(text))
+                               * LN(CAST(LEN(list_filter(list_transform(generate_series(1, CAST(LENGTH(text) AS INT)), i -> text[i]), x -> x = ch)) AS DOUBLE)
+                                    / LENGTH(text)))), 4) AS entropy
+                FROM documents WHERE LENGTH(text) > 0),
+              t AS (SELECT quantile_cont(entropy, 0.1) AS thr FROM e)
+              SELECT lang, COUNT(*) AS n,
+                     SUM(CASE WHEN entropy < thr THEN 1 ELSE 0 END) AS n_dropped
+              FROM e CROSS JOIN t
+              GROUP BY lang ORDER BY lang""")),
+
+    // Max same-token run length per doc — the degenerate-repetition
+    // filter ("the the the ..."), computed as textbook gaps-and-islands:
+    // break flags via lag, running-sum island ids, max island size.
+    // Window partitions are single documents, so group size is bounded
+    // by doc length — no skew at any corpus size.
+    Q("q103_repeat_runs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = docs(s, d)
+          .filter(trim(col("text")) =!= "")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("i", "t")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        tk.withColumn("brk",
+            when(lag(col("t"), 1).over(w) === col("t"), 0).otherwise(1))
+          .withColumn("grp", sum(col("brk")).over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("run")).cast("int").as("max_run"))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, i, ts[i] AS t
+                FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                      FROM documents WHERE TRIM(text) <> '') s,
+                     UNNEST(generate_series(1, LEN(ts))) AS g(i)),
+              b AS (
+                SELECT doc_id, i,
+                       CASE WHEN LAG(t) OVER (PARTITION BY doc_id ORDER BY i) = t
+                            THEN 0 ELSE 1 END AS brk
+                FROM tk),
+              isl AS (
+                SELECT doc_id,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                FROM b),
+              runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2)
+              SELECT doc_id, CAST(MAX(run) AS INT) AS max_run
+              FROM runs GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
   )
 }
