@@ -201,6 +201,13 @@ object Main {
             .orderBy(org.apache.spark.sql.functions.col("logprob"))
             .show(20, truncate = false)
 
+        // pretraining shape: chunk -> token-count -> shuffled shards
+        case "prep" :: docsParquet :: outDir :: shards :: Nil =>
+          val r = graft.llm.TextOps.prepCorpus(
+            spark.read.parquet(docsParquet), outDir, shards = shards.toInt)
+          println(s"docs=${r.nDocs} chunks=${r.nChunks} " +
+            s"tokens=${r.nTokens} shards_dir=${r.shardsDir}")
+
         case "curate" :: docsParquet :: outDir :: shards :: Nil =>
           val r = graft.llm.Curation.curateCorpus(
             spark.read.parquet(docsParquet), outDir, shards.toInt)
@@ -251,5 +258,6 @@ object Main {
         |  lm train <docsParquet> <lmDir> | lm score <docsParquet> <lmDir>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
+        |  prep <docsParquet> <outDir> <shards>
         |  query <sfDir> <name>""".stripMargin)
 }

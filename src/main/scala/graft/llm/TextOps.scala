@@ -280,6 +280,41 @@ object TextOps {
       .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 
+  /** One-command pretraining-shape pipeline (the shaping counterpart to
+    * `Curation.curateCorpus`'s cleaning funnel): overlapping character
+    * chunks → per-chunk token counts → deterministic shuffled-shard
+    * export. Chunk ids are `doc_id * maxChunks + chunk_id` (maxChunks
+    * from one bounded 1-row aggregate), so chunk identity — and
+    * therefore the export's pseudorandom order — is a pure function of
+    * the input, reproducible on any cluster layout. Every stage is
+    * map-side except the single shard exchange `shuffledShards` already
+    * pays.
+    */
+  final case class PrepReport(nDocs: Long, nChunks: Long, nTokens: Long,
+      shardsDir: String)
+
+  def prepCorpus(docsDf: DataFrame, outDir: String, width: Int = 2000,
+      stride: Int = 1800, shards: Int = 16): PrepReport = {
+    val spark = docsDf.sparkSession
+    val nDocs = docsDf.count()
+    val chunks = chunkDocs(docsDf, width, stride)
+    val maxChunks = chunks.agg(max(col("chunk_id")).cast("long"))
+      .head.getLong(0) + 1L
+    val shaped = chunks.select(
+      (col("doc_id") * maxChunks + col("chunk_id")).as("chunk_uid"),
+      col("doc_id"), col("chunk_id"), col("chunk"),
+      when(trim(col("chunk")) === "", 0L)
+        .otherwise(size(tokens(col("chunk"))).cast("long")).as("n_tokens"))
+    val shardsDir = s"$outDir/shards"
+    graft.etl.Writers.shuffledShards(shaped, "chunk_uid", shardsDir, shards)
+    val out = spark.read.parquet(shardsDir)
+    val (nChunks, nTokens) = {
+      val r = out.agg(count(lit(1)), sum(col("n_tokens"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    PrepReport(nDocs, nChunks, nTokens, shardsDir)
+  }
+
   /** Train the q98 bigram LM ONCE and persist its three artifacts
     * (unigram counts, bigram counts, vocab size) as parquet — at 100 TB
     * the model tables are built in one corpus pass and every later

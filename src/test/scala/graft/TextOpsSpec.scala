@@ -118,6 +118,30 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(out.head._2 - expected) < 1e-4)
   }
 
+  test("prepCorpus: chunks cover every byte once and export is exactly-once") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prep").toString
+    val docs = docsOf(
+      1L -> ("alpha beta gamma " * 20).trim, // 339 chars -> several chunks
+      2L -> "short doc here")
+    // stride == width: non-overlapping, so concatenating a doc's chunks
+    // in chunk_id order must reproduce the exact text
+    val r = TextOps.prepCorpus(docs, dir, width = 100, stride = 100,
+      shards = 4)
+    assert(r.nDocs === 2)
+    val out = spark.read.parquet(r.shardsDir)
+    assert(out.count() === r.nChunks)
+    // exactly-once: every (doc_id, chunk_id) appears once
+    assert(out.select("doc_id", "chunk_id").distinct().count() === r.nChunks)
+    val rebuilt = out.filter(col("doc_id") === 1L)
+      .orderBy("chunk_id").collect().map(_.getAs[String]("chunk")).mkString
+    assert(rebuilt === ("alpha beta gamma " * 20).trim)
+    // shard column covers the requested range
+    val shardVals = out.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(shardVals.subsetOf((0 until 4).toSet))
+  }
+
   test("charEntropy: uniform text is 0, two equi-frequent chars are ln 2") {
     val out = docsOf(1L -> "aaaa", 2L -> "abab")
       .select(col("doc_id"), TextOps.charEntropy(col("text")).as("e"))
