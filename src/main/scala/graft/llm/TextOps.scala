@@ -798,6 +798,13 @@ object TextOps {
     // cross-engine exposure counts don't have).
     Q("q102_entropy_gate",
       (s, d) => {
+        // two scans by design: the percentile branch prunes `lang`, so
+        // its subtree can never canonically match the gate branch and
+        // ReuseExchange cannot apply (verified in the executed plan —
+        // forcing a shared exchange just adds a shuffle). The scored
+        // projection is one native-CharEntropy pass per scan (0.17 s at
+        // sf0.1); at 100 TB you'd persist the scored projection once
+        // and gate from it, the saveBigramLm train-once shape.
         val ent = docs(s, d)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("lang"),
