@@ -516,6 +516,57 @@ case class BpeEncode(child: Expression, merges: Seq[String])
     copy(child = newChild)
 }
 
+/** Distinct sliding-window minima of an array<long> — the winnowing
+  * selection step (Dedup.winnowedFingerprints): minimum of each window
+  * of `w` consecutive hashes, first-occurrence order. One compiled
+  * O(n·w) pass (w is small — 4 by default) replacing an interpreted
+  * `array_distinct(transform(sequence, j -> array_min(slice(hs, j, w))))`
+  * that allocates a w-element array per window per row. Long compares
+  * are exact, so values are identical to the HOF form (pinned in
+  * FnsSpec).
+  */
+case class WinnowedMinima(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow_min"
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + w <= n) {
+      var m = a.getLong(j)
+      var t = 1
+      while (t < w) {
+        val v = a.getLong(j + t)
+        if (v < m) m = v
+        t += 1
+      }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowMin", this,
+      classOf[WinnowedMinima].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneBuckets {
   val Tables = 8
   val BitsPerTable = 8
@@ -825,6 +876,13 @@ object GraftExtensions {
     d("graft_simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es.head)),
     d("graft_char_entropy", classOf[CharEntropy],
       es => CharEntropy(es.head)),
+    d("graft_winnow_min", classOf[WinnowedMinima], { es =>
+      // second arg must be a foldable int literal (the window size is
+      // part of the expression)
+      require(es(1).foldable,
+        "graft_winnow_min expects a literal window size")
+      WinnowedMinima(es.head, es(1).eval().asInstanceOf[Int])
+    }),
     d("graft_bpe_encode", classOf[BpeEncode], { es =>
       // second arg must be a literal array<string> of "a b" merge pairs
       // in rank order (the merge table is part of the expression)
@@ -1150,6 +1208,12 @@ object Fns {
   /** Character-level Shannon entropy (nats) of a string column. */
   def charEntropy(text: Column): Column =
     call_function("graft_char_entropy", text)
+
+  /** Distinct sliding-window minima of an array<long> (winnowing). */
+  def winnowedMinima(hashes: Column, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_winnow_min", hashes, lit(w))
+  }
 
   /** BPE-encode a word column against a rank-ordered merge table. */
   def bpeEncode(word: Column, merges: Seq[String]): Column = {

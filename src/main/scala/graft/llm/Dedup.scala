@@ -226,10 +226,18 @@ object Dedup {
     df.select(col("doc_id"), graft.llm.TextOps.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= minToks)
       .select(col("doc_id"), graft.functions.Fns.md5Hash32(grams).as("hs"))
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("hs")) - (w - 1)),
-        j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+      .select(col("doc_id"), explode(
+        graft.functions.Fns.winnowedMinima(col("hs"), w)).as("fp"))
   }
+
+  /** Reference HOF formulation of the winnowing selection (pinned
+    * bit-identical to the native WinnowedMinima in FnsSpec) — the
+    * spelling the DuckDB oracle mirrors with list functions.
+    */
+  private[graft] def winnowedMinimaHof(hs: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(hs) - (w - 1)),
+      j => array_min(slice(hs, j, lit(w)))))
 
   /** Candidate pairs sharing >= `minShared` winnowed fingerprints — the
     * fingerprint-index join shape (same slim self-join as the inverted

@@ -166,6 +166,22 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(r.getDouble(2) - expected) < 1e-15)
   }
 
+  test("native winnowed minima == HOF distinct window-min, identical on real text") {
+    val grams = transform(
+      sequence(lit(1), size(col("ts")) - 2),
+      i => concat_ws(" ", element_at(col("ts"), i),
+        element_at(col("ts"), i + 1), element_at(col("ts"), i + 2)))
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select(TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 6)
+      .select(Fns.md5Hash32(grams).as("hs"))
+    val bad = docs
+      .select(Fns.winnowedMinima(col("hs"), 4).as("n"),
+        graft.llm.Dedup.winnowedMinimaHof(col("hs"), 4).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
   test("expressions are SQL-callable via GraftExtensions registration") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c," +
