@@ -746,6 +746,72 @@ object Curation {
                      SUBSTR(MD5(COALESCE(
                        string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos),
                        '')), 1, 16) AS clean_fp
-              FROM d GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
+              FROM d GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // TEMPERATURE-scaled language mixture (the exponential-smoothing
+    // sampling rule multilingual LMs train with, cf. XLM-R's alpha
+    // smoothing): p_lang ∝ n_lang^0.5 flattens the language
+    // distribution — high-resource languages down-weighted, low-resource
+    // up — and the expected per-language doc counts for a 10k budget
+    // fall out directly. Complements q67/q79/q81: those enforce GIVEN
+    // rates/quotas; this one DERIVES the rates from corpus counts.
+    // 100 TB shape: one scan collapsing map-side to one row per
+    // language; the normalizer is a broadcast 1-row aggregate.
+    Q("q104_temperature_mix",
+      (s, d) => {
+        val counts = docs(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+        counts.crossJoin(broadcast(z))
+          .select(col("lang"), col("n_docs"),
+            round(sqrt(col("n_docs")) / col("z"), 4).as("p_sample"),
+            round(lit(10000.0) * sqrt(col("n_docs")) / col("z"), 2)
+              .as("expected_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (
+                SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+              z AS (SELECT SUM(SQRT(n_docs)) AS z FROM c)
+              SELECT lang, n_docs,
+                     ROUND(SQRT(n_docs) / z, 4) AS p_sample,
+                     ROUND(10000.0 * SQRT(n_docs) / z, 2) AS expected_docs
+              FROM c CROSS JOIN z ORDER BY lang""")),
+
+    // ONE-SCAN dataset card — the corpus "datasheet" a dataset release
+    // ships: per-language rows, per-source rows, and the overall row
+    // from a single GROUPING SETS pass. One scan + one Expand + one
+    // exchange where three separate reports would scan the corpus three
+    // times (CurationSpec pins the single-scan plan). n_chars is the
+    // stored length column, so the card is pure metadata arithmetic at
+    // any scale.
+    Q("q106_dataset_card",
+      (s, d) =>
+        docs(s, d)
+          .groupingSets(
+            Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+            col("lang"), col("source"))
+          .agg(grouping(col("lang")).as("gl"),
+            grouping(col("source")).as("gs"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
+              .as("avg_chars"))
+          .select(
+            when(col("gl") === 0, lit("lang"))
+              .when(col("gs") === 0, lit("source"))
+              .otherwise(lit("all")).as("dim"),
+            coalesce(col("lang"), col("source"), lit("ALL")).as("grp"),
+            col("n_docs"), col("total_chars"), col("avg_chars"))
+          .orderBy(col("dim"), col("grp")),
+      Some("""SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+                          WHEN GROUPING(source) = 0 THEN 'source'
+                          ELSE 'all' END AS dim,
+                     COALESCE(lang, source, 'ALL') AS grp,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+              FROM documents
+              GROUP BY GROUPING SETS ((lang), (source), ())
+              ORDER BY dim, grp"""))
   )
 }

@@ -885,7 +885,90 @@ object Similarity {
               SELECT label, COUNT(*) AS n, ROUND(AVG(own), 4) AS avg_own,
                      ROUND(AVG(own - best_other), 4) AS avg_margin
               FROM own JOIN oth USING (vec_id)
-              GROUP BY label ORDER BY label"""))
+              GROUP BY label ORDER BY label""")),
+
+    // SEMANTIC decontamination — embedding-level test-set leakage: a
+    // test-split vector is contaminated when a train-split vector sits
+    // within cosine >= 0.35 of it in the same IVF cell. Catches the
+    // paraphrase-level leakage the exact-fingerprint (q66) and 8-gram
+    // (q77) checks cannot see. Splits reuse the q59 md5 rule (on
+    // vec_id); the cell bound is the q93 SemDeDup shape — candidate
+    // pairs form only within a cell, so the check costs
+    // sum_cell(|test| * |train|), not |test| x |train| corpus-wide, and
+    // the first-16 codebook keeps it deterministic + oracle-able
+    // (q50's CTE). One scan feeds both join sides through one
+    // cell-keyed exchange.
+    Q("q105_semantic_decon",
+      (s, d) => {
+        val vecs = emb(s, d).repartition(col("vec_id"))
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val bucket = pmod(
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(100))
+        val split = when(bucket < 90, "train")
+          .when(bucket < 95, "val").otherwise("test")
+        val t = ivfCells(vecs, vecs, probes = 1)
+          .select(col("cell"), col("vec_id"), col("v"), split.as("split"))
+          .repartition(col("cell"))
+        val test = t.filter(col("split") === "test")
+          .select(col("cell"), col("vec_id"), col("v"))
+        val train = t.filter(col("split") === "train")
+          .select(col("cell"), col("vec_id").as("tid"), col("v").as("tv"))
+        val sim = cosine(col("v"), col("tv"))
+        test.join(train, Seq("cell"))
+          .select(col("vec_id"),
+            when(sim >= 0.35, 1L).otherwise(0L).as("hit"), sim.as("s"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("hit")).as("n_hits"),
+            round(max(col("s")), 4).as("max_sim"))
+          .filter(col("n_hits") >= 1L)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT vec_id AS cell, a AS cv FROM v WHERE vec_id < 16),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              sp AS (
+                SELECT vec_id,
+                       CASE WHEN b < 90 THEN 'train'
+                            WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+                FROM (SELECT vec_id,
+                             CAST('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+                      FROM v) u),
+              te AS (
+                SELECT c.vec_id, c.cell, v.a
+                FROM corpus c JOIN v USING (vec_id) JOIN sp USING (vec_id)
+                WHERE sp.split = 'test'),
+              tr AS (
+                SELECT c.vec_id, c.cell, v.a
+                FROM corpus c JOIN v USING (vec_id) JOIN sp USING (vec_id)
+                WHERE sp.split = 'train'),
+              p AS (
+                SELECT te.vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(te.a)),
+                         i -> te.a[i] * tr.a[i]))
+                       / (SQRT(list_sum(list_transform(te.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(tr.a, x -> x*x)))) AS sim
+                FROM te JOIN tr ON te.cell = tr.cell)
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                     ROUND(MAX(sim), 4) AS max_sim
+              FROM p GROUP BY vec_id
+              HAVING SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) >= 1
+              ORDER BY vec_id"""))
   )
 
   /** Where q82 persists its trained codebook so the DuckDB oracle can

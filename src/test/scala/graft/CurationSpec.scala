@@ -396,4 +396,48 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     val scans = plan.split("\n").count(_.contains("Scan ExistingRDD"))
     assert(scans == 1, s"expected 1 source scan, saw $scans:\n$plan")
   }
+
+  test("temperature mixture: probabilities normalize, budget conserved") {
+    val rows = graft.queries.Registry
+      .queries("q104_temperature_mix")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // each p_sample is rounded to 4 decimals, so the sum is 1 up to
+    // nlang rounding steps; expected_docs likewise vs the 10k budget
+    val pSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(pSum - 1.0) <= rows.length * 5e-5 + 1e-9,
+      s"p_sample sums to $pSum over ${rows.length} langs")
+    val eSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(eSum - 10000.0) <= rows.length * 0.005 + 1e-6,
+      s"expected_docs sums to $eSum")
+    // the temperature actually flattens: every language's sampled share
+    // sits between its raw share and the uniform share
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val raw = r.getLong(1) / n
+      val p = r.getDouble(2)
+      val lo = math.min(raw, uniform) - 1e-4
+      val hi = math.max(raw, uniform) + 1e-4
+      assert(p >= lo && p <= hi,
+        s"${r.getString(0)}: p=$p outside [$lo, $hi] (raw=$raw)")
+    }
+  }
+
+  test("dataset card: one corpus scan feeds lang, source, and overall rows") {
+    val q = graft.queries.Registry
+      .queries("q106_dataset_card")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = plan.split("\n")
+      .count(l => l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n$plan")
+    assert(plan.contains("Expand"), s"no Expand (grouping sets):\n$plan")
+    // the overall row must reconcile with the per-language rows
+    val rows = q.collect()
+    val all = rows.filter(_.getString(0) == "all")
+    assert(all.length == 1)
+    val langRows = rows.filter(_.getString(0) == "lang")
+    assert(all.head.getLong(2) == langRows.map(_.getLong(2)).sum)
+    assert(all.head.getLong(3) == langRows.map(_.getLong(3)).sum)
+  }
 }
