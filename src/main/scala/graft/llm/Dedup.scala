@@ -930,6 +930,98 @@ object Dedup {
            ORDER BY d1, d2"""
       }),
 
+    // MinHash CALIBRATION report: over q71's banded candidate pairs,
+    // compare the signature-agreement ESTIMATE against the TRUE set
+    // Jaccard of the same md5 shingle-hash sets and aggregate the error
+    // — the "how much can I trust my LSH threshold" number a dedup run
+    // at scale needs before picking minJaccard (est within avg_abs_err
+    // of truth justifies certifying candidates by signature alone;
+    // a large max_abs_err says candidates must be re-verified with
+    // true Jaccard, which is exactly what q83/PairStore.append do).
+    // Same machinery, same exchanges as q71 plus one slim pair join
+    // back to the per-doc hash sets; output is one aggregate row.
+    Q("q107_minhash_calibration",
+      (s, d) => {
+        val hv = withShingleArray(docs(s, d))
+          .select(col("doc_id"),
+            graft.functions.Fns.md5Hash32(col("sh")).as("hv"))
+        val side = hv.select(col("doc_id"),
+          array_distinct(col("hv")).as("hvd"),
+          graft.functions.Fns.md5MinhashSig(col("hv")).as("s"))
+        val banded = side.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            concat_ws(",", (0 until 4).map(i =>
+              element_at(col("s"), b * 4 + i + 1).cast("string")): _*)): _*))
+            .as(Seq("b", "key")))
+        val pairs = banded.select(col("doc_id").as("d1"), col("b"), col("key"))
+          .join(banded.select(col("doc_id").as("d2"), col("b"), col("key")),
+            Seq("b", "key"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"))
+          .distinct()
+        val j = pairs
+          .join(side.select(col("doc_id").as("d1"), col("hvd").as("h1"),
+            col("s").as("sa")), Seq("d1"))
+          .join(side.select(col("doc_id").as("d2"), col("hvd").as("h2"),
+            col("s").as("sb")), Seq("d2"))
+        val est = size(filter(
+          zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / Md5MinhashK
+        val inter = size(array_intersect(col("h1"), col("h2")))
+        val tj = inter.cast("double") /
+          (size(col("h1")) + size(col("h2")) - inter)
+        val err = abs(est - tj)
+        j.agg(count(lit(1)).as("n_pairs"),
+          round(avg(est), 4).as("avg_est"),
+          round(avg(tj), 4).as("avg_true"),
+          round(avg(err), 4).as("avg_abs_err"),
+          round(max(err), 4).as("max_abs_err"))
+      },
+      Some {
+        val slotList = Md5MinhashMixers.map { case (a, b) =>
+          s"list_min(list_transform(hv, h -> ($a * h + $b) % $Md5MinhashMod))"
+        }.mkString("[", ", ", "]")
+        s"""WITH tok AS (
+             SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+             FROM documents),
+           sh AS (
+             SELECT doc_id,
+                    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in generate_series(1, LEN(ts)-2)]) AS sh
+             FROM tok WHERE LEN(ts) >= 3),
+           hv AS (
+             SELECT doc_id,
+                    list_transform(sh, s -> CAST('0x' || SUBSTR(MD5(s), 1, 8) AS BIGINT)) AS hv
+             FROM sh),
+           side AS (
+             SELECT doc_id, list_distinct(hv) AS hvd, $slotList AS s FROM hv),
+           banded AS (
+             SELECT doc_id, b,
+                    CAST(s[4*b+1] AS VARCHAR) || ',' || CAST(s[4*b+2] AS VARCHAR) || ',' ||
+                    CAST(s[4*b+3] AS VARCHAR) || ',' || CAST(s[4*b+4] AS VARCHAR) AS key
+             FROM side, (SELECT UNNEST([0, 1, 2, 3]) AS b)),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+             FROM banded a JOIN banded c
+               ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+           j AS (
+             SELECT
+               CAST(LEN(list_filter(generate_series(1, ${Md5MinhashK}),
+                     i -> sa.s[i] = sb.s[i])) AS DOUBLE) / ${Md5MinhashK} AS est,
+               CAST(LEN(list_intersect(sa.hvd, sb.hvd)) AS DOUBLE)
+                 / (LEN(sa.hvd) + LEN(sb.hvd)
+                    - LEN(list_intersect(sa.hvd, sb.hvd))) AS tj
+             FROM pairs p
+             JOIN side sa ON sa.doc_id = p.d1
+             JOIN side sb ON sb.doc_id = p.d2)
+           SELECT COUNT(*) AS n_pairs,
+                  ROUND(AVG(est), 4) AS avg_est,
+                  ROUND(AVG(tj), 4) AS avg_true,
+                  ROUND(AVG(ABS(est - tj)), 4) AS avg_abs_err,
+                  ROUND(MAX(ABS(est - tj)), 4) AS max_abs_err
+           FROM j"""
+      }),
+
     // Dedup clusters: connected components over the capped exact-Jaccard
     // pair graph (>= 0.6). The oracle rebuilds the same pairs (q32's SQL)
     // and computes reachability minima with a recursive CTE — the CTE's
