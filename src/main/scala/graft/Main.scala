@@ -201,6 +201,25 @@ object Main {
             .orderBy(org.apache.spark.sql.functions.col("logprob"))
             .show(20, truncate = false)
 
+        // derive temperature-scaled per-language keep rates from corpus
+        // counts (q104's rule as a persisted artifact) ...
+        case "mix" :: "derive" :: docsParquet :: ratesDir :: budget :: Nil =>
+          val rates = graft.llm.Curation.deriveTemperatureRates(
+            spark.read.parquet(docsParquet), budget.toLong)
+          rates.write.mode("overwrite").parquet(ratesDir)
+          rates.show(50, truncate = false)
+
+        // ... then apply them with the deterministic salted-hash
+        // membership rule (reproducible on any engine / corpus order)
+        case "mix" :: "apply" :: docsParquet :: ratesDir :: Nil =>
+          val stored = spark.read.parquet(ratesDir)
+            .select(org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("rate"))
+            .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+          graft.llm.Curation.mixtureCounts(
+            spark.read.parquet(docsParquet), stored, defaultRate = 0)
+            .show(50, truncate = false)
+
         // pretraining shape: chunk -> token-count -> shuffled shards
         case "prep" :: docsParquet :: outDir :: shards :: Nil =>
           val r = graft.llm.TextOps.prepCorpus(
@@ -256,6 +275,7 @@ object Main {
         |  bpe train <docsParquet> <numMerges> [mergesDir]
         |  bpe encode <docsParquet> <numMerges|mergesDir>
         |  lm train <docsParquet> <lmDir> | lm score <docsParquet> <lmDir>
+        |  mix derive <docsParquet> <ratesDir> <budget> | mix apply <docsParquet> <ratesDir>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  prep <docsParquet> <outDir> <shards>

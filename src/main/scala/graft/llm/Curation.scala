@@ -128,6 +128,32 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Per-language keep rates (integer percent) implementing the q104
+    * temperature rule as an APPLYABLE artifact: sampling probability
+    * p_l ∝ n_l^alpha, so a budget of B docs distributes E_l = B·p_l per
+    * language and the hash-membership rate that realizes it is
+    * rate_l = min(100, round(100·E_l / n_l)). Persist the result, then
+    * [[mixtureCounts]] enforces it with the deterministic salted-hash
+    * rule — derive once on corpus stats, apply reproducibly on any
+    * engine, any corpus ordering (the `mix derive` / `mix apply` CLI).
+    * Languages where the cap binds (E_l ≥ n_l) keep everything, so the
+    * realized total lands at or just under B.
+    *
+    * 100 TB shape: identical to q104 — one scan collapsing map-side to
+    * one row per language; the normalizer is a broadcast 1-row agg.
+    */
+  def deriveTemperatureRates(docsDf: DataFrame, budget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    val counts = docsDf.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(pow(col("n_docs"), alpha)).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        least(lit(100L),
+          round(lit(100.0) * budget * pow(col("n_docs"), alpha)
+            / col("z") / col("n_docs"), 0).cast("long")).as("rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-doc 3-gram repetition: (n_shingles, n_distinct, rep_ratio) —
     * see q68.
     */

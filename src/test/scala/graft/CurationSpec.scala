@@ -423,6 +423,28 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("derived temperature rates conserve the budget in expectation") {
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 50L
+    val rates = graft.llm.Curation.deriveTemperatureRates(docs, budget)
+      .collect()
+    // expected kept = sum over langs of n_l * rate_l / 100; each rate is
+    // rounded to an integer percent, so the error budget is
+    // 0.5% of the corpus plus one doc (cap-free at this small budget)
+    val expected = rates.map(r => r.getLong(1) * r.getLong(2) / 100.0).sum
+    val n = rates.map(_.getLong(1)).sum
+    assert(rates.forall(_.getLong(2) < 100),
+      s"budget $budget should not saturate any language at sf0.001")
+    assert(math.abs(expected - budget) <= 0.005 * n + 1.0,
+      s"expected-kept $expected strays from budget $budget")
+    // the rates implement the temperature flattening: sampled share of a
+    // language grows with n^0.5, so rate (share/n) must fall as n grows
+    val byN = rates.sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(byN.zip(byN.tail).forall { case (lo, hi) => lo >= hi },
+      s"rates not monotone non-increasing in corpus size: ${byN.toSeq}")
+  }
+
   test("dataset card: one corpus scan feeds lang, source, and overall rows") {
     val q = graft.queries.Registry
       .queries("q106_dataset_card")(spark, "/root/testdata/sf0.001")
