@@ -902,26 +902,9 @@ object Similarity {
       (s, d) => {
         val vecs = emb(s, d).repartition(col("vec_id"))
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val bucket = pmod(
-          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-            .cast("long"), lit(100))
-        val split = when(bucket < 90, "train")
-          .when(bucket < 95, "val").otherwise("test")
-        val t = ivfCells(vecs, vecs, probes = 1)
-          .select(col("cell"), col("vec_id"), col("v"), split.as("split"))
-          .repartition(col("cell"))
-        val test = t.filter(col("split") === "test")
-          .select(col("cell"), col("vec_id"), col("v"))
-        val train = t.filter(col("split") === "train")
-          .select(col("cell"), col("vec_id").as("tid"), col("v").as("tv"))
-        val sim = cosine(col("v"), col("tv"))
-        test.join(train, Seq("cell"))
-          .select(col("vec_id"),
-            when(sim >= 0.35, 1L).otherwise(0L).as("hit"), sim.as("s"))
-          .groupBy(col("vec_id"))
-          .agg(sum(col("hit")).as("n_hits"),
-            round(max(col("s")), 4).as("max_sim"))
-          .filter(col("n_hits") >= 1L)
+        val cb = vecs.filter(col("vec_id") < IvfCells)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+        semanticDeconWith(cb, vecs, minCos = 0.35)
           .orderBy(col("vec_id"))
       },
       Some("""WITH v AS (
@@ -1002,6 +985,46 @@ object Similarity {
       .select(col("d1"), col("d2"))
     graft.llm.Dedup.connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("comp"))
+  }
+
+  /** The q59 md5 split rule applied to vec_id (the embedding-side twin
+    * of [[graft.llm.Curation.splitCol]]).
+    */
+  def vecSplitCol: Column = {
+    val bucket = pmod(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100))
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** q105's semantic-decontamination check against an EXPLICIT
+    * (cell, cv) codebook: test-split vectors (q59 md5 rule on vec_id)
+    * with any train-split vector at cosine >= minCos INSIDE THE SAME
+    * IVF CELL. Output (vec_id, n_hits, max_sim), contaminated rows
+    * only. The cell bound is the q93 SemDeDup shape — candidate pairs
+    * form only within a cell — and an explicit codebook makes the
+    * check streamable: train the codebook once (IvfStore.train),
+    * then batch (here) and streaming
+    * ([[graft.streaming.StreamingCuration.startSemanticDecon]]) probes
+    * assign against the same broadcast centers.
+    */
+  def semanticDeconWith(codebook: DataFrame, vectors: DataFrame,
+      minCos: Double): DataFrame = {
+    val t = ivfAssign(codebook, vectors, probes = 1)
+      .select(col("cell"), col("vec_id"), col("v"), vecSplitCol.as("split"))
+      .repartition(col("cell"))
+    val test = t.filter(col("split") === "test")
+      .select(col("cell"), col("vec_id"), col("v"))
+    val train = t.filter(col("split") === "train")
+      .select(col("cell"), col("vec_id").as("tid"), col("v").as("tv"))
+    val sim = cosine(col("v"), col("tv"))
+    test.join(train, Seq("cell"))
+      .select(col("vec_id"),
+        when(sim >= minCos, 1L).otherwise(0L).as("hit"), sim.as("s"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("hit")).as("n_hits"),
+        round(max(col("s")), 4).as("max_sim"))
+      .filter(col("n_hits") >= 1L)
   }
 
   val IvfCells = 16

@@ -327,6 +327,103 @@ object StreamingCuration {
       .start()
   }
 
+  /** Streaming SEMANTIC decontamination — the q105 semantics
+    * incrementally, completing the decon triad's streaming form
+    * (fingerprint [[start]], 8-gram [[startNgramDecon]], embedding
+    * here): per micro-batch of (vec_id, embedding) rows, each vector is
+    * cell-assigned ONCE against the broadcast codebook at `codebookDir`
+    * (train it once with IvfStore.train — at 100 TB the codebook is a
+    * fixed artifact, exactly why [[graft.llm.Similarity
+    * .semanticDeconWith]] takes it explicitly); the batch's test-split
+    * vectors probe the persisted train-vector state within their cell,
+    * the batch's train vectors retro-probe the persisted test vectors
+    * (a near-duplicate of an eval item arriving AFTER it is still
+    * caught), and both state tables grow by append only — history is
+    * never re-embedded or re-assigned.
+    *
+    * Hits land as (vec_id, tid, sim) PAIRS so the
+    * [[semanticContamination]] fold is idempotent across replays
+    * (distinct tid count; max is idempotent). State tables are bucketed
+    * on `cell` — with a trained ~sqrt(corpus)-cell codebook the probe
+    * joins batch-sized sides against a stored side already partitioned
+    * on the join key (the [[start]] shape; with the toy 16-cell default
+    * some buckets are simply empty).
+    */
+  def startSemanticDecon(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      codebookDir: String,
+      stateDir: String,
+      outDir: String,
+      minCos: Double = 0.35,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val trainDir = s"$stateDir/train_vecs"
+    val testDir = s"$stateDir/test_vecs"
+    val trainTbl = stateTable(stateDir, "train_vecs")
+    val testTbl = stateTable(stateDir, "test_vecs")
+    val buckets = pinnedBuckets(spark, stateDir)
+    val cb = spark.read.parquet(codebookDir).select(col("cell"), col("cv"))
+    val stream = spark.readStream
+      .schema(schema)
+      .json(landingDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.llm.Similarity
+        // assign + split computed ONCE per batch, reused by both
+        // probes, the retro-probe, and both state appends
+        val t = Similarity.ivfAssign(cb,
+            batch.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("v")),
+            probes = 1)
+          .select(col("cell"), col("vec_id"), col("v"),
+            Similarity.vecSplitCol.as("split"))
+          .localCheckpoint(true)
+        val newTrain = t.filter(col("split") === "train")
+          .select(col("cell"), col("vec_id").as("tid"), col("v").as("tv"))
+        val newTest = t.filter(col("split") === "test")
+          .select(col("cell"), col("vec_id"), col("v"))
+        val sim = Similarity.cosine(col("v"), col("tv"))
+        def hits(test: DataFrame, train: DataFrame): DataFrame =
+          test.join(train, Seq("cell"))
+            .filter(sim >= minCos)
+            .select(col("vec_id"), col("tid"), sim.as("sim"))
+        val hitsStored = readState(spark, trainTbl, trainDir)
+          .map(st => hits(newTest, st))
+        val hitsBatch = hits(newTest, newTrain)
+        val hitsLate = readState(spark, testTbl, testDir)
+          .map(st => hits(st, newTrain))
+        // appends first (see start(): a replay after an append-race
+        // failure re-appends rows the distinct fold ignores)
+        appendState(newTrain, trainTbl, trainDir, "cell", buckets)
+        appendState(newTest, testTbl, testDir, "cell", buckets)
+        (Seq(hitsBatch) ++ hitsStored ++ hitsLate)
+          .reduce(_ unionByName _)
+          .write.mode("append")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$outDir/sem_hits")
+      }
+      .start()
+  }
+
+  /** Accumulated per-test-vector semantic contamination — equal to the
+    * batch [[graft.llm.Similarity.semanticDeconWith]] answer over the
+    * union of every ingested batch (StreamingCurationSpec pins it,
+    * late-train case included). countDistinct(tid) + max(sim) make
+    * replayed or multi-probe hits idempotent; max over HITS equals the
+    * batch form's max over all same-cell train vectors because a
+    * contaminated vector's cell max is itself a hit.
+    */
+  def semanticContamination(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/sem_hits")
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("tid")).as("n_hits"),
+        round(max(col("sim")), 4).as("max_sim"))
+      .orderBy(col("vec_id"))
+
   /** Name of the per-state-dir compaction lock file — present while
     * [[compactState]] runs; [[appendState]] refuses to append under it.
     * Contains its owner + claim timestamp for stale-lock forensics. If
@@ -428,7 +525,8 @@ object StreamingCuration {
       }
       val tables = Seq(
         ("train_fp", "fp"), ("test_docs", "fp"),
-        ("train_grams", "k"), ("test_grams", "k"))
+        ("train_grams", "k"), ("test_grams", "k"),
+        ("train_vecs", "cell"), ("test_vecs", "cell"))
       tables.flatMap { case (name, keyCol) =>
         val tbl = stateTable(stateDir, name)
         val path = s"$stateDir/$name"

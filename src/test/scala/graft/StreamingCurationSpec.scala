@@ -205,6 +205,86 @@ class StreamingCurationSpec extends AnyFunSuite with TestSpark {
       s"compaction changed the answer: $afterCompact vs $streamAns")
   }
 
+  test("3 micro-batches accumulate to the batch q105 semantic decon answer") {
+    val landing = Files.createTempDirectory("ssem-land").toString
+    val state = Files.createTempDirectory("ssem-state").toString
+    val out = Files.createTempDirectory("ssem-out").toString
+    val cbDir = Files.createTempDirectory("ssem-cb").toString
+
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+
+    // fixed 2-cell codebook (the trained-artifact shape: streaming and
+    // batch both assign against the same broadcast centers)
+    val cbSchema = StructType(Seq(StructField("cell", LongType),
+      StructField("cv", ArrayType(DoubleType))))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(0L, Seq(1.0, 0.0, 0.0, 0.0)),
+          Row(1L, Seq(0.0, 0.0, 1.0, 0.0))), 1), cbSchema)
+      .write.mode("overwrite").parquet(cbDir)
+
+    val ids = 0L until 300L
+    val trainIds = ids.filter(split(_) == "train")
+    val testIds = ids.filter(split(_) == "test")
+    assert(testIds.size >= 2 && trainIds.size >= 6)
+    // cell-0 vectors: near = contaminating, ortho = not (cos 0 to near)
+    def near(eps: Double) = Seq(0.9, eps, 0.0, 0.0)
+    val ortho = Seq(0.1, -0.9, 0.0, 0.0)
+    // cell-1 filler, orthogonal to everything in cell 0's near family
+    val other = Seq(0.0, 0.0, 0.95, 0.05)
+
+    // batch 1: test vec T1 (near family) BEFORE any train twin; a non-hit
+    // cell-0 train vec and a cell-1 train vec
+    val b1 = Seq((testIds(0), near(0.10)),
+      (trainIds(0), ortho), (trainIds(1), other))
+    // batch 2: the train twin arrives LATE -> retro-probe must flag T1
+    val b2 = Seq((trainIds(2), near(0.15)), (trainIds(3), other))
+    // batch 3: a second test vec flagged on arrival vs stored train
+    val b3 = Seq((testIds(1), near(0.20)), (trainIds(4), ortho))
+
+    def writeBatch(name: String, vecs: Seq[(Long, Seq[Double])]): Unit =
+      Files.write(Paths.get(landing, name),
+        vecs.map { case (i, v) =>
+          s"""{"vec_id":$i,"embedding":[${v.mkString(",")}]}"""
+        }.mkString("\n").getBytes)
+
+    Seq(("b1.json", b1), ("b2.json", b2), ("b3.json", b3)).foreach {
+      case (name, vecs) =>
+        writeBatch(name, vecs)
+        StreamingCuration.startSemanticDecon(spark, landing, vecSchema,
+          cbDir, state, out).awaitTermination()
+    }
+
+    val all = b1 ++ b2 ++ b3
+    val allDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(all.map(Row.fromTuple), 2), vecSchema)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = spark.read.parquet(cbDir)
+      .select(col("cell"), col("cv"))
+    val batchAns = graft.llm.Similarity.semanticDeconWith(cb, allDf, 0.35)
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val streamAns = StreamingCuration.semanticContamination(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamAns.toSeq == batchAns.toSeq,
+      s"stream ${streamAns.mkString(",")} vs batch ${batchAns.mkString(",")}")
+    // both planted test vecs contaminated — incl. T1, whose train twin
+    // arrived a batch later (arrival order cannot hide semantic leakage)
+    assert(batchAns.map(_._1).toSet == Set(testIds(0), testIds(1)),
+      s"expected ${Set(testIds(0), testIds(1))}, got ${batchAns.map(_._1).toSet}")
+
+    // vec state compacts like the other state tables, answer preserved
+    val files = StreamingCuration.compactState(spark, state,
+      settleMillis = 200L)
+    assert(files.keySet == Set("train_vecs", "test_vecs"))
+    val afterCompact = StreamingCuration.semanticContamination(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(afterCompact.toSeq == streamAns.toSeq,
+      s"compaction changed the answer: ${afterCompact.mkString(",")}")
+  }
+
   test("a held compaction lock trips appends instead of losing them") {
     val landing = Files.createTempDirectory("slock-land").toString
     val state = Files.createTempDirectory("slock-state").toString
