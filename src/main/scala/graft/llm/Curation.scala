@@ -838,6 +838,67 @@ object Curation {
                      ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
               FROM documents
               GROUP BY GROUPING SETS ((lang), (source), ())
-              ORDER BY dim, grp"""))
+              ORDER BY dim, grp""")),
+
+    // Gopher-style RULE-BASED quality gate (Rae et al. 2021 §A1.1): the
+    // standard pre-filter a pretraining pipeline runs before any learned
+    // scoring — word-count bounds, mean-word-length band, symbol-to-word
+    // ratio ('#' and '...'), alphabetic-word fraction, and the
+    // ≥2-distinct-stopwords rule (stop list adapted to the corpus
+    // vocabulary; the English default is a parameter in spirit). Every
+    // feature is a codegen'd regex/length/translate expression over one
+    // scan — no HOF lambdas, no shuffle before the final order — so the
+    // gate is a map-only pass at any scale. Per-doc flags emitted so the
+    // hash pins every rule, not just the conjunction.
+    Q("q108_gopher_rules",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val nw = size(toks).cast("long")
+        // integer feature counts, band rules as integer inequalities —
+        // no ratio ever rounds, so the hash is engine-stable by
+        // construction (mean-word-length in [3,10] ⟺ 3·nw ≤ chars ≤
+        // 10·nw, symbol ratio < 0.1 ⟺ 10·sym < nw, alpha frac > 0.8 ⟺
+        // 5·alpha > 4·nw)
+        val nChars = length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("long")
+        val nHash = length(col("text")) -
+          length(translate(col("text"), "#", ""))
+        val nEllipsis = (length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+        val nSym = (nHash + nEllipsis).cast("long")
+        val nAlpha = size(regexp_extract_all(trim(col("text")),
+          lit("\\S*[a-zA-Z]\\S*"), lit(0))).cast("long")
+        val nStop = size(array_intersect(toks, array(lit("the"), lit("a"))))
+        docs(s, d)
+          .select(col("doc_id"), nw.as("n_words"), nChars.as("n_chars_ns"),
+            nSym.as("n_symbols"), nAlpha.as("n_alpha_words"),
+            nStop.as("n_stop"),
+            (nw.between(50, 100000) &&
+              nChars >= nw * 3 && nChars <= nw * 10 &&
+              nSym * 10 < nw && nAlpha * 5 > nw * 4 && nStop >= 2)
+              .cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id,
+                       CAST(LEN(toks) AS BIGINT) AS n_words,
+                       CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', '', 'g')) AS BIGINT) AS n_chars_ns,
+                       CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                            + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+                       CAST(LEN(regexp_extract_all(TRIM(text), '\S*[a-zA-Z]\S*')) AS BIGINT) AS n_alpha_words,
+                       CAST(LEN(list_intersect(list_distinct(toks), ['the','a'])) AS INT) AS n_stop
+                FROM t)
+              SELECT doc_id, n_words, n_chars_ns, n_symbols, n_alpha_words, n_stop,
+                     CAST(n_words BETWEEN 50 AND 100000
+                          AND n_chars_ns >= n_words * 3 AND n_chars_ns <= n_words * 10
+                          AND n_symbols * 10 < n_words
+                          AND n_alpha_words * 5 > n_words * 4
+                          AND n_stop >= 2 AS INT) AS keep
+              FROM f ORDER BY doc_id LIMIT 200"""))
   )
 }

@@ -462,4 +462,40 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(all.head.getLong(2) == langRows.map(_.getLong(2)).sum)
     assert(all.head.getLong(3) == langRows.map(_.getLong(3)).sum)
   }
+
+  test("gopher rules: each rule trips on its planted violation, map-only plan") {
+    val q = graft.queries.Registry
+      .queries("q108_gopher_rules")(spark, "/root/testdata/sf0.001")
+    // map-only gate: no exchange below the final TakeOrdered
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"quality gate should be map-only before TakeOrdered:\n$plan")
+
+    // planted corpus: one doc per violated rule + one clean keeper
+    val keepText = (Seq("the", "a") ++ Seq.fill(48)("spark")).mkString(" ")
+    val rows = Seq(
+      (0L, keepText),                                    // keep = 1
+      (1L, "the a spark"),                               // too few words
+      (2L, (Seq("the", "a") ++ Seq.fill(48)("ab")).mkString(" ")),  // mean len < 3
+      (3L, (Seq("the", "a") ++ Seq.fill(48)("#spark#")).mkString(" ")), // symbols
+      (4L, (Seq("the", "a") ++ Seq.fill(10)("spark") ++
+        Seq.fill(38)("123")).mkString(" ")),             // alpha frac <= 0.8
+      (5L, Seq.fill(50)("spark").mkString(" ")))         // < 2 stop words
+    // write a planted documents.parquet and run the PRODUCTION query on it
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    val schema2 = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("text", StringType), StructField("n_chars", LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (i, t) => Row(i, "en", "web", t, t.length.toLong) },
+          2), schema2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Registry.queries("q108_gopher_rules")(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.toSeq == Seq(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0,
+      5L -> 0), s"rule outcomes wrong: ${got.mkString(",")}")
+  }
 }
