@@ -899,6 +899,80 @@ object Curation {
                           AND n_symbols * 10 < n_words
                           AND n_alpha_words * 5 > n_words * 4
                           AND n_stop >= 2 AS INT) AS keep
-              FROM f ORDER BY doc_id LIMIT 200"""))
+              FROM f ORDER BY doc_id LIMIT 200""")),
+
+    // DSIR-style importance weighting (Xie et al. 2023): hashed n-gram
+    // (uni+bi, md5 % 256) bucket counts for a TARGET slice (lang='en' —
+    // the high-quality-domain proxy) vs the full corpus give per-bucket
+    // log-likelihood-ratio weights; a doc's importance score is the
+    // mean weight of its gram instances — the score data-selection
+    // samples against when matching a pretraining corpus to a target
+    // domain. 100 TB shape: the gram stream is map-side explode+hash;
+    // the 256-row weight table broadcasts at any corpus size; the two
+    // gram passes (bucket counts, per-doc scoring) read ONE
+    // repartition(doc_id) exchange through ReuseExchange (the q98
+    // shape) and the per-doc avg is a map-side-combined hash agg.
+    Q("q109_dsir_weights",
+      (s, d) => {
+        val nB = 256
+        val ts = col("ts")
+        val bi = when(size(ts) >= 2,
+          transform(sequence(lit(1), size(ts) - 1),
+            i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val t = docs(s, d)
+          .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+            TextOps.tokens(col("text")).as("ts"))
+          .repartition(col("doc_id"))
+        val g = t
+          .select(col("doc_id"), col("is_t"),
+            explode(concat(ts, bi)).as("gram"))
+          .select(col("doc_id"), col("is_t"),
+            pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10)
+              .cast("long"), lit(nB)).as("b"))
+        val byB = g.groupBy(col("b"))
+          .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
+            count(lit(1)).as("n_s"))
+        val tot = byB.agg(sum(col("n_t")).as("tot_t"),
+          sum(col("n_s")).as("tot_s"))
+        val w = byB.crossJoin(broadcast(tot))
+          .select(col("b"),
+            (log((col("n_t") + 1).cast("double") / (col("tot_t") + nB)) -
+              log((col("n_s") + 1).cast("double") / (col("tot_s") + nB)))
+              .as("w"))
+        g.join(broadcast(w), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            round(avg(col("w")), 4).as("dsir_score"))
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang = 'en' AS is_t,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              g0 AS (
+                SELECT doc_id, is_t, UNNEST(ts) AS gram FROM t
+                UNION ALL
+                SELECT doc_id, is_t, ts[i] || ' ' || ts[i + 1] AS gram
+                FROM t, UNNEST(generate_series(1, LEN(ts) - 1)) AS s(i)
+                WHERE LEN(ts) >= 2),
+              g AS (
+                SELECT doc_id, is_t,
+                       CAST('0x' || SUBSTR(MD5(gram), 1, 8) AS BIGINT) % 256 AS b
+                FROM g0),
+              byb AS (
+                SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,
+                       COUNT(*) AS n_s
+                FROM g GROUP BY b),
+              tot AS (SELECT SUM(n_t) AS tot_t, SUM(n_s) AS tot_s FROM byb),
+              w AS (
+                SELECT b, LN(CAST(n_t + 1 AS DOUBLE) / (tot_t + 256))
+                          - LN(CAST(n_s + 1 AS DOUBLE) / (tot_s + 256)) AS w
+                FROM byb CROSS JOIN tot)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     ROUND(AVG(w), 4) AS dsir_score
+              FROM g JOIN w USING (b)
+              GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
   )
 }

@@ -498,4 +498,33 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(got.toSeq == Seq(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0,
       5L -> 0), s"rule outcomes wrong: ${got.mkString(",")}")
   }
+
+  test("dsir weights: gram passes share one exchange; weight join broadcasts") {
+    val q = graft.queries.Registry
+      .queries("q109_dsir_weights")(spark, "/root/testdata/sf0.001")
+    q.collect() // AQE stage reuse materializes at runtime
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"tokenize pass not reused between counting and scoring:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"256-bucket weight table should broadcast:\n$plan")
+    // target-slice monotonicity on a planted corpus: a doc made of
+    // target-only grams must outscore a doc of non-target-only grams
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    val schema2 = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("text", StringType), StructField("n_chars", LongType)))
+    val enText = Seq.fill(30)("alpha beta").mkString(" ")
+    val deText = Seq.fill(30)("gamma delta").mkString(" ")
+    val rows = (0L until 8L).map(i =>
+      Row(i, if (i < 4) "en" else "de", "web",
+        if (i < 4) enText else deText, 60L))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = graft.queries.Registry.queries("q109_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) > scores(4L),
+      s"target-domain doc should outscore off-domain doc: $scores")
+  }
 }
