@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Distributed logistic-regression quality classifier — the linear core
+  * of a fasttext-style learned quality filter (the step after the q108
+  * rule gate in a curation funnel: rules prune the obvious, a learned
+  * scorer ranks the rest).
+  *
+  * Training is full-batch gradient descent where EACH ITERATION IS ONE
+  * AGGREGATION JOB: the current weight vector is embedded as literals in
+  * a codegen'd sigmoid expression, the gradient avg((p - y)·x_j) is a
+  * map-side-combined aggregate, and only d+1 doubles return to the
+  * driver. Nothing iterative ever touches the driver except the d+1-row
+  * gradient — the corpus-scale work is always one declarative pass, so
+  * the loop scales exactly like any other aggregate query. At 100 TB
+  * train on a seeded sample (`sampleFraction`, the IvfStore.train
+  * convention): logistic regression on 4 features needs thousands of
+  * rows, not billions, and scoring — the part that must see every row —
+  * is a broadcast of the 1-row weight artifact (train once, score many;
+  * the lm/bpe/ivf convention).
+  */
+object QualityClassifier {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Feature stop list — the two stopwords the synthetic corpus
+    * vocabulary actually contains (see q108; the English list is the
+    * production default in spirit).
+    */
+  val StopList: Seq[String] = Seq("the", "a")
+
+  /** Deterministic per-doc features from raw text, exact rational
+    * arithmetic both engines reproduce: bias, n_words/100, stop-hit
+    * ratio, distinct-token ratio.
+    */
+  def features(docsDf: DataFrame, label: Column): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nw = size(toks).cast("double")
+    docsDf.select(
+      col("doc_id"),
+      label.cast("int").as("y"),
+      lit(1.0).as("x0"),
+      (nw / 100.0).as("x1"),
+      (TextOps.stopHits(toks, StopList).cast("double") / nw).as("x2"),
+      (size(array_distinct(toks)).cast("double") / nw).as("x3"))
+  }
+
+  val Dim = 4
+
+  /** Gradient-descent training; returns the weight vector. One
+    * aggregation job per iteration over the (optionally sampled, then
+    * cached) feature frame.
+    */
+  def train(featsDf: DataFrame, iters: Int = 30, lr: Double = 2.0,
+      sampleFraction: Double = 1.0, seed: Long = 42L): Array[Double] = {
+    val f = (if (sampleFraction < 1.0)
+      featsDf.sample(withReplacement = false, sampleFraction, seed)
+    else featsDf).localCheckpoint(true)
+    var w = Array.fill(Dim)(0.0)
+    for (_ <- 0 until iters) {
+      val z = (0 until Dim).map(j => col(s"x$j") * lit(w(j)))
+        .reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col("y").cast("double")
+      val g = f.agg(
+        avg(err * col("x0")), avg(err * col("x1")),
+        avg(err * col("x2")), avg(err * col("x3"))).head()
+      w = w.zipWithIndex.map { case (wj, j) => wj - lr * g.getDouble(j) }
+    }
+    f.unpersist()
+    w
+  }
+
+  /** The weight artifact: ONE row (w0..w3) — broadcastable anywhere,
+    * readable by any engine.
+    */
+  def weightsDf(spark: SparkSession, w: Array[Double]): DataFrame = {
+    import spark.implicits._
+    Seq((w(0), w(1), w(2), w(3))).toDF("w0", "w1", "w2", "w3")
+  }
+
+  /** Score every document against a stored weight artifact: broadcast
+    * 1-row cross join + codegen'd sigmoid — a map-only pass over the
+    * corpus.
+    */
+  def scoreWith(featsDf: DataFrame, weights: DataFrame): DataFrame = {
+    val z = (0 until Dim).map(j => col(s"x$j") * col(s"w$j"))
+      .reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    featsDf.crossJoin(broadcast(weights))
+      .select(col("doc_id"), col("y"),
+        round(p, 4).as("p_score"),
+        (p >= 0.5).cast("int").as("pred"))
+  }
+
+  val Q110WeightsDir = "/tmp/graft_q110_weights"
+
+  def defs: Seq[Q] = Seq(
+    // Learned quality classifier end to end: train logistic regression
+    // (30 GD iterations, each one aggregate job) against the lang='en'
+    // label, persist the 1-row weight artifact, then score the corpus
+    // against the STORED artifact — the oracle reads the same parquet,
+    // so the hash pins the scoring math (features, dot product, sigmoid,
+    // threshold) exactly; training lives upstream of the shared
+    // artifact like q82's codebook.
+    Q("q110_quality_classifier",
+      (s, d) => {
+        val feats = features(docs(s, d), col("lang") === "en")
+        val w = train(feats, iters = 30, lr = 2.0)
+        weightsDf(s, w).coalesce(1)
+          .write.mode("overwrite").parquet(Q110WeightsDir)
+        val stored = s.read.parquet(Q110WeightsDir)
+        scoreWith(feats, stored)
+          .orderBy(col("doc_id"))
+          .limit(200)
+      },
+      Some(s"""WITH t AS (
+                SELECT doc_id,
+                       CAST(lang = 'en' AS INT) AS y,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, y,
+                       1.0 AS x0,
+                       CAST(LEN(toks) AS DOUBLE) / 100.0 AS x1,
+                       CAST(LEN(list_filter(toks,
+                         x -> list_contains(['the','a'], x))) AS DOUBLE)
+                         / LEN(toks) AS x2,
+                       CAST(LEN(list_distinct(toks)) AS DOUBLE)
+                         / LEN(toks) AS x3
+                FROM t),
+              w AS (SELECT w0, w1, w2, w3
+                    FROM read_parquet('$Q110WeightsDir/*.parquet')),
+              sc AS (
+                SELECT doc_id, y,
+                       1.0 / (1.0 + EXP(-(x0*w0 + x1*w1 + x2*w2 + x3*w3))) AS p
+                FROM f CROSS JOIN w)
+              SELECT doc_id, y, ROUND(p, 4) AS p_score,
+                     CAST(p >= 0.5 AS INT) AS pred
+              FROM sc ORDER BY doc_id LIMIT 200"""))
+  )
+}
