@@ -201,6 +201,26 @@ object Main {
             .orderBy(org.apache.spark.sql.functions.col("logprob"))
             .show(20, truncate = false)
 
+        // learned quality scorer: train once (persist the 1-row weight
+        // artifact), score many (broadcast map-only pass) — q110
+        case "classify" :: "train" :: docsParquet :: dir :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val feats = graft.llm.QualityClassifier.features(
+            spark.read.parquet(docsParquet), col("lang") === "en")
+          val w = graft.llm.QualityClassifier.train(feats)
+          graft.llm.QualityClassifier.weightsDf(spark, w).coalesce(1)
+            .write.mode("overwrite").parquet(dir)
+          println(s"weights=${w.mkString(",")} dir=$dir")
+
+        case "classify" :: "score" :: docsParquet :: dir :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val feats = graft.llm.QualityClassifier.features(
+            spark.read.parquet(docsParquet), col("lang") === "en")
+          graft.llm.QualityClassifier
+            .scoreWith(feats, spark.read.parquet(dir))
+            .orderBy(col("p_score").desc)
+            .show(20, truncate = false)
+
         // derive temperature-scaled per-language keep rates from corpus
         // counts (q104's rule as a persisted artifact) ...
         case "mix" :: "derive" :: docsParquet :: ratesDir :: budget :: Nil =>
@@ -275,6 +295,7 @@ object Main {
         |  bpe train <docsParquet> <numMerges> [mergesDir]
         |  bpe encode <docsParquet> <numMerges|mergesDir>
         |  lm train <docsParquet> <lmDir> | lm score <docsParquet> <lmDir>
+        |  classify train <docsParquet> <weightsDir> | classify score <docsParquet> <weightsDir>
         |  mix derive <docsParquet> <ratesDir> <budget> | mix apply <docsParquet> <ratesDir>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
