@@ -973,6 +973,90 @@ object Curation {
               SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                      ROUND(AVG(w), 4) AS dsir_score
               FROM g JOIN w USING (b)
-              GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
+              GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // Pairwise Jensen-Shannon divergence between per-source unigram
+    // distributions — the "how different are my domains really" number
+    // that justifies (or collapses) mixture buckets before q104/q109
+    // weighting. The corpus-scale work is ONE (source, term) count with
+    // map-side combine; everything after operates on the
+    // sources×vocab distribution table, which is broadcast-sized at any
+    // corpus scale. Terms present in only one source of a pair never
+    // join — their JS mass has the closed form ln(2)·(missing p-mass +
+    // missing q-mass), recovered from 1 − Σ p over co-occurring terms,
+    // so no outer join is needed.
+    Q("q114_source_divergence",
+      (s, d) => sourceDivergence(docs(s, d)),
+      Some("""WITH tok AS (
+                SELECT source,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+                FROM documents),
+              t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+              c AS (SELECT source, term, COUNT(*) AS cnt FROM t2 GROUP BY 1, 2),
+              n AS (SELECT source, SUM(cnt) AS n_tok FROM c GROUP BY 1),
+              dist AS (
+                SELECT c.source, c.term,
+                       CAST(c.cnt AS DOUBLE) / n.n_tok AS p
+                FROM c JOIN n ON c.source = n.source),
+              co AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       SUM(0.5 * (a.p * LN(2 * a.p / (a.p + b.p))
+                                + b.p * LN(2 * b.p / (a.p + b.p)))) AS js_co,
+                       SUM(a.p) AS mass_a, SUM(b.p) AS mass_b
+                FROM dist a JOIN dist b
+                  ON a.term = b.term AND a.source < b.source
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT x.source AS src_a, y.source AS src_b
+                FROM n x JOIN n y ON x.source < y.source)
+              SELECT p.src_a, p.src_b,
+                     ROUND(COALESCE(co.js_co, 0)
+                           + 0.5 * LN(2) * ((1 - COALESCE(co.mass_a, 0))
+                                          + (1 - COALESCE(co.mass_b, 0))), 4)
+                       AS js
+              FROM pairs p
+              LEFT JOIN co ON p.src_a = co.src_a AND p.src_b = co.src_b
+              ORDER BY p.src_a, p.src_b"""))
   )
+
+  /** Pairwise Jensen-Shannon divergence (nats) between the unigram
+    * distributions of every source pair. One corpus-scale (source, term)
+    * aggregate; then self-join of the tiny distribution table on term
+    * (inner — one-sided terms contribute the closed-form
+    * `0.5·ln2·missing-mass` recovered from the co-occurring mass), and a
+    * pair scaffold from the per-source totals so even disjoint-vocabulary
+    * pairs appear (at the JS maximum, ln 2).
+    */
+  def sourceDivergence(docsDf: DataFrame): DataFrame = {
+    val tok = docsDf
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val c = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = c.groupBy(col("source")).agg(sum(col("cnt")).as("n_tok"))
+    val dist = c.join(broadcast(n), "source")
+      .select(col("source"), col("term"),
+        (col("cnt").cast("double") / col("n_tok")).as("p"))
+    val a = dist.as("a")
+    val b = dist.as("b")
+    val pa = col("a.p"); val pb = col("b.p")
+    val co = a.join(b,
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(
+        sum(lit(0.5) * (pa * log(lit(2) * pa / (pa + pb))
+          + pb * log(lit(2) * pb / (pa + pb)))).as("js_co"),
+        sum(pa).as("mass_a"),
+        sum(pb).as("mass_b"))
+    val x = n.select(col("source").as("src_a"))
+    val y = n.select(col("source").as("src_b"))
+    val pairs = x.crossJoin(y).filter(col("src_a") < col("src_b"))
+    pairs.join(co, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        round(coalesce(col("js_co"), lit(0.0))
+          + lit(0.5) * lit(math.log(2.0)) *
+            ((lit(1.0) - coalesce(col("mass_a"), lit(0.0)))
+              + (lit(1.0) - coalesce(col("mass_b"), lit(0.0)))), 4).as("js"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

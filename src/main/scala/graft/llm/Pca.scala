@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Distributed PCA (top principal component) by power iteration — the
+  * embedding-space companion of [[QualityClassifier]]'s GD loop: EACH
+  * ITERATION IS ONE AGGREGATION JOB, and only `dim+1` doubles ever
+  * return to the driver.
+  *
+  * Per iteration, with the current direction `v` embedded as literals:
+  * every row computes the scalar `s = x·v - mu·v` (its centered
+  * projection), and the job aggregates `sum(s·x_j)` per dimension plus
+  * `sum(s)`. The driver then forms `Σ s·(x - mu) = Σ s·x - mu·Σ s`
+  * and normalizes — the classic `v ← C·v / ‖C·v‖` step without ever
+  * materializing the covariance matrix OR a centered copy of the data.
+  * At 100 TB each iteration is one map-side-combined aggregate whose
+  * shuffle is `dim+1` doubles per partition; like `IvfStore.train` and
+  * `QualityClassifier.train`, a seeded `sampleFraction` bounds the
+  * iterated scans (the top component of a 1% sample is statistically
+  * indistinguishable at corpus scale), while the map-only projection
+  * pass — the part that must see every row — runs exactly once against
+  * the persisted artifact.
+  *
+  * The trained component ships as a `dim`-row parquet artifact
+  * `(j, mu, w)` (train once, project many — the lm/bpe/ivf/classifier
+  * convention), and the projection of a row is the algebraic form
+  * `x·w - mu·w`: one sequential-fold dot product against a literal
+  * vector plus a constant shift, so the DuckDB oracle reproduces it
+  * bit-for-bit from the same stored artifact.
+  */
+object Pca {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  /** Column-mean vector of `a` (array<double>), one aggregation job. */
+  private def meanVector(vecs: DataFrame, dim: Int): Array[Double] = {
+    val sums = vecs.agg(
+      count(lit(1)).as("n"),
+      (0 until dim).map(j => sum(element_at(col("a"), j + 1)).as(s"s$j")): _*)
+      .head()
+    val n = sums.getLong(0).toDouble
+    Array.tabulate(dim)(j => sums.getDouble(j + 1) / n)
+  }
+
+  /** Power iteration for the top principal component of the (implicitly
+    * mean-centered) vectors in column `a`. Returns (mu, w) with ‖w‖ = 1
+    * and the largest-magnitude coordinate of `w` made positive (sign
+    * canonicalization — eigenvectors are defined up to sign).
+    *
+    * `sampleFraction` < 1 bounds every iterated scan to a seeded sample;
+    * the frame (sampled or not) is localCheckpointed once so the loop
+    * re-reads a materialized columnar copy, not the parquet scan.
+    */
+  def powerIteration(vecs: DataFrame, iters: Int = 12,
+      sampleFraction: Double = 1.0, seed: Long = 42L)
+      : (Array[Double], Array[Double]) = {
+    val f0 = if (sampleFraction < 1.0)
+      vecs.sample(withReplacement = false, sampleFraction, seed) else vecs
+    val f = f0.select(col("a")).localCheckpoint(true)
+    val dim = f.select(size(col("a"))).head().getInt(0)
+    val mu = meanVector(f, dim)
+
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 0 until iters) {
+      val muDotV = mu.zip(v).map { case (m, x) => m * x }.sum
+      val xDotV = (0 until dim)
+        .map(j => element_at(col("a"), j + 1) * lit(v(j)))
+        .reduce(_ + _)
+      val withS = f.select(col("a"), (xDotV - lit(muDotV)).as("s"))
+      val g = withS.agg(
+        sum(col("s")).as("ssum"),
+        (0 until dim)
+          .map(j => sum(col("s") * element_at(col("a"), j + 1)).as(s"g$j")): _*)
+        .head()
+      val ssum = g.getDouble(0)
+      val unnorm = Array.tabulate(dim)(j => g.getDouble(j + 1) - mu(j) * ssum)
+      val nrm = math.sqrt(unnorm.map(x => x * x).sum)
+      v = unnorm.map(_ / nrm)
+    }
+    val kMax = v.indices.maxBy(j => math.abs(v(j)))
+    if (v(kMax) < 0) v = v.map(-_)
+    f.unpersist()
+    (mu, v)
+  }
+
+  /** The component artifact: `dim` rows `(j, mu, w)`, readable by any
+    * engine. Values round to 8 decimals so re-trained artifacts are
+    * hash-stable across runs (the float-sum low bits of the distributed
+    * aggregation never reach the stored file).
+    */
+  def componentDf(spark: SparkSession, mu: Array[Double], w: Array[Double])
+      : DataFrame = {
+    import spark.implicits._
+    mu.indices.map(j =>
+      (j, BigDecimal(mu(j)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble,
+        BigDecimal(w(j)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toDF("j", "mu", "w")
+  }
+
+  /** Project every vector onto a STORED component artifact: the
+    * `dim`-row artifact collapses to literals (a bounded driver action —
+    * `dim` rows), and the pass is map-only codegen: one sequential-fold
+    * dot product per row minus the constant `mu·w`.
+    */
+  def projectWith(vecs: DataFrame, component: DataFrame): DataFrame = {
+    val rows = component.orderBy(col("j")).collect()
+    val w = rows.map(_.getDouble(2))
+    val muDotW = rows.map(r => r.getDouble(1) * r.getDouble(2)).sum
+    val wLit = typedLit(w.toSeq)
+    vecs.select(col("vec_id"), col("label"),
+      round(Similarity.dot(col("a"), wLit) - lit(muDotW), 4).as("p_pca"))
+  }
+
+  val Q111ComponentDir = "/tmp/graft_q111_component"
+
+  def defs: Seq[Q] = Seq(
+    // Top-principal-component projection end to end: power-iterate (12
+    // iterations, each one aggregate job), persist the (j, mu, w)
+    // artifact, then project the corpus against the STORED artifact —
+    // the oracle reads the same parquet, so the hash pins the projection
+    // math (sequential-fold dot product, centering shift, rounding)
+    // exactly; training lives upstream of the shared artifact like
+    // q82's codebook and q110's weights.
+    Q("q111_pca_projection",
+      (s, d) => {
+        val vecs = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            Similarity.asDouble(col("embedding")).as("a"))
+        val (mu, w) = powerIteration(vecs, iters = 12)
+        componentDf(s, mu, w).coalesce(1)
+          .write.mode("overwrite").parquet(Q111ComponentDir)
+        val stored = s.read.parquet(Q111ComponentDir)
+        projectWith(vecs, stored)
+          .orderBy(col("vec_id"))
+          .limit(200)
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              art AS (SELECT j, mu, w
+                      FROM read_parquet('$Q111ComponentDir/*.parquet')),
+              wv AS (SELECT list(w ORDER BY j) AS wl,
+                            list(mu ORDER BY j) AS ml
+                     FROM art),
+              c AS (SELECT wl,
+                           list_sum(list_transform(generate_series(1, LEN(wl)),
+                             i -> ml[i] * wl[i])) AS muw
+                    FROM wv)
+              SELECT v.vec_id, v.label,
+                     ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
+                             i -> v.a[i] * c.wl[i])) - c.muw, 4) AS p_pca
+              FROM v, c ORDER BY v.vec_id LIMIT 200"""))
+  )
+}

@@ -100,6 +100,7 @@ object QualityClassifier {
   }
 
   val Q110WeightsDir = "/tmp/graft_q110_weights"
+  val Q115WeightsDir = "/tmp/graft_q115_weights"
 
   def defs: Seq[Q] = Seq(
     // Learned quality classifier end to end: train logistic regression
@@ -143,6 +144,62 @@ object QualityClassifier {
                 FROM f CROSS JOIN w)
               SELECT doc_id, y, ROUND(p, 4) AS p_score,
                      CAST(p >= 0.5 AS INT) AS pred
-              FROM sc ORDER BY doc_id LIMIT 200"""))
+              FROM sc ORDER BY doc_id LIMIT 200""")),
+
+    // Calibration report for the learned scorer: fixed-width probability
+    // bins (floor(10·p), a MAP-ONLY bucketing — deliberately not
+    // ntile(), whose single-partition global window is the at-scale
+    // anti-pattern TopKPerKey exists to kill), per-bin count, empirical
+    // positive rate, and mean predicted p. A well-calibrated scorer has
+    // y_rate ≈ p_avg per bin; the report is what licenses using p as a
+    // sampling weight (q79/q67) rather than just a ranking. Trains and
+    // persists its own artifact (self-contained, like every registry
+    // entry); the oracle reads the same stored weights.
+    Q("q115_classifier_calibration",
+      (s, d) => {
+        val feats = features(docs(s, d), col("lang") === "en")
+        val w = train(feats, iters = 30, lr = 2.0)
+        weightsDf(s, w).coalesce(1)
+          .write.mode("overwrite").parquet(Q115WeightsDir)
+        val stored = s.read.parquet(Q115WeightsDir)
+        scoreWith(feats, stored)
+          .withColumn("bin",
+            least(floor(col("p_score") * 10), lit(9)).cast("int"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("y")), 4).as("y_rate"),
+            round(avg(col("p_score")), 4).as("p_avg"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH t AS (
+                SELECT doc_id,
+                       CAST(lang = 'en' AS INT) AS y,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, y,
+                       1.0 AS x0,
+                       CAST(LEN(toks) AS DOUBLE) / 100.0 AS x1,
+                       CAST(LEN(list_filter(toks,
+                         x -> list_contains(['the','a'], x))) AS DOUBLE)
+                         / LEN(toks) AS x2,
+                       CAST(LEN(list_distinct(toks)) AS DOUBLE)
+                         / LEN(toks) AS x3
+                FROM t),
+              w AS (SELECT w0, w1, w2, w3
+                    FROM read_parquet('$Q115WeightsDir/*.parquet')),
+              sc AS (
+                SELECT doc_id, y,
+                       ROUND(1.0 / (1.0 + EXP(-(x0*w0 + x1*w1 + x2*w2 + x3*w3))), 4)
+                         AS p_score
+                FROM f CROSS JOIN w),
+              b AS (
+                SELECT CAST(LEAST(FLOOR(p_score * 10), 9) AS INT) AS bin,
+                       y, p_score
+                FROM sc)
+              SELECT bin, COUNT(*) AS n,
+                     ROUND(AVG(y), 4) AS y_rate,
+                     ROUND(AVG(p_score), 4) AS p_avg
+              FROM b GROUP BY bin ORDER BY bin"""))
   )
 }

@@ -870,6 +870,129 @@ object TextOps {
                 FROM b),
               runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2)
               SELECT doc_id, CAST(MAX(run) AS INT) AS max_run
-              FROM runs GROUP BY doc_id ORDER BY doc_id LIMIT 200"""))
+              FROM runs GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // Heavy-hitter tokens, sketch-prefiltered: a one-pass Misra-Gries
+    // candidate sweep (`freqItems`, support 1%) produces a bounded
+    // candidate set with NO false negatives above its support, then an
+    // exact count confirms only those candidates at the stricter 2%
+    // threshold — so the output equals the naive full-vocabulary
+    // GROUP BY ... HAVING, but the corpus-scale shuffle carries only
+    // candidate rows. At 100 TB with a web-scale vocabulary (billions of
+    // distinct tokens) the naive form shuffles the whole long tail to
+    // discover it is irrelevant; the sketch form's first pass is
+    // map-side-mergeable driver-bounded state (≤ 1/support entries per
+    // partition) and its second pass filters to ≤ 100 literal tokens
+    // before the aggregate.
+    Q("q112_heavy_hitters",
+      (s, d) => heavyHitterTokens(docs(s, d)),
+      Some("""WITH tok AS (
+                SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+                FROM documents),
+              t2 AS (SELECT term FROM tok WHERE term <> ''),
+              n AS (SELECT COUNT(*) AS n_tok FROM t2),
+              c AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term)
+              SELECT c.term, c.cnt,
+                     ROUND(CAST(c.cnt AS DOUBLE) / n.n_tok, 4) AS ratio
+              FROM c, n
+              WHERE c.cnt >= n.n_tok * 0.02
+              ORDER BY c.cnt DESC, c.term""")),
+
+    // Bigram PMI collocations — pointwise mutual information of adjacent
+    // token pairs vs their unigram probabilities, the classic
+    // collocation-mining signal (q95's raw pair counts rank "frequent";
+    // PMI ranks "glued together"). Bigram and unigram counts are two
+    // map-side-combined aggregates over short string keys; both count
+    // tables join back as broadcasts (vocab-sized), so the corpus-scale
+    // work is the two exploding scans and nothing else. Ordering is by
+    // the exact PMI expression (output rounds to 4) with a (w1, w2)
+    // tie-break, the q36 convention.
+    Q("q113_pmi_collocations",
+      (s, d) => pmiCollocations(docs(s, d), minCount = 30, topK = 50),
+      Some("""WITH t AS (
+                SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents WHERE TRIM(text) <> ''),
+              bg AS (
+                SELECT ts[i] AS w1, ts[i + 1] AS w2
+                FROM t, UNNEST(generate_series(1, LEN(ts) - 1)) AS g(i)
+                WHERE LEN(ts) >= 2),
+              ug AS (
+                SELECT UNNEST(ts) AS w FROM t),
+              uc AS (SELECT w, COUNT(*) AS c1 FROM ug GROUP BY w),
+              n1 AS (SELECT COUNT(*) AS n_uni FROM ug),
+              bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+              n2 AS (SELECT COUNT(*) AS n_bi FROM bg),
+              scored AS (
+                SELECT bc.w1, bc.w2, bc.c12,
+                       LN((CAST(bc.c12 AS DOUBLE) / n2.n_bi) /
+                          ((CAST(a.c1 AS DOUBLE) / n1.n_uni) *
+                           (CAST(b.c1 AS DOUBLE) / n1.n_uni))) AS pmi
+                FROM bc
+                JOIN uc a ON bc.w1 = a.w
+                JOIN uc b ON bc.w2 = b.w
+                CROSS JOIN n1 CROSS JOIN n2
+                WHERE bc.c12 >= 30)
+              SELECT w1, w2, c12, ROUND(pmi, 4) AS pmi
+              FROM scored
+              ORDER BY scored.pmi DESC, w1, w2 LIMIT 50"""))
   )
+
+  /** Exact heavy-hitter tokens above `minRatio` of the token stream,
+    * discovered through a Misra-Gries sketch prefilter at the looser
+    * `support` (no false negatives above support, so `minRatio` >
+    * `support` guarantees completeness) and confirmed by exact counts
+    * over candidate rows only. The candidate list is driver-bounded at
+    * ≤ 1/support entries and ships as an `isin` literal filter.
+    */
+  def heavyHitterTokens(docsDf: DataFrame, support: Double = 0.01,
+      minRatio: Double = 0.02): DataFrame = {
+    val tok = docsDf
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val cands: Seq[String] =
+      tok.stat.freqItems(Seq("term"), support).head().getSeq[String](0)
+    val tot = tok.agg(count(lit(1)).as("n_tok"))
+    tok.filter(col("term").isin(cands: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") >= col("n_tok") * lit(minRatio))
+      .select(col("term"), col("cnt"),
+        round(col("cnt") / col("n_tok"), 4).as("ratio"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** Bigram PMI: log((c12/n_bi) / ((c1/n_uni)(c2/n_uni))) over adjacent
+    * pairs with `c12 >= minCount`, top `topK` by PMI. Both count tables
+    * broadcast back onto the bigram aggregate.
+    */
+  def pmiCollocations(docsDf: DataFrame, minCount: Int, topK: Int)
+      : DataFrame = {
+    val t = docsDf.filter(trim(col("text")) =!= "")
+      .select(tokens(col("text")).as("ts"))
+    val bg = t.filter(size(col("ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val ug = t.select(explode(col("ts")).as("w"))
+    val uc = ug.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n1 = ug.agg(count(lit(1)).as("n_uni"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val n2 = bg.agg(count(lit(1)).as("n_bi"))
+    val pmi = log((col("c12").cast("double") / col("n_bi")) /
+      ((col("a.c1").cast("double") / col("n_uni")) *
+        (col("b.c1").cast("double") / col("n_uni"))))
+    bc.filter(col("c12") >= minCount)
+      .join(broadcast(uc.as("a")), col("w1") === col("a.w"))
+      .join(broadcast(uc.as("b")), col("w2") === col("b.w"))
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"), pmi.as("pmi_raw"))
+      .orderBy(col("pmi_raw").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("pmi_raw"), 4).as("pmi"))
+  }
 }

@@ -527,4 +527,38 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(scores(0L) > scores(4L),
       s"target-domain doc should outscore off-domain doc: $scores")
   }
+
+  test("sourceDivergence: identical sources diverge 0, disjoint sources ln 2") {
+    val srcSchema = StructType(Seq(StructField("source", StringType),
+      StructField("text", StringType)))
+    def df(rows: (String, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), srcSchema)
+    // s1 and s2 share the exact unigram distribution; s3 is disjoint
+    val docs = df(
+      ("s1", "spark table row spark"), ("s2", "spark table row spark"),
+      ("s3", "alpha beta gamma delta"))
+    val out = Curation.sourceDivergence(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    assert(out(("s1", "s2")) == 0.0, s"identical dists: ${out(("s1", "s2"))}")
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("s1", "s3")) == ln2 && out(("s2", "s3")) == ln2,
+      s"disjoint dists should hit the JS maximum ln2=$ln2: $out")
+    // symmetry of the underlying measure: both disjoint pairs agree
+    assert(out.size == 3)
+  }
+
+  test("sourceDivergence: partial overlap lands strictly between 0 and ln 2") {
+    val srcSchema = StructType(Seq(StructField("source", StringType),
+      StructField("text", StringType)))
+    def df(rows: (String, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), srcSchema)
+    val docs = df(("a", "x x y y"), ("b", "x x z z"))
+    val js = Curation.sourceDivergence(docs).collect().head.getDouble(2)
+    assert(js > 0.0 && js < math.log(2.0), s"partial overlap JS: $js")
+    // hand-checked: p=(x:.5,y:.5), q=(x:.5,z:.5) -> co-term x contributes
+    // 0, one-sided mass .5 each side -> JS = 0.5*ln2*(0.5+0.5) = ln2/2
+    assert(math.abs(js - 0.5 * math.log(2.0)) < 1e-3, s"JS: $js")
+  }
 }

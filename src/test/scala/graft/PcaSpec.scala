@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Pca
+
+/** Power iteration must recover a planted dominant direction, the
+  * artifact must round-trip through parquet, and projection against the
+  * stored artifact must be centered (zero-mean) and map-only.
+  */
+class PcaSpec extends AnyFunSuite with TestSpark {
+
+  private val dim = 8
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("label", IntegerType),
+    StructField("a", ArrayType(DoubleType))))
+
+  /** Vectors = mean + s·u + small deterministic off-axis noise: the top
+    * principal component is u by construction.
+    */
+  private def planted() = {
+    val u = Array.tabulate(dim)(j => if (j == 0) 0.8 else if (j == 1) 0.6 else 0.0)
+    val mean = Array.tabulate(dim)(j => 3.0 + j)
+    val rows = (0 until 64).map { i =>
+      val s = (i % 16) - 7.5 // spread along u, mean 0
+      val noise = Array.tabulate(dim)(j => 0.01 * math.sin(i * 31 + j * 7))
+      Row(i.toLong, i % 3,
+        Array.tabulate(dim)(j => mean(j) + s * u(j) + noise(j)).toSeq)
+    }
+    (u, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema))
+  }
+
+  test("power iteration recovers the planted top component") {
+    val (u, vecs) = planted()
+    val (mu, w) = Pca.powerIteration(vecs, iters = 20)
+    val cos = u.zip(w).map { case (x, y) => x * y }.sum /
+      math.sqrt(u.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.999,
+      s"component misses planted direction: |cos|=${math.abs(cos)}")
+    // sign canonicalization: largest-|.| coordinate is positive
+    val kMax = w.indices.maxBy(j => math.abs(w(j)))
+    assert(w(kMax) > 0.0)
+    // mean vector is the planted mean (noise is ~1e-2 and sin-balanced)
+    mu.zipWithIndex.foreach { case (m, j) =>
+      assert(math.abs(m - (3.0 + j)) < 0.05, s"mu($j)=$m") }
+  }
+
+  test("sampled training still recovers the planted component") {
+    val (u, vecs) = planted()
+    val (_, w) = Pca.powerIteration(vecs, iters = 20,
+      sampleFraction = 0.5, seed = 11L)
+    val cos = u.zip(w).map { case (x, y) => x * y }.sum /
+      math.sqrt(u.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.99,
+      s"sampled component misses planted direction: |cos|=${math.abs(cos)}")
+  }
+
+  test("projection against the stored artifact is centered and ordered by variance") {
+    val (_, vecs) = planted()
+    val (mu, w) = Pca.powerIteration(vecs, iters = 20)
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    Pca.componentDf(spark, mu, w).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val proj = Pca.projectWith(vecs, stored).collect()
+    assert(proj.length == 64)
+    val ps = proj.map(_.getDouble(2))
+    // centered: projections sum to ~0 (artifact rounds to 8 decimals)
+    assert(math.abs(ps.sum) < 1e-2, s"projections not centered: ${ps.sum}")
+    // the planted spread along u is +-7.5, so the projection range
+    // reflects it (|s| scale, not noise scale)
+    assert(ps.max > 6.0 && ps.min < -6.0,
+      s"projection range lost the planted variance: [${ps.min}, ${ps.max}]")
+  }
+
+  test("projection is a map-only pass (no shuffle before the sort)") {
+    val (_, vecs) = planted()
+    val (mu, w) = Pca.powerIteration(vecs, iters = 5)
+    val plan = Pca.projectWith(vecs, Pca.componentDf(spark, mu, w))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection should not shuffle:\n$plan")
+  }
+}

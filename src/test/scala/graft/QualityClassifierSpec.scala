@@ -63,4 +63,28 @@ class QualityClassifierSpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("ShuffleExchange"),
       s"scoring must not shuffle the corpus:\n$plan")
   }
+
+  test("calibration bins: counts conserve and rates separate on the planted corpus") {
+    import org.apache.spark.sql.functions.{avg => favg, col => fcol}
+    val feats = QualityClassifier.features(corpus(), fcol("lang") === "en")
+    val w = QualityClassifier.train(feats, iters = 200, lr = 4.0)
+    val bins = QualityClassifier
+      .scoreWith(feats, QualityClassifier.weightsDf(spark, w))
+      .withColumn("bin",
+        org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.floor(fcol("p_score") * 10),
+          org.apache.spark.sql.functions.lit(9)).cast("int"))
+      .groupBy("bin")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        favg("y").as("y_rate"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // every doc lands in exactly one bin
+    assert(bins.map(_._2).sum == 40)
+    // on a separated corpus the top bin is pure positive, the bottom pure
+    // negative
+    val byBin = bins.sortBy(_._1)
+    assert(byBin.head._3 == 0.0, s"lowest bin should be all-negative: ${byBin.toSeq}")
+    assert(byBin.last._3 == 1.0, s"highest bin should be all-positive: ${byBin.toSeq}")
+  }
 }

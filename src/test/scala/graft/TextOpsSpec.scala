@@ -149,4 +149,43 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
     assert(out(0) === 0.0)
     assert(math.abs(out(1) - math.log(2.0)) < 1e-4)
   }
+
+  test("heavyHitterTokens equals the naive full-vocab HAVING query") {
+    // 100 tokens: 'hot' 5%, 'warm' 3%, everything else unique (1% each
+    // is below the 2% confirm threshold)
+    val hot = Seq.fill(5)("hot") ++ Seq.fill(3)("warm")
+    val tail = (0 until 92).map(i => s"tok$i")
+    val doc = (hot ++ tail).mkString(" ")
+    val out = TextOps.heavyHitterTokens(docsOf(1L -> doc))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("hot", 5L, 0.05), ("warm", 3L, 0.03)))
+  }
+
+  test("heavyHitterTokens: sketch prefilter misses nothing at the confirm threshold") {
+    // many partitions + interleaved placement: Misra-Gries merge must
+    // still surface every >=2% token
+    val rows = (0 until 50).map { i =>
+      (i.toLong, (Seq("alpha") ++ Seq(s"u${i}a", s"u${i}b", s"u${i}c")).mkString(" "))
+    }
+    val out = TextOps.heavyHitterTokens(docsOf(rows: _*))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("alpha")) // 50/200 = 25%
+  }
+
+  test("pmiCollocations: a glued pair outranks frequent-but-independent tokens") {
+    // 'new york' always adjacent; 'the' frequent everywhere
+    val docs = (0L until 30L).map { i =>
+      (i, s"the w$i new york the v$i")
+    }
+    val out = TextOps.pmiCollocations(docsOf(docs: _*), minCount = 10, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head._1 == "new" && out.head._2 == "york",
+      s"top collocation should be (new, york): ${out.toSeq}")
+    // hand-checked PMI: c12=30, n_bi=150, c1(new)=c1(york)=30, n_uni=180
+    // pmi = ln((30/150) / ((30/180)^2)) = ln(7.2)
+    assert(math.abs(out.head._4 - math.log(7.2)) < 1e-3,
+      s"pmi off: ${out.head._4} vs ${math.log(7.2)}")
+    // the independent 'the ...' pairs score lower wherever they appear
+    out.tail.foreach(p => assert(p._4 < out.head._4))
+  }
 }
