@@ -51,6 +51,19 @@ class PcaSpec extends AnyFunSuite with TestSpark {
       assert(math.abs(m - (3.0 + j)) < 0.05, s"mu($j)=$m") }
   }
 
+  test("one-pass gram training agrees with iterative power iteration") {
+    val (u, vecs) = planted()
+    val (muG, wG) = Pca.gramComponent(vecs)
+    val (muI, wI) = Pca.powerIteration(vecs, iters = 20)
+    val cos = wG.zip(wI).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos) > 0.9999,
+      s"gram and iterative components disagree: cos=$cos")
+    muG.zip(muI).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    val cosU = u.zip(wG).map { case (x, y) => x * y }.sum /
+      math.sqrt(u.map(x => x * x).sum)
+    assert(math.abs(cosU) > 0.999, s"gram component misses planted: $cosU")
+  }
+
   test("sampled training still recovers the planted component") {
     val (u, vecs) = planted()
     val (_, w) = Pca.powerIteration(vecs, iters = 20,
