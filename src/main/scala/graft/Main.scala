@@ -240,6 +240,30 @@ object Main {
             spark.read.parquet(docsParquet), stored, defaultRate = 0)
             .show(50, truncate = false)
 
+        // one-pass Gram training of the top principal component
+        // (train once, project many — the classify/lm/ivf convention)
+        case "pca" :: "train" :: vecsParquet :: dir :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val vecs = spark.read.parquet(vecsParquet)
+            .select(col("vec_id"),
+              graft.llm.Similarity.asDouble(col("embedding")).as("a"))
+          val (mu, w) = graft.llm.Pca.gramComponent(vecs)
+          graft.llm.Pca.componentDf(spark, mu, w).coalesce(1)
+            .write.mode("overwrite").parquet(dir)
+          println(s"dim=${w.length} dir=$dir")
+
+        case "pca" :: "project" :: vecsParquet :: dir :: Nil =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val vecs = spark.read.parquet(vecsParquet)
+            .select(col("vec_id"),
+              // projectWith selects label too; synthesize if absent
+              (if (spark.read.parquet(vecsParquet).columns.contains("label"))
+                col("label") else lit(0).as("label")),
+              graft.llm.Similarity.asDouble(col("embedding")).as("a"))
+          graft.llm.Pca.projectWith(vecs, spark.read.parquet(dir))
+            .orderBy(col("p_pca").desc)
+            .show(20, truncate = false)
+
         // pretraining shape: chunk -> token-count -> shuffled shards
         case "prep" :: docsParquet :: outDir :: shards :: Nil =>
           val r = graft.llm.TextOps.prepCorpus(
@@ -297,6 +321,7 @@ object Main {
         |  lm train <docsParquet> <lmDir> | lm score <docsParquet> <lmDir>
         |  classify train <docsParquet> <weightsDir> | classify score <docsParquet> <weightsDir>
         |  mix derive <docsParquet> <ratesDir> <budget> | mix apply <docsParquet> <ratesDir>
+        |  pca train <vecsParquet> <componentDir> | pca project <vecsParquet> <componentDir>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  prep <docsParquet> <outDir> <shards>

@@ -1016,8 +1016,76 @@ object Curation {
                        AS js
               FROM pairs p
               LEFT JOIN co ON p.src_a = co.src_a AND p.src_b = co.src_b
-              ORDER BY p.src_a, p.src_b"""))
+              ORDER BY p.src_a, p.src_b""")),
+
+    // Mutual information between source and lang over the document
+    // contingency table — "does my domain axis secretly encode my
+    // language axis?" (high MI means the q104/q114 mixture dimensions
+    // are redundant). One corpus-scale (source, lang) count; entropies
+    // and MI fold over the contingency table, which is
+    // |sources|×|langs| rows at any corpus size. Also reports the
+    // normalized MI / H(lang) share.
+    Q("q117_source_lang_mi",
+      (s, d) => sourceLangMi(docs(s, d)),
+      Some("""WITH c AS (
+                SELECT source, lang, COUNT(*) AS n
+                FROM documents GROUP BY 1, 2),
+              n AS (SELECT SUM(n) AS n_docs FROM c),
+              ps AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+              pl AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY 1),
+              mi AS (
+                SELECT SUM((CAST(c.n AS DOUBLE) / n.n_docs) *
+                           LN((CAST(c.n AS DOUBLE) * n.n_docs) /
+                              (CAST(ps.ns AS DOUBLE) * pl.nl))) AS mi
+                FROM c JOIN ps USING (source) JOIN pl USING (lang)
+                CROSS JOIN n),
+              hs AS (
+                SELECT -SUM((CAST(ns AS DOUBLE) / n.n_docs) *
+                            LN(CAST(ns AS DOUBLE) / n.n_docs)) AS h_source
+                FROM ps CROSS JOIN n),
+              hl AS (
+                SELECT -SUM((CAST(nl AS DOUBLE) / n.n_docs) *
+                            LN(CAST(nl AS DOUBLE) / n.n_docs)) AS h_lang
+                FROM pl CROSS JOIN n)
+              SELECT CAST(n.n_docs AS BIGINT) AS n_docs,
+                     ROUND(hs.h_source, 4) AS h_source,
+                     ROUND(hl.h_lang, 4) AS h_lang,
+                     ROUND(mi.mi, 4) AS mi,
+                     ROUND(mi.mi / hl.h_lang, 4) AS nmi
+              FROM n CROSS JOIN hs CROSS JOIN hl CROSS JOIN mi"""))
   )
+
+  /** Mutual information (nats) between `source` and `lang`, with the
+    * marginal entropies and MI / H(lang). The corpus-scale work is one
+    * (source, lang) count with map-side combine; everything else folds
+    * over the broadcast-sized contingency table.
+    */
+  def sourceLangMi(docsDf: DataFrame): DataFrame = {
+    val c = docsDf.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val n = c.agg(sum(col("n")).as("n_docs"))
+    val ps = c.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val pl = c.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    val joint = c.join(broadcast(ps), "source").join(broadcast(pl), "lang")
+      .crossJoin(broadcast(n))
+    val mi = joint.agg(
+      sum((col("n").cast("double") / col("n_docs")) *
+        log((col("n").cast("double") * col("n_docs")) /
+          (col("ns").cast("double") * col("nl")))).as("mi"))
+    val hs = ps.crossJoin(broadcast(n)).agg(
+      (-sum((col("ns").cast("double") / col("n_docs")) *
+        log(col("ns").cast("double") / col("n_docs")))).as("h_source"))
+    val hl = pl.crossJoin(broadcast(n)).agg(
+      (-sum((col("nl").cast("double") / col("n_docs")) *
+        log(col("nl").cast("double") / col("n_docs")))).as("h_lang"))
+    n.crossJoin(broadcast(hs)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(mi))
+      .select(col("n_docs"),
+        round(col("h_source"), 4).as("h_source"),
+        round(col("h_lang"), 4).as("h_lang"),
+        round(col("mi"), 4).as("mi"),
+        round(col("mi") / col("h_lang"), 4).as("nmi"))
+  }
 
   /** Pairwise Jensen-Shannon divergence (nats) between the unigram
     * distributions of every source pair. One corpus-scale (source, term)

@@ -182,6 +182,32 @@ object Pca {
   }
 
   val Q111ComponentDir = "/tmp/graft_q111_component"
+  val Q116CentroidDir = "/tmp/graft_q116_centroid"
+
+  /** Per-vector distance to a STORED centroid artifact plus its z-score
+    * against the corpus distance distribution — the embedding-space
+    * outlier report (mislabeled / off-distribution docs to prune before
+    * training). Distance uses the expanded form
+    * `sqrt(a·a − 2·a·μ + μ·μ)` — two sequential-fold dot products
+    * against literals, map-only — so the oracle reproduces the exact
+    * arithmetic from the same artifact; the z-score joins the global
+    * (mean, stddev_pop) of distances back as a broadcast 1-row
+    * aggregate.
+    */
+  def outliersWith(vecs: DataFrame, centroid: DataFrame): DataFrame = {
+    val rows = centroid.orderBy(col("j")).collect()
+    val mu = rows.map(_.getDouble(1))
+    val muLit = typedLit(mu.toSeq)
+    val muDotMu = mu.map(m => m * m).sum
+    val dist = sqrt(Similarity.dot(col("a"), col("a"))
+      - lit(2.0) * Similarity.dot(col("a"), muLit) + lit(muDotMu))
+    val scored = vecs.select(col("vec_id"), col("label"), dist.as("dist"))
+    val stats = scored.agg(avg(col("dist")).as("d_mean"),
+      stddev_pop(col("dist")).as("d_std"))
+    scored.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
+        round((col("dist") - col("d_mean")) / col("d_std"), 4).as("z"))
+  }
 
   def defs: Seq[Q] = Seq(
     // Top-principal-component projection end to end: ONE treeAggregate
@@ -221,6 +247,54 @@ object Pca {
               SELECT v.vec_id, v.label,
                      ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
                              i -> v.a[i] * c.wl[i])) - c.muw, 4) AS p_pca
-              FROM v, c ORDER BY v.vec_id LIMIT 200"""))
+              FROM v, c ORDER BY v.vec_id LIMIT 200""")),
+
+    // Embedding outliers: top-50 by distance to the stored corpus
+    // centroid with distance z-scores — the "prune off-distribution
+    // vectors before training" report. The centroid trains in the same
+    // one-pass mean aggregate gramComponent uses (here via one avg job),
+    // persists as a (j, mu) artifact, and both engines score the
+    // expanded-form distance from the SAME stored values.
+    Q("q116_embedding_outliers",
+      (s, d) => {
+        val vecs = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            Similarity.asDouble(col("embedding")).as("a"))
+        val f = vecs.select(col("a")).localCheckpoint(true)
+        val dim = f.select(size(col("a"))).head().getInt(0)
+        val mu = meanVector(f, dim)
+        componentDf(s, mu, Array.fill(dim)(0.0))
+          .select(col("j"), col("mu")).coalesce(1)
+          .write.mode("overwrite").parquet(Q116CentroidDir)
+        val stored = s.read.parquet(Q116CentroidDir)
+        outliersWith(vecs, stored)
+          .orderBy(col("dist").desc, col("vec_id"))
+          .limit(50)
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              art AS (SELECT j, mu
+                      FROM read_parquet('$Q116CentroidDir/*.parquet')),
+              wv AS (SELECT list(mu ORDER BY j) AS ml FROM art),
+              c AS (SELECT ml,
+                           list_sum(list_transform(generate_series(1, LEN(ml)),
+                             i -> ml[i] * ml[i])) AS mumu
+                    FROM wv),
+              sc AS (
+                SELECT v.vec_id, v.label,
+                       SQRT(list_sum(list_transform(generate_series(1, LEN(v.a)),
+                              i -> v.a[i] * v.a[i]))
+                            - 2 * list_sum(list_transform(generate_series(1, LEN(v.a)),
+                                i -> v.a[i] * c.ml[i]))
+                            + c.mumu) AS dist
+                FROM v, c),
+              st AS (SELECT AVG(dist) AS d_mean, STDDEV_POP(dist) AS d_std
+                     FROM sc)
+              SELECT sc.vec_id, sc.label, ROUND(sc.dist, 4) AS dist,
+                     ROUND((sc.dist - st.d_mean) / st.d_std, 4) AS z
+              FROM sc, st
+              ORDER BY ROUND(sc.dist, 4) DESC, sc.vec_id LIMIT 50"""))
   )
 }

@@ -101,6 +101,7 @@ object QualityClassifier {
 
   val Q110WeightsDir = "/tmp/graft_q110_weights"
   val Q115WeightsDir = "/tmp/graft_q115_weights"
+  val Q118WeightsDir = "/tmp/graft_q118_weights"
 
   def defs: Seq[Q] = Seq(
     // Learned quality classifier end to end: train logistic regression
@@ -200,6 +201,89 @@ object QualityClassifier {
               SELECT bin, COUNT(*) AS n,
                      ROUND(AVG(y), 4) AS y_rate,
                      ROUND(AVG(p_score), 4) AS p_avg
-              FROM b GROUP BY bin ORDER BY bin"""))
+              FROM b GROUP BY bin ORDER BY bin""")),
+
+    // Ranking quality of the learned scorer: tie-aware AUC
+    // (Mann-Whitney with midranks) computed over DISTINCT scores — the
+    // corpus aggregates to at most 10 001 rounded-score rows (p_score is
+    // 4-decimal by construction), so the cumulative window that the
+    // textbook rank formulation would run over EVERY row runs over a
+    // grid whose size is fixed by the rounding, not the corpus. AUC =
+    // Σ_s n_pos(s)·(cum_neg_below(s) + n_neg(s)/2) / (P·N). Trains and
+    // persists its own artifact; the oracle replicates the identical
+    // per-score fold from the same stored weights.
+    Q("q118_classifier_auc",
+      (s, d) => {
+        val feats = features(docs(s, d), col("lang") === "en")
+        val w = train(feats, iters = 30, lr = 2.0)
+        weightsDf(s, w).coalesce(1)
+          .write.mode("overwrite").parquet(Q118WeightsDir)
+        val stored = s.read.parquet(Q118WeightsDir)
+        aucWith(feats, stored)
+      },
+      Some(s"""WITH t AS (
+                SELECT doc_id,
+                       CAST(lang = 'en' AS INT) AS y,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, y,
+                       1.0 AS x0,
+                       CAST(LEN(toks) AS DOUBLE) / 100.0 AS x1,
+                       CAST(LEN(list_filter(toks,
+                         x -> list_contains(['the','a'], x))) AS DOUBLE)
+                         / LEN(toks) AS x2,
+                       CAST(LEN(list_distinct(toks)) AS DOUBLE)
+                         / LEN(toks) AS x3
+                FROM t),
+              w AS (SELECT w0, w1, w2, w3
+                    FROM read_parquet('$Q118WeightsDir/*.parquet')),
+              sc AS (
+                SELECT doc_id, y,
+                       ROUND(1.0 / (1.0 + EXP(-(x0*w0 + x1*w1 + x2*w2 + x3*w3))), 4)
+                         AS p_score
+                FROM f CROSS JOIN w),
+              g AS (
+                SELECT p_score,
+                       SUM(y) AS n_pos,
+                       COUNT(*) - SUM(y) AS n_neg
+                FROM sc GROUP BY p_score),
+              cum AS (
+                SELECT p_score, n_pos, n_neg,
+                       COALESCE(SUM(n_neg) OVER (ORDER BY p_score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS neg_below
+                FROM g),
+              tot AS (SELECT SUM(n_pos) AS p_tot, SUM(n_neg) AS n_tot
+                      FROM g)
+              SELECT CAST(tot.p_tot AS BIGINT) AS n_pos,
+                     CAST(tot.n_tot AS BIGINT) AS n_neg,
+                     ROUND(SUM(cum.n_pos * (cum.neg_below + cum.n_neg / 2.0))
+                           / (tot.p_tot * tot.n_tot), 4) AS auc
+              FROM cum CROSS JOIN tot
+              GROUP BY tot.p_tot, tot.n_tot"""))
   )
+
+  /** Tie-aware AUC of scores against a stored weight artifact. The
+    * per-distinct-score aggregation bounds the window input at 10 001
+    * rows (the 4-decimal score grid) regardless of corpus size.
+    */
+  def aucWith(featsDf: DataFrame, weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scoreWith(featsDf, weights)
+      .groupBy(col("p_score"))
+      .agg(sum(col("y")).as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).as("n_neg"))
+    val w = Window.orderBy(col("p_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("neg_below",
+      coalesce(sum(col("n_neg")).over(w), lit(0L)))
+    val tot = g.agg(sum(col("n_pos")).as("p_tot"),
+      sum(col("n_neg")).as("n_tot"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("p_tot")).as("n_pos"),
+        first(col("n_tot")).as("n_neg"),
+        round(sum(col("n_pos") * (col("neg_below") + col("n_neg") / lit(2.0)))
+          / (first(col("p_tot")) * first(col("n_tot"))), 4).as("auc"))
+  }
 }

@@ -561,4 +561,24 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     // 0, one-sided mass .5 each side -> JS = 0.5*ln2*(0.5+0.5) = ln2/2
     assert(math.abs(js - 0.5 * math.log(2.0)) < 1e-3, s"JS: $js")
   }
+
+  test("sourceLangMi: independence gives MI 0, determinism gives MI = H(lang)") {
+    val miSchema = StructType(Seq(StructField("source", StringType),
+      StructField("lang", StringType)))
+    def mi(rows: (String, String)*): (Double, Double, Double) = {
+      val out = Curation.sourceLangMi(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), miSchema))
+        .collect().head
+      (out.getDouble(2), out.getDouble(3), out.getDouble(4)) // h_lang, mi, nmi
+    }
+    // independent: every (source, lang) cell equally likely
+    val indep = for (s <- Seq("s1", "s2"); l <- Seq("en", "de")) yield (s, l)
+    val (_, mi0, _) = mi(indep: _*)
+    assert(mi0 == 0.0, s"independent grid should give MI 0: $mi0")
+    // deterministic: source fixes lang -> MI = H(lang), NMI = 1
+    val (hLang, miD, nmiD) = mi(("s1", "en"), ("s1", "en"), ("s2", "de"),
+      ("s2", "de"))
+    assert(miD == hLang, s"deterministic mapping: MI=$miD H(lang)=$hLang")
+    assert(nmiD == 1.0)
+  }
 }

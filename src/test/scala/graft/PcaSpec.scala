@@ -92,6 +92,25 @@ class PcaSpec extends AnyFunSuite with TestSpark {
       s"projection range lost the planted variance: [${ps.min}, ${ps.max}]")
   }
 
+  test("outliersWith: a planted far vector tops the distance list with z > 2") {
+    val rows = (0 until 40).map { i =>
+      val base = Array.tabulate(dim)(j => 1.0 + 0.01 * ((i + j) % 5))
+      Row(i.toLong, 0, base.toSeq)
+    } :+ Row(99L, 1, Array.fill(dim)(50.0).toSeq)
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val muRows = (0 until dim).map(j => (j,
+      vecs.select(avg(element_at(col("a"), j + 1))).head().getDouble(0)))
+    import spark.implicits._
+    val centroid = muRows.toDF("j", "mu")
+    val out = Pca.outliersWith(vecs, centroid)
+      .orderBy(col("dist").desc).collect()
+    assert(out.head.getLong(0) == 99L, s"planted outlier not first: ${out.head}")
+    assert(out.head.getDouble(3) > 2.0, s"outlier z too low: ${out.head}")
+    // the inliers hug the centroid: all well under the outlier distance
+    assert(out.tail.forall(_.getDouble(2) < out.head.getDouble(2) / 10))
+  }
+
   test("projection is a map-only pass (no shuffle before the sort)") {
     val (_, vecs) = planted()
     val (mu, w) = Pca.powerIteration(vecs, iters = 5)

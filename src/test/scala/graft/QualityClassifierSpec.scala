@@ -87,4 +87,21 @@ class QualityClassifierSpec extends AnyFunSuite with TestSpark {
     assert(byBin.head._3 == 0.0, s"lowest bin should be all-negative: ${byBin.toSeq}")
     assert(byBin.last._3 == 1.0, s"highest bin should be all-positive: ${byBin.toSeq}")
   }
+
+  test("aucWith: separable corpus scores AUC 1.0; constant scores midrank to 0.5") {
+    val feats = QualityClassifier.features(corpus(), col("lang") === "en")
+    val w = QualityClassifier.train(feats, iters = 200, lr = 4.0)
+    val sep = QualityClassifier
+      .aucWith(feats, QualityClassifier.weightsDf(spark, w))
+      .collect().head
+    assert(sep.getLong(0) == 20L && sep.getLong(1) == 20L)
+    assert(sep.getDouble(2) == 1.0, s"separable AUC: ${sep.getDouble(2)}")
+    // all-zero weights -> identical scores everywhere -> tie-aware
+    // midranks must yield exactly 0.5, not 0 or 1
+    val flat = QualityClassifier
+      .aucWith(feats,
+        QualityClassifier.weightsDf(spark, Array(0.0, 0.0, 0.0, 0.0)))
+      .collect().head
+    assert(flat.getDouble(2) == 0.5, s"tied AUC: ${flat.getDouble(2)}")
+  }
 }
