@@ -264,6 +264,30 @@ object Main {
             .orderBy(col("p_pca").desc)
             .show(20, truncate = false)
 
+        // the pre-training data-review pack: every diagnostics report
+        // of the round-10 layer into one dir, plus headline numbers
+        case "diagnose" :: sfDir :: outDir :: Nil =>
+          import org.apache.spark.sql.functions.{col, max => fmax}
+          val reports = Seq("q106_dataset_card", "q114_source_divergence",
+            "q117_source_lang_mi", "q104_temperature_mix",
+            "q115_classifier_calibration", "q118_classifier_auc",
+            "q116_embedding_outliers", "q107_minhash_calibration")
+          reports.foreach { n =>
+            SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$n")
+          }
+          val auc = spark.read.parquet(s"$outDir/q118_classifier_auc")
+            .head.getDouble(2)
+          val nmi = spark.read.parquet(s"$outDir/q117_source_lang_mi")
+            .head.getDouble(4)
+          val maxJs = spark.read.parquet(s"$outDir/q114_source_divergence")
+            .agg(fmax(col("js"))).head.getDouble(0)
+          val maxZ = spark.read.parquet(s"$outDir/q116_embedding_outliers")
+            .agg(fmax(col("z"))).head.getDouble(0)
+          println(s"diagnose: ${reports.size} reports -> $outDir " +
+            s"(classifier_auc=$auc source_lang_nmi=$nmi " +
+            s"max_source_js=$maxJs max_outlier_z=$maxZ)")
+
         // pretraining shape: chunk -> token-count -> shuffled shards
         case "prep" :: docsParquet :: outDir :: shards :: Nil =>
           val r = graft.llm.TextOps.prepCorpus(
@@ -322,6 +346,7 @@ object Main {
         |  classify train <docsParquet> <weightsDir> | classify score <docsParquet> <weightsDir>
         |  mix derive <docsParquet> <ratesDir> <budget> | mix apply <docsParquet> <ratesDir>
         |  pca train <vecsParquet> <componentDir> | pca project <vecsParquet> <componentDir>
+        |  diagnose <sfDir> <reportDir>
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  prep <docsParquet> <outDir> <shards>

@@ -106,6 +106,22 @@ object Pca {
   def gramComponent(vecs: DataFrame, iters: Int = 100,
       sampleFraction: Double = 1.0, seed: Long = 42L)
       : (Array[Double], Array[Double]) = {
+    val (mu, _, comps) =
+      gramComponents(vecs, k = 1, iters, sampleFraction, seed)
+    (mu, comps(0))
+  }
+
+  /** Top-`k` principal components from the SAME single Gram pass as
+    * [[gramComponent]]: the covariance lives on the driver, so further
+    * components cost d² flops each via Hotelling deflation
+    * (C ← C − λ·v·vᵀ after each converged component) — the corpus is
+    * still scanned exactly once no matter how many components are
+    * extracted. Returns (mu, eigenvalues, components), components
+    * orthonormal, each sign-canonicalized.
+    */
+  def gramComponents(vecs: DataFrame, k: Int, iters: Int = 100,
+      sampleFraction: Double = 1.0, seed: Long = 42L)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
     val f = if (sampleFraction < 1.0)
       vecs.sample(withReplacement = false, sampleFraction, seed) else vecs
     val rdd = f.select(col("a")).rdd
@@ -132,23 +148,32 @@ object Pca {
         (c1 + c2, s1, g1)
       })
     val mu = sx.map(_ / n)
-    // dense covariance from the upper triangle
     val c = Array.ofDim[Double](dim, dim)
     var idx = 0
     for (i <- 0 until dim; j <- i until dim) {
-      val v = g(idx) / n - mu(i) * mu(j)
-      c(i)(j) = v; c(j)(i) = v; idx += 1
+      val v0 = g(idx) / n - mu(i) * mu(j)
+      c(i)(j) = v0; c(j)(i) = v0; idx += 1
     }
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
-    for (_ <- 0 until iters) {
-      val nv = Array.tabulate(dim)(i =>
-        (0 until dim).map(j => c(i)(j) * v(j)).sum)
-      val nrm = math.sqrt(nv.map(x => x * x).sum)
-      v = nv.map(_ / nrm)
+    val comps = Array.ofDim[Double](k, dim)
+    val eigs = new Array[Double](k)
+    for (m <- 0 until k) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+      for (_ <- 0 until iters) {
+        val nv = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => c(i)(j) * v(j)).sum)
+        val nrm = math.sqrt(nv.map(x => x * x).sum)
+        v = nv.map(_ / nrm)
+      }
+      val kMax = v.indices.maxBy(j => math.abs(v(j)))
+      if (v(kMax) < 0) v = v.map(-_)
+      val lambda = (0 until dim).map(i =>
+        v(i) * (0 until dim).map(j => c(i)(j) * v(j)).sum).sum
+      comps(m) = v; eigs(m) = lambda
+      // deflate: remove the found component's subspace
+      for (i <- 0 until dim; j <- 0 until dim)
+        c(i)(j) -= lambda * v(i) * v(j)
     }
-    val kMax = v.indices.maxBy(j => math.abs(v(j)))
-    if (v(kMax) < 0) v = v.map(-_)
-    (mu, v)
+    (mu, eigs, comps)
   }
 
   /** The component artifact: `dim` rows `(j, mu, w)`, readable by any
@@ -183,6 +208,39 @@ object Pca {
 
   val Q111ComponentDir = "/tmp/graft_q111_component"
   val Q116CentroidDir = "/tmp/graft_q116_centroid"
+  val Q119ComponentsDir = "/tmp/graft_q119_components"
+
+  /** Multi-component artifact: `k·dim` rows `(comp, j, mu, w, ev)` —
+    * `ev` is the component's eigenvalue (explained variance), carried
+    * for reporting; projection consumes (comp, j, mu, w). Rounded like
+    * [[componentDf]] for cross-run hash stability.
+    */
+  def componentsDf(spark: SparkSession, mu: Array[Double],
+      eigs: Array[Double], comps: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    def r8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (for (m <- comps.indices; j <- mu.indices)
+      yield (m, j, r8(mu(j)), r8(comps(m)(j)), r8(eigs(m))))
+      .toDF("comp", "j", "mu", "w", "ev")
+  }
+
+  /** Project every vector onto ALL components of a stored multi-component
+    * artifact: one map-only pass emitting `p1..pk` — k sequential-fold
+    * dot products per row against literal vectors, constants shifted.
+    */
+  def projectKWith(vecs: DataFrame, components: DataFrame): DataFrame = {
+    val rows = components.select(col("comp"), col("j"), col("mu"), col("w"))
+      .orderBy(col("comp"), col("j")).collect()
+    val byComp = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val projCols = byComp.map { case (m, rs) =>
+      val w = rs.map(_.getDouble(3))
+      val muDotW = rs.map(r => r.getDouble(2) * r.getDouble(3)).sum
+      round(Similarity.dot(col("a"), typedLit(w.toSeq)) - lit(muDotW), 4)
+        .as(s"p${m + 1}")
+    }
+    vecs.select(col("vec_id") +: col("label") +: projCols: _*)
+  }
 
   /** Per-vector distance to a STORED centroid artifact plus its z-score
     * against the corpus distance distribution — the embedding-space
@@ -295,6 +353,50 @@ object Pca {
               SELECT sc.vec_id, sc.label, ROUND(sc.dist, 4) AS dist,
                      ROUND((sc.dist - st.d_mean) / st.d_std, 4) AS z
               FROM sc, st
-              ORDER BY ROUND(sc.dist, 4) DESC, sc.vec_id LIMIT 50"""))
+              ORDER BY ROUND(sc.dist, 4) DESC, sc.vec_id LIMIT 50""")),
+
+    // Top-2 PCA projection — the whitening / visualization / SemDeDup
+    // feature map. Same ONE-pass Gram training as q111; the second
+    // component costs d² driver flops via Hotelling deflation, not a
+    // second corpus scan. Projection is one map-only pass computing
+    // both coordinates; the oracle replays both folds from the stored
+    // (comp, j, mu, w) artifact.
+    Q("q119_pca_topk",
+      (s, d) => {
+        val vecs = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            Similarity.asDouble(col("embedding")).as("a"))
+        val (mu, eigs, comps) = gramComponents(vecs, k = 2)
+        componentsDf(s, mu, eigs, comps).coalesce(1)
+          .write.mode("overwrite").parquet(Q119ComponentsDir)
+        val stored = s.read.parquet(Q119ComponentsDir)
+        projectKWith(vecs, stored)
+          .orderBy(col("vec_id"))
+          .limit(200)
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              art AS (SELECT comp, j, mu, w
+                      FROM read_parquet('$Q119ComponentsDir/*.parquet')),
+              w1 AS (SELECT list(w ORDER BY j) AS wl, list(mu ORDER BY j) AS ml
+                     FROM art WHERE comp = 0),
+              w2 AS (SELECT list(w ORDER BY j) AS wl, list(mu ORDER BY j) AS ml
+                     FROM art WHERE comp = 1),
+              c1 AS (SELECT wl,
+                            list_sum(list_transform(generate_series(1, LEN(wl)),
+                              i -> ml[i] * wl[i])) AS muw
+                     FROM w1),
+              c2 AS (SELECT wl,
+                            list_sum(list_transform(generate_series(1, LEN(wl)),
+                              i -> ml[i] * wl[i])) AS muw
+                     FROM w2)
+              SELECT v.vec_id, v.label,
+                     ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
+                             i -> v.a[i] * c1.wl[i])) - c1.muw, 4) AS p1,
+                     ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
+                             i -> v.a[i] * c2.wl[i])) - c2.muw, 4) AS p2
+              FROM v, c1, c2 ORDER BY v.vec_id LIMIT 200"""))
   )
 }

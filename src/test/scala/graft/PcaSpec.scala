@@ -92,6 +92,35 @@ class PcaSpec extends AnyFunSuite with TestSpark {
       s"projection range lost the planted variance: [${ps.min}, ${ps.max}]")
   }
 
+  test("gramComponents: deflation recovers two orthogonal planted directions in order") {
+    val u1 = Array.tabulate(dim)(j => if (j == 0) 0.8 else if (j == 1) 0.6 else 0.0)
+    val u2 = Array.tabulate(dim)(j => if (j == 0) -0.6 else if (j == 1) 0.8 else 0.0)
+    val rows = (0 until 128).map { i =>
+      val s1 = ((i % 16) - 7.5) * 2.0 // dominant variance along u1
+      val s2 = ((i / 16) % 8) - 3.5   // smaller variance along u2
+      Row(i.toLong, 0,
+        Array.tabulate(dim)(j => 5.0 + s1 * u1(j) + s2 * u2(j)).toSeq)
+    }
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val (_, eigs, comps) = Pca.gramComponents(vecs, k = 2)
+    def cosTo(u: Array[Double], w: Array[Double]) =
+      math.abs(u.zip(w).map { case (x, y) => x * y }.sum)
+    assert(cosTo(u1, comps(0)) > 0.999,
+      s"first component should be the dominant direction: ${cosTo(u1, comps(0))}")
+    assert(cosTo(u2, comps(1)) > 0.999,
+      s"second component should be the deflated direction: ${cosTo(u2, comps(1))}")
+    assert(eigs(0) > eigs(1) && eigs(1) > 0.0,
+      s"eigenvalues out of order: ${eigs.toSeq}")
+    // orthonormal
+    val dot12 = comps(0).zip(comps(1)).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot12) < 1e-9, s"components not orthogonal: $dot12")
+    // hand-checked eigenvalues: var(s1*2... ) along u1 = var of s1 seq
+    val s1s = (0 until 128).map(i => ((i % 16) - 7.5) * 2.0)
+    val v1 = s1s.map(x => x * x).sum / 128 - math.pow(s1s.sum / 128, 2)
+    assert(math.abs(eigs(0) - v1) < 1e-6, s"lambda1 ${eigs(0)} vs planted $v1")
+  }
+
   test("outliersWith: a planted far vector tops the distance list with z > 2") {
     val rows = (0 until 40).map { i =>
       val base = Array.tabulate(dim)(j => 1.0 + 0.01 * ((i + j) % 5))
