@@ -397,6 +397,111 @@ object Pca {
                              i -> v.a[i] * c1.wl[i])) - c1.muw, 4) AS p1,
                      ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
                              i -> v.a[i] * c2.wl[i])) - c2.muw, 4) AS p2
-              FROM v, c1, c2 ORDER BY v.vec_id LIMIT 200"""))
+              FROM v, c1, c2 ORDER BY v.vec_id LIMIT 200""")),
+
+    // PCA-reduced ANN with exact rerank: project the corpus onto the
+    // stored 16-component artifact (map-only), shortlist the query's
+    // top-100 neighbors by distance IN THE REDUCED SPACE (a TakeOrdered
+    // over 16-double rows — the corpus-scale sort carries 1/4 the bytes
+    // of the full vectors), then rerank only the shortlist by exact
+    // cosine over the full vectors (broadcast semi join + broadcast
+    // 1-row query). The dimensionality-reduction retrieval pattern:
+    // candidate recall comes from the subspace that carries the
+    // variance, exactness from the rerank. Both stages are
+    // deterministic across engines because the projections are
+    // 4-decimal-rounded values computed from the same stored artifact
+    // and the reduced distance folds in fixed component order.
+    // Shortlist quality tracks the spectrum: the synthetic corpus is
+    // near-isotropic (16/64 components ≈ 38% variance) and still
+    // recalls 9/10 of the brute-force top-10 (PcaSpec); real embedding
+    // corpora decay much faster, so the same 4× reduction recalls more.
+    Q("q120_ann_pca_rerank",
+      (s, d) => {
+        val vecs = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            Similarity.asDouble(col("embedding")).as("a"))
+        val (mu, eigs, comps) = gramComponents(vecs, k = Q120Comps)
+        componentsDf(s, mu, eigs, comps).coalesce(1)
+          .write.mode("overwrite").parquet(Q120ComponentsDir)
+        val stored = s.read.parquet(Q120ComponentsDir)
+        val proj = projectKWith(vecs, stored)
+        val qRow = proj.filter(col("vec_id") === 0L)
+          .select((1 to Q120Comps).map(m => col(s"p$m").as(s"q$m")): _*)
+        val rd2 = (1 to Q120Comps)
+          .map(m => (col(s"p$m") - col(s"q$m")) * (col(s"p$m") - col(s"q$m")))
+          .reduce(_ + _)
+        val cands = proj.crossJoin(broadcast(qRow))
+          .filter(col("vec_id") =!= 0L)
+          .orderBy(rd2.asc, col("vec_id"))
+          .limit(100)
+          .select(col("vec_id"))
+        val qVec = vecs.filter(col("vec_id") === 0L)
+          .select(col("a").as("qa"))
+        val sim = Similarity.cosine(col("a"), col("qa"))
+        vecs.join(broadcast(cands), "vec_id")
+          .crossJoin(broadcast(qVec))
+          .select(col("vec_id"), col("label"), sim.as("sim_raw"))
+          .orderBy(col("sim_raw").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"),
+            round(col("sim_raw"), 4).as("sim"))
+      },
+      Some(q120OracleSql))
   )
+
+  val Q120Comps = 16
+  val Q120ComponentsDir = "/tmp/graft_q120_components"
+
+  /** q120's oracle, generated over the 16 components: per-component
+    * list/shift CTEs (the q119 pattern ×16), rounded projections, the
+    * reduced-space top-50 shortlist with the SAME fold order as the
+    * Spark expression, then the exact-cosine rerank (q36's formulation)
+    * over the shortlist.
+    */
+  private def q120OracleSql: String = {
+    val ms = 1 to Q120Comps
+    val wCtes = ms.map(m =>
+      s"""w$m AS (SELECT list(w ORDER BY j) AS wl, list(mu ORDER BY j) AS ml
+                  FROM art WHERE comp = ${m - 1}),
+          c$m AS (SELECT wl,
+                         list_sum(list_transform(generate_series(1, LEN(wl)),
+                           i -> ml[i] * wl[i])) AS muw
+                  FROM w$m)""").mkString(",\n              ")
+    val projCols = ms.map(m =>
+      s"""ROUND(list_sum(list_transform(generate_series(1, LEN(v.a)),
+              i -> v.a[i] * c$m.wl[i])) - c$m.muw, 4) AS p$m""")
+      .mkString(",\n                       ")
+    val cTables = ms.map(m => s"c$m").mkString(", ")
+    val rd2 = ms.map(m => s"(p.p$m - q.p$m) * (p.p$m - q.p$m)")
+      .mkString(" + ")
+    s"""WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              art AS (SELECT comp, j, mu, w
+                      FROM read_parquet('$Q120ComponentsDir/*.parquet')),
+              $wCtes,
+              proj AS (
+                SELECT v.vec_id, v.label, v.a,
+                       $projCols
+                FROM v, $cTables),
+              q AS (SELECT * FROM proj WHERE vec_id = 0),
+              cand AS (
+                SELECT p.vec_id, p.label, p.a
+                FROM proj p, q
+                WHERE p.vec_id <> 0
+                ORDER BY $rd2, p.vec_id
+                LIMIT 100),
+              rr AS (
+                SELECT c.vec_id, c.label,
+                       list_sum(list_transform(generate_series(1, LEN(c.a)),
+                         i -> c.a[i] * q.a[i]))
+                       / (SQRT(list_sum(list_transform(c.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.a, x -> x*x)))) AS sim_raw
+                FROM cand c, q)
+              SELECT vec_id, label, ROUND(sim_raw, 4) AS sim
+              FROM rr
+              ORDER BY sim_raw DESC, vec_id
+              LIMIT 10"""
+  }
 }

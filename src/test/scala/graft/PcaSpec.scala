@@ -140,6 +140,18 @@ class PcaSpec extends AnyFunSuite with TestSpark {
     assert(out.tail.forall(_.getDouble(2) < out.head.getDouble(2) / 10))
   }
 
+  test("q120 reduced-space rerank recalls the brute-force top-10 well") {
+    val d = "/root/testdata/sf0.001"
+    val brute = graft.queries.Registry.queries("q36_cosine_topk")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val rerank = graft.queries.Registry.queries("q120_ann_pca_rerank")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect rerank).size.toDouble / brute.size
+    assert(recall >= 0.8,
+      s"16-component shortlist recall too low: $recall " +
+        s"(brute=$brute rerank=$rerank)")
+  }
+
   test("projection is a map-only pass (no shuffle before the sort)") {
     val (_, vecs) = planted()
     val (mu, w) = Pca.powerIteration(vecs, iters = 5)
