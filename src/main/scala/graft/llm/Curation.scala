@@ -1119,7 +1119,7 @@ object Curation {
     val x = n.select(col("source").as("src_a"))
     val y = n.select(col("source").as("src_b"))
     val pairs = x.crossJoin(y).filter(col("src_a") < col("src_b"))
-    pairs.join(co, Seq("src_a", "src_b"), "left")
+    pairs.join(broadcast(co), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         round(coalesce(col("js_co"), lit(0.0))
           + lit(0.5) * lit(math.log(2.0)) *
