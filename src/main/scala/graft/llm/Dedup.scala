@@ -353,6 +353,51 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  val PageRankIters = 10
+  val PageRankDamping = 0.85
+
+  /** PageRank over the symmetrized pair graph — "which document is the
+    * hub of its near-dup neighborhood" (a centrality alternative to
+    * q89's most-tokens best-of-cluster rule: the highest-ranked member
+    * is the one most others resemble). Each iteration is ONE join + ONE
+    * aggregate job: edges carry rank/out-degree to their targets, a
+    * map-side-combined sum collects it, and the teleport term is a
+    * literal — nothing iterative touches the driver. The edge list with
+    * degrees is localCheckpoint'ed once and reused by every iteration;
+    * ranks re-checkpoint every 3 rounds so lineage stays bounded (the
+    * connectedComponents discipline). The symmetric graph has no
+    * dangling nodes, so mass is conserved without a dangling-sink term.
+    * Returns (id, rank) with Σ rank = 1.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = PageRankIters,
+      damping: Double = PageRankDamping): DataFrame = {
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("cd"))
+    val edges = sym.join(deg, "src").localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    var prev: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      ranks = edges.join(ranks, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("cd")).as("acc"))
+        .select(col("dst").as("id"),
+          (lit((1 - damping) / n) + lit(damping) * col("acc")).as("rank"))
+      if (i % 3 == 0 || i == iters) {
+        val cp = ranks.localCheckpoint(true)
+        // release the previous checkpoint's blocks now that the new one
+        // is materialized (same discipline as connectedComponents)
+        prev.foreach(p => checkpointRdd(p).foreach(_.unpersist()))
+        prev = Some(cp)
+        ranks = cp
+      }
+    }
+    ranks
+  }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
@@ -1046,6 +1091,26 @@ object Dedup {
           .orderBy(col("doc_id")),
       Some(dedupGroupsOracle)),
 
+    // PageRank centrality over the SAME pair graph as q56/q74 — 10
+    // damped power iterations, each one join + one aggregate job,
+    // against a recursive-CTE oracle that aggregates in its recursive
+    // term. Reported ×N (relative to uniform) so the 4-decimal hash
+    // keeps resolution at any graph size; within a clique all members
+    // tie at the same rank, so the hash pins the cross-cluster
+    // differences (cluster size drives rank mass).
+    Q("q121_pagerank",
+      (s, d) => {
+        // ranks come back checkpointed, so the count and the projection
+        // below read the materialized result, not a re-run of the loop
+        val ranks = pageRank(hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+        ranks
+          .crossJoin(broadcast(ranks.agg(count(lit(1)).as("n_nodes"))))
+          .select(col("id").as("doc_id"),
+            round(col("rank") * col("n_nodes"), 4).as("rank_x"))
+          .orderBy(col("doc_id"))
+      },
+      Some(pageRankOracle)),
+
     // BEST-OF-CLUSTER representative selection: q56 keeps a component's
     // MIN doc_id; a curation pipeline usually keeps its BEST member
     // (here: most tokens, doc_id tie-break — integer ordering both
@@ -1116,7 +1181,10 @@ object Dedup {
               SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
               FROM reach GROUP BY node ORDER BY doc_id"""
 
-  private lazy val dedupGroupsOraclePrefix: String =
+  /** The pair-graph machinery shared by every graph oracle: shingles →
+    * df-cap → Jaccard ≥ 0.6 pairs → symmetrized `edges`.
+    */
+  private lazy val pairGraphOraclePrefix: String =
     s"""WITH RECURSIVE tok AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
                 FROM documents),
@@ -1140,11 +1208,42 @@ object Dedup {
                 JOIN sz sb ON sb.doc_id = d2
                 WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
               edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-                        UNION ALL SELECT d2, d1 FROM pairs),
+                        UNION ALL SELECT d2, d1 FROM pairs)"""
+
+  private lazy val dedupGroupsOraclePrefix: String =
+    pairGraphOraclePrefix + """,
               reach AS (
                 SELECT src AS node, src AS label FROM edges
                 UNION
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)"""
+
+  /** q121's oracle: PageRank as a recursive CTE with aggregation in the
+    * recursive term (rank flows along edges scaled by 1/out-degree; the
+    * symmetrized pair graph has no dangling nodes, so every node
+    * receives mass every iteration). The final rank is reported ×N
+    * (relative to uniform) so the 4-decimal hash keeps resolution at
+    * any graph size.
+    */
+  private lazy val pageRankOracle: String =
+    pairGraphOraclePrefix + s""",
+              deg AS (SELECT src, COUNT(*) AS cd FROM edges GROUP BY 1),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              nn AS (SELECT COUNT(*) AS n FROM nodes),
+              prk(iter, id, rank) AS (
+                SELECT 0, id, 1.0 / (SELECT n FROM nn) FROM nodes
+                UNION ALL
+                SELECT p.iter + 1, e.dst,
+                       ${1 - PageRankDamping} / (SELECT n FROM nn)
+                         + $PageRankDamping * SUM(p.rank / deg.cd)
+                FROM prk p
+                JOIN edges e ON e.src = p.id
+                JOIN deg ON deg.src = p.id
+                WHERE p.iter < $PageRankIters
+                GROUP BY p.iter + 1, e.dst)
+              SELECT id AS doc_id,
+                     ROUND(rank * (SELECT n FROM nn), 4) AS rank_x
+              FROM prk WHERE iter = $PageRankIters
+              ORDER BY doc_id"""
 
   private def moreDefs: Seq[Q] = Seq(
     // End-to-end corpus curation — the whole training-data funnel in one

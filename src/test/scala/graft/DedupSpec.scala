@@ -385,4 +385,28 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 3L && p._2 == 1003L && p._3 == 0))
   }
+
+  test("pageRank: hand-checked path graph, mass conservation, hub centrality") {
+    import spark.implicits._
+    // path 1-2-3: after 3 damped iterations the exact ranks are
+    // 0.2097 / 0.5805 / 0.2097 (verified by hand and by the recursive
+    // oracle formulation)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val r3 = Dedup.pageRank(path, iters = 3).collect()
+      .map(r => r.getLong(0) ->
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble).toMap
+    assert(r3 == Map(1L -> 0.2097, 2L -> 0.5805, 3L -> 0.2097), s"$r3")
+    // converged: mass conserved, the hub strictly outranks the leaves
+    val r10 = Dedup.pageRank(path, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r10.values.sum - 1.0) < 1e-9,
+      s"rank mass not conserved: ${r10.values.sum}")
+    assert(r10(2L) > r10(1L) && r10(2L) > r10(3L))
+    // star graph: the center's rank grows with the cluster size
+    val star = (2L to 6L).map(i => (1L, i)).toDF("d1", "d2")
+    val rs = Dedup.pageRank(star, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((2L to 6L).forall(i => rs(1L) > rs(i)))
+  }
 }
