@@ -951,7 +951,152 @@ object Similarity {
                      ROUND(MAX(sim), 4) AS max_sim
               FROM p GROUP BY vec_id
               HAVING SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) >= 1
-              ORDER BY vec_id"""))
+              ORDER BY vec_id""")),
+
+    // Cluster profiling over a TRAINED codebook: per cell — population,
+    // mean cosine to own centroid (cohesion), dominant label, and label
+    // purity. The curation-side readout of the q82/q93 clustering: low
+    // cohesion flags a cell whose centroid is a poor summary (split it),
+    // low purity flags entangled topics/label noise concentrated in one
+    // region (the cluster-level twin of q99's per-label margins). The
+    // codebook persists to parquet and the oracle reads the same bits
+    // (q82's pattern), so assignment, cohesion sums, and the mode label
+    // all value-pin.
+    //
+    // Scale shape: assignment is map-side against the broadcast
+    // codebook (cosine to the argmax cell rides along — no second
+    // pass); everything after aggregates on (cell, label) with map-side
+    // combine, so the exchange carries |cells| x |labels| rows, not the
+    // corpus. The mode-label window runs over that same slim table.
+    Q("q124_cluster_profile",
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = IvfStore.train(e, iters = 3, sampleFraction = 0.5)
+        cb.write.mode("overwrite").parquet(Q124CodebookDir)
+        val stored = s.read.parquet(Q124CodebookDir)
+          .select(col("cell"), col("cv"))
+        clusterProfile(stored, e)
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT cell, cv
+                     FROM read_parquet('$Q124CodebookDir/*.parquet')),
+              scored AS (
+                SELECT v.vec_id, v.label, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, label, cell, sim FROM (
+                  SELECT vec_id, label, cell, sim,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              bl AS (
+                SELECT cell, label, COUNT(*) AS lc, SUM(sim) AS lsum
+                FROM corpus GROUP BY 1, 2),
+              m AS (
+                SELECT cell, label, lc,
+                       ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY lc DESC, label) AS rn
+                FROM bl)
+              SELECT bl.cell, CAST(SUM(bl.lc) AS BIGINT) AS n,
+                     ROUND(SUM(bl.lsum) / SUM(bl.lc), 4) AS avg_sim,
+                     MAX(CASE WHEN m.rn = 1 THEN m.label END) AS top_label,
+                     ROUND(CAST(MAX(CASE WHEN m.rn = 1 THEN m.lc END) AS DOUBLE)
+                           / SUM(bl.lc), 4) AS purity
+              FROM bl JOIN m USING (cell, label)
+              GROUP BY bl.cell ORDER BY bl.cell""")),
+
+    // Cluster-balanced sampling: a fixed per-cell quota drawn by a
+    // deterministic md5 key — the SemDeDup/DataComp curation move that
+    // keeps a subset's TOPIC mix uniform instead of inheriting the
+    // corpus's head-heavy cluster sizes (q81 balances on an explicit
+    // column; this balances on LEARNED structure). The md5 order makes
+    // the draw a reproducible pseudo-random permutation per cell, and
+    // the persisted codebook (q82's pattern) lets the oracle re-derive
+    // the identical assignment and draw.
+    //
+    // Scale shape: map-side assignment, then `row_number <= quota` over
+    // (cell, md5) — TopKRewrite plans it as two-phase TopKPerKey, so
+    // <= quota rows per (partition, cell) reach the exchange; the
+    // corpus never sorts globally.
+    Q("q125_cluster_balanced_sample",
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = IvfStore.train(e, iters = 3, sampleFraction = 0.5)
+        cb.write.mode("overwrite").parquet(Q125CodebookDir)
+        val stored = s.read.parquet(Q125CodebookDir)
+          .select(col("cell"), col("cv"))
+        clusterBalancedSample(stored, e, perCell = 8)
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT cell, cv
+                     FROM read_parquet('$Q125CodebookDir/*.parquet')),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              r AS (
+                SELECT cell, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM corpus)
+              SELECT cell, vec_id, CAST(rn AS INT) AS rn
+              FROM r WHERE rn <= 8 ORDER BY cell, rn""")),
+
+    // k-NN-graph hubness: in-degree of each vector in the directed k-NN
+    // graph over a bounded id window — the classic high-dimensional ANN
+    // diagnostic (Radovanovic et al., JMLR 2010): heavy hubs appear in
+    // "nearest" lists far more than chance, dragging retrieval quality
+    // and flagging degenerate embedding directions before an index is
+    // built. The id window keeps the exact graph oracle-able; at corpus
+    // scale the same readout composes over cell-bounded kNN (q93's
+    // within-cell pair space) instead of the all-pairs base.
+    //
+    // Scale shape: the bounded side broadcasts, neighbor selection is
+    // `row_number <= k` (TopKPerKey — <= k rows per partition per query
+    // reach the exchange), and the in-degree count aggregates <= k*|Q|
+    // slim rows.
+    Q("q126_knn_hubness",
+      (s, d) => knnHubness(emb(s, d), maxId = 200L, k = 5, topHubs = 25),
+      Some("""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings WHERE vec_id < 200),
+              scored AS (
+                SELECT q.vec_id AS qid, x.vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(x.a)),
+                         i -> x.a[i] * q.a[i]))
+                       / (SQRT(list_sum(list_transform(x.a, y -> y*y)))
+                        * SQRT(list_sum(list_transform(q.a, y -> y*y)))) AS sim
+                FROM v x CROSS JOIN v q
+                WHERE x.vec_id <> q.vec_id),
+              nn AS (
+                SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, vec_id) AS rn
+                  FROM scored) t WHERE rn <= 5)
+              SELECT vec_id, COUNT(*) AS in_degree
+              FROM nn GROUP BY vec_id
+              ORDER BY in_degree DESC, vec_id LIMIT 25"""))
   )
 
   /** Where q82 persists its trained codebook so the DuckDB oracle can
@@ -960,6 +1105,8 @@ object Similarity {
     */
   val Q82CodebookDir = "/tmp/graft_q82_codebook"
   val Q93CodebookDir = "/tmp/graft_q93_codebook"
+  val Q124CodebookDir = "/tmp/graft_q124_codebook"
+  val Q125CodebookDir = "/tmp/graft_q125_codebook"
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster embeddings with a trained codebook (map-side argmax
@@ -1025,6 +1172,88 @@ object Similarity {
       .agg(sum(col("hit")).as("n_hits"),
         round(max(col("s")), 4).as("max_sim"))
       .filter(col("n_hits") >= 1L)
+  }
+
+  /** Per-cell cluster profile against an explicit (cell, cv) codebook:
+    * (cell, n, avg_sim, top_label, purity). Assignment keeps the argmax
+    * cell's similarity from the same projection (no second scoring
+    * pass); the (cell, label) aggregate carries partial counts and
+    * cosine sums so the exchange is |cells| x |labels| rows. Dominant
+    * label ties break to the smaller label (the q85 vote convention).
+    */
+  def clusterProfile(codebook: DataFrame, vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val cb = codebook
+      .select(struct(col("cell"), col("cv")).as("c"))
+      .agg(collect_list(col("c")).as("cb"))
+    val scoredCells = transform(col("cb"), c =>
+      struct((-cosine(col("v"), c.getField("cv"))).as("negsim"),
+        c.getField("cell").as("cell")))
+    val assigned = vecs.crossJoin(broadcast(cb))
+      .select(col("label"),
+        explode(slice(sort_array(scoredCells), 1, 1)).as("sc"))
+      .select(col("label"), col("sc.cell").as("cell"),
+        (-col("sc.negsim")).as("simc"))
+    val byLabel = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("lc"), sum(col("simc")).as("lsum"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("lc").desc, col("label"))
+    byLabel.withColumn("rn", row_number().over(w))
+      .groupBy(col("cell"))
+      .agg(sum(col("lc")).as("n"),
+        round(sum(col("lsum")) / sum(col("lc")), 4).as("avg_sim"),
+        max(when(col("rn") === 1, col("label"))).as("top_label"),
+        round(max(when(col("rn") === 1, col("lc"))).cast("double")
+          / sum(col("lc")), 4).as("purity"))
+      .orderBy(col("cell"))
+  }
+
+  /** Per-cell quota sample against an explicit (cell, cv) codebook:
+    * the `perCell` rows with the smallest md5(vec_id) in each cell — a
+    * deterministic pseudo-random draw (the q59/q90 md5 convention) that
+    * equalizes cluster representation. Output (cell, vec_id, rn).
+    */
+  def clusterBalancedSample(codebook: DataFrame, vectors: DataFrame,
+      perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    ivfAssign(codebook, vecs, probes = 1)
+      .select(col("cell"), col("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCell)
+      .select(col("cell"), col("vec_id"), col("rn"))
+      .orderBy(col("cell"), col("rn"))
+  }
+
+  /** Top in-degree vectors of the directed k-NN graph over vec_id <
+    * `maxId`: each vector's k cosine-nearest neighbors vote, hubs are
+    * the most-voted. Output (vec_id, in_degree), top `topHubs` by
+    * in-degree (ties to the smaller vec_id).
+    */
+  def knnHubness(vectors: DataFrame, maxId: Long, k: Int,
+      topHubs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors.filter(col("vec_id") < maxId)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = v.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("sim_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+      .orderBy(col("in_degree").desc, col("vec_id"))
+      .limit(topHubs)
   }
 
   val IvfCells = 16

@@ -934,7 +934,69 @@ object TextOps {
                 WHERE bc.c12 >= 30)
               SELECT w1, w2, c12, ROUND(pmi, 4) AS pmi
               FROM scored
-              ORDER BY scored.pmi DESC, w1, w2 LIMIT 50"""))
+              ORDER BY scored.pmi DESC, w1, w2 LIMIT 50""")),
+
+    // Zipf's-law fit per source: least-squares slope of log(count) on
+    // log(rank) over each source's top-100 vocabulary. Natural text sits
+    // near slope -1; templated/boilerplate-heavy sources flatten (head
+    // tokens over-represented) and synthetic/randomized text steepens —
+    // a one-number per-source "does this look like language" diagnostic
+    // that complements q30's n-gram langid and q102's entropy gate.
+    //
+    // Scale shape: the vocab count is a map-side-combined (source, term)
+    // aggregate; the rank window is `row_number <= 100` which
+    // TopKRewrite plans as two-phase TopKPerKey, so only <= 100 rows per
+    // (partition, source) reach the exchange — the web-scale long tail
+    // never shuffles. The fit itself is covar_pop/var_pop over <= 100
+    // points per source.
+    Q("q122_zipf_fit",
+      (s, d) => zipfFit(docs(s, d), topV = 100),
+      Some("""WITH tok AS (
+                SELECT source,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+                FROM documents),
+              t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+              c AS (SELECT source, term, COUNT(*) AS cnt FROM t2 GROUP BY 1, 2),
+              r AS (SELECT source, cnt,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY cnt DESC, term) AS rank
+                    FROM c),
+              l AS (SELECT source, LN(CAST(rank AS DOUBLE)) AS lr,
+                           LN(CAST(cnt AS DOUBLE)) AS lc
+                    FROM r WHERE rank <= 100)
+              SELECT source, COUNT(*) AS n_terms,
+                     ROUND(COVAR_POP(lr, lc) / VAR_POP(lr), 4) AS zipf_slope
+              FROM l GROUP BY source ORDER BY source""")),
+
+    // Distinct-n diversity per source: unique n-grams / total n-grams
+    // for n = 1, 2, 3 — the standard corpus-diversity metric (low
+    // distinct-2/3 flags template spam and self-repetitive generations
+    // corpus-WIDE, where q68/q76/q103 score repetition per document).
+    //
+    // Scale shape: three exploding scans whose aggregates carry
+    // vocab-sized keys with map-side combine (the q113 argument: exact
+    // clones deepen counts, never widen key spaces). The exact
+    // count-distinct is a two-level agg keyed on the gram; at web scale
+    // swap it for approx_count_distinct per source (HLL) without
+    // touching the plan shape — the oracle pins the exact form.
+    Q("q123_ngram_diversity",
+      (s, d) => ngramDiversity(docs(s, d), maxN = 3),
+      Some("""WITH t AS (
+                SELECT source,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents WHERE TRIM(text) <> ''),
+              g AS (
+                SELECT source, n, array_to_string(ts[i:i+n-1], ' ') AS gram
+                FROM t,
+                     UNNEST(generate_series(1, 3)) AS nn(n),
+                     UNNEST(generate_series(1, LEN(ts))) AS gg(i)
+                WHERE i + n - 1 <= LEN(ts))
+              SELECT source, CAST(n AS INT) AS n,
+                     COUNT(*) AS n_grams,
+                     COUNT(DISTINCT gram) AS n_distinct,
+                     ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 4)
+                       AS distinct_ratio
+              FROM g GROUP BY source, n ORDER BY source, n"""))
   )
 
   /** Exact heavy-hitter tokens above `minRatio` of the token stream,
@@ -994,5 +1056,59 @@ object TextOps {
       .limit(topK)
       .select(col("w1"), col("w2"), col("c12"),
         round(col("pmi_raw"), 4).as("pmi"))
+  }
+
+  /** Per-source Zipf slope: least-squares fit of ln(count) on ln(rank)
+    * over the top `topV` terms (rank = row_number by count desc, term
+    * asc — a total order, so both engines rank identically). The
+    * filtered row_number plans through TopKPerKey: <= topV rows per
+    * (partition, source) reach the exchange regardless of vocabulary
+    * size. Slope = covar_pop(lr, lc) / var_pop(lr).
+    */
+  def zipfFit(docsDf: DataFrame, topV: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docsDf
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("term"))
+    tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topV)
+      .select(col("source"), log(col("rank").cast("double")).as("lr"),
+        log(col("cnt").cast("double")).as("lc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(covar_pop(col("lr"), col("lc")) / var_pop(col("lr")), 4)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  /** Distinct-n diversity per (source, n) for n = 1..`maxN`: total
+    * n-grams, distinct n-grams, and their ratio. One exploding scan
+    * per row emits all n sizes (the n-explode is a 3-row multiplier,
+    * not a corpus re-scan); the guard `size(ts) >= n` is applied BEFORE
+    * the position sequence so short docs contribute no descending
+    * ranges. Aggregates are map-side combined on (source, n, gram).
+    */
+  def ngramDiversity(docsDf: DataFrame, maxN: Int): DataFrame = {
+    val t = docsDf.filter(trim(col("text")) =!= "")
+      .select(col("source"), tokens(col("text")).as("ts"))
+    val g = t
+      .select(col("source"), explode(sequence(lit(1), lit(maxN))).as("n"),
+        col("ts"))
+      .filter(size(col("ts")) >= col("n"))
+      .select(col("source"), col("n"),
+        explode(transform(
+          sequence(lit(1), size(col("ts")) - col("n") + 1),
+          i => concat_ws(" ", slice(col("ts"), i, col("n"))))).as("gram"))
+    g.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("gram")).as("n_distinct"))
+      .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 4)
+          .as("distinct_ratio"))
+      .orderBy(col("source"), col("n"))
   }
 }

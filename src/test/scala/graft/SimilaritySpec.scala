@@ -315,4 +315,76 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(groups == Map(1L -> 1L, 500L -> 1L),
       s"expected exactly the planted pair clustered, got $groups")
   }
+
+  // two antipodal clusters with aligned labels, plus their exact centers
+  // as an explicit (cell, cv) codebook — assignment, purity, and quota
+  // behavior are all hand-checkable
+  private lazy val labeledTwoClusters: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val rng = new scala.util.Random(7)
+    val a = Array.fill(16)(rng.nextGaussian().toFloat)
+    val b = a.map(x => -x)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + 0.01f * rng.nextGaussian().toFloat).toSeq
+    val schemaL = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = (0L until 20L).map(i => Row(i, jitter(a), 0)) ++
+      (20L until 40L).map(i => Row(i, jitter(b), 1))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schemaL)
+    val cbSchema = StructType(Seq(
+      StructField("cell", LongType),
+      StructField("cv", ArrayType(DoubleType))))
+    val cbRows = Seq(Row(0L, a.map(_.toDouble).toSeq),
+      Row(1L, b.map(_.toDouble).toSeq))
+    val cb = spark.createDataFrame(
+      spark.sparkContext.parallelize(cbRows, 1), cbSchema)
+    (df, cb)
+  }
+
+  test("cluster profile: separated clusters -> full purity, high cohesion") {
+    val (df, cb) = labeledTwoClusters
+    val prof = Similarity.clusterProfile(cb, df)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(prof.keySet == Set(0L, 1L))
+    prof.foreach { case (cell, (n, avgSim, topLabel, purity)) =>
+      assert(n == 20L, s"cell $cell size $n")
+      assert(avgSim > 0.99, s"cell $cell cohesion $avgSim")
+      assert(topLabel == cell.toInt)
+      assert(purity == 1.0)
+    }
+  }
+
+  test("cluster-balanced sample: exact quota per cell, deterministic draw") {
+    val (df, cb) = labeledTwoClusters
+    val s1 = Similarity.clusterBalancedSample(cb, df, perCell = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(s1.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map(0L -> 5, 1L -> 5))
+    // each sampled vec came from its true cluster's id range
+    s1.foreach { case (cell, id, _) =>
+      assert(if (cell == 0L) id < 20L else id >= 20L) }
+    // no vec sampled twice; rn is 1..quota within each cell
+    assert(s1.map(_._2).distinct.length == s1.length)
+    assert(s1.filter(_._1 == 0L).map(_._3).sorted.toSeq == (1 to 5))
+    // the md5 draw is a pure function of vec_id: re-run is identical
+    val s2 = Similarity.clusterBalancedSample(cb, df, perCell = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("knn hubness: every query votes k times, hubs sorted by in-degree") {
+    val out = Similarity.knnHubness(vectors, maxId = 100L, k = 3,
+      topHubs = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 60 queries x 3 votes land somewhere; the clone 500 is outside maxId
+    assert(out.map(_._2).sum == 180L)
+    val degs = out.map(_._2).toSeq
+    assert(degs == degs.sorted.reverse)
+    assert(out.map(_._1).toSet.subsetOf((0L until 60L).toSet))
+  }
 }

@@ -188,4 +188,55 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
     // the independent 'the ...' pairs score lower wherever they appear
     out.tail.foreach(p => assert(p._4 < out.head._4))
   }
+
+  private val srcSchema = StructType(Seq(
+    StructField("source", StringType), StructField("text", StringType)))
+
+  private def srcDocsOf(rows: (String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), srcSchema)
+
+  test("zipfFit: an exact 1/rank law fits slope -1") {
+    // counts 12, 6, 4, 3 at ranks 1..4 are exactly cnt = 12/rank, so the
+    // least-squares fit of ln(cnt) on ln(rank) is exact with slope -1
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val out = TextOps.zipfFit(srcDocsOf("web" -> text), topV = 100).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "web")
+    assert(out.head.getLong(1) == 4L)
+    assert(out.head.getDouble(2) == -1.0, s"slope: ${out.head.getDouble(2)}")
+  }
+
+  test("zipfFit: flat counts have undefined slope only via zero variance guard") {
+    // two sources fit independently; the repetitive source's slope is 0
+    // (all counts equal -> lc constant -> covar 0, var(lr) > 0)
+    val out = TextOps.zipfFit(srcDocsOf(
+      "flat" -> "p q r s", "web" -> "a a b"), topV = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(out("flat") == 0.0)
+    assert(out("web") < 0.0)
+  }
+
+  test("ngramDiversity: repetitive vs all-unique sources") {
+    val out = TextOps.ngramDiversity(srcDocsOf(
+      "rep" -> "x x x x", "uniq" -> "a b c d"), maxN = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // rep: 4/1 unigrams, 3/1 bigrams, 2/1 trigrams
+    assert(out(("rep", 1)) == ((4L, 1L, 0.25)))
+    assert(out(("rep", 2)) == ((3L, 1L, 0.3333)))
+    assert(out(("rep", 3)) == ((2L, 1L, 0.5)))
+    // uniq: every gram distinct at every n
+    assert(out(("uniq", 1))._3 == 1.0)
+    assert(out(("uniq", 2))._3 == 1.0)
+    assert(out(("uniq", 3))._3 == 1.0)
+  }
+
+  test("ngramDiversity: docs shorter than n contribute nothing at that n") {
+    val out = TextOps.ngramDiversity(srcDocsOf("s" -> "only two"), maxN = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(out == Map(1 -> 2L, 2 -> 1L)) // no n=3 row, never a negative range
+  }
 }
