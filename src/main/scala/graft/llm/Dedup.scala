@@ -1481,5 +1481,140 @@ object Dedup {
               LEFT JOIN comp c ON c.node = g.rep
               WHERE g.cnt > 1 OR c.comp IS NOT NULL
               ORDER BY k.doc_id"""))
+  ) ++ reportDefs
+
+  private def reportDefs: Seq[Q] = Seq(
+    // Cross-source near-dup leakage: q32's exact-Jaccard pairs whose
+    // endpoints come from DIFFERENT sources, aggregated per unordered
+    // source pair — the provenance report that tells a curation run
+    // which feeds are republishing each other (mirror sites, scraped
+    // aggregators) before dedup silently biases the mix toward whichever
+    // source survives the keep rule.
+    //
+    // Scale shape: the pair graph is built once (df-capped inverted
+    // index, q32's shape); the source lookup joins the SLIM pair list
+    // against a (doc_id, source) projection on the doc_id key — the
+    // pair side is orders of magnitude smaller than the corpus, so the
+    // exchange is pair-sized, and the final aggregate carries
+    // |sources|^2 keys.
+    Q("q127_cross_source_neardup",
+      (s, d) => {
+        val doc = docs(s, d)
+        val src = doc.select(col("doc_id"), col("source"))
+        hashJaccardPairs(doc, minJaccard = 0.6)
+          .join(src.as("sa"), col("d1") === col("sa.doc_id"))
+          .join(src.as("sb"), col("d2") === col("sb.doc_id"))
+          .filter(col("sa.source") =!= col("sb.source"))
+          .select(
+            least(col("sa.source"), col("sb.source")).as("src1"),
+            greatest(col("sa.source"), col("sb.source")).as("src2"),
+            col("jaccard"))
+          .groupBy(col("src1"), col("src2"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("jaccard")), 4).as("avg_jaccard"))
+          .orderBy(col("src1"), col("src2"))
+      },
+      Some(s"""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                FROM documents),
+              sh0 AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              keep AS (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pj AS (
+                SELECT d1, d2,
+                       ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+                FROM pr
+                JOIN sz sa ON sa.doc_id = d1
+                JOIN sz sb ON sb.doc_id = d2
+                WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+              x AS (
+                SELECT LEAST(da.source, db.source) AS src1,
+                       GREATEST(da.source, db.source) AS src2, jaccard
+                FROM pj
+                JOIN documents da ON da.doc_id = pj.d1
+                JOIN documents db ON db.doc_id = pj.d2
+                WHERE da.source <> db.source)
+              SELECT src1, src2, COUNT(*) AS n_pairs,
+                     ROUND(AVG(jaccard), 4) AS avg_jaccard
+              FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Per-source dedup retention: after the q56 near-dup collapse
+    // (keep = a component's min doc_id, plus every unclustered doc),
+    // what fraction of each source survives — the report a mixture
+    // designer reads BEFORE reweighting (q67/q104), because dedup
+    // shifts the realized mix away from the raw counts whenever
+    // duplication is source-skewed.
+    //
+    // Scale shape: the CC labels are pair-graph-sized, so the left join
+    // against the (doc_id, source) projection is corpus x small on the
+    // doc_id key; the aggregate carries |sources| keys with map-side
+    // combine.
+    Q("q128_dedup_retention",
+      (s, d) => {
+        val doc = docs(s, d)
+        val dropped =
+          connectedComponents(hashJaccardPairs(doc, minJaccard = 0.6))
+            .filter(col("node") =!= col("comp"))
+            .select(col("node").as("doc_id"), lit(1).as("is_dup"))
+        doc.select(col("doc_id"), col("source"))
+          .join(dropped, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            round(col("n_kept").cast("double") / col("n_docs"), 4)
+              .as("retention"))
+          .orderBy(col("source"))
+      },
+      Some(dedupGroupsOraclePrefix + """,
+              comp AS (
+                SELECT node AS doc_id, MIN(label) AS comp
+                FROM reach GROUP BY node),
+              k AS (
+                SELECT d.source,
+                       CASE WHEN c.comp IS NULL OR c.comp = d.doc_id
+                            THEN 1 ELSE 0 END AS kept
+                FROM documents d LEFT JOIN comp c USING (doc_id))
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(kept) AS BIGINT) AS n_kept,
+                     ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS retention
+              FROM k GROUP BY source ORDER BY source""")),
+
+    // Exact-duplicate cluster-size histogram: group docs by content
+    // hash, then count clusters at each multiplicity — the "how
+    // duplicated is this crawl" readout (a heavy k >= 2 tail is the
+    // signal that near-dup dedup will pay for itself; q27 reports the
+    // one-number summary, this shows the distribution).
+    //
+    // Scale shape: two chained map-side-combined aggregates — first on
+    // the 16-byte content hash (exact clones deepen counts), then on
+    // the tiny multiplicity key space; no joins, no windows.
+    Q("q129_dup_size_histogram",
+      (s, d) =>
+        docs(s, d)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"))
+          .orderBy(col("cluster_size")),
+      Some("""WITH c AS (
+                SELECT MD5(text) AS h, COUNT(*) AS sz
+                FROM documents GROUP BY 1)
+              SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+                     CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+              FROM c GROUP BY sz ORDER BY sz"""))
   )
 }
