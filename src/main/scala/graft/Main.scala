@@ -144,6 +144,31 @@ object Main {
           graft.llm.IvfStore.topK(spark, dir, qv, k.toInt, excludeId = Some(id))
             .show(k.toInt, truncate = false)
 
+        // trained-codebook clustering: train once (seeded sampled
+        // Lloyd's), persist the (cell, cv) codebook, then profile /
+        // quota-sample any corpus against it (q124/q125 as CLI ops)
+        case "cluster" :: "train" :: vecsParquet :: cbDir :: Nil =>
+          graft.llm.IvfStore.train(spark.read.parquet(vecsParquet),
+              sampleFraction = 0.5)
+            .write.mode("overwrite").parquet(cbDir)
+          println(s"cells=${spark.read.parquet(cbDir).count()}")
+
+        case "cluster" :: "profile" :: vecsParquet :: cbDir :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val cb = spark.read.parquet(cbDir).select(col("cell"), col("cv"))
+          graft.llm.Similarity
+            .clusterProfile(cb, spark.read.parquet(vecsParquet))
+            .show(200, truncate = false)
+
+        case "cluster" :: "sample" :: vecsParquet :: cbDir :: perCell :: out :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val cb = spark.read.parquet(cbDir).select(col("cell"), col("cv"))
+          graft.llm.Similarity
+            .clusterBalancedSample(cb, spark.read.parquet(vecsParquet),
+              perCell.toInt)
+            .write.mode("overwrite").parquet(out)
+          println(s"sampled=${spark.read.parquet(out).count()}")
+
         // persisted PQ index: corpus-scale encode paid once at build
         case "pq" :: "build" :: vecsParquet :: dir :: Nil =>
           graft.llm.Pq.buildStore(spark.read.parquet(vecsParquet), dir)
@@ -338,6 +363,9 @@ object Main {
         |  ivf build <vecsParquet> <ivfDir> | ivf build-trained <vecsParquet> <ivfDir>
         |  ivf append <vecsParquet> <ivfDir> | ivf query <ivfDir> <vecId> <k>
         |  ivf compact <ivfDir> | ivf recover <ivfDir>
+        |  cluster train <vecsParquet> <codebookDir>
+        |  cluster profile <vecsParquet> <codebookDir>
+        |  cluster sample <vecsParquet> <codebookDir> <perCell> <outDir>
         |  pq build <vecsParquet> <pqDir> | pq append <vecsParquet> <pqDir>
         |  pq query <vecsParquet> <pqDir> <vecId> <k>
         |  bpe train <docsParquet> <numMerges> [mergesDir]
