@@ -32,8 +32,25 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
+    // Diagnostic hygiene knob (r9 verdict #7): with SPARK_GRAFT_BENCH_HYGIENE=1
+    // every query runs against a swept session — cached relations cleared and
+    // any persisted RDD a query leaked dropped before the next timing starts.
+    // OFF by default: the official number measures the long-lived-session
+    // behavior users get, and a leak should SHOW UP there (it did in r9 —
+    // pageRank's pinned checkpoint blocks degraded ~100 downstream queries
+    // by 35%). Turning the knob on isolates whether a regression is
+    // session-state contamination (hygiene run flat vs official run
+    // inflated) or a real per-query plan change (both inflated).
+    val hygiene = sys.env.get("SPARK_GRAFT_BENCH_HYGIENE").contains("1")
+    def sweep(): Unit = if (hygiene) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     def runOnce(name: String): Boolean =
       try {
+        sweep()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         true
@@ -90,7 +107,7 @@ object Bench {
     val total = times.map(_._2._1).sum
     val totalMin = times.map(_._2._2).sum
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"hygiene":$hygiene,"sf":"$sfDir"}"""
     // Compact total-only line (<= 200 bytes): the r6 official artifact
     // recorded parsed:null because the 79-entry per-query line outgrew
     // the driver's stdout tail window. Print the full line FIRST, then

@@ -788,17 +788,20 @@ object TextOps {
               GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
 
     // Dynamic quality gate: drop the lowest-decile char-entropy docs,
-    // where the threshold is the corpus's own EXACT p10 (not a fixed
-    // constant — the gate adapts to the corpus). The percentile runs
-    // over the slim (lang, entropy) projection and broadcasts as one
-    // row; the gate itself is map-side. Entropy is 4-dp-rounded BEFORE
-    // the percentile, so the interpolated threshold sits >= ~1e-5 from
-    // every doc value and the boundary compare is engine-stable (the
-    // threshold itself is not output — its rounding is the one
-    // cross-engine exposure counts don't have).
+    // where the threshold adapts to the corpus itself (not a fixed
+    // constant). The threshold is RANK-PINNED, never interpolated
+    // (r9 verdict: interpolating between tied 4-dp values is ±1-ulp
+    // arithmetic that differs between Spark's percentile and DuckDB's
+    // quantile_cont and flips boundary compares): it is the smallest
+    // 4-dp entropy value whose cumulative doc count reaches
+    // k = floor(0.1·n). Pure integer-count semantics over values both
+    // engines compute identically, so it hash-pins trivially. The gate
+    // is value-based (entropy < thr), so ties at the threshold need no
+    // doc_id tie-break and land identically in both engines.
     Q("q102_entropy_gate",
       (s, d) => {
-        // two scans by design: the percentile branch prunes `lang`, so
+        import org.apache.spark.sql.expressions.Window
+        // two scans by design: the threshold branch prunes `lang`, so
         // its subtree can never canonically match the gate branch and
         // ReuseExchange cannot apply (verified in the executed plan —
         // forcing a shared exchange just adds a shuffle). The scored
@@ -809,7 +812,20 @@ object TextOps {
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("lang"),
             charEntropy(col("text")).as("entropy"))
-        val thr = ent.agg(percentile(col("entropy"), lit(0.1)).as("thr"))
+        // per-value counts: map-side-combined agg onto a table bounded
+        // by the 4-dp value grid (entropy <= ln(charset) < 15 → at most
+        // ~150k distinct values at ANY corpus size — the q118
+        // rounding-bounded-window argument), so the unpartitioned
+        // cumulative window below is driver-safe and scale-free
+        val vc = ent.groupBy(col("entropy")).agg(count(lit(1)).as("c"))
+        val total = ent.agg(count(lit(1)).as("n_total"))
+        val cum = vc.crossJoin(broadcast(total))
+          .withColumn("cum", sum(col("c")).over(
+            Window.orderBy(col("entropy"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val thr = cum
+          .filter(col("cum") >= floor(lit(0.1) * col("n_total")))
+          .agg(min(col("entropy")).as("thr"))
         ent.crossJoin(broadcast(thr))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"),
@@ -825,7 +841,14 @@ object TextOps {
                                * LN(CAST(LEN(list_filter(list_transform(generate_series(1, CAST(LENGTH(text) AS INT)), i -> text[i]), x -> x = ch)) AS DOUBLE)
                                     / LENGTH(text)))), 4) AS entropy
                 FROM documents WHERE LENGTH(text) > 0),
-              t AS (SELECT quantile_cont(entropy, 0.1) AS thr FROM e)
+              n AS (SELECT COUNT(*) AS n_total FROM e),
+              vc AS (SELECT entropy, COUNT(*) AS c FROM e GROUP BY entropy),
+              cc AS (SELECT entropy,
+                            SUM(c) OVER (ORDER BY entropy
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                     FROM vc),
+              t AS (SELECT MIN(entropy) AS thr
+                    FROM cc CROSS JOIN n WHERE cum >= FLOOR(0.1 * n_total))
               SELECT lang, COUNT(*) AS n,
                      SUM(CASE WHEN entropy < thr THEN 1 ELSE 0 END) AS n_dropped
               FROM e CROSS JOIN t

@@ -409,4 +409,32 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert((2L to 6L).forall(i => rs(1L) > rs(i)))
   }
+
+  test("pageRank: zero persisted-RDD delta and clique convergence exit") {
+    import spark.implicits._
+    // two disjoint cliques (the near-dup graph shape): uniform start IS
+    // the fixpoint, so the L1 delta at the first compare (i=6 vs i=3)
+    // is ~0 and the convergence exit fires well under the ceiling
+    val cliques = (
+      (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)) ++
+      (for { a <- 11L to 13L; b <- (a + 1) to 13L } yield (a, b))
+    ).toDF("d1", "d2")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val early = Dedup.pageRank(cliques, iters = 200).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"pageRank left persisted RDDs behind: $leaked")
+    assert(Dedup.lastPageRankIters < 10,
+      s"convergence exit did not fire: ran ${Dedup.lastPageRankIters} iters")
+    // early-exit ranks equal the fixed-budget result within tolerance
+    val fixed = Dedup.pageRank(cliques, iters = 10, tol = -1.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Dedup.lastPageRankIters == 10)
+    assert(early.keySet == fixed.keySet)
+    early.foreach { case (id, r) =>
+      assert(math.abs(r - fixed(id)) < 1e-9, s"node $id: $r vs ${fixed(id)}")
+    }
+    // the reliably-checkpointed result stays usable; mass conserved
+    assert(math.abs(early.values.sum - 1.0) < 1e-9)
+  }
 }
