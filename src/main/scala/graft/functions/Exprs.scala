@@ -453,6 +453,64 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bucket gradient perceptual hash of an opaque media payload — the
+  * 1-D analog of image dHash (resample to a fixed grid, hash the
+  * gradient signs): the byte stream is resampled into 64 equal-width
+  * buckets (bucket of byte i = i·64/len, integer floor), and bit j
+  * (j = 0..62) is set iff bucket j's mean byte value is strictly below
+  * bucket j+1's. Mean compares are integer cross-multiplies
+  * (sumA·cntB < sumB·cntA) — zero floating point, so ANY engine
+  * reproduces the hash bit-for-bit (the q131 oracle rebuilds it in SQL
+  * from hex(blob)). 63 bits keeps the value positive in signed-64
+  * engines; payloads shorter than 64 bytes hash to 0 (no bucket grid).
+  *
+  * Robustness contract (and its limit, measured on the test corpus):
+  * position-preserving value perturbations — the re-encode/noise/
+  * brightness class a real image aHash absorbs — move planted pairs to
+  * Hamming 0-1 while unrelated pairs sit near 31; content SHIFTS
+  * (insert/delete) scramble the grid, exactly as with pixel aHash,
+  * which is why text near-dup uses MinHash (q33/q71) instead.
+  */
+case class MediaPHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_media_phash"
+
+  def compute(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    if (len < 64) return 0L
+    val sum = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < len) {
+      val j = ((i.toLong * 64L) / len).toInt
+      sum(j) += (bytes(i) & 0xFF)
+      cnt(j) += 1
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 63) {
+      if (sum(j) * cnt(j + 1) < sum(j + 1) * cnt(j)) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mediaPhash", this,
+      classOf[MediaPHash64].getName)
+    nullSafeCodeGen(ctx, ev, b => s"${ev.value} = $ref.compute($b);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** BPE encode of one word against a trained merge table (see
   * graft.llm.TextOps.bpeTrain): start from code points + `</w>`, then
   * greedily fuse the adjacent pair with the LOWEST merge rank until no
@@ -876,6 +934,8 @@ object GraftExtensions {
     d("graft_simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es.head)),
     d("graft_char_entropy", classOf[CharEntropy],
       es => CharEntropy(es.head)),
+    d("graft_media_phash", classOf[MediaPHash64],
+      es => MediaPHash64(es.head)),
     d("graft_winnow_min", classOf[WinnowedMinima], { es =>
       // second arg must be a foldable int literal (the window size is
       // part of the expression)
@@ -1208,6 +1268,10 @@ object Fns {
   /** Character-level Shannon entropy (nats) of a string column. */
   def charEntropy(text: Column): Column =
     call_function("graft_char_entropy", text)
+
+  /** 64-bucket gradient perceptual hash of a binary media column. */
+  def mediaPhash(media: Column): Column =
+    call_function("graft_media_phash", media)
 
   /** Distinct sliding-window minima of an array<long> (winnowing). */
   def winnowedMinima(hashes: Column, w: Int): Column = {

