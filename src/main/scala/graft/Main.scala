@@ -313,6 +313,28 @@ object Main {
             s"(classifier_auc=$auc source_lang_nmi=$nmi " +
             s"max_source_js=$maxJs max_outlier_z=$maxZ)")
 
+        // the same pack plus the dedup reports (leakage, retention) from
+        // the PERSISTED pair/cluster tables: repeated reports are index
+        // reads — nothing re-derives the pair graph or re-runs CC
+        case "diagnose" :: sfDir :: outDir :: pairsTable :: clustersTable :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val src = graft.core.Tables.load(spark, sfDir, "documents")
+            .select(col("doc_id"), col("source"))
+          graft.llm.Dedup.crossSourceReport(
+              graft.llm.PairStore.bucketedPairs(spark, pairsTable), src)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/leakage_stored")
+          graft.llm.Dedup.retentionReport(
+              graft.llm.PairStore.storedClusters(spark, clustersTable), src)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/retention_stored")
+          val ret = spark.read.parquet(s"$outDir/retention_stored")
+          val minRet = ret.agg(org.apache.spark.sql.functions
+            .min(col("retention"))).head.getDouble(0)
+          val nLeak = spark.read.parquet(s"$outDir/leakage_stored").count()
+          println(s"diagnose(stored): leakage_stored + retention_stored -> " +
+            s"$outDir (cross_source_rows=$nLeak min_retention=$minRet)")
+
         // pretraining shape: chunk -> token-count -> shuffled shards
         case "prep" :: docsParquet :: outDir :: shards :: Nil =>
           val r = graft.llm.TextOps.prepCorpus(
@@ -374,7 +396,7 @@ object Main {
         |  classify train <docsParquet> <weightsDir> | classify score <docsParquet> <weightsDir>
         |  mix derive <docsParquet> <ratesDir> <budget> | mix apply <docsParquet> <ratesDir>
         |  pca train <vecsParquet> <componentDir> | pca project <vecsParquet> <componentDir>
-        |  diagnose <sfDir> <reportDir>
+        |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
         |  prep <docsParquet> <outDir> <shards>

@@ -744,6 +744,52 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Cross-source near-dup leakage report (q127's body) over ANY pair
+    * table — fresh (q127 derives the graph in-query for the oracle) or
+    * PERSISTED (`PairStore.bucketedPairs`: the d1 join key matches the
+    * stored bucket spec, so the stored side reads exchange-free and a
+    * repeated report never re-derives the graph — PairStoreSpec pins
+    * both). `src` is the slim (doc_id, source) corpus projection; the
+    * post-join exchange is pair-sized and the final aggregate carries
+    * |sources|² keys.
+    */
+  def crossSourceReport(pairsDf: DataFrame, src: DataFrame): DataFrame =
+    pairsDf
+      .join(src.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(src.as("sb"), col("d2") === col("sb.doc_id"))
+      .filter(col("sa.source") =!= col("sb.source"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("src1"),
+        greatest(col("sa.source"), col("sb.source")).as("src2"),
+        col("jaccard"))
+      .groupBy(col("src1"), col("src2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy(col("src1"), col("src2"))
+
+  /** Per-source dedup retention report (q128's body) over ANY (node,
+    * comp) cluster labeling — fresh CC (q128, oracle-checked) or the
+    * PERSISTED cluster table (`PairStore.storedClusters`: labels come
+    * off disk, node-bucketed, so repeated reports are index reads with
+    * an exchange-free stored side — PairStoreSpec pins stored == fresh).
+    * The labels are pair-graph-sized, so the left join against the slim
+    * corpus projection is corpus × small on doc_id.
+    */
+  def retentionReport(labels: DataFrame, src: DataFrame): DataFrame = {
+    val dropped = labels
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"), lit(1).as("is_dup"))
+    src
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4)
+          .as("retention"))
+      .orderBy(col("source"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Exact dedup via content hash (the 100 TB shape: groupBy on md5,
     // never a string-compare join).
@@ -1547,19 +1593,8 @@ object Dedup {
     Q("q127_cross_source_neardup",
       (s, d) => {
         val doc = docs(s, d)
-        val src = doc.select(col("doc_id"), col("source"))
-        hashJaccardPairs(doc, minJaccard = 0.6)
-          .join(src.as("sa"), col("d1") === col("sa.doc_id"))
-          .join(src.as("sb"), col("d2") === col("sb.doc_id"))
-          .filter(col("sa.source") =!= col("sb.source"))
-          .select(
-            least(col("sa.source"), col("sb.source")).as("src1"),
-            greatest(col("sa.source"), col("sb.source")).as("src2"),
-            col("jaccard"))
-          .groupBy(col("src1"), col("src2"))
-          .agg(count(lit(1)).as("n_pairs"),
-            round(avg(col("jaccard")), 4).as("avg_jaccard"))
-          .orderBy(col("src1"), col("src2"))
+        crossSourceReport(hashJaccardPairs(doc, minJaccard = 0.6),
+          doc.select(col("doc_id"), col("source")))
       },
       Some(s"""WITH tok AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
@@ -1610,19 +1645,9 @@ object Dedup {
     Q("q128_dedup_retention",
       (s, d) => {
         val doc = docs(s, d)
-        val dropped =
-          connectedComponents(hashJaccardPairs(doc, minJaccard = 0.6))
-            .filter(col("node") =!= col("comp"))
-            .select(col("node").as("doc_id"), lit(1).as("is_dup"))
-        doc.select(col("doc_id"), col("source"))
-          .join(dropped, Seq("doc_id"), "left")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"))
-          .select(col("source"), col("n_docs"), col("n_kept"),
-            round(col("n_kept").cast("double") / col("n_docs"), 4)
-              .as("retention"))
-          .orderBy(col("source"))
+        retentionReport(
+          connectedComponents(hashJaccardPairs(doc, minJaccard = 0.6)),
+          doc.select(col("doc_id"), col("source")))
       },
       Some(dedupGroupsOraclePrefix + """,
               comp AS (

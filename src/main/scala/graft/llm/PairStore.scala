@@ -68,6 +68,29 @@ object PairStore {
   def clustersBucketed(spark: SparkSession, table: String): DataFrame =
     Dedup.connectedComponents(bucketedPairs(spark, table))
 
+  /** Persist the (node, comp) cluster labeling derived from the bucketed
+    * pair table as its own node-bucketed catalog table — run CC ONCE,
+    * then every cluster-consuming report (retention, best-of-cluster,
+    * mixture design) is an index read: node-keyed joins against the
+    * stored labels plan with no exchange on the stored side, and nothing
+    * re-derives the pair graph (PairStoreSpec pins stored == fresh and
+    * the exchange-free plan).
+    */
+  def saveClustersBucketed(spark: SparkSession, pairsTable: String,
+      clustersTable: String, dir: Option[String] = None,
+      buckets: Int = NumBuckets): Unit = {
+    val w = clustersBucketed(spark, pairsTable)
+      .write.mode("overwrite")
+      .option("compression", Writers.DefaultCompression)
+      .bucketBy(buckets, "node").sortBy("node")
+      .format("parquet")
+    dir.fold(w)(p => w.option("path", p)).saveAsTable(clustersTable)
+  }
+
+  /** The stored cluster labeling [[saveClustersBucketed]] wrote. */
+  def storedClusters(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Append a new batch's pairs: intra-batch exact pairs (the capped
     * inverted-index route, same semantics as [[build]]) plus cross
     * batch-vs-corpus pairs — LSH candidates from probing `corpusBands`

@@ -203,4 +203,74 @@ class PairStoreSpec extends AnyFunSuite with TestSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(compacted == after)
   }
+
+  test("stored-route leakage/retention reports == fresh, exchange-free stored side") {
+    val tmp = Files.createTempDirectory("graft-pairs-rep").toString
+    val (_, docsNoSrc) = corpus
+    // a skewed source split so the reports are non-trivial: the planted
+    // near-dup twins land in a DIFFERENT source than their base docs
+    val docs = docsNoSrc.withColumn("source",
+      when(col("doc_id") >= 100L, lit("crawl2"))
+        .otherwise(concat(lit("crawl"), (col("doc_id") % 2).cast("string"))))
+    val src = docs.select(col("doc_id"), col("source"))
+    PairStore.buildBucketed(docs, "pairs_rep", minJaccard = 0.6,
+      dir = Some(s"$tmp/pairs_rep"))
+    try {
+      PairStore.saveClustersBucketed(spark, "pairs_rep", "clusters_rep",
+        dir = Some(s"$tmp/clusters_rep"))
+      // stored == fresh, both reports
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toList
+      val leakStored = Dedup.crossSourceReport(
+        PairStore.bucketedPairs(spark, "pairs_rep"), src)
+      val leakFresh = Dedup.crossSourceReport(
+        Dedup.hashJaccardPairs(docs, 0.6), src)
+      assert(rows(leakStored) == rows(leakFresh))
+      assert(leakStored.count() > 0, "leakage report is vacuous")
+      val retStored = Dedup.retentionReport(
+        PairStore.storedClusters(spark, "clusters_rep"), src)
+      val retFresh = Dedup.retentionReport(
+        Dedup.connectedComponents(Dedup.hashJaccardPairs(docs, 0.6)), src)
+      assert(rows(retStored) == rows(retFresh))
+      // crawl2 holds only the 5 planted dups -> retention 0 there
+      val ret = retStored.collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(ret("crawl2") == 0.0, s"$ret")
+      // plan pin: the STORED side never re-shuffles — the d1 join key
+      // matches the pair table's bucket spec and the node filter/join
+      // matches the cluster table's, so both plans read "Bucketed: true"
+      // and place no Exchange above the stored scans (counted: every
+      // hash exchange in the plan belongs to the corpus projection or
+      // the pair-sized mid-join/aggregate, never the bucketed relation)
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val leakPlan = Dedup.crossSourceReport(
+            PairStore.bucketedPairs(spark, "pairs_rep"), src)
+          .queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(leakPlan.contains("Bucketed: true"),
+          s"stored pair scan not bucketed:\n$leakPlan")
+        val retPlan = Dedup.retentionReport(
+            PairStore.storedClusters(spark, "clusters_rep"), src)
+          .queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(retPlan.contains("Bucketed: true"),
+          s"stored cluster scan not bucketed:\n$retPlan")
+        // the retention join keys on doc_id=node: stored side satisfies
+        // the distribution from its buckets, so the plan has exactly two
+        // hash exchanges — the corpus projection into the join and the
+        // final |sources|-key aggregate — and NONE over the stored scan
+        val retEx = "Exchange hashpartitioning".r
+          .findAllIn(retPlan).length
+        assert(retEx == 2,
+          s"expected 2 exchanges (corpus side + final agg), got $retEx:\n$retPlan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairs_rep")
+      spark.sql("DROP TABLE IF EXISTS clusters_rep")
+    }
+  }
 }
