@@ -461,8 +461,11 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   * bucket j+1's. Mean compares are integer cross-multiplies
   * (sumA·cntB < sumB·cntA) — zero floating point, so ANY engine
   * reproduces the hash bit-for-bit (the q131 oracle rebuilds it in SQL
-  * from hex(blob)). 63 bits keeps the value positive in signed-64
-  * engines; payloads shorter than 64 bytes hash to 0 (no bucket grid).
+  * from hex(blob)). With the default 64-bucket grid the 63 bits keep
+  * the value positive in signed-64 engines; payloads shorter than the
+  * grid hash to 0. The grid is a literal parameter (2..64) so FRAME
+  * segments — short byte ranges of a clip payload — hash on a coarser
+  * grid (q132 uses 16 buckets → 15 bits per frame).
   *
   * Robustness contract (and its limit, measured on the test corpus):
   * position-preserving value perturbations — the re-encode/noise/
@@ -471,7 +474,11 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   * (insert/delete) scramble the grid, exactly as with pixel aHash,
   * which is why text near-dup uses MinHash (q33/q71) instead.
   */
-case class MediaPHash64(child: Expression) extends UnaryExpression {
+case class MediaPHash64(child: Expression, buckets: Int = 64)
+    extends UnaryExpression {
+
+  require(buckets >= 2 && buckets <= 64,
+    s"graft_media_phash bucket grid must be in [2, 64], got $buckets")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -479,19 +486,20 @@ case class MediaPHash64(child: Expression) extends UnaryExpression {
 
   def compute(bytes: Array[Byte]): Long = {
     val len = bytes.length
-    if (len < 64) return 0L
-    val sum = new Array[Long](64)
-    val cnt = new Array[Long](64)
+    val g = buckets
+    if (len < g) return 0L
+    val sum = new Array[Long](g)
+    val cnt = new Array[Long](g)
     var i = 0
     while (i < len) {
-      val j = ((i.toLong * 64L) / len).toInt
+      val j = ((i.toLong * g) / len).toInt
       sum(j) += (bytes(i) & 0xFF)
       cnt(j) += 1
       i += 1
     }
     var sig = 0L
     var j = 0
-    while (j < 63) {
+    while (j < g - 1) {
       if (sum(j) * cnt(j + 1) < sum(j + 1) * cnt(j)) sig |= (1L << j)
       j += 1
     }
@@ -934,8 +942,16 @@ object GraftExtensions {
     d("graft_simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es.head)),
     d("graft_char_entropy", classOf[CharEntropy],
       es => CharEntropy(es.head)),
-    d("graft_media_phash", classOf[MediaPHash64],
-      es => MediaPHash64(es.head)),
+    d("graft_media_phash", classOf[MediaPHash64], { es =>
+      // optional second arg: a literal bucket-grid size (part of the
+      // expression, like graft_winnow_min's window)
+      if (es.length < 2) MediaPHash64(es.head)
+      else {
+        require(es(1).foldable,
+          "graft_media_phash expects a literal bucket count")
+        MediaPHash64(es.head, es(1).eval().asInstanceOf[Int])
+      }
+    }),
     d("graft_winnow_min", classOf[WinnowedMinima], { es =>
       // second arg must be a foldable int literal (the window size is
       // part of the expression)
@@ -1272,6 +1288,12 @@ object Fns {
   /** 64-bucket gradient perceptual hash of a binary media column. */
   def mediaPhash(media: Column): Column =
     call_function("graft_media_phash", media)
+
+  /** Gradient perceptual hash on an explicit bucket grid (2..64) —
+    * coarser grids for short payloads such as frame segments. */
+  def mediaPhash(media: Column, buckets: Int): Column =
+    call_function("graft_media_phash", media,
+      org.apache.spark.sql.functions.lit(buckets))
 
   /** Distinct sliding-window minima of an array<long> (winnowing). */
   def winnowedMinima(hashes: Column, w: Int): Column = {

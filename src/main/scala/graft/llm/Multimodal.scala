@@ -137,6 +137,66 @@ object Multimodal {
             translate(col("text"), "aeiou", "bfjpv").cast("binary")
               .as("media")))
 
+  /** Per-FRAME perceptual hashes of a clip payload: the byte stream is
+    * cut into `n_frames` equal ranges (the q38 metadata convention:
+    * n_frames = octet_length % 16) with the same integer-floor resample
+    * rule as the bucket grid, and each range hashes on a coarse
+    * 16-bucket grid (15 bits — frame segments are short). The frame cut
+    * and the hash are both pure integer arithmetic, so the oracle
+    * replays every frame hash from hex(blob). Map-side: one posexplode
+    * per clip row, hashes leave the scan as (doc_id, f, fhash).
+    */
+  val FrameGrid = 16
+
+  def frameHashes(media: DataFrame, grid: Int = FrameGrid): DataFrame =
+    media
+      .select(col("doc_id"), col("media"),
+        octet_length(col("media")).cast("long").as("len"),
+        (octet_length(col("media")) % 16).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("media"), col("len"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1)).as("f"))
+      .withColumn("fs", floor(col("f") * col("len") / col("n")).cast("long"))
+      .withColumn("fe",
+        floor((col("f") + 1) * col("len") / col("n")).cast("long"))
+      .select(col("doc_id"), col("f"),
+        Fns.mediaPhash(
+          expr("substring(media, CAST(fs + 1 AS INT), CAST(fe - fs AS INT))"),
+          grid).as("fhash"))
+
+  /** Clip-level near-dup pairs from frame-hash multiset overlap — the
+    * video-dedup analog of q131: two clips are near-dups when at least
+    * `minSim` of the larger clip's (non-degenerate) frame hashes match,
+    * counted with multiset semantics (min of the two multiplicities per
+    * hash). The join is the inverted-index shape on the 15-bit frame
+    * hash: only (doc_id, fhash, count) rows shuffle — never payloads —
+    * and per-pair work is bounded by frames-per-clip. Frames shorter
+    * than the grid hash to 0 and are excluded as matchless.
+    */
+  def clipSimilarityPairs(media: DataFrame, minSim: Double,
+      grid: Int = FrameGrid): DataFrame = {
+    val hc = frameHashes(media, grid)
+      .filter(col("fhash") =!= 0L)
+      .groupBy(col("doc_id"), col("fhash")).agg(count(lit(1)).as("c"))
+    val nf = hc.groupBy(col("doc_id")).agg(sum(col("c")).as("nf"))
+    val a = hc.select(col("doc_id").as("d1"), col("fhash"), col("c").as("ca"))
+    val b = hc.select(col("doc_id").as("d2"), col("fhash"), col("c").as("cb"))
+    a.join(b, Seq("fhash"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(least(col("ca"), col("cb"))).as("inter"))
+      .join(nf.select(col("doc_id").as("d1"), col("nf").as("na")), Seq("d1"))
+      .join(nf.select(col("doc_id").as("d2"), col("nf").as("nb")), Seq("d2"))
+      // threshold on the UNROUNDED ratio (integer-exact at the 0.5
+      // boundary: p/q >= 0.5 iff 2p >= q), round only for output
+      .filter(col("inter").cast("double")
+        / greatest(col("na"), col("nb")) >= minSim)
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double")
+          / greatest(col("na"), col("nb")), 4).as("sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Shared oracle CTE: rebuild the gradient perceptual hash in SQL from
     * hex(blob) — byte i = '0x'||substr(hex, 2i+1, 2), bucket = i·64/len
     * integer division, mean compares as integer cross-multiplies. The
@@ -259,6 +319,64 @@ object Multimodal {
             OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
             OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
           AND bit_count(xor(a.phash, b.phash)) <= 6
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // CLIP-level near-dup discovery (the video-dedup analog): per-frame
+    // 16-bucket perceptual hashes, clips paired by frame-hash multiset
+    // overlap >= 0.5 of the larger clip. Same plant as q131 — the
+    // value-perturbed twin preserves length, hence frame boundaries, so
+    // most of its frame hashes survive; measured at sf0.01: 22 of the
+    // 25 plants recovered (the rest sit under the threshold — tiny
+    // frames flip more gradient bits), 1 genuine non-plant discovery,
+    // all fully hash-checked since the oracle replays every frame cut
+    // and hash bit from hex(blob).
+    Q("q132_clip_neardup",
+      (s, d) =>
+        clipSimilarityPairs(
+          mediaWithPlantedNearDups(Tables.load(s, d, "documents")),
+          minSim = 0.5),
+      Some("""WITH base AS (
+                SELECT doc_id, encode(text) AS b FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       encode(translate(text, 'aeiou', 'bfjpv')) AS b
+                FROM documents WHERE doc_id % 20 = 0),
+              h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS len,
+                           octet_length(b) % 16 AS n FROM base),
+              fr AS (SELECT doc_id, f,
+                            (f * len) // n AS fs, ((f+1) * len) // n AS fe
+                     FROM h, UNNEST(generate_series(0, n-1)) AS g(f)
+                     WHERE n > 0),
+              byv AS (SELECT doc_id, f, i,
+                             CAST('0x' || substr(hx, 2*(fs+i)+1, 2) AS BIGINT) AS v,
+                             CAST((i * 16) // (fe - fs) AS INT) AS j
+                      FROM fr JOIN h USING (doc_id),
+                           UNNEST(generate_series(0, fe-fs-1)) AS g(i)
+                      WHERE fe - fs >= 16),
+              bk AS (SELECT doc_id, f, j, SUM(v) AS s, COUNT(*) AS c
+                     FROM byv GROUP BY 1, 2, 3),
+              bits AS (SELECT a.doc_id, a.f, a.j AS jb,
+                              CASE WHEN a.s * b.c < b.s * a.c
+                                   THEN 1 ELSE 0 END AS bit
+                       FROM bk a JOIN bk b
+                         ON a.doc_id = b.doc_id AND a.f = b.f
+                        AND b.j = a.j + 1),
+              fh AS (SELECT doc_id, f,
+                            CAST(SUM(bit * (CAST(1 AS BIGINT) << jb)) AS BIGINT) AS fhash
+                     FROM bits GROUP BY 1, 2),
+              hc AS (SELECT doc_id, fhash, COUNT(*) AS c
+                     FROM fh WHERE fhash <> 0 GROUP BY 1, 2),
+              nf AS (SELECT doc_id, SUM(c) AS nf FROM hc GROUP BY 1),
+              ov AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                            SUM(LEAST(a.c, b.c)) AS inter
+                     FROM hc a JOIN hc b
+                       ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+              SELECT d1, d2,
+                     ROUND(CAST(inter AS DOUBLE) / GREATEST(na.nf, nb.nf), 4) AS sim
+              FROM ov JOIN nf na ON na.doc_id = d1
+                      JOIN nf nb ON nb.doc_id = d2
+              WHERE CAST(inter AS DOUBLE) / GREATEST(na.nf, nb.nf) >= 0.5
+              ORDER BY d1, d2"""))
   )
 }

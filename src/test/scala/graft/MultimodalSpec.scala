@@ -110,4 +110,37 @@ class MultimodalSpec extends AnyFunSuite with TestSpark {
       .select(md5(col("media"))).collect().map(_.getString(0)).toSet
     assert(md5s.size == 2, "plant must differ byte-wise from its base")
   }
+
+  test("clip similarity: frame-hash overlap pairs re-encoded clips, not strangers") {
+    // deterministic 330-byte "clips": n_frames = 330 % 16 = 10, frames
+    // of 33 bytes on the 16-bucket grid. Clip 2 is clip 1 re-encoded
+    // (every 13th byte value-shifted +1); clip 3 is unrelated (reversed
+    // pattern); clip 4 has n_frames = 0 (320 % 16) and must not appear.
+    val base = Array.tabulate[Byte](330)(i => ((i * 7) % 251).toByte)
+    val twin = base.clone()
+    for (i <- twin.indices by 13)
+      twin(i) = ((twin(i) + 1) & 0xFF).toByte
+    val other = base.reverse
+    val noFrames = Array.tabulate[Byte](320)(i => ((i * 11) % 241).toByte)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, base), Row(2L, twin), Row(3L, other), Row(4L, noFrames)), 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType))))
+    val pairs = Multimodal.clipSimilarityPairs(media, minSim = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"re-encoded clip twin not paired: $pairs")
+    assert(pairs((1L, 2L)) >= 0.5 && pairs((1L, 2L)) <= 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated clip paired: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "clip with zero frames must be excluded")
+    // frame hashes themselves: identical clips -> identical multiset;
+    // the twin shares most but not all frames with the base
+    val fhBase = Multimodal.frameHashes(
+        media.filter(col("doc_id") === 1L)).collect()
+      .map(r => r.getLong(2)).sorted.toList
+    assert(fhBase.count(_ != 0L) == 10, s"expected 10 live frames: $fhBase")
+  }
 }
