@@ -655,6 +655,79 @@ object Similarity {
                        c.vec_id
               LIMIT 10""")),
 
+    // IVF recall-vs-nprobe tuning report: for probe widths 1/2/4/8 over
+    // the 16-cell trained codebook, recall@10 of the IVF probe against
+    // exact brute force for query vector 0 — the measurement that picks
+    // the nprobe knob before an index goes live. Persisted-codebook
+    // oracle (q82's pattern): DuckDB reads the same parquet bits and
+    // replays assignment, probe ranking, exact baseline, and the
+    // per-width candidate top-10, so every recall number value-pins.
+    Q("q133_ivf_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = IvfStore.train(e, iters = 3, sampleFraction = 0.5)
+        cb.write.mode("overwrite").parquet(Q133CodebookDir)
+        val stored = s.read.parquet(Q133CodebookDir)
+          .select(col("cell"), col("cv"))
+        ivfRecallReport(stored, e, queryVecId = 0L, k = 10,
+          probeWidths = Seq(1, 2, 4, 8))
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT cell, cv
+                     FROM read_parquet('$Q133CodebookDir/*.parquet')),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              qrank AS (
+                SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS pr
+                FROM scored WHERE vec_id = 0),
+              q AS (SELECT a AS qa FROM v WHERE vec_id = 0),
+              exact AS (
+                SELECT v.vec_id FROM v CROSS JOIN q
+                WHERE v.vec_id <> 0
+                ORDER BY list_sum(list_transform(generate_series(1, LEN(v.a)),
+                           i -> v.a[i] * q.qa[i]))
+                         / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                          * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) DESC,
+                         v.vec_id
+                LIMIT 10),
+              probes AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe),
+              cand AS (
+                SELECT p.nprobe, c.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.nprobe
+                         ORDER BY list_sum(list_transform(generate_series(1, LEN(v.a)),
+                                    i -> v.a[i] * q.qa[i]))
+                                  / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                                   * SQRT(list_sum(list_transform(q.qa, x -> x*x)))) DESC,
+                                  c.vec_id) AS rk
+                FROM probes p
+                JOIN qrank r ON r.pr <= p.nprobe
+                JOIN corpus c ON c.cell = r.cell
+                JOIN v ON v.vec_id = c.vec_id
+                CROSS JOIN q
+                WHERE c.vec_id <> 0),
+              hits AS (
+                SELECT nprobe, COUNT(*) AS n
+                FROM cand JOIN exact USING (vec_id)
+                WHERE rk <= 10 GROUP BY nprobe)
+              SELECT p.nprobe,
+                     CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+                     ROUND(COALESCE(h.n, 0) / 10.0, 4) AS recall
+              FROM probes p LEFT JOIN hits h USING (nprobe)
+              ORDER BY p.nprobe""")),
+
     // SemDeDup-style SEMANTIC dedup: trained-centroid clusters bound
     // the pair space (cells ~ sqrt(corpus) caps each cluster's
     // quadratic), within-cluster cosine >= 0.35 pairs feed connected
@@ -1104,6 +1177,7 @@ object Similarity {
     * oracle SQL is a fixed string dumped at Verify time.
     */
   val Q82CodebookDir = "/tmp/graft_q82_codebook"
+  val Q133CodebookDir = "/tmp/graft_q133_codebook"
   val Q93CodebookDir = "/tmp/graft_q93_codebook"
   val Q124CodebookDir = "/tmp/graft_q124_codebook"
   val Q125CodebookDir = "/tmp/graft_q125_codebook"
@@ -1293,6 +1367,73 @@ object Similarity {
       .select(col("vec_id"), col("v"),
         explode(slice(sort_array(scored), 1, probes)).as("sc"))
       .select(col("vec_id"), col("v"), col("sc.cell").as("cell"))
+  }
+
+  /** [[ivfAssign]] keeping the PROBE RANK of each assigned cell (pr = 1
+    * is the nearest centroid) — the recall/nprobe report needs to grow
+    * the probe set incrementally, and rank-filtering one ranked
+    * assignment replaces re-assigning per probe width.
+    */
+  def ivfAssignRanked(codebook: DataFrame, rows: DataFrame,
+      probes: Int): DataFrame = {
+    val cb = codebook
+      .select(struct(col("cell"), col("cv")).as("c"))
+      .agg(collect_list(col("c")).as("cb"))
+    val scored = transform(col("cb"), c =>
+      struct((-cosine(col("v"), c.getField("cv"))).as("negsim"),
+        c.getField("cell").as("cell")))
+    rows.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"),
+        posexplode(slice(sort_array(scored), 1, probes))
+          .as(Seq("pr0", "sc")))
+      .select(col("vec_id"), col("v"), (col("pr0") + 1).as("pr"),
+        col("sc.cell").as("cell"))
+  }
+
+  /** Recall@k of the IVF probe vs exact brute force, per probe width —
+    * THE tuning report for an IVF deployment: nprobe is the one knob
+    * trading cost (probed-cell population scanned per query) against
+    * recall, and picking it by measurement on the real corpus is what a
+    * 100 TB operator does before wiring the index into retrieval. One
+    * ranked query-side assignment (probe order = centroid rank) serves
+    * every width by rank-filtering; the corpus assignment (probes = 1)
+    * is computed once and reused across widths; each width costs one
+    * broadcast-cell join + TakeOrdered(k). At production scale the
+    * exact baseline runs over a fixed query SAMPLE — recall estimation
+    * never needs every query — and the per-width branches share the
+    * persisted assignment exactly as here.
+    */
+  def ivfRecallReport(codebook: DataFrame, vectors: DataFrame,
+      queryVecId: Long, k: Int, probeWidths: Seq[Int]): DataFrame = {
+    val vecs = vectors.repartition(col("vec_id")).select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val qv = vecs.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"))
+    val sim = cosine(col("v"), col("qv"))
+    val exact = vecs.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), sim.as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+    val corpus = ivfAssign(codebook, vecs, probes = 1)
+    val qCells = ivfAssignRanked(codebook,
+        vecs.filter(col("vec_id") === queryVecId), probeWidths.max)
+      .select(col("v").as("qv"), col("cell"), col("pr"))
+    probeWidths.sorted.map { np =>
+      val cand = corpus
+        .filter(col("vec_id") =!= queryVecId)
+        .join(broadcast(qCells.filter(col("pr") <= np)
+          .select(col("qv"), col("cell"))), Seq("cell"))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim_raw"))
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"))
+      cand.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 4).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
   /** IVF ANN: candidates live in the query's IvfProbes nearest cells;

@@ -387,4 +387,20 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(degs == degs.sorted.reverse)
     assert(out.map(_._1).toSet.subsetOf((0L until 60L).toSet))
   }
+
+  test("ivf recall report: recall monotone in nprobe, full probe is exact") {
+    val cb = graft.llm.IvfStore.train(vectors, k = 8, iters = 3)
+    val rep = Similarity.ivfRecallReport(cb, vectors, queryVecId = 1L,
+        k = 5, probeWidths = Seq(1, 2, 4, 8)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rep.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // recall in [0,1], non-decreasing as the probe set grows
+    val recalls = rep.map(_._3).toSeq
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0), s"$recalls")
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    // probing EVERY cell scans the whole corpus -> IVF == brute force
+    assert(recalls.last == 1.0, s"full probe must be exact: $recalls")
+    // n_hits consistent with recall at k = 5
+    rep.foreach { case (_, n, r) => assert(r == n / 5.0) }
+  }
 }
