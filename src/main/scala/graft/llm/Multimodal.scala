@@ -197,6 +197,57 @@ object Multimodal {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** [[clipSimilarityPairs]] with EXACT-payload precollapse — the scale
+    * path (q86's shape, for media): group payloads by content md5, run
+    * the frame-hash join over one representative per group, then expand
+    * group members back into pairs (cross-group pairs inherit the rep
+    * similarity; within-group members are byte-identical, similarity
+    * exactly 1.0, emitted only when the clip has >= 1 live frame —
+    * matching the direct form, where frameless clips never join).
+    * Rationale, measured at the 10x clone-heavy rehearsal: the direct
+    * form pays Σ(group size)² inside the frame-hash join for every
+    * exact-duplicate payload group (31.0 s, 433 MB shuffle, 1.07 GB
+    * peak task memory at 10x); collapsing first removes the clone
+    * factor from the join entirely and reconstructs the same answer
+    * with one md5 aggregate + two member joins. Same output contract —
+    * MultimodalSpec pins equality and q134 runs under q132's oracle
+    * verbatim (the q74/q56 convention).
+    */
+  def clipSimilarityPairsPrecollapsed(media: DataFrame, minSim: Double,
+      grid: Int = FrameGrid): DataFrame = {
+    val keyed = media.select(col("doc_id"), col("media"),
+      md5(col("media")).as("mk"))
+    val reps = keyed.groupBy(col("mk")).agg(min(col("doc_id")).as("rep_id"))
+    val members = keyed.select(col("mk"), col("doc_id"))
+    val repMedia = keyed.join(reps, Seq("mk"))
+      .filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("media"), col("mk"))
+    val rp = clipSimilarityPairs(
+      repMedia.select(col("doc_id"), col("media")), minSim, grid)
+    // groups whose clip has at least one live (non-degenerate) frame
+    val live = frameHashes(repMedia.select(col("doc_id"), col("media")), grid)
+      .filter(col("fhash") =!= 0L)
+      .select(col("doc_id")).distinct()
+      .join(repMedia.select(col("doc_id"), col("mk")), Seq("doc_id"))
+      .select(col("mk"))
+    val mkOf = repMedia.select(col("doc_id").as("rid"), col("mk"))
+    // cross-group expansion: every member pair across the two groups
+    val cross = rp
+      .join(mkOf.select(col("rid").as("d1"), col("mk").as("mk1")), Seq("d1"))
+      .join(mkOf.select(col("rid").as("d2"), col("mk").as("mk2")), Seq("d2"))
+      .join(members.select(col("mk").as("mk1"), col("doc_id").as("a")), Seq("mk1"))
+      .join(members.select(col("mk").as("mk2"), col("doc_id").as("b")), Seq("mk2"))
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("sim"))
+    // within-group expansion: byte-identical members pair at sim 1.0
+    val within = members.join(live, Seq("mk"))
+      .select(col("mk"), col("doc_id").as("a"))
+      .join(members.select(col("mk"), col("doc_id").as("b")), Seq("mk"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("d1"), col("b").as("d2"), lit(1.0).as("sim"))
+    cross.unionByName(within).orderBy(col("d1"), col("d2"))
+  }
+
   /** Shared oracle CTE: rebuild the gradient perceptual hash in SQL from
     * hex(blob) — byte i = '0x'||substr(hex, 2i+1, 2), bucket = i·64/len
     * integer division, mean compares as integer cross-multiplies. The
@@ -335,7 +386,25 @@ object Multimodal {
         clipSimilarityPairs(
           mediaWithPlantedNearDups(Tables.load(s, d, "documents")),
           minSim = 0.5),
-      Some("""WITH base AS (
+      Some(clipNeardupOracle)),
+
+    // The SAME clip near-dup answer through exact-payload precollapse —
+    // the scale path (q86's fix, for media): the 10x clone rehearsal
+    // measured the direct form at 31.0 s / 433 MB shuffle / 1.07 GB
+    // peak task memory (Σ group² inside the frame-hash join); the
+    // precollapsed form removes the clone factor before the join and
+    // reconstructs members afterwards. Runs under q132's oracle
+    // VERBATIM (the q74/q56 convention: one contract, two plans, both
+    // value-hash-checked).
+    Q("q134_clip_neardup_precollapse",
+      (s, d) =>
+        clipSimilarityPairsPrecollapsed(
+          mediaWithPlantedNearDups(Tables.load(s, d, "documents")),
+          minSim = 0.5),
+      Some(clipNeardupOracle))
+  )
+
+  private val clipNeardupOracle: String = """WITH base AS (
                 SELECT doc_id, encode(text) AS b FROM documents
                 UNION ALL
                 SELECT doc_id + 1000000 AS doc_id,
@@ -377,6 +446,5 @@ object Multimodal {
               FROM ov JOIN nf na ON na.doc_id = d1
                       JOIN nf nb ON nb.doc_id = d2
               WHERE CAST(inter AS DOUBLE) / GREATEST(na.nf, nb.nf) >= 0.5
-              ORDER BY d1, d2"""))
-  )
+              ORDER BY d1, d2"""
 }

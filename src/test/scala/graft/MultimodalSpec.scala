@@ -143,4 +143,36 @@ class MultimodalSpec extends AnyFunSuite with TestSpark {
       .map(r => r.getLong(2)).sorted.toList
     assert(fhBase.count(_ != 0L) == 10, s"expected 10 live frames: $fhBase")
   }
+
+  test("clip precollapse == direct on a clone-heavy corpus") {
+    // exact clones are where the two plans diverge in COST; the answer
+    // must be identical: clones of base/twin at ids 5/6, a frameless
+    // clip (4) and its clone (7) that must appear in NO pair
+    val base = Array.tabulate[Byte](330)(i => ((i * 7) % 251).toByte)
+    val twin = base.clone()
+    for (i <- twin.indices by 13)
+      twin(i) = ((twin(i) + 1) & 0xFF).toByte
+    val other = base.reverse
+    val noFrames = Array.tabulate[Byte](320)(i => ((i * 11) % 241).toByte)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, base), Row(2L, twin), Row(3L, other), Row(4L, noFrames),
+        Row(5L, base.clone()), Row(6L, twin.clone()),
+        Row(7L, noFrames.clone())), 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = rows(Multimodal.clipSimilarityPairs(media, minSim = 0.5))
+    val pre = rows(Multimodal.clipSimilarityPairsPrecollapsed(media, minSim = 0.5))
+    assert(pre == direct, s"precollapse drifted:\n  direct=$direct\n  pre=$pre")
+    // clone pairs present at exactly 1.0; frameless clones absent
+    assert(direct.contains((1L, 5L, 1.0)) && direct.contains((2L, 6L, 1.0)))
+    assert(!direct.exists(p => Set(p._1, p._2).intersect(Set(4L, 7L)).nonEmpty))
+    // cross pairs expand to every member combination with the rep sim
+    val s12 = direct.find(p => p._1 == 1L && p._2 == 2L).get._3
+    Seq((1L, 6L), (2L, 5L), (5L, 6L)).foreach { case (a, b) =>
+      assert(direct.contains((a, b, s12)), s"missing expanded pair ($a,$b)")
+    }
+  }
 }
