@@ -102,12 +102,43 @@ object Multimodal {
     * and certify with bit_count(xor). At 100 TB the payloads stay in
     * their parquet row groups; only 16-byte (id, sig) rows shuffle.
     */
+  /** Banded perceptual-hash signature rows (doc_id, phash, band, chunk)
+    * — the probe/index unit: 4×16-bit chunks of the payload hash, the
+    * exact layout [[phashPairs]] self-joins and the streaming media
+    * index persists (one near-identical-payload candidate = one shared
+    * (band, chunk) key). Degenerate hashes (payload under the grid) are
+    * excluded — they can never certify.
+    */
+  def phashBands(media: DataFrame): DataFrame =
+    perceptualHash(media).filter(col("phash") =!= 0L)
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("band", "chunk")))
+
+  /** Cross-batch media near-dup candidates: a NEW batch's banded
+    * signatures probe a persisted corpus band index (the
+    * `Dedup.incrementalCandidatesFromBands` shape for the media
+    * modality) — one (band, chunk) equi-join, certification by
+    * bit_count on the signatures already riding the rows; the corpus is
+    * never re-hashed, per-batch cost is the batch's own bands.
+    */
+  def incrementalPhashCandidates(newBands: DataFrame, corpusBands: DataFrame,
+      maxHamming: Int): DataFrame =
+    newBands
+      .select(col("doc_id").as("d_new"), col("phash").as("p_new"),
+        col("band"), col("chunk"))
+      .join(corpusBands.select(col("doc_id").as("d_old"),
+        col("phash").as("p_old"), col("band"), col("chunk")),
+        Seq("band", "chunk"))
+      .filter(col("d_new") =!= col("d_old"))
+      .select(col("d_new"), col("d_old"),
+        bit_count(col("p_new").bitwiseXOR(col("p_old"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+
   def phashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
-    val ph = perceptualHash(media).filter(col("phash") =!= 0L)
-    val banded = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("phash"), b * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("band", "chunk")))
+    val banded = phashBands(media)
     val a = banded.select(col("doc_id").as("d1"), col("phash").as("p1"),
       col("band"), col("chunk"))
     val c = banded.select(col("doc_id").as("d2"), col("phash").as("p2"),

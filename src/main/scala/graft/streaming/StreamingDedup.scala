@@ -66,6 +66,59 @@ object StreamingDedup {
       .start()
   }
 
+  /** Always-on CONTENT-LEVEL MEDIA dedup — [[start]]'s shape for the
+    * binary modality: every micro-batch of media rows is perceptual-
+    * hashed and chunk-banded ONCE (map-side,
+    * [[graft.llm.Multimodal.phashBands]]), probes the persisted corpus
+    * band index with the (band, chunk) equi-join for near-identical
+    * payloads against everything ingested before (certified by Hamming
+    * distance on the signatures riding the rows — the payload bytes
+    * never leave their batch), then appends its own bands to the index.
+    * Candidates (d_new, d_old, hamming) land under `outDir/candidates`.
+    * Media arrives base64-encoded in the landing JSON (`media_b64`) —
+    * JSON carries no raw bytes; a parquet/binary landing feed plugs in
+    * by swapping the decode projection.
+    */
+  def startMedia(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexDir: String,
+      outDir: String,
+      maxHamming: Int = 6,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, unbase64}
+    import graft.llm.Multimodal
+    val stream = spark.readStream
+      .schema(schema)
+      .json(landingDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = new Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasIndex = fs.exists(new Path(indexDir))
+        // bands computed ONCE per batch, reused for probe + append
+        val batchBands = Multimodal.phashBands(
+            batch.select(col("doc_id"),
+              unbase64(col("media_b64")).as("media")))
+          .localCheckpoint(true)
+        if (hasIndex) {
+          val corpus = spark.read.parquet(indexDir)
+          Multimodal.incrementalPhashCandidates(batchBands, corpus, maxHamming)
+            .write.mode("append")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$outDir/candidates")
+        }
+        batchBands.write.mode("append")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(indexDir)
+      }
+      .start()
+  }
+
   /** Always-on EXACT dedup — the stage SCALE.md's rehearsal proved must
     * run BEFORE any near-dup banding (clone groups cost Ω(m²) in the
     * banded joins): each micro-batch keeps one representative per

@@ -95,4 +95,45 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     assert(fps.length == fps.distinct.length && fps.length == 4,
       s"seen-set fps: ${fps.toSeq}")
   }
+
+  test("streaming media dedup: re-encoded payload found across batches, index grows by batch") {
+    val landing = Files.createTempDirectory("smedia-land").toString
+    val index = Files.createTempDirectory("smedia-idx").toString + "/bands"
+    val out = Files.createTempDirectory("smedia-out").toString
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media_b64", StringType)))
+
+    def b64(bytes: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    def writeBatch(name: String, docs: Seq[(Long, Array[Byte])]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, b) => s"""{"doc_id":$i,"media_b64":"${b64(b)}"}""" }
+          .mkString("\n").getBytes)
+
+    // batch 1: three distinct 200-byte payloads + one 30-byte degenerate
+    def payload(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](200)(i => ((i * seed + seed) % 251).toByte)
+    writeBatch("m1.json", Seq(
+      (1L, payload(7)), (2L, payload(29)), (3L, payload(97)),
+      (4L, Array.tabulate[Byte](30)(_.toByte))))
+    StreamingDedup.startMedia(spark, landing, mediaSchema, index, out)
+      .awaitTermination()
+    // 3 live payloads x 4 chunk bands (the degenerate one is excluded)
+    assert(spark.read.parquet(index).count() == 12L)
+    assert(!new java.io.File(s"$out/candidates").exists())
+
+    // batch 2: a value-perturbed re-encode of doc 1's payload + one fresh
+    val twin = payload(7).clone()
+    for (i <- twin.indices by 13) twin(i) = ((twin(i) + 1) & 0xFF).toByte
+    writeBatch("m2.json", Seq((100L, twin), (5L, payload(131))))
+    StreamingDedup.startMedia(spark, landing, mediaSchema, index, out)
+      .awaitTermination()
+
+    val cands = spark.read.parquet(s"$out/candidates")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(cands.exists(c => c._1 == 100L && c._2 == 1L && c._3 <= 6),
+      s"missed re-encoded payload: ${cands.toSeq}")
+    assert(cands.forall(c => c._2 != 4L), "degenerate payload must not pair")
+    assert(spark.read.parquet(index).count() == 20L, "index must grow by batch 2's bands")
+  }
 }
