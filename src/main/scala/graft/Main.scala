@@ -98,6 +98,39 @@ object Main {
           graft.llm.PairStore.registerBucketed(spark, table, dir)
           println(s"pairs=${graft.llm.PairStore.bucketedPairs(spark, table).count()}")
 
+        // persisted media perceptual-hash band index: build once over a
+        // docs parquet (its media table), probe with later batches; the
+        // binary-modality mirror of `pairs build` + the streaming index
+        case "media" :: "index" :: docsParquet :: indexDir :: Nil =>
+          val m = graft.llm.Multimodal.mediaTable(
+            spark.read.parquet(docsParquet))
+          graft.llm.Multimodal.phashBands(m)
+            .write.mode("overwrite")
+            .option("compression", graft.etl.Writers.DefaultCompression)
+            .parquet(indexDir)
+          println(s"bands=${spark.read.parquet(indexDir).count()} dir=$indexDir")
+
+        case "media" :: "pairs" :: docsParquet :: Nil =>
+          graft.llm.Multimodal.phashPairs(
+            graft.llm.Multimodal.mediaTable(spark.read.parquet(docsParquet)),
+            maxHamming = sys.env.getOrElse("MAX_HAMMING", "6").toInt)
+            .show(50, truncate = false)
+
+        // probe the persisted index with a NEW batch's media (cross-batch
+        // candidates only — the incremental decision), then append its bands
+        case "media" :: "append" :: docsParquet :: indexDir :: Nil =>
+          val bands = graft.llm.Multimodal.phashBands(
+            graft.llm.Multimodal.mediaTable(spark.read.parquet(docsParquet)))
+            .localCheckpoint(true)
+          val cands = graft.llm.Multimodal.incrementalPhashCandidates(
+            bands, spark.read.parquet(indexDir),
+            maxHamming = sys.env.getOrElse("MAX_HAMMING", "6").toInt)
+          cands.show(50, truncate = false)
+          bands.write.mode("append")
+            .option("compression", graft.etl.Writers.DefaultCompression)
+            .parquet(indexDir)
+          println(s"bands=${spark.read.parquet(indexDir).count()} dir=$indexDir")
+
         // fold a streaming-curation state dir's per-batch appends (stop
         // the stream first; the compaction lock trips concurrent appends)
         case "compact-state" :: stateDir :: rest if rest.isEmpty || rest == List("force") =>
@@ -396,6 +429,7 @@ object Main {
         |  classify train <docsParquet> <weightsDir> | classify score <docsParquet> <weightsDir>
         |  mix derive <docsParquet> <ratesDir> <budget> | mix apply <docsParquet> <ratesDir>
         |  pca train <vecsParquet> <componentDir> | pca project <vecsParquet> <componentDir>
+        |  media index <docsParquet> <indexDir> | media pairs <docsParquet> | media append <docsParquet> <indexDir>
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
