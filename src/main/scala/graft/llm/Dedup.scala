@@ -1687,6 +1687,74 @@ object Dedup {
                 FROM documents GROUP BY 1)
               SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
                      CAST(sz * COUNT(*) AS BIGINT) AS n_docs
-              FROM c GROUP BY sz ORDER BY sz"""))
+              FROM c GROUP BY sz ORDER BY sz""")),
+
+    // Dedup threshold sweep: pair and affected-doc counts at every
+    // candidate Jaccard threshold (0.5-0.9) from ONE pair-graph build at
+    // the loosest threshold — the calibration report that picks
+    // minJaccard BEFORE a full dedup run (too low over-merges, too high
+    // leaves duplication; this shows the cliff). Thresholds compare as
+    // integer basis points (round(jaccard·10000)) so the bucket edges
+    // are engine-exact; the threshold fan-out is a broadcast 5-row
+    // nested-loop against the pair table (linear in pairs), and both
+    // aggregates carry <= 5 keys.
+    Q("q135_dedup_threshold_sweep",
+      (s, d) => {
+        val p = hashJaccardPairs(docs(s, d), minJaccard = 0.5)
+          .select(col("d1"), col("d2"),
+            round(col("jaccard") * 10000).cast("int").as("bp"))
+        val thr = s.range(5, 10)
+          .select((col("id") * 1000).cast("int").as("thr_bp"))
+        val j = p.crossJoin(broadcast(thr))
+          .filter(col("bp") >= col("thr_bp"))
+        val np = j.groupBy(col("thr_bp")).agg(count(lit(1)).as("n_pairs"))
+        val nd = j
+          .select(col("thr_bp"), explode(array(col("d1"), col("d2"))).as("doc"))
+          .groupBy(col("thr_bp")).agg(countDistinct(col("doc")).as("n_docs"))
+        thr.join(np, Seq("thr_bp"), "left")
+          .join(nd, Seq("thr_bp"), "left")
+          .select((col("thr_bp") / lit(10000.0)).as("threshold"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy(col("threshold"))
+      },
+      Some(s"""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                FROM documents),
+              sh0 AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              keep AS (SELECT s FROM sh0 GROUP BY s
+                       HAVING COUNT(*) <= ${DefaultMaxShingleDf}),
+              sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pj AS (
+                SELECT d1, d2,
+                       ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+                FROM pr
+                JOIN sz sa ON sa.doc_id = d1
+                JOIN sz sb ON sb.doc_id = d2
+                WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+              bp AS (SELECT d1, d2,
+                            CAST(ROUND(jaccard * 10000) AS INT) AS bp FROM pj),
+              thr AS (SELECT UNNEST([5000, 6000, 7000, 8000, 9000]) AS thr_bp),
+              j AS (SELECT t.thr_bp, b.d1, b.d2
+                    FROM thr t JOIN bp b ON b.bp >= t.thr_bp),
+              np AS (SELECT thr_bp, COUNT(*) AS n_pairs FROM j GROUP BY 1),
+              nd AS (SELECT thr_bp, COUNT(DISTINCT doc) AS n_docs FROM (
+                       SELECT thr_bp, UNNEST([d1, d2]) AS doc FROM j) u
+                     GROUP BY 1)
+              SELECT CAST(t.thr_bp AS DOUBLE) / 10000 AS threshold,
+                     CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                     CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+              FROM thr t LEFT JOIN np USING (thr_bp) LEFT JOIN nd USING (thr_bp)
+              ORDER BY threshold"""))
   )
 }
