@@ -285,8 +285,9 @@ object Multimodal {
     * blob→hex route keeps the oracle byte-exact on ANY payload (no
     * ASCII assumption).
     */
-  private def phashOracleCte(baseSql: String): String =
-    s"""WITH base AS ($baseSql),
+  private def phashOracleCte(baseSql: String,
+      recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}base AS ($baseSql),
       h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS len FROM base),
       byv AS (SELECT doc_id, i,
                      CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) AS v,
@@ -402,6 +403,44 @@ object Multimodal {
             OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
           AND bit_count(xor(a.phash, b.phash)) <= 6
         ORDER BY d1, d2""")),
+
+    // Media DEDUP GROUPS: connected components over the q131 pair graph
+    // — the q56 pairs→clusters step for the binary modality, so a
+    // curation run can keep one representative per near-identical
+    // payload cluster. Same CC operator (reliable-checkpoint,
+    // zero-persisted-RDD-delta discipline), recursive-CTE oracle over
+    // the identical banded-Hamming pair rule.
+    Q("q136_media_dedup_groups",
+      (s, d) =>
+        graft.llm.Dedup.connectedComponents(
+          phashPairs(
+            mediaWithPlantedNearDups(Tables.load(s, d, "documents")),
+            maxHamming = 6).select(col("d1"), col("d2")))
+          .select(col("node").as("doc_id"), col("comp"))
+          .orderBy(col("doc_id")),
+      Some(phashOracleCte(
+        """SELECT doc_id, encode(text) AS b FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  encode(translate(text, 'aeiou', 'bfjpv')) AS b
+           FROM documents WHERE doc_id % 20 = 0""", recursive = true) +
+        """,
+        prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                FROM ph0 a JOIN ph0 b ON a.doc_id < b.doc_id
+                WHERE a.phash <> 0 AND b.phash <> 0
+                  AND ((a.phash & 65535) = (b.phash & 65535)
+                    OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+                    OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+                    OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
+                  AND bit_count(xor(a.phash, b.phash)) <= 6),
+        edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+                  UNION ALL SELECT d2, d1 FROM prs),
+        reach AS (
+          SELECT src AS node, src AS label FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
+        FROM reach GROUP BY node ORDER BY doc_id""")),
 
     // CLIP-level near-dup discovery (the video-dedup analog): per-frame
     // 16-bucket perceptual hashes, clips paired by frame-hash multiset
