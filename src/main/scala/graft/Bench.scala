@@ -48,11 +48,31 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // STANDING zero-persisted-RDD-delta assertion (r10 verdict #6, no
+    // longer opt-in): a query that returns with more persisted RDDs than
+    // it started with has leaked checkpoint/cache blocks — the r9
+    // pageRank leak class, which silently degraded ~100 downstream
+    // queries 35% and cost a full round of bench signal. Leaks fail
+    // LOUD: the query lands in the artifact's `leaked` list and counts
+    // into `nfailed` in the compact headline line. The leaked blocks are
+    // then dropped so one offender can't poison every query behind it.
+    val leaked = collection.mutable.Set.empty[String]
+    def assertNoLeak(name: String): Unit = {
+      val now = spark.sparkContext.getPersistentRDDs
+      if (now.nonEmpty) {
+        if (leaked.add(name))
+          System.err.println(
+            s"[bench] HYGIENE VIOLATION: $name leaked persisted RDDs ${now.keys.toSeq.sorted}")
+        now.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
     def runOnce(name: String): Boolean =
       try {
         sweep()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        assertNoLeak(name)
         true
       } catch {
         case e: Throwable =>
@@ -103,11 +123,15 @@ object Bench {
     def qmap(f: ((Double, Double)) => Double): String =
       times.map { case (k, v) => "\"" + k + "\":" + f"${f(v)}%.3f" }
         .mkString("{", ",", "}")
+    // hygiene violations are failures: a leaking query's own timing may
+    // be fine, but its leaked blocks taxed everything after it
+    failed = (failed ++ leaked).distinct
     val fails = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val leaks = leaked.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = times.map(_._2._1).sum
     val totalMin = times.map(_._2._2).sum
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"hygiene":$hygiene,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"leaked":$leaks,"hygiene":$hygiene,"sf":"$sfDir"}"""
     // Compact total-only line (<= 200 bytes): the r6 official artifact
     // recorded parsed:null because the 79-entry per-query line outgrew
     // the driver's stdout tail window. Print the full line FIRST, then

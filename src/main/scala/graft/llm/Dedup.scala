@@ -348,7 +348,7 @@ object Dedup {
     * handle `Dataset.unpersist()` does NOT reach (it only talks to the
     * CacheManager; checkpoint blocks live as persisted RDDs).
     */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+  private[graft] def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
@@ -383,7 +383,7 @@ object Dedup {
     */
   def pageRank(pairs: DataFrame, iters: Int = PageRankIters,
       damping: Double = PageRankDamping,
-      tol: Double = 1e-12): DataFrame = {
+      tol: Double = 1e-9): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     // final result moves to a RELIABLE checkpoint (the
@@ -417,13 +417,20 @@ object Dedup {
         // where the power iteration reaches its fixpoint in ~1-3 rounds
         // — one small (id,rank)⋈(id,rank) agg per 3-round checkpoint
         // bounds work on ANY graph instead of always paying the fixed
-        // iteration budget. tol is far inside the 4-dp output rounding
-        // (remaining change after an L1 delta δ is <= δ·d/(1-d) ≈ 5.7δ),
-        // so an early exit is value-identical to the full budget.
+        // iteration budget. The exit threshold is tol/n, NOT tol: the
+        // query surface reports rank×n rounded to 4 dp, so a per-node
+        // residual ε becomes n·ε in the output — an n-independent L1
+        // threshold stops being value-identical past n ≈ 8.8e-6/(5.7·tol)
+        // nodes (r10 advice). Scaling by 1/n makes the bound scale-free:
+        // remaining change after an L1 delta δ is <= δ·d/(1-d) ≈ 5.7δ,
+        // so the scaled output error is <= n·5.7·(tol/n) = 5.7·tol —
+        // ~5.7e-9 at the default, 4 orders inside the 5e-5 rounding
+        // half-ulp at ANY node count. tol <= 0 disables the exit (the
+        // fixed-budget path DedupSpec pins equality against).
         converged = prev.exists { p =>
           cp.join(p.select(col("id"), col("rank").as("rank_prev")), "id")
             .agg(sum(abs(col("rank") - col("rank_prev"))).as("l1"))
-            .head.getDouble(0) <= tol
+            .head.getDouble(0) <= tol / n
         }
         // release the previous checkpoint's blocks now that the new one
         // is materialized (same discipline as connectedComponents)

@@ -16,9 +16,10 @@ import graft.queries.Q
   * decode signature — is real and tested. The codec itself is STUBBED
   * (this container has no image/audio libraries): `decodeStub` derives a
   * deterministic fake feature vector from the bytes, so every pipeline
-  * stage downstream of decode exercises realistic shapes. Swap
-  * `decodeStub`'s body for a real codec (JNI/javacv) without touching
-  * any caller.
+  * stage downstream of decode exercises realistic shapes. A real codec
+  * (JNI/javacv) plugs into the `decodeWith` seam without touching any
+  * caller — MultimodalSpec proves the swap-in with the JDK's own
+  * `ImageIO` PNG codec over generated images.
   *
   * At 100 TB: binary payloads ride the same parquet row groups as
   * metadata; decode is `mapPartitions` (one codec init per partition,
@@ -48,32 +49,46 @@ object Multimodal {
       ((col("doc_id") * 31) % 480).cast("int").as("height"),
       (octet_length(col("text")) % 16).cast("int").as("n_frames"))
 
-  /** STUB decode: bytes → fixed-length feature vector. Deterministic
-    * fake (per-byte rolling accumulation into `dim` buckets) standing in
-    * for a real codec. Runs via mapPartitions so a real implementation
-    * pays codec initialization once per partition.
+  /** The codec SEAM: bytes → fixed-length feature vector through
+    * mapPartitions, with `init` invoked ONCE PER PARTITION before the
+    * first row — where a real codec pays library/context initialization
+    * (JNI handle, decoder tables) exactly once, the Scala analog of
+    * `mapInPandas` batch processing. The returned decoder runs per row.
+    * [[decodeStub]] routes the deterministic fake through this seam;
+    * MultimodalSpec proves the swap-in with a REAL pure-JVM image codec
+    * (JDK `ImageIO` over generated PNGs) — no caller changes, no new
+    * dependencies.
     */
-  def decodeStub(media: DataFrame, dim: Int = 8): DataFrame = {
-    val spark = media.sparkSession
+  def decodeWith(media: DataFrame,
+      init: () => Array[Byte] => Array[Double]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("features", ArrayType(DoubleType), nullable = true)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("doc_id", "media").mapPartitions { rows =>
-      // Real codec would be initialized HERE, once per partition.
+      val decode = init() // real codec initialization: once per partition
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val acc = new Array[Double](dim)
-        var i = 0
-        while (i < bytes.length) {
-          acc(i % dim) += (bytes(i) & 0xFF) / 255.0
-          i += 1
-        }
-        Row(id, acc.toSeq)
+        Row(id, decode(bytes).toSeq)
       }
     }(encoder)
   }
+
+  /** STUB decode: bytes → fixed-length feature vector. Deterministic
+    * fake (per-byte rolling accumulation into `dim` buckets) standing in
+    * for a real codec, run through the [[decodeWith]] seam.
+    */
+  def decodeStub(media: DataFrame, dim: Int = 8): DataFrame =
+    decodeWith(media, () => bytes => {
+      val acc = new Array[Double](dim)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % dim) += (bytes(i) & 0xFF) / 255.0
+        i += 1
+      }
+      acc
+    })
 
   /** Frame sampling: keep every `stride`-th frame index of a clip. Pure
     * column expressions over the metadata — no decode needed to plan
@@ -106,8 +121,14 @@ object Multimodal {
     * — the probe/index unit: 4×16-bit chunks of the payload hash, the
     * exact layout [[phashPairs]] self-joins and the streaming media
     * index persists (one near-identical-payload candidate = one shared
-    * (band, chunk) key). Degenerate hashes (payload under the grid) are
-    * excluded — they can never certify.
+    * (band, chunk) key). phash == 0 rows are excluded as a SKEW GUARD,
+    * not because they can't certify: besides under-64-byte payloads,
+    * constant/blank media (a common real duplicate class) legitimately
+    * hashes to 0, and the 0-hash value would form one degenerate bucket
+    * whose self-join is quadratic in the class size. Zero-hash payloads
+    * pair through the exact route instead — md5 equality inside
+    * [[phashPairs]], [[graft.streaming.StreamingDedup.startExact]] in
+    * the always-on pipeline (the index itself stays 0-free).
     */
   def phashBands(media: DataFrame): DataFrame =
     perceptualHash(media).filter(col("phash") =!= 0L)
@@ -143,12 +164,28 @@ object Multimodal {
       col("band"), col("chunk"))
     val c = banded.select(col("doc_id").as("d2"), col("phash").as("p2"),
       col("band"), col("chunk"))
-    a.join(c, Seq("band", "chunk"))
+    val bandedPairs = a.join(c, Seq("band", "chunk"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("p1").bitwiseXOR(col("p2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // phash == 0 rows (sub-grid OR constant/blank payloads) are kept out
+    // of the banded join — the 0-hash value is one degenerate bucket
+    // whose self-join is quadratic in the class size — and pair through
+    // the EXACT route instead: md5-equality join, Hamming 0 by
+    // definition (identical bytes). Join key is the content fingerprint,
+    // so clone groups cost group-size², never class-size²; only
+    // (doc_id, fp) rows shuffle, payloads stay in their row groups.
+    val zeros = media
+      .select(col("doc_id"), Fns.mediaPhash(col("media")).as("phash"),
+        md5(col("media")).as("fp"))
+      .filter(col("phash") === 0L)
+    val zeroPairs = zeros.select(col("doc_id").as("d1"), col("fp"))
+      .join(zeros.select(col("doc_id").as("d2"), col("fp")), Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), lit(0).as("hamming"))
+    bandedPairs.unionByName(zeroPairs)
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -392,16 +429,22 @@ object Multimodal {
            SELECT doc_id + 1000000 AS doc_id,
                   encode(translate(text, 'aeiou', 'bfjpv')) AS b
            FROM documents WHERE doc_id % 20 = 0""") +
-        """
-        SELECT a.doc_id AS d1, b.doc_id AS d2,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        FROM ph0 a JOIN ph0 b ON a.doc_id < b.doc_id
-        WHERE a.phash <> 0 AND b.phash <> 0
-          AND ((a.phash & 65535) = (b.phash & 65535)
-            OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
-            OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
-            OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
-          AND bit_count(xor(a.phash, b.phash)) <= 6
+        """,
+        z AS (SELECT base.doc_id, base.b FROM base LEFT JOIN ph0 USING (doc_id)
+              WHERE COALESCE(ph0.phash, 0) = 0)
+        SELECT d1, d2, hamming FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+          FROM ph0 a JOIN ph0 b ON a.doc_id < b.doc_id
+          WHERE a.phash <> 0 AND b.phash <> 0
+            AND ((a.phash & 65535) = (b.phash & 65535)
+              OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+              OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+              OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
+            AND bit_count(xor(a.phash, b.phash)) <= 6
+          UNION ALL
+          SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS INT) AS hamming
+          FROM z a JOIN z b ON a.doc_id < b.doc_id AND a.b = b.b)
         ORDER BY d1, d2""")),
 
     // Media DEDUP GROUPS: connected components over the q131 pair graph
@@ -425,6 +468,8 @@ object Multimodal {
                   encode(translate(text, 'aeiou', 'bfjpv')) AS b
            FROM documents WHERE doc_id % 20 = 0""", recursive = true) +
         """,
+        z AS (SELECT base.doc_id, base.b FROM base LEFT JOIN ph0 USING (doc_id)
+              WHERE COALESCE(ph0.phash, 0) = 0),
         prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
                 FROM ph0 a JOIN ph0 b ON a.doc_id < b.doc_id
                 WHERE a.phash <> 0 AND b.phash <> 0
@@ -432,7 +477,10 @@ object Multimodal {
                     OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
                     OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
                     OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
-                  AND bit_count(xor(a.phash, b.phash)) <= 6),
+                  AND bit_count(xor(a.phash, b.phash)) <= 6
+                UNION ALL
+                SELECT a.doc_id AS d1, b.doc_id AS d2
+                FROM z a JOIN z b ON a.doc_id < b.doc_id AND a.b = b.b),
         edges AS (SELECT d1 AS src, d2 AS dst FROM prs
                   UNION ALL SELECT d2, d1 FROM prs),
         reach AS (

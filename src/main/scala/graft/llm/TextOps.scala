@@ -849,8 +849,8 @@ object TextOps {
                      FROM vc),
               t AS (SELECT MIN(entropy) AS thr
                     FROM cc CROSS JOIN n WHERE cum >= FLOOR(0.1 * n_total))
-              SELECT lang, COUNT(*) AS n,
-                     SUM(CASE WHEN entropy < thr THEN 1 ELSE 0 END) AS n_dropped
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN entropy < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
               FROM e CROSS JOIN t
               GROUP BY lang ORDER BY lang""")),
 

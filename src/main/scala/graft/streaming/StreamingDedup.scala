@@ -52,16 +52,24 @@ object StreamingDedup {
         val hasIndex = fs.exists(new Path(indexDir))
         // bands computed ONCE per batch, reused for probe + append
         val batchBands = Dedup.minhashBands(batch).localCheckpoint(true)
-        if (hasIndex) {
-          val corpus = spark.read.parquet(indexDir)
-          Dedup.incrementalCandidatesFromBands(batchBands, corpus, minEstJaccard)
-            .write.mode("append")
+        try {
+          if (hasIndex) {
+            val corpus = spark.read.parquet(indexDir)
+            Dedup.incrementalCandidatesFromBands(batchBands, corpus, minEstJaccard)
+              .write.mode("append")
+              .option("compression", Writers.DefaultCompression)
+              .parquet(s"$outDir/candidates")
+          }
+          batchBands.write.mode("append")
             .option("compression", Writers.DefaultCompression)
-            .parquet(s"$outDir/candidates")
-        }
-        batchBands.write.mode("append")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(indexDir)
+            .parquet(indexDir)
+        } finally
+          // release the checkpoint blocks before the batch closure
+          // returns: in always-on mode every micro-batch would otherwise
+          // pin one RDD's blocks forever — the exact persisted-RDD leak
+          // class that degraded ~100 downstream queries 35% in r9
+          // (zero-persisted-RDD-delta discipline, StreamingDedupSpec pin)
+          Dedup.checkpointRdd(batchBands).foreach(_.unpersist(blocking = false))
       }
       .start()
   }
@@ -105,16 +113,20 @@ object StreamingDedup {
             batch.select(col("doc_id"),
               unbase64(col("media_b64")).as("media")))
           .localCheckpoint(true)
-        if (hasIndex) {
-          val corpus = spark.read.parquet(indexDir)
-          Multimodal.incrementalPhashCandidates(batchBands, corpus, maxHamming)
-            .write.mode("append")
+        try {
+          if (hasIndex) {
+            val corpus = spark.read.parquet(indexDir)
+            Multimodal.incrementalPhashCandidates(batchBands, corpus, maxHamming)
+              .write.mode("append")
+              .option("compression", Writers.DefaultCompression)
+              .parquet(s"$outDir/candidates")
+          }
+          batchBands.write.mode("append")
             .option("compression", Writers.DefaultCompression)
-            .parquet(s"$outDir/candidates")
-        }
-        batchBands.write.mode("append")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(indexDir)
+            .parquet(indexDir)
+        } finally
+          // zero-persisted-RDD-delta: see start()
+          Dedup.checkpointRdd(batchBands).foreach(_.unpersist(blocking = false))
       }
       .start()
   }
@@ -179,14 +191,20 @@ object StreamingDedup {
             batchDocs.join(broadcast(hits), Seq("fp"), "left_anti")
           } else batchDocs
         val kept = survivors.localCheckpoint(true)
-        kept.select(col("doc_id"), col("text"), col("fp"))
-          .write.mode("overwrite")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(s"$outDir/unique/batch=$bid")
-        kept.select(col("fp"))
-          .write.mode("overwrite")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(s"$stateDir/batch=$bid")
+        try {
+          kept.select(col("doc_id"), col("text"), col("fp"))
+            .write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$outDir/unique/batch=$bid")
+          kept.select(col("fp"))
+            .write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$stateDir/batch=$bid")
+        } finally {
+          // zero-persisted-RDD-delta: see start()
+          Dedup.checkpointRdd(kept).foreach(_.unpersist(blocking = false))
+          Dedup.checkpointRdd(batchDocs).foreach(_.unpersist(blocking = false))
+        }
       }
       .start()
   }

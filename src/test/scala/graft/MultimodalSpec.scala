@@ -175,4 +175,75 @@ class MultimodalSpec extends AnyFunSuite with TestSpark {
       assert(direct.contains((a, b, s12)), s"missing expanded pair ($a,$b)")
     }
   }
+
+  test("codec seam: a REAL image codec (JDK ImageIO PNG) swaps in without caller changes") {
+    // The contract decodeStub stands in for: a genuine codec — the JDK's
+    // own PNG reader, no new dependencies — plugs into the decodeWith
+    // seam and round-trips pixel data through the same mapPartitions
+    // machinery (init once per partition, decode per row).
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    def png(pixels: Seq[Int]): Array[Byte] = { // 2x2 RGB image
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      pixels.zipWithIndex.foreach { case (rgb, i) => img.setRGB(i % 2, i / 2, rgb) }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val pxA = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    val pxB = Seq(0x000000, 0x808080, 0x010203, 0x405060)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, png(pxA)), Row(2L, png(pxB))), 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType))))
+    // per-partition init builds the decoder closure; per-row decode
+    // parses the PNG and emits the 2x2 raster as 4 packed-RGB doubles
+    val feats = Multimodal.decodeWith(media, () => {
+      bytes => {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          yield (img.getRGB(x, y) & 0xFFFFFF).toDouble).toArray
+      }
+    }).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // PNG is lossless: every pixel of both images round-trips exactly
+    assert(feats(1L) == pxA.map(_.toDouble), s"got ${feats(1L)}")
+    assert(feats(2L) == pxB.map(_.toDouble), s"got ${feats(2L)}")
+    // and the stub rides the SAME seam (schema + shape identical)
+    val stub = Multimodal.decodeStub(media, dim = 4)
+    assert(stub.schema.fieldNames.toSeq == Seq("doc_id", "features"))
+    assert(stub.count() == 2L)
+  }
+
+  test("zero-hash payloads pair through the md5 exact route, never the banded join") {
+    // phash == 0 covers two real classes: sub-64-byte payloads and
+    // constant/blank media (zero gradient). They are kept out of the
+    // band index (one degenerate 0-hash bucket = quadratic self-join)
+    // but identical payloads must STILL pair — via md5 equality at
+    // Hamming 0 inside phashPairs.
+    val blankA = Array.fill[Byte](100)(7) // constant >= 64 bytes: phash 0
+    val blankB = Array.fill[Byte](100)(7) // identical content
+    val blankC = Array.fill[Byte](100)(9) // constant but DIFFERENT content
+    val shortA = "tiny payload".getBytes // sub-grid: phash 0
+    val shortB = "tiny payload".getBytes // identical short content
+    val normal = Array.tabulate[Byte](200)(i => ((i * 7) % 251).toByte)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, blankA), Row(11L, blankB), Row(12L, blankC),
+        Row(20L, shortA), Row(21L, shortB), Row(30L, normal)), 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType))))
+    // all four zero-hash rows really do hash to 0
+    val ph = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(10L, 11L, 12L, 20L, 21L).foreach(id =>
+      assert(ph(id) == 0L, s"doc $id expected phash 0, got ${ph(id)}"))
+    assert(ph(30L) != 0L)
+    val pairs = Multimodal.phashPairs(media, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // identical zero-hash payloads pair at Hamming 0; differing-content
+    // constants do NOT (phash alone could not tell them apart)
+    assert(pairs == Set((10L, 11L, 0), (20L, 21L, 0)), s"got $pairs")
+  }
 }

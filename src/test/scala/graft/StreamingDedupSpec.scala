@@ -17,6 +17,20 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
   private val schema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** Zero-persisted-RDD-delta pin (the r9 pageRank leak class): each
+    * foreachBatch localCheckpoints its batch frame and MUST release it
+    * before the closure returns — in always-on mode a leaked block per
+    * micro-batch accumulates forever.
+    */
+  private def assertNoPersistedRddDelta[A](body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = body
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"foreachBatch leaked persisted RDDs: ${(after -- before).toSeq.sorted}")
+    result
+  }
+
   test("micro-batches probe and extend the persisted band index") {
     val landing = Files.createTempDirectory("sdedup-land").toString
     val index = Files.createTempDirectory("sdedup-idx").toString + "/bands"
@@ -34,7 +48,9 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     // batch 1: 20 distinct docs
     val base = (0L until 20L).map(i => (i, text()))
     writeBatch("b1.json", base)
-    StreamingDedup.start(spark, landing, schema, index, out).awaitTermination()
+    assertNoPersistedRddDelta {
+      StreamingDedup.start(spark, landing, schema, index, out).awaitTermination()
+    }
 
     val bandsAfter1 = spark.read.parquet(index).count()
     assert(bandsAfter1 == 20L * Dedup.Bands, s"index rows: $bandsAfter1")
@@ -46,7 +62,9 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
       base(3)._2.split(' ').updated(55, "mutated").mkString(" "))
     writeBatch("b2.json",
       nearDup +: (200L until 205L).map(i => (i, text())))
-    StreamingDedup.start(spark, landing, schema, index, out).awaitTermination()
+    assertNoPersistedRddDelta {
+      StreamingDedup.start(spark, landing, schema, index, out).awaitTermination()
+    }
 
     // cross-batch candidate found without re-signing batch 1
     val cands = spark.read.parquet(s"$out/candidates")
@@ -71,13 +89,19 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     // must represent. AvailableNow processes each file as its own batch
     // only if maxFilesPerTrigger is set, so run batch-by-batch instead.
     writeBatch("b1.json", Seq((0L, "alpha one"), (1L, "beta two"), (2L, "alpha one")))
-    StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    assertNoPersistedRddDelta {
+      StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    }
     // batch 2: clone of A (cross-batch dup), clone of B, fresh C
     writeBatch("b2.json", Seq((10L, "alpha one"), (11L, "beta two"), (12L, "gamma three")))
-    StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    assertNoPersistedRddDelta {
+      StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    }
     // batch 3: clone of C + fresh D
     writeBatch("b3.json", Seq((20L, "gamma three"), (21L, "delta four")))
-    StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    assertNoPersistedRddDelta {
+      StreamingDedup.startExact(spark, landing, schema, state, out).awaitTermination()
+    }
 
     val unique = spark.read.parquet(s"$out/unique")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
@@ -116,8 +140,10 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     writeBatch("m1.json", Seq(
       (1L, payload(7)), (2L, payload(29)), (3L, payload(97)),
       (4L, Array.tabulate[Byte](30)(_.toByte))))
-    StreamingDedup.startMedia(spark, landing, mediaSchema, index, out)
-      .awaitTermination()
+    assertNoPersistedRddDelta {
+      StreamingDedup.startMedia(spark, landing, mediaSchema, index, out)
+        .awaitTermination()
+    }
     // 3 live payloads x 4 chunk bands (the degenerate one is excluded)
     assert(spark.read.parquet(index).count() == 12L)
     assert(!new java.io.File(s"$out/candidates").exists())
@@ -126,8 +152,10 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     val twin = payload(7).clone()
     for (i <- twin.indices by 13) twin(i) = ((twin(i) + 1) & 0xFF).toByte
     writeBatch("m2.json", Seq((100L, twin), (5L, payload(131))))
-    StreamingDedup.startMedia(spark, landing, mediaSchema, index, out)
-      .awaitTermination()
+    assertNoPersistedRddDelta {
+      StreamingDedup.startMedia(spark, landing, mediaSchema, index, out)
+        .awaitTermination()
+    }
 
     val cands = spark.read.parquet(s"$out/candidates")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
