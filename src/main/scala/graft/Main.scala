@@ -81,6 +81,16 @@ object Main {
           graft.llm.Dedup.connectedComponentsStar(
             graft.llm.PairStore.pairs(spark, dir)).show(50, truncate = false)
 
+        // threshold-sweep calibration as an index read over the stored
+        // pairs (dir or bucketed table) — no corpus re-scan/re-shingle
+        case "pairs" :: "sweep" :: dir :: Nil =>
+          graft.llm.PairStore.thresholdSweep(spark, dir)
+            .show(10, truncate = false)
+
+        case "pairs" :: "sweep-bucketed" :: table :: Nil =>
+          graft.llm.PairStore.thresholdSweepBucketed(spark, table)
+            .show(10, truncate = false)
+
         case "pairs" :: "compact" :: dir :: Nil =>
           println(s"files=${graft.llm.PairStore.compact(spark, dir)}")
 
@@ -129,6 +139,9 @@ object Main {
           bands.write.mode("append")
             .option("compression", graft.etl.Writers.DefaultCompression)
             .parquet(indexDir)
+          // zero-persisted-RDD-delta discipline (matters if this CLI
+          // path is ever driven from a long-lived session)
+          graft.llm.Dedup.checkpointRdd(bands).foreach(_.unpersist(blocking = false))
           println(s"bands=${spark.read.parquet(indexDir).count()} dir=$indexDir")
 
         // fold a streaming-curation state dir's per-batch appends (stop

@@ -173,6 +173,41 @@ object Dedup {
       .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
   }
 
+  /** Dedup threshold-sweep calibration over an existing (d1, d2, jaccard)
+    * pair frame: pair/doc counts at every candidate Jaccard threshold
+    * (0.5–0.9) — the report that picks minJaccard BEFORE a full dedup
+    * run (too low over-merges, too high leaves duplication; this shows
+    * the cliff). Thresholds compare as integer basis points
+    * (round(jaccard·10000)) so bucket edges are engine-exact; the
+    * fan-out is a broadcast 5-row nested-loop against the pair frame
+    * (linear in pairs) and both aggregates carry <= 5 keys.
+    *
+    * The pair frame is an INPUT, not derived here: q135 feeds it the
+    * fresh build, while the stored route ([[PairStore.thresholdSweepBucketed]],
+    * CLI `pairs sweep`) feeds it the persisted table — calibration as an
+    * index read, no corpus re-scan/re-shingle (the sweep's entire cost
+    * at 10× was the 19.9 s pair-graph build it used to re-derive).
+    */
+  def thresholdSweep(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val p = pairs.select(col("d1"), col("d2"),
+      round(col("jaccard") * 10000).cast("int").as("bp"))
+    val thr = s.range(5, 10)
+      .select((col("id") * 1000).cast("int").as("thr_bp"))
+    val j = p.crossJoin(broadcast(thr))
+      .filter(col("bp") >= col("thr_bp"))
+    val np = j.groupBy(col("thr_bp")).agg(count(lit(1)).as("n_pairs"))
+    val nd = j
+      .select(col("thr_bp"), explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy(col("thr_bp")).agg(countDistinct(col("doc")).as("n_docs"))
+    thr.join(np, Seq("thr_bp"), "left")
+      .join(nd, Seq("thr_bp"), "left")
+      .select((col("thr_bp") / lit(10000.0)).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Directed containment pairs over the capped inverted index:
     * cont_fwd = |shingles(d1) ∩ shingles(d2)| / |shingles(d1)| (and
     * cont_rev for d2). High containment at LOW Jaccard is the
@@ -1696,35 +1731,14 @@ object Dedup {
                      CAST(sz * COUNT(*) AS BIGINT) AS n_docs
               FROM c GROUP BY sz ORDER BY sz""")),
 
-    // Dedup threshold sweep: pair and affected-doc counts at every
-    // candidate Jaccard threshold (0.5-0.9) from ONE pair-graph build at
-    // the loosest threshold — the calibration report that picks
-    // minJaccard BEFORE a full dedup run (too low over-merges, too high
-    // leaves duplication; this shows the cliff). Thresholds compare as
-    // integer basis points (round(jaccard·10000)) so the bucket edges
-    // are engine-exact; the threshold fan-out is a broadcast 5-row
-    // nested-loop against the pair table (linear in pairs), and both
-    // aggregates carry <= 5 keys.
+    // Dedup threshold sweep (see [[thresholdSweep]]): the oracle contract
+    // builds the pair graph ONCE at the loosest threshold and sweeps it;
+    // at scale the same sweep runs over the persisted PairStore instead
+    // ([[PairStore.thresholdSweepBucketed]], CLI `pairs sweep` —
+    // PairStoreSpec pins stored == fresh and a SortMergeJoin-free
+    // stored-side plan).
     Q("q135_dedup_threshold_sweep",
-      (s, d) => {
-        val p = hashJaccardPairs(docs(s, d), minJaccard = 0.5)
-          .select(col("d1"), col("d2"),
-            round(col("jaccard") * 10000).cast("int").as("bp"))
-        val thr = s.range(5, 10)
-          .select((col("id") * 1000).cast("int").as("thr_bp"))
-        val j = p.crossJoin(broadcast(thr))
-          .filter(col("bp") >= col("thr_bp"))
-        val np = j.groupBy(col("thr_bp")).agg(count(lit(1)).as("n_pairs"))
-        val nd = j
-          .select(col("thr_bp"), explode(array(col("d1"), col("d2"))).as("doc"))
-          .groupBy(col("thr_bp")).agg(countDistinct(col("doc")).as("n_docs"))
-        thr.join(np, Seq("thr_bp"), "left")
-          .join(nd, Seq("thr_bp"), "left")
-          .select((col("thr_bp") / lit(10000.0)).as("threshold"),
-            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
-          .orderBy(col("threshold"))
-      },
+      (s, d) => thresholdSweep(hashJaccardPairs(docs(s, d), minJaccard = 0.5)),
       Some(s"""WITH tok AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
                 FROM documents),

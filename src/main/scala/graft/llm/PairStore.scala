@@ -91,6 +91,23 @@ object PairStore {
   def storedClusters(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Threshold-sweep calibration ([[Dedup.thresholdSweep]]) over the
+    * stored pair table — the whole cost of the fresh-route sweep is the
+    * pair-graph build it re-derives (19.9 s at the 10× rehearsal), so a
+    * calibration re-run against an existing store should be an INDEX
+    * READ: one scan of the slim (d1, d2, jaccard) table, the broadcast
+    * 5-row fan-out, and two <= 5-key aggregates — no re-scan,
+    * re-tokenize, or re-shingle of the corpus, no shingle-index
+    * self-join (PairStoreSpec pins stored == fresh and the
+    * SortMergeJoin-free stored-side plan).
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdSweep(pairs(spark, dir))
+
+  /** [[thresholdSweep]] over the d1-bucketed catalog table. */
+  def thresholdSweepBucketed(spark: SparkSession, table: String): DataFrame =
+    Dedup.thresholdSweep(bucketedPairs(spark, table))
+
   /** Append a new batch's pairs: intra-batch exact pairs (the capped
     * inverted-index route, same semantics as [[build]]) plus cross
     * batch-vs-corpus pairs — LSH candidates from probing `corpusBands`

@@ -273,4 +273,38 @@ class PairStoreSpec extends AnyFunSuite with TestSpark {
       spark.sql("DROP TABLE IF EXISTS clusters_rep")
     }
   }
+
+  test("stored-route threshold sweep == fresh, no shingle-index join on the stored side") {
+    val tmp = Files.createTempDirectory("graft-pairs-swp").toString
+    val (_, docs) = corpus
+    // store built at the sweep's loosest threshold (0.5) — the q135
+    // contract: one pair-graph build serves every tighter threshold
+    PairStore.buildBucketed(docs, "pairs_swp", minJaccard = 0.5,
+      dir = Some(s"$tmp/pairs_swp"))
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toList
+      val stored = PairStore.thresholdSweepBucketed(spark, "pairs_swp")
+      val fresh = Dedup.thresholdSweep(Dedup.hashJaccardPairs(docs, 0.5))
+      assert(rows(stored) == rows(fresh))
+      // non-vacuous: the planted ~0.95-jaccard twins survive the 0.9 bar
+      val at09 = stored.collect().find(_.getDouble(0) == 0.9).get
+      assert(at09.getLong(1) >= 5L, s"sweep row at 0.9: $at09")
+      // plan pin: calibration over the store is an INDEX READ — the
+      // expensive fresh-route shape (shingle-index SortMergeJoin
+      // self-join) must be absent; what remains is the stored scan, the
+      // broadcast 5-row threshold fan-out, and <= 5-key aggregates
+      val storedPlan = stored.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!storedPlan.contains("SortMergeJoin"),
+        s"stored sweep re-derives the pair graph:\n$storedPlan")
+      assert(storedPlan.contains("BroadcastNestedLoopJoin"),
+        s"threshold fan-out not broadcast:\n$storedPlan")
+      val freshPlan = fresh.queryExecution.executedPlan.toString
+      assert(freshPlan.contains("SortMergeJoin"),
+        "fresh plan lost its index self-join — pin is stale")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairs_swp")
+    }
+  }
 }
