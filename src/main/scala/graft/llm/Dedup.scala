@@ -208,6 +208,126 @@ object Dedup {
       .orderBy(col("threshold"))
   }
 
+  /** Minimum shared-run length (tokens) for exact-substring dedup — the
+    * L of the suffix-window reduction. Public corpora use ~50 BPE tokens
+    * (Lee et al. 2022); the synthetic test corpus's docs are ~60 words,
+    * so the default is proportionally smaller.
+    */
+  val ExactSubstringMinRun = 8
+
+  /** Exact-substring duplicate spans — the suffix-array dedup primitive
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"; github deduplicate-text-datasets), re-expressed for
+    * a distributed engine: every MAXIMAL run of >= minRun tokens shared
+    * VERBATIM between two documents, as (d1, d2, p1, p2, len) with
+    * 1-based token offsets. Unlike shingle-overlap dedup (q56: "do these
+    * docs share vocabulary"), this reports the exact duplicated REGIONS,
+    * at arbitrary length — the operator that finds boilerplate, quoted
+    * passages, and licensing headers for surgical removal rather than
+    * whole-doc dropping.
+    *
+    * Reduction (why no suffix ARRAY is needed): a shared run of length
+    * M >= L yields exactly M-L+1 consecutive matching positional
+    * L-grams at one fixed alignment (p1 - p2 constant), and conversely.
+    * So the single-machine suffix sort + adjacent-common-prefix scan
+    * becomes, Spark-shaped:
+    *   1. positional depth-L suffix keys per doc (map-side: the L-gram
+    *      starting at every token position, xxhash64'd so the exchange
+    *      carries 8-byte longs, the q56 convention);
+    *   2. ONE equi-join on the key — the shuffle's hash-sort IS the
+    *      suffix sort, restricted to depth L;
+    *   3. gaps-and-islands along each (d1, d2, diagonal): consecutive
+    *      p1 merge into maximal runs, len = islandSize + L - 1. Window
+    *      groups are bounded by doc length — no skew.
+    *
+    * The same df cap as the shingle index guards the join against
+    * boilerplate grams (a gram in 10^6 docs is a task-killing key and a
+    * span any doc shares with MOST of the corpus — cap, report, move
+    * on); capped grams can split a maximal span, the documented
+    * deviation the oracle mirrors exactly.
+    */
+  def exactSubstringSpans(df: DataFrame,
+      minRun: Int = ExactSubstringMinRun,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    exactSubstringSpans0(df, minRun, maxDf)
+      .orderBy(col("d1"), col("d2"), col("p1"), col("p2"))
+
+  private def exactSubstringSpans0(df: DataFrame, minRun: Int,
+      maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = spread(df)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= minRun)
+    // positional L-grams: ts is a materialized attribute, so the
+    // element_at chain inside the lambda is cheap (no re-run regex —
+    // the shingleArrayFromTokens lesson)
+    val grams = tok
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (minRun - 1)),
+          i => xxhash64(concat_ws(" ",
+            (0 until minRun).map(k => element_at(col("ts"), i + k)): _*))))
+          .as(Seq("off", "g")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("p"), col("g"))
+    // df cap: one exchange on g that both the count pass and the probe
+    // read (ReuseExchange), hot set small by construction -> broadcast
+    val sh = grams.repartition(col("g"))
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > maxDf)
+      .select(col("g"))
+    val idx = sh.join(broadcast(hot), Seq("g"), "left_anti")
+    val m = idx.select(col("doc_id").as("d1"), col("p").as("p1"), col("g"))
+      .join(idx.select(col("doc_id").as("d2"), col("p").as("p2"), col("g")),
+        Seq("g"))
+      .filter(col("d1") < col("d2"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("p1"))
+    m.withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+        (count(lit(1)) + minRun - 1).cast("long").as("len"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"), col("len"))
+  }
+
+  /** Per-document duplicated-token coverage — the corpus-level "how much
+    * of my data is verbatim duplication" report the span operator
+    * exists to drive (the Lee et al. headline statistic): union the
+    * [[exactSubstringSpans]] intervals per doc (classic interval merge:
+    * running-max island detection, window groups bounded by a doc's own
+    * span count), count covered positions, ratio against token length.
+    */
+  def exactSubstringCoverage(df: DataFrame,
+      minRun: Int = ExactSubstringMinRun,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = exactSubstringSpans0(df, minRun, maxDf)
+    val sp = spans
+      .select(col("d1").as("doc_id"), col("p1").as("s"),
+        (col("p1") + col("len") - 1).as("e"))
+      .unionByName(spans.select(col("d2").as("doc_id"), col("p2").as("s"),
+        (col("p2") + col("len") - 1).as("e")))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val cov = sp
+      .withColumn("pmax",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("mn"), max(col("e")).as("mx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mx") - col("mn") + 1).as("dup"))
+    spread(df)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup"), lit(0L)).cast("long").as("dup_tokens"),
+        round(coalesce(col("dup"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Directed containment pairs over the capped inverted index:
     * cont_fwd = |shingles(d1) ∩ shingles(d2)| / |shingles(d1)| (and
     * cont_rev for d2). High containment at LOW Jaccard is the
@@ -1776,6 +1896,78 @@ object Dedup {
                      CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
                      CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
               FROM thr t LEFT JOIN np USING (thr_bp) LEFT JOIN nd USING (thr_bp)
-              ORDER BY threshold"""))
+              ORDER BY threshold""")),
+
+    // Exact-substring dedup (see [[exactSubstringSpans]]): maximal
+    // verbatim cross-doc token runs >= L, the suffix-array primitive as
+    // positional-L-gram join + diagonal gaps-and-islands. The oracle
+    // replays the identical reduction over gram STRINGS (engine joins
+    // their xxhash64 — the q56 hash-vs-string convention), recursion-free.
+    Q("q137_exact_substrings",
+      (s, d) => exactSubstringSpans(docs(s, d)),
+      Some(exactSubstringOracleCte +
+        """
+        SELECT d1, d2, CAST(MIN(p1) AS BIGINT) AS p1,
+               CAST(MIN(p2) AS BIGINT) AS p2,
+               CAST(COUNT(*) + """ + (ExactSubstringMinRun - 1) + """ AS BIGINT) AS len
+        FROM isl GROUP BY d1, d2, diag, grp
+        ORDER BY d1, d2, p1, p2""")),
+
+    // Duplicated-token coverage per doc (see [[exactSubstringCoverage]]):
+    // union the span intervals per doc (running-max interval merge) and
+    // report covered-token counts + ratio — "how much of my corpus is
+    // verbatim duplication", the statistic that decides whether
+    // substring-level scrubbing is worth a pipeline stage at all.
+    Q("q138_dup_coverage",
+      (s, d) => exactSubstringCoverage(docs(s, d)),
+      Some(exactSubstringOracleCte +
+        """,
+        spans AS (
+          SELECT d1, d2, MIN(p1) AS p1, MIN(p2) AS p2,
+                 COUNT(*) + """ + (ExactSubstringMinRun - 1) + """ AS len
+          FROM isl GROUP BY d1, d2, diag, grp),
+        sp AS (SELECT d1 AS doc_id, p1 AS s, p1 + len - 1 AS e FROM spans
+               UNION ALL
+               SELECT d2 AS doc_id, p2 AS s, p2 + len - 1 AS e FROM spans),
+        ord_ AS (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM sp),
+        isl2 AS (SELECT doc_id, s, e,
+          SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+          FROM ord_),
+        cov AS (SELECT doc_id, SUM(mx - mn + 1) AS dup FROM
+                  (SELECT doc_id, grp, MIN(s) AS mn, MAX(e) AS mx
+                   FROM isl2 GROUP BY 1, 2)
+                GROUP BY 1)
+        SELECT t.doc_id, CAST(LEN(ts) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(dup, 0) AS BIGINT) AS dup_tokens,
+               ROUND(CAST(COALESCE(dup, 0) AS DOUBLE) / LEN(ts), 4) AS dup_ratio
+        FROM tok t LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id"""))
   )
+
+  /** Shared oracle front end for q137/q138: positional L-grams over the
+    * standard tokenization, df-capped, self-joined, islands per
+    * (pair, diagonal) — the exact [[exactSubstringSpans0]] reduction in
+    * recursion-free SQL.
+    */
+  private def exactSubstringOracleCte: String = {
+    val l = ExactSubstringMinRun
+    s"""WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, i AS p, array_to_string(ts[i:i+${l - 1}], ' ') AS g
+        FROM tok, UNNEST(generate_series(1, LEN(ts)-${l - 1})) AS u(i)
+        WHERE LEN(ts) >= $l),
+      keep AS (SELECT g FROM g0 GROUP BY g HAVING COUNT(*) <= $DefaultMaxShingleDf),
+      idx AS (SELECT g0.doc_id, g0.p, g0.g FROM g0 JOIN keep USING (g)),
+      m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1, b.p AS p2
+            FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+      isl AS (SELECT d1, d2, p1, p2, p1 - p2 AS diag,
+                     p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp
+              FROM m)"""
+  }
 }

@@ -437,4 +437,51 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     // the reliably-checkpointed result stays usable; mass conserved
     assert(math.abs(early.values.sum - 1.0) < 1e-9)
   }
+
+  test("exact-substring spans: maximal planted runs at exact offsets, nothing else") {
+    // unique filler tokens everywhere, so the ONLY >= 8-token shared
+    // runs are the planted ones; minRun = 8 (the registry default)
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val runS = toks("s", 12) // shared by docs 1, 2; docs 8 carries s1..s8
+    val runR = toks("r", 9)  // shared by docs 4, 5
+    val runT = toks("t", 8)  // shared by docs 4, 5 (second, separate run)
+    val runShort = toks("q", 7) // shared by 6, 7 — UNDER minRun, no row
+    val rows = Seq(
+      (1L, (toks("fa", 4) ++ runS ++ toks("fb", 5)).mkString(" ")),
+      (2L, (toks("fc", 7) ++ runS ++ toks("fd", 3)).mkString(" ")),
+      (3L, toks("fe", 30).mkString(" ")),
+      (4L, (toks("ff", 2) ++ runR ++ toks("fg", 3) ++ runT ++ toks("fh", 1)).mkString(" ")),
+      (5L, (toks("fi", 1) ++ runR ++ toks("fj", 1) ++ runT ++ toks("fk", 2)).mkString(" ")),
+      (6L, (toks("fl", 3) ++ runShort ++ toks("fm", 3)).mkString(" ")),
+      (7L, (toks("fn", 5) ++ runShort ++ toks("fo", 2)).mkString(" ")),
+      (8L, (toks("fp", 1) ++ runS.take(8)).mkString(" ")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), schema)
+    val spans = Dedup.exactSubstringSpans(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // every maximal run, at its exact 1-based offsets, incl. the
+    // 8-token prefix of runS that doc 8 shares with BOTH 1 and 2;
+    // the 7-token run and all filler produce nothing
+    assert(spans == Set(
+      (1L, 2L, 5L, 8L, 12L),
+      (1L, 8L, 5L, 2L, 8L),
+      (2L, 8L, 8L, 2L, 8L),
+      (4L, 5L, 3L, 2L, 9L),
+      (4L, 5L, 15L, 12L, 8L)), s"got $spans")
+
+    // coverage: per-doc interval UNION (doc 1's [5,12] from the doc-8
+    // pair merges into its [5,16] from the doc-2 pair), ratio at 4 dp
+    val cov = Dedup.exactSubstringCoverage(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(cov(1L) == ((21L, 12L, 0.5714)), s"doc1: ${cov(1L)}")
+    assert(cov(2L) == ((22L, 12L, 0.5455)), s"doc2: ${cov(2L)}")
+    assert(cov(4L) == ((23L, 17L, 0.7391)), s"doc4: ${cov(4L)}")
+    assert(cov(5L) == ((21L, 17L, 0.8095)), s"doc5: ${cov(5L)}")
+    assert(cov(8L) == ((9L, 8L, 0.8889)), s"doc8: ${cov(8L)}")
+    Seq(3L, 6L, 7L).foreach(d =>
+      assert(cov(d)._2 == 0L && cov(d)._3 == 0.0, s"doc$d: ${cov(d)}"))
+  }
 }
