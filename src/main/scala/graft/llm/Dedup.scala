@@ -289,6 +289,63 @@ object Dedup {
       .select(col("d1"), col("d2"), col("p1"), col("p2"), col("len"))
   }
 
+  /** The SAME span answer as [[exactSubstringSpans]] through
+    * exact-payload precollapse — the q86/q134 scale fix, for substrings:
+    * on a clone-heavy corpus the direct form pays Σ(clone-group size)²
+    * join rows PER GRAM POSITION (every gram of every clone matches
+    * every other clone — the worst case the 10×-replica rehearsal
+    * corpus IS by construction). Collapse exact clones (md5(text), min
+    * doc_id represents) BEFORE the gram join, run the reduction over
+    * unique texts only, then reconstruct members afterwards:
+    *  - cross-group rep spans expand to every member combination with
+    *    the rep offsets (identical texts ⇒ identical positions),
+    *    orientation re-canonicalized to d1 < d2;
+    *  - intra-group pairs share their WHOLE doc: one (1, 1, n_tokens)
+    *    span per member pair when the text reaches minRun.
+    * Output == direct output row for row (DedupSpec pins it; the
+    * registry runs q139 under q137's oracle VERBATIM). The expansion is
+    * output-sized — inherent to the span contract — while the JOIN cost
+    * drops from Σg² to unique-text work.
+    */
+  def exactSubstringSpansPrecollapsed(df: DataFrame,
+      minRun: Int = ExactSubstringMinRun,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val fp = df.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val groups = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    // unique-text groups ≈ corpus distinct size: small relative to a
+    // clone-heavy corpus, so the membership maps broadcast
+    val members = fp.select(col("doc_id"), col("fp"))
+      .join(broadcast(groups), Seq("fp"))
+      .select(col("doc_id"), col("rep"))
+    val reps = fp
+      .join(broadcast(groups.select(col("rep").as("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val repSpans = exactSubstringSpans0(reps, minRun, maxDf)
+    val cross = repSpans
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), Seq("d1"))
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), Seq("d2"))
+      .select(
+        least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"),
+        when(col("m1") < col("m2"), col("p1")).otherwise(col("p2")).as("p1"),
+        when(col("m1") < col("m2"), col("p2")).otherwise(col("p1")).as("p2"),
+        col("len"))
+    // intra-group: identical texts share everything — one whole-doc
+    // span per member pair (group sizes are exactly the clone
+    // multiplicity; the pair fan-out is the output's own size)
+    val ntok = reps.select(col("doc_id").as("rep_nt"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+    val intra = members.as("a")
+      .join(members.as("b"), col("a.rep") === col("b.rep")
+        && col("a.doc_id") < col("b.doc_id"))
+      .join(broadcast(ntok.filter(col("ntok") >= minRun)),
+        col("a.rep") === col("rep_nt"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1L).as("p1"), lit(1L).as("p2"), col("ntok").as("len"))
+    cross.unionByName(intra)
+      .orderBy(col("d1"), col("d2"), col("p1"), col("p2"))
+  }
+
   /** Per-document duplicated-token coverage — the corpus-level "how much
     * of my data is verbatim duplication" report the span operator
     * exists to drive (the Lee et al. headline statistic): union the
@@ -1905,13 +1962,16 @@ object Dedup {
     // their xxhash64 — the q56 hash-vs-string convention), recursion-free.
     Q("q137_exact_substrings",
       (s, d) => exactSubstringSpans(docs(s, d)),
-      Some(exactSubstringOracleCte +
-        """
-        SELECT d1, d2, CAST(MIN(p1) AS BIGINT) AS p1,
-               CAST(MIN(p2) AS BIGINT) AS p2,
-               CAST(COUNT(*) + """ + (ExactSubstringMinRun - 1) + """ AS BIGINT) AS len
-        FROM isl GROUP BY d1, d2, diag, grp
-        ORDER BY d1, d2, p1, p2""")),
+      Some(exactSubstringSpansOracle)),
+
+    // The SAME span answer through exact-clone precollapse (see
+    // [[exactSubstringSpansPrecollapsed]]) — q86/q134's fix for the
+    // substring operator: the direct form pays Σ(clone-group)² join rows
+    // per gram position on clone-heavy corpora. One contract, two plans,
+    // both under the IDENTICAL oracle (the q74/q134 convention).
+    Q("q139_exact_substrings_precollapse",
+      (s, d) => exactSubstringSpansPrecollapsed(docs(s, d)),
+      Some(exactSubstringSpansOracle)),
 
     // Duplicated-token coverage per doc (see [[exactSubstringCoverage]]):
     // union the span intervals per doc (running-max interval merge) and
@@ -1953,6 +2013,16 @@ object Dedup {
     * (pair, diagonal) — the exact [[exactSubstringSpans0]] reduction in
     * recursion-free SQL.
     */
+  /** q137's full oracle — q139 runs under it VERBATIM. */
+  private def exactSubstringSpansOracle: String =
+    exactSubstringOracleCte +
+      """
+      SELECT d1, d2, CAST(MIN(p1) AS BIGINT) AS p1,
+             CAST(MIN(p2) AS BIGINT) AS p2,
+             CAST(COUNT(*) + """ + (ExactSubstringMinRun - 1) + """ AS BIGINT) AS len
+      FROM isl GROUP BY d1, d2, diag, grp
+      ORDER BY d1, d2, p1, p2"""
+
   private def exactSubstringOracleCte: String = {
     val l = ExactSubstringMinRun
     s"""WITH tok AS (

@@ -484,4 +484,39 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     Seq(3L, 6L, 7L).foreach(d =>
       assert(cov(d)._2 == 0L && cov(d)._3 == 0.0, s"doc$d: ${cov(d)}"))
   }
+
+  test("exact-substring precollapse == direct on a clone-heavy corpus") {
+    // the q86/q134 equality contract for the substring operator: exact
+    // clones of BOTH partial-overlap partners, a cloned doc with no
+    // partner, and a short clone pair that must produce only its own
+    // whole-doc span
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val runS = toks("s", 10)
+    val a = (toks("pa", 3) ++ runS ++ toks("pb", 2)).mkString(" ") // 15 toks
+    val b = (toks("pc", 1) ++ runS ++ toks("pd", 4)).mkString(" ") // 15 toks
+    val lone = toks("pe", 20).mkString(" ")
+    val short = toks("pf", 9).mkString(" ") // 9 >= minRun: whole-doc span
+    val rows = Seq(
+      (1L, a), (2L, b), (3L, lone), (4L, short),
+      (11L, a), (12L, b), (14L, short), (21L, a)) // clones: a x3, b x2, short x2
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), schema)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val direct = rowsOf(Dedup.exactSubstringSpans(df))
+    val pre = rowsOf(Dedup.exactSubstringSpansPrecollapsed(df))
+    assert(pre == direct, s"precollapse drifted:\n direct=$direct\n pre=$pre")
+    // structure is the expected one: every a-clone x b-clone pair carries
+    // the (4, 2, 10) run; clone pairs carry whole-doc spans; lone: none
+    assert(direct.contains((1L, 2L, 4L, 2L, 10L)))
+    assert(direct.contains((2L, 11L, 2L, 4L, 10L))) // orientation swap
+    assert(direct.contains((1L, 11L, 1L, 1L, 15L))) // a-clone whole doc
+    assert(direct.contains((4L, 14L, 1L, 1L, 9L)))  // short-clone whole doc
+    assert(!direct.exists(p => p._1 == 3L || p._2 == 3L))
+    // 3 a-clones x 2 b-clones = 6 cross spans + C(3,2)+C(2,2... ) intra:
+    // 3 a-pairs + 1 b-pair + 1 short-pair = 11 rows total
+    assert(direct.size == 11, s"got ${direct.size}: $direct")
+  }
 }
