@@ -518,5 +518,16 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     // 3 a-clones x 2 b-clones = 6 cross spans + C(3,2)+C(2,2... ) intra:
     // 3 a-pairs + 1 b-pair + 1 short-pair = 11 rows total
     assert(direct.size == 11, s"got ${direct.size}: $direct")
+
+    // coverage on the same corpus (computed via the linear rep route):
+    // clone members are whole-doc covered, the lone doc untouched
+    val cov = Dedup.exactSubstringCoverage(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    Seq(1L, 2L, 11L, 12L, 21L).foreach(d =>
+      assert(cov(d) == ((15L, 15L, 1.0)), s"doc$d: ${cov(d)}"))
+    Seq(4L, 14L).foreach(d =>
+      assert(cov(d) == ((9L, 9L, 1.0)), s"doc$d: ${cov(d)}"))
+    assert(cov(3L) == ((20L, 0L, 0.0)), s"doc3: ${cov(3L)}")
   }
 }
