@@ -293,17 +293,20 @@ object Curation {
     * is unchanged). Trailing tokens short of a full chunk are dropped —
     * both engines apply the same rule, so the chunk set is value-pinned.
     */
-  def lineChunks(docsDf: DataFrame, n: Int = 3): DataFrame = {
+  def lineChunks(docsDf: DataFrame, n: Int = 3,
+      extra: Seq[String] = Nil): DataFrame = {
     val t = docsDf
       // spread first: single-row-group parquet otherwise leaves the
       // whole tokenize+explode on one core (Dedup.spread rationale)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .select(col("doc_id") +: extra.map(col) :+
+        TextOps.tokens(col("text")).as("ts"): _*)
       .filter(size(col("ts")) >= n)
     val lines = transform(
       sequence(lit(0), floor(size(col("ts")) / n).cast("int") - 1),
       i => concat_ws(" ", (1 to n).map(j => element_at(col("ts"), i * n + j)): _*))
-    t.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    t.select(col("doc_id") +: extra.map(col) :+
+      posexplode(lines).as(Seq("pos", "line")): _*)
   }
 
   /** CCNet-style line-level dedup (Wenzek et al. 2019, arXiv:1911.00359):
@@ -1052,7 +1055,93 @@ object Curation {
                      ROUND(hl.h_lang, 4) AS h_lang,
                      ROUND(mi.mi, 4) AS mi,
                      ROUND(mi.mi / hl.h_lang, 4) AS nmi
-              FROM n CROSS JOIN hs CROSS JOIN hl CROSS JOIN mi"""))
+              FROM n CROSS JOIN hs CROSS JOIN hl CROSS JOIN mi""")),
+
+    // UniMax language-budget allocation (Chung et al. 2023,
+    // arXiv:2304.09151): given per-language corpus sizes, a total
+    // training budget (2x the corpus here) and a per-language epoch cap
+    // (3), waterfill the budget — low-resource languages are capped at
+    // `cap = 3·chars`, the rest split the remainder UNIFORMLY at level
+    // t, chosen so allocations sum to the budget. Complements
+    // q104/q67/q81: temperature scaling reweights smoothly; UniMax
+    // gives every uncapped language the SAME char budget, bounding
+    // low-resource repetition explicitly. The waterfill is closed-form
+    // over the capacity table sorted ascending: the capped set is the
+    // prefix of ranks r with cap_r·(n−r) ≤ B−S_r (prefix-closure:
+    // a false predicate at r forces cap_{r+1} < cap_r for it to flip
+    // back true, impossible under ascending sort), so the boundary k is
+    // a MAX over integer-exact comparisons — no float enters until the
+    // single division that defines t. 100 TB shape: one map-side
+    // groupBy(lang) over stored n_chars metadata; every window/agg after
+    // runs on the languages-sized table (the unpartitioned window is
+    // bounded by |langs|, not the corpus).
+    Q("q140_unimax_mixture",
+      (s, d) => unimaxAllocation(docs(s, d)),
+      Some("""WITH c AS (
+                SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+                FROM documents GROUP BY lang),
+              tot AS (SELECT CAST(2 * SUM(chars) AS BIGINT) AS b,
+                             COUNT(*) AS n FROM c),
+              r AS (SELECT lang, chars, 3 * chars AS cap,
+                           ROW_NUMBER() OVER (ORDER BY 3 * chars, lang) AS rk,
+                           SUM(3 * chars) OVER (ORDER BY 3 * chars, lang
+                             ROWS UNBOUNDED PRECEDING) AS s
+                    FROM c),
+              k AS (SELECT COALESCE(MAX(CASE WHEN cap * (n - rk) <= b - s
+                                             THEN rk END), 0) AS k
+                    FROM r CROSS JOIN tot),
+              sk AS (SELECT COALESCE(MAX(CASE WHEN rk <= k THEN s END), 0) AS s_k
+                     FROM r CROSS JOIN k),
+              t AS (SELECT CASE WHEN k < n
+                                THEN CAST(b - s_k AS DOUBLE) / (n - k) END AS t
+                    FROM k CROSS JOIN sk CROSS JOIN tot)
+              SELECT lang, chars, cap AS cap_chars,
+                     ROUND(CASE WHEN rk <= k THEN CAST(cap AS DOUBLE)
+                                ELSE t.t END, 2) AS alloc_chars,
+                     ROUND(CASE WHEN rk <= k THEN 3.0
+                                ELSE t.t / chars END, 4) AS epochs,
+                     CAST(rk <= k AS INT) AS capped
+              FROM r CROSS JOIN k CROSS JOIN t ORDER BY lang""")),
+
+    // Within-source repeated-line (boilerplate) report — the
+    // Dolma/RefinedWeb curation rule that q88's GLOBAL line dedup does
+    // not express: a line repeated across >= 2 DISTINCT documents of
+    // the SAME source is domain boilerplate (nav text, headers,
+    // footers), and the per-source report (how many lines, what share
+    // of line instances, how many docs touched) is what decides whether
+    // a domain needs line-level scrubbing at all. Doc-frequency, not
+    // instance-frequency: a line repeated WITHIN one doc is repetition
+    // (q68/q103's axis), not boilerplate. 100 TB shape: chunk
+    // explosion is map-side; the instance table collapses with map-side
+    // combine on (source, line-key, doc_id); the doc-frequency window
+    // partitions on (source, line-key) — group cost linear in a hot
+    // line's doc count, the q88 rationale — and grouping is on the
+    // 16-hex md5 key so only bounded keys shuffle, never line text.
+    Q("q141_boilerplate_lines",
+      (s, d) => boilerplateReport(docs(s, d)),
+      Some("""WITH tok AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              ln AS (
+                SELECT doc_id, source,
+                       UNNEST([ts[3*i+1] || ' ' || ts[3*i+2] || ' ' || ts[3*i+3]
+                               for i in generate_series(0, CAST(FLOOR(LEN(ts) / 3) AS BIGINT) - 1)]) AS line
+                FROM tok WHERE LEN(ts) >= 3),
+              l1 AS (SELECT source, line, doc_id, COUNT(*) AS inst
+                     FROM ln GROUP BY 1, 2, 3),
+              l2 AS (SELECT source, line, doc_id, inst,
+                            COUNT(*) OVER (PARTITION BY source, line) AS n_docs
+                     FROM l1)
+              SELECT source,
+                     CAST(COUNT(DISTINCT line) AS BIGINT) AS n_lines_distinct,
+                     CAST(COUNT(DISTINCT CASE WHEN n_docs >= 2 THEN line END) AS BIGINT) AS n_boiler_lines,
+                     CAST(SUM(inst) AS BIGINT) AS n_instances,
+                     CAST(SUM(CASE WHEN n_docs >= 2 THEN inst ELSE 0 END) AS BIGINT) AS boiler_instances,
+                     ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN inst ELSE 0 END) AS DOUBLE)
+                           / SUM(inst), 4) AS pct_boiler,
+                     CAST(COUNT(DISTINCT CASE WHEN n_docs >= 2 THEN doc_id END) AS BIGINT) AS n_docs_affected
+              FROM l2 GROUP BY source ORDER BY source"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the
@@ -1126,5 +1215,83 @@ object Curation {
             ((lit(1.0) - coalesce(col("mass_a"), lit(0.0)))
               + (lit(1.0) - coalesce(col("mass_b"), lit(0.0)))), 4).as("js"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** UniMax waterfill (Chung et al. 2023): per-language char budgets
+    * under a total budget of `budgetMult`× the corpus and a per-language
+    * `epochCap`. Languages sorted ascending by capacity `cap = epochCap·
+    * chars`; the capped set is the prefix of ranks with
+    * `cap_r·(n−r) ≤ B−S_r` (integer-exact — see the q140 registry note
+    * for the prefix-closure argument), everyone else gets the uniform
+    * level `t = (B−S_k)/(n−k)`. One corpus-scale groupBy(lang) over the
+    * stored n_chars column; all downstream windows/aggs run on the
+    * languages-sized table, so the unpartitioned window is bounded by
+    * |langs| at any corpus size.
+    */
+  def unimaxAllocation(docsDf: DataFrame, epochCap: Int = 3,
+      budgetMult: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = docsDf.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).cast("long").as("chars"))
+    val tot = c.agg((lit(budgetMult) * sum(col("chars"))).cast("long").as("b"),
+      count(lit(1)).as("n"))
+    val ord = Window.orderBy(col("cap"), col("lang"))
+    val r = c.select(col("lang"), col("chars"),
+        (col("chars") * epochCap).as("cap"))
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("s", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rt = r.crossJoin(broadcast(tot))
+    val k = rt.agg(coalesce(
+      max(when(col("cap") * (col("n") - col("rk")) <= col("b") - col("s"),
+        col("rk"))), lit(0L)).as("k"))
+    val sk = rt.crossJoin(broadcast(k))
+      .agg(coalesce(max(when(col("rk") <= col("k"), col("s"))), lit(0L))
+        .as("s_k"))
+    val t = tot.crossJoin(broadcast(k)).crossJoin(broadcast(sk))
+      .select(col("k"),
+        when(col("k") < col("n"),
+          (col("b") - col("s_k")).cast("double") / (col("n") - col("k")))
+          .as("t"))
+    r.crossJoin(broadcast(t))
+      .select(col("lang"), col("chars"), col("cap").as("cap_chars"),
+        round(when(col("rk") <= col("k"), col("cap").cast("double"))
+          .otherwise(col("t")), 2).as("alloc_chars"),
+        round(when(col("rk") <= col("k"), lit(epochCap.toDouble))
+          .otherwise(col("t") / col("chars")), 4).as("epochs"),
+        (col("rk") <= col("k")).cast("int").as("capped"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-source repeated-line boilerplate report: a line (q88's n-token
+    * chunk) appearing in ≥ `minDocs` distinct documents of the same
+    * source is boilerplate; reports per source the distinct/boiler line
+    * counts, the instance share, and the affected-doc count.
+    * Doc-frequency (not instance-frequency) is the gate, so
+    * within-document repetition never trips it. Grouping rides the
+    * 16-hex md5 line key — bounded-width shuffle keys, binary-stable
+    * grouping (the q88 rationale); the line text itself never shuffles.
+    */
+  def boilerplateReport(docsDf: DataFrame, n: Int = 3,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l1 = lineChunks(docsDf, n, extra = Seq("source"))
+      .groupBy(col("source"), substring(md5(col("line")), 1, 16).as("lk"),
+        col("doc_id"))
+      .agg(count(lit(1)).as("inst"))
+    val boiler = count(lit(1))
+      .over(Window.partitionBy(col("source"), col("lk"))) >= minDocs
+    l1.withColumn("is_b", boiler)
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("lk")).as("n_lines_distinct"),
+        countDistinct(when(col("is_b"), col("lk"))).as("n_boiler_lines"),
+        sum(col("inst")).as("n_instances"),
+        sum(when(col("is_b"), col("inst")).otherwise(0L))
+          .as("boiler_instances"),
+        round(sum(when(col("is_b"), col("inst")).otherwise(0L)).cast("double")
+          / sum(col("inst")), 4).as("pct_boiler"),
+        countDistinct(when(col("is_b"), col("doc_id"))).as("n_docs_affected"))
+      .orderBy(col("source"))
   }
 }

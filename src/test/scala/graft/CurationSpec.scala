@@ -581,4 +581,55 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(miD == hLang, s"deterministic mapping: MI=$miD H(lang)=$hLang")
     assert(nmiD == 1.0)
   }
+
+  test("unimax: small language capped at epoch cap, rest split the level, budget conserved") {
+    val sch = StructType(Seq(StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    def mk(rows: (String, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), sch)
+    // caps (E=3): aa 30, bb 300, cc 300; budget 2x = 420. Waterfill by
+    // hand: aa capped (30 <= (420-30)/2), level t = 195 for bb/cc.
+    val out = Curation.unimaxAllocation(mk(("aa", 10L), ("bb", 100L),
+      ("cc", 100L))).collect()
+    val byLang = out.map(r => r.getString(0) ->
+      (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    assert(byLang("aa") == ((30.0, 3.0, 1)), s"aa: ${byLang("aa")}")
+    assert(byLang("bb") == ((195.0, 1.95, 0)))
+    assert(byLang("cc") == ((195.0, 1.95, 0)))
+    // allocations sum exactly to the budget
+    assert(out.map(_.getDouble(3)).sum == 420.0)
+    // budget below every cap: nobody capped, uniform level = B/n
+    val low = Curation.unimaxAllocation(mk(("aa", 10L), ("bb", 10L)),
+      epochCap = 3, budgetMult = 1).collect()
+    assert(low.forall(_.getInt(5) == 0))
+    assert(low.forall(_.getDouble(3) == 10.0)) // t = 20/2
+    // budget above total capacity: everyone capped at the epoch cap
+    val high = Curation.unimaxAllocation(mk(("aa", 10L), ("bb", 10L)),
+      epochCap = 1, budgetMult = 2).collect()
+    assert(high.forall(r => r.getInt(5) == 1 && r.getDouble(3) == 10.0 &&
+      r.getDouble(4) == 1.0))
+  }
+
+  test("boilerplate: cross-doc same-source lines flagged, within-doc repetition is not") {
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "s1", "a b c x y z"),   // "a b c" shared with doc 2 (s1)
+      Row(2L, "s1", "a b c q r t"),
+      Row(3L, "s1", "foo bar baz u v w"),
+      Row(4L, "s2", "p q r p q r"))   // repeated WITHIN one doc only
+    val out = Curation.boilerplateReport(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), sch))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getLong(1) == 5, s"s1 distinct lines: ${s1.getLong(1)}")
+    assert(s1.getLong(2) == 1) // "a b c"
+    assert(s1.getLong(3) == 6 && s1.getLong(4) == 2)
+    assert(s1.getDouble(5) == 0.3333)
+    assert(s1.getLong(6) == 2) // docs 1 and 2
+    val s2 = out("s2")
+    assert(s2.getLong(2) == 0 && s2.getLong(4) == 0 && s2.getLong(6) == 0,
+      "within-doc repetition must not count as boilerplate")
+    assert(s2.getLong(3) == 2) // two instances of the one line
+  }
 }
