@@ -1141,7 +1141,57 @@ object Curation {
                      ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN inst ELSE 0 END) AS DOUBLE)
                            / SUM(inst), 4) AS pct_boiler,
                      CAST(COUNT(DISTINCT CASE WHEN n_docs >= 2 THEN doc_id END) AS BIGINT) AS n_docs_affected
-              FROM l2 GROUP BY source ORDER BY source"""))
+              FROM l2 GROUP BY source ORDER BY source""")),
+
+    // q140's allocation MATERIALIZED as a deterministic per-doc sampling
+    // plan — the step that turns "language X gets 2.75 epochs" into an
+    // executable copy list: floor(e) full copies per doc plus one more
+    // iff the doc's md5 bucket (q59's split rule, mod 10000) falls under
+    // the fractional share. Epochs are pinned as INTEGER basis points
+    // via floor-division of the waterfill's exact integers, so the
+    // whole plan — including the fractional-copy gate — is integer
+    // arithmetic end to end; no float ever decides a copy. Reports per
+    // language the emitted doc/char counts and the achieved epochs
+    // against the target. 100 TB shape: |langs|-row plan broadcast into
+    // a map-side join + one map-side-combined aggregate.
+    Q("q142_mixture_realize",
+      (s, d) => unimaxRealize(docs(s, d)),
+      Some("""WITH c AS (
+                SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+                FROM documents GROUP BY lang),
+              tot AS (SELECT CAST(2 * SUM(chars) AS BIGINT) AS b,
+                             COUNT(*) AS n FROM c),
+              r AS (SELECT lang, chars, 3 * chars AS cap,
+                           ROW_NUMBER() OVER (ORDER BY 3 * chars, lang) AS rk,
+                           SUM(3 * chars) OVER (ORDER BY 3 * chars, lang
+                             ROWS UNBOUNDED PRECEDING) AS s
+                    FROM c),
+              k AS (SELECT COALESCE(MAX(CASE WHEN cap * (n - rk) <= b - s
+                                             THEN rk END), 0) AS k
+                    FROM r CROSS JOIN tot),
+              sk AS (SELECT COALESCE(MAX(CASE WHEN rk <= k THEN s END), 0) AS s_k
+                     FROM r CROSS JOIN k),
+              plan AS (
+                SELECT lang, chars,
+                       CAST(CASE WHEN rk <= k THEN 30000
+                                 ELSE (10000 * (b - s_k)) // ((n - k) * chars)
+                            END AS BIGINT) AS e_bp,
+                       CAST(rk <= k AS INT) AS capped
+                FROM r CROSS JOIN k CROSS JOIN sk CROSS JOIN tot),
+              d AS (
+                SELECT p.lang, p.chars, p.e_bp, p.capped, doc.n_chars,
+                       (p.e_bp // 10000)
+                       + CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+                                   < p.e_bp % 10000
+                              THEN 1 ELSE 0 END AS copies
+                FROM documents doc JOIN plan p USING (lang))
+              SELECT lang, e_bp AS epochs_bp, capped,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(copies) AS BIGINT) AS n_emitted,
+                     chars,
+                     CAST(SUM(n_chars * copies) AS BIGINT) AS chars_emitted,
+                     ROUND(CAST(SUM(n_chars * copies) AS DOUBLE) / chars, 4) AS achieved_epochs
+              FROM d GROUP BY lang, e_bp, capped, chars ORDER BY lang"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the
@@ -1228,8 +1278,13 @@ object Curation {
     * languages-sized table, so the unpartitioned window is bounded by
     * |langs| at any corpus size.
     */
-  def unimaxAllocation(docsDf: DataFrame, epochCap: Int = 3,
-      budgetMult: Int = 2): DataFrame = {
+  /** The q140 waterfill's per-language table with the boundary solved:
+    * (lang, chars, cap, rk, s) plus broadcast (b, n, k, s_k) — every
+    * column an exact integer, so downstream formatting (q140) and plan
+    * realization (q142) share one integer-exact core.
+    */
+  private def waterfillTable(docsDf: DataFrame, epochCap: Int,
+      budgetMult: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = docsDf.groupBy(col("lang"))
       .agg(sum(col("n_chars")).cast("long").as("chars"))
@@ -1248,18 +1303,61 @@ object Curation {
     val sk = rt.crossJoin(broadcast(k))
       .agg(coalesce(max(when(col("rk") <= col("k"), col("s"))), lit(0L))
         .as("s_k"))
-    val t = tot.crossJoin(broadcast(k)).crossJoin(broadcast(sk))
-      .select(col("k"),
-        when(col("k") < col("n"),
-          (col("b") - col("s_k")).cast("double") / (col("n") - col("k")))
-          .as("t"))
-    r.crossJoin(broadcast(t))
-      .select(col("lang"), col("chars"), col("cap").as("cap_chars"),
+    rt.crossJoin(broadcast(k)).crossJoin(broadcast(sk))
+  }
+
+  def unimaxAllocation(docsDf: DataFrame, epochCap: Int = 3,
+      budgetMult: Int = 2): DataFrame = {
+    val wf = waterfillTable(docsDf, epochCap, budgetMult)
+    val r = wf.withColumn("t",
+      when(col("k") < col("n"),
+        (col("b") - col("s_k")).cast("double") / (col("n") - col("k"))))
+    r.select(col("lang"), col("chars"), col("cap").as("cap_chars"),
         round(when(col("rk") <= col("k"), col("cap").cast("double"))
           .otherwise(col("t")), 2).as("alloc_chars"),
         round(when(col("rk") <= col("k"), lit(epochCap.toDouble))
           .otherwise(col("t") / col("chars")), 4).as("epochs"),
         (col("rk") <= col("k")).cast("int").as("capped"))
+      .orderBy(col("lang"))
+  }
+
+  /** Materialize the q140 waterfill into a deterministic per-doc
+    * sampling plan: every doc of a language with epoch share e gets
+    * floor(e) full copies, plus one more iff its md5 bucket (q59's
+    * rule, mod 10000) falls under the fractional share — so the
+    * realized char counts converge on the allocation without any
+    * randomness. Epochs are pinned in integer BASIS POINTS
+    * (`e_bp = 10000·(B−S_k) div ((n−k)·chars)`, a floor-division of
+    * exact integers) so the per-doc copy rule never touches a float —
+    * the plan is reproducible bit-for-bit on any engine. 100 TB shape:
+    * the plan table is |langs| rows broadcast to a map-side join; the
+    * report is one map-side-combined aggregate.
+    */
+  def unimaxRealize(docsDf: DataFrame, epochCap: Int = 3,
+      budgetMult: Int = 2): DataFrame = {
+    val plan = waterfillTable(docsDf, epochCap, budgetMult)
+      .select(col("lang"), col("chars"),
+        when(col("rk") <= col("k"), lit(10000L * epochCap))
+          .otherwise(expr("(10000 * (b - s_k)) div ((n - k) * chars)"))
+          .as("e_bp"),
+        (col("rk") <= col("k")).cast("int").as("capped"))
+    val bkt = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10000))
+    docsDf.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(plan), Seq("lang"))
+      .withColumn("copies",
+        expr("e_bp div 10000") +
+          when(bkt < col("e_bp") % 10000, 1L).otherwise(0L))
+      .groupBy(col("lang"), col("chars"), col("e_bp"), col("capped"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("copies")).as("n_emitted"),
+        sum(col("n_chars") * col("copies")).as("chars_emitted"),
+        round(sum(col("n_chars") * col("copies")).cast("double")
+          / col("chars"), 4).as("achieved_epochs"))
+      .select(col("lang"), col("e_bp").as("epochs_bp"), col("capped"),
+        col("n_docs"), col("n_emitted"), col("chars"),
+        col("chars_emitted"), col("achieved_epochs"))
       .orderBy(col("lang"))
   }
 

@@ -84,7 +84,10 @@ object Pca {
     }
     val kMax = v.indices.maxBy(j => math.abs(v(j)))
     if (v(kMax) < 0) v = v.map(-_)
+    // free the checkpoint's persisted RDD as well — Dataset.unpersist
+    // only reaches the CacheManager (Bench's standing leak assertion)
     f.unpersist()
+    Dedup.checkpointRdd(f).foreach(_.unpersist(blocking = false))
     (mu, v)
   }
 
@@ -321,6 +324,10 @@ object Pca {
         val f = vecs.select(col("a")).localCheckpoint(true)
         val dim = f.select(size(col("a"))).head().getInt(0)
         val mu = meanVector(f, dim)
+        // centroid is computed; release the snapshot (blocks otherwise
+        // outlive the query — Bench's standing leak assertion)
+        f.unpersist()
+        Dedup.checkpointRdd(f).foreach(_.unpersist(blocking = false))
         componentDf(s, mu, Array.fill(dim)(0.0))
           .select(col("j"), col("mu")).coalesce(1)
           .write.mode("overwrite").parquet(Q116CentroidDir)

@@ -73,7 +73,13 @@ object QualityClassifier {
         avg(err * col("x2")), avg(err * col("x3"))).head()
       w = w.zipWithIndex.map { case (wj, j) => wj - lr * g.getDouble(j) }
     }
+    // Dataset.unpersist alone does NOT free an eager localCheckpoint's
+    // blocks (it only talks to the CacheManager); drop the backing
+    // persisted RDD too, or every train() call pins one snapshot for the
+    // session's lifetime — the r9 pageRank leak class, now failed loud
+    // by Bench's standing zero-persisted-RDD assertion.
     f.unpersist()
+    Dedup.checkpointRdd(f).foreach(_.unpersist(blocking = false))
     w
   }
 

@@ -255,6 +255,13 @@ object StreamingCuration {
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/mixture")
+        // drop the batch snapshot's persisted RDD before the closure
+        // returns — in always-on mode an unreleased localCheckpoint pins
+        // one block set PER MICRO-BATCH (the r9 leak class; Bench fails
+        // it loud for registry queries, this is the streaming analog)
+        t.unpersist()
+        graft.llm.Dedup.checkpointRdd(t)
+          .foreach(_.unpersist(blocking = false))
       }
       .start()
   }
@@ -323,6 +330,11 @@ object StreamingCuration {
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/gram_hits")
+        // release the per-batch snapshot (see start(): always-on mode
+        // otherwise pins one block set per micro-batch)
+        grams.unpersist()
+        graft.llm.Dedup.checkpointRdd(grams)
+          .foreach(_.unpersist(blocking = false))
       }
       .start()
   }
@@ -405,6 +417,11 @@ object StreamingCuration {
           .write.mode("append")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$outDir/sem_hits")
+        // release the per-batch snapshot (see start(): always-on mode
+        // otherwise pins one block set per micro-batch)
+        t.unpersist()
+        graft.llm.Dedup.checkpointRdd(t)
+          .foreach(_.unpersist(blocking = false))
       }
       .start()
   }

@@ -610,6 +610,39 @@ class CurationSpec extends AnyFunSuite with TestSpark {
       r.getDouble(4) == 1.0))
   }
 
+  test("mixture realization: copies match the integer basis-point rule doc by doc") {
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val docs = Seq((1L, "aa", 10L), (2L, "bb", 40L), (3L, "bb", 60L),
+      (4L, "cc", 100L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map(Row.fromTuple), 2), sch)
+    // waterfill (E=3, B=2x420/2=420): aa capped at 30000 bp, bb/cc at
+    // e_bp = (10000*390) div (2*100) = 19500 -> 1 full copy + 9500 bp
+    val eBp = Map("aa" -> 30000L, "bb" -> 19500L, "cc" -> 19500L)
+    def bkt10k(id: Long): Long = // q59's md5 bucket rule, mod 10000
+      java.lang.Long.parseLong(MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16) % 10000
+    def copies(id: Long, lang: String): Long =
+      eBp(lang) / 10000 + (if (bkt10k(id) < eBp(lang) % 10000) 1L else 0L)
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      lang -> (ds.map(d => copies(d._1, lang)).sum,
+        ds.map(d => d._3 * copies(d._1, lang)).sum)
+    }
+    val out = Curation.unimaxRealize(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((lang, (nEmit, charsEmit)) <- expected) {
+      assert(out(lang).getLong(1) == eBp(lang),
+        s"$lang e_bp: ${out(lang).getLong(1)}")
+      assert(out(lang).getLong(4) == nEmit,
+        s"$lang n_emitted: ${out(lang).getLong(4)} vs $nEmit")
+      assert(out(lang).getLong(6) == charsEmit)
+    }
+    assert(out("aa").getInt(2) == 1 && out("bb").getInt(2) == 0)
+    assert(out("aa").getDouble(7) == 3.0) // capped lang achieves its cap exactly
+  }
+
   test("boilerplate: cross-doc same-source lines flagged, within-doc repetition is not") {
     val sch = StructType(Seq(StructField("doc_id", LongType),
       StructField("source", StringType), StructField("text", StringType)))
