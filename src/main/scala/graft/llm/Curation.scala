@@ -417,6 +417,81 @@ object Curation {
               FROM t LEFT JOIN train tr ON tr.fp = t.fp
               WHERE t.split = 'test'"""
 
+  /** Default blocklist for [[blocklistHits]] — the registered q145
+    * instance: two unigrams (one absent from the synthetic corpus, so
+    * absent-term handling is exercised) and two 2-token phrases, the
+    * shape of a real badwords list (C4's is ~400 terms of 1–4 tokens).
+    */
+  val DefaultBlocklist: Seq[String] =
+    Seq("slow", "deprecated", "big vector", "merge batch")
+
+  /** C4-style blocklist filtering (Raffel et al. 2020: a doc is dropped
+    * if ANY term of a badwords list occurs; RefinedWeb/Dolma keep the
+    * same primitive with bigger lists): per-doc occurrence counts of
+    * every blocklist term, matched on WHOLE-TOKEN phrase boundaries —
+    * "slow" never matches inside "slowly", and a 2-token phrase matches
+    * only consecutive tokens. Docs with zero hits don't appear (the
+    * kept set is the anti-join; callers drop `hits.doc_id`).
+    *
+    * Scale shape: for a list with phrases of ≤ P tokens, the corpus
+    * emits its token n-grams for n = 1..P (map-side explodes off ONE
+    * tokenize exchange both branches reuse) and BROADCAST-joins the
+    * term list — corpus rows never shuffle; only matched (doc_id, term)
+    * rows reach the per-doc aggregate, and hits are rare by
+    * construction. P is bounded by the longest phrase (≤ 4 in public
+    * lists), so the fan-out is a small constant on the scan. A 10⁵-term
+    * list still broadcasts in KBs; the Aho–Corasick single-pass
+    * automaton only becomes worth a custom expression when phrase
+    * lengths explode, which public badwords lists don't.
+    */
+  def blocklistHits(docsDf: DataFrame,
+      terms: Seq[String] = DefaultBlocklist): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val maxLen = terms.map(_.split(" ").length).max
+    val termDf = terms.toDF("term")
+    val toks = docsDf
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .repartition(col("doc_id"))
+    val branches = (1 to maxLen).map { n =>
+      toks.filter(size(col("ts")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)), i =>
+            concat_ws(" ",
+              (0 until n).map(o => element_at(col("ts"), i + o)): _*)))
+            .as("g"))
+    }
+    branches.reduce(_ union _)
+      .join(broadcast(termDf), col("g") === col("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("term")).as("n_terms"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Column-level PII risk profile — the data-governance pass that runs
+    * BEFORE redaction (q87 scrubs a known text column; this finds which
+    * columns of an arbitrary table look like they hold emails, phone
+    * numbers, or IPs at all, so a pipeline knows where to point the
+    * scrubber). Pure map-side stack-and-match: each row emits one
+    * (col_name, value) pair per profiled column, three RE2-safe regexes
+    * flag matches, and the aggregate carries |columns| keys. Counts are
+    * integer-exact across engines; no tokenizer, no floats.
+    */
+  def piiColumnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+      .as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+    stacked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").rlike(EmailRe), 1L).otherwise(0L)).as("n_email"),
+        sum(when(col("v").rlike(PhoneRe), 1L).otherwise(0L)).as("n_phone"),
+        sum(when(col("v").rlike(Ipv4Re), 1L).otherwise(0L)).as("n_ip"))
+      .orderBy(col("col_name"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Train/test DECONTAMINATION: count test-split docs whose normalized
     // content fingerprint also appears in the train split — the standard
@@ -1191,7 +1266,72 @@ object Curation {
                      chars,
                      CAST(SUM(n_chars * copies) AS BIGINT) AS chars_emitted,
                      ROUND(CAST(SUM(n_chars * copies) AS DOUBLE) / chars, 4) AS achieved_epochs
-              FROM d GROUP BY lang, e_bp, capped, chars ORDER BY lang"""))
+              FROM d GROUP BY lang, e_bp, capped, chars ORDER BY lang""")),
+
+    // C4 badwords filtering: per-doc whole-token-phrase hit counts
+    // against the blocklist (docs absent from the output are the kept
+    // set). Broadcast term join — corpus rows never shuffle.
+    Q("q145_blocklist_filter",
+      (s, d) => blocklistHits(docs(s, d)),
+      Some("""WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents
+                WHERE LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) >= 1),
+              uni AS (SELECT doc_id, UNNEST(ts) AS g FROM toks),
+              bi AS (
+                SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+                FROM toks, UNNEST(generate_series(1, LEN(ts) - 1)) AS t(i)
+                WHERE LEN(ts) >= 2),
+              grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+              terms(term) AS (VALUES ('slow'), ('deprecated'),
+                                     ('big vector'), ('merge batch'))
+              SELECT doc_id, COUNT(*) AS n_hits,
+                     COUNT(DISTINCT term) AS n_terms
+              FROM grams JOIN terms ON g = term
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Column-level PII risk profile — which columns of a table look
+    // like they hold emails / phone numbers / IPs, i.e. where to point
+    // the q87 scrubber. The corpus is synthetic, so the query plants
+    // q87's deterministic spans into `text` (the q87 convention: the
+    // profiling machinery, not the planting, is what the hash pins);
+    // lang/source profile to zero, the negative control.
+    Q("q146_pii_profile",
+      (s, d) => {
+        val planted = concat(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("contact user"), col("doc_id").cast("string"),
+              lit("@example.com "))).otherwise(""),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("call 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(" "))).otherwise(""),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+              lit(" "))).otherwise(""),
+          col("text"))
+        piiColumnProfile(
+          docs(s, d).select(planted.as("text"), col("lang"), col("source")),
+          Seq("text", "lang", "source"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN 'call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0 THEN 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' ELSE '' END
+                    || text AS text,
+                       lang, source
+                FROM documents),
+              vals AS (
+                SELECT 'text' AS col_name, text AS v FROM p
+                UNION ALL SELECT 'lang', lang FROM p
+                UNION ALL SELECT 'source', source FROM p)
+              SELECT col_name, COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN regexp_matches(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+                     CAST(SUM(CASE WHEN regexp_matches(v, '555-[0-9]{4}') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+                     CAST(SUM(CASE WHEN regexp_matches(v, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') THEN 1 ELSE 0 END) AS BIGINT) AS n_ip
+              FROM vals GROUP BY col_name ORDER BY col_name"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the

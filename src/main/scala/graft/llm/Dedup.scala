@@ -1036,6 +1036,87 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs —
+    * Bayardo, Ma & Srikant, WWW 2007; the PPJoin candidate rule) —
+    * q32's Jaccard-pair semantics WITHOUT the df-cap approximation:
+    * every pair whose 3-gram-shingle Jaccard clears the threshold,
+    * exactly. The cap (q32) controls inverted-index skew by DROPPING
+    * hot shingles, which perturbs Jaccard near the threshold; prefix
+    * filtering controls the same skew by indexing only each doc's
+    * RAREST shingles, losing nothing:
+    *
+    *  - one global df pass orders the shingle space rarest-first
+    *    (df asc, hash asc — any consistent total order preserves the
+    *    guarantee);
+    *  - each doc indexes only its first n − ceil(t·n) + 1 shingles in
+    *    that order. If J(x,y) ≥ t then |x∩y| ≥ t·|x| (the union is at
+    *    least |x|), so the shared shingles cannot all fit in the
+    *    ceil(t·n)−1 suffix — some shared shingle sits in BOTH prefixes
+    *    and the prefix self-join finds the pair: zero false negatives;
+    *  - the size filter bp·max(na,nb) ≤ 10000·min(na,nb) kills
+    *    cross-size candidates integer-exactly inside the join;
+    *  - verification fans each surviving candidate by d1's posting list
+    *    (bounded by document length) and counts the true intersection
+    *    over the FULL shingle space.
+    *
+    * Skew at 100 TB: a boilerplate shingle has huge df, so it enters a
+    * doc's prefix only when nearly every other shingle the doc has is
+    * even hotter — i.e. only for docs that ARE boilerplate. Hot keys
+    * thus have structurally short posting lists in the prefix index,
+    * the property q32's cap had to enforce by deletion. Threshold
+    * compares are integer basis points throughout; the only division
+    * is the reported 4-dp jaccard.
+    */
+  def prefixFilteredJaccardPairs(docsDf: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bp = math.round(minJaccard * 10000).toInt
+    val hs = withShingleHashes(docsDf)
+    val sized = hs
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+      .filter(col("n") > 0)
+    // one explicit exchange on s shared by the df pass and the ranked
+    // probe side (ReuseExchange — the invertedShingleIndex discipline)
+    val sh = sized
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+      .repartition(col("s"))
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // ceil(bp·n/10000) in exact integers: (bp·n + 9999) div 10000 — the
+    // numerator stays < 2^53 so the double division floors exactly for
+    // multiples and is 9 orders from a boundary otherwise
+    val need = floor((col("n").cast("long") * bp + lit(9999L)) / lit(10000.0))
+      .cast("long")
+    val ranked = sh.join(dfs, Seq("s"))
+      .select(col("doc_id"), col("n"), col("s"),
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("s"))).as("rk"))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - need + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n").cast("long") * bp <= col("b.n").cast("long") * 10000L &&
+          col("b.n").cast("long") * bp <= col("a.n").cast("long") * 10000L)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val postings = sized.select(col("doc_id"), explode(col("hs")).as("s"))
+    val inter = cand
+      .join(postings.as("pa"), col("d1") === col("pa.doc_id"))
+      .join(postings.as("pb"),
+        col("d2") === col("pb.doc_id") && col("pa.s") === col("pb.s"))
+      .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    inter
+      .filter(col("inter") * 10000L >=
+        lit(bp.toLong) * (col("na").cast("long") + col("nb") - col("inter")))
+      .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Exact dedup via content hash (the 100 TB shape: groupBy on md5,
     // never a string-compare join).
@@ -1116,6 +1197,33 @@ object Dedup {
               JOIN sz sb ON sb.doc_id = d2
               WHERE CAST(inter AS DOUBLE) / sa.n >= 0.5
                  OR CAST(inter AS DOUBLE) / sb.n >= 0.5
+              ORDER BY d1, d2""")),
+
+    // EXACT Jaccard pairs via AllPairs prefix filtering (Bayardo et al.
+    // 2007) — no df cap anywhere: the oracle is the UNCAPPED q32 CTE.
+    // Threshold compares in integer basis points (engine-exact edges).
+    Q("q143_prefix_filter_pairs",
+      (s, d) => prefixFilteredJaccardPairs(docs(s, d), minJaccard = 0.6),
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+              FROM pr
+              JOIN sz sa ON sa.doc_id = d1
+              JOIN sz sb ON sb.doc_id = d2
+              WHERE inter * 10000 >= 6000 * (sa.n + sb.n - inter)
               ORDER BY d1, d2""")),
 
     // Winnowing (MOSS) fingerprint pairs: docs sharing >= 2 selected

@@ -280,6 +280,58 @@ object TextOps {
       .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 
+  /** CCNet-style per-language perplexity terciles (Wenzek et al. 2020:
+    * each language's documents split into head/middle/tail thirds by LM
+    * score; pipelines then keep head+middle or reweight by bucket). The
+    * LM is [[bigramLogProb]]'s corpus-trained add-k model — the same
+    * proxy q98 scores with — and the tercile cutoffs are VALUE-PINNED,
+    * never interpolated (the q102 rule): t1 is the smallest 4-dp score
+    * whose per-language cumulative doc count reaches floor(n/3), t2
+    * likewise at floor(2n/3); a doc is tail if score ≤ t1, middle if
+    * ≤ t2, else head. Ties at a cutoff land in the lower bucket in both
+    * engines — no doc_id tie-break, no percentile arithmetic.
+    *
+    * Scale shape: no global sort anywhere. The cumulative pass runs on
+    * the per-(lang, 4-dp-value) GRID — bounded by the value grid, not
+    * the corpus — and the |langs|-row threshold table broadcasts back
+    * for a map-side bucket assignment; the final aggregate carries
+    * ≤ 3·|langs| keys.
+    */
+  def ccnetBuckets(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogProb(docsDf)
+      .join(docsDf.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val grid = scored.groupBy(col("lang"), col("logprob"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("logprob"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    val cum = grid.select(col("lang"), col("logprob"),
+      sum(col("cnt")).over(wCum).as("cum"),
+      sum(col("cnt")).over(wAll).as("n"))
+    val thr = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") >= expr("n div 3"), col("logprob"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * n) div 3"), col("logprob"))).as("t2"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("lang"), col("logprob"),
+        when(col("logprob") <= col("t1"), lit("tail"))
+          .when(col("logprob") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        // avg over the 4-dp scores in integer BASIS POINTS: a float sum
+        // is summation-order-dependent and one bucket's mean WILL land
+        // on a rounding boundary somewhere (measured: ±1 ulp flipped
+        // es/tail at sf0.01); the integer sum is order-free and the
+        // single division of identical integers is bit-identical in
+        // both engines
+        round(sum(round(col("logprob") * 10000).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * 10000.0), 4).as("avg_logprob"),
+        min(col("logprob")).as("min_logprob"),
+        max(col("logprob")).as("max_logprob"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** One-command pretraining-shape pipeline (the shaping counterpart to
     * `Curation.curateCorpus`'s cleaning funnel): overlapping character
     * chunks → per-chunk token counts → deterministic shuffled-shard
@@ -786,6 +838,58 @@ object TextOps {
                      ROUND(AVG(LN((cb + 0.5) / (ca + 0.5 * v))), 4) AS logprob
               FROM db JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN vc
               GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // CCNet head/middle/tail terciles per language over the q98 LM
+    // score, with value-pinned cutoffs (the q102 integer rule — no
+    // percentile interpolation anywhere).
+    Q("q144_ccnet_buckets",
+      (s, d) => ccnetBuckets(docs(s, d)),
+      Some("""WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents
+                WHERE LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) >= 2),
+              db AS (
+                SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+                FROM toks, UNNEST(generate_series(1, LEN(ts) - 1)) AS g(i)),
+              uni AS (
+                SELECT a, COUNT(*) AS ca
+                FROM (SELECT UNNEST(ts) AS a FROM toks) u GROUP BY a),
+              vc AS (SELECT COUNT(*) AS v FROM uni),
+              bi AS (SELECT a, b, COUNT(*) AS cb FROM db GROUP BY a, b),
+              lp AS (
+                SELECT doc_id,
+                       ROUND(AVG(LN((cb + 0.5) / (ca + 0.5 * v))), 4) AS logprob
+                FROM db JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN vc
+                GROUP BY doc_id),
+              sc AS (
+                SELECT l.doc_id, d.lang, l.logprob
+                FROM lp l JOIN documents d USING (doc_id)),
+              grid AS (
+                SELECT lang, logprob, COUNT(*) AS cnt FROM sc GROUP BY 1, 2),
+              cum AS (
+                SELECT lang, logprob,
+                       SUM(cnt) OVER (PARTITION BY lang ORDER BY logprob
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(cnt) OVER (PARTITION BY lang) AS n
+                FROM grid),
+              thr AS (
+                SELECT lang,
+                       MIN(CASE WHEN cum >= n // 3 THEN logprob END) AS t1,
+                       MIN(CASE WHEN cum >= (2 * n) // 3 THEN logprob END) AS t2
+                FROM cum GROUP BY lang),
+              bk AS (
+                SELECT sc.lang,
+                       CASE WHEN logprob <= t1 THEN 'tail'
+                            WHEN logprob <= t2 THEN 'middle'
+                            ELSE 'head' END AS bucket,
+                       logprob
+                FROM sc JOIN thr USING (lang))
+              SELECT lang, bucket, COUNT(*) AS n_docs,
+                     ROUND(SUM(CAST(ROUND(logprob * 10000) AS BIGINT))
+                           / (COUNT(*) * 10000.0), 4) AS avg_logprob,
+                     MIN(logprob) AS min_logprob,
+                     MAX(logprob) AS max_logprob
+              FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""")),
 
     // Dynamic quality gate: drop the lowest-decile char-entropy docs,
     // where the threshold adapts to the corpus itself (not a fixed

@@ -665,4 +665,49 @@ class CurationSpec extends AnyFunSuite with TestSpark {
       "within-doc repetition must not count as boilerplate")
     assert(s2.getLong(3) == 2) // two instances of the one line
   }
+
+  test("blocklistHits: whole-token phrase matching, absent docs are the kept set") {
+    val rows = Seq(
+      // "slow" twice + the phrase "big vector" once; "slowly" must NOT hit
+      Row(1L, "en", "slow query slow scan big vector slowly"),
+      // phrase tokens present but NOT consecutive -> no phrase hit;
+      // "vector big" is the wrong order -> no hit at all
+      Row(2L, "en", "big scan vector big"),
+      // clean doc -> absent from output
+      Row(3L, "en", "fast table join"),
+      // both phrases, one wrapping token boundary each
+      Row(4L, "en", "merge batch big vector merge"),
+      // term at the very start and very end
+      Row(5L, "en", "slow table slow"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Curation.blocklistHits(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L)),  // slow x2 + "big vector" -> 3 hits, 2 terms
+      4L -> ((2L, 2L)),  // "merge batch" + "big vector"
+      5L -> ((2L, 1L))), s"got $got")
+    assert(!got.contains(2L) && !got.contains(3L))
+    // broadcast term join: the corpus side must never be the build side
+    // of a shuffle join, and nothing may go cartesian
+    val plan = Curation.blocklistHits(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("piiColumnProfile counts regex-flagged values per column") {
+    val s = StructType(Seq(
+      StructField("name", StringType), StructField("contact", StringType)))
+    val rows = Seq(
+      Row("alice", "alice@example.com"),
+      Row("bob 10.0.0.1", "call 555-7421"),          // ip in name, phone in contact
+      Row("carol", "no pii here"),
+      Row(null, "b@x.io and 192.168.1.1"))           // null-safe; two patterns one value
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), s)
+    val got = Curation.piiColumnProfile(df, Seq("name", "contact")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (n_rows, n_email, n_phone, n_ip)
+    assert(got("name") == ((4L, 0L, 0L, 1L)), s"name: ${got("name")}")
+    assert(got("contact") == ((4L, 2L, 1L, 1L)), s"contact: ${got("contact")}")
+  }
 }

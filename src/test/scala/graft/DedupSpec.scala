@@ -530,4 +530,37 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       assert(cov(d) == ((9L, 9L, 1.0)), s"doc$d: ${cov(d)}"))
     assert(cov(3L) == ((20L, 0L, 0.0)), s"doc3: ${cov(3L)}")
   }
+
+  test("prefix-filtered jaccard == brute-force exact jaccard, no cartesian") {
+    // the AllPairs exactness contract: every pair at the threshold,
+    // over the FULL (uncapped) shingle space — verified against an
+    // independent all-pairs Scala computation on shingle STRINGS
+    val result = Dedup.prefixFilteredJaccardPairs(docs, minJaccard = 0.6)
+    val got = result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val local = docs.collect().map { r =>
+      val ts = r.getString(1).trim.toLowerCase.split("\\s+")
+      val sh = ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      r.getLong(0) -> sh
+    }.toMap
+    val want = (for {
+      (d1, s1) <- local; (d2, s2) <- local if d1 < d2
+      inter = (s1 & s2).size
+      if s1.nonEmpty && s2.nonEmpty &&
+        inter * 10000L >= 6000L * (s1.size + s2.size - inter)
+    } yield {
+      val j = inter.toDouble / (s1.size + s2.size - inter)
+      (d1, d2,
+        BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toSet
+    assert(want.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == want, s"prefix-filter drift:\n got=$got\n want=$want")
+
+    // scale guarantee: candidate generation is an equi-join on the
+    // prefix shingle key — never a cartesian / nested-loop product
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+  }
 }

@@ -239,4 +239,63 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
       .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
     assert(out == Map(1 -> 2L, 2 -> 1L)) // no n=3 row, never a negative range
   }
+
+  test("ccnetBuckets == independent replay of the value-pinned tercile rule") {
+    // mixed-language corpus with repeated + gibberish docs so the 4-dp
+    // score grid has both ties and spread
+    val langSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    def sent(n: Int): String =
+      Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val rows =
+      (0L until 12L).map(i => Row(i, sent(20), "en")) ++
+      (12L until 20L).map(i => Row(i, sent(20), "de")) ++
+      // exact clones -> tied scores at the cutoffs
+      Seq(Row(20L, "the cat sat on mat", "en"),
+          Row(21L, "the cat sat on mat", "en"),
+          Row(22L, "zz qq vv ww xx yy", "de")) // gibberish tail
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), langSchema)
+
+    val got = TextOps.ccnetBuckets(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+
+    // independent replay: per-doc 4-dp scores from bigramLogProb, then
+    // the tercile rule in plain Scala integers
+    val lp = TextOps.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lang = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val byLang = lp.toSeq.groupBy { case (id, _) => lang(id) }
+    val want = byLang.flatMap { case (lg, docsScores) =>
+      val vals = docsScores.map(_._2).sorted
+      val n = vals.size
+      def thrAt(k: Long): Double = {
+        val grid = vals.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+        var cum = 0L
+        grid.collectFirst {
+          case (v, c) if { cum += c; cum >= k } => v
+        }.getOrElse(Double.PositiveInfinity)
+      }
+      val t1 = thrAt(n / 3); val t2 = thrAt(2L * n / 3)
+      docsScores.groupBy { case (_, s) =>
+        if (s <= t1) "tail" else if (s <= t2) "middle" else "head"
+      }.map { case (b, ds) =>
+        val ss = ds.map(_._2)
+        val sumBp = ss.map(v => math.round(v * 10000)).sum
+        (lg, b) -> ((ss.size.toLong,
+          BigDecimal(sumBp / (ss.size * 10000.0)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          ss.min, ss.max))
+      }
+    }
+    assert(got.keySet == want.keySet, s"buckets: ${got.keySet} vs ${want.keySet}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} vs $v") }
+    // the planted tail doc is in de's tail bucket
+    assert(got.contains(("de", "tail")))
+  }
 }
