@@ -1117,6 +1117,81 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** [[prefixFilteredJaccardPairs]] with exact-clone precollapse — the
+    * scale path (q86/q134/q139's law, reproduced on cue here: at the
+    * 10× clone rehearsal the direct form pays Σ(clone-group size)² BOTH
+    * in the prefix self-join (every prefix shingle is shared by the
+    * whole clone group) AND in the verification fan-out — measured
+    * 297 s vs q32's 13 s). md5-collapse identical texts first, run the
+    * AllPairs reduction over UNIQUE texts only, then expand members
+    * after: a cross-group rep pair holds for every member pair at the
+    * SAME jaccard (identical shingle sets), and an intra-group pair is
+    * jaccard 1.0 whenever the clone text has any shingle at all. The
+    * expansion joins are output-sized — unavoidable, the answer itself
+    * is quadratic in clone multiplicity — but nothing quadratic enters
+    * a shuffle key group or a join build side.
+    */
+  def prefixFilteredJaccardPairsPrecollapsed(docsDf: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val keyed = docsDf
+      .select(col("doc_id"), md5(col("text")).as("k"))
+    val groups = keyed.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+    val members = keyed.join(groups, Seq("k"))
+      .select(col("doc_id"), col("rep"))
+    val repCorpus = docsDf.join(
+      groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repPairs = prefixFilteredJaccardPairs(repCorpus, minJaccard)
+    val cross = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")),
+        Seq("d1"))
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")),
+        Seq("d2"))
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
+    // intra-group: every member pair of a clone group whose text has at
+    // least one shingle (docs under 3 tokens have no shingle set and are
+    // outside the contract in both engines)
+    val shingled = repCorpus
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id").as("rep"))
+    val intra = members.join(shingled, Seq("rep"), "left_semi").as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra).orderBy(col("d1"), col("d2"))
+  }
+
+  /** q143's oracle, shared verbatim by the precollapsed form (q147):
+    * the precollapse only reorders the computation over identical
+    * shingle sets — it can never change the answer, so both entries
+    * must hash-match the same SQL (the q74-reuses-q56 pattern).
+    */
+  private val PrefixFilterOracle =
+    """WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                  SELECT doc_id,
+                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, LEN(ts)-2)]) AS s
+                  FROM tok WHERE LEN(ts) >= 3) u),
+              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+              pr AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT d1, d2,
+                     ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+              FROM pr
+              JOIN sz sa ON sa.doc_id = d1
+              JOIN sz sb ON sb.doc_id = d2
+              WHERE inter * 10000 >= 6000 * (sa.n + sb.n - inter)
+              ORDER BY d1, d2"""
+
   def defs: Seq[Q] = Seq(
     // Exact dedup via content hash (the 100 TB shape: groupBy on md5,
     // never a string-compare join).
@@ -1202,29 +1277,20 @@ object Dedup {
     // EXACT Jaccard pairs via AllPairs prefix filtering (Bayardo et al.
     // 2007) — no df cap anywhere: the oracle is the UNCAPPED q32 CTE.
     // Threshold compares in integer basis points (engine-exact edges).
+    // The direct form is the semantics contract/canary (the q132/q137
+    // convention): on clone-heavy corpora it pays Σ group² — q147's
+    // precollapse is the scale default under the SAME oracle.
     Q("q143_prefix_filter_pairs",
       (s, d) => prefixFilteredJaccardPairs(docs(s, d), minJaccard = 0.6),
-      Some("""WITH tok AS (
-                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
-                FROM documents),
-              sh AS (
-                SELECT DISTINCT doc_id, s FROM (
-                  SELECT doc_id,
-                         UNNEST([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                 for i in generate_series(1, LEN(ts)-2)]) AS s
-                  FROM tok WHERE LEN(ts) >= 3) u),
-              sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-              pr AS (
-                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-              SELECT d1, d2,
-                     ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
-              FROM pr
-              JOIN sz sa ON sa.doc_id = d1
-              JOIN sz sb ON sb.doc_id = d2
-              WHERE inter * 10000 >= 6000 * (sa.n + sb.n - inter)
-              ORDER BY d1, d2""")),
+      Some(PrefixFilterOracle)),
+
+    // Exact-clone precollapse of q143 — SAME oracle VERBATIM (the
+    // q74/q86/q134/q139 one-contract-two-plans convention); the 10x
+    // clone rehearsal measures the direct form at 297 s vs 13 s here.
+    Q("q147_prefix_filter_precollapse",
+      (s, d) => prefixFilteredJaccardPairsPrecollapsed(docs(s, d),
+        minJaccard = 0.6),
+      Some(PrefixFilterOracle)),
 
     // Winnowing (MOSS) fingerprint pairs: docs sharing >= 2 selected
     // fingerprints. k=3, w=4: any shared 6-token run is guaranteed a

@@ -563,4 +563,27 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
   }
+
+  test("prefix-filter precollapse == direct on a clone-heavy corpus") {
+    // exact clones of both near-dup partners, a lone cloned doc, and a
+    // sub-3-token clone pair that must produce NO pair (no shingles)
+    val base = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val clones = base.take(6).flatMap { case (i, t) =>
+      Seq((1000L + i, t), (2000L + i, t)) // every early doc x3
+    } ++ Seq((9001L, "just two"), (9002L, "just two"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (base ++ clones).map(Row.fromTuple), 4), schema)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = rowsOf(Dedup.prefixFilteredJaccardPairs(df, minJaccard = 0.6))
+    val pre = rowsOf(
+      Dedup.prefixFilteredJaccardPairsPrecollapsed(df, minJaccard = 0.6))
+    assert(pre == direct,
+      s"precollapse drifted: only-direct=${direct -- pre} only-pre=${pre -- direct}")
+    // structure: clone triples produce their intra pairs at jaccard 1.0,
+    // the shingle-less pair produces nothing
+    assert(direct.contains((0L, 1000L, 1.0)) && direct.contains((1000L, 2000L, 1.0)))
+    assert(!direct.exists(p => p._1 == 9001L || p._2 == 9002L))
+  }
 }
