@@ -492,6 +492,47 @@ object Curation {
       .orderBy(col("col_name"))
   }
 
+  /** Snapshot carry-over (crawl delta) report — the incremental-crawl
+    * question RefinedWeb-class pipelines answer before re-processing a
+    * new dump: of snapshot k+1's distinct content fingerprints, how
+    * many already existed in snapshot k (carry-over to skip), how many
+    * are new? `source` stands in for the snapshot id (srcN → index N);
+    * the content key is q31's normalized-text md5 fingerprint. Per
+    * consecutive pair: sizes, carried count, carried fraction of the
+    * OLD snapshot.
+    *
+    * Scale shape: one distinct (source, fp) projection of the corpus;
+    * the carried count is a self-join on the near-unique fp key where a
+    * key group is bounded by the snapshot count (≤ |sources| rows per
+    * fp), so no skew; the size/pair scaffold is |sources|-row tiny.
+    */
+  def crawlDelta(docsDf: DataFrame): DataFrame = {
+    val f = docsDf.select(col("source"),
+        expr("CAST(SUBSTRING(source, 4) AS INT)").as("k"),
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 8)
+          .as("fp"))
+      .distinct()
+    val sizes = f.groupBy(col("source"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val carried = f.as("a")
+      .join(f.as("b"),
+        col("b.fp") === col("a.fp") && col("b.k") === col("a.k") + 1)
+      .groupBy(col("a.k").as("k"))
+      .agg(count(lit(1)).as("n_carried"))
+    sizes.as("sa")
+      .join(sizes.as("sb"), col("sb.k") === col("sa.k") + 1)
+      .select(col("sa.k").as("k"), col("sa.source").as("src_old"),
+        col("sb.source").as("src_new"),
+        col("sa.n").as("n_old"), col("sb.n").as("n_new"))
+      .join(carried, Seq("k"), "left")
+      .select(col("k"), col("src_old"), col("src_new"),
+        col("n_old"), col("n_new"),
+        coalesce(col("n_carried"), lit(0L)).as("n_carried"),
+        round(coalesce(col("n_carried"), lit(0L)).cast("double")
+          / col("n_old"), 4).as("pct_carried"))
+      .orderBy(col("k"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Train/test DECONTAMINATION: count test-split docs whose normalized
     // content fingerprint also appears in the train split — the standard
@@ -1331,7 +1372,30 @@ object Curation {
                      CAST(SUM(CASE WHEN regexp_matches(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
                      CAST(SUM(CASE WHEN regexp_matches(v, '555-[0-9]{4}') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
                      CAST(SUM(CASE WHEN regexp_matches(v, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') THEN 1 ELSE 0 END) AS BIGINT) AS n_ip
-              FROM vals GROUP BY col_name ORDER BY col_name"""))
+              FROM vals GROUP BY col_name ORDER BY col_name""")),
+
+    // Crawl snapshot delta: distinct-fingerprint carry-over between
+    // consecutive snapshots (source = snapshot id), q31's fingerprint.
+    Q("q148_crawl_delta",
+      (s, d) => crawlDelta(docs(s, d)),
+      Some("""WITH f AS (
+                SELECT DISTINCT source,
+                       CAST(SUBSTRING(source, 4) AS INT) AS k,
+                       SUBSTR(MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')), 1, 8) AS fp
+                FROM documents),
+              sz AS (SELECT source, k, COUNT(*) AS n FROM f GROUP BY 1, 2),
+              ca AS (
+                SELECT a.k AS k, COUNT(*) AS n_carried
+                FROM f a JOIN f b ON b.fp = a.fp AND b.k = a.k + 1
+                GROUP BY 1)
+              SELECT sa.k AS k, sa.source AS src_old, sb.source AS src_new,
+                     sa.n AS n_old, sb.n AS n_new,
+                     CAST(COALESCE(n_carried, 0) AS BIGINT) AS n_carried,
+                     ROUND(COALESCE(n_carried, 0) / CAST(sa.n AS DOUBLE), 4) AS pct_carried
+              FROM sz sa
+              JOIN sz sb ON sb.k = sa.k + 1
+              LEFT JOIN ca ON ca.k = sa.k
+              ORDER BY k"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the

@@ -280,6 +280,40 @@ object TextOps {
       .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 
+  /** Segment-level language-consistency (code-switching) report — the
+    * diagnostic behind CCNet/mC4's per-paragraph LID: a document whose
+    * SEGMENTS classify to different languages is mixed-language (or has
+    * embedded boilerplate in another language) and needs segment-level
+    * handling, which doc-level langid (q30) cannot see. Segments here
+    * are the token halves (the corpus has no paragraph breaks — the
+    * q88 "line" deviation, same rationale); each half classifies by
+    * q30's stopword rule with q30's deterministic tie-break, and the
+    * per-language report counts docs whose halves disagree. Fully
+    * map-side (one tokenize, two bounded array folds per row); the only
+    * shuffle is the |langs|-key aggregate.
+    */
+  def codeSwitchReport(docsDf: DataFrame): DataFrame = {
+    def pred(ts: Column): Column = {
+      val en = stopHits(ts, Seq("the", "and", "of"))
+      val es = stopHits(ts, Seq("el", "la", "de"))
+      val de = stopHits(ts, Seq("der", "die", "und"))
+      when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+    }
+    docsDf
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("lang"),
+        pred(expr("slice(ts, 1, size(ts) div 2)")).as("p1"),
+        pred(expr("slice(ts, size(ts) div 2 + 1, size(ts) - size(ts) div 2)"))
+          .as("p2"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("n_switched"),
+        round(sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("pct_switched"))
+      .orderBy(col("lang"))
+  }
+
   /** CCNet-style per-language perplexity terciles (Wenzek et al. 2020:
     * each language's documents split into head/middle/tail thirds by LM
     * score; pipelines then keep head+middle or reweight by bucket). The
@@ -838,6 +872,39 @@ object TextOps {
                      ROUND(AVG(LN((cb + 0.5) / (ca + 0.5 * v))), 4) AS logprob
               FROM db JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN vc
               GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // Code-switching: docs whose token-half segments classify to
+    // different languages under q30's stopword rule — the segment-level
+    // LID consistency check.
+    Q("q149_code_switching",
+      (s, d) => codeSwitchReport(docs(s, d)),
+      Some("""WITH t AS (
+                SELECT lang,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents
+                WHERE LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) >= 2),
+              h AS (
+                SELECT lang,
+                       ts[1 : LEN(ts) // 2] AS h1,
+                       ts[LEN(ts) // 2 + 1 : LEN(ts)] AS h2
+                FROM t),
+              p AS (
+                SELECT lang,
+                       CASE WHEN LEN(list_filter(h1, x -> list_contains(['the','and','of'], x))) >= LEN(list_filter(h1, x -> list_contains(['el','la','de'], x)))
+                             AND LEN(list_filter(h1, x -> list_contains(['the','and','of'], x))) >= LEN(list_filter(h1, x -> list_contains(['der','die','und'], x)))
+                            THEN 'en'
+                            WHEN LEN(list_filter(h1, x -> list_contains(['el','la','de'], x))) >= LEN(list_filter(h1, x -> list_contains(['der','die','und'], x)))
+                            THEN 'es' ELSE 'de' END AS p1,
+                       CASE WHEN LEN(list_filter(h2, x -> list_contains(['the','and','of'], x))) >= LEN(list_filter(h2, x -> list_contains(['el','la','de'], x)))
+                             AND LEN(list_filter(h2, x -> list_contains(['the','and','of'], x))) >= LEN(list_filter(h2, x -> list_contains(['der','die','und'], x)))
+                            THEN 'en'
+                            WHEN LEN(list_filter(h2, x -> list_contains(['el','la','de'], x))) >= LEN(list_filter(h2, x -> list_contains(['der','die','und'], x)))
+                            THEN 'es' ELSE 'de' END AS p2
+                FROM h)
+              SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_switched,
+                     ROUND(SUM(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS pct_switched
+              FROM p GROUP BY lang ORDER BY lang""")),
 
     // CCNet head/middle/tail terciles per language over the q98 LM
     // score, with value-pinned cutoffs (the q102 integer rule — no

@@ -694,6 +694,29 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("crawlDelta: distinct-fingerprint carry-over between consecutive snapshots") {
+    val s = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "src0", "alpha beta"),
+      Row(2L, "src0", "gamma delta"),
+      Row(3L, "src0", "gamma  delta"),   // same fp as 2 (whitespace-normalized)
+      Row(4L, "src1", "gamma delta"),    // carried 0 -> 1
+      Row(5L, "src1", "epsilon zeta"),
+      Row(6L, "src2", "epsilon zeta"),   // carried 1 -> 2
+      Row(7L, "src2", "eta theta"),
+      Row(8L, "src2", "iota kappa"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), s)
+    val got = Curation.crawlDelta(df).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // src0 has TWO distinct fps (3 is a whitespace clone of 2)
+    assert(got(0) == (("src0", "src1", 2L, 2L, 1L, 0.5)), s"k0: ${got(0)}")
+    assert(got(1) == (("src1", "src2", 2L, 3L, 1L, 0.5)), s"k1: ${got(1)}")
+    assert(got.size == 2)
+  }
+
   test("piiColumnProfile counts regex-flagged values per column") {
     val s = StructType(Seq(
       StructField("name", StringType), StructField("contact", StringType)))

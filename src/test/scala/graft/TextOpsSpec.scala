@@ -240,6 +240,32 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
     assert(out == Map(1 -> 2L, 2 -> 1L)) // no n=3 row, never a negative range
   }
 
+  test("codeSwitchReport counts docs whose token halves classify differently") {
+    val langSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val rows = Seq(
+      // en first half, es second half -> switched
+      Row(1L, "the and of the el la de de", "en"),
+      // consistent en halves
+      Row(2L, "the and of the and of", "en"),
+      // es both halves (tie-break: es >= de)
+      Row(3L, "el la de el la de", "es"),
+      // de first half, en second -> switched
+      Row(4L, "der die und der the and of the", "de"),
+      // single token -> excluded entirely
+      Row(5L, "the", "en"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), langSchema)
+    val got = TextOps.codeSwitchReport(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      "en" -> ((2L, 1L, 0.5)),
+      "es" -> ((1L, 0L, 0.0)),
+      "de" -> ((1L, 1L, 1.0))), s"got $got")
+  }
+
   test("ccnetBuckets == independent replay of the value-pinned tercile rule") {
     // mixed-language corpus with repeated + gibberish docs so the 4-dp
     // score grid has both ties and spread
