@@ -280,6 +280,42 @@ object TextOps {
       .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 
+  /** Count-Min sketch heavy-hitter report (Cormode & Muthukrishnan
+    * 2005) — the streaming-sketch counterpart to q112's Misra-Gries
+    * route: d=4 hash rows × w buckets of integer counters, built in ONE
+    * pass with 4096 keys of map-side-mergeable state (no vocab-sized
+    * aggregation anywhere in the sketch path — the property that
+    * matters when the vocabulary itself doesn't fit), point-queried as
+    * est(t) = min over rows of the t's bucket counter. Hashes are
+    * md5-derived (the q59 rule, salt ":r") so both engines address
+    * identical buckets and every number in the output is an exact
+    * integer. The report joins the estimate against the exact top-k
+    * counts — est ≥ exact always (counters only over-count on
+    * collision), and the gap IS the measured collision error at this
+    * (d, w).
+    */
+  def cmsHeavyHitters(docsDf: DataFrame, k: Int = 20,
+      w: Int = 1024): DataFrame = {
+    val toks = docsDf
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    def buckets = array((0 until 4).map(r =>
+      pmod(conv(substring(md5(concat(col("tok"), lit(s":$r"))), 1, 8), 16, 10)
+        .cast("long"), lit(w))): _*)
+    val sketch = toks
+      .select(posexplode(buckets).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(k)
+    exact
+      .select(col("tok"), col("exact"),
+        posexplode(buckets).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("exact"))
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("exact").desc, col("tok"))
+  }
+
   /** Segment-level language-consistency (code-switching) report — the
     * diagnostic behind CCNet/mC4's per-paragraph LID: a document whose
     * SEGMENTS classify to different languages is mixed-language (or has
@@ -1091,6 +1127,31 @@ object TextOps {
               FROM c, n
               WHERE c.cnt >= n.n_tok * 0.02
               ORDER BY c.cnt DESC, c.term""")),
+
+    // Count-Min sketch heavy hitters: md5-addressed d=4 x w=1024
+    // integer counters, est = min over rows; report vs exact top-20.
+    Q("q152_cms_heavy_hitters",
+      (s, d) => cmsHeavyHitters(docs(s, d)),
+      Some("""WITH toks AS (
+                SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok
+                FROM documents),
+              t AS (SELECT tok FROM toks WHERE tok <> ''),
+              e AS (
+                SELECT tok, r,
+                       CAST('0x' || SUBSTR(MD5(tok || ':' || r), 1, 8) AS BIGINT) % 1024 AS bucket
+                FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS rs(r)),
+              sk AS (SELECT r, bucket, COUNT(*) AS c FROM e GROUP BY 1, 2),
+              ex AS (
+                SELECT tok, COUNT(*) AS exact FROM t
+                GROUP BY 1 ORDER BY exact DESC, tok LIMIT 20),
+              pr AS (
+                SELECT ex.tok, ex.exact, r,
+                       CAST('0x' || SUBSTR(MD5(ex.tok || ':' || r), 1, 8) AS BIGINT) % 1024 AS bucket
+                FROM ex CROSS JOIN (VALUES (0), (1), (2), (3)) AS rs(r))
+              SELECT pr.tok AS tok, pr.exact AS exact,
+                     CAST(MIN(c) AS BIGINT) AS cms_est
+              FROM pr JOIN sk USING (r, bucket)
+              GROUP BY 1, 2 ORDER BY exact DESC, tok""")),
 
     // Bigram PMI collocations — pointwise mutual information of adjacent
     // token pairs vs their unigram probabilities, the classic

@@ -277,6 +277,101 @@ object Advanced {
       },
       Some("""SELECT COUNT(*) AS n FROM events a JOIN events b
               ON a.user_id = b.user_id AND a.ts < b.ts
-             AND b.ts <= a.ts + INTERVAL 1 HOUR"""))
+             AND b.ts <= a.ts + INTERVAL 1 HOUR""")),
+
+    // FUNNEL analysis: strictly-ordered first-occurrence chaining
+    // (view -> click after it -> purchase after that) — the product-
+    // analytics staple. Each stage is one user-keyed min-aggregate over
+    // the filtered event stream joined to the previous stage's
+    // timestamps (per-user groups bounded by that user's events; the
+    // stage tables shrink monotonically). No windows over the full
+    // stream, no per-row range probes.
+    Q("q150_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val total = ev.agg(countDistinct(col("user_id")).as("n_users"))
+        val c1 = s1.agg(count(lit(1)).as("n_view"))
+        val c2 = s2.agg(count(lit(1)).as("n_click"))
+        val c3 = s3.agg(count(lit(1)).as("n_purchase"))
+        total.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+          .crossJoin(broadcast(c3))
+          .select(col("n_users"), col("n_view"), col("n_click"),
+            col("n_purchase"),
+            round(col("n_click").cast("double") / col("n_view"), 4)
+              .as("conv_click"),
+            round(col("n_purchase").cast("double") / col("n_click"), 4)
+              .as("conv_purchase"))
+      },
+      Some("""WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (
+                SELECT e.user_id, MIN(ts) AS t2 FROM events e
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+              s3 AS (
+                SELECT e.user_id, MIN(ts) AS t3 FROM events e
+                JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+              SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+                     (SELECT COUNT(*) FROM s1) AS n_view,
+                     (SELECT COUNT(*) FROM s2) AS n_click,
+                     (SELECT COUNT(*) FROM s3) AS n_purchase,
+                     ROUND((SELECT COUNT(*) FROM s2) / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 4) AS conv_click,
+                     ROUND((SELECT COUNT(*) FROM s3) / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE), 4) AS conv_purchase""")),
+
+    // COHORT RETENTION: users grouped by first-activity week, counted
+    // in each later week they were active — the engagement matrix. One
+    // distinct (user, week) projection; the cohort assignment is a
+    // user-keyed min; offsets are integer-exact (trunc'd weeks differ
+    // by day multiples of 7). Weeks render as strings (date-vs-
+    // timestamp rendering differs across engines).
+    Q("q151_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val weeks = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("w")).distinct()
+        val cohort = weeks.groupBy(col("user_id"))
+          .agg(min(col("w")).as("cw"))
+        val sizes = cohort.groupBy(col("cw"))
+          .agg(count(lit(1)).as("cohort_n"))
+        weeks.join(cohort, "user_id")
+          .select(col("cw"), expr("datediff(w, cw) div 7").as("week_offset"),
+            col("user_id"))
+          .groupBy(col("cw"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cw")
+          .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset").cast("int").as("week_offset"),
+            col("cohort_n"), col("n_active"),
+            round(col("n_active").cast("double") / col("cohort_n"), 4)
+              .as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH weeks AS (
+                SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS w
+                FROM events),
+              cohort AS (
+                SELECT user_id, MIN(w) AS cw FROM weeks GROUP BY 1),
+              sizes AS (
+                SELECT cw, COUNT(*) AS cohort_n FROM cohort GROUP BY 1)
+              SELECT STRFTIME(a.cw, '%Y-%m-%d') AS cohort_week,
+                     CAST(DATE_DIFF('day', a.cw, w.w) // 7 AS INT) AS week_offset,
+                     sizes.cohort_n,
+                     COUNT(*) AS n_active,
+                     ROUND(COUNT(*) / CAST(sizes.cohort_n AS DOUBLE), 4) AS retention
+              FROM weeks w
+              JOIN cohort a USING (user_id)
+              JOIN sizes ON sizes.cw = a.cw
+              GROUP BY a.cw, week_offset, sizes.cohort_n
+              ORDER BY cohort_week, week_offset"""))
   )
 }

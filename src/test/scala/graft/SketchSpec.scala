@@ -46,4 +46,32 @@ class SketchSpec extends AnyFunSuite with TestSpark {
         s"${cols(i)}: merged $m vs whole $w")
     }
   }
+
+  test("count-min estimates dominate exact counts; collision-free at wide width") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "apple apple apple banana banana cherry"),
+      Row(2L, "apple banana date elder fig grape"),
+      Row(3L, "apple cherry cherry cherry date date"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    // default width: the CMS guarantee est >= exact, always
+    val est = graft.llm.TextOps.cmsHeavyHitters(df, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (t, exact, cms) =>
+      assert(cms >= exact, s"$t: cms $cms < exact $exact") }
+    // exact top-1 is apple x5 and survives the sketch route
+    assert(est.head._1 == "apple" && est.head._2 == 5L)
+
+    // at a width far beyond the vocabulary, 4 md5 rows collide with
+    // probability ~(7 tokens / 2^20)^... none: est == exact everywhere
+    val wide = graft.llm.TextOps.cmsHeavyHitters(df, k = 10, w = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    wide.foreach { case (t, exact, cms) =>
+      assert(cms == exact, s"$t: wide-width cms $cms != exact $exact") }
+  }
 }
