@@ -294,22 +294,38 @@ object TextOps {
     * collision), and the gap IS the measured collision error at this
     * (d, w).
     */
+  /** The d=4 md5-derived bucket addresses of one token — shared by the
+    * sketch build, the point-query probe, and the streaming form (all
+    * three must address identical counters).
+    */
+  def cmsBuckets(tok: Column, w: Int): Column =
+    array((0 until 4).map(r =>
+      pmod(conv(substring(md5(concat(tok, lit(s":$r"))), 1, 8), 16, 10)
+        .cast("long"), lit(w))): _*)
+
+  /** One corpus pass → the (r, bucket, c) counter table (4·w rows).
+    * MERGEABLE: sketches of disjoint corpus slices sum counter-wise to
+    * the whole-corpus sketch — the property the streaming form
+    * ([[graft.streaming.StreamingSketch]]) relies on.
+    */
+  def cmsSketch(docsDf: DataFrame, w: Int = 1024): DataFrame =
+    docsDf
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(posexplode(cmsBuckets(col("tok"), w)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+
   def cmsHeavyHitters(docsDf: DataFrame, k: Int = 20,
       w: Int = 1024): DataFrame = {
     val toks = docsDf
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
-    def buckets = array((0 until 4).map(r =>
-      pmod(conv(substring(md5(concat(col("tok"), lit(s":$r"))), 1, 8), 16, 10)
-        .cast("long"), lit(w))): _*)
-    val sketch = toks
-      .select(posexplode(buckets).as(Seq("r", "bucket")))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val sketch = cmsSketch(docsDf, w)
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("tok")).limit(k)
     exact
       .select(col("tok"), col("exact"),
-        posexplode(buckets).as(Seq("r", "bucket")))
+        posexplode(cmsBuckets(col("tok"), w)).as(Seq("r", "bucket")))
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("tok"), col("exact"))
       .agg(min(col("c")).as("cms_est"))
