@@ -372,6 +372,103 @@ object Advanced {
               JOIN cohort a USING (user_id)
               JOIN sizes ON sizes.cw = a.cw
               GROUP BY a.cw, week_offset, sizes.cohort_n
-              ORDER BY cohort_week, week_offset"""))
+              ORDER BY cohort_week, week_offset""")),
+
+    // EQUI-DEPTH histogram (the profiler complement to q52's equi-width
+    // buckets): 8 buckets with VALUE-PINNED boundaries — thr_i is the
+    // smallest price whose cumulative count satisfies 8·cum ≥ i·n, the
+    // q102/q144 integer rule, ties landing low. The cumulative pass
+    // runs on the VALUE GRID with the ScaleWindows two-phase shape
+    // (local cums partitioned by a value-derived block, then a window
+    // over the ~60-row block summaries) — no unpartitioned window ever
+    // sees grid-many rows, so near-unique value columns can't funnel
+    // one task. The 7 thresholds fold into one broadcast array and
+    // bucket assignment is a map-side HOF.
+    Q("q153_equidepth_histogram",
+      (s, d) => {
+        val nb = 8
+        val grid = t(s, d, "orders")
+          .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", floor(col("v") / 10000).cast("long"))
+        val wLocal = Window.partitionBy(col("blk")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = grid.withColumn("local_cum", sum(col("cnt")).over(wLocal))
+        val wOff = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = local.groupBy(col("blk")).agg(sum(col("cnt")).as("bs"))
+          .select(col("blk"),
+            coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
+        val cum = local.join(broadcast(offs), Seq("blk"))
+          .select(col("v"), (col("local_cum") + col("off")).as("cum"))
+        val n1 = grid.agg(sum(col("cnt")).as("n"))
+        val thrArr = cum.crossJoin(broadcast(n1))
+          .crossJoin(broadcast(s.range(1, nb).toDF("i")))
+          .filter(col("cum") * nb >= col("i") * col("n"))
+          .groupBy(col("i")).agg(min(col("v")).as("thr"))
+          .agg(sort_array(collect_list(col("thr"))).as("ts"))
+        t(s, d, "orders").crossJoin(broadcast(thrArr))
+          .select(
+            (size(filter(col("ts"), x => x < col("o_totalprice"))) + 1)
+              .cast("int").as("bucket"),
+            col("o_totalprice").as("v"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH grid AS (
+                SELECT o_totalprice AS v, COUNT(*) AS cnt
+                FROM orders GROUP BY 1),
+              nn AS (SELECT SUM(cnt) AS n FROM grid),
+              cum AS (
+                SELECT v, SUM(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM grid),
+              th AS (
+                SELECT i, MIN(v) AS thr
+                FROM cum CROSS JOIN nn
+                CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) AS t(i)
+                WHERE cum * 8 >= i * n GROUP BY i),
+              ta AS (SELECT LIST(thr ORDER BY thr) AS ts FROM th)
+              SELECT CAST(LEN(list_filter(ts, x -> x < o_totalprice)) + 1 AS INT) AS bucket,
+                     COUNT(*) AS n,
+                     MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+              FROM orders CROSS JOIN ta GROUP BY 1 ORDER BY 1""")),
+
+    // FORWARD as-of with tolerance: each event's user's NEXT order date
+    // STRICTLY after the event, null past 7 days — q46's union+window
+    // trick mirrored forward (orders sort before events at equal t, so
+    // a 1-FOLLOWING window is exactly the strict > semantics; one
+    // shuffle by key, no per-row range probe).
+    Q("q154_asof_forward",
+      (s, d) => {
+        val events = t(s, d, "events").select(
+          col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
+          col("event_id"), lit(1).as("is_event"))
+        val orders = t(s, d, "orders").select(
+          col("o_custkey").as("k"),
+          col("o_orderdate").cast("timestamp").as("t"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_event"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("is_event"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        events.unionByName(orders)
+          .withColumn("next_t",
+            first(when(col("is_event") === 0, col("t")), ignoreNulls = true)
+              .over(w))
+          .filter(col("is_event") === 1)
+          .select(col("event_id"),
+            date_format(
+              when(col("next_t") <= col("t") + expr("INTERVAL 7 DAYS"),
+                col("next_t")),
+              "yyyy-MM-dd").as("next_order"))
+          .orderBy(col("event_id"))
+          .limit(200)
+      },
+      Some("""SELECT event_id,
+                     (SELECT STRFTIME(MIN(o_orderdate), '%Y-%m-%d') FROM orders o
+                      WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+                        AND o.o_orderdate <= e.ts + INTERVAL 7 DAY) AS next_order
+              FROM events e ORDER BY event_id LIMIT 200"""))
   )
 }

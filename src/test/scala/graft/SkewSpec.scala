@@ -161,4 +161,26 @@ class SkewSpec extends AnyFunSuite with TestSpark {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted == direct)
   }
+
+  test("equi-depth buckets (q153): complete, ordered, ties-low, sizes near n/8") {
+    import graft.queries.Registry
+    val rows = Registry.queries("q153_equidepth_histogram")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // buckets cover every row exactly once and are value-ordered
+    val n = rows.map(_._2).sum
+    val exact = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .count()
+    assert(n == exact, s"bucket counts sum $n != $exact rows")
+    rows.sliding(2).foreach {
+      case Array((b1, _, _, hi1), (b2, _, lo2, _)) =>
+        assert(b1 < b2 && hi1 <= lo2,
+          s"buckets out of order: $b1[hi=$hi1] vs $b2[lo=$lo2]")
+      case _ =>
+    }
+    // equi-depth: every bucket within 2x of the ideal n/8 on this
+    // near-unique column (ties can only shrink/grow at boundaries)
+    rows.foreach { case (b, cnt, _, _) =>
+      assert(cnt >= n / 16 && cnt <= n / 4, s"bucket $b size $cnt vs n=$n") }
+  }
 }
