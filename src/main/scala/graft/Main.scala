@@ -144,6 +144,30 @@ object Main {
           graft.llm.Dedup.checkpointRdd(bands).foreach(_.unpersist(blocking = false))
           println(s"bands=${spark.read.parquet(indexDir).count()} dir=$indexDir")
 
+        // persisted Count-Min sketch (q152's layout, shared with
+        // StreamingSketch: per-batch mergeable partials under
+        // sketch/batch=<id>, merged on read)
+        case "sketch" :: "build" :: docsParquet :: dir :: Nil =>
+          graft.llm.TextOps.cmsSketch(spark.read.parquet(docsParquet))
+            .write.mode("overwrite")
+            .option("compression", graft.etl.Writers.DefaultCompression)
+            .parquet(s"$dir/sketch/batch=0")
+          println(s"counters=${spark.read.parquet(s"$dir/sketch").count()} dir=$dir")
+
+        case "sketch" :: "append" :: docsParquet :: dir :: Nil =>
+          val next = new java.io.File(s"$dir/sketch").listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+            .map(_.getName.stripPrefix("batch=").toLong).max + 1
+          graft.llm.TextOps.cmsSketch(spark.read.parquet(docsParquet))
+            .write.mode("overwrite")
+            .option("compression", graft.etl.Writers.DefaultCompression)
+            .parquet(s"$dir/sketch/batch=$next")
+          println(s"batch=$next counters=${spark.read.parquet(s"$dir/sketch").count()}")
+
+        case "sketch" :: "query" :: dir :: toks if toks.nonEmpty =>
+          graft.streaming.StreamingSketch.estimate(spark, dir, toks)
+            .show(toks.length, truncate = false)
+
         // fold a streaming-curation state dir's per-batch appends (stop
         // the stream first; the compaction lock trips concurrent appends)
         case "compact-state" :: stateDir :: rest if rest.isEmpty || rest == List("force") =>
@@ -443,6 +467,7 @@ object Main {
         |  mix derive <docsParquet> <ratesDir> <budget> | mix apply <docsParquet> <ratesDir>
         |  pca train <vecsParquet> <componentDir> | pca project <vecsParquet> <componentDir>
         |  media index <docsParquet> <indexDir> | media pairs <docsParquet> | media append <docsParquet> <indexDir>
+        |  sketch build <docsParquet> <sketchDir> | sketch append <docsParquet> <sketchDir> | sketch query <sketchDir> <token>...
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>

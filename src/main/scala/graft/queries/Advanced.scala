@@ -469,6 +469,50 @@ object Advanced {
                      (SELECT STRFTIME(MIN(o_orderdate), '%Y-%m-%d') FROM orders o
                       WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts
                         AND o.o_orderdate <= e.ts + INTERVAL 7 DAY) AS next_order
-              FROM events e ORDER BY event_id LIMIT 200"""))
+              FROM events e ORDER BY event_id LIMIT 200""")),
+
+    // GAP-FILL / resample: per-(user, event_type) weekly counts with
+    // missing weeks emitted as explicit zeros — the time-series
+    // densification every downstream charting/model join needs (a LEFT
+    // join against a generated scaffold; absent-week rows simply don't
+    // exist upstream, q24 can't express them). The scaffold is
+    // output-sized by construction: distinct keys × the bounded
+    // sequence of weeks (broadcast); the count join lands on the same
+    // keys. The sf0.01 grid has 27 genuine zero cells.
+    Q("q155_gapfill",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("week", col("ts")).as("w"))
+        val counts = ev.groupBy(col("user_id"), col("event_type"), col("w"))
+          .agg(count(lit(1)).as("n"))
+        val weeks = ev.agg(min(col("w")).as("lo"), max(col("w")).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 7 days)")).as("w"))
+        val keys = ev.select(col("user_id"), col("event_type")).distinct()
+        keys.crossJoin(broadcast(weeks))
+          .join(counts, Seq("user_id", "event_type", "w"), "left")
+          .select(col("user_id"), col("event_type"),
+            date_format(col("w"), "yyyy-MM-dd").as("week"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("user_id"), col("event_type"), col("week"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type, DATE_TRUNC('week', ts) AS w
+                FROM events WHERE user_id < 10),
+              c AS (
+                SELECT user_id, event_type, w, COUNT(*) AS n
+                FROM e GROUP BY 1, 2, 3),
+              r AS (SELECT MIN(w) AS lo, MAX(w) AS hi FROM e),
+              wk AS (
+                SELECT UNNEST(generate_series(lo, hi, INTERVAL 7 DAY)) AS w
+                FROM r),
+              k AS (SELECT DISTINCT user_id, event_type FROM e)
+              SELECT k.user_id, k.event_type,
+                     STRFTIME(wk.w, '%Y-%m-%d') AS week,
+                     CAST(COALESCE(n, 0) AS BIGINT) AS n
+              FROM k CROSS JOIN wk
+              LEFT JOIN c ON c.user_id = k.user_id
+                         AND c.event_type = k.event_type AND c.w = wk.w
+              ORDER BY k.user_id, k.event_type, week"""))
   )
 }
