@@ -542,6 +542,52 @@ object Curation {
       .orderBy(col("k"))
   }
 
+  /** Per-source VALUE-PINNED median of an integer column — smallest
+    * grid value whose per-source cumulative count satisfies 2·cum ≥ n
+    * (the q102/q144 integer rule: the true median for odd n, the lower
+    * median for even, ties low, zero float arithmetic). The cumulative
+    * pass runs on the bounded (source, value) grid.
+    */
+  private def pinnedMedian(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = v.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    grid.select(col("source"), col("v"),
+        sum(col("cnt")).over(wCum).as("cum"),
+        sum(col("cnt")).over(wAll).as("n"))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
+  }
+
+  /** Robust (median/MAD) outlier report per source over document
+    * length — the length-anomaly detector mean/stddev gets wrong on
+    * heavy-tailed corpora (one 10 MB doc drags a mean threshold past
+    * every real outlier; the median absolute deviation doesn't move).
+    * ENTIRELY integer arithmetic: both the median and the MAD are
+    * value-pinned via [[pinnedMedian]], deviations are integer
+    * differences, and the outlier gate is |x − med| > 3·mad — no float
+    * ever enters, so the report hash-pins trivially. Two bounded-grid
+    * passes + two broadcast |sources|-row joins.
+    */
+  def madOutliers(docsDf: DataFrame): DataFrame = {
+    val v = docsDf.select(col("source"), col("n_chars").as("v"))
+    val med = pinnedMedian(v)
+    val mad = pinnedMedian(
+      v.join(broadcast(med), "source")
+        .select(col("source"), abs(col("v") - col("med")).as("v")))
+      .withColumnRenamed("med", "mad")
+    v.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .groupBy(col("source"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(abs(col("v") - col("med")) > col("mad") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("med").as("median"),
+        col("mad"), col("n_outliers"))
+      .orderBy(col("source"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Train/test DECONTAMINATION: count test-split docs whose normalized
     // content fingerprint also appears in the train split — the standard
@@ -1404,7 +1450,43 @@ object Curation {
               FROM sz sa
               JOIN sz sb ON sb.k = sa.k + 1
               LEFT JOIN ca ON ca.k = sa.k
-              ORDER BY k"""))
+              ORDER BY k""")),
+
+    // Robust length outliers: per-source median/MAD over n_chars with
+    // the integer gate |x - med| > 3*mad — zero float arithmetic.
+    Q("q157_mad_outliers",
+      (s, d) => madOutliers(docs(s, d)),
+      Some("""WITH v AS (SELECT source, n_chars AS v FROM documents),
+              g1 AS (SELECT source, v, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+              c1 AS (
+                SELECT source, v,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS n
+                FROM g1),
+              med AS (
+                SELECT source, MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+                FROM c1 GROUP BY 1),
+              dv AS (
+                SELECT v.source, ABS(v.v - med) AS v
+                FROM v JOIN med USING (source)),
+              g2 AS (SELECT source, v, COUNT(*) AS cnt FROM dv GROUP BY 1, 2),
+              c2 AS (
+                SELECT source, v,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS n
+                FROM g2),
+              mad AS (
+                SELECT source, MIN(CASE WHEN cum * 2 >= n THEN v END) AS mad
+                FROM c2 GROUP BY 1)
+              SELECT v.source, COUNT(*) AS n_docs,
+                     CAST(med AS BIGINT) AS median,
+                     CAST(mad AS BIGINT) AS mad,
+                     CAST(SUM(CASE WHEN ABS(v.v - med) > 3 * mad
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM v JOIN med USING (source) JOIN mad USING (source)
+              GROUP BY v.source, med, mad ORDER BY source"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the

@@ -2206,7 +2206,42 @@ object Dedup {
                CAST(COALESCE(dup, 0) AS BIGINT) AS dup_tokens,
                ROUND(CAST(COALESCE(dup, 0) AS DOUBLE) / LEN(ts), 4) AS dup_ratio
         FROM tok t LEFT JOIN cov USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // SOFT dedup: keep every document, weight it 1/|cluster| — the
+    // published alternative to hard dropping (total loss mass per
+    // near-dup cluster stays 1, so boilerplate can't dominate training
+    // while unique phrasing inside a cluster still contributes). Rides
+    // the SAME q56 clusters + recursive-CTE oracle; singletons weight
+    // 1. Cluster sizes are a pair-graph-sized aggregate; the corpus
+    // join is a left join on doc_id.
+    Q("q156_softdedup_weights",
+      (s, d) => {
+        val labels = connectedComponents(
+            hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+          .select(col("node").as("doc_id"), col("comp"))
+        val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("m"))
+        docs(s, d).select(col("doc_id"))
+          .join(labels.join(sizes, Seq("comp")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp"),
+            coalesce(col("m"), lit(1L)).as("m"),
+            round(lit(1.0) / coalesce(col("m"), lit(1L)), 4).as("weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some(dedupGroupsOraclePrefix + """,
+              lab AS (
+                SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp
+                FROM reach GROUP BY node),
+              szs AS (SELECT comp, COUNT(*) AS m FROM lab GROUP BY 1)
+              SELECT d.doc_id,
+                     COALESCE(lab.comp, d.doc_id) AS comp,
+                     CAST(COALESCE(m, 1) AS BIGINT) AS m,
+                     ROUND(CAST(1 AS DOUBLE) / COALESCE(m, 1), 4) AS weight
+              FROM documents d
+              LEFT JOIN lab USING (doc_id)
+              LEFT JOIN szs ON szs.comp = lab.comp
+              ORDER BY doc_id"""))
   )
 
   /** Shared oracle front end for q137/q138: positional L-grams over the

@@ -717,6 +717,22 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(got.size == 2)
   }
 
+  test("madOutliers: value-pinned median/MAD, integer outlier gate") {
+    val s = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "s", 10L), Row(2L, "s", 10L), Row(3L, "s", 12L),
+      Row(4L, "s", 14L), Row(5L, "s", 100L), // med 12, mad 2, one outlier
+      Row(6L, "t", 7L), Row(7L, "t", 7L))    // med 7, mad 0: any dev > 0 trips
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), s)
+    val got = Curation.madOutliers(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s") == ((5L, 12L, 2L, 1L)), s"s: ${got("s")}")
+    assert(got("t") == ((2L, 7L, 0L, 0L)), s"t: ${got("t")}")
+  }
+
   test("piiColumnProfile counts regex-flagged values per column") {
     val s = StructType(Seq(
       StructField("name", StringType), StructField("contact", StringType)))
