@@ -293,4 +293,49 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Z-order (Morton) interleave of two discretized non-negative int
+    * columns — `bits` bits each, alternating (a even positions, b odd).
+    * Pure bit-op column expressions, fully codegen'd.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 10): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_)).cast("long")
+
+  /** Z-ORDER layout: cluster a table on TWO dimensions at once so
+    * row-group min/max stats prune on EITHER predicate — the
+    * multi-dimensional data-skipping layout a single-column sort can't
+    * give (sorting by a makes b's per-file ranges as wide as the whole
+    * table; the space-filling curve keeps BOTH narrow). Each column is
+    * min/max-discretized to `bits` bits (one tiny bounds aggregate),
+    * rows range-partition on the interleaved Morton value and sort by
+    * it within files, so every parquet file covers a compact rectangle
+    * of (c1, c2) space. At 100 TB this is the difference between a
+    * selective 2-D filter reading a few row groups and reading the
+    * corpus; the write costs one exchange, same as any sort.
+    */
+  def zorderParquet(df: DataFrame, c1: String, c2: String, path: String,
+      files: Int = 16, bits: Int = 10,
+      compression: String = DefaultCompression): Unit = {
+    val b = df.agg(
+      min(col(c1)).cast("double").as("lo1"), max(col(c1)).cast("double").as("hi1"),
+      min(col(c2)).cast("double").as("lo2"), max(col(c2)).cast("double").as("hi2"))
+      .head()
+    val (lo1, hi1, lo2, hi2) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val m = (1 << bits) - 1
+    def disc(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0)
+      else floor((col(c).cast("double") - lo) * m / (hi - lo)).cast("int")
+    df.withColumn("__z", zValue(disc(c1, lo1, hi1), disc(c2, lo2, hi2), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .parquet(path)
+  }
 }
