@@ -398,12 +398,18 @@ object Main {
               graft.llm.PairStore.storedClusters(spark, clustersTable), src)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/retention_stored")
+          graft.llm.Dedup.softDedupWeights(
+              graft.llm.PairStore.storedClusters(spark, clustersTable),
+              src.select(col("doc_id")))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/weights_stored")
           val ret = spark.read.parquet(s"$outDir/retention_stored")
           val minRet = ret.agg(org.apache.spark.sql.functions
             .min(col("retention"))).head.getDouble(0)
           val nLeak = spark.read.parquet(s"$outDir/leakage_stored").count()
-          println(s"diagnose(stored): leakage_stored + retention_stored -> " +
-            s"$outDir (cross_source_rows=$nLeak min_retention=$minRet)")
+          println(s"diagnose(stored): leakage_stored + retention_stored + " +
+            s"weights_stored -> $outDir " +
+            s"(cross_source_rows=$nLeak min_retention=$minRet)")
 
         // pretraining shape: chunk -> token-count -> shuffled shards
         case "prep" :: docsParquet :: outDir :: shards :: Nil =>

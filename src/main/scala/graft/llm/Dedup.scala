@@ -990,6 +990,25 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Soft-dedup 1/|cluster| loss weights (q156's body) over ANY (node,
+    * comp) cluster labeling — fresh CC (q156, oracle-checked) or the
+    * PERSISTED cluster table (`PairStore.storedClusters`, the
+    * q127/q128 stored-route convention: repeated weight exports are
+    * index reads, nothing re-runs CC). `corpus` is the slim doc_id
+    * projection; docs outside the pair graph weight 1.
+    */
+  def softDedupWeights(labels: DataFrame, corpus: DataFrame): DataFrame = {
+    val lab = labels.select(col("node").as("doc_id"), col("comp"))
+    val sizes = lab.groupBy(col("comp")).agg(count(lit(1)).as("m"))
+    corpus
+      .join(lab.join(sizes, Seq("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"),
+        coalesce(col("m"), lit(1L)).as("m"),
+        round(lit(1.0) / coalesce(col("m"), lit(1L)), 4).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-source near-dup leakage report (q127's body) over ANY pair
     * table — fresh (q127 derives the graph in-query for the oracle) or
     * PERSISTED (`PairStore.bucketedPairs`: the d1 join key matches the
@@ -2216,19 +2235,9 @@ object Dedup {
     // 1. Cluster sizes are a pair-graph-sized aggregate; the corpus
     // join is a left join on doc_id.
     Q("q156_softdedup_weights",
-      (s, d) => {
-        val labels = connectedComponents(
-            hashJaccardPairs(docs(s, d), minJaccard = 0.6))
-          .select(col("node").as("doc_id"), col("comp"))
-        val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("m"))
-        docs(s, d).select(col("doc_id"))
-          .join(labels.join(sizes, Seq("comp")), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("comp"), col("doc_id")).as("comp"),
-            coalesce(col("m"), lit(1L)).as("m"),
-            round(lit(1.0) / coalesce(col("m"), lit(1L)), 4).as("weight"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => softDedupWeights(
+        connectedComponents(hashJaccardPairs(docs(s, d), minJaccard = 0.6)),
+        docs(s, d).select(col("doc_id"))),
       Some(dedupGroupsOraclePrefix + """,
               lab AS (
                 SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS comp

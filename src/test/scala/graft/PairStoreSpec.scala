@@ -236,6 +236,18 @@ class PairStoreSpec extends AnyFunSuite with TestSpark {
       val ret = retStored.collect()
         .map(r => r.getString(0) -> r.getDouble(3)).toMap
       assert(ret("crawl2") == 0.0, s"$ret")
+      // soft-dedup weights through the same stored labels == fresh,
+      // and a planted twin pair carries weight 1/2
+      val wStored = Dedup.softDedupWeights(
+        PairStore.storedClusters(spark, "clusters_rep"),
+        docs.select(col("doc_id")))
+      val wFresh = Dedup.softDedupWeights(
+        Dedup.connectedComponents(Dedup.hashJaccardPairs(docs, 0.6)),
+        docs.select(col("doc_id")))
+      assert(rows(wStored) == rows(wFresh))
+      val w = wStored.collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(w(100L) == 0.5, s"planted twin weight: ${w(100L)}")
       // plan pin: the STORED side never re-shuffles — the d1 join key
       // matches the pair table's bucket spec and the node filter/join
       // matches the cluster table's, so both plans read "Bucketed: true"
