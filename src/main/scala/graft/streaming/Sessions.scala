@@ -72,4 +72,46 @@ object Sessions {
           UserTotals(uid, n, t)
       }
   }
+
+  final case class Beat(user_id: Long, ts: java.sql.Timestamp)
+  final case class BeatState(lastSeenMs: Long)
+  final case class GapAlert(user_id: Long, last_seen: java.sql.Timestamp)
+
+  /** Heartbeat / gap monitor — the ABSENCE detector: emit an alert for
+    * every key whose event stream goes silent for `gapMs` of EVENT
+    * time. Nothing window- or join-shaped can express "no data
+    * arrived"; this is exactly what GroupState TIMEOUTS exist for:
+    * each arriving beat re-arms an event-time timeout at
+    * lastSeen + gapMs, and when the WATERMARK passes that instant with
+    * no new beats, Spark invokes the group function with
+    * `state.hasTimedOut` — the alert fires from the state store, not
+    * from any row. State self-cleans on firing (remove()), so silent
+    * keys cost nothing after their alert; live keys hold 8 bytes.
+    * (Timeout semantics: firings happen in the first micro-batch whose
+    * START watermark has passed the armed instant — Spark advances the
+    * watermark between batches, the spec pins this.)
+    */
+  def gapAlerts(ds: Dataset[Beat], gapMs: Long,
+      watermark: String = "5 minutes"): Dataset[GapAlert] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BeatState, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, beats: Iterator[Beat], state) =>
+          if (state.hasTimedOut) {
+            val last = state.get.lastSeenMs
+            state.remove()
+            Iterator(GapAlert(uid, new java.sql.Timestamp(last)))
+          } else {
+            val newest = beats.map(_.ts.getTime).foldLeft(
+              state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))(
+              math.max)
+            state.update(BeatState(newest))
+            state.setTimeoutTimestamp(newest + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -94,4 +94,36 @@ class SessionsSpec extends AnyFunSuite with TestSpark {
     assert(latest(1L) == ((3L, 10.0)))
     assert(latest(2L) == ((1L, 10.0)))
   }
+
+  test("gapAlerts: silent key fires from the state store when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+    val stream = MemoryStream[Sessions.Beat]
+    // gap 15 min of event time, watermark delay 5 min
+    val query = Sessions.gapAlerts(stream.toDS(), gapMs = 15L * 60 * 1000)
+      .writeStream.format("memory").queryName("gap_alerts")
+      .outputMode("append").start()
+
+    // batch 1: users 1 and 2 both beat at 10:00
+    stream.addData(Sessions.Beat(1L, ts(0)), Sessions.Beat(2L, ts(0)))
+    query.processAllAvailable()
+    // batch 2: user 2 keeps beating (10:50 -> timeout re-armed to 11:05);
+    // user 1 goes silent (timeout stays armed at 10:15); the 11:00 beat
+    // moves the watermark to 10:55 AFTER this batch
+    stream.addData(Sessions.Beat(2L, ts(50)), Sessions.Beat(99L, ts(60)))
+    query.processAllAvailable()
+    // batch 3: watermark 10:55 now applies -> user 1's 10:15 timeout
+    // fires FROM STATE (no user-1 row anywhere in this batch);
+    // user 2 (11:05) and the fresh 99 stay live
+    stream.addData(Sessions.Beat(99L, ts(61)))
+    query.processAllAvailable()
+    query.stop()
+
+    val alerts = spark.table("gap_alerts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(alerts == Set((1L, ts(0))), s"got $alerts")
+  }
 }
