@@ -168,6 +168,12 @@ object Main {
           graft.streaming.StreamingSketch.estimate(spark, dir, toks)
             .show(toks.length, truncate = false)
 
+        // two-dimensional Z-order clustering for min/max data skipping
+        case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
+          graft.etl.Writers.zorderParquet(
+            spark.read.parquet(in), c1, c2, out)
+          println(s"rows=${spark.read.parquet(out).count()} dir=$out")
+
         // fold a streaming-curation state dir's per-batch appends (stop
         // the stream first; the compaction lock trips concurrent appends)
         case "compact-state" :: stateDir :: rest if rest.isEmpty || rest == List("force") =>
@@ -474,6 +480,7 @@ object Main {
         |  pca train <vecsParquet> <componentDir> | pca project <vecsParquet> <componentDir>
         |  media index <docsParquet> <indexDir> | media pairs <docsParquet> | media append <docsParquet> <indexDir>
         |  sketch build <docsParquet> <sketchDir> | sketch append <docsParquet> <sketchDir> | sketch query <sketchDir> <token>...
+        |  zorder <inParquet> <col1> <col2> <outDir>
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards>
