@@ -68,4 +68,22 @@ object Readers {
   /** Parquet scan — Catalyst owns pruning/pushdown. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC scan — the second columnar format a complete engine reads;
+    * Spark's native vectorized ORC reader gives the same predicate
+    * pushdown + column pruning as parquet (EtlSpec pins PushedFilters
+    * on the scan), so downstream operators are format-agnostic.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSONL (one JSON document per line) scan with an explicit schema —
+    * the interchange format crawl/curation dumps actually arrive in.
+    * Schema REQUIRED by design: at 100 TB, schema inference is a full
+    * extra pass; a malformed line yields a null row, not a job failure
+    * (ANSI-off engine semantics).
+    */
+  def jsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

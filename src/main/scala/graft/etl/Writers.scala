@@ -294,6 +294,12 @@ object Writers {
       .saveAsTable(table)
   }
 
+  /** ORC sink (zlib default) — format parity with the parquet sink so
+    * pipelines can target either columnar store.
+    */
+  def orc(df: DataFrame, path: String, compression: String = "zlib"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
   /** Z-order (Morton) interleave of two discretized non-negative int
     * columns — `bits` bits each, alternating (a even positions, b odd).
     * Pure bit-op column expressions, fully codegen'd.

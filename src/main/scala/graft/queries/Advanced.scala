@@ -513,6 +513,89 @@ object Advanced {
               FROM k CROSS JOIN wk
               LEFT JOIN c ON c.user_id = k.user_id
                          AND c.event_type = k.event_type AND c.w = wk.w
-              ORDER BY k.user_id, k.event_type, week"""))
+              ORDER BY k.user_id, k.event_type, week""")),
+
+    // Trailing TIME-RANGE moving average (RANGE frame, not ROWS): per
+    // user, the mean event value over the trailing hour INCLUDING the
+    // current event — the frame every rate/load monitor wants and a
+    // ROWS frame can't express (rows-per-hour varies). Sums accumulate
+    // in DECIMAL (the q21/q58 discipline) so the incremental
+    // add/remove frame evaluation is exact, then ONE double division —
+    // cross-engine float drift cannot enter. Window groups are bounded
+    // per user.
+    Q("q158_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"))
+          .rangeBetween(-3600L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("sec"),
+            col("value").cast("decimal(18,6)").as("v"))
+          .select(col("event_id"),
+            round((sum(col("v")).over(w).cast("double") /
+              count(lit(1)).over(w)), 4).as("avg_1h"))
+          .orderBy(col("event_id"))
+          .limit(200)
+      },
+      Some("""SELECT event_id,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                           / COUNT(*) OVER w, 4) AS avg_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id LIMIT 200""")),
+
+    // SPEARMAN rank correlation per group (the monotone-association
+    // complement to q53's Pearson — outlier-robust, catches nonlinear
+    // monotone relations). Average tie ranks come off the VALUE GRID,
+    // never a per-row window: rank(v) = cum-below + (ties+1)/2 on the
+    // bounded (group, value) grid — integer cumulative + one exact
+    // double step — then two grid joins pair the ranks and one Pearson
+    // aggregate (rounded, the q53 convention) finishes. At scale the
+    // per-row ranking window this replaces would sort whole fat groups
+    // in single tasks.
+    Q("q159_spearman",
+      (s, d) => {
+        def avgRanks(rows: DataFrame, vcol: String, out: String): DataFrame = {
+          val grid = rows.groupBy(col("g"), col(vcol).as("v"))
+            .agg(count(lit(1)).as("cnt"))
+          val wb = Window.partitionBy(col("g")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          grid.select(col("g"), col("v").as(vcol),
+            (coalesce(sum(col("cnt")).over(wb), lit(0L)) +
+              (col("cnt") + 1) / 2.0).as(out))
+        }
+        val rows = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        rows
+          .join(avgRanks(rows, "x", "rx"), Seq("g", "x"))
+          .join(avgRanks(rows, "y", "ry"), Seq("g", "y"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n"),
+            round(corr(col("rx"), col("ry")), 4).as("spearman"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+                FROM lineitem),
+              gx AS (SELECT g, x, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+              rx AS (
+                SELECT g, x,
+                       COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + (cnt + 1) / 2.0 AS rx
+                FROM gx),
+              gy AS (SELECT g, y, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+              ry AS (
+                SELECT g, y,
+                       COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + (cnt + 1) / 2.0 AS ry
+                FROM gy)
+              SELECT g, COUNT(*) AS n, ROUND(CORR(rx, ry), 4) AS spearman
+              FROM r JOIN rx USING (g, x) JOIN ry USING (g, y)
+              GROUP BY g ORDER BY g"""))
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.etl.{Profiler, Readers, SchemaOptimizer}
+import graft.etl.{Profiler, Readers, SchemaOptimizer, Writers}
 
 /** OP-04 null normalization, OP-10 regex drop, OP-14/15 quarantine
   * invariants, OP-16 guarded casts, OP-25 date parse, profiler sanity.
@@ -151,5 +151,37 @@ class EtlSpec extends AnyFunSuite with TestSpark {
     assert(opt.schema("small").dataType == ShortType) // 0..99 unsigned rung
     assert(opt.schema("big").dataType == LongType)
     assert(opt.count() + quar.count() == 500)
+  }
+
+  test("orc: roundtrip equals parquet source, predicate pushdown reaches the scan") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    Writers.orc(docs, s"$tmp/docs")
+    val back = Readers.orc(spark, s"$tmp/docs")
+    // format-agnostic: identical rows both ways
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq).toList
+    val b = back.orderBy("doc_id").collect().map(_.toSeq).toList
+    assert(a == b)
+    // filters and projection reach the ORC scan, same as parquet
+    val plan = back.filter(col("doc_id") > 100L).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"),
+      s"no pushdown in ORC scan:\n$plan")
+  }
+
+  test("jsonl: explicit schema, malformed line becomes a null row not a failure") {
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "d.jsonl"),
+      ("""{"doc_id":1,"text":"alpha"}""" + "\n" +
+       """not json at all""" + "\n" +
+       """{"doc_id":2,"text":"beta"}""").getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = Readers.jsonl(spark, tmp, schema)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(rows.contains((Some(1L), Some("alpha"))))
+    assert(rows.contains((Some(2L), Some("beta"))))
+    assert(rows.exists(r => r._1.isEmpty), "malformed line should yield a null row")
+    assert(rows.size == 3)
   }
 }
