@@ -596,6 +596,101 @@ object Advanced {
                 FROM gy)
               SELECT g, COUNT(*) AS n, ROUND(CORR(rx, ry), 4) AS spearman
               FROM r JOIN rx USING (g, x) JOIN ry USING (g, y)
-              GROUP BY g ORDER BY g"""))
+              GROUP BY g ORDER BY g""")),
+
+    // Event-type TRANSITION MATRIX (first-order Markov): P(next | cur)
+    // from per-user event sequences — the navigation-flow readout.
+    // One lead() per user-bounded window, one |types|²-key aggregate;
+    // probabilities divide two exact counts.
+    Q("q160_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("cur"))), 4))
+          .orderBy(col("cur"), col("nxt"))
+      },
+      Some("""WITH seq AS (
+                SELECT event_type AS cur,
+                       LEAD(event_type, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS nxt
+                FROM events),
+              c AS (
+                SELECT cur, nxt, COUNT(*) AS n FROM seq
+                WHERE nxt IS NOT NULL GROUP BY 1, 2)
+              SELECT cur, nxt, n,
+                     ROUND(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 4) AS p
+              FROM c ORDER BY cur, nxt""")),
+
+    // BENFORD first-digit audit — the fabricated-data / unit-mixing
+    // smell test finance and data-quality teams run on any value
+    // column: observed leading-digit shares vs Benford's log10(1+1/d).
+    // One 9-key aggregate; expected shares are literals.
+    Q("q161_benford",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(substring(col("o_totalprice").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .filter(col("digit").between(1, 9))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("share", round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy()), 4))
+          .withColumn("benford",
+            round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+          .orderBy(col("digit")),
+      Some("""WITH d AS (
+                SELECT CAST(SUBSTR(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit
+                FROM orders),
+              c AS (
+                SELECT digit, COUNT(*) AS n FROM d
+                WHERE digit BETWEEN 1 AND 9 GROUP BY 1)
+              SELECT digit, n,
+                     ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4) AS share,
+                     ROUND(LOG10(1.0 + 1.0 / digit), 4) AS benford
+              FROM c ORDER BY digit""")),
+
+    // TPC-H Q3 shape: top-10 unshipped-order revenue — the classic
+    // 3-table join + aggregate + TakeOrdered; the dim side (filtered
+    // customers) broadcasts, lineitem never shuffles before the
+    // revenue aggregate's partial combine.
+    Q("q162_tpch_q3",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1995-03-15"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1995-03-15"))
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("rev"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), Seq("c_custkey").map(c =>
+            col("o_custkey") === col("c_custkey")).head)
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+          .agg(round(sum(col("rev")), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+                     STRFTIME(o_orderdate, '%Y-%m-%d') AS o_date,
+                     ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < DATE '1995-03-15'
+                AND l_shipdate > DATE '1995-03-15'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
   )
 }
