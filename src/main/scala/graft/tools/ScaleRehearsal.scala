@@ -40,7 +40,8 @@ object ScaleRehearsal {
     val marker = Paths.get(outDir, "_SCALE_READY")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(outDir))
-      for (t <- Tables.all if t != "documents" && t != "embeddings")
+      for (t <- Tables.all
+          if t != "documents" && t != "embeddings" && t != "events")
         Files.copy(Paths.get(srcDir, s"$t.parquet"),
           Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
       for ((t, idCol) <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
@@ -53,6 +54,28 @@ object ScaleRehearsal {
           // isn't pathologically clustered by copy.
           .repartition(32, col(idCol))
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      // events scale DIFFERENTLY from the id-salted tables: the stress
+      // the windows/funnel/sessionize family needs is MORE EVENTS PER
+      // USER (fatter window partitions), so copies keep user_id and
+      // re-salt event_id + shift ts by `copy` seconds — each user's
+      // stream gets mult× denser, which is the worst case for every
+      // per-user window/state operator.
+      locally {
+        val ev = spark.read.parquet(s"$srcDir/events.parquet")
+        val stride = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+        ev.crossJoin(spark.range(mult).toDF("copy"))
+          .withColumn("event_id", col("event_id") + col("copy") * lit(stride))
+          // shift each copy by `copy` seconds; ts may surface as LONG
+          // nanos (nanosAsLong) or as a timestamp depending on session
+          .withColumn("ts",
+            if (ev.schema("ts").dataType ==
+                org.apache.spark.sql.types.LongType)
+              col("ts") + col("copy") * lit(1000000000L)
+            else expr("timestampadd(SECOND, copy, ts)"))
+          .drop("copy")
+          .repartition(32, col("event_id"))
+          .write.mode("overwrite").parquet(s"$outDir/events.parquet")
       }
       Files.createFile(marker)
       println(s"[scale] built $outDir at mult=$mult")
