@@ -65,4 +65,23 @@ object Session {
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark
   }
+
+  /** Switch Structured Streaming state to the RocksDB provider — the
+    * 100 TB lever for the always-on streams (StreamingDedup/Curation/
+    * Sketch, gapAlerts, StreamJoin): the default HDFS-backed provider
+    * keeps every key's state in executor HEAP, so state size is bounded
+    * by memory; RocksDB spills to local disk with changelog
+    * checkpointing, bounding memory at any key cardinality. Applies to
+    * queries STARTED after the call (provider is read at query start;
+    * restarting an existing checkpoint keeps its original provider).
+    * StreamingRocksDbSpec pins operator parity under the swap.
+    */
+  def rocksdbStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark
+  }
 }
