@@ -691,6 +691,81 @@ object Advanced {
                 AND o_orderdate < DATE '1995-03-15'
                 AND l_shipdate > DATE '1995-03-15'
               GROUP BY l_orderkey, o_orderdate
-              ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // NULL-COMPLETENESS profile — the first data-quality report any
+    // table gets: per column, row/null counts and the 4-dp null rate.
+    // One map-side pass (sums of null flags), |columns| output rows.
+    Q("q163_null_profile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val cols = li.columns.toSeq
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c")))
+        val counts = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        counts.select(explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"), col("n_rows"),
+              col(s"n_$c").as("n_null"))): _*)).as("kv"))
+          .select(col("kv.col_name").as("col_name"),
+            col("kv.n_rows").as("n_rows"), col("kv.n_null").as("n_null"),
+            round(col("kv.n_null").cast("double") / col("kv.n_rows"), 4)
+              .as("null_rate"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+              c AS (
+                SELECT 'l_orderkey' AS col_name, CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM lineitem
+                UNION ALL SELECT 'l_partkey', CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_suppkey', CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_linenumber', CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_quantity', CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_discount', CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_tax', CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_returnflag', CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_linestatus', CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+                UNION ALL SELECT 'l_shipdate', CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+              SELECT col_name, n_rows, n_null,
+                     ROUND(n_null / CAST(n_rows AS DOUBLE), 4) AS null_rate
+              FROM c CROSS JOIN n ORDER BY col_name""")),
+
+    // PRIMARY-KEY uniqueness audit — constraint validation for a store
+    // with no enforced constraints: per declared key, distinct-key and
+    // violating-key counts. Map-side-combined aggregates on the key.
+    Q("q164_pk_audit",
+      (s, d) => {
+        def audit(df: DataFrame, tbl: String, keys: Seq[String]): DataFrame = {
+          val perKey = df.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("cnt"))
+          perKey.agg(
+            lit(tbl).as("tbl"),
+            lit(keys.mkString(",")).as("pk"),
+            sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
+        }
+        audit(t(s, d, "orders"), "orders", Seq("o_orderkey"))
+          .unionByName(audit(t(s, d, "customer"), "customer", Seq("c_custkey")))
+          .unionByName(audit(t(s, d, "lineitem"), "lineitem",
+            Seq("l_orderkey", "l_linenumber")))
+          .orderBy(col("tbl"))
+      },
+      Some("""SELECT * FROM (
+                SELECT 'orders' AS tbl, 'o_orderkey' AS pk,
+                       CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+                       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys
+                FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+                UNION ALL
+                SELECT 'customer', 'c_custkey',
+                       CAST(SUM(cnt) AS BIGINT), COUNT(*),
+                       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM (SELECT c_custkey, COUNT(*) AS cnt FROM customer GROUP BY 1)
+                UNION ALL
+                SELECT 'lineitem', 'l_orderkey,l_linenumber',
+                       CAST(SUM(cnt) AS BIGINT), COUNT(*),
+                       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
+                      FROM lineitem GROUP BY 1, 2))
+              ORDER BY tbl"""))
   )
 }
