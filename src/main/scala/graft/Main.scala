@@ -155,9 +155,13 @@ object Main {
           println(s"counters=${spark.read.parquet(s"$dir/sketch").count()} dir=$dir")
 
         case "sketch" :: "append" :: docsParquet :: dir :: Nil =>
-          val next = new java.io.File(s"$dir/sketch").listFiles()
+          val batches = Option(new java.io.File(s"$dir/sketch").listFiles())
+            .getOrElse(Array.empty[java.io.File])
             .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-            .map(_.getName.stripPrefix("batch=").toLong).max + 1
+            .map(_.getName.stripPrefix("batch=").toLong)
+          require(batches.nonEmpty,
+            s"no sketch batches under $dir/sketch — run `sketch build` first")
+          val next = batches.max + 1
           graft.llm.TextOps.cmsSketch(spark.read.parquet(docsParquet))
             .write.mode("overwrite")
             .option("compression", graft.etl.Writers.DefaultCompression)

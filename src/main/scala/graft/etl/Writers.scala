@@ -330,6 +330,14 @@ object Writers {
       min(col(c1)).cast("double").as("lo1"), max(col(c1)).cast("double").as("hi1"),
       min(col(c2)).cast("double").as("lo2"), max(col(c2)).cast("double").as("hi2"))
       .head()
+    // an empty table, an all-null column, or a non-numeric column whose
+    // cast-to-double nulls out all yields null bounds — fail with the
+    // offending column named instead of an NPE from getDouble
+    Seq(c1 -> 0, c2 -> 2).foreach { case (c, i) =>
+      require(!b.isNullAt(i) && !b.isNullAt(i + 1),
+        s"zorder: no numeric min/max bounds for column '$c' " +
+          "(empty input, all-null, or non-numeric column?)")
+    }
     val (lo1, hi1, lo2, hi2) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     val m = (1 << bits) - 1

@@ -516,10 +516,13 @@ object Curation {
     * fp), so no skew; the size/pair scaffold is |sources|-row tiny.
     */
   def crawlDelta(docsDf: DataFrame): DataFrame = {
+    // FULL 128-bit md5 as the carry-over key: a truncated prefix makes
+    // birthday collisions between unrelated docs likely around 10^5
+    // distinct texts per snapshot, silently inflating carried counts at
+    // scale (truncation is only ever a display convention, q31)
     val f = docsDf.select(col("source"),
         expr("CAST(SUBSTRING(source, 4) AS INT)").as("k"),
-        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 8)
-          .as("fp"))
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
       .distinct()
     val sizes = f.groupBy(col("source"), col("k"))
       .agg(count(lit(1)).as("n"))
@@ -1436,7 +1439,7 @@ object Curation {
       Some("""WITH f AS (
                 SELECT DISTINCT source,
                        CAST(SUBSTRING(source, 4) AS INT) AS k,
-                       SUBSTR(MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')), 1, 8) AS fp
+                       MD5(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS fp
                 FROM documents),
               sz AS (SELECT source, k, COUNT(*) AS n FROM f GROUP BY 1, 2),
               ca AS (

@@ -269,12 +269,16 @@ object Dedup {
           .as(Seq("off", "g")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("p"), col("g"))
     // df cap: one exchange on g that both the count pass and the probe
-    // read (ReuseExchange), hot set small by construction -> broadcast
+    // read (ReuseExchange). The hot set is NOT forced broadcast: at
+    // L=8 on a web corpus every common 8-word phrase is hot, so the
+    // over-cap gram list grows with the corpus — the anti-join stays
+    // on the g exchange both sides already share (zero extra shuffle),
+    // and AQE may still broadcast it when stats say it is tiny.
     val sh = grams.repartition(col("g"))
     val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") > maxDf)
       .select(col("g"))
-    val idx = sh.join(broadcast(hot), Seq("g"), "left_anti")
+    val idx = sh.join(hot, Seq("g"), "left_anti")
     val m = idx.select(col("doc_id").as("d1"), col("p").as("p1"), col("g"))
       .join(idx.select(col("doc_id").as("d2"), col("p").as("p2"), col("g")),
         Seq("g"))
@@ -312,13 +316,16 @@ object Dedup {
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val fp = df.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
     val groups = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
-    // unique-text groups ≈ corpus distinct size: small relative to a
-    // clone-heavy corpus, so the membership maps broadcast
+    // the membership maps have one row per UNIQUE text — corpus
+    // cardinality, NOT a small table (billions of rows at 100 TB, far
+    // past any broadcast limit) — so they join the plain shuffle way,
+    // exactly as dedupGroupsPrecollapsed / q147 already do; AQE still
+    // broadcasts when runtime stats say a side is genuinely tiny
     val members = fp.select(col("doc_id"), col("fp"))
-      .join(broadcast(groups), Seq("fp"))
+      .join(groups, Seq("fp"))
       .select(col("doc_id"), col("rep"))
     val reps = fp
-      .join(broadcast(groups.select(col("rep").as("doc_id"))), Seq("doc_id"))
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
     val repSpans = exactSubstringSpans0(reps, minRun, maxDf)
     val cross = repSpans
@@ -338,7 +345,7 @@ object Dedup {
     val intra = members.as("a")
       .join(members.as("b"), col("a.rep") === col("b.rep")
         && col("a.doc_id") < col("b.doc_id"))
-      .join(broadcast(ntok.filter(col("ntok") >= minRun)),
+      .join(ntok.filter(col("ntok") >= minRun),
         col("a.rep") === col("rep_nt"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         lit(1L).as("p1"), lit(1L).as("p2"), col("ntok").as("len"))
@@ -360,7 +367,7 @@ object Dedup {
     * cross-group span intervals (identical texts ⇒ identical offsets,
     * every partner contributes the same rep-level interval). So the
     * merge runs over UNIQUE-text spans only and members are labeled by
-    * one broadcast join. Value-identical to deriving from the direct
+    * one shuffle join on fp. Value-identical to deriving from the direct
     * span list — the q139 == q137 equality transfers interval-for-
     * interval (DedupSpec pins the values; the oracle derives from the
     * direct reduction). At the 30x clone rehearsal the direct derivation
@@ -374,11 +381,14 @@ object Dedup {
     val fp = df.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
     val groups = fp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
+    // membership maps are corpus-cardinality (one row per unique
+    // text): plain shuffle joins, never forced broadcast — the q139
+    // rule above
     val members = fp.select(col("doc_id"), col("fp"))
-      .join(broadcast(groups), Seq("fp"))
+      .join(groups, Seq("fp"))
       .select(col("doc_id"), col("rep"), col("sz"))
     val reps = fp
-      .join(broadcast(groups.select(col("rep").as("doc_id"))), Seq("doc_id"))
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
     val repSpans = exactSubstringSpans0(reps, minRun, maxDf)
     val sp = repSpans
@@ -401,7 +411,7 @@ object Dedup {
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(members.select(col("doc_id"), col("rep"), col("sz")), Seq("doc_id"))
-      .join(broadcast(repCov), Seq("rep"), "left")
+      .join(repCov, Seq("rep"), "left")
       .select(col("doc_id"), col("n_tokens"),
         when(col("sz") >= 2 && col("n_tokens") >= minRun, col("n_tokens"))
           .otherwise(coalesce(col("cross_dup"), lit(0L)))

@@ -550,28 +550,45 @@ object Advanced {
     // SPEARMAN rank correlation per group (the monotone-association
     // complement to q53's Pearson — outlier-robust, catches nonlinear
     // monotone relations). Average tie ranks come off the VALUE GRID,
-    // never a per-row window: rank(v) = cum-below + (ties+1)/2 on the
-    // bounded (group, value) grid — integer cumulative + one exact
-    // double step — then two grid joins pair the ranks and one Pearson
-    // aggregate (rounded, the q53 convention) finishes. At scale the
-    // per-row ranking window this replaces would sort whole fat groups
-    // in single tasks.
+    // never a per-row window: rank(v) = cum-below + (ties+1)/2 — but
+    // the grid of a CONTINUOUS column (price) is near row-cardinality
+    // and the group key has only 3 values, so a plain per-group
+    // cumulative window would sort tens of millions of grid rows in
+    // one task at scale. The cumulative therefore runs the q153
+    // ScaleWindows two-phase shape per group: local integer cums
+    // partitioned by (g, value-derived block), then one window over
+    // the bounded (g, block) summaries for the offsets. Exact integer
+    // arithmetic throughout + one double step; two grid joins pair the
+    // ranks and one Pearson aggregate (rounded, the q53 convention)
+    // finishes.
     Q("q159_spearman",
       (s, d) => {
-        def avgRanks(rows: DataFrame, vcol: String, out: String): DataFrame = {
+        def avgRanks(rows: DataFrame, vcol: String, blockW: Int,
+            out: String): DataFrame = {
           val grid = rows.groupBy(col("g"), col(vcol).as("v"))
             .agg(count(lit(1)).as("cnt"))
-          val wb = Window.partitionBy(col("g")).orderBy(col("v"))
+            .withColumn("blk", floor(col("v") / blockW).cast("long"))
+          val wLocal = Window.partitionBy(col("g"), col("blk"))
+            .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+          val local = grid.withColumn("lc",
+            coalesce(sum(col("cnt")).over(wLocal), lit(0L)))
+          // block summaries: |groups| x |value-range / blockW| rows —
+          // bounded by construction, safe to broadcast
+          val wOff = Window.partitionBy(col("g")).orderBy(col("blk"))
             .rowsBetween(Window.unboundedPreceding, -1)
-          grid.select(col("g"), col("v").as(vcol),
-            (coalesce(sum(col("cnt")).over(wb), lit(0L)) +
-              (col("cnt") + 1) / 2.0).as(out))
+          val offs = grid.groupBy(col("g"), col("blk"))
+            .agg(sum(col("cnt")).as("bs"))
+            .select(col("g"), col("blk"),
+              coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
+          local.join(broadcast(offs), Seq("g", "blk"))
+            .select(col("g"), col("v").as(vcol),
+              (col("lc") + col("off") + (col("cnt") + 1) / 2.0).as(out))
         }
         val rows = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
         rows
-          .join(avgRanks(rows, "x", "rx"), Seq("g", "x"))
-          .join(avgRanks(rows, "y", "ry"), Seq("g", "y"))
+          .join(avgRanks(rows, "x", 5, "rx"), Seq("g", "x"))
+          .join(avgRanks(rows, "y", 1000, "ry"), Seq("g", "y"))
           .groupBy(col("g"))
           .agg(count(lit(1)).as("n"),
             round(corr(col("rx"), col("ry")), 4).as("spearman"))

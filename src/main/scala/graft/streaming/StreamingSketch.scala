@@ -54,6 +54,12 @@ object StreamingSketch {
   /** Point-query estimates for `toks` against the merged sketch:
     * est(t) = min over the 4 rows of t's bucket counters (identical
     * addressing to the batch q152 via [[TextOps.cmsBuckets]]).
+    *
+    * The stored sketch only materializes buckets that were ever HIT, so
+    * the probe LEFT-joins and coalesces absent counters to 0 — a token
+    * the stream never saw reports est=0 (not a silently missing row),
+    * and a token with some empty buckets takes its true min instead of
+    * an inflated min over nonzero counters only.
     */
   def estimate(spark: SparkSession, outDir: String,
       toks: Seq[String], w: Int = 1024): DataFrame = {
@@ -61,8 +67,9 @@ object StreamingSketch {
     toks.toDF("tok")
       .select(col("tok"),
         posexplode(TextOps.cmsBuckets(col("tok"), w)).as(Seq("r", "bucket")))
-      .join(broadcast(sketch(spark, outDir)), Seq("r", "bucket"))
-      .groupBy(col("tok")).agg(min(col("c")).as("cms_est"))
+      .join(broadcast(sketch(spark, outDir)), Seq("r", "bucket"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
       .orderBy(col("tok"))
   }
 }

@@ -531,6 +531,32 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(cov(3L) == ((20L, 0L, 0.0)), s"doc3: ${cov(3L)}")
   }
 
+  test("substring scale paths carry no forced-broadcast join hints") {
+    // the membership maps (one row per UNIQUE text) are
+    // corpus-cardinality — at 100 TB a forced broadcast() of them
+    // would blow the 8 GB broadcast limit and the driver. Pin the
+    // LOGICAL plan hint-free: AQE may still broadcast a side whose
+    // runtime stats are tiny, but nothing in these operators may
+    // DEMAND it (a hint forces the build regardless of size).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    val df = docs
+    Seq(
+      "spans-precollapse" -> Dedup.exactSubstringSpansPrecollapsed(df),
+      "coverage" -> Dedup.exactSubstringCoverage(df),
+      "spans-direct" -> Dedup.exactSubstringSpans(df)).foreach {
+      case (name, q) =>
+        val forced = q.queryExecution.optimizedPlan.collect {
+          case j: Join
+              if j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+                j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => j
+        }
+        assert(forced.isEmpty,
+          s"$name: forced broadcast hint on ${forced.size} join(s):\n" +
+            forced.mkString("\n"))
+    }
+  }
+
   test("prefix-filtered jaccard == brute-force exact jaccard, no cartesian") {
     // the AllPairs exactness contract: every pair at the threshold,
     // over the FULL (uncapped) shingle space — verified against an

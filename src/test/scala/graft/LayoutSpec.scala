@@ -58,4 +58,20 @@ class LayoutSpec extends AnyFunSuite with TestSpark {
     assert(zCust < nCust / 2 && zPrice < nPrice / 2,
       s"zorder no better than naive: z=($zCust,$zPrice) naive=($nCust,$nPrice)")
   }
+
+  test("zorderParquet rejects unusable bounds with the column named") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-err").toString
+    val orders = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    // a string column casts to all-null doubles -> no bounds
+    val e1 = intercept[IllegalArgumentException] {
+      Writers.zorderParquet(orders, "o_orderstatus", "o_totalprice", s"$tmp/a")
+    }
+    assert(e1.getMessage.contains("o_orderstatus"), e1.getMessage)
+    // empty input -> no bounds for the first column checked
+    val e2 = intercept[IllegalArgumentException] {
+      Writers.zorderParquet(orders.filter(lit(false)),
+        "o_custkey", "o_totalprice", s"$tmp/b")
+    }
+    assert(e2.getMessage.contains("o_custkey"), e2.getMessage)
+  }
 }

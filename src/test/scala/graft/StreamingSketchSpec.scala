@@ -67,5 +67,16 @@ class StreamingSketchSpec extends AnyFunSuite with TestSpark {
     }
     // CMS guarantee survives the streaming route: apple appears 5 times
     assert(est("apple") >= 5L)
+
+    // a token the stream never saw reports est=0 via the left-join
+    // probe (the stored sketch holds only ever-hit buckets; an inner
+    // join would silently drop the row, or inflate the min when only
+    // SOME of the token's 4 buckets are empty)
+    val unseen = StreamingSketch.estimate(spark, outDir,
+        Seq("zz-never-streamed-token", "apple")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unseen("zz-never-streamed-token") == 0L,
+      s"unseen token: ${unseen.get("zz-never-streamed-token")}")
+    assert(unseen("apple") == est("apple"))
   }
 }
