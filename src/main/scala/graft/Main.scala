@@ -434,6 +434,15 @@ object Main {
           println(s"docs=${r.nDocs} after_dedup=${r.nAfterDedup} " +
             s"exported=${r.nExported} shards_dir=${r.shardsDir}")
 
+        // span-cut first (Lee et al. ordering): duplicated >= 8-token
+        // runs are removed keep-first, THEN the near-dup pipeline runs
+        case "curate" :: docsParquet :: outDir :: shards :: "cut" :: Nil =>
+          val cut = graft.llm.Curation.cutDuplicateSpans(
+            spark.read.parquet(docsParquet))
+          val r = graft.llm.Curation.curateCorpus(cut, outDir, shards.toInt)
+          println(s"docs_after_cut=${r.nDocs} after_dedup=${r.nAfterDedup} " +
+            s"exported=${r.nExported} shards_dir=${r.shardsDir}")
+
         case "export" :: inParquet :: outDir :: shards :: rest
             if rest.isEmpty || rest.length == 1 =>
           val idCol = rest.headOption.getOrElse("doc_id")
@@ -487,7 +496,7 @@ object Main {
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]
-        |  curate <docsParquet> <outDir> <shards>
+        |  curate <docsParquet> <outDir> <shards> [cut]
         |  prep <docsParquet> <outDir> <shards>
         |  query <sfDir> <name>""".stripMargin)
 }

@@ -366,6 +366,28 @@ object Curation {
     * tokenize scan is); pass `counts = false` to skip it at very large
     * scale and get -1.
     */
+  /** Span-cut curation stage: rewrite each doc's text to the
+    * [[graft.llm.Dedup.exactSubstringRemove]] cleaned token stream
+    * (keep-first — the lowest-doc_id copy of every duplicated >= minRun
+    * run survives, later copies are cut), drop docs left empty, keep
+    * every other column. Runs BEFORE near-dup banding in the `curate
+    * ... cut` CLI route, the Lee et al. ordering: verbatim spans are
+    * removed surgically, then whole-doc near-dup dropping sees the
+    * residue. The join back to the source is one shuffle on doc_id;
+    * docs whose text was empty to begin with are dropped too (an empty
+    * doc has no training value either way).
+    */
+  def cutDuplicateSpans(docsDf: DataFrame,
+      minRun: Int = Dedup.ExactSubstringMinRun,
+      maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
+    val cleaned = Dedup.exactSubstringRemove(docsDf, minRun, maxDf)
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), col("clean_text"))
+    docsDf.drop("text")
+      .join(cleaned, Seq("doc_id"))
+      .withColumnRenamed("clean_text", "text")
+  }
+
   def curateCorpus(docsDf: DataFrame, outDir: String, shards: Int = 16,
       minJaccard: Double = 0.6, counts: Boolean = true): CurateReport = {
     import org.apache.spark.sql.expressions.Window

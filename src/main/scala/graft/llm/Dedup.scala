@@ -254,20 +254,7 @@ object Dedup {
 
   private def exactSubstringSpans0(df: DataFrame, minRun: Int,
       maxDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = spread(df)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= minRun)
-    // positional L-grams: ts is a materialized attribute, so the
-    // element_at chain inside the lambda is cheap (no re-run regex —
-    // the shingleArrayFromTokens lesson)
-    val grams = tok
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("ts")) - (minRun - 1)),
-          i => xxhash64(concat_ws(" ",
-            (0 until minRun).map(k => element_at(col("ts"), i + k)): _*))))
-          .as(Seq("off", "g")))
-      .select(col("doc_id"), (col("off") + 1).cast("long").as("p"), col("g"))
+    val grams = positionalGrams(df, minRun)
     // df cap: one exchange on g that both the count pass and the probe
     // read (ReuseExchange). The hot set is NOT forced broadcast: at
     // L=8 on a web corpus every common 8-word phrase is hot, so the
@@ -283,6 +270,38 @@ object Dedup {
       .join(idx.select(col("doc_id").as("d2"), col("p").as("p2"), col("g")),
         Seq("g"))
       .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"))
+    diagonalIslands(m, minRun)
+  }
+
+  /** Positional depth-L suffix keys: (doc_id, p, g) with 1-based token
+    * offset p and g = xxhash64 of the L-gram starting at p. Map-side
+    * only (ts is a materialized attribute so the element_at chain in
+    * the lambda never re-runs the tokenizer — the shingleArrayFromTokens
+    * lesson); the 8-byte hash is what every downstream exchange carries.
+    * Shared by the batch span operators and the streaming gram-index
+    * probe ([[graft.streaming.StreamingDedup.startSpans]]).
+    */
+  private[graft] def positionalGrams(df: DataFrame, minRun: Int): DataFrame = {
+    val tok = spread(df)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= minRun)
+    tok
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (minRun - 1)),
+          i => xxhash64(concat_ws(" ",
+            (0 until minRun).map(k => element_at(col("ts"), i + k)): _*))))
+          .as(Seq("off", "g")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("p"), col("g"))
+  }
+
+  /** Gaps-and-islands maximal-run reduction over matched positional-gram
+    * hits `m` = (d1, d2, p1, p2): consecutive p1 at one fixed alignment
+    * (diag = p1 - p2) merge into maximal runs, len = islandSize + L - 1.
+    * Window groups are bounded by doc length — no skew.
+    */
+  private[graft] def diagonalIslands(m: DataFrame, minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("d1"), col("d2"), col("diag"))
       .orderBy(col("p1"))
     m.withColumn("diag", col("p1") - col("p2"))
@@ -291,6 +310,24 @@ object Dedup {
       .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
         (count(lit(1)) + minRun - 1).cast("long").as("len"))
       .select(col("d1"), col("d2"), col("p1"), col("p2"), col("len"))
+  }
+
+  /** Union per-key token intervals [s, e] into disjoint merged runs
+    * (key, mn, mx) — classic running-max island detection. Window
+    * groups are bounded by intervals-per-key (≤ doc length / minRun).
+    */
+  private def mergeIntervals(sp: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(key)).orderBy(col("s"), col("e"))
+    sp
+      .withColumn("pmax",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("grp"))
+      .agg(min(col("s")).as("mn"), max(col("e")).as("mx"))
+      .select(col(key), col("mn"), col("mx"))
   }
 
   /** The SAME span answer as [[exactSubstringSpans]] through
@@ -377,7 +414,6 @@ object Dedup {
   def exactSubstringCoverage(df: DataFrame,
       minRun: Int = ExactSubstringMinRun,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fp = df.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
     val groups = fp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
@@ -396,15 +432,7 @@ object Dedup {
         (col("p1") + col("len") - 1).as("e"))
       .unionByName(repSpans.select(col("d2").as("rep"), col("p2").as("s"),
         (col("p2") + col("len") - 1).as("e")))
-    val wOrd = Window.partitionBy(col("rep")).orderBy(col("s"), col("e"))
-    val repCov = sp
-      .withColumn("pmax",
-        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("grp",
-        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("rep"), col("grp"))
-      .agg(min(col("s")).as("mn"), max(col("e")).as("mx"))
+    val repCov = mergeIntervals(sp, "rep")
       .groupBy(col("rep"))
       .agg(sum(col("mx") - col("mn") + 1).as("cross_dup"))
     spread(df)
@@ -419,6 +447,78 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
         round(col("dup_tokens").cast("double") / col("n_tokens"), 4)
           .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span-REMOVAL rewriter — the output half of Lee et al. 2022's
+    * exact-substring dedup (the reference deduplicate-text-datasets tool
+    * emits a CLEANED corpus, not just the span report): cut every
+    * duplicated run from all but its first occurrence and reassemble
+    * the surviving tokens.
+    *
+    * Keep-first contract (deterministic, oracle-replayable): in every
+    * [[exactSubstringSpans]] pair (d1 < d2) the d1 copy is kept and the
+    * d2-side interval [p2, p2+len-1] is removed; a doc's removed set is
+    * the union of its d2-side intervals. Output per doc: n_tokens,
+    * removed_tokens, clean_text (the kept tokens of the standard
+    * tokenization, space-joined — token-level reassembly is the
+    * contract, matching the tokenizer both engines share).
+    *
+    * Scale shape — fully LINEAR, like [[exactSubstringCoverage]] and
+    * unlike the pair-expanded span list: the d2-side union of a doc
+    * depends only on its clone group,
+    *  - a non-rep member of a clone group (sz >= 2, n_tokens >= minRun)
+    *    is whole-doc covered by its intra-group pair with the rep
+    *    (min doc_id keeps the text) → clean_text = "";
+    *  - a rep's d2-side intervals are exactly its rep-level spans with
+    *    d2 = rep (a member of the partner group precedes it iff that
+    *    group's rep — its min — does, which is the span's
+    *    canonicalization);
+    * so the interval merge runs over UNIQUE-text spans only, members
+    * are labeled by one shuffle join on fp, and the per-doc cut is a
+    * map-side higher-order filter against the doc's own (merged,
+    * ≤ n_tokens/minRun) interval array — no token-level shuffle. The
+    * equality with the direct d2-side derivation is the q139 == q137
+    * equality transferred interval-for-interval (DedupSpec pins it; the
+    * oracle replays the direct form).
+    */
+  def exactSubstringRemove(df: DataFrame,
+      minRun: Int = ExactSubstringMinRun,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val fp = df.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val groups = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
+    // corpus-cardinality membership maps: plain shuffle joins (q139 rule)
+    val members = fp.select(col("doc_id"), col("fp"))
+      .join(groups, Seq("fp"))
+      .select(col("doc_id"), col("rep"), col("sz"))
+    val reps = fp
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val repSpans = exactSubstringSpans0(reps, minRun, maxDf)
+    val cut = repSpans.select(col("d2").as("rep"), col("p2").as("s"),
+      (col("p2") + col("len") - 1).as("e"))
+    val ivs = mergeIntervals(cut, "rep")
+      .groupBy(col("rep"))
+      .agg(sort_array(collect_list(struct(col("mn"), col("mx")))).as("ivs"))
+    spread(df)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .join(members, Seq("doc_id"))
+      .join(ivs, Seq("rep"), "left")
+      .select(col("doc_id"), col("rep"), col("sz"), col("ts"), col("ivs"),
+        size(col("ts")).cast("long").as("n_tokens"))
+      .withColumn("kept",
+        when(col("doc_id") =!= col("rep") && col("sz") >= 2
+            && col("n_tokens") >= minRun,
+          slice(col("ts"), 1, 0))
+          .when(col("ivs").isNull, col("ts"))
+          .otherwise(filter(col("ts"), (t, i) =>
+            !exists(col("ivs"), v =>
+              (i + 1) >= v.getField("mn") && (i + 1) <= v.getField("mx")))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -2235,6 +2335,42 @@ object Dedup {
                CAST(COALESCE(dup, 0) AS BIGINT) AS dup_tokens,
                ROUND(CAST(COALESCE(dup, 0) AS DOUBLE) / LEN(ts), 4) AS dup_ratio
         FROM tok t LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Span-REMOVAL rewriter (see [[exactSubstringRemove]]): the cleaned
+    // corpus Lee et al.'s tool actually emits — keep-first (the d1 copy
+    // stays, d2-side intervals are cut), token-level reassembly. The
+    // oracle replays the DIRECT form (spans → d2-side interval union →
+    // complement reassembly); the engine runs the linear precollapsed
+    // rule — the q139 == q137 equality, transferred.
+    Q("q165_exact_substring_remove",
+      (s, d) => exactSubstringRemove(docs(s, d)),
+      Some(exactSubstringOracleCte + """,
+        spans AS (
+          SELECT d1, d2, MIN(p1) AS p1, MIN(p2) AS p2,
+                 COUNT(*) + """ + (ExactSubstringMinRun - 1) + """ AS len
+          FROM isl GROUP BY d1, d2, diag, grp),
+        cut AS (SELECT d2 AS doc_id, p2 AS s, p2 + len - 1 AS e FROM spans),
+        ord_ AS (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM cut),
+        isl2 AS (SELECT doc_id, s, e,
+          SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+          FROM ord_),
+        merged AS (SELECT doc_id, grp, MIN(s) AS mn, MAX(e) AS mx
+                   FROM isl2 GROUP BY 1, 2),
+        toks AS (SELECT doc_id, i AS p, ts[i] AS tkn
+                 FROM tok, UNNEST(generate_series(1, LEN(ts))) AS u(i)),
+        kept AS (SELECT tk.doc_id, tk.p, tk.tkn FROM toks tk
+                 WHERE NOT EXISTS (SELECT 1 FROM merged m
+                   WHERE m.doc_id = tk.doc_id AND tk.p BETWEEN m.mn AND m.mx))
+        SELECT t.doc_id, CAST(LEN(t.ts) AS BIGINT) AS n_tokens,
+               CAST(LEN(t.ts) - COUNT(k.p) AS BIGINT) AS removed_tokens,
+               COALESCE(STRING_AGG(k.tkn, ' ' ORDER BY k.p), '') AS clean_text
+        FROM tok t LEFT JOIN kept k USING (doc_id)
+        GROUP BY t.doc_id, LEN(t.ts)
         ORDER BY doc_id""")),
 
     // SOFT dedup: keep every document, weight it 1/|cluster| — the

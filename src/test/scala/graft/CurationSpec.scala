@@ -342,6 +342,33 @@ class CurationSpec extends AnyFunSuite with TestSpark {
       .map(_.getInt(0)).forall(s => s >= 0 && s < 4))
   }
 
+  test("cutDuplicateSpans removes a planted boilerplate header keep-first") {
+    // a 10-token license header shared by three docs: the lowest doc_id
+    // keeps it, the later two lose exactly the header, a doc that IS
+    // only the header vanishes, untouched docs pass through unchanged
+    val header = (1 to 10).map(i => s"license$i").mkString(" ")
+    def body(tag: String): String = (1 to 15).map(i => s"$tag$i").mkString(" ")
+    val rows = Seq(
+      Row(1L, "en", header + " " + body("alpha")),
+      Row(2L, "en", header + " " + body("beta")),
+      Row(3L, "en", body("gamma") + " " + header),
+      Row(4L, "en", header),          // nothing but boilerplate
+      Row(5L, "en", body("delta")))   // untouched
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Curation.cutDuplicateSpans(docs).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    assert(out(1L) == header + " " + body("alpha"), s"doc1: ${out(1L)}")
+    assert(out(2L) == body("beta"), s"doc2: ${out(2L)}")
+    assert(out(3L) == body("gamma"), s"doc3: ${out(3L)}")
+    assert(!out.contains(4L), s"doc4 should be cut to empty: $out")
+    assert(out(5L) == body("delta"), s"doc5: ${out(5L)}")
+    // non-text columns survive the rewrite
+    assert(Curation.cutDuplicateSpans(docs).columns.toSet ==
+      Set("doc_id", "lang", "text"))
+  }
+
   test("pii redaction scrubs emails, phones, and ips with typed placeholders") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -483,6 +483,20 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(cov(8L) == ((9L, 8L, 0.8889)), s"doc8: ${cov(8L)}")
     Seq(3L, 6L, 7L).foreach(d =>
       assert(cov(d)._2 == 0L && cov(d)._3 == 0.0, s"doc$d: ${cov(d)}"))
+
+    // removal: keep-first — d1 copies stay, d2-side intervals are cut.
+    // Doc 1 is d1 in all its pairs (intact); doc 2 loses runS to doc 1
+    // ([8,19]); doc 5 loses runR+runT to doc 4 ([2,10] ∪ [12,19]);
+    // doc 8 keeps only its filler token ("fp1" — both pairs cut [2,9]).
+    val rm = Dedup.exactSubstringRemove(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rm(1L)._2 == 0L && rm(2L) == ((22L, 12L,
+      (toks("fc", 7) ++ toks("fd", 3)).mkString(" "))), s"1/2: ${rm(2L)}")
+    assert(rm(4L)._2 == 0L && rm(5L)._2 == 17L, s"4/5: ${rm(5L)}")
+    assert(rm(8L) == ((9L, 8L, "fp1")), s"doc8: ${rm(8L)}")
+    Seq(3L, 6L, 7L).foreach(d =>
+      assert(rm(d)._2 == 0L, s"doc$d: ${rm(d)}"))
   }
 
   test("exact-substring precollapse == direct on a clone-heavy corpus") {
@@ -529,6 +543,31 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     Seq(4L, 14L).foreach(d =>
       assert(cov(d) == ((9L, 9L, 1.0)), s"doc$d: ${cov(d)}"))
     assert(cov(3L) == ((20L, 0L, 0.0)), s"doc3: ${cov(3L)}")
+
+    // removal through the clone groups, pinned against the DIRECT
+    // d2-side derivation row for row (the oracle's replay), plus the
+    // expected shape: non-rep clones are emptied, the b-rep loses runS
+    // to the a-rep, the a-rep / lone / short-rep stay intact
+    val rm = Dedup.exactSubstringRemove(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    Seq(11L, 21L, 12L, 14L).foreach(d =>
+      assert(rm(d)._3 == "" && rm(d)._1 == rm(d)._2, s"doc$d: ${rm(d)}"))
+    assert(rm(2L) == ((15L, 10L,
+      (toks("pc", 1) ++ toks("pd", 4)).mkString(" "))), s"doc2: ${rm(2L)}")
+    Seq(1L, 3L, 4L).foreach(d =>
+      assert(rm(d)._2 == 0L, s"doc$d: ${rm(d)}"))
+    // direct replay: union d2-side intervals from the direct span list,
+    // complement against the token stream — must equal the linear form
+    val byDoc = direct.toSeq.flatMap { case (_, d2, _, p2, len) =>
+      (p2 to (p2 + len - 1)).map(p => (d2, p)) }.toSet
+    rows.foreach { case (id, text) =>
+      val ts = text.split("\\s+").toSeq
+      val keptDirect = ts.zipWithIndex.collect {
+        case (t, i) if !byDoc.contains((id, (i + 1).toLong)) => t }
+      assert(rm(id)._3 == keptDirect.mkString(" "),
+        s"doc$id drifted from direct replay: ${rm(id)._3}")
+    }
   }
 
   test("substring scale paths carry no forced-broadcast join hints") {
@@ -544,6 +583,7 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     Seq(
       "spans-precollapse" -> Dedup.exactSubstringSpansPrecollapsed(df),
       "coverage" -> Dedup.exactSubstringCoverage(df),
+      "remove" -> Dedup.exactSubstringRemove(df),
       "spans-direct" -> Dedup.exactSubstringSpans(df)).foreach {
       case (name, q) =>
         val forced = q.queryExecution.optimizedPlan.collect {
