@@ -156,6 +156,91 @@ object StreamingDedup {
     * compaction must preserve the batch=N layout the idempotency
     * depends on, so fold files WITHIN partitions only).
     */
+  /** Always-on VERBATIM-SPAN containment probe — the streaming form of
+    * [[graft.llm.Dedup.exactSubstringSpans]], new-doc-vs-corpus instead
+    * of corpus-vs-corpus: each micro-batch is reduced ONCE (map-side)
+    * to positional depth-L suffix keys, probes the persisted gram index
+    * (g → doc_id, p) for matches against everything ingested in EARLIER
+    * batches, runs the same gaps-and-islands reduction as the batch
+    * operator to recover maximal shared runs, then appends its own
+    * grams to the index. Spans (d_new, d_old, p_new, p_old, len ≥
+    * minRun) land under `outDir/spans` — the always-on "does this new
+    * document quote the corpus verbatim" signal (licensing headers,
+    * boilerplate, cross-crawl plagiarism) the batch q137 family answers
+    * offline.
+    *
+    * Exactly-once by the startExact layout: gram index and span output
+    * are one `batch=<id>` partition per micro-batch, the probe reads
+    * only `batch < current`, both writes OVERWRITE their own partition —
+    * a replayed batch recomputes identical spans and overwrites, never
+    * duplicates.
+    *
+    * Scale shape: the index is only ever read and appended, never
+    * re-derived; the probe first LEFT SEMI joins the index down to the
+    * batch's own gram keys (per-batch probe cost is proportional to the
+    * batch, not the corpus), then applies the batch operator's df cap
+    * to the MATCHED gram set, so a boilerplate gram present at > maxDf
+    * corpus positions is dropped before the island reduction instead of
+    * fanning out. At 100 TB the index parquet is bucketed by g so the
+    * probe co-locates; here the layout is plain parquet and the join
+    * shape is identical.
+    */
+  def startSpans(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexDir: String,
+      outDir: String,
+      minRun: Int = Dedup.ExactSubstringMinRun,
+      maxDf: Int = Dedup.DefaultMaxShingleDf,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val stream = spark.readStream
+      .schema(schema)
+      .json(landingDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // suffix keys computed ONCE per batch, reused for probe + append
+        val grams = Dedup
+          .positionalGrams(batch.select(col("doc_id"), col("text")), minRun)
+          .localCheckpoint(true)
+        try {
+          val fs = new Path(indexDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new Path(indexDir))) {
+            val idx = spark.read.parquet(indexDir)
+              .filter(col("batch") < bid) // replay: own partition invisible
+            val hits = idx
+              .join(grams.select(col("g")).distinct(), Seq("g"), "left_semi")
+            val hot = hits.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+              .filter(col("dfc") > maxDf)
+              .select(col("g"))
+            val m = grams
+              .select(col("doc_id").as("d1"), col("p").as("p1"), col("g"))
+              .join(hot, Seq("g"), "left_anti")
+              .join(hits.select(col("doc_id").as("d2"), col("p").as("p2"),
+                col("g")), Seq("g"))
+              .select(col("d1"), col("d2"), col("p1"), col("p2"))
+            Dedup.diagonalIslands(m, minRun)
+              .select(col("d1").as("d_new"), col("d2").as("d_old"),
+                col("p1").as("p_new"), col("p2").as("p_old"), col("len"))
+              .write.mode("overwrite")
+              .option("compression", Writers.DefaultCompression)
+              .parquet(s"$outDir/spans/batch=$bid")
+          }
+          grams.write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$indexDir/batch=$bid")
+        } finally
+          // zero-persisted-RDD-delta: see start()
+          Dedup.checkpointRdd(grams).foreach(_.unpersist(blocking = false))
+      }
+      .start()
+  }
+
   def startExact(
       spark: SparkSession,
       landingDir: String,

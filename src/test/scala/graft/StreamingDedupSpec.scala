@@ -120,6 +120,70 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
       s"seen-set fps: ${fps.toSeq}")
   }
 
+  test("streaming span probe: cross-batch verbatim quote found at exact offsets") {
+    val landing = Files.createTempDirectory("sspan-land").toString
+    val index = Files.createTempDirectory("sspan-idx").toString + "/grams"
+    val out = Files.createTempDirectory("sspan-out").toString
+
+    def writeBatch(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val quote = toks("q", 10) // the 10-token passage later docs quote
+
+    // batch 1: the source doc (quote at offset 4) + an unrelated doc.
+    // Doc 2 ALSO carries the quote — same batch, so the probe must NOT
+    // pair 1 with 2 (strictly new-vs-earlier).
+    writeBatch("b1.json", Seq(
+      (1L, (toks("fa", 3) ++ quote ++ toks("fb", 4)).mkString(" ")),
+      (2L, (toks("fz", 6) ++ quote).mkString(" ")),
+      (3L, toks("fc", 25).mkString(" "))))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startSpans(spark, landing, schema, index, out)
+        .awaitTermination()
+    }
+    assert(!new java.io.File(s"$out/spans").exists(),
+      "no earlier batch: batch 1 must produce no span output")
+
+    // batch 2: a doc quoting the passage at offset 2, one clean doc
+    writeBatch("b2.json", Seq(
+      (10L, (toks("fd", 1) ++ quote ++ toks("fe", 6)).mkString(" ")),
+      (11L, toks("ff", 20).mkString(" "))))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startSpans(spark, landing, schema, index, out)
+        .awaitTermination()
+    }
+    val spans2 = spark.read.parquet(s"$out/spans").collect()
+      .map(r => (r.getLong(r.fieldIndex("d_new")),
+        r.getLong(r.fieldIndex("d_old")), r.getLong(r.fieldIndex("p_new")),
+        r.getLong(r.fieldIndex("p_old")), r.getLong(r.fieldIndex("len"))))
+      .toSet
+    // doc 10 matches BOTH batch-1 carriers at their exact offsets
+    assert(spans2 == Set(
+      (10L, 1L, 2L, 4L, 10L),
+      (10L, 2L, 2L, 7L, 10L)), s"got $spans2")
+
+    // batch 3: quotes again — earlier NEW docs (10) are now corpus too
+    writeBatch("b3.json", Seq(
+      (20L, (quote ++ toks("fg", 8)).mkString(" "))))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startSpans(spark, landing, schema, index, out)
+        .awaitTermination()
+    }
+    val spans3 = spark.read.parquet(s"$out/spans").collect()
+      .map(r => (r.getLong(r.fieldIndex("d_new")),
+        r.getLong(r.fieldIndex("d_old"))))
+    assert(spans3.count { case (dn, _) => dn == 20L } == 3,
+      s"doc 20 must match all three earlier carriers: ${spans3.toSeq}")
+    // batch=N layout on BOTH stores — the replay-idempotency contract
+    val idxParts = new java.io.File(index).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(idxParts.length == 3, s"index partitions: ${idxParts.toSeq}")
+  }
+
   test("streaming media dedup: re-encoded payload found across batches, index grows by batch") {
     val landing = Files.createTempDirectory("smedia-land").toString
     val index = Files.createTempDirectory("smedia-idx").toString + "/bands"
