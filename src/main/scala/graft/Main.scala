@@ -52,6 +52,17 @@ object Main {
         case "profile" :: sfDir :: table :: Nil =>
           Profiler.profileDF(Tables.load(spark, sfDir, table)).show(100, truncate = false)
 
+        // one-command data-quality pack: null/distinct/numeric profiles,
+        // Benford digit shares, per-column equi-depth histograms, and
+        // (when key columns are given) a pk-uniqueness audit
+        case "dq" :: sfDir :: table :: outDir :: keys =>
+          graft.etl.Dq.report(Tables.load(spark, sfDir, table), table,
+            outDir, keys)
+          val checks = new java.io.File(outDir).listFiles()
+            .filter(_.isDirectory).map(_.getName).sorted
+          println(s"dq table=$table checks=${checks.mkString(",")} " +
+            s"out=$outDir")
+
         case "preprocess" :: in :: out :: Nil =>
           val df = spark.read.parquet(in)
           val (optimized, quarantined) = SchemaOptimizer.optimize(df)
@@ -472,6 +483,7 @@ object Main {
         |  ingest --config <parameters.json> <landingDir>
         |  ingest <landingDir> <url>...
         |  profile <sfDir> <table>
+        |  dq <sfDir> <table> <outDir> [keyCol...]
         |  preprocess <inParquet> <outDir>
         |  pairs build <docsParquet> <pairsDir> | pairs build-bucketed <docsParquet> <table> <dir>
         |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir>

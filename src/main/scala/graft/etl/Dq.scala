@@ -1,0 +1,225 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-command data-quality pack: the classic table-audit set
+  * (null-completeness, distinct cardinality, numeric moments, Benford
+  * first-digit shares, equi-depth histograms, primary-key uniqueness)
+  * over ANY table, written as one parquet report per check — the `dq`
+  * CLI the way `diagnose` packs the dedup reports.
+  *
+  * Scale shape: every check is either a single map-side-combined
+  * aggregate over the table (null/distinct/moments — |columns| output
+  * rows), a 9-key-per-column aggregate (Benford), or the q153 two-phase
+  * value-grid cumulative (equi-depth) — nothing here shuffles more than
+  * the value grid, and no unpartitioned window ever sees more than a
+  * bounded digit/block-summary set.
+  */
+object Dq {
+
+  private def isAtomic(t: DataType): Boolean = t match {
+    case _: ArrayType | _: MapType | _: StructType | _: BinaryType => false
+    case _ => true
+  }
+
+  private def isNumeric(t: DataType): Boolean = t match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+        _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Per-column row/null counts and the 4-dp null rate — one map-side
+    * pass (sums of null flags), |columns| output rows. The q163 shape,
+    * table-generic.
+    */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"))
+    val counts = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    counts.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"n_$c").as("n_null"))): _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"),
+        col("kv.n_rows").as("n_rows"), col("kv.n_null").as("n_null"),
+        round(col("kv.n_null").cast("double") / col("kv.n_rows"), 4)
+          .as("null_rate"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Per-column distinct counts and the distinct/row ratio (the q09
+    * report, every atomic column at once). Exact by default; `approx`
+    * switches to HLL (approx_count_distinct) for the 100 TB profile
+    * run, where |columns| exact distinct aggregations would each carry
+    * a full shuffle of their value set.
+    */
+  def distinctProfile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val cols = df.schema.fields.filter(f => isAtomic(f.dataType))
+      .map(_.name).toSeq
+    val aggs = cols.map { c =>
+      val d = if (approx) approx_count_distinct(col(c))
+        else count_distinct(col(c))
+      d.as(s"d_$c")
+    }
+    val counts = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    counts.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"d_$c").as("n_distinct"))): _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"),
+        col("kv.n_rows").as("n_rows"),
+        col("kv.n_distinct").as("n_distinct"),
+        round(col("kv.n_distinct").cast("double") / col("kv.n_rows"), 4)
+          .as("distinct_ratio"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Per-numeric-column non-null count, min, max, mean, stddev — one
+    * map-side-combined aggregate, |numeric columns| output rows (the
+    * q08/q18 global min/max report plus moments).
+    */
+  def numericProfile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.filter(f => isNumeric(f.dataType))
+      .map(_.name).toSeq
+    require(cols.nonEmpty, "numericProfile: table has no numeric columns")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"c_$c"),
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c"),
+      avg(col(c)).as(s"av_$c"),
+      stddev_samp(col(c)).as(s"sd_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"c_$c").as("n_nonnull"),
+          col(s"mn_$c").as("mn"), col(s"mx_$c").as("mx"),
+          round(col(s"av_$c"), 4).as("mean"),
+          round(col(s"sd_$c"), 4).as("stddev"))): _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"),
+        col("kv.n_nonnull").as("n_nonnull"), col("kv.mn").as("mn"),
+        col("kv.mx").as("mx"), col("kv.mean").as("mean"),
+        col("kv.stddev").as("stddev"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Benford first-digit audit across the given columns (default: all
+    * numeric) — observed leading-digit shares vs log10(1 + 1/d), the
+    * q161 report per column. One 9-key aggregate per column; the share
+    * window sees 9 rows.
+    */
+  def benford(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.filter(f => isNumeric(f.dataType))
+        .map(_.name).toSeq
+    require(cols.nonEmpty, "benford: no numeric columns")
+    cols.map { c =>
+      df.select(substring(col(c).cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .filter(col("digit").between(1, 9))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()), 4))
+        .withColumn("benford",
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+        .select(lit(c).as("col_name"), col("digit"), col("n"),
+          col("share"), col("benford"))
+    }.reduce(_.unionByName(_)).orderBy(col("col_name"), col("digit"))
+  }
+
+  /** Equi-depth histogram over one value column: `nb` buckets with
+    * VALUE-PINNED boundaries — thr_i is the smallest value whose
+    * cumulative count satisfies nb·cum >= i·n (ties land low). The
+    * cumulative pass runs on the VALUE GRID with the ScaleWindows
+    * two-phase shape (local cums partitioned by a value-derived block,
+    * then a window over the bounded block summaries) — no unpartitioned
+    * window ever sees grid-many rows. `blockWidth` pins the block
+    * derivation (q153 uses 10000 for o_totalprice); when <= 0 it is
+    * derived as range/256 from one min/max aggregate.
+    */
+  def equidepthHistogram(df: DataFrame, c: String, nb: Int = 8,
+      blockWidth: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    val width =
+      if (blockWidth > 0) blockWidth
+      else {
+        val r = df.agg(min(col(c)).cast("double"),
+          max(col(c)).cast("double")).head()
+        if (r.isNullAt(0)) 1.0
+        else math.max((r.getDouble(1) - r.getDouble(0)) / 256.0, 1e-9)
+      }
+    val grid = df
+      .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", floor(col("v").cast("double") / width)
+        .cast("long"))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = grid.withColumn("local_cum", sum(col("cnt")).over(wLocal))
+    val wOff = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("blk")).agg(sum(col("cnt")).as("bs"))
+      .select(col("blk"),
+        coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
+    val cum = local.join(broadcast(offs), Seq("blk"))
+      .select(col("v"), (col("local_cum") + col("off")).as("cum"))
+    val n1 = grid.agg(sum(col("cnt")).as("n"))
+    val thrArr = cum.crossJoin(broadcast(n1))
+      .crossJoin(broadcast(s.range(1, nb).toDF("i")))
+      .filter(col("cum") * nb >= col("i") * col("n"))
+      .groupBy(col("i")).agg(min(col("v")).as("thr"))
+      .agg(sort_array(collect_list(col("thr"))).as("ts"))
+    df.crossJoin(broadcast(thrArr))
+      .select(
+        (size(filter(col("ts"), x => x < col(c))) + 1)
+          .cast("int").as("bucket"),
+        col(c).as("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Primary-key uniqueness audit: distinct-key and violating-key
+    * counts for one declared key (the q164 report, table-generic).
+    * Map-side-combined aggregates on the key.
+    */
+  def pkAudit(df: DataFrame, tbl: String, keys: Seq[String]): DataFrame = {
+    val perKey = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    perKey.agg(
+      lit(tbl).as("tbl"),
+      lit(keys.mkString(",")).as("pk"),
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
+  }
+
+  /** Run the whole pack against one table and write one parquet per
+    * check under `outDir`: null_profile, distinct_profile,
+    * numeric_profile, benford, equidepth (per numeric column, labeled),
+    * and pk_audit when a key is declared.
+    */
+  def report(df: DataFrame, tbl: String, outDir: String,
+      keys: Seq[String] = Nil): Unit = {
+    def w(d: DataFrame, name: String): Unit =
+      d.write.mode("overwrite")
+        .option("compression", Writers.DefaultCompression)
+        .parquet(s"$outDir/$name")
+    w(nullProfile(df), "null_profile")
+    w(distinctProfile(df), "distinct_profile")
+    val numeric = df.schema.fields.filter(f => isNumeric(f.dataType))
+      .map(_.name).toSeq
+    if (numeric.nonEmpty) {
+      w(numericProfile(df), "numeric_profile")
+      w(benford(df, numeric), "benford")
+      w(numeric.map(c => equidepthHistogram(df, c)
+          .select(lit(c).as("col_name"), col("bucket"), col("n"),
+            col("lo").cast("double").as("lo"),
+            col("hi").cast("double").as("hi")))
+        .reduce(_.unionByName(_)), "equidepth")
+    }
+    if (keys.nonEmpty) w(pkAudit(df, tbl, keys), "pk_audit")
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.etl.Dq
 
 /** Analytic operators beyond the reference's surface that a complete
   * engine needs: rollup with grouping flags, lag/lead deltas, filtered
@@ -385,37 +386,8 @@ object Advanced {
     // one task. The 7 thresholds fold into one broadcast array and
     // bucket assignment is a map-side HOF.
     Q("q153_equidepth_histogram",
-      (s, d) => {
-        val nb = 8
-        val grid = t(s, d, "orders")
-          .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
-          .withColumn("blk", floor(col("v") / 10000).cast("long"))
-        val wLocal = Window.partitionBy(col("blk")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val local = grid.withColumn("local_cum", sum(col("cnt")).over(wLocal))
-        val wOff = Window.orderBy(col("blk"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = local.groupBy(col("blk")).agg(sum(col("cnt")).as("bs"))
-          .select(col("blk"),
-            coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
-        val cum = local.join(broadcast(offs), Seq("blk"))
-          .select(col("v"), (col("local_cum") + col("off")).as("cum"))
-        val n1 = grid.agg(sum(col("cnt")).as("n"))
-        val thrArr = cum.crossJoin(broadcast(n1))
-          .crossJoin(broadcast(s.range(1, nb).toDF("i")))
-          .filter(col("cum") * nb >= col("i") * col("n"))
-          .groupBy(col("i")).agg(min(col("v")).as("thr"))
-          .agg(sort_array(collect_list(col("thr"))).as("ts"))
-        t(s, d, "orders").crossJoin(broadcast(thrArr))
-          .select(
-            (size(filter(col("ts"), x => x < col("o_totalprice"))) + 1)
-              .cast("int").as("bucket"),
-            col("o_totalprice").as("v"))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n"),
-            min(col("v")).as("lo"), max(col("v")).as("hi"))
-          .orderBy(col("bucket"))
-      },
+      (s, d) => Dq.equidepthHistogram(t(s, d, "orders"), "o_totalprice",
+        nb = 8, blockWidth = 10000),
       Some("""WITH grid AS (
                 SELECT o_totalprice AS v, COUNT(*) AS cnt
                 FROM orders GROUP BY 1),
@@ -714,21 +686,7 @@ object Advanced {
     // table gets: per column, row/null counts and the 4-dp null rate.
     // One map-side pass (sums of null flags), |columns| output rows.
     Q("q163_null_profile",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-        val cols = li.columns.toSeq
-        val aggs = cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c")))
-        val counts = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-        counts.select(explode(array(cols.map(c =>
-            struct(lit(c).as("col_name"), col("n_rows"),
-              col(s"n_$c").as("n_null"))): _*)).as("kv"))
-          .select(col("kv.col_name").as("col_name"),
-            col("kv.n_rows").as("n_rows"), col("kv.n_null").as("n_null"),
-            round(col("kv.n_null").cast("double") / col("kv.n_rows"), 4)
-              .as("null_rate"))
-          .orderBy(col("col_name"))
-      },
+      (s, d) => Dq.nullProfile(t(s, d, "lineitem")),
       Some("""WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
               c AS (
                 SELECT 'l_orderkey' AS col_name, CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM lineitem
@@ -750,23 +708,13 @@ object Advanced {
     // with no enforced constraints: per declared key, distinct-key and
     // violating-key counts. Map-side-combined aggregates on the key.
     Q("q164_pk_audit",
-      (s, d) => {
-        def audit(df: DataFrame, tbl: String, keys: Seq[String]): DataFrame = {
-          val perKey = df.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).as("cnt"))
-          perKey.agg(
-            lit(tbl).as("tbl"),
-            lit(keys.mkString(",")).as("pk"),
-            sum(col("cnt")).as("n_rows"),
-            count(lit(1)).as("n_keys"),
-            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
-        }
-        audit(t(s, d, "orders"), "orders", Seq("o_orderkey"))
-          .unionByName(audit(t(s, d, "customer"), "customer", Seq("c_custkey")))
-          .unionByName(audit(t(s, d, "lineitem"), "lineitem",
+      (s, d) =>
+        Dq.pkAudit(t(s, d, "orders"), "orders", Seq("o_orderkey"))
+          .unionByName(
+            Dq.pkAudit(t(s, d, "customer"), "customer", Seq("c_custkey")))
+          .unionByName(Dq.pkAudit(t(s, d, "lineitem"), "lineitem",
             Seq("l_orderkey", "l_linenumber")))
-          .orderBy(col("tbl"))
-      },
+          .orderBy(col("tbl")),
       Some("""SELECT * FROM (
                 SELECT 'orders' AS tbl, 'o_orderkey' AS pk,
                        CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,

@@ -63,4 +63,49 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
       assert(t.rows + t.quarantined == 3)
     } finally server.stop(0)
   }
+
+  test("dq pack writes the full audit set for a table") {
+    // the `dq` CLI body end-to-end: every check lands as its own
+    // parquet, and the internal invariants hold against the table
+    val out = Files.createTempDirectory("graft-dq").toString
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "lineitem")
+    val n = li.count()
+    graft.etl.Dq.report(li, "lineitem", out,
+      Seq("l_orderkey", "l_linenumber"))
+    val checks = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(checks == Set("null_profile", "distinct_profile",
+      "numeric_profile", "benford", "equidepth", "pk_audit"),
+      s"checks: $checks")
+    // null profile: one row per column, n_rows exact
+    val np = spark.read.parquet(s"$out/null_profile").collect()
+    assert(np.length == li.columns.length)
+    assert(np.forall(_.getAs[Long]("n_rows") == n))
+    // pk audit: (l_orderkey, l_linenumber) is deliberately NON-unique
+    // in the testdata — the audit must report exactly the violating
+    // key count an independent groupBy finds
+    val pk = spark.read.parquet(s"$out/pk_audit").head()
+    val expDup = li.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(pk.getAs[Long]("n_rows") == n && expDup > 0 &&
+      pk.getAs[Long]("n_dup_keys") == expDup, s"pk: $pk expected $expDup")
+    // equi-depth: per column the buckets partition all rows
+    val ed = spark.read.parquet(s"$out/equidepth")
+      .groupBy("col_name").agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()
+    assert(ed.nonEmpty && ed.forall(_.getLong(1) == n), s"equidepth: ${ed.toSeq}")
+    // benford: shares sum to ~1 per column (4-dp rounding slack)
+    val bf = spark.read.parquet(s"$out/benford")
+      .groupBy("col_name")
+      .agg(org.apache.spark.sql.functions.sum("share"))
+      .collect()
+    assert(bf.forall(r => math.abs(r.getDouble(1) - 1.0) < 0.01),
+      s"benford shares: ${bf.toSeq}")
+    // distinct profile: ratio bounded by 1, key column near-distinct
+    val dp = spark.read.parquet(s"$out/distinct_profile").collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Double]("distinct_ratio"))
+      .toMap
+    assert(dp.values.forall(r => r >= 0.0 && r <= 1.0), s"ratios: $dp")
+  }
 }
