@@ -144,6 +144,16 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"total_min":${f"$totalMin%.3f"},"nq":${names.size},"nfailed":${failed.size},"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
+    // Committed per-query history (VERDICT r11 #6): target/bench.json is
+    // build-dir-only and overwritten per run, and the driver's BENCH_rN
+    // tail truncates — append every full line (epoch-stamped) to a
+    // repo-root JSONL so round-over-round per-query trends survive
+    // without archaeology. The driver commits uncommitted files at
+    // round end, so its official run lands here too.
+    Files.writeString(Paths.get("bench_history.jsonl"),
+      s"""{"ts":${System.currentTimeMillis() / 1000},"line":$full}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     // Bare lines on stdout for the driver's tail-parse: full first,
     // compact LAST.
     println(full)

@@ -22,15 +22,25 @@ import graft.core.{Session, Tables}
   * totals (shuffle bytes, spill, peak task memory) from a listener —
   * the evidence SCALE.md needs for where the first knee is.
   *
-  * Usage: runMain graft.tools.ScaleRehearsal <outDir> <mult> <query>...
+  * Usage: runMain graft.tools.ScaleRehearsal <outDir> <mult> [unique] <query>...
+  *
+  * `unique` switches documents to the CLONE-FREE regime: every copy's
+  * tokens get a per-copy suffix, so no gram/shingle collides across
+  * copies and no exact clone exists — the corpus is mult× more UNIQUE
+  * text. Clone mode measures the precollapse win on its worst case;
+  * unique mode measures the other regime, where precollapse buys
+  * nothing and its md5 pass is pure overhead — both numbers are needed
+  * to state which form is the default (SCALE.md).
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val srcDir = "/root/testdata/sf0.1"
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val unique = args.drop(2).headOption.contains("unique")
+    val rest = if (unique) args.drop(3).toSeq else args.drop(2).toSeq
     val names =
-      if (args.length > 2) args.drop(2).toSeq
+      if (rest.nonEmpty) rest
       else Seq("q32_ngram_jaccard", "q56_dedup_groups", "q61_corpus_curation",
         "q71_minhash_lsh_md5", "q74_dedup_groups_star")
 
@@ -47,8 +57,18 @@ object ScaleRehearsal {
       for ((t, idCol) <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
         val df = spark.read.parquet(s"$srcDir/$t.parquet")
         val stride = df.agg(max(col(idCol))).head.getLong(0) + 1L
-        df.crossJoin(spark.range(mult).toDF("copy"))
+        val copies = df.crossJoin(spark.range(mult).toDF("copy"))
           .withColumn(idCol, col(idCol) + col("copy") * lit(stride))
+        val salted =
+          if (unique && t == "documents")
+            // clone-free regime: suffix every token with the copy id so
+            // no gram/shingle/fingerprint collides across copies —
+            // mult× more UNIQUE text, zero cross-copy duplication
+            copies.withColumn("text",
+              concat_ws(" ", transform(split(col("text"), "\\s+"),
+                tk => concat(tk, lit("x"), col("copy")))))
+          else copies
+        salted
           .drop("copy")
           // Spread clone groups across input splits so the scan itself
           // isn't pathologically clustered by copy.
