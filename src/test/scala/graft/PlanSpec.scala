@@ -45,6 +45,30 @@ class PlanSpec extends AnyFunSuite with TestSpark {
       s"aggregate not inside a codegen stage:\n$plan")
   }
 
+  test("q159: rank cumulatives are block-partitioned, never whole-group") {
+    // the Spearman rank grid for a CONTINUOUS column is near
+    // row-cardinality, and its group key (l_returnflag) has 3 values —
+    // a window partitioned by (g) alone ordered by the grid value would
+    // sort tens of millions of rows in one task at 100x. Pin the q153
+    // two-phase shape: every value-ordered cumulative window must be
+    // partitioned by (g, blk); only the bounded block-summary window
+    // (ordered by blk) may partition by g alone.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Registry.queries("q159_spearman")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window nodes in the q159 plan")
+    val valueOrdered = wins.filter(_.orderSpec
+      .exists(_.child.references.exists(_.name == "v")))
+    assert(valueOrdered.nonEmpty,
+      s"expected grid-value-ordered cumulative windows, got:\n$wins")
+    valueOrdered.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references).map(_.name)
+      assert(parts.contains("blk"),
+        s"grid cumulative must be block-partitioned, got partition " +
+          s"spec $parts in:\n$w")
+    }
+  }
+
   test("OP-23: random sample returns roughly the requested fraction") {
     val li = Tables.load(spark, sf, "lineitem")
     val n = li.count()
