@@ -24,6 +24,46 @@ object Curation {
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
   }
 
+  /** SUBSTRING-level train/test decontamination — the verbatim-overlap
+    * check the GPT-3 appendix ran with 13-grams and Lee et al. run at
+    * arbitrary length: every MAXIMAL run of >= minRun tokens a TRAIN
+    * doc shares verbatim with a TEST doc, as (train_doc, test_doc,
+    * p_train, p_test, len). The n-gram form (q68 family) flags overlap
+    * PRESENCE; this reports the exact quoted regions, the evidence to
+    * cut surgically (the exactSubstringRemove interval machinery)
+    * instead of dropping whole docs.
+    *
+    * Scale shape: both splits' positional grams ride ONE equi-join on
+    * the 8-byte suffix key ([[graft.llm.Dedup]]'s reduction restricted
+    * to cross-split pairs); the split label derives map-side from
+    * doc_id (no membership join), the df cap guards boilerplate grams,
+    * and the test side of the join — a benchmark suite, tiny next to
+    * the corpus — is broadcast by AQE at runtime, never by hint.
+    */
+  def substringDecontamination(docsDf: DataFrame,
+      minRun: Int = Dedup.ExactSubstringMinRun,
+      maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
+    val grams = Dedup
+      .positionalGrams(docsDf.select(col("doc_id"), col("text")), minRun)
+      .withColumn("split", splitCol)
+    val sh = grams.repartition(col("g"))
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > maxDf)
+      .select(col("g"))
+    val idx = sh.join(hot, Seq("g"), "left_anti")
+    val m = idx.filter(col("split") === "train")
+      .select(col("doc_id").as("d1"), col("p").as("p1"), col("g"))
+      .join(idx.filter(col("split") === "test")
+        .select(col("doc_id").as("d2"), col("p").as("p2"), col("g")),
+        Seq("g"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"))
+    Dedup.diagonalIslands(m, minRun)
+      .select(col("d1").as("train_doc"), col("d2").as("test_doc"),
+        col("p1").as("p_train"), col("p2").as("p_test"), col("len"))
+      .orderBy(col("train_doc"), col("test_doc"), col("p_train"),
+        col("p_test"))
+  }
+
   /** (n_test, n_contaminated): test-split docs whose normalized content
     * fingerprint also appears in the train split — see q66.
     */
@@ -1511,7 +1551,42 @@ object Curation {
                      CAST(SUM(CASE WHEN ABS(v.v - med) > 3 * mad
                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
               FROM v JOIN med USING (source) JOIN mad USING (source)
-              GROUP BY v.source, med, mad ORDER BY source"""))
+              GROUP BY v.source, med, mad ORDER BY source""")),
+
+    // SUBSTRING decontamination (see [[substringDecontamination]]):
+    // maximal verbatim train->test quoted regions under the q59 split
+    // rule — the q137 suffix-key reduction restricted to cross-split
+    // pairs, replayed in SQL gram for gram.
+    Q("q166_substring_decontamination",
+      (s, d) => substringDecontamination(docs(s, d)),
+      Some(s"""WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts,
+                       CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+                            WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents),
+              g0 AS (
+                SELECT doc_id, split, i AS p,
+                       array_to_string(ts[i:i+${Dedup.ExactSubstringMinRun - 1}], ' ') AS g
+                FROM tok, UNNEST(generate_series(1, LEN(ts)-${Dedup.ExactSubstringMinRun - 1})) AS u(i)
+                WHERE LEN(ts) >= ${Dedup.ExactSubstringMinRun}),
+              keep AS (SELECT g FROM g0 GROUP BY g
+                       HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}),
+              idx AS (SELECT g0.doc_id, g0.split, g0.p, g0.g
+                      FROM g0 JOIN keep USING (g)),
+              m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1, b.p AS p2
+                    FROM idx a JOIN idx b ON a.g = b.g
+                    WHERE a.split = 'train' AND b.split = 'test'),
+              isl AS (SELECT d1, d2, p1, p2, p1 - p2 AS diag,
+                             p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp
+                      FROM m)
+              SELECT d1 AS train_doc, d2 AS test_doc,
+                     CAST(MIN(p1) AS BIGINT) AS p_train,
+                     CAST(MIN(p2) AS BIGINT) AS p_test,
+                     CAST(COUNT(*) + ${Dedup.ExactSubstringMinRun - 1} AS BIGINT) AS len
+              FROM isl GROUP BY d1, d2, diag, grp
+              ORDER BY train_doc, test_doc, p_train, p_test"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the

@@ -522,6 +522,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cut token intervals out of documents: given per-doc [s, e] token
+    * intervals `cov` (doc_id, s, e — 1-based, possibly overlapping),
+    * merge them and reassemble each doc's surviving tokens. Docs with
+    * no interval pass through unchanged. Output matches
+    * [[exactSubstringRemove]]'s shape: (doc_id, n_tokens,
+    * removed_tokens, clean_text). The per-doc cut is a map-side
+    * higher-order filter against the merged (≤ n_tokens-bounded)
+    * interval array — one shuffle join on doc_id, no token-level
+    * shuffle. Shared by the batch rewriter's streaming form
+    * ([[graft.streaming.StreamingDedup.startSpans]]).
+    */
+  private[graft] def cutIntervals(docs: DataFrame, cov: DataFrame): DataFrame = {
+    val ivs = mergeIntervals(cov, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("mn"), col("mx")))).as("ivs"))
+    spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"), col("ivs"),
+        size(col("ts")).cast("long").as("n_tokens"))
+      .withColumn("kept",
+        when(col("ivs").isNull, col("ts"))
+          .otherwise(filter(col("ts"), (t, i) =>
+            !exists(col("ivs"), v =>
+              (i + 1) >= v.getField("mn") && (i + 1) <= v.getField("mx")))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Directed containment pairs over the capped inverted index:
     * cont_fwd = |shingles(d1) ∩ shingles(d2)| / |shingles(d1)| (and
     * cont_rev for d2). High containment at LOW Jaccard is the

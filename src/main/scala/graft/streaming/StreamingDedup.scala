@@ -169,11 +169,19 @@ object StreamingDedup {
     * boilerplate, cross-crawl plagiarism) the batch q137 family answers
     * offline.
     *
-    * Exactly-once by the startExact layout: gram index and span output
-    * are one `batch=<id>` partition per micro-batch, the probe reads
-    * only `batch < current`, both writes OVERWRITE their own partition —
-    * a replayed batch recomputes identical spans and overwrites, never
-    * duplicates.
+    * Alongside the span report, each batch also lands its SPAN-CUT form
+    * under `outDir/clean` — the streaming half of
+    * [[graft.llm.Dedup.exactSubstringRemove]]: the corpus arrived
+    * first, so the new doc's copy of every matched run is the duplicate
+    * and is cut (keep-first by arrival order); docs with no match pass
+    * through verbatim (token-normalized). An always-on pipeline can
+    * feed `clean` straight to training-shard export.
+    *
+    * Exactly-once by the startExact layout: gram index, span output,
+    * and clean output are one `batch=<id>` partition per micro-batch,
+    * the probe reads only `batch < current`, all writes OVERWRITE their
+    * own partition — a replayed batch recomputes identical results and
+    * overwrites, never duplicates.
     *
     * Scale shape: the index is only ever read and appended, never
     * re-derived; the probe first LEFT SEMI joins the index down to the
@@ -204,9 +212,10 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // suffix keys computed ONCE per batch, reused for probe + append
-        val grams = Dedup
-          .positionalGrams(batch.select(col("doc_id"), col("text")), minRun)
+        val docsB = batch.select(col("doc_id"), col("text"))
+        val grams = Dedup.positionalGrams(docsB, minRun)
           .localCheckpoint(true)
+        var spans: DataFrame = null
         try {
           val fs = new Path(indexDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -224,19 +233,37 @@ object StreamingDedup {
               .join(hits.select(col("doc_id").as("d2"), col("p").as("p2"),
                 col("g")), Seq("g"))
               .select(col("d1"), col("d2"), col("p1"), col("p2"))
-            Dedup.diagonalIslands(m, minRun)
+            // reused by the span write AND the clean derivation
+            spans = Dedup.diagonalIslands(m, minRun).localCheckpoint(true)
+            spans
               .select(col("d1").as("d_new"), col("d2").as("d_old"),
                 col("p1").as("p_new"), col("p2").as("p_old"), col("len"))
               .write.mode("overwrite")
               .option("compression", Writers.DefaultCompression)
               .parquet(s"$outDir/spans/batch=$bid")
           }
+          // span-cut output: the new doc's copy of every matched run is
+          // the duplicate (the corpus came first — keep-first by
+          // arrival); with no prior index the batch passes through
+          val cov =
+            if (spans != null)
+              spans.select(col("d1").as("doc_id"), col("p1").as("s"),
+                (col("p1") + col("len") - 1).as("e"))
+            else docsB.select(col("doc_id"), lit(1L).as("s"), lit(0L).as("e"))
+              .limit(0)
+          Dedup.cutIntervals(docsB, cov)
+            .write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$outDir/clean/batch=$bid")
           grams.write.mode("overwrite")
             .option("compression", Writers.DefaultCompression)
             .parquet(s"$indexDir/batch=$bid")
-        } finally
+        } finally {
           // zero-persisted-RDD-delta: see start()
           Dedup.checkpointRdd(grams).foreach(_.unpersist(blocking = false))
+          if (spans != null)
+            Dedup.checkpointRdd(spans).foreach(_.unpersist(blocking = false))
+        }
       }
       .start()
   }

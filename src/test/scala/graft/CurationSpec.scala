@@ -342,6 +342,37 @@ class CurationSpec extends AnyFunSuite with TestSpark {
       .map(_.getInt(0)).forall(s => s >= 0 && s < 4))
   }
 
+  test("substring decontamination reports planted train->test quotes at exact offsets") {
+    // pick real split members via the local md5-bucket mirror, then
+    // plant a 9-token test passage quoted by two train docs (at
+    // different offsets), by a val doc (must NOT report — neither
+    // side), and a separate run shared by two train docs (must NOT
+    // report — same split)
+    val ids = 0L to 400L
+    val tid = ids.find(split(_) == "test").get
+    val vid = ids.find(split(_) == "val").get
+    val trainIds = ids.filter(split(_) == "train")
+    val Seq(tr1, tr2, tr3, tr4) = trainIds.take(4)
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val quote = toks("qq", 9)
+    val trainRun = toks("rr", 8)
+    val rows = Seq(
+      Row(tid, "en", (toks("fa", 3) ++ quote ++ toks("fb", 2)).mkString(" ")),
+      Row(tr1, "en", (quote ++ toks("fc", 4)).mkString(" ")),
+      Row(tr2, "en", (toks("fd", 5) ++ quote).mkString(" ")),
+      Row(vid, "en", (toks("fe", 2) ++ quote).mkString(" ")),
+      Row(tr3, "en", (trainRun ++ toks("ff", 3)).mkString(" ")),
+      Row(tr4, "en", (toks("fg", 2) ++ trainRun).mkString(" ")))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Curation.substringDecontamination(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (tr1, tid, 1L, 4L, 9L),
+      (tr2, tid, 6L, 4L, 9L)), s"got $got (tid=$tid tr1=$tr1 tr2=$tr2)")
+  }
+
   test("cutDuplicateSpans removes a planted boilerplate header keep-first") {
     // a 10-token license header shared by three docs: the lowest doc_id
     // keeps it, the later two lose exactly the header, a doc that IS

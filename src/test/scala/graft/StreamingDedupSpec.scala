@@ -147,6 +147,11 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     }
     assert(!new java.io.File(s"$out/spans").exists(),
       "no earlier batch: batch 1 must produce no span output")
+    // batch 1 docs pass through the clean output verbatim (no corpus yet)
+    val clean1 = spark.read.parquet(s"$out/clean")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("removed_tokens"))).toMap
+    assert(clean1 == Map(1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $clean1")
 
     // batch 2: a doc quoting the passage at offset 2, one clean doc
     writeBatch("b2.json", Seq(
@@ -165,6 +170,14 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     assert(spans2 == Set(
       (10L, 1L, 2L, 4L, 10L),
       (10L, 2L, 2L, 7L, 10L)), s"got $spans2")
+    // ... and the clean output cut exactly the quoted run from doc 10
+    // (keep-first by arrival: the corpus copies stay), doc 11 untouched
+    val clean2 = spark.read.parquet(s"$out/clean/batch=1")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("clean_text"))).toMap
+    assert(clean2(10L) == (toks("fd", 1) ++ toks("fe", 6)).mkString(" "),
+      s"doc10: ${clean2(10L)}")
+    assert(clean2(11L) == toks("ff", 20).mkString(" "), s"doc11 changed")
 
     // batch 3: quotes again — earlier NEW docs (10) are now corpus too
     writeBatch("b3.json", Seq(
