@@ -42,7 +42,13 @@ object Curation {
     */
   def substringDecontamination(docsDf: DataFrame,
       minRun: Int = Dedup.ExactSubstringMinRun,
-      maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
+      maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame =
+    substringDecontamination0(docsDf, minRun, maxDf)
+      .orderBy(col("train_doc"), col("test_doc"), col("p_train"),
+        col("p_test"))
+
+  private def substringDecontamination0(docsDf: DataFrame, minRun: Int,
+      maxDf: Int): DataFrame = {
     val grams = Dedup
       .positionalGrams(docsDf.select(col("doc_id"), col("text")), minRun)
       .withColumn("split", splitCol)
@@ -60,8 +66,28 @@ object Curation {
     Dedup.diagonalIslands(m, minRun)
       .select(col("d1").as("train_doc"), col("d2").as("test_doc"),
         col("p1").as("p_train"), col("p2").as("p_test"), col("len"))
-      .orderBy(col("train_doc"), col("test_doc"), col("p_train"),
-        col("p_test"))
+  }
+
+  /** Decontaminated TRAIN rewrite — compose [[substringDecontamination]]
+    * with the q165 interval cut: every verbatim test-quoted region is
+    * removed from the train docs (the test set stays untouched — it is
+    * the benchmark), surviving tokens reassembled. Output is the train
+    * split only: (doc_id, n_tokens, removed_tokens, clean_text) — what
+    * a training-shard export would consume after the leakage audit.
+    * Same linear shape as the decon report plus one doc_id-keyed cut
+    * join; no pair expansion beyond the (tiny) contaminated span list.
+    */
+  def decontaminateCut(docsDf: DataFrame,
+      minRun: Int = Dedup.ExactSubstringMinRun,
+      maxDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
+    val spans = substringDecontamination0(docsDf, minRun, maxDf)
+    val cov = spans.select(col("train_doc").as("doc_id"),
+      col("p_train").as("s"), (col("p_train") + col("len") - 1).as("e"))
+    Dedup.cutIntervals(
+        docsDf.filter(splitCol === "train")
+          .select(col("doc_id"), col("text")),
+        cov)
+      .orderBy(col("doc_id"))
   }
 
   /** (n_test, n_contaminated): test-split docs whose normalized content
@@ -1586,7 +1612,62 @@ object Curation {
                      CAST(MIN(p2) AS BIGINT) AS p_test,
                      CAST(COUNT(*) + ${Dedup.ExactSubstringMinRun - 1} AS BIGINT) AS len
               FROM isl GROUP BY d1, d2, diag, grp
-              ORDER BY train_doc, test_doc, p_train, p_test"""))
+              ORDER BY train_doc, test_doc, p_train, p_test""")),
+
+    // Decontaminated train rewrite (see [[decontaminateCut]]): q166's
+    // spans cut out of the train docs, q165's interval-complement
+    // reassembly — replayed end to end in SQL.
+    Q("q167_decontaminate_cut",
+      (s, d) => decontaminateCut(docs(s, d)),
+      Some(s"""WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts,
+                       CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+                            WHEN CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents),
+              g0 AS (
+                SELECT doc_id, split, i AS p,
+                       array_to_string(ts[i:i+${Dedup.ExactSubstringMinRun - 1}], ' ') AS g
+                FROM tok, UNNEST(generate_series(1, LEN(ts)-${Dedup.ExactSubstringMinRun - 1})) AS u(i)
+                WHERE LEN(ts) >= ${Dedup.ExactSubstringMinRun}),
+              keep AS (SELECT g FROM g0 GROUP BY g
+                       HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}),
+              idx AS (SELECT g0.doc_id, g0.split, g0.p, g0.g
+                      FROM g0 JOIN keep USING (g)),
+              m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1, b.p AS p2
+                    FROM idx a JOIN idx b ON a.g = b.g
+                    WHERE a.split = 'train' AND b.split = 'test'),
+              isl AS (SELECT d1, d2, p1, p2, p1 - p2 AS diag,
+                             p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp
+                      FROM m),
+              sp AS (SELECT d1, MIN(p1) AS p1,
+                            COUNT(*) + ${Dedup.ExactSubstringMinRun - 1} AS len
+                     FROM isl GROUP BY d1, d2, diag, grp),
+              cut AS (SELECT d1 AS doc_id, p1 AS s, p1 + len - 1 AS e FROM sp),
+              ord_ AS (SELECT doc_id, s, e,
+                MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM cut),
+              isl2 AS (SELECT doc_id, s, e,
+                SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+                FROM ord_),
+              merged AS (SELECT doc_id, grp, MIN(s) AS mn, MAX(e) AS mx
+                         FROM isl2 GROUP BY 1, 2),
+              toks AS (SELECT doc_id, i AS p, ts[i] AS tkn
+                       FROM tok, UNNEST(generate_series(1, LEN(ts))) AS u(i)
+                       WHERE split = 'train'),
+              kept AS (SELECT tk.doc_id, tk.p, tk.tkn FROM toks tk
+                       WHERE NOT EXISTS (SELECT 1 FROM merged m2
+                         WHERE m2.doc_id = tk.doc_id AND tk.p BETWEEN m2.mn AND m2.mx))
+              SELECT t.doc_id, CAST(LEN(t.ts) AS BIGINT) AS n_tokens,
+                     CAST(LEN(t.ts) - COUNT(k.p) AS BIGINT) AS removed_tokens,
+                     COALESCE(STRING_AGG(k.tkn, ' ' ORDER BY k.p), '') AS clean_text
+              FROM tok t LEFT JOIN kept k USING (doc_id)
+              WHERE t.split = 'train'
+              GROUP BY t.doc_id, LEN(t.ts)
+              ORDER BY doc_id"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the

@@ -371,6 +371,17 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(got == Set(
       (tr1, tid, 1L, 4L, 9L),
       (tr2, tid, 6L, 4L, 9L)), s"got $got (tid=$tid tr1=$tr1 tr2=$tr2)")
+
+    // the composed rewrite: quoted regions cut from the TRAIN docs
+    // only; the train-train shared run survives (not contamination),
+    // test/val docs are not in the output at all
+    val cut = Curation.decontaminateCut(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cut.keySet == Set(tr1, tr2, tr3, tr4), s"got ${cut.keySet}")
+    assert(cut(tr1) == toks("fc", 4).mkString(" "), s"tr1: ${cut(tr1)}")
+    assert(cut(tr2) == toks("fd", 5).mkString(" "), s"tr2: ${cut(tr2)}")
+    assert(cut(tr3) == (trainRun ++ toks("ff", 3)).mkString(" "))
+    assert(cut(tr4) == (toks("fg", 2) ++ trainRun).mkString(" "))
   }
 
   test("cutDuplicateSpans removes a planted boilerplate header keep-first") {
