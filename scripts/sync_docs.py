@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Regenerate the drift-prone headline counts in README/COVERAGE/SURVEY
+from the artifacts themselves (the r9-r11 pattern: hand-edited totals go
+stale every round).
+
+Sources of truth:
+  - a graft.Verify dump dir (default /tmp/verify_out): registry size =
+    query dirs, hash-checked = oracle_sql.json entries, rows-only = diff
+  - sbt's JUnit XML under target/test-reports: suite + test counts
+
+Usage: python3 scripts/sync_docs.py [verifyDumpDir]
+Run after `sbt test` + `runMain graft.Verify ...`; rewrites the counts
+in place and prints what changed.
+"""
+import glob
+import json
+import os
+import re
+import sys
+import xml.etree.ElementTree as ET
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def counts(dump_dir):
+    with open(os.path.join(dump_dir, "oracle_sql.json")) as f:
+        n_oracle = len(json.load(f))
+    n_registry = len([d for d in os.listdir(dump_dir)
+                      if os.path.isdir(os.path.join(dump_dir, d))])
+    return n_registry, n_oracle
+
+
+def test_counts():
+    suites, tests = 0, 0
+    for p in glob.glob(os.path.join(REPO, "target/test-reports/TEST-*.xml")):
+        root = ET.parse(p).getroot()
+        suites += 1
+        tests += int(root.get("tests", 0))
+    return suites, tests
+
+
+def patch(path, subs):
+    full = os.path.join(REPO, path)
+    with open(full) as f:
+        text = f.read()
+    changed = []
+    for pat, repl in subs:
+        new, n = re.subn(pat, repl, text)
+        if n and new != text:
+            changed.append(pat)
+        text = new
+    with open(full, "w") as f:
+        f.write(text)
+    return changed
+
+
+def main():
+    dump = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+    n_reg, n_orc = counts(dump)
+    n_rows_only = n_reg - n_orc
+    n_suites, n_tests = test_counts()
+    print(f"registry={n_reg} hash-checked={n_orc} rows-only={n_rows_only} "
+          f"suites={n_suites} tests={n_tests}")
+
+    for path, subs in {
+        "README.md": [
+            (r"sbt test   # \d+ suites, \d+ tests",
+             f"sbt test   # {n_suites} suites, {n_tests} tests"),
+            (r"`Registry` of \d+ named queries",
+             f"`Registry` of {n_reg} named queries"),
+            (r"\(\d+ hash-checked incl\.",
+             f"({n_orc} hash-checked incl."),
+            (r"probe, \d+ rows-only by design",
+             f"probe, {n_rows_only} rows-only by design"),
+        ],
+        "COVERAGE.md": [
+            (r"\*\*\d+ of \d+ entries are DuckDB-hash-checked\*\*",
+             f"**{n_orc} of {n_reg} entries are DuckDB-hash-checked**"),
+        ],
+        "SURVEY.md": [
+            (r"map \(\d+\noracle-hash-checked, \d+ rows-only of \d+ entries\)",
+             f"map ({n_orc}\noracle-hash-checked, {n_rows_only} rows-only "
+             f"of {n_reg} entries)"),
+        ],
+    }.items():
+        changed = patch(path, subs)
+        print(f"{path}: {len(changed)} pattern(s) updated")
+
+
+if __name__ == "__main__":
+    main()

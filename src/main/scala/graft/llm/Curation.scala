@@ -39,6 +39,11 @@ object Curation {
     * doc_id (no membership join), the df cap guards boilerplate grams,
     * and the test side of the join — a benchmark suite, tiny next to
     * the corpus — is broadcast by AQE at runtime, never by hint.
+    * Plan note: the split filters push BELOW the g-exchange, so the
+    * cap pass shuffles the full gram stream once and each join side
+    * shuffles only its own split's grams (~5% for test) — three linear
+    * exchanges instead of one reused one, a bounded constant, never a
+    * quadratic risk (pair fan-out per gram is capped at maxDf²).
     */
   def substringDecontamination(docsDf: DataFrame,
       minRun: Int = Dedup.ExactSubstringMinRun,
