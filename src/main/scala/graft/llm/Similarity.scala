@@ -1169,8 +1169,101 @@ object Similarity {
                   FROM scored) t WHERE rn <= 5)
               SELECT vec_id, COUNT(*) AS in_degree
               FROM nn GROUP BY vec_id
-              ORDER BY in_degree DESC, vec_id LIMIT 25"""))
+              ORDER BY in_degree DESC, vec_id LIMIT 25""")),
+
+    // SCALAR-quantization (int8) ANN (see [[sqTopK]]) — the remaining
+    // rung of the ANN memory ladder (LSH buckets / IVF cells / PQ
+    // codes / IVF-PQ): 1 byte per dimension against corpus-wide
+    // per-dim bounds, exact L2 ranking on the dequantized codes. The
+    // oracle rebuilds bounds, codes, and distances from the same
+    // floats.
+    Q("q168_ann_sq8",
+      (s, d) => sqTopK(emb(s, d), queryVecId = 0L, k = 10),
+      Some("""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              dim AS (
+                SELECT i, MIN(a[i]) AS mn, MAX(a[i]) AS mx
+                FROM v, UNNEST(generate_series(1, LEN(a))) AS u(i)
+                GROUP BY i),
+              b AS (SELECT LIST(mn ORDER BY i) AS mns,
+                           LIST(mx ORDER BY i) AS mxs FROM dim),
+              c AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, LEN(a)), i ->
+                         CASE WHEN mxs[i] = mns[i] THEN 0.0
+                              ELSE mns[i] + ROUND((a[i] - mns[i]) * 255
+                                     / (mxs[i] - mns[i]))
+                                   * (mxs[i] - mns[i]) / 255 END) AS dq
+                FROM v, b),
+              q AS (SELECT dq AS qdq FROM c WHERE vec_id = 0)
+              SELECT c.vec_id,
+                     ROUND(SQRT(list_sum(list_transform(
+                       generate_series(1, LEN(dq)),
+                       i -> (dq[i] - qdq[i]) * (dq[i] - qdq[i])))), 4) AS dist
+              FROM c, q WHERE c.vec_id <> 0
+              ORDER BY SQRT(list_sum(list_transform(
+                         generate_series(1, LEN(dq)),
+                         i -> (dq[i] - qdq[i]) * (dq[i] - qdq[i])))),
+                       c.vec_id
+              LIMIT 10"""))
   )
+
+  /** Scalar-quantization (SQ8) ANN: quantize every dimension to an
+    * 8-bit code against corpus-wide per-dimension [min, max] bounds —
+    * 4 bytes/float → 1 byte/dim, the classic 4× memory/scan reduction
+    * (the FAISS SQ8 layout; PQ (q91) trades more accuracy for 8 bytes
+    * per VECTOR, SQ8 is the cheap middle rung) — then rank by exact L2
+    * over the DEQUANTIZED codes.
+    *
+    * Scale shape: the bounds are ONE 64-row aggregate (collected like
+    * every codebook artifact — bounded by dimension, not corpus) folded
+    * into literal arrays, so coding is a map-side codegen'd projection;
+    * the query vector rides a broadcast; ranking is the native
+    * DotProduct identity |p−q|² = p·p − 2p·q + q·q with a TakeOrdered
+    * finish — no interpreted per-element arithmetic in the corpus scan
+    * beyond the single dequantize transform.
+    */
+  def sqTopK(df: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val v = df.select(col("vec_id"), asDouble(col("embedding")).as("a"))
+    val bounds = v
+      .select(posexplode(col("a")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i"))
+      .collect() // bounded artifact: one row per DIMENSION (64)
+    val mns = bounds.map(_.getDouble(1)).toSeq
+    val mxs = bounds.map(_.getDouble(2)).toSeq
+    val mnL = typedLit(mns)
+    val mxL = typedLit(mxs)
+    // dequantized int8 code, computed in one transform: mn + round((x -
+    // mn) * 255 / span) * span / 255; constant dims collapse to mn
+    def dq(a: Column): Column =
+      transform(a, (x, i) => {
+        val mn = element_at(mnL, i + 1)
+        val mx = element_at(mxL, i + 1)
+        when(mx === mn, mn)
+          .otherwise(mn + round((x - mn) * 255 / (mx - mn), 0)
+            * (mx - mn) / 255)
+      })
+    val coded = v.select(col("vec_id"), dq(col("a")).as("dq"))
+    val q = coded.filter(col("vec_id") === queryVecId)
+      .select(col("dq").as("qdq"))
+    // diff materialized as an attribute, distance via the native
+    // sequential-fold dot — the SAME products in the SAME order as the
+    // oracle's list_sum, so the 4-dp values can't straddle a rounding
+    // boundary differently (the float-identity trap: p·p−2p·q+q·q is
+    // only equal in the reals)
+    coded.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        zip_with(col("dq"), col("qdq"), (x, y) => x - y).as("d"))
+      .select(col("vec_id"), sqrt(dot(col("d"), col("d"))).as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw"), 4).as("dist"))
+  }
 
   /** Where q82 persists its trained codebook so the DuckDB oracle can
     * read the identical bits (`read_parquet`). Static by necessity: the

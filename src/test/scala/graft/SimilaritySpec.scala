@@ -44,6 +44,27 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("sq8 ANN: planted clone ranks first; int8 ranking recalls exact neighbors") {
+    // the clone differs from vec 1 by 0.001 in one dim — far below the
+    // per-dim quantization step — so SQ8 must rank it first with a tiny
+    // distance; and the quantized top-5 should recall most of the exact
+    // (unquantized) L2 top-5
+    val top = Similarity.sqTopK(vectors, queryVecId = 1L, k = 5).collect()
+    assert(top.head.getLong(0) == 500L, s"got ${top.toSeq}")
+    assert(top.head.getDouble(1) < 0.5, s"clone dist: ${top.head}")
+    val sqIds = top.map(_.getLong(0)).toSet
+    // exact L2 top-5 from the raw Scala data (no Spark)
+    val qv = raw.find(_._1 == 1L).get._2.map(_.toDouble)
+    val exact = raw.filter(_._1 != 1L)
+      .map { case (id, v) =>
+        id -> math.sqrt(v.map(_.toDouble).zip(qv)
+          .map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    assert((sqIds intersect exact).size >= 4,
+      s"sq8 recall too low: sq=$sqIds exact=$exact")
+  }
+
   test("LSH ANN: near-identical vector lands in a shared bucket (recall)") {
     val ann = Similarity.annTopK(vectors, queryVecId = 1L, k = 5).collect()
     assert(ann.nonEmpty, "no LSH candidates at all")
