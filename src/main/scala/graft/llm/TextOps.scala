@@ -280,6 +280,53 @@ object TextOps {
       .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram log-probability per doc (Kneser &
+    * Ney 1995; Chen & Goodman 1999's benchmark smoothing — the standard
+    * LM the add-k model of [[bigramLogProb]] approximates):
+    *
+    *   P(b|a) = max(c(a,b) − D, 0)/c(a·)
+    *          + D·N1+(a,·)/c(a·) · N1+(·,b)/|bigram types|
+    *
+    * with absolute discount D, history mass c(a·) = Σ_b c(a,b), and the
+    * continuation probability counting DISTINCT histories — the KN
+    * insight that "Francisco" is frequent but follows only "San".
+    *
+    * Scale shape mirrors q98: one tokenize pass behind an explicit
+    * doc_id exchange feeds the doc-bigram stream; all model tables
+    * (bigram counts, history mass + distinct continuations, distinct
+    * histories, type count) are vocabulary-sized aggregates of it; the
+    * scoring join is bigram-keyed, partial-aggregated per doc.
+    */
+  def knBigramLogProb(docsDf: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toks = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .repartition(col("doc_id"))
+    val docBigrams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + 1).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bigrams = docBigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cb"))
+    val hist = bigrams.groupBy(col("a"))
+      .agg(sum(col("cb")).as("ca"), count(lit(1)).as("n1f"))
+    val cont = bigrams.groupBy(col("b")).agg(count(lit(1)).as("n1r"))
+    val types = bigrams.agg(count(lit(1)).as("nbt"))
+    docBigrams
+      .join(bigrams, Seq("a", "b"))
+      .join(hist, Seq("a"))
+      .join(cont, Seq("b"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(avg(log(
+        greatest(col("cb") - discount, lit(0.0)) / col("ca")
+          + lit(discount) * col("n1f") / col("ca")
+          * (col("n1r").cast("double") / col("nbt"))))
+        .as("raw"))
+      .select(col("doc_id"), round(col("raw"), 4).as("kn_logprob"))
+  }
+
   /** Count-Min sketch heavy-hitter report (Cormode & Muthukrishnan
     * 2005) — the streaming-sketch counterpart to q112's Misra-Gries
     * route: d=4 hash rows × w buckets of integer counters, built in ONE
@@ -923,6 +970,34 @@ object TextOps {
               SELECT doc_id,
                      ROUND(AVG(LN((cb + 0.5) / (ca + 0.5 * v))), 4) AS logprob
               FROM db JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN vc
+              GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
+
+    // Interpolated Kneser-Ney bigram log-probability (see
+    // [[knBigramLogProb]]) — the benchmark smoothing next to q98's
+    // add-k proxy; same corpus-trained shape, same round(4) convention.
+    Q("q169_kneser_ney",
+      (s, d) =>
+        knBigramLogProb(docs(s, d))
+          .orderBy(col("doc_id"))
+          .limit(200),
+      Some("""WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents
+                WHERE LEN(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) >= 2),
+              db AS (
+                SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+                FROM toks, UNNEST(generate_series(1, LEN(ts) - 1)) AS g(i)),
+              bi AS (SELECT a, b, COUNT(*) AS cb FROM db GROUP BY a, b),
+              hist AS (SELECT a, SUM(cb) AS ca, COUNT(*) AS n1f FROM bi GROUP BY a),
+              cont AS (SELECT b, COUNT(*) AS n1r FROM bi GROUP BY b),
+              ty AS (SELECT COUNT(*) AS nbt FROM bi)
+              SELECT doc_id,
+                     ROUND(AVG(LN(
+                       GREATEST(cb - 0.75, 0) / ca
+                       + 0.75 * n1f / ca * (n1r / CAST(nbt AS DOUBLE)))), 4)
+                       AS kn_logprob
+              FROM db JOIN bi USING (a, b) JOIN hist USING (a)
+                   JOIN cont USING (b) CROSS JOIN ty
               GROUP BY doc_id ORDER BY doc_id LIMIT 200""")),
 
     // Code-switching: docs whose token-half segments classify to

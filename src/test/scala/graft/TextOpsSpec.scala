@@ -106,6 +106,24 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
     assert(fresh.map(_._1).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("Kneser-Ney bigram scores match the hand-computed smoothing") {
+    // corpus: "a b", "a b", "a c" — bigram counts (a,b)=2, (a,c)=1;
+    // history a: ca=3, N1+(a,.)=2; continuations: N1+(.,b)=1,
+    // N1+(.,c)=1; bigram types=2; D=0.75:
+    //   P(b|a) = 1.25/3 + 0.75*2/3*(1/2) = 2/3
+    //   P(c|a) = 0.25/3 + 0.75*2/3*(1/2) = 1/3
+    val out = TextOps.knBigramLogProb(
+        docsOf(1L -> "a b", 2L -> "a b", 3L -> "a c", 4L -> "solo"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L)) // <2-token doc drops
+    assert(math.abs(out(0)._2 - math.log(2.0 / 3)) < 1e-4, s"$out")
+    assert(math.abs(out(1)._2 - math.log(2.0 / 3)) < 1e-4)
+    assert(math.abs(out(2)._2 - math.log(1.0 / 3)) < 1e-4)
+    // KN's defining property: probabilities per history sum to 1
+    // (2/3 + 1/3) — the discount mass is exactly redistributed
+  }
+
   test("stored bigram LM backs off to the add-k floor on unseen bigrams") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lm2").toString + "/lm"
