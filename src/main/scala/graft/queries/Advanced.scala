@@ -188,6 +188,63 @@ object Advanced {
                      COUNT(*) AS n_events
               FROM flagged GROUP BY user_id ORDER BY user_id""")),
 
+    // TOP SESSION PATHS — the path-analysis readout one order up from
+    // q160's first-order transition matrix: the most common ordered
+    // event-type sequences (first 5 events) of gap-sessionized visits.
+    // Same user-bounded windows as q43 (shared exchange, no skew: a
+    // session prefix is ≤ 5 rows), path strings are ≤ 5 short tokens,
+    // the final count groups on |distinct paths| keys with a
+    // TakeOrdered finish.
+    Q("q170_session_paths",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSess = when(
+          lag(col("ts"), 1).over(w).isNull ||
+            col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTE"),
+          1).otherwise(0)
+        val wSess = Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("ns", newSess)
+          .withColumn("sess", sum(col("ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(wSess))
+          .filter(col("rn") <= 5)
+          .groupBy(col("user_id"), col("sess"))
+          .agg(concat_ws(">",
+            transform(
+              sort_array(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type"))).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (
+                SELECT user_id, event_id, ts, event_type,
+                       SUM(ns) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+                FROM flagged),
+              ranked AS (
+                SELECT user_id, sess, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                         ORDER BY ts, event_id) AS rn
+                FROM sess),
+              paths AS (
+                SELECT user_id, sess,
+                       STRING_AGG(event_type, '>' ORDER BY rn) AS path
+                FROM ranked WHERE rn <= 5 GROUP BY user_id, sess)
+              SELECT path, COUNT(*) AS n
+              FROM paths GROUP BY path
+              ORDER BY n DESC, path LIMIT 20""")),
+
     // PIVOT: order counts per year x status (explicit value list so the
     // output schema is static — the only pivot shape that scales, since
     // an inferred value list needs an extra pass over the data).
