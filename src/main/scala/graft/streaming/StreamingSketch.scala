@@ -72,4 +72,44 @@ object StreamingSketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
       .orderBy(col("tok"))
   }
+
+  /** Always-on DISTINCT-CARDINALITY monitor — the HLL complement to the
+    * CMS counters (how often vs how many distinct): each micro-batch
+    * folds its `valCol` values into ONE Datasketches HLL sketch per
+    * `keyCol` (Spark 4's native `hll_sketch_agg`), persisted under
+    * `outDir/hll/batch=<id>`. HLL sketches of disjoint slices UNION
+    * losslessly into the whole-stream sketch, so the persisted state is
+    * |keys| fixed-size binary blobs per batch — never a
+    * distinct-values-sized set — and the same overwrite layout as
+    * [[startCms]] makes replays idempotent (a batch's sketch is a pure
+    * function of the batch).
+    */
+  def startHll(spark: SparkSession, landingDir: String, schema: StructType,
+      outDir: String, keyCol: String, valCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).json(landingDir)
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        batch.groupBy(col(keyCol))
+          .agg(hll_sketch_agg(col(valCol)).as("sk"))
+          .write.mode("overwrite")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$outDir/hll/batch=$bid")
+      }
+      .start()
+
+  /** Whole-stream distinct estimates per key: per-batch sketches merged
+    * with the lossless `hll_union_agg`, then estimated — identical to
+    * the sketch a single pass over the union of all batches would
+    * build (StreamingSketchSpec pins the equality).
+    */
+  def distinctEstimate(spark: SparkSession, outDir: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(s"$outDir/hll")
+      .groupBy(col(keyCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("n_distinct_est"))
+      .orderBy(col(keyCol))
 }

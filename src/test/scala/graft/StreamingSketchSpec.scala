@@ -79,4 +79,46 @@ class StreamingSketchSpec extends AnyFunSuite with TestSpark {
       s"unseen token: ${unseen.get("zz-never-streamed-token")}")
     assert(unseen("apple") == est("apple"))
   }
+
+  test("streamed HLL distinct monitor: lossless union across batches, exact at small n") {
+    val evSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val landing = Files.createTempDirectory("graft-hll-land").toString
+    val outDir = Files.createTempDirectory("graft-hll-out").toString
+    // users overlap ACROSS batches — a per-batch exact-distinct sum
+    // would double-count; the HLL union must not
+    val b1 = Seq((1L, "click"), (2L, "click"), (3L, "view"), (1L, "view"))
+    val b2 = Seq((2L, "click"), (4L, "click"), (3L, "view"), (5L, "buy"))
+    val b3 = Seq((1L, "click"), (6L, "view"), (5L, "buy"), (5L, "buy"))
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        rows.map { case (u, e) => s"""{"user_id":$u,"event_type":"$e"}""" }
+          .mkString("\n").getBytes)
+    Seq("b1.json" -> b1, "b2.json" -> b2, "b3.json" -> b3).foreach {
+      case (f, rows) =>
+        writeBatch(f, rows)
+        StreamingSketch.startHll(spark, landing, evSchema, outDir,
+          keyCol = "event_type", valCol = "user_id").awaitTermination()
+    }
+    val parts = new java.io.File(s"$outDir/hll").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(parts.length == 3, s"hll partitions: ${parts.toSeq}")
+
+    val est = StreamingSketch.distinctEstimate(spark, outDir, "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at this cardinality the sketch is exact: click {1,2,4},
+    // view {1,3,6}, buy {5}
+    assert(est == Map("click" -> 3L, "view" -> 3L, "buy" -> 1L), s"got $est")
+
+    // lossless union: merged per-batch sketches == one-pass sketch of
+    // the whole stream, estimate for estimate
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize((b1 ++ b2 ++ b3).map(Row.fromTuple), 2),
+      evSchema)
+    val whole = all.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("n_distinct_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == whole, s"union drifted: streamed $est vs one-pass $whole")
+  }
 }
