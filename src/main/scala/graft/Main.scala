@@ -184,6 +184,14 @@ object Main {
             .show(toks.length, truncate = false)
 
         // two-dimensional Z-order clustering for min/max data skipping
+        // latest-wins merge of a delta into a parquet table (SCD1)
+        case "upsert" :: tableDir :: deltaParquet :: versionCol :: keys
+            if keys.nonEmpty =>
+          val n = Writers.upsert(spark, tableDir,
+            spark.read.parquet(deltaParquet), keys, versionCol)
+          println(s"upsert table=$tableDir keys=${keys.mkString(",")} " +
+            s"version=$versionCol rows=$n")
+
         case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
           graft.etl.Writers.zorderParquet(
             spark.read.parquet(in), c1, c2, out)
@@ -505,6 +513,7 @@ object Main {
         |  pca train <vecsParquet> <componentDir> | pca project <vecsParquet> <componentDir>
         |  media index <docsParquet> <indexDir> | media pairs <docsParquet> | media append <docsParquet> <indexDir>
         |  sketch build <docsParquet> <sketchDir> | sketch append <docsParquet> <sketchDir> | sketch query <sketchDir> <token>...
+        |  upsert <tableDir> <deltaParquet> <versionCol> <keyCol...>
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]

@@ -168,6 +168,55 @@ object Writers {
     *    `path` with no catalog entry — just re-register (done; a
     *    re-run would also work).
     */
+  /** Latest-wins UPSERT (merge-on-write, SCD type 1) without a table
+    * format: after the merge exactly one row per key survives — the one
+    * with the highest `versionCol` across the existing table and the
+    * incoming delta, the delta winning version ties (the newest write
+    * is the truth a CDC feed expects). The table is rewritten through
+    * the [[compact]] staging-dir swap, so readers never see a
+    * half-written table and a crashed upsert leaves the original
+    * intact (a stale `.upsert-tmp` is garbage to delete, not
+    * corruption). Replaying the same delta is a no-op by construction.
+    *
+    * Scale shape: the keep-latest reduction is ONE exchange on the key
+    * and a per-key top-1 (the TopKPerKey rewrite turns the filtered
+    * row_number into bounded map-side heaps — no full per-key sort).
+    * The rewrite itself is table-sized: at 100 TB, partition the table
+    * (dated layout) and upsert only affected partitions, or move to a
+    * commit-log format — the merge reduction carries over unchanged.
+    *
+    * Returns the merged row count.
+    */
+  def upsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+      delta: DataFrame, keyCols: Seq[String], versionCol: String,
+      compression: String = DefaultCompression): Long = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "upsert: at least one key column")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incoming = delta.withColumn("_src", lit(1))
+    val merged =
+      if (fs.exists(path))
+        spark.read.parquet(dir).withColumn("_src", lit(0))
+          .unionByName(incoming)
+      else incoming
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    val kept = merged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".upsert-tmp")
+    kept.write.mode("overwrite")
+      .option("compression", compression)
+      .parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    if (fs.exists(path)) fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"upsert: rename $tmp -> $path failed")
+    n
+  }
+
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, keyCol: String, buckets: Int,
       compression: String = DefaultCompression): Int = {

@@ -184,4 +184,37 @@ class EtlSpec extends AnyFunSuite with TestSpark {
     assert(rows.exists(r => r._1.isEmpty), "malformed line should yield a null row")
     assert(rows.size == 3)
   }
+
+  test("upsert: latest version wins, delta wins ties, replay is a no-op") {
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType)))
+    def tbl(rows: (Long, String, Long)*) = df(schema, rows.map(Row.fromTuple): _*)
+    // first upsert against a missing table just materializes the delta
+    assert(Writers.upsert(spark, dir,
+      tbl((1L, "a1", 1L), (2L, "b1", 1L)), Seq("k"), "ver") == 2L)
+    // second delta: newer 1, older-duplicate 2 at the SAME version
+    // (delta wins the tie), new key 3
+    assert(Writers.upsert(spark, dir,
+      tbl((1L, "a2", 2L), (2L, "b-tie", 1L), (3L, "c1", 1L)),
+      Seq("k"), "ver") == 3L)
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a2", 2L), (2L, "b-tie", 1L), (3L, "c1", 1L)),
+      s"got $got")
+    // a STALE delta row must not resurrect old state
+    Writers.upsert(spark, dir, tbl((1L, "a0-stale", 1L)), Seq("k"), "ver")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after(1L) == "a2", s"stale delta overwrote: $after")
+    // replaying an applied delta changes nothing
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    Writers.upsert(spark, dir,
+      tbl((1L, "a2", 2L), (3L, "c1", 1L)), Seq("k"), "ver")
+    val replay = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(replay == before, s"replay drifted: $replay vs $before")
+  }
 }
