@@ -287,6 +287,28 @@ object Main {
           graft.llm.Pq.topKStored(spark, dir, qv, k.toInt,
             excludeId = Some(id)).show(k.toInt, truncate = false)
 
+        // SQ8 scalar-quantized ANN store: 1 byte/dim codes against
+        // corpus-wide per-dim bounds (the q168 layout, persisted)
+        case "sq" :: "build" :: vecsParquet :: dir :: Nil =>
+          graft.llm.Similarity.sqBuildStore(
+            spark.read.parquet(vecsParquet), dir)
+          println(s"codes=${spark.read.parquet(s"$dir/codes").count()}")
+
+        case "sq" :: "append" :: vecsParquet :: dir :: Nil =>
+          graft.llm.Similarity.sqAppendStore(
+            spark.read.parquet(vecsParquet), dir)
+          println(s"codes=${spark.read.parquet(s"$dir/codes").count()}")
+
+        case "sq" :: "query" :: vecsParquet :: dir :: vecId :: k :: Nil =>
+          val id = vecId.toLong
+          val qv = spark.read.parquet(vecsParquet)
+            .filter(org.apache.spark.sql.functions.col("vec_id") === id)
+            .select(graft.llm.Similarity.asDouble(
+              org.apache.spark.sql.functions.col("embedding")))
+            .head().getSeq[Double](0).toArray
+          graft.llm.Similarity.sqTopKStored(spark, dir, qv, k.toInt,
+            excludeId = Some(id)).show(k.toInt, truncate = false)
+
         // BPE tokenizer: train a merge table on a corpus; encode shows
         // per-doc subword counts under a freshly trained table
         case "bpe" :: "train" :: docsParquet :: numMerges :: Nil =>
@@ -505,6 +527,8 @@ object Main {
         |  cluster sample <vecsParquet> <codebookDir> <perCell> <outDir>
         |  pq build <vecsParquet> <pqDir> | pq append <vecsParquet> <pqDir>
         |  pq query <vecsParquet> <pqDir> <vecId> <k>
+        |  sq build <vecsParquet> <sqDir> | sq append <vecsParquet> <sqDir>
+        |  sq query <vecsParquet> <sqDir> <vecId> <k>
         |  bpe train <docsParquet> <numMerges> [mergesDir]
         |  bpe encode <docsParquet> <numMerges|mergesDir>
         |  lm train <docsParquet> <lmDir> | lm score <docsParquet> <lmDir>

@@ -65,6 +65,41 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
       s"sq8 recall too low: sq=$sqIds exact=$exact")
   }
 
+  test("sq8 store: stored query == fresh sqTopK; appended vectors clamp and rank") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq").toString + "/sq"
+    Similarity.sqBuildStore(vectors, dir)
+    val qv = raw.find(_._1 == 1L).get._2.map(_.toDouble).toArray
+    val stored = Similarity.sqTopKStored(spark, dir, qv, k = 5,
+        excludeId = Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = Similarity.sqTopK(vectors, queryVecId = 1L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == fresh, s"stored $stored vs fresh $fresh")
+    // append an exact clone of the query built AFTER the bounds were
+    // fixed, plus a far out-of-bounds vector (its codes clamp instead
+    // of overflowing the byte range)
+    val extraSchema = schema
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(900L, raw.find(_._1 == 1L).get._2),
+        Row(901L, raw.find(_._1 == 1L).get._2.map(v => v * 100f))), 1),
+      extraSchema)
+    Similarity.sqAppendStore(extra, dir)
+    val after = Similarity.sqTopKStored(spark, dir, qv, k = 3,
+        excludeId = Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // the appended exact clone quantizes to the query's own codes —
+    // dist 0.0, tied with the fixture's sub-quantization-step near-clone
+    // (500), ties broken by vec_id
+    assert(after.take(2).map(_._1).toSet == Set(500L, 900L)
+      && after.take(2).forall(_._2 == 0.0), s"got ${after.toSeq}")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 901L)
+      .head().getSeq[Int](1)
+    assert(codes.forall(c => c >= 0 && c <= 255), s"clamp failed: $codes")
+  }
+
   test("LSH ANN: near-identical vector lands in a shared bucket (recall)") {
     val ann = Similarity.annTopK(vectors, queryVecId = 1L, k = 5).collect()
     assert(ann.nonEmpty, "no LSH candidates at all")
