@@ -432,6 +432,95 @@ object Advanced {
               GROUP BY a.cw, week_offset, sizes.cohort_n
               ORDER BY cohort_week, week_offset""")),
 
+    // Telemetry DUPLICATE-SUPPRESSION report: events repeating the same
+    // (user, type) within 5 seconds of the PREVIOUS raw event are
+    // duplicate clicks/retries — the dedup every event pipeline runs at
+    // ingest. Lag rule on the user+type-bounded window (the standard
+    // SQL idiom; chained duplicates each compare to their immediate
+    // predecessor), |types| output rows. Same user-keyed exchange
+    // discipline as the q43 family — no skew, window groups are
+    // per-user-per-type.
+    Q("q171_event_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("event_type"),
+            (unix_timestamp(col("ts")) -
+              lag(unix_timestamp(col("ts")), 1).over(w) <= 5)
+              .as("dup"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_suppressed"))
+          .select(col("event_type"), col("n_events"), col("n_suppressed"),
+            round(col("n_suppressed").cast("double") / col("n_events"), 4)
+              .as("suppress_ratio"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH s AS (
+                SELECT event_type,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id))
+              SELECT event_type,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CASE WHEN gap <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_suppressed,
+                     ROUND(SUM(CASE WHEN gap <= 5 THEN 1 ELSE 0 END)
+                           / CAST(COUNT(*) AS DOUBLE), 4) AS suppress_ratio
+              FROM s GROUP BY event_type ORDER BY event_type""")),
+
+    // Weekly CHURN — the retention complement q151 doesn't report:
+    // of the users active in week w, how many do NOT return in w+1.
+    // Computed on the distinct (user, week) grid; the "returns next
+    // week" probe is one anti join of the grid against itself shifted
+    // 7 days; the last observed week is excluded (its next week is
+    // unobservable, not churned).
+    Q("q172_weekly_churn",
+      (s, d) => {
+        val weeks = t(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        val nxt = weeks.select(col("user_id"),
+          (col("w") - expr("INTERVAL 7 DAYS")).as("w"))
+        val churned = weeks.join(nxt, Seq("user_id", "w"), "left_anti")
+          .groupBy(col("w")).agg(count(lit(1)).as("n_churned"))
+        val active = weeks.groupBy(col("w")).agg(count(lit(1)).as("n_active"))
+        val last = weeks.agg(max(col("w")).as("wmax"))
+        active.join(churned, Seq("w"), "left")
+          .crossJoin(broadcast(last))
+          .filter(col("w") < col("wmax"))
+          .select(date_format(col("w"), "yyyy-MM-dd").as("week"),
+            col("n_active"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+            round(coalesce(col("n_churned"), lit(0L)).cast("double")
+              / col("n_active"), 4).as("churn_rate"))
+          .orderBy(col("week"))
+      },
+      Some("""WITH weeks AS (
+                SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS w
+                FROM events),
+              churned AS (
+                SELECT a.w, COUNT(*) AS n_churned
+                FROM weeks a
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM weeks b
+                  WHERE b.user_id = a.user_id
+                    AND b.w = a.w + INTERVAL 7 DAY)
+                GROUP BY a.w),
+              active AS (
+                SELECT w, COUNT(*) AS n_active FROM weeks GROUP BY w)
+              SELECT STRFTIME(active.w, '%Y-%m-%d') AS week,
+                     n_active,
+                     CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+                     ROUND(COALESCE(n_churned, 0)
+                           / CAST(n_active AS DOUBLE), 4) AS churn_rate
+              FROM active LEFT JOIN churned USING (w)
+              WHERE active.w < (SELECT MAX(w) FROM weeks)
+              ORDER BY week""")),
+
     // EQUI-DEPTH histogram (the profiler complement to q52's equi-width
     // buckets): 8 buckets with VALUE-PINNED boundaries — thr_i is the
     // smallest price whose cumulative count satisfies 8·cum ≥ i·n, the
