@@ -1207,6 +1207,60 @@ object Similarity {
                          generate_series(1, LEN(dq)),
                          i -> (dq[i] - qdq[i]) * (dq[i] - qdq[i])))),
                        c.vec_id
+              LIMIT 10""")),
+
+    // IVF-SQ8 composed (see [[ivfSqTopK]]) — q50's cell pruning ×
+    // q168's byte codes, the FAISS IVF+SQ8 layout. Oracle = q92's cell
+    // CTEs joined with q168's bounds/code CTEs.
+    Q("q173_ann_ivfsq",
+      (s, d) => ivfSqTopK(emb(s, d), queryVecId = 0L, k = 10),
+      Some("""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              ivfcb AS (SELECT vec_id AS cell, a AS cv FROM v WHERE vec_id < 16),
+              scored AS (
+                SELECT v.vec_id, ivfcb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * ivfcb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(ivfcb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN ivfcb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              qcell AS (
+                SELECT cell FROM (
+                  SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS rn
+                  FROM scored WHERE vec_id = 0) t WHERE rn <= 4),
+              cand AS (SELECT vec_id FROM corpus JOIN qcell USING (cell)),
+              dim AS (
+                SELECT i, MIN(a[i]) AS mn, MAX(a[i]) AS mx
+                FROM v, UNNEST(generate_series(1, LEN(a))) AS u(i)
+                GROUP BY i),
+              b AS (SELECT LIST(mn ORDER BY i) AS mns,
+                           LIST(mx ORDER BY i) AS mxs FROM dim),
+              c AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, LEN(a)), i ->
+                         CASE WHEN mxs[i] = mns[i] THEN 0.0
+                              ELSE mns[i] + ROUND((a[i] - mns[i]) * 255
+                                     / (mxs[i] - mns[i]))
+                                   * (mxs[i] - mns[i]) / 255 END) AS dq
+                FROM v, b),
+              q AS (SELECT dq AS qdq FROM c WHERE vec_id = 0)
+              SELECT c.vec_id,
+                     ROUND(SQRT(list_sum(list_transform(
+                       generate_series(1, LEN(dq)),
+                       i -> (dq[i] - qdq[i]) * (dq[i] - qdq[i])))), 4) AS dist
+              FROM c JOIN cand USING (vec_id), q WHERE c.vec_id <> 0
+              ORDER BY SQRT(list_sum(list_transform(
+                         generate_series(1, LEN(dq)),
+                         i -> (dq[i] - qdq[i]) * (dq[i] - qdq[i])))),
+                       c.vec_id
               LIMIT 10"""))
   )
 
@@ -1360,6 +1414,44 @@ object Similarity {
       dir: String): (Seq[Double], Seq[Double]) = {
     val b = spark.read.parquet(s"$dir/bounds").orderBy(col("i")).collect()
     (b.map(_.getDouble(1)).toSeq, b.map(_.getDouble(2)).toSeq)
+  }
+
+  /** IVF-SQ8 — the two layouts composed, the FAISS IVF+SQ8 medium-scale
+    * default (the accuracy-friendlier sibling of q92's IVF-PQ): IVF
+    * cell pruning bounds WHICH codes the query scans (the q50 first-16
+    * cell rule, 4 probes), SQ8 bounds WHAT each candidate costs (1 byte
+    * per dim instead of 8 bytes per float dim). Raw vectors appear only
+    * in the map-side cell assignment and the one-off bounds aggregate;
+    * candidate ranking runs on dequantized codes.
+    */
+  def ivfSqTopK(df: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val v = df.select(col("vec_id"), asDouble(col("embedding")).as("a"))
+    val (mns, mxs) = sqBounds(v)
+    val mnL = typedLit(mns)
+    val mxL = typedLit(mxs)
+    val rows = v.select(col("vec_id"), col("a").as("v"))
+    val ivfCb = rows.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val corpusCells = ivfAssign(ivfCb, rows, probes = 1)
+      .select(col("vec_id"), col("cell"))
+    val qCells = ivfAssign(ivfCb, rows.filter(col("vec_id") === queryVecId),
+        IvfProbes)
+      .select(col("cell"))
+    val coded = v.select(col("vec_id"),
+      sqDequant(sqCodes(col("a"), mnL, mxL), mnL, mxL).as("dq"))
+    val q = coded.filter(col("vec_id") === queryVecId)
+      .select(col("dq").as("qdq"))
+    coded
+      .join(corpusCells, Seq("vec_id"))
+      .join(broadcast(qCells), Seq("cell"), "left_semi")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        zip_with(col("dq"), col("qdq"), (x, y) => x - y).as("d"))
+      .select(col("vec_id"), sqrt(dot(col("d"), col("d"))).as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw"), 4).as("dist"))
   }
 
   /** Where q82 persists its trained codebook so the DuckDB oracle can
