@@ -55,6 +55,16 @@ object Main {
         // one-command data-quality pack: null/distinct/numeric profiles,
         // Benford digit shares, per-column equi-depth histograms, and
         // (when key columns are given) a pk-uniqueness audit
+        // drift between two stored dq runs (e.g. yesterday vs today)
+        case "dq" :: "diff" :: dirOld :: dirNew :: rest
+            if rest.isEmpty || rest.length == 1 =>
+          val tol = rest.headOption.map(_.toDouble).getOrElse(0.1)
+          val d = graft.etl.Dq.drift(spark, dirOld, dirNew, tol)
+          d.show(200, truncate = false)
+          val n = d.filter(org.apache.spark.sql.functions.col("drifted"))
+            .count()
+          println(s"dq diff drifted_metrics=$n tol=$tol")
+
         case "dq" :: sfDir :: table :: outDir :: keys =>
           graft.etl.Dq.report(Tables.load(spark, sfDir, table), table,
             outDir, keys)
@@ -513,7 +523,7 @@ object Main {
         |  ingest --config <parameters.json> <landingDir>
         |  ingest <landingDir> <url>...
         |  profile <sfDir> <table>
-        |  dq <sfDir> <table> <outDir> [keyCol...]
+        |  dq <sfDir> <table> <outDir> [keyCol...] | dq diff <dirOld> <dirNew> [tol]
         |  preprocess <inParquet> <outDir>
         |  pairs build <docsParquet> <pairsDir> | pairs build-bucketed <docsParquet> <table> <dir>
         |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir>

@@ -196,6 +196,56 @@ object Dq {
       sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
   }
 
+  /** One (col_name, metric, v) row per profiled statistic of a stored
+    * dq run — the melt both sides of a drift comparison share.
+    */
+  private def metricsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val np = spark.read.parquet(s"$dir/null_profile")
+      .select(col("col_name"), lit("null_rate").as("metric"),
+        col("null_rate").cast("double").as("v"))
+    val dp = spark.read.parquet(s"$dir/distinct_profile")
+      .select(col("col_name"), lit("distinct_ratio").as("metric"),
+        col("distinct_ratio").cast("double").as("v"))
+    val base = np.unionByName(dp)
+    val numPath = new org.apache.hadoop.fs.Path(s"$dir/numeric_profile")
+    val fs = numPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(numPath)) base
+    else base.unionByName(
+      spark.read.parquet(s"$dir/numeric_profile")
+        .select(col("col_name"), explode(array(
+          struct(lit("mean").as("metric"), col("mean").cast("double").as("v")),
+          struct(lit("stddev").as("metric"), col("stddev").cast("double").as("v")),
+          struct(lit("min").as("metric"), col("mn").cast("double").as("v")),
+          struct(lit("max").as("metric"), col("mx").cast("double").as("v"))))
+          .as("kv"))
+        .select(col("col_name"), col("kv.metric").as("metric"),
+          col("kv.v").as("v")))
+  }
+
+  /** DRIFT report between two stored dq runs of the same table (e.g.
+    * yesterday's vs today's): per column and metric, both values, the
+    * relative change, and a drift flag — |new − old| > tol·max(|old|,
+    * 1e-9), so a metric moving off zero always flags. Columns present
+    * in only one run flag as schema drift (null on the other side).
+    * Operates purely on the persisted profiles — cost is |columns|,
+    * independent of table size.
+    */
+  def drift(spark: org.apache.spark.sql.SparkSession, dirOld: String,
+      dirNew: String, tol: Double = 0.1): DataFrame = {
+    val a = metricsOf(spark, dirOld).withColumnRenamed("v", "v_old")
+    val b = metricsOf(spark, dirNew).withColumnRenamed("v", "v_new")
+    a.join(b, Seq("col_name", "metric"), "full_outer")
+      .select(col("col_name"), col("metric"), col("v_old"), col("v_new"),
+        round(abs(col("v_new") - col("v_old")) /
+          greatest(abs(col("v_old")), lit(1e-9)), 4).as("rel_change"),
+        (col("v_old").isNull || col("v_new").isNull ||
+          abs(col("v_new") - col("v_old")) >
+            lit(tol) * greatest(abs(col("v_old")), lit(1e-9)))
+          .as("drifted"))
+      .orderBy(col("drifted").desc, col("col_name"), col("metric"))
+  }
+
   /** Run the whole pack against one table and write one parquet per
     * check under `outDir`: null_profile, distinct_profile,
     * numeric_profile, benford, equidepth (per numeric column, labeled),

@@ -107,5 +107,22 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
       .map(r => r.getAs[String]("col_name") -> r.getAs[Double]("distinct_ratio"))
       .toMap
     assert(dp.values.forall(r => r >= 0.0 && r <= 1.0), s"ratios: $dp")
+
+    // drift: a second run over a SHIFTED slice of the table must flag
+    // the moved metrics and keep the self-diff clean
+    val out2 = Files.createTempDirectory("graft-dq2").toString
+    graft.etl.Dq.report(
+      li.filter(org.apache.spark.sql.functions.col("l_quantity") > 25),
+      "lineitem", out2)
+    val selfDiff = graft.etl.Dq.drift(spark, out, out)
+    assert(selfDiff.filter(org.apache.spark.sql.functions.col("drifted"))
+      .count() == 0, "self-diff must be drift-free")
+    val d = graft.etl.Dq.drift(spark, out, out2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Boolean]("drifted")).toMap
+    // the filter moved l_quantity's min from ~1 to >25: must flag
+    assert(d(("l_quantity", "min")), s"min drift not flagged: $d")
+    // flags (F/O/P-style) keep their rate: returnflag null_rate stays 0
+    assert(!d(("l_returnflag", "null_rate")), s"spurious drift: $d")
   }
 }
