@@ -1,0 +1,217 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Q
+
+/** Character-level (edit-distance) fuzzy matching over the corpus
+  * vocabulary — the string-similarity family the token/gram/hash dedup
+  * operators don't cover: typo variants ("recieve" / "receive"),
+  * OCR noise, and spelling drift are 1–2 character edits apart, which
+  * shingle Jaccard scores near zero (every 3-gram containing the edited
+  * character differs) and exact/MinHash dedup misses entirely.
+  *
+  * The scale design is the symmetric-deletion scheme (SymSpell; same
+  * pigeonhole idea as PassJoin, Li et al., VLDB 2012): if
+  * edit_distance(s, t) <= k, then deleting <= k characters from each can
+  * reach a COMMON string (delete from s the characters it substitutes or
+  * deletes in an optimal alignment; from t those it substitutes or
+  * inserts). So generating every <= k-deletion variant of every
+  * vocabulary term and equi-joining on the variant yields a candidate
+  * superset with NO false negatives; a final `levenshtein() <= k` filter
+  * makes the semantics exact. The join is a plain equi-join on the
+  * variant string — never an all-pairs product — and every stage is
+  * vocabulary-sized, not corpus-sized (Heaps' law: |vocab| ~ sqrt of
+  * corpus tokens, and the variant fan-out is 1 + n + n(n-1)/2 ~ 37 rows
+  * per average 8-char term at k=2).
+  *
+  * Reference anchor: the reference corpus pipeline normalizes and
+  * deduplicates text but has no character-level near-match operator
+  * (notebooks/preprocessing_with_polars.ipynb covers exact/dictionary
+  * normalization only) — this extends the dedup family per the
+  * LLM-pipeline mandate, alongside q32 (gram Jaccard) and q56 (groups).
+  *
+  * 100 TB notes:
+  *  - Variant generation is map-side (posexplode over codegen'd
+  *    substring/concat — no HOF lambdas, no UDF).
+  *  - The candidate join shuffles on the variant string; group sizes are
+  *    the number of vocabulary terms within deletion distance of one
+  *    variant. Hubs concentrate at SHORT variants (length minLen-k);
+  *    minLen = 4 bounds the worst hub to terms sharing a 2-char
+  *    subsequence. If a real vocabulary makes those groups quadratic,
+  *    the standard refinement is per-length k (k=1 below 6 chars) —
+  *    documented, not applied, so the oracle contract stays one rule.
+  *  - Count lookup joins are vocabulary-sized shuffle joins, NOT
+  *    broadcasts (r11 verdict #1: never force corpus-derived tables
+  *    into a broadcast).
+  */
+object Fuzzy {
+
+  /** Minimum term length admitted to the vocabulary (SymSpell practice:
+    * very short tokens are all within distance k of each other and carry
+    * no typo signal). */
+  val MinLen = 4
+
+  /** Maximum edit distance for a fuzzy pair. */
+  val MaxDist = 2
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** (tok, c) — corpus vocabulary with term frequencies, terms of
+    * length >= MinLen. One tokenize + one vocabulary-sized aggregate. */
+  def vocab(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= MinLen)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** One row per (tok, variant) for every deletion of 0, 1, or 2
+    * characters. Rows, not arrays: posexplode of an index sequence keeps
+    * the string slicing inside whole-stage codegen (the q97/q145 law —
+    * a `transform()` lambda here would run interpreted), and `distinct`
+    * collapses equal variants from different deletion positions.
+    */
+  def deletionVariants(vocabDf: DataFrame): DataFrame = {
+    val toks = vocabDf.select(col("tok"))
+    val d0 = toks.select(col("tok"), col("tok").as("variant"))
+    val d1 = toks
+      .select(col("tok"), explode(sequence(lit(1), length(col("tok")))).as("i"))
+      .select(col("tok"),
+        concat(col("tok").substr(lit(1), col("i") - 1),
+          col("tok").substr(col("i") + 1, length(col("tok")))).as("variant"))
+    // delete positions i < j: slice around both (j is the position in the
+    // ORIGINAL string, so the middle run is (i+1 .. j-1))
+    val d2 = toks
+      .select(col("tok"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(col("tok"), col("i"),
+        explode(sequence(col("i") + 1, length(col("tok")))).as("j"))
+      .select(col("tok"),
+        concat(
+          col("tok").substr(lit(1), col("i") - 1),
+          col("tok").substr(col("i") + 1, col("j") - col("i") - 1),
+          col("tok").substr(col("j") + 1, length(col("tok")))).as("variant"))
+    d0.unionByName(d1).unionByName(d2).distinct()
+  }
+
+  /** Exact edit-distance pairs over the vocabulary: (tok_a, tok_b,
+    * dist, c_a, c_b) with tok_a < tok_b and dist <= MaxDist. Candidates
+    * from the deletion-variant equi-join (lossless by the pigeonhole
+    * argument above), verified by the codegen'd `levenshtein`.
+    */
+  def fuzzyTokenPairs(docsDf: DataFrame): DataFrame = {
+    val v = vocab(docsDf)
+    val variants = deletionVariants(v)
+    val cands = variants.as("a")
+      .join(variants.as("b"), col("a.variant") === col("b.variant"))
+      .filter(col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .distinct() // before the verify: shared variants re-derive a pair
+    cands
+      .withColumn("dist",
+        levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .filter(col("dist") <= MaxDist)
+      .join(v.select(col("tok").as("tok_a"), col("c").as("c_a")), Seq("tok_a"))
+      .join(v.select(col("tok").as("tok_b"), col("c").as("c_b")), Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("dist"), col("c_a"), col("c_b"))
+  }
+
+  /** Typo-cluster canonicalization: connected components over the fuzzy
+    * pair graph, every vocabulary term labeled with its component's
+    * lexicographically smallest term (`rep`); singletons map to
+    * themselves. The id trick keeps the CC machinery on longs while the
+    * CONTRACT stays on strings: ids are ranks in token sort order, so
+    * min-id == min-token and the DuckDB oracle can propagate string
+    * labels directly.
+    *
+    * The rank window is a single total order over the VOCABULARY — the
+    * same bounded-artifact convention as the BPE vocab (q98): acceptable
+    * because |vocab| is corpus-sublinear, and the sort is one
+    * vocabulary-sized exchange.
+    */
+  def fuzzyGroups(docsDf: DataFrame): DataFrame = {
+    val v = vocab(docsDf)
+    val ids = v.select(col("tok"),
+      row_number().over(Window.orderBy(col("tok"))).cast("long").as("id"))
+    val pairs = fuzzyTokenPairs(docsDf)
+      .join(ids.select(col("tok").as("tok_a"), col("id").as("d1")), Seq("tok_a"))
+      .join(ids.select(col("tok").as("tok_b"), col("id").as("d2")), Seq("tok_b"))
+      .select(col("d1"), col("d2"))
+    val comp = Dedup.connectedComponents(pairs) // (node, comp = min id)
+    val rep = comp
+      .join(ids.select(col("id").as("node"), col("tok")), Seq("node"))
+      .join(ids.select(col("id").as("comp"), col("tok").as("rep")), Seq("comp"))
+      .select(col("tok"), col("rep"))
+    v.join(rep, Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("rep"), col("tok")).as("rep"), col("c"))
+  }
+
+  // RECURSIVE on the prologue: q175's `reach` term needs it (DuckDB
+  // requires the keyword on the top-level WITH); harmless for q174
+  private val vocabOracle: String =
+    s"""WITH RECURSIVE tok AS (
+                SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                FROM documents),
+              t2 AS (SELECT UNNEST(ts) AS tok FROM tok),
+              v AS (SELECT tok, COUNT(*) AS c FROM t2
+                    WHERE LENGTH(tok) >= $MinLen GROUP BY 1)"""
+
+  // the oracle verifies the SEMANTICS (all pairs within edit distance
+  // MaxDist) with the naive length-banded quadratic — correct because
+  // |len_a - len_b| <= dist always holds, and affordable because the
+  // oracle runs on the bounded sf0.01 vocabulary
+  private val pairsOracle: String =
+    vocabOracle + s"""
+              SELECT a.tok AS tok_a, b.tok AS tok_b,
+                     CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+                     a.c AS c_a, b.c AS c_b
+              FROM v a JOIN v b
+                ON a.tok < b.tok
+               AND ABS(LENGTH(a.tok) - LENGTH(b.tok)) <= $MaxDist
+              WHERE levenshtein(a.tok, b.tok) <= $MaxDist
+              ORDER BY tok_a, tok_b"""
+
+  private val groupsOracle: String =
+    vocabOracle + s""",
+              pairs AS (
+                SELECT a.tok AS t1, b.tok AS t2
+                FROM v a JOIN v b
+                  ON a.tok < b.tok
+                 AND ABS(LENGTH(a.tok) - LENGTH(b.tok)) <= $MaxDist
+                 AND levenshtein(a.tok, b.tok) <= $MaxDist),
+              edges AS (SELECT t1 AS src, t2 AS dst FROM pairs
+                        UNION ALL SELECT t2, t1 FROM pairs),
+              reach AS (
+                SELECT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node, MIN(label) AS rep FROM reach GROUP BY 1)
+              SELECT v.tok, COALESCE(comp.rep, v.tok) AS rep, v.c
+              FROM v LEFT JOIN comp ON comp.node = v.tok
+              ORDER BY tok"""
+
+  def defs: Seq[Q] = Seq(
+    // Exact edit-distance pairs (typo/OCR-variant report): every
+    // vocabulary pair within levenshtein distance 2, with term
+    // frequencies so a caller can orient the merge (low-count variant ->
+    // high-count canonical). Candidates via symmetric deletions — an
+    // equi-join, never all-pairs.
+    Q("q174_fuzzy_token_pairs",
+      (s, d) => fuzzyTokenPairs(docs(s, d))
+        .orderBy(col("tok_a"), col("tok_b")),
+      Some(pairsOracle)),
+
+    // Typo clusters: CC over the q174 graph, canonical spelling = the
+    // component's lexicographically smallest term. Under a RECURSIVE-CTE
+    // oracle that propagates string labels (min-token == min-id by the
+    // rank construction), so the whole compose — variants -> verify ->
+    // CC -> rep -- is value-hash-checked.
+    Q("q175_fuzzy_groups",
+      (s, d) => fuzzyGroups(docs(s, d))
+        .orderBy(col("tok")),
+      Some(groupsOracle))
+  )
+}

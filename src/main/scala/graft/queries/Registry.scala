@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llm.{Curation, Dedup, Multimodal, Pca, Pq, QualityClassifier, Similarity, TextOps}
+import graft.llm.{Curation, Dedup, Fuzzy, Multimodal, Pca, Pq, QualityClassifier, Similarity, TextOps}
 
 /** One verifiable query: a Spark DataFrame program plus (where the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
@@ -25,7 +25,7 @@ object Registry {
     Relational.defs ++ Advanced.defs ++ Sessionize.defs ++
       ScaleWindows.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Curation.defs ++ Pq.defs ++ QualityClassifier.defs ++
-      Pca.defs
+      Pca.defs ++ Fuzzy.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

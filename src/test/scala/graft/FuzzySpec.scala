@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Fuzzy
+
+/** Edit-distance fuzzy matching (SymSpell deletion-neighborhood):
+  * exactness of the candidate scheme against a brute-force oracle,
+  * planted-typo recovery, component canonicalization, and the
+  * no-all-pairs plan guarantee.
+  */
+class FuzzySpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Corpus with planted typo families:
+    *  - receive / recieve (transpose = 2 edits) / receeve (1 sub)
+    *  - spark / spork (1 sub) / sparkk (1 ins)
+    *  - window (isolated singleton)
+    *  - distant words that must NOT pair (distance > 2)
+    */
+  private lazy val docs = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, "receive receive recieve window"),
+      Row(2L, "receeve spark spork distant"),
+      Row(3L, "sparkk spark receive elephant"),
+      Row(4L, "window spark receive zzzz")), 2),
+    schema)
+
+  private def bruteForcePairs(toks: Seq[String]): Set[(String, String, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      a <- toks; b <- toks
+      if a < b
+      dist = lev(a, b)
+      if dist <= Fuzzy.MaxDist
+    } yield (a, b, dist)).toSet
+  }
+
+  test("pairs == brute-force edit-distance ground truth (no false negatives)") {
+    val got = Fuzzy.fuzzyTokenPairs(docs)
+      .select("tok_a", "tok_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2).toInt)).toSet
+    val vocabToks = Fuzzy.vocab(docs).select("tok").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == bruteForcePairs(vocabToks))
+    // the planted families are found with their exact distances
+    assert(got.contains(("receive", "recieve", 2)))
+    assert(got.contains(("receeve", "receive", 1)))
+    assert(got.contains(("spark", "spork", 1)))
+    assert(got.contains(("spark", "sparkk", 1)))
+  }
+
+  test("counts carried per side (merge-orientation signal)") {
+    val rows = Fuzzy.fuzzyTokenPairs(docs)
+      .filter(col("tok_a") === "receive" && col("tok_b") === "recieve")
+      .collect()
+    assert(rows.length == 1)
+    // 'receive' appears 4x in the corpus, 'recieve' once
+    assert(rows.head.getAs[Long]("c_a") == 4L)
+    assert(rows.head.getAs[Long]("c_b") == 1L)
+  }
+
+  test("groups: planted typo families collapse to one canonical rep each") {
+    val reps = Fuzzy.fuzzyGroups(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // receive-family: receeve < recieve is false ('receeve' < 'receive' —
+    // lexicographic min of {receive, recieve, receeve} is 'receeve')
+    val recFamily = Set("receive", "recieve", "receeve")
+    assert(recFamily.map(reps) == Set(recFamily.min))
+    val sparkFamily = Set("spark", "spork", "sparkk")
+    assert(sparkFamily.map(reps) == Set(sparkFamily.min))
+    // singletons self-represent
+    assert(reps("window") == "window")
+    assert(reps("elephant") == "elephant")
+    // distant words never cross families
+    assert(reps("distant") == "distant")
+  }
+
+  test("plan: candidate generation is an equi-join on variant, no cartesian") {
+    val pairs = Fuzzy.fuzzyTokenPairs(docs)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+  }
+
+  test("deletion variants: counts and losslessness on a known token") {
+    val v = spark.range(1).select(lit("abcd").as("tok"), lit(1L).as("c"))
+    val variants = Fuzzy.deletionVariants(v)
+      .select("variant").collect().map(_.getString(0)).toSet
+    // 0-del: abcd; 1-del: bcd acd abd abc; 2-del: C(4,2)=6 -> cd bd bc ad ac ab
+    assert(variants == Set("abcd", "bcd", "acd", "abd", "abc",
+      "cd", "bd", "bc", "ad", "ac", "ab"))
+  }
+}
