@@ -22,6 +22,32 @@ object Advanced {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     Tables.load(spark, sfDir, name)
 
+  /** q176's body on any (user_id, event_type, ts, event_id) frame —
+    * exposed so the spec can plant edge-case sequences. */
+  def stateHistory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0).as("chg"))
+      .withColumn("island", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged
+      .groupBy(col("user_id"), col("island"))
+      .agg(first(col("event_type")).as("state"),
+        min(col("ts")).as("vf"),
+        count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy(col("user_id")).orderBy(col("vf"))
+    runs
+      .withColumn("vt", lead(col("vf"), 1).over(wi))
+      .select(col("user_id"), col("state"),
+        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("n_events"))
+  }
+
   def defs: Seq[Q] = Seq(
     // ROLLUP with grouping() disambiguation (subtotal rows vs real null).
     Q("q39_rollup",
@@ -877,6 +903,48 @@ object Advanced {
                        CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
                 FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
                       FROM lineitem GROUP BY 1, 2))
-              ORDER BY tbl"""))
+              ORDER BY tbl""")),
+
+    // SCD TYPE-2 STATE HISTORY build — turn an append-only event stream
+    // into validity intervals: per user, consecutive runs of the same
+    // event_type collapse to one row with [valid_from, valid_to) and the
+    // run's event count; the live (latest) state has valid_to NULL. The
+    // warehouse sibling of the latest-wins SCD1 upsert (Writers.upsert):
+    // SCD1 keeps only current state, this keeps the full change history.
+    //
+    // Shape: gaps-and-islands — a lag-change flag, a running sum to
+    // label islands, one aggregate per island, and a lead for the
+    // interval close. All four steps window/group on user_id, so the
+    // whole plan rides ONE user-keyed exchange (sorts reuse it); group
+    // sizes are bounded by per-user event density, the q150/q160
+    // convention (rehearsed flat at 10x density in SCALE.md).
+    // Timestamps render as micro-precision strings (engine-neutral
+    // hashing — the date_format/STRFTIME convention the as-of and
+    // cohort queries use for dates, widened to '%f' micros here).
+    Q("q176_state_history",
+      (s, d) => stateHistory(t(s, d, "events"))
+        .orderBy(col("user_id"), col("valid_from")),
+      Some("""WITH r AS (
+                SELECT user_id, event_type, ts,
+                       CASE WHEN LAG(event_type) OVER w IS NULL
+                              OR LAG(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              i AS (
+                SELECT user_id, event_type, ts,
+                       SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS island
+                FROM r),
+              g AS (
+                SELECT user_id, island, MIN(event_type) AS state,
+                       MIN(ts) AS vf, COUNT(*) AS n_events
+                FROM i GROUP BY 1, 2)
+              SELECT user_id, state,
+                     STRFTIME(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                     STRFTIME(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                              '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+                     n_events
+              FROM g ORDER BY user_id, valid_from"""))
   )
 }
