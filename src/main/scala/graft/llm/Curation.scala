@@ -1672,7 +1672,41 @@ object Curation {
               FROM tok t LEFT JOIN kept k USING (doc_id)
               WHERE t.split = 'train'
               GROUP BY t.doc_id, LEN(t.ts)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // WEIGHTED sample without replacement, deterministic (Efraimidis &
+    // Spirakis 2006): each row draws u from a reproducible md5-derived
+    // uniform (the q59/q152 addressing rule) and ranks by
+    // key = -ln(u) / w — the top-k by ascending key is an exact
+    // weight-proportional sample-without-replacement. Here w = n_chars:
+    // "sample long documents proportionally more", the
+    // length-proportional pick used when token budgets, not doc counts,
+    // define the mixture. Seeded hashing (not rand()) keeps the sample
+    // IDENTICAL across engines, retries, and partitionings — the
+    // reproducibility contract every published pipeline wants but
+    // rand()-based sampling can't give.
+    //
+    // Scale: key computation is map-side arithmetic on the scan;
+    // TakeOrderedAndProject keeps per-partition top-k partials — no
+    // global sort, no shuffle beyond k rows per partition. The ln() is
+    // the one float op; ordering uses the 6-dp ROUNDED key (+doc_id
+    // tie-break) so a 1-ulp libm divergence can't flip engine order.
+    Q("q178_weighted_sample",
+      (s, d) => {
+        val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long")
+        val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+        docs(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            round(-log(u) / col("n_chars"), 6).as("key"))
+          .orderBy(col("key"), col("doc_id"))
+          .limit(100)
+      },
+      Some("""SELECT doc_id, n_chars,
+                     ROUND(-LN((CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                               / 4294967296.0) / n_chars, 6) AS key
+              FROM documents
+              ORDER BY key, doc_id LIMIT 100"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the

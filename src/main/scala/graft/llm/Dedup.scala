@@ -736,6 +736,60 @@ object Dedup {
   val PageRankIters = 10
   val PageRankDamping = 0.85
 
+  /** Per-node triangle counts over a d1<d2 pair table (q177's body).
+    *
+    * Degree-oriented wedge enumeration (Suri & Vassilvitskii, WWW'11):
+    * each edge points from its (degree, id)-smaller endpoint to the
+    * larger, so wedges form only among a node's OUT-edges — out-degree
+    * is bounded by sqrt(2|E|) even on a hot clique, where id-ordered
+    * enumeration would spin g^3/6 wedges at the clique's min-id node.
+    * Each triangle materializes exactly once, at its orientation-minimal
+    * corner.
+    *
+    * The pair pipeline behind `pairs` is usually the expensive part
+    * (LSH banding + exact Jaccard verify), and this function references
+    * it from FIVE subplans (degrees twice, orientation, wedge close) —
+    * so it materializes the pair table ONCE via localCheckpoint and
+    * releases the blocks before returning, the pageRank discipline
+    * (zero persisted-RDD delta; result lands on a reliable checkpoint).
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val deg = p.select(col("d1").as("n"))
+      .unionAll(p.select(col("d2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val keyed = p
+      .join(deg.select(col("n").as("d1"), col("deg").as("g1")), Seq("d1"))
+      .join(deg.select(col("n").as("d2"), col("deg").as("g2")), Seq("d2"))
+    // d1 < d2 always holds, so (deg, id) orientation reduces to a
+    // degree comparison with the id order as tie-break
+    val oriented = keyed.select(
+      when(col("g1") <= col("g2"), col("d1")).otherwise(col("d2")).as("src"),
+      when(col("g1") <= col("g2"), col("d2")).otherwise(col("d1")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val tri = wedges
+      .join(p.as("cl"),
+        least(col("b"), col("c")) === col("cl.d1") &&
+          greatest(col("b"), col("c")) === col("cl.d2"))
+      .select(col("a"), col("b"), col("c"))
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"))
+    val result = counts.checkpoint(eager = true)
+    checkpointRdd(p).foreach(_.unpersist(blocking = false))
+    result
+  }
+
   /** Iterations the most recent [[pageRank]] call actually ran —
     * diagnostic only (spec observability for the convergence exit; a
     * driver-side single-threaded convention like the stores' counters).
@@ -2427,7 +2481,44 @@ object Dedup {
               FROM documents d
               LEFT JOIN lab USING (doc_id)
               LEFT JOIN szs ON szs.comp = lab.comp
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // PER-NODE TRIANGLE COUNTS over the q56 near-dup pair graph — the
+    // dedup-graph QA signal: true near-dup clusters are cliquish (every
+    // member pairs with every other, so triangles abound), while a
+    // false-positive BRIDGE between unrelated clusters sits in few or
+    // no triangles. Low triangle count on a high-degree node = the
+    // chaining smell worth auditing before a transitive-closure dedup
+    // drops half a corpus.
+    //
+    // Shape: DEGREE-ORIENTED wedge join (Suri & Vassilvitskii, WWW'11;
+    // the MapReduce standard) — edges orient from the (degree, id)-
+    // smaller endpoint to the larger, wedges form only at a node's
+    // OUT-edges, and each triangle materializes exactly once at its
+    // orientation-minimal corner. Without orientation a hot near-dup
+    // clique of size g spins g^3/6 wedges at its id-min member (801 MB
+    // peak task memory at 10x clones, measured); oriented, out-degree
+    // is bounded by sqrt(2|E|) regardless of cliques, which is the
+    // difference between a skew knee and a flat plan on boilerplate-
+    // heavy corpora. All steps are equi-joins on the LSH-bounded pair
+    // table; degree lookup is a pair-sized shuffle join (never a forced
+    // broadcast — the r11 rule).
+    Q("q177_triangle_counts",
+      (s, d) => triangleCounts(
+        hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+        .orderBy(col("doc_id")),
+      Some(pairGraphOraclePrefix + """,
+              tri AS (
+                SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+                FROM pairs ab
+                JOIN pairs bc ON ab.d2 = bc.d1
+                JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+              pn AS (
+                SELECT a AS doc_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+              SELECT doc_id, COUNT(*) AS n_tri
+              FROM pn GROUP BY 1 ORDER BY doc_id"""))
   )
 
   /** Shared oracle front end for q137/q138: positional L-grams over the
