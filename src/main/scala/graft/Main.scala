@@ -65,6 +65,20 @@ object Main {
             .count()
           println(s"dq diff drifted_metrics=$n tol=$tol")
 
+        // row-level CDC between two stored versions of a keyed table:
+        // added/removed keys + changed keys with their changed columns
+        case "dq" :: "diff-rows" :: dirOld :: dirNew :: outDir :: keys
+            if keys.nonEmpty =>
+          val d = graft.etl.Dq.snapshotDiff(
+            spark.read.parquet(dirOld), spark.read.parquet(dirNew), keys)
+          d.write.mode("overwrite")
+            .option("compression", graft.etl.Writers.DefaultCompression)
+            .parquet(outDir)
+          val byKind = spark.read.parquet(outDir)
+            .groupBy("change").count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+          println(s"dq diff-rows ${byKind.mkString(" ")} out=$outDir")
+
         case "dq" :: sfDir :: table :: outDir :: keys =>
           graft.etl.Dq.report(Tables.load(spark, sfDir, table), table,
             outDir, keys)
@@ -422,6 +436,24 @@ object Main {
 
         // the pre-training data-review pack: every diagnostics report
         // of the round-10 layer into one dir, plus headline numbers
+        // fuzzy vocabulary pack: edit-distance pair report, typo
+        // clusters, and the normalized corpus rewrite, one parquet each
+        case "fuzzy" :: docsParquet :: outDir :: Nil =>
+          val docsDf = spark.read.parquet(docsParquet)
+          graft.llm.Fuzzy.fuzzyTokenPairs(docsDf).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/pairs")
+          graft.llm.Fuzzy.fuzzyGroups(docsDf).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/groups")
+          graft.llm.Fuzzy.normalizeRewrite(docsDf)
+            .write.mode("overwrite")
+            .option("compression", graft.etl.Writers.DefaultCompression)
+            .parquet(s"$outDir/normalized")
+          val nPairs = spark.read.parquet(s"$outDir/pairs").count()
+          val nFixed = spark.read.parquet(s"$outDir/normalized")
+            .agg(org.apache.spark.sql.functions.sum("n_fixed"))
+            .head.getLong(0)
+          println(s"fuzzy pairs=$nPairs fixed_tokens=$nFixed out=$outDir")
+
         case "diagnose" :: sfDir :: outDir :: Nil =>
           import org.apache.spark.sql.functions.{col, max => fmax}
           val reports = Seq("q106_dataset_card", "q114_source_divergence",
@@ -524,6 +556,8 @@ object Main {
         |  ingest <landingDir> <url>...
         |  profile <sfDir> <table>
         |  dq <sfDir> <table> <outDir> [keyCol...] | dq diff <dirOld> <dirNew> [tol]
+        |  dq diff-rows <dirOld> <dirNew> <outDir> <keyCol...>
+        |  fuzzy <docsParquet> <outDir>
         |  preprocess <inParquet> <outDir>
         |  pairs build <docsParquet> <pairsDir> | pairs build-bucketed <docsParquet> <table> <dir>
         |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir>

@@ -246,6 +246,41 @@ object Dq {
       .orderBy(col("drifted").desc, col("col_name"), col("metric"))
   }
 
+  /** ROW-LEVEL snapshot diff (the CDC read-side of Writers.upsert):
+    * given two versions of a keyed table, classify every key present in
+    * either as `added` / `removed` / `changed` (any shared non-key
+    * column differs, null-safely) and list which columns changed.
+    * Unchanged keys are omitted — at 100 TB the overlap is the bulk,
+    * and emitting it would make the report corpus-sized.
+    *
+    * Shape: ONE full-outer shuffle join on the key; every per-column
+    * comparison is a map-side `<=>` flag above the join — no windows,
+    * no second pass. Only columns present in BOTH schemas compare;
+    * schema adds/drops surface through `dq drift` instead.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val shared = oldDf.columns.toSeq.filter(newDf.columns.contains)
+      .filterNot(keys.contains)
+    val a = oldDf.select((keys ++ shared).map(col): _*).as("a")
+    val b = newDf.select((keys ++ shared).map(col): _*).as("b")
+    val joined = a.join(b, keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _), "full_outer")
+    val inOld = col(s"a.${keys.head}").isNotNull
+    val inNew = col(s"b.${keys.head}").isNotNull
+    val diffFlags = shared.map(c =>
+      when(!(col(s"a.$c") <=> col(s"b.$c")), lit(c)))
+    val changedCols = concat_ws(",", diffFlags: _*)
+    joined
+      .select(
+        keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++ Seq(
+          when(!inOld, "added").when(!inNew, "removed")
+            .otherwise("changed").as("change"),
+          when(inOld && inNew, changedCols).otherwise(lit(""))
+            .as("changed_cols")): _*)
+      .filter(col("change") =!= "changed" || col("changed_cols") =!= "")
+  }
+
   /** Run the whole pack against one table and write one parquet per
     * check under `outDir`: null_profile, distinct_profile,
     * numeric_profile, benford, equidepth (per numeric column, labeled),

@@ -149,11 +149,13 @@ object Fuzzy {
       .select(col("tok"), coalesce(col("rep"), col("tok")).as("rep"), col("c"))
   }
 
-  // RECURSIVE on the prologue: q175's `reach` term needs it (DuckDB
-  // requires the keyword on the top-level WITH); harmless for q174
+  // RECURSIVE on the prologue: q175/q180's `reach` term needs it (DuckDB
+  // requires the keyword on the top-level WITH); harmless for q174.
+  // doc_id rides along unused until q180's per-doc reassembly.
   private val vocabOracle: String =
     s"""WITH RECURSIVE tok AS (
-                SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+                SELECT doc_id,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
                 FROM documents),
               t2 AS (SELECT UNNEST(ts) AS tok FROM tok),
               v AS (SELECT tok, COUNT(*) AS c FROM t2
@@ -163,6 +165,47 @@ object Fuzzy {
   // MaxDist) with the naive length-banded quadratic — correct because
   // |len_a - len_b| <= dist always holds, and affordable because the
   // oracle runs on the bounded sf0.01 vocabulary
+  /** Vocabulary-normalization REWRITE: map every token to its typo
+    * cluster's highest-count member (ties: lexicographic) and reassemble
+    * each document — the apply step that turns the q174/q175 reports
+    * into a cleaned corpus, the same report→rewrite progression as
+    * q137→q165 for substrings.
+    *
+    * Merge direction is count-weighted, not lexicographic: the cluster
+    * canon is the spelling the corpus itself votes for ("receive" over
+    * "recieve"), which is the standard typo-merge policy.
+    *
+    * Scale: the substitution map is vocabulary-sized and joins the
+    * exploded corpus as a plain shuffle join on the token (NOT a forced
+    * broadcast — vocab is corpus-sublinear but unbounded); reassembly
+    * is the q165 sort_array(collect_list(struct)) idiom keyed by
+    * doc_id, so per-group state is one document's tokens.
+    */
+  def normalizeRewrite(docsDf: DataFrame): DataFrame = {
+    val groups = fuzzyGroups(docsDf) // (tok, rep, c)
+    val canon = groups
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("c").desc, col("tok"))))
+      .filter(col("rn") === 1)
+      .select(col("rep"), col("tok").as("canon"))
+    val subst = groups.join(canon, Seq("rep"))
+      .filter(col("tok") =!= col("canon"))
+      .select(col("tok"), col("canon"))
+    val toks = docsDf
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "p", "tok")
+    toks.join(subst, Seq("tok"), "left")
+      .select(col("doc_id"), col("p"),
+        coalesce(col("canon"), col("tok")).as("out"),
+        col("canon").isNotNull.cast("long").as("fixed"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("fixed")).as("n_fixed"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("p"), col("out")))),
+          s => s.getField("out"))).as("norm_text"))
+  }
+
   private val pairsOracle: String =
     vocabOracle + s"""
               SELECT a.tok AS tok_a, b.tok AS tok_b,
@@ -174,7 +217,9 @@ object Fuzzy {
               WHERE levenshtein(a.tok, b.tok) <= $MaxDist
               ORDER BY tok_a, tok_b"""
 
-  private val groupsOracle: String =
+  /** vocab + fuzzy pair graph + CC labels: (tok, rep, c) as `lab` —
+    * shared by q175 (report) and q180 (rewrite). */
+  private val labOracle: String =
     vocabOracle + s""",
               pairs AS (
                 SELECT a.tok AS t1, b.tok AS t2
@@ -188,10 +233,38 @@ object Fuzzy {
                 SELECT src AS node, src AS label FROM edges
                 UNION
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-              comp AS (SELECT node, MIN(label) AS rep FROM reach GROUP BY 1)
-              SELECT v.tok, COALESCE(comp.rep, v.tok) AS rep, v.c
-              FROM v LEFT JOIN comp ON comp.node = v.tok
-              ORDER BY tok"""
+              comp AS (SELECT node, MIN(label) AS rep FROM reach GROUP BY 1),
+              lab AS (
+                SELECT v.tok, COALESCE(comp.rep, v.tok) AS rep, v.c
+                FROM v LEFT JOIN comp ON comp.node = v.tok)"""
+
+  private val groupsOracle: String =
+    labOracle + """
+              SELECT tok, rep, c FROM lab ORDER BY tok"""
+
+  private val rewriteOracle: String =
+    labOracle + """,
+              canon AS (
+                SELECT rep, tok AS canon FROM (
+                  SELECT rep, tok,
+                         ROW_NUMBER() OVER (PARTITION BY rep
+                           ORDER BY c DESC, tok) AS rn
+                  FROM lab) WHERE rn = 1),
+              subst AS (
+                SELECT l.tok, cn.canon FROM lab l
+                JOIN canon cn USING (rep)
+                WHERE l.tok <> cn.canon),
+              toks AS (
+                SELECT doc_id, i AS p, ts[i] AS tk
+                FROM tok, UNNEST(generate_series(1, LEN(ts))) AS u(i)),
+              o AS (
+                SELECT doc_id, p, COALESCE(s.canon, toks.tk) AS out,
+                       CASE WHEN s.canon IS NOT NULL THEN 1 ELSE 0 END AS fixed
+                FROM toks LEFT JOIN subst s ON s.tok = toks.tk)
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     CAST(SUM(fixed) AS BIGINT) AS n_fixed,
+                     STRING_AGG(out, ' ' ORDER BY p) AS norm_text
+              FROM o GROUP BY 1 ORDER BY doc_id"""
 
   def defs: Seq[Q] = Seq(
     // Exact edit-distance pairs (typo/OCR-variant report): every
@@ -212,6 +285,16 @@ object Fuzzy {
     Q("q175_fuzzy_groups",
       (s, d) => fuzzyGroups(docs(s, d))
         .orderBy(col("tok")),
-      Some(groupsOracle))
+      Some(groupsOracle)),
+
+    // The apply step: count-weighted canonical spelling per cluster,
+    // substituted through the corpus and reassembled per document.
+    // Hash-checks the FULL rewritten text, so tokenize -> pairs -> CC
+    // -> canon vote -> substitute -> reassemble must all agree with
+    // DuckDB's replay.
+    Q("q180_vocab_normalize",
+      (s, d) => normalizeRewrite(docs(s, d))
+        .orderBy(col("doc_id")),
+      Some(rewriteOracle))
   )
 }

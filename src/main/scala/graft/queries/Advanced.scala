@@ -945,6 +945,53 @@ object Advanced {
                      STRFTIME(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
                               '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
                      n_events
-              FROM g ORDER BY user_id, valid_from"""))
+              FROM g ORDER BY user_id, valid_from""")),
+
+    // ROW-LEVEL snapshot diff (CDC) — the read-side audit of the SCD1
+    // upsert: which keys were added, removed, or changed (and WHICH
+    // columns) between two versions of a keyed table. The two versions
+    // here are derived deterministically from orders (key%7 deletions /
+    // key%11 insertions / +1 price on key%5) so both engines diff the
+    // exact same snapshots; the operator itself (Dq.snapshotDiff) takes
+    // any two frames + key, and `dq diff-rows` runs it on stored dirs.
+    // One full-outer key join; per-column <=> flags ride map-side above
+    // it; the unchanged bulk is filtered before any materialization.
+    Q("q179_snapshot_diff",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+        val newSnap = orders.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+        Dq.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH old_s AS (
+                SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+              new_s AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 11 <> 0),
+              j AS (
+                SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                            WHEN b.o_orderkey IS NULL THEN 'removed'
+                            ELSE 'changed' END AS change,
+                       CASE WHEN a.o_orderkey IS NOT NULL
+                             AND b.o_orderkey IS NOT NULL THEN
+                         CONCAT_WS(',',
+                           CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey THEN 'o_custkey' END,
+                           CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'o_orderstatus' END,
+                           CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'o_totalprice' END,
+                           CASE WHEN a.o_orderdate IS DISTINCT FROM b.o_orderdate THEN 'o_orderdate' END,
+                           CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority THEN 'o_orderpriority' END)
+                       ELSE '' END AS changed_cols
+                FROM old_s a FULL OUTER JOIN new_s b USING (o_orderkey))
+              SELECT o_orderkey, change, changed_cols FROM j
+              WHERE change <> 'changed' OR changed_cols <> ''
+              ORDER BY o_orderkey"""))
   )
 }

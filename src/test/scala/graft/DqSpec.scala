@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Dq
+
+/** Row-level snapshot diff (q179's operator): classification, null-safe
+  * column comparison, changed-column lists, and omission of the
+  * unchanged bulk.
+  */
+class DqSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("a", StringType),
+    StructField("b", IntegerType)))
+
+  private def df(rows: Seq[Row]) = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows, 2), schema)
+
+  private lazy val oldDf = df(Seq(
+    Row(1L, "x", Integer.valueOf(1)), // unchanged
+    Row(2L, "y", Integer.valueOf(2)), // a changes
+    Row(3L, null, Integer.valueOf(3)), // null -> value (a changes)
+    Row(4L, "z", null), // stays null (unchanged, null-safe)
+    Row(5L, "w", Integer.valueOf(5)))) // removed
+
+  private lazy val newDf = df(Seq(
+    Row(1L, "x", Integer.valueOf(1)),
+    Row(2L, "Y", Integer.valueOf(2)),
+    Row(3L, "v", Integer.valueOf(3)),
+    Row(4L, "z", null),
+    Row(6L, "n", Integer.valueOf(6)))) // added
+
+  private lazy val diff = Dq.snapshotDiff(oldDf, newDf, Seq("k")).collect()
+    .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  test("classification: added / removed / changed; unchanged omitted") {
+    assert(diff.keySet == Set(2L, 3L, 5L, 6L))
+    assert(diff(5L)._1 == "removed")
+    assert(diff(6L)._1 == "added")
+    assert(diff(2L)._1 == "changed")
+  }
+
+  test("changed_cols names exactly the differing columns, null-safely") {
+    assert(diff(2L)._2 == "a")
+    assert(diff(3L)._2 == "a") // null -> 'v' is a change
+    // k=4: null == null under <=> so the row is absent entirely
+    assert(!diff.contains(4L))
+  }
+
+  test("columns only in one schema are ignored") {
+    import org.apache.spark.sql.functions._
+    val widened = newDf.withColumn("extra", lit(9))
+    val d = Dq.snapshotDiff(oldDf, widened, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(d(2L) == "a") // 'extra' never appears
+  }
+}

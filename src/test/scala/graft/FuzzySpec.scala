@@ -97,6 +97,17 @@ class FuzzySpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
   }
 
+  test("normalize rewrite: count-weighted canon substituted, text reassembled") {
+    val out = Fuzzy.normalizeRewrite(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(2))).toMap
+    // canon by corpus vote: receive (4x) beats recieve/receeve (1x each);
+    // spark (3x) beats spork/sparkk
+    assert(out(1L) == (("receive receive receive window", 1L)))
+    assert(out(2L) == (("receive spark spark distant", 2L)))
+    assert(out(3L) == (("spark spark receive elephant", 1L)))
+    assert(out(4L) == (("window spark receive zzzz", 0L)))
+  }
+
   test("deletion variants: counts and losslessness on a known token") {
     val v = spark.range(1).select(lit("abcd").as("tok"), lit(1L).as("c"))
     val variants = Fuzzy.deletionVariants(v)
