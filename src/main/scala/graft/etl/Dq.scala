@@ -246,6 +246,28 @@ object Dq {
       .orderBy(col("drifted").desc, col("col_name"), col("metric"))
   }
 
+  /** K-ANONYMITY audit (Sweeney 2002): group the table by its declared
+    * quasi-identifier columns and report the equivalence-class size
+    * histogram — (group_size, n_groups, n_rows, risky) — where any
+    * class smaller than k means its members are re-identifiable by the
+    * quasi-identifiers alone. The data-governance check run before any
+    * "anonymized" export.
+    *
+    * Scale: one shuffle on the quasi-identifier key (map-side combined),
+    * then a histogram aggregate over group sizes — output is bounded by
+    * the number of DISTINCT class sizes, never the table. Skewed hot
+    * classes are just big groups of a count aggregate (partial combine
+    * absorbs them).
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Int = 5): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("group_size")).as("n_rows"))
+      .select(col("group_size"), col("n_groups"), col("n_rows"),
+        (col("group_size") < k).as("risky"))
+
   /** ROW-LEVEL snapshot diff (the CDC read-side of Writers.upsert):
     * given two versions of a keyed table, classify every key present in
     * either as `added` / `removed` / `changed` (any shared non-key

@@ -760,6 +760,45 @@ object Dedup {
       sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val result = triangleCountsOn(p).checkpoint(eager = true)
+    checkpointRdd(p).foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Local clustering coefficient per node: 2T / (deg·(deg−1)) — the
+    * q177 triangle counts normalized by the wedge count, i.e. "what
+    * fraction of my neighbours' possible pairs actually pair". ~1 on
+    * clean near-dup cliques; a low-coefficient HIGH-degree node is the
+    * false-positive bridge q177's raw counts only hint at. Same
+    * one-materialization + degree-oriented machinery; one extra
+    * pair-sized aggregate and a left join.
+    */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val deg = p.select(col("d1").as("doc_id"))
+      .unionAll(p.select(col("d2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val coeffs = deg
+      .join(triangleCountsOn(p), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1))).otherwise(0.0), 4).as("coeff"))
+    val result = coeffs.checkpoint(eager = true)
+    checkpointRdd(p).foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Degree-oriented triangle enumeration over an ALREADY-materialized
+    * d1<d2 pair table (see [[triangleCounts]] for the algorithm notes).
+    */
+  private def triangleCountsOn(p: DataFrame): DataFrame = {
     val deg = p.select(col("d1").as("n"))
       .unionAll(p.select(col("d2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -781,13 +820,10 @@ object Dedup {
         least(col("b"), col("c")) === col("cl.d1") &&
           greatest(col("b"), col("c")) === col("cl.d2"))
       .select(col("a"), col("b"), col("c"))
-    val counts = tri
+    tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"))
-    val result = counts.checkpoint(eager = true)
-    checkpointRdd(p).foreach(_.unpersist(blocking = false))
-    result
   }
 
   /** Iterations the most recent [[pageRank]] call actually ran —
@@ -2518,7 +2554,38 @@ object Dedup {
                 UNION ALL SELECT b FROM tri
                 UNION ALL SELECT c FROM tri)
               SELECT doc_id, COUNT(*) AS n_tri
-              FROM pn GROUP BY 1 ORDER BY doc_id"""))
+              FROM pn GROUP BY 1 ORDER BY doc_id""")),
+
+    // Local clustering coefficient — q177's counts normalized by the
+    // possible-wedge count per node: ~1.0 marks a clean clique member,
+    // a LOW coefficient on a HIGH degree marks the false-positive
+    // bridge. The actionable dedup-QA number (q177 gives the raw
+    // evidence); one extra pair-sized degree aggregate + a left join
+    // over the same materialized pair table.
+    Q("q181_clustering_coeff",
+      (s, d) => clusteringCoefficients(
+        hashJaccardPairs(docs(s, d), minJaccard = 0.6))
+        .orderBy(col("doc_id")),
+      Some(pairGraphOraclePrefix + """,
+              tri AS (
+                SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+                FROM pairs ab
+                JOIN pairs bc ON ab.d2 = bc.d1
+                JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+              pn AS (
+                SELECT a AS doc_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+              tc AS (SELECT doc_id, COUNT(*) AS n_tri FROM pn GROUP BY 1),
+              dg AS (SELECT src AS doc_id, COUNT(*) AS deg
+                     FROM edges GROUP BY 1)
+              SELECT dg.doc_id AS doc_id, CAST(dg.deg AS BIGINT) AS deg,
+                     CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+                     ROUND(CASE WHEN dg.deg >= 2 THEN
+                         2.0 * COALESCE(tc.n_tri, 0) / (dg.deg * (dg.deg - 1))
+                       ELSE 0 END, 4) AS coeff
+              FROM dg LEFT JOIN tc ON tc.doc_id = dg.doc_id
+              ORDER BY doc_id"""))
   )
 
   /** Shared oracle front end for q137/q138: positional L-grams over the

@@ -992,6 +992,29 @@ object Advanced {
                 FROM old_s a FULL OUTER JOIN new_s b USING (o_orderkey))
               SELECT o_orderkey, change, changed_cols FROM j
               WHERE change <> 'changed' OR changed_cols <> ''
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // K-ANONYMITY audit over customer with quasi-identifiers
+    // (nation, segment, account-balance band): the equivalence-class
+    // size histogram, classes under k=5 flagged re-identifiable. The
+    // band keeps the quasi space realistic (a raw balance is itself an
+    // identifier; banded it behaves like ZIP-prefix generalization).
+    Q("q182_k_anonymity",
+      (s, d) => Dq.kAnonymity(
+        t(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+        .orderBy(col("group_size")),
+      Some("""WITH g AS (
+                SELECT c_nationkey, c_mktsegment,
+                       FLOOR(c_acctbal / 1000) AS bal_band,
+                       COUNT(*) AS group_size
+                FROM customer GROUP BY 1, 2, 3)
+              SELECT group_size, COUNT(*) AS n_groups,
+                     CAST(SUM(group_size) AS BIGINT) AS n_rows,
+                     group_size < 5 AS risky
+              FROM g GROUP BY group_size
+              ORDER BY group_size"""))
   )
 }

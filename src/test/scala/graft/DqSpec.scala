@@ -50,6 +50,21 @@ class DqSpec extends AnyFunSuite with TestSpark {
     assert(!diff.contains(4L))
   }
 
+  test("k-anonymity: class-size histogram with risky flag") {
+    import org.apache.spark.sql.functions._
+    // quasi (q): one class of 1, two classes of 2, one class of 5
+    val rows = Seq("a") ++ Seq("b", "b") ++ Seq("c", "c") ++ Seq.fill(5)("d")
+    val df = spark.createDataFrame(rows.zipWithIndex.map {
+      case (q, i) => (i.toLong, q)
+    }).toDF("id", "q")
+    val hist = graft.etl.Dq.kAnonymity(df, Seq("q"), k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(hist(1L) == ((1L, 1L, true)))
+    assert(hist(2L) == ((2L, 4L, true)))
+    assert(hist(5L) == ((1L, 5L, false)))
+  }
+
   test("columns only in one schema are ignored") {
     import org.apache.spark.sql.functions._
     val widened = newDf.withColumn("extra", lit(9))
