@@ -268,6 +268,86 @@ object StreamingDedup {
       .start()
   }
 
+  /** Always-on FUZZY VOCABULARY probe — the streaming form of the q174
+    * edit-distance family: each micro-batch's NOVEL tokens (length >=
+    * Fuzzy.MinLen, not present in the persisted vocabulary) are checked
+    * for being 1–2 edits from an ESTABLISHED earlier token — the
+    * live typo/OCR-noise alert an ingest pipeline wants the moment a
+    * misspelled variant starts arriving, before it pollutes vocabulary
+    * statistics downstream.
+    *
+    * Index layout: (tok, variant) deletion-variant rows under
+    * `indexDir/batch=<id>` — per-batch overwrite, so replays are
+    * idempotent and the probe's `batch < bid` filter keeps the pairing
+    * strictly new-vs-earlier (the startSpans contract). The probe is
+    * the same variant equi-join + levenshtein verify as q174 — never
+    * all-pairs — with per-batch work proportional to the batch's novel
+    * vocabulary, not the corpus.
+    *
+    * Alerts land under `outDir/alerts/batch=<id>` as
+    * (tok_new, tok_known, dist, c_new): the new spelling, the earlier
+    * vocabulary term it sits next to, their exact edit distance, and
+    * how often the new spelling occurred in this batch.
+    */
+  def startFuzzy(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      indexDir: String,
+      outDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    val stream = spark.readStream
+      .schema(schema)
+      .json(landingDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val vocabB = graft.llm.Fuzzy.vocab(batch) // (tok, c)
+        // variants computed ONCE per batch, reused for probe + append
+        val vars = graft.llm.Fuzzy.deletionVariants(vocabB)
+          .localCheckpoint(true)
+        try {
+          val fs = new Path(indexDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new Path(indexDir))) {
+            val idx = spark.read.parquet(indexDir)
+              .filter(col("batch") < bid) // replay: own partition invisible
+            // novel spellings only: a token already in the earlier
+            // vocabulary is established, not a typo alert
+            val novel = vars.join(
+              idx.select(col("tok")).distinct(), Seq("tok"), "left_anti")
+            val cands = novel.as("n")
+              .join(idx.select(col("tok").as("tok_known"), col("variant"))
+                .distinct(), Seq("variant"))
+              .select(col("tok").as("tok_new"), col("tok_known"))
+              .distinct()
+            cands
+              .withColumn("dist",
+                levenshtein(col("tok_new"), col("tok_known")).cast("long"))
+              .filter(col("dist") > 0 &&
+                col("dist") <= graft.llm.Fuzzy.MaxDist)
+              .join(vocabB.select(col("tok").as("tok_new"),
+                col("c").as("c_new")), Seq("tok_new"))
+              .select(col("tok_new"), col("tok_known"), col("dist"),
+                col("c_new"))
+              .write.mode("overwrite")
+              .option("compression", Writers.DefaultCompression)
+              .parquet(s"$outDir/alerts/batch=$bid")
+          }
+          vars.write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$indexDir/batch=$bid")
+        } finally {
+          // zero-persisted-RDD-delta: see start()
+          Dedup.checkpointRdd(vars).foreach(_.unpersist(blocking = false))
+        }
+      }
+      .start()
+  }
+
   def startExact(
       spark: SparkSession,
       landingDir: String,

@@ -241,4 +241,59 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     assert(cands.forall(c => c._2 != 4L), "degenerate payload must not pair")
     assert(spark.read.parquet(index).count() == 20L, "index must grow by batch 2's bands")
   }
+
+  test("streaming fuzzy probe: novel typo alerts against the established vocabulary") {
+    val landing = Files.createTempDirectory("sfuzzy-land").toString
+    val index = Files.createTempDirectory("sfuzzy-idx").toString + "/vars"
+    val out = Files.createTempDirectory("sfuzzy-out").toString
+
+    def writeBatch(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+
+    // batch 1 establishes the vocabulary
+    writeBatch("b1.json", Seq(
+      (1L, "receive window receive"),
+      (2L, "spark window")))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startFuzzy(spark, landing, schema, index, out)
+        .awaitTermination()
+    }
+    assert(!new java.io.File(s"$out/alerts").exists(),
+      "no earlier vocabulary: batch 1 must alert nothing")
+
+    // batch 2: one typo of an established word (x2), one established
+    // word recurring (no alert), one distant new word (no alert)
+    writeBatch("b2.json", Seq(
+      (10L, "recieve window recieve"),
+      (11L, "elephant")))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startFuzzy(spark, landing, schema, index, out)
+        .awaitTermination()
+    }
+    val alerts = spark.read.parquet(s"$out/alerts").collect()
+      .map(r => (r.getString(r.fieldIndex("tok_new")),
+        r.getString(r.fieldIndex("tok_known")),
+        r.getLong(r.fieldIndex("dist")),
+        r.getLong(r.fieldIndex("c_new")))).toSet
+    assert(alerts == Set(("recieve", "receive", 2L, 2L)), s"got $alerts")
+
+    // batch 3: the typo is now itself established (keep-first-arrival
+    // semantics) — a fresh variant of IT alerts against it
+    writeBatch("b3.json", Seq((20L, "reciev e")))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startFuzzy(spark, landing, schema, index, out)
+        .awaitTermination()
+    }
+    val a3 = spark.read.parquet(s"$out/alerts/batch=2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // 1 edit from the batch-2 typo, but 3 edits from the original
+    // spelling — the alert names the nearest established term only
+    assert(a3 == Set(("reciev", "recieve")), s"got $a3")
+    // batch=N layout on the variant index — the replay contract
+    val parts = new java.io.File(index).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(parts.length == 3, s"index partitions: ${parts.toSeq}")
+  }
 }
