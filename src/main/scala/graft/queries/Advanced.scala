@@ -1015,6 +1015,118 @@ object Advanced {
                      CAST(SUM(group_size) AS BIGINT) AS n_rows,
                      group_size < 5 AS risky
               FROM g GROUP BY group_size
-              ORDER BY group_size"""))
+              ORDER BY group_size""")),
+
+    // EVENT-RATE SPIKE detection — hourly event counts per type scored
+    // against their own trailing 24 activity-hours: the volume-anomaly
+    // monitor ops runs on every ingest stream. The z-score is computed
+    // from EXACT integer window sums (sum, sum of squares — the q144
+    // discipline: never a float aggregate whose fold order engines can
+    // disagree on), one float expression at the end, rounded 4 dp.
+    // Frames are ROWS over activity hours (silent hours are absent
+    // rows, not zeros — the gap-fill view is q155's job), full-frame
+    // rows only, zero-variance frames excluded. Windows partition on
+    // event_type: |types| bounded groups of |hours| rows each.
+    Q("q183_event_spikes",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            floor(unix_timestamp(col("ts")) / 3600).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-24, -1)
+        hourly
+          .select(col("event_type"), col("hr"), col("n"),
+            sum(col("n")).over(w).as("s1"),
+            sum(col("n") * col("n")).over(w).as("s2"),
+            count(col("n")).over(w).as("m"))
+          .filter(col("m") === 24)
+          .withColumn("mu", col("s1").cast("double") / 24.0)
+          .withColumn("varr",
+            (col("s2").cast("double") - col("s1").cast("double") *
+              col("s1").cast("double") / 24.0) / 24.0)
+          .filter(col("varr") > 0)
+          .withColumn("z", (col("n").cast("double") - col("mu")) /
+            sqrt(col("varr")))
+          .filter(abs(col("z")) >= 2)
+          .select(col("event_type"), col("hr"), col("n"),
+            round(col("mu"), 4).as("mu"), round(col("z"), 4).as("z"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type,
+                       FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 3600) AS hr,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+              win AS (
+                SELECT event_type, hr, n,
+                       SUM(n) OVER w AS s1, SUM(n * n) OVER w AS s2,
+                       COUNT(n) OVER w AS m
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+              scored AS (
+                SELECT event_type, hr, n,
+                       CAST(s1 AS DOUBLE) / 24.0 AS mu,
+                       (CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0)
+                         / 24.0 AS varr
+                FROM win WHERE m = 24)
+              SELECT event_type, CAST(hr AS BIGINT) AS hr, n,
+                     ROUND(mu, 4) AS mu,
+                     ROUND((CAST(n AS DOUBLE) - mu) / SQRT(varr), 4) AS z
+              FROM scored
+              WHERE varr > 0
+                AND ABS((CAST(n AS DOUBLE) - mu) / SQRT(varr)) >= 2
+              ORDER BY event_type, hr""")),
+
+    // KEY-CONCENTRATION audit — the pre-join skew check: per declared
+    // column, distinct-key count, the hottest key's share, and the
+    // Herfindahl index Σ(n_k/N)² (1/distinct for uniform keys, →1 as
+    // one key dominates). All from integer count aggregates (n_k², N²
+    // exact), ONE shuffle per column on the key, O(1) output — no
+    // ranking pass, which is what makes it affordable where a top-k
+    // report isn't. The number that predicts whether a join on this
+    // key needs the salted path (etl/Skew).
+    Q("q184_key_concentration",
+      (s, d) => {
+        def conc(df: DataFrame, c: String): DataFrame =
+          df.groupBy(col(c)).agg(count(lit(1)).as("nk"))
+            .agg(count(lit(1)).as("n_keys"),
+              sum(col("nk")).as("n_rows"),
+              max(col("nk")).as("max_n"),
+              sum(col("nk") * col("nk")).as("sumsq"))
+            .select(lit(c).as("col_name"), col("n_keys"), col("n_rows"),
+              round(col("max_n").cast("double") / col("n_rows"), 6)
+                .as("max_share"),
+              round(col("sumsq").cast("double") /
+                (col("n_rows") * col("n_rows")), 6).as("hhi"))
+        val li = t(s, d, "lineitem")
+        conc(li, "l_orderkey")
+          .unionByName(conc(li, "l_suppkey"))
+          .unionByName(conc(t(s, d, "events"), "user_id"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH c1 AS (SELECT l_orderkey AS k, COUNT(*) AS nk
+                          FROM lineitem GROUP BY 1),
+              c2 AS (SELECT l_suppkey AS k, COUNT(*) AS nk
+                     FROM lineitem GROUP BY 1),
+              c3 AS (SELECT user_id AS k, COUNT(*) AS nk
+                     FROM events GROUP BY 1),
+              s AS (
+                SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_keys,
+                       CAST(SUM(nk) AS BIGINT) AS n_rows,
+                       MAX(nk) AS max_n, SUM(nk * nk) AS sumsq FROM c1
+                UNION ALL
+                SELECT 'l_suppkey', COUNT(*), CAST(SUM(nk) AS BIGINT),
+                       MAX(nk), SUM(nk * nk) FROM c2
+                UNION ALL
+                SELECT 'user_id', COUNT(*), CAST(SUM(nk) AS BIGINT),
+                       MAX(nk), SUM(nk * nk) FROM c3)
+              SELECT col_name, n_keys, n_rows,
+                     ROUND(CAST(max_n AS DOUBLE) / n_rows, 6) AS max_share,
+                     ROUND(CAST(sumsq AS DOUBLE) /
+                       (CAST(n_rows AS DOUBLE) * n_rows), 6) AS hhi
+              FROM s ORDER BY col_name"""))
   )
 }
