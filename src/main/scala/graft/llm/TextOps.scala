@@ -1342,7 +1342,63 @@ object TextOps {
                      COUNT(DISTINCT gram) AS n_distinct,
                      ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 4)
                        AS distinct_ratio
-              FROM g GROUP BY source, n ORDER BY source, n"""))
+              FROM g GROUP BY source, n ORDER BY source, n""")),
+
+    // FLESCH-KINCAID grade level — the classic readability feature
+    // (Kincaid et al. 1975) quality classifiers consume next to the
+    // q29/q97 signals: 0.39·(words/sentences) + 11.8·(syllables/word)
+    // − 15.59. Syllables by the standard vowel-group heuristic
+    // (contiguous [aeiou] runs, min 1 per word), sentences by
+    // terminator runs ([.!?]+, min 1) — BOTH pure integer counts via
+    // regexp_extract_all, so the one float expression at the end is
+    // engine-identical (the q183 discipline). One tokenize explode +
+    // doc_id aggregate; everything map-side before it.
+    Q("q186_readability",
+      (s, d) => {
+        val docsDf = docs(s, d)
+        val syl = docsDf
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(greatest(lit(1),
+              size(regexp_extract_all(col("w"), lit("[aeiou]+"), lit(0)))))
+              .as("n_syll"))
+        docsDf
+          .select(col("doc_id"),
+            greatest(lit(1),
+              size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+              .cast("long").as("n_sent"))
+          .join(syl, Seq("doc_id"))
+          .select(col("doc_id"), col("n_sent"), col("n_words"),
+            col("n_syll"),
+            round(lit(0.39) * col("n_words").cast("double") / col("n_sent")
+              + lit(11.8) * col("n_syll").cast("double") / col("n_words")
+              - lit(15.59), 4).as("fk"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              syl AS (
+                SELECT doc_id, COUNT(*) AS n_words,
+                       SUM(GREATEST(1,
+                         LEN(regexp_extract_all(w, '[aeiou]+')))) AS n_syll
+                FROM (SELECT doc_id, UNNEST(ts) AS w FROM tok) u
+                GROUP BY 1),
+              sent AS (
+                SELECT doc_id,
+                       CAST(GREATEST(1,
+                         LEN(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+                         AS n_sent
+                FROM tok)
+              SELECT doc_id, n_sent, n_words,
+                     CAST(n_syll AS BIGINT) AS n_syll,
+                     ROUND(0.39 * CAST(n_words AS DOUBLE) / n_sent
+                       + 11.8 * CAST(n_syll AS DOUBLE) / n_words
+                       - 15.59, 4) AS fk
+              FROM syl JOIN sent USING (doc_id)
+              ORDER BY doc_id"""))
   )
 
   /** Exact heavy-hitter tokens above `minRatio` of the token stream,

@@ -1127,6 +1127,44 @@ object Advanced {
                      ROUND(CAST(max_n AS DOUBLE) / n_rows, 6) AS max_share,
                      ROUND(CAST(sumsq AS DOUBLE) /
                        (CAST(n_rows AS DOUBLE) * n_rows), 6) AS hhi
-              FROM s ORDER BY col_name"""))
+              FROM s ORDER BY col_name""")),
+
+    // DIFFERENTIAL-PRIVACY Laplace mechanism over released counts
+    // (Dwork et al. 2006): per-nation customer counts + Laplace(Δ/ε)
+    // noise, Δ=1 (one person moves one count), ε=1 → b=1. The noise
+    // draw inverts the Laplace CDF on an md5-derived uniform (the
+    // q59/q178 addressing rule), so the release is REPRODUCIBLE and
+    // oracle-checkable — which also means this registers the
+    // MECHANISM'S PLUMBING (sensitivity accounting, calibration, the
+    // count rewrite), not a privacy guarantee: a deterministic seed
+    // leaks; a deployment swaps the md5 uniform for a secure RNG (the
+    // decodeStub convention). Map-side noise on an O(|nations|)
+    // aggregate; the governance sibling of q182's k-anonymity.
+    Q("q185_dp_noise",
+      (s, d) => {
+        val v = conv(substring(md5(concat(col("c_nationkey").cast("string"),
+          lit(":dp"))), 1, 8), 16, 10).cast("long")
+        val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+        t(s, d, "customer")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+          .withColumn("noise",
+            -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5)))
+          .select(col("c_nationkey"), col("n"),
+            round(col("n") + col("noise"), 4).as("n_noisy"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH c AS (
+                SELECT c_nationkey, COUNT(*) AS n
+                FROM customer GROUP BY 1),
+              u AS (
+                SELECT c_nationkey, n,
+                       (CAST('0x' || SUBSTR(MD5(CAST(c_nationkey AS VARCHAR)
+                          || ':dp'), 1, 8) AS BIGINT) + 0.5)
+                         / 4294967296.0 AS u
+                FROM c)
+              SELECT c_nationkey, n,
+                     ROUND(n + (-SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))), 4)
+                       AS n_noisy
+              FROM u ORDER BY c_nationkey"""))
   )
 }
