@@ -436,6 +436,25 @@ object Main {
 
         // the pre-training data-review pack: every diagnostics report
         // of the round-10 layer into one dir, plus headline numbers
+        // small-files maintenance: report the file-size profile of a
+        // parquet dir, or compact it to ~targetMB files (coalesce — no
+        // shuffle)
+        case "compact" :: inDir :: outDir :: rest if rest.length <= 1 =>
+          val target = rest.headOption.map(_.toInt).getOrElse(128)
+          val (before, stated) =
+            graft.etl.Writers.compactFiles(spark, inDir, outDir, target)
+          val (after, bytes, avgMb, _) =
+            graft.etl.Writers.fileStats(spark, outDir, target)
+          println(f"compact files=$before->$after (planned $stated) " +
+            f"bytes=$bytes avg_mb=$avgMb%.1f out=$outDir")
+
+        case "files" :: dir :: rest if rest.length <= 1 =>
+          val target = rest.headOption.map(_.toInt).getOrElse(128)
+          val (n, bytes, avgMb, small) =
+            graft.etl.Writers.fileStats(spark, dir, target)
+          println(f"files n=$n bytes=$bytes avg_mb=$avgMb%.1f " +
+            s"under_half_target=$small target_mb=$target")
+
         // fuzzy vocabulary pack: edit-distance pair report, typo
         // clusters, and the normalized corpus rewrite, one parquet each
         case "fuzzy" :: docsParquet :: outDir :: Nil =>
@@ -558,6 +577,7 @@ object Main {
         |  dq <sfDir> <table> <outDir> [keyCol...] | dq diff <dirOld> <dirNew> [tol]
         |  dq diff-rows <dirOld> <dirNew> <outDir> <keyCol...>
         |  fuzzy <docsParquet> <outDir>
+        |  compact <inDir> <outDir> [targetMB] | files <dir> [targetMB]
         |  preprocess <inParquet> <outDir>
         |  pairs build <docsParquet> <pairsDir> | pairs build-bucketed <docsParquet> <table> <dir>
         |  pairs clusters <pairsDir> | pairs clusters-star <pairsDir>

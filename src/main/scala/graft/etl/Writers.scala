@@ -401,4 +401,49 @@ object Writers {
       .option("compression", compression)
       .parquet(path)
   }
+
+  /** Per-file size stats of a parquet dir — the SMALL-FILES smell
+    * check: (n_files, total_bytes, avg_mb, n_under_half_target). At
+    * scale, thousands of KB-sized files turn a scan into a
+    * task-scheduling and NameNode/listing problem long before it is an
+    * IO problem; this is the number that says when [[compactFiles]] is
+    * due.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetMb: Int = 128): (Long, Long, Double, Long) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val n = files.length.toLong
+    val total = files.map(_.getLen).sum
+    val avgMb = if (n == 0) 0.0 else total / 1e6 / n
+    val small = files.count(_.getLen < targetMb.toLong * 1000000 / 2).toLong
+    (n, total, avgMb, small)
+  }
+
+  /** Compact a fragmented parquet dir into ~targetMb files. The file
+    * count comes from the ACTUAL on-disk bytes (so compression is
+    * already accounted for), and the merge is a `coalesce` — a
+    * NO-SHUFFLE narrow dependency that concatenates input partitions,
+    * which is what makes compaction affordable at 100 TB (a
+    * `repartition` would re-exchange the whole table for nothing;
+    * coalesce's cost is one read + one write). The trade-off — merged
+    * files inherit input-partition locality rather than perfect size
+    * balance — is the standard one every table-maintenance service
+    * makes. Returns (files_before, files_after).
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetMb: Int = 128,
+      compression: String = DefaultCompression): (Long, Long) = {
+    val (nBefore, totalBytes, _, _) = fileStats(spark, inDir, targetMb)
+    val nAfter = math.max(1L, math.ceil(
+      totalBytes.toDouble / (targetMb.toLong * 1000000)).toLong)
+    spark.read.parquet(inDir)
+      .coalesce(nAfter.toInt)
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .parquet(outDir)
+    (nBefore, nAfter)
+  }
 }

@@ -217,4 +217,22 @@ class EtlSpec extends AnyFunSuite with TestSpark {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(replay == before, s"replay drifted: $replay vs $before")
   }
+
+  test("small-files compaction: fragmented dir merges, data intact, stats report") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    spark.range(10000).select(col("id"), (col("id") * 7).as("v"))
+      .repartition(40) // 40 tiny files — the small-files smell
+      .write.mode("overwrite").parquet(in)
+    val (n0, bytes0, avg0, small0) = graft.etl.Writers.fileStats(spark, in)
+    assert(n0 == 40 && small0 == 40 && avg0 < 1.0, s"($n0, $bytes0, $avg0, $small0)")
+    val (before, after) = graft.etl.Writers.compactFiles(spark, in, out)
+    assert(before == 40 && after == 1, s"($before, $after)")
+    val (n1, bytes1, _, _) = graft.etl.Writers.fileStats(spark, out)
+    assert(n1 == 1, s"files after: $n1")
+    // every row survives, values intact
+    assert(spark.read.parquet(out).agg(count(lit(1)), sum(col("v")))
+      .head.toSeq == Seq(10000L, (0L until 10000L).map(_ * 7).sum))
+  }
 }
