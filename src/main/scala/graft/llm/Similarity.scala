@@ -784,6 +784,98 @@ object Similarity {
               SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS comp
               FROM reach GROUP BY node ORDER BY vec_id""")),
 
+    // c-TF-IDF CLUSTER LABELING (the BERTopic readout, Grootendorst
+    // 2022): each semantic cluster's top-5 DISTINCTIVE terms —
+    // tf(t, c) · ln(1 + (A/f(t))) with A = mean tokens per cluster and
+    // f(t) the corpus term frequency, so cluster-frequent-but-
+    // corpus-common terms rank below cluster-specific ones. The "what
+    // IS this cluster" label a curation reviewer reads next to q124's
+    // numeric cluster profile. Embeddings and documents join 1:1 on
+    // vec_id = doc_id.
+    //
+    // Shape: train-once codebook artifact (the q93 convention — the
+    // oracle reads the SAME parquet), map-side argmax assignment,
+    // ONE tokenize explode, two token-keyed aggregates, a broadcast
+    // 1-row stats join, and a per-cell top-5 window over the bounded
+    // (cell, term) grid. Ordering is by the exact score expression
+    // (output rounds to 4) with a term tie-break — the q113 rule.
+    Q("q187_cluster_topterms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val cb = IvfStore.train(e, iters = 3, sampleFraction = 0.5)
+        cb.write.mode("overwrite").parquet(Q187CodebookDir)
+        val stored = s.read.parquet(Q187CodebookDir)
+          .select(col("cell"), col("cv"))
+        val rows = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val cells = ivfAssign(stored, rows, probes = 1)
+          .select(col("vec_id").as("doc_id"), col("cell"))
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+        val assigned = toks.join(cells, Seq("doc_id"))
+        val tf = assigned.groupBy(col("cell"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val ft = assigned.groupBy(col("term")).agg(count(lit(1)).as("f"))
+        val stats = tf.agg(sum(col("tf")).as("total"),
+          countDistinct(col("cell")).as("ncells"))
+        val w = Window.partitionBy(col("cell"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(ft, Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("score", col("tf") *
+            log(lit(1.0) +
+              col("total").cast("double") / col("ncells") / col("f")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("cell"), col("rk"), col("term"), col("tf"),
+            round(col("score"), 4).as("score"))
+          .orderBy(col("cell"), col("rk"))
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT cell, cv
+                     FROM read_parquet('$Q187CodebookDir/*.parquet')),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              toks AS (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS term
+                FROM documents),
+              assigned AS (
+                SELECT c.cell, t.term FROM toks t
+                JOIN corpus c ON c.vec_id = t.doc_id),
+              tf AS (SELECT cell, term, COUNT(*) AS tf
+                     FROM assigned GROUP BY 1, 2),
+              ft AS (SELECT term, COUNT(*) AS f FROM assigned GROUP BY 1),
+              st AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total,
+                            COUNT(DISTINCT cell) AS ncells FROM tf),
+              sc AS (
+                SELECT tf.cell, tf.term, tf.tf,
+                       tf.tf * LN(1.0 + (SELECT total FROM st)
+                         / (SELECT ncells FROM st) / ft.f) AS score
+                FROM tf JOIN ft USING (term)),
+              rk AS (
+                SELECT cell, term, tf, score,
+                       ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY score DESC, term) AS rk
+                FROM sc)
+              SELECT cell, CAST(rk AS INT) AS rk, term, tf,
+                     ROUND(score, 4) AS score
+              FROM rk WHERE rk <= 5 ORDER BY cell, rk""")),
+
     // k-NN majority-vote classification over the labeled embedding
     // corpus: for each query vector, the 5 cosine-nearest neighbors
     // (excluding itself) vote with their `label`; ties break to the
@@ -1463,6 +1555,7 @@ object Similarity {
   val Q93CodebookDir = "/tmp/graft_q93_codebook"
   val Q124CodebookDir = "/tmp/graft_q124_codebook"
   val Q125CodebookDir = "/tmp/graft_q125_codebook"
+  val Q187CodebookDir = "/tmp/graft_q187_codebook"
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster embeddings with a trained codebook (map-side argmax
