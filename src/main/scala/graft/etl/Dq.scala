@@ -199,29 +199,49 @@ object Dq {
   /** One (col_name, metric, v) row per profiled statistic of a stored
     * dq run — the melt both sides of a drift comparison share.
     */
-  private def metricsOf(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val np = spark.read.parquet(s"$dir/null_profile")
+  /** (col_name, metric, v) long form of the three core profiles. */
+  private def reshape(np: DataFrame, dp: DataFrame,
+      num: Option[DataFrame]): DataFrame = {
+    val base = np
       .select(col("col_name"), lit("null_rate").as("metric"),
         col("null_rate").cast("double").as("v"))
-    val dp = spark.read.parquet(s"$dir/distinct_profile")
-      .select(col("col_name"), lit("distinct_ratio").as("metric"),
-        col("distinct_ratio").cast("double").as("v"))
-    val base = np.unionByName(dp)
+      .unionByName(dp
+        .select(col("col_name"), lit("distinct_ratio").as("metric"),
+          col("distinct_ratio").cast("double").as("v")))
+    num.fold(base)(n => base.unionByName(
+      n.select(col("col_name"), explode(array(
+        struct(lit("mean").as("metric"), col("mean").cast("double").as("v")),
+        struct(lit("stddev").as("metric"), col("stddev").cast("double").as("v")),
+        struct(lit("min").as("metric"), col("mn").cast("double").as("v")),
+        struct(lit("max").as("metric"), col("mx").cast("double").as("v"))))
+        .as("kv"))
+        .select(col("col_name"), col("kv.metric").as("metric"),
+          col("kv.v").as("v"))))
+  }
+
+  /** The (col_name, metric, v) long form of a STORED dq run. */
+  private[graft] def storedMetrics(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val numPath = new org.apache.hadoop.fs.Path(s"$dir/numeric_profile")
     val fs = numPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(numPath)) base
-    else base.unionByName(
-      spark.read.parquet(s"$dir/numeric_profile")
-        .select(col("col_name"), explode(array(
-          struct(lit("mean").as("metric"), col("mean").cast("double").as("v")),
-          struct(lit("stddev").as("metric"), col("stddev").cast("double").as("v")),
-          struct(lit("min").as("metric"), col("mn").cast("double").as("v")),
-          struct(lit("max").as("metric"), col("mx").cast("double").as("v"))))
-          .as("kv"))
-        .select(col("col_name"), col("kv.metric").as("metric"),
-          col("kv.v").as("v")))
+    reshape(
+      spark.read.parquet(s"$dir/null_profile"),
+      spark.read.parquet(s"$dir/distinct_profile"),
+      if (fs.exists(numPath)) Some(spark.read.parquet(s"$dir/numeric_profile"))
+      else None)
   }
+
+  private def metricsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = storedMetrics(spark, dir)
+
+  /** The same long form computed LIVE from a DataFrame — what the
+    * streaming monitor compares against a stored baseline per batch.
+    */
+  private[graft] def liveMetrics(df: DataFrame): DataFrame =
+    reshape(nullProfile(df), distinctProfile(df),
+      if (df.schema.fields.exists(f => isNumeric(f.dataType)))
+        Some(numericProfile(df))
+      else None)
 
   /** DRIFT report between two stored dq runs of the same table (e.g.
     * yesterday's vs today's): per column and metric, both values, the
@@ -232,9 +252,18 @@ object Dq {
     * independent of table size.
     */
   def drift(spark: org.apache.spark.sql.SparkSession, dirOld: String,
-      dirNew: String, tol: Double = 0.1): DataFrame = {
-    val a = metricsOf(spark, dirOld).withColumnRenamed("v", "v_old")
-    val b = metricsOf(spark, dirNew).withColumnRenamed("v", "v_new")
+      dirNew: String, tol: Double = 0.1): DataFrame =
+    driftFrames(metricsOf(spark, dirOld), metricsOf(spark, dirNew), tol)
+
+  /** The drift comparison on two (col_name, metric, v) frames — shared
+    * by the stored-run report above and the streaming monitor
+    * ([[graft.streaming.StreamingDq]]), so batch alerts and batch
+    * reports can never disagree on what "drifted" means.
+    */
+  private[graft] def driftFrames(oldM: DataFrame, newM: DataFrame,
+      tol: Double): DataFrame = {
+    val a = oldM.withColumnRenamed("v", "v_old")
+    val b = newM.withColumnRenamed("v", "v_new")
     a.join(b, Seq("col_name", "metric"), "full_outer")
       .select(col("col_name"), col("metric"), col("v_old"), col("v_new"),
         round(abs(col("v_new") - col("v_old")) /
