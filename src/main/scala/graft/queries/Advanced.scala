@@ -1165,6 +1165,95 @@ object Advanced {
               SELECT c_nationkey, n,
                      ROUND(n + (-SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))), 4)
                        AS n_noisy
-              FROM u ORDER BY c_nationkey"""))
+              FROM u ORDER BY c_nationkey""")),
+
+    // CUMULATIVE DISTINCT USERS — the growth-curve staple ("how many
+    // users have we EVER seen, by day"). A naive per-day COUNT(DISTINCT
+    // user) over a growing window is quadratic; the scale shape is
+    // first-seen reduction: one user-keyed min-date aggregate, a
+    // |days|-row daily count, and a running sum over the BOUNDED day
+    // grid (the q161 bounded-window convention — days, not rows).
+    Q("q188_cumulative_users",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d"))
+          .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+        daily
+          .withColumn("cum_users",
+            sum(col("new_users")).over(Window.orderBy(col("d"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("new_users"), col("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH fs AS (
+                SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+                FROM events GROUP BY 1),
+              daily AS (SELECT d, COUNT(*) AS new_users FROM fs GROUP BY 1)
+              SELECT STRFTIME(d, '%Y-%m-%d') AS day, new_users,
+                     CAST(SUM(new_users) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+              FROM daily ORDER BY day""")),
+
+    // REFERENTIAL-INTEGRITY audit — orphan foreign keys across the
+    // schema's declared relationships: the constraint check a store
+    // with no enforced constraints needs before anyone trusts a join.
+    // Each relation is ONE left-anti join on the key (the plan a
+    // NOT-EXISTS decorrelates to anyway) + a count; output is
+    // |relations| rows. The dq-pack sibling of q164's intra-table key
+    // audit, across tables.
+    Q("q189_ri_audit",
+      (s, d) => {
+        def orphans(child: DataFrame, fk: String, parent: DataFrame,
+            pk: String, rel: String): DataFrame = {
+          val n = child.agg(count(lit(1)).as("n_child"))
+          val o = child.join(parent.select(col(pk).as(fk)), Seq(fk),
+            "left_anti").agg(count(lit(1)).as("n_orphan"))
+          n.crossJoin(o).select(lit(rel).as("relation"), col("n_child"),
+            col("n_orphan"))
+        }
+        orphans(t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"),
+          "o_orderkey", "lineitem->orders")
+          .unionByName(orphans(t(s, d, "orders"), "o_custkey",
+            t(s, d, "customer"), "c_custkey", "orders->customer"))
+          .unionByName(orphans(t(s, d, "customer"), "c_nationkey",
+            t(s, d, "nation"), "n_nationkey", "customer->nation"))
+          .unionByName(orphans(t(s, d, "lineitem"), "l_partkey",
+            t(s, d, "part"), "p_partkey", "lineitem->part"))
+          .unionByName(orphans(t(s, d, "lineitem"), "l_suppkey",
+            t(s, d, "supplier"), "s_suppkey", "lineitem->supplier"))
+          .orderBy(col("relation"))
+      },
+      Some("""SELECT * FROM (
+                SELECT 'lineitem->orders' AS relation,
+                       (SELECT COUNT(*) FROM lineitem) AS n_child,
+                       (SELECT COUNT(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+                UNION ALL
+                SELECT 'orders->customer',
+                       (SELECT COUNT(*) FROM orders),
+                       (SELECT COUNT(*) FROM orders o
+                        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+                UNION ALL
+                SELECT 'customer->nation',
+                       (SELECT COUNT(*) FROM customer),
+                       (SELECT COUNT(*) FROM customer c
+                        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+                UNION ALL
+                SELECT 'lineitem->part',
+                       (SELECT COUNT(*) FROM lineitem),
+                       (SELECT COUNT(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+                UNION ALL
+                SELECT 'lineitem->supplier',
+                       (SELECT COUNT(*) FROM lineitem),
+                       (SELECT COUNT(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey)))
+              ORDER BY relation"""))
   )
 }
