@@ -453,6 +453,87 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** TRUE Damerau-Levenshtein distance (unrestricted transpositions —
+  * the Lowrance-Wagner 1975 algorithm with a last-occurrence table),
+  * the edit metric where swapped adjacent characters cost ONE edit:
+  * "recieve"→"receive" is 1, not the 2 plain levenshtein charges. The
+  * dominant typo class in real text IS the transposition (Damerau's
+  * original finding: >80% of spelling errors are one sub/del/ins/swap),
+  * so the fuzzy family's distances under this metric match how typos
+  * actually happen. Spark ships only plain `levenshtein`; this fills
+  * the gap as a native expression — one tight int-matrix loop, no
+  * regex, no allocation beyond the DP table — and matches DuckDB's
+  * `damerau_levenshtein` (verified true-DL, not the restricted OSA:
+  * "ca"→"abc" = 2). Comparison is over UTF-16 code units — identical
+  * to DuckDB on ASCII/BMP text, which is the vocabulary contract
+  * (TextOps.tokens lowercases).
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_damerau"
+
+  def compute(ls: UTF8String, rs: UTF8String): Int = {
+    val a = ls.toString
+    val b = rs.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    // d is (la+2) x (lb+2), offset by 2 (Lowrance-Wagner framing row)
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // last row in which each character appeared in `a`
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k0 = da.get(b.charAt(j - 1))
+        val k = if (k0 == null) 0 else k0.intValue()
+        val l = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = sub
+        if (ins < m) m = ins
+        if (del < m) m = del
+        if (trans < m) m = trans
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d((la + 1) * w + lb + 1)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("damerau", this,
+      classOf[DamerauLevenshtein].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bucket gradient perceptual hash of an opaque media payload — the
   * 1-D analog of image dHash (resample to a fixed grid, hash the
   * gradient signs): the byte stream is resampled into 64 equal-width
@@ -942,6 +1023,8 @@ object GraftExtensions {
     d("graft_simhash_md5", classOf[SimHashMd5], es => SimHashMd5(es.head)),
     d("graft_char_entropy", classOf[CharEntropy],
       es => CharEntropy(es.head)),
+    d("graft_damerau", classOf[DamerauLevenshtein],
+      es => DamerauLevenshtein(es(0), es(1))),
     d("graft_media_phash", classOf[MediaPHash64], { es =>
       // optional second arg: a literal bucket-grid size (part of the
       // expression, like graft_winnow_min's window)
@@ -1254,6 +1337,11 @@ object Fns {
     * dot/(sqrt(dot_aa)*sqrt(dot_bb)) computed as separate folds. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", dbl(a), dbl(b))
+
+  /** True Damerau-Levenshtein distance (adjacent transposition = one
+    * edit, Lowrance-Wagner) — matches DuckDB's damerau_levenshtein. */
+  def damerau(a: Column, b: Column): Column =
+    call_function("graft_damerau", a, b)
 
   /** Distinct xxhash64 values of 3-gram word shingles of a token array. */
   def shingleHashes(tokens: Column): Column =

@@ -102,7 +102,26 @@ object Fuzzy {
     * from the deletion-variant equi-join (lossless by the pigeonhole
     * argument above), verified by the codegen'd `levenshtein`.
     */
-  def fuzzyTokenPairs(docsDf: DataFrame): DataFrame = {
+  def fuzzyTokenPairs(docsDf: DataFrame): DataFrame =
+    fuzzyPairsBy(docsDf,
+      (a, b) => levenshtein(a, b).cast("long"))
+
+  /** q174 under TRUE Damerau-Levenshtein (adjacent transposition = ONE
+    * edit, the dominant real-world typo class — Damerau 1964: >80% of
+    * spelling errors are a single sub/del/ins/swap). "recieve" sits at
+    * distance 1 from "receive" here, 2 under plain levenshtein, so the
+    * same threshold recalls the swap-typos q174 ranks at its edge. The
+    * metric is the native graft_damerau expression (Spark ships none);
+    * the deletion-neighborhood candidates are LOSSLESS for this metric
+    * too — a transposition is reachable by one deletion on each side,
+    * so DL(s,t) <= k still implies a shared <= k-deletion variant.
+    */
+  def fuzzyTokenPairsDamerau(docsDf: DataFrame): DataFrame =
+    fuzzyPairsBy(docsDf,
+      (a, b) => graft.functions.Fns.damerau(a, b).cast("long"))
+
+  private def fuzzyPairsBy(docsDf: DataFrame,
+      dist: (Column, Column) => Column): DataFrame = {
     val v = vocab(docsDf)
     val variants = deletionVariants(v)
     val cands = variants.as("a")
@@ -111,8 +130,7 @@ object Fuzzy {
       .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
       .distinct() // before the verify: shared variants re-derive a pair
     cands
-      .withColumn("dist",
-        levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .withColumn("dist", dist(col("tok_a"), col("tok_b")))
       .filter(col("dist") <= MaxDist)
       .join(v.select(col("tok").as("tok_a"), col("c").as("c_a")), Seq("tok_a"))
       .join(v.select(col("tok").as("tok_b"), col("c").as("c_b")), Seq("tok_b"))
@@ -286,6 +304,23 @@ object Fuzzy {
       (s, d) => fuzzyGroups(docs(s, d))
         .orderBy(col("tok")),
       Some(groupsOracle)),
+
+    // q174's metric swapped for TRUE Damerau-Levenshtein via the native
+    // graft_damerau expression — swap typos ("recieve") land at
+    // distance 1. Hash-checked against DuckDB's damerau_levenshtein
+    // (verified true-DL, not OSA: 'ca'->'abc' = 2 in both).
+    Q("q190_fuzzy_pairs_damerau",
+      (s, d) => fuzzyTokenPairsDamerau(docs(s, d))
+        .orderBy(col("tok_a"), col("tok_b")),
+      Some(vocabOracle + s"""
+              SELECT a.tok AS tok_a, b.tok AS tok_b,
+                     CAST(damerau_levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+                     a.c AS c_a, b.c AS c_b
+              FROM v a JOIN v b
+                ON a.tok < b.tok
+               AND ABS(LENGTH(a.tok) - LENGTH(b.tok)) <= $MaxDist
+              WHERE damerau_levenshtein(a.tok, b.tok) <= $MaxDist
+              ORDER BY tok_a, tok_b""")),
 
     // The apply step: count-weighted canonical spelling per cluster,
     // substituted through the corpus and reassembled per document.

@@ -216,4 +216,32 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert("\\*\\(\\d+\\) Project \\[graft_cosine".r.findFirstIn(plan).isDefined,
       s"graft_cosine not inside a codegen stage:\n$plan")
   }
+
+  test("graft_damerau: true Damerau-Levenshtein (Lowrance-Wagner), not OSA") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      // the discriminator: OSA gives 3, true DL gives 2
+      ("ca", "abc", 2),
+      ("abc", "ca", 2),
+      ("kitten", "sitting", 3),
+      ("abcd", "acbd", 1), // one adjacent swap
+      ("ab", "ba", 1),
+      ("recieve", "receive", 1), // the typo class the metric exists for
+      ("same", "same", 0),
+      ("", "abc", 3), ("abc", "", 3))
+    val df = spark.createDataFrame(cases).toDF("a", "b", "want")
+      .withColumn("got", Fns.damerau(col("a"), col("b")))
+    val bad = df.filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, s"wrong distances: ${bad.mkString(", ")}")
+    // DL <= plain levenshtein always (transposition only adds a move)
+    val rng = new scala.util.Random(11)
+    val words = Seq.fill(200)(Seq.fill(rng.nextInt(8) + 1)(
+      ('a' + rng.nextInt(4)).toChar).mkString)
+    val pairs = words.zip(words.reverse)
+    val chk = spark.createDataFrame(pairs).toDF("a", "b")
+      .select(Fns.damerau(col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).as("lev"))
+      .filter(col("dl") > col("lev")).collect()
+    assert(chk.isEmpty, s"DL exceeded levenshtein: ${chk.mkString(", ")}")
+  }
 }

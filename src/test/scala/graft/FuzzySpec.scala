@@ -97,6 +97,16 @@ class FuzzySpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
   }
 
+  test("damerau pairs: swap typo at distance 1, levenshtein charges 2") {
+    val lev = Fuzzy.fuzzyTokenPairs(docs)
+      .filter(col("tok_a") === "receive" && col("tok_b") === "recieve")
+      .head.getLong(2)
+    val dl = Fuzzy.fuzzyTokenPairsDamerau(docs)
+      .filter(col("tok_a") === "receive" && col("tok_b") === "recieve")
+      .head.getLong(2)
+    assert(lev == 2L && dl == 1L, s"lev=$lev dl=$dl")
+  }
+
   test("normalize rewrite: count-weighted canon substituted, text reassembled") {
     val out = Fuzzy.normalizeRewrite(docs).collect()
       .map(r => r.getLong(0) -> (r.getString(3), r.getLong(2))).toMap
