@@ -1254,6 +1254,72 @@ object Advanced {
                        (SELECT COUNT(*) FROM lineitem l
                         WHERE NOT EXISTS (SELECT 1 FROM supplier s
                           WHERE s.s_suppkey = l.l_suppkey)))
-              ORDER BY relation"""))
+              ORDER BY relation""")),
+
+    // INTER-ARRIVAL GAP PERCENTILES (p50/p90/p99 seconds between a
+    // user's consecutive events of each type) — the latency-SLO readout
+    // ops watches. Percentiles are VALUE-PINNED integers (smallest gap
+    // with 100·cum >= p·n, ties low — the q102/q153 rule: no float
+    // interpolation for engines to disagree on). The cumulative runs
+    // the q153 two-phase block shape per event type (hour-width gap
+    // blocks → local cums + a window over block summaries), so a
+    // near-unique second-resolution gap grid never sorts in one task —
+    // the q159 lesson applied up front.
+    Q("q191_gap_percentiles",
+      (s, d) => {
+        val wg = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = t(s, d, "events")
+          .select(col("event_type"),
+            (unix_timestamp(col("ts")) -
+              lag(unix_timestamp(col("ts")), 1).over(wg)).as("gap"))
+          .filter(col("gap").isNotNull)
+        val grid = gaps.groupBy(col("event_type"), col("gap"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", floor(col("gap") / 3600).cast("long"))
+        val wLocal = Window.partitionBy(col("event_type"), col("blk"))
+          .orderBy(col("gap"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = grid.withColumn("lc", sum(col("cnt")).over(wLocal))
+        val wOff = Window.partitionBy(col("event_type")).orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = local.groupBy(col("event_type"), col("blk"))
+          .agg(sum(col("cnt")).as("bs"))
+          .select(col("event_type"), col("blk"),
+            coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
+        val cum = local.join(offs, Seq("event_type", "blk"))
+          .select(col("event_type"), col("gap"),
+            (col("lc") + col("off")).as("cum"))
+        val n = gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val ps = s.createDataFrame(Seq(Tuple1(50), Tuple1(90), Tuple1(99)))
+          .toDF("p")
+        cum.join(n, Seq("event_type"))
+          .crossJoin(broadcast(ps))
+          .filter(col("cum") * 100 >= col("p") * col("n"))
+          .groupBy(col("event_type"), col("p"))
+          .agg(min(col("gap")).as("gap_s"))
+          .orderBy(col("event_type"), col("p"))
+      },
+      Some("""WITH g AS (
+                SELECT event_type,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS gap
+                FROM events),
+              g2 AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+              grid AS (SELECT event_type, gap, COUNT(*) AS cnt
+                       FROM g2 GROUP BY 1, 2),
+              cum AS (
+                SELECT event_type, gap,
+                       SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM grid),
+              n AS (SELECT event_type, COUNT(*) AS n FROM g2 GROUP BY 1),
+              p AS (SELECT UNNEST([50, 90, 99]) AS p)
+              SELECT c.event_type, p.p, CAST(MIN(c.gap) AS BIGINT) AS gap_s
+              FROM cum c JOIN n USING (event_type) CROSS JOIN p
+              WHERE c.cum * 100 >= p.p * n.n
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

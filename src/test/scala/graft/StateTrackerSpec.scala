@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Advanced
+import graft.streaming.StateTracker
+import graft.streaming.StateTracker.TrackEv
+
+/** Streaming SCD2: closed runs emitted across micro-batches must equal
+  * the batch q176 history's CLOSED intervals on the union; replays and
+  * stragglers are no-ops.
+  */
+class StateTrackerSpec extends AnyFunSuite with TestSpark {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("cross-batch closed runs == batch q176 closed intervals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[TrackEv]
+    val query = StateTracker.runs(stream.toDS())
+      .writeStream.format("memory").queryName("scd2_runs")
+      .outputMode("append").start()
+
+    // user 1: A A | B A — two closes across the batch boundary;
+    // user 2: C only — stays open, never emits
+    stream.addData(
+      TrackEv(1L, "A", ts(1), 1L), TrackEv(1L, "A", ts(2), 2L),
+      TrackEv(2L, "C", ts(1), 3L))
+    query.processAllAvailable()
+    stream.addData(
+      TrackEv(1L, "B", ts(5), 4L), TrackEv(1L, "A", ts(9), 5L),
+      // replay of an already-applied event: no-op
+      TrackEv(1L, "A", ts(2), 2L),
+      // out-of-order straggler older than the applied watermark: dropped
+      TrackEv(1L, "B", ts(1), 0L))
+    query.processAllAvailable()
+
+    val got = spark.table("scd2_runs").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, "A", ts(1), ts(5), 2L),
+      (1L, "B", ts(5), ts(9), 1L)), s"got $got")
+
+    // the batch q176 on the SAME applied events agrees on closed rows
+    val batch = Seq(
+      (1L, ts(1), 1L, "A"), (2L, ts(1), 3L, "C"), (1L, ts(2), 2L, "A"),
+      (1L, ts(5), 4L, "B"), (1L, ts(9), 5L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val closed = Advanced.stateHistory(batch)
+      .filter($"valid_to".isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Timestamp.valueOf(r.getString(2)), Timestamp.valueOf(r.getString(3)),
+        r.getLong(4))).toSet
+    assert(closed == got, s"batch=$closed stream=$got")
+    query.stop()
+  }
+
+  test("same-instant events order by event_id, matching the q176 tie rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[TrackEv]
+    val query = StateTracker.runs(stream.toDS())
+      .writeStream.format("memory").queryName("scd2_ties")
+      .outputMode("append").start()
+    // B (id 1) then A (id 2) at the SAME ts: run B closes at the same
+    // instant it opened
+    stream.addData(TrackEv(3L, "B", ts(1), 1L), TrackEv(3L, "A", ts(1), 2L))
+    query.processAllAvailable()
+    val got = spark.table("scd2_ties").collect()
+      .map(r => (r.getString(1), r.getLong(4))).toSet
+    assert(got == Set(("B", 1L)), s"got $got")
+    query.stop()
+  }
+}
