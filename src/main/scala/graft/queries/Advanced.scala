@@ -1320,6 +1320,57 @@ object Advanced {
               SELECT c.event_type, p.p, CAST(MIN(c.gap) AS BIGINT) AS gap_s
               FROM cum c JOIN n USING (event_type) CROSS JOIN p
               WHERE c.cum * 100 >= p.p * n.n
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // EVENT-TYPE CO-OCCURRENCE LIFT — market-basket association over
+    // user behavior: for every type pair, how many users did BOTH, and
+    // lift = P(a∧b)/(P(a)·P(b)) (1 = independent, >1 = affinity). The
+    // "users who error also churn?" readout. The per-user item set is
+    // |event types| (single digits), so the within-user pair join is
+    // LINEAR in users with a constant fan-out — the one case where a
+    // self-join per key is the scale-correct plan. Counts are
+    // integers; lift is one float expression rounded 4 dp.
+    Q("q192_event_lift",
+      (s, d) => {
+        val ut = t(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val nT = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+        val ab = ut.as("a")
+          .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"),
+            col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_ab"))
+        ab
+          .join(nT.select(col("event_type").as("ta"),
+            col("n_t").as("n_a")), Seq("ta"))
+          .join(nT.select(col("event_type").as("tb"),
+            col("n_t").as("n_b")), Seq("tb"))
+          .crossJoin(broadcast(nUsers))
+          .select(col("ta"), col("tb"), col("n_ab"),
+            round(col("n_ab").cast("double") * col("n_users") /
+              (col("n_a") * col("n_b")), 4).as("lift"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events),
+              nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+              nt AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+              ab AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       COUNT(*) AS n_ab
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+              SELECT ta, tb, n_ab,
+                     ROUND(CAST(n_ab AS DOUBLE) * (SELECT n_users FROM nu)
+                       / (na.n_t * nb.n_t), 4) AS lift
+              FROM ab
+              JOIN nt na ON na.event_type = ta
+              JOIN nt nb ON nb.event_type = tb
+              ORDER BY ta, tb"""))
   )
 }
