@@ -1371,6 +1371,58 @@ object Advanced {
               FROM ab
               JOIN nt na ON na.event_type = ta
               JOIN nt nb ON nb.event_type = tb
-              ORDER BY ta, tb"""))
+              ORDER BY ta, tb""")),
+
+    // PARETO / ABC ANALYSIS — supplier revenue concentration: revenue
+    // per supplier, cumulative share in descending-revenue order, and
+    // the classic ABC class (A carries the first 80% of revenue, B to
+    // 95%, C the tail). Revenue accumulates in DECIMAL (the q58
+    // discipline: per-value deterministic casts, order-independent
+    // exact sums — a double groupBy SUM's fold order is not
+    // reproducible), and the ABC boundaries compare decimals scaled by
+    // integers (20·cum vs 16·total etc. would also work; spelled
+    // 100-scale for readability), so classification never sits on a
+    // float boundary. The cumulative window runs over the
+    // DIMENSION-sized supplier table — bounded by construction.
+    Q("q193_pareto_abc",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .select(col("l_suppkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+              .as("r"))
+          .groupBy(col("l_suppkey")).agg(sum(col("r")).as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("l_suppkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev
+          .withColumn("cum", sum(col("rev")).over(w))
+          .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
+          .select(col("l_suppkey"),
+            round(col("rev").cast("double"), 2).as("revenue"),
+            round((col("cum") / col("total")).cast("double"), 6)
+              .as("cum_share"),
+            when(col("cum") * 100 <= col("total") * 80, "A")
+              .when(col("cum") * 100 <= col("total") * 95, "B")
+              .otherwise("C").as("abc"))
+          .orderBy(col("cum_share"), col("l_suppkey"))
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+                FROM lineitem GROUP BY 1),
+              c AS (
+                SELECT l_suppkey, rev,
+                       SUM(rev) OVER (ORDER BY rev DESC, l_suppkey
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                       (SELECT SUM(rev) FROM rev) AS total
+                FROM rev)
+              SELECT l_suppkey,
+                     ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+                     ROUND(CAST(cum / total AS DOUBLE), 6) AS cum_share,
+                     CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                          WHEN cum * 100 <= total * 95 THEN 'B'
+                          ELSE 'C' END AS abc
+              FROM c ORDER BY cum_share, l_suppkey"""))
   )
 }
