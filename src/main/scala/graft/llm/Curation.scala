@@ -1674,6 +1674,90 @@ object Curation {
               GROUP BY t.doc_id, LEN(t.ts)
               ORDER BY doc_id""")),
 
+    // POPULATION STABILITY INDEX per source — the model-monitoring
+    // industry standard (the sibling of q114's Jensen-Shannon): each
+    // source's n_chars distribution vs the whole corpus over a fixed
+    // 10-bucket equi-width grid, PSI = Σ (p_s − p)·ln(p_s/p). The
+    // conventional read: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    // Proportions are Laplace-smoothed ((n+1)/(N+10)) so empty buckets
+    // never divide by zero and both engines smooth identically; bucket
+    // ids are FLOOR over an integer-derived double, identical in both.
+    // One scan → 10×|sources| integer grid; the PSI fold is a window
+    // over ≤10 rows per source. Per-bucket contributions ride along so
+    // the hash pins the whole decomposition, not just the total.
+    Q("q194_psi",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
+        val bounds = base.agg(min(col("n_chars")).as("mn"),
+          max(col("n_chars")).as("mx"))
+        val bucketed = base.crossJoin(broadcast(bounds))
+          .select(col("source"),
+            least(lit(9), floor((col("n_chars") - col("mn")) * 10 /
+              (col("mx") - col("mn") + 1))).cast("int").as("bucket"))
+        val grid = bucketed.groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_sb"))
+        // densify: every (source, 0..9) cell, zeros included — the
+        // smoothing needs absent buckets to exist
+        val cells = grid.select(col("source")).distinct()
+          .crossJoin(broadcast(s.range(0, 10).toDF("b")))
+          .select(col("source"), col("b").cast("int").as("bucket"))
+        val full = cells.join(grid, Seq("source", "bucket"), "left")
+          .select(col("source"), col("bucket"),
+            coalesce(col("n_sb"), lit(0L)).as("n_sb"))
+        val nS = full.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+        val corp = full.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
+        val nTot = full.agg(sum(col("n_sb")).as("n"))
+        val scored = full
+          .join(nS, Seq("source")).join(corp, Seq("bucket"))
+          .crossJoin(broadcast(nTot))
+          .withColumn("ps", (col("n_sb").cast("double") + 1.0) /
+            (col("n_s") + 10))
+          .withColumn("pc", (col("n_b").cast("double") + 1.0) /
+            (col("n") + 10))
+          .withColumn("contrib",
+            (col("ps") - col("pc")) * log(col("ps") / col("pc")))
+        scored
+          .select(col("source"), col("bucket"), col("n_sb"),
+            round(col("contrib"), 6).as("contrib"),
+            round(sum(col("contrib")).over(
+              w.partitionBy(col("source"))), 4).as("psi"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some("""WITH b AS (
+                SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+              bk AS (
+                SELECT source,
+                       CAST(LEAST(9, FLOOR((n_chars - b.mn) * 10
+                         / (b.mx - b.mn + 1))) AS INT) AS bucket
+                FROM documents, b),
+              grid AS (SELECT source, bucket, COUNT(*) AS n_sb
+                       FROM bk GROUP BY 1, 2),
+              cells AS (
+                SELECT s.source, CAST(g.b AS INT) AS bucket
+                FROM (SELECT DISTINCT source FROM grid) s,
+                     UNNEST(generate_series(0, 9)) AS g(b)),
+              full_g AS (
+                SELECT c.source, c.bucket, COALESCE(grid.n_sb, 0) AS n_sb
+                FROM cells c LEFT JOIN grid
+                  ON grid.source = c.source AND grid.bucket = c.bucket),
+              ns AS (SELECT source, SUM(n_sb) AS n_s FROM full_g GROUP BY 1),
+              corp AS (SELECT bucket, SUM(n_sb) AS n_b FROM full_g GROUP BY 1),
+              nt AS (SELECT SUM(n_sb) AS n FROM full_g),
+              sc AS (
+                SELECT f.source, f.bucket, CAST(f.n_sb AS BIGINT) AS n_sb,
+                       ((CAST(f.n_sb AS DOUBLE) + 1.0) / (ns.n_s + 10)) AS ps,
+                       ((CAST(corp.n_b AS DOUBLE) + 1.0)
+                         / ((SELECT n FROM nt) + 10)) AS pc
+                FROM full_g f
+                JOIN ns ON ns.source = f.source
+                JOIN corp ON corp.bucket = f.bucket)
+              SELECT source, bucket, n_sb,
+                     ROUND((ps - pc) * LN(ps / pc), 6) AS contrib,
+                     ROUND(SUM((ps - pc) * LN(ps / pc))
+                       OVER (PARTITION BY source), 4) AS psi
+              FROM sc ORDER BY source, bucket""")),
+
     // WEIGHTED sample without replacement, deterministic (Efraimidis &
     // Spirakis 2006): each row draws u from a reproducible md5-derived
     // uniform (the q59/q152 addressing rule) and ranks by
