@@ -1423,6 +1423,94 @@ object Advanced {
                      CASE WHEN cum * 100 <= total * 80 THEN 'A'
                           WHEN cum * 100 <= total * 95 THEN 'B'
                           ELSE 'C' END AS abc
-              FROM c ORDER BY cum_share, l_suppkey"""))
+              FROM c ORDER BY cum_share, l_suppkey""")),
+
+    // WINSORIZATION report — per return flag, the [p1, p99] clip of
+    // l_extendedprice with how many rows each tail clipped and the
+    // mean before/after: the outlier-robust feature-cleaning step
+    // quantified. Everything rides INTEGER CENTS (ROUND(price·100) —
+    // deterministic per value in both engines), so the percentile
+    // bounds are the q102/q153 value-pinned rule, tail counts are
+    // integer sums, and the means are exact integer sums with ONE
+    // float division at the end. The cumulative runs the q153/q191
+    // two-phase block shape per flag — a near-unique cent grid never
+    // sorts in one task.
+    Q("q195_winsorize",
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+        val grid = base.groupBy(col("g"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", floor(col("v") / 1000000).cast("long"))
+        val wLocal = Window.partitionBy(col("g"), col("blk"))
+          .orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = grid.withColumn("lc", sum(col("cnt")).over(wLocal))
+        val wOff = Window.partitionBy(col("g")).orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = local.groupBy(col("g"), col("blk"))
+          .agg(sum(col("cnt")).as("bs"))
+          .select(col("g"), col("blk"),
+            coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
+        val cum = local.join(offs, Seq("g", "blk"))
+          .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
+        val n = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        val lo = cum.join(n, Seq("g"))
+          .filter(col("cum") * 100 >= col("n"))
+          .groupBy(col("g")).agg(min(col("v")).as("lo"))
+        val hi = cum.join(n, Seq("g"))
+          .filter(col("cum") * 100 >= col("n") * 99)
+          .groupBy(col("g")).agg(min(col("v")).as("hi"))
+        base.join(lo, Seq("g")).join(hi, Seq("g"))
+          .select(col("g"), col("v"), col("lo"), col("hi"),
+            least(greatest(col("v"), col("lo")), col("hi")).as("w"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n"),
+            first(col("lo")).as("lo_c"), first(col("hi")).as("hi_c"),
+            sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+            sum(col("v")).as("sv"), sum(col("w")).as("sw"))
+          .select(col("g"), col("n"),
+            round(col("lo_c").cast("double") / 100, 2).as("lo"),
+            round(col("hi_c").cast("double") / 100, 2).as("hi"),
+            col("n_lo"), col("n_hi"),
+            round(col("sv").cast("double") / (col("n") * 100), 4)
+              .as("mean_before"),
+            round(col("sw").cast("double") / (col("n") * 100), 4)
+              .as("mean_after"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH base AS (
+                SELECT l_returnflag AS g,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+                FROM lineitem),
+              grid AS (SELECT g, v, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+              cum AS (
+                SELECT g, v,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM grid),
+              n AS (SELECT g, COUNT(*) AS n FROM base GROUP BY 1),
+              lo AS (SELECT c.g, MIN(v) AS lo FROM cum c JOIN n USING (g)
+                     WHERE c.cum * 100 >= n.n GROUP BY 1),
+              hi AS (SELECT c.g, MIN(v) AS hi FROM cum c JOIN n USING (g)
+                     WHERE c.cum * 100 >= n.n * 99 GROUP BY 1),
+              st AS (
+                SELECT b.g, b.v, lo.lo, hi.hi,
+                       LEAST(GREATEST(b.v, lo.lo), hi.hi) AS w
+                FROM base b JOIN lo USING (g) JOIN hi USING (g))
+              SELECT g, COUNT(*) AS n,
+                     ROUND(CAST(MIN(lo) AS DOUBLE) / 100, 2) AS lo,
+                     ROUND(CAST(MIN(hi) AS DOUBLE) / 100, 2) AS hi,
+                     CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lo,
+                     CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hi,
+                     ROUND(CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 100), 4)
+                       AS mean_before,
+                     ROUND(CAST(SUM(w) AS DOUBLE) / (COUNT(*) * 100), 4)
+                       AS mean_after
+              FROM st GROUP BY g ORDER BY g"""))
   )
 }
