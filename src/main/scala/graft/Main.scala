@@ -550,8 +550,10 @@ object Main {
           val idCol = rest.headOption.getOrElse("doc_id")
           graft.etl.Writers.shuffledShards(
             spark.read.parquet(inParquet), idCol, outDir, shards.toInt)
+          graft.etl.Writers.writeShardManifest(spark, outDir, idCol)
           val n = spark.read.parquet(outDir).count()
-          println(s"exported rows=$n shards=${shards.toInt} dir=$outDir")
+          println(s"exported rows=$n shards=${shards.toInt} dir=$outDir " +
+            "(manifest: _manifest)")
 
         case "query" :: sfDir :: name :: Nil =>
           SparkEntry.queries.get(name) match {

@@ -103,6 +103,31 @@ object Writers {
       .parquet(path)
   }
 
+  /** Per-shard MANIFEST of a [[shuffledShards]] export: (shard, n_rows,
+    * content_sig) with the signature an ORDER-INDEPENDENT sum of
+    * xxhash64(id) — two exports carry the same manifest iff every shard
+    * holds the same id set, regardless of file layout or row order.
+    * The reproducibility receipt a training run stores next to the
+    * data: re-running the manifest after any re-shard/compaction/copy
+    * verifies content identity in one scan, without a row-level diff.
+    * (Engine-specific hash — verified behaviorally, like the other
+    * xxhash64 surfaces.)
+    */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String = "doc_id"): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(xxhash64(col(idCol))).as("content_sig"))
+      .orderBy(col("shard"))
+
+  /** Write the manifest beside the export (underscore path: ignored by
+    * parquet dir scans, the _SUCCESS convention). */
+  def writeShardManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String = "doc_id"): Unit =
+    shardManifest(spark, dir, idCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+
   /** Compact a parquet directory's accumulated small files into
     * ~`targetMB` outputs — the maintenance step every streaming append
     * sink (Incremental, StreamingDedup) eventually needs: micro-batches
@@ -123,7 +148,10 @@ object Writers {
     val n = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
     spark.read.parquet(dir)
-      .repartition(n)
+      // coalesce, not repartition: a narrow concat of input partitions —
+      // compaction has no reason to pay a full re-exchange of the table
+      // (same rule as [[compactFiles]], the to-a-new-dir sibling)
+      .coalesce(n)
       .write.mode("overwrite")
       .option("compression", DefaultCompression)
       .parquet(tmp.toString)
@@ -422,16 +450,19 @@ object Writers {
     (n, total, avgMb, small)
   }
 
-  /** Compact a fragmented parquet dir into ~targetMb files. The file
+  /** Compact a fragmented parquet dir into ~targetMb files, writing to
+    * a NEW directory — the read-side sibling of the in-place [[compact]]
+    * (use that for a live table you own; use this when the caller wants
+    * the original preserved, e.g. compact-while-validating). The file
     * count comes from the ACTUAL on-disk bytes (so compression is
     * already accounted for), and the merge is a `coalesce` — a
     * NO-SHUFFLE narrow dependency that concatenates input partitions,
     * which is what makes compaction affordable at 100 TB (a
-    * `repartition` would re-exchange the whole table for nothing;
-    * coalesce's cost is one read + one write). The trade-off — merged
-    * files inherit input-partition locality rather than perfect size
-    * balance — is the standard one every table-maintenance service
-    * makes. Returns (files_before, files_after).
+    * `repartition` would re-exchange the whole table for nothing).
+    * The trade-off — merged files inherit input-partition locality
+    * rather than perfect size balance — is the standard one every
+    * table-maintenance service makes. Returns
+    * (files_before, files_after).
     */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetMb: Int = 128,

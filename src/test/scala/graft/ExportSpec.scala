@@ -52,4 +52,32 @@ class ExportSpec extends AnyFunSuite with TestSpark {
       }
     }
   }
+
+  test("shard manifest: layout-independent signature, tamper detection") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-man").toString
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    Writers.shuffledShards(docs, "doc_id", dir, shards = 4)
+    Writers.writeShardManifest(spark, dir)
+    val m1 = spark.read.parquet(s"$dir/_manifest").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts agree with an independent recount per shard
+    val counts = spark.read.parquet(dir).groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m1.view.mapValues(_._1).toMap == counts)
+    // recomputing over the SAME content (different read layout) agrees
+    val m2 = Writers.shardManifest(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m2 == m1)
+    // a different id set must change the signature even at equal counts
+    val tampered = docs.withColumn("doc_id",
+      when(col("doc_id") === 7L, 9999L).otherwise(col("doc_id")))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-man2").toString
+    Writers.shuffledShards(tampered, "doc_id", dir2, shards = 4)
+    val m3 = Writers.shardManifest(spark, dir2).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(m3 != m1.view.mapValues(_._2).toMap,
+      "signature failed to detect an id substitution")
+  }
 }

@@ -24,6 +24,23 @@ class QueriesSmokeSpec extends AnyFunSuite with TestSpark {
     assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
   }
 
+  test("grid-cumulative queries window with non-empty partition specs") {
+    // q191/q195 run the two-phase block shape: every WindowExec must
+    // partition (a near-unique value grid in ONE task is the q159 bug
+    // class). Global-window queries (q188's bounded day grid, q193's
+    // dimension-sized supplier table) are bounded by construction and
+    // excluded by design.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q191_gap_percentiles", "q195_winsorize")) {
+      val df = Registry.queries(q)(spark, sf)
+      df.collect() // materialize the AQE-final plan
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has unpartitioned windows: $bad")
+    }
+  }
+
   test("q17/q18 join dimensions via broadcast (no shuffled dim join)") {
     val plan = Registry.queries("q18_multijoin")(spark, sf)
       .queryExecution.executedPlan.toString
