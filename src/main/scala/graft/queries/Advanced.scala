@@ -1511,6 +1511,91 @@ object Advanced {
                        AS mean_before,
                      ROUND(CAST(SUM(w) AS DOUBLE) / (COUNT(*) * 100), 4)
                        AS mean_after
-              FROM st GROUP BY g ORDER BY g"""))
+              FROM st GROUP BY g ORDER BY g""")),
+
+    // FUNNEL CONVERSION LATENCY — per completed stage transition
+    // (view→click, click→purchase under q150's strict chain), the
+    // p50/p90 seconds-to-convert: the "how long does the funnel take"
+    // number q150's counts leave out. Stage times are q150's exact
+    // user-keyed min-aggregates; deltas are integer seconds; the
+    // percentiles are VALUE-PINNED on the per-stage delta grid with
+    // the q191 two-phase block cumulative (per stage), so the
+    // user-cardinality delta grid never sorts in one task.
+    Q("q196_funnel_latency",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val d1 = s1.join(s2, "user_id")
+          .select(lit("view->click").as("stage"),
+            (unix_timestamp(col("t2")) - unix_timestamp(col("t1")))
+              .as("secs"))
+        val d2 = s2.join(s3, "user_id")
+          .select(lit("click->purchase").as("stage"),
+            (unix_timestamp(col("t3")) - unix_timestamp(col("t2")))
+              .as("secs"))
+        val deltas = d1.unionByName(d2)
+        val grid = deltas.groupBy(col("stage"), col("secs"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", floor(col("secs") / 3600).cast("long"))
+        val wLocal = Window.partitionBy(col("stage"), col("blk"))
+          .orderBy(col("secs"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = grid.withColumn("lc", sum(col("cnt")).over(wLocal))
+        val wOff = Window.partitionBy(col("stage")).orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = local.groupBy(col("stage"), col("blk"))
+          .agg(sum(col("cnt")).as("bs"))
+          .select(col("stage"), col("blk"),
+            coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
+        val cum = local.join(offs, Seq("stage", "blk"))
+          .select(col("stage"), col("secs"), (col("lc") + col("off")).as("cum"))
+        val n = deltas.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+        val ps = s.createDataFrame(Seq(Tuple1(50), Tuple1(90))).toDF("p")
+        cum.join(n, Seq("stage"))
+          .crossJoin(broadcast(ps))
+          .filter(col("cum") * 100 >= col("p") * col("n"))
+          .groupBy(col("stage"), col("p"))
+          .agg(min(col("secs")).as("secs"))
+          .orderBy(col("stage"), col("p"))
+      },
+      Some("""WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (
+                SELECT e.user_id, MIN(ts) AS t2 FROM events e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+              s3 AS (
+                SELECT e.user_id, MIN(ts) AS t3 FROM events e
+                JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+              deltas AS (
+                SELECT 'view->click' AS stage,
+                       CAST(FLOOR(EPOCH(t2)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(t1)) AS BIGINT) AS secs
+                FROM s1 JOIN s2 USING (user_id)
+                UNION ALL
+                SELECT 'click->purchase',
+                       CAST(FLOOR(EPOCH(t3)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(t2)) AS BIGINT)
+                FROM s2 JOIN s3 USING (user_id)),
+              cum AS (
+                SELECT stage, secs,
+                       SUM(COUNT(*)) OVER (PARTITION BY stage ORDER BY secs
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM deltas GROUP BY stage, secs),
+              n AS (SELECT stage, COUNT(*) AS n FROM deltas GROUP BY 1),
+              p AS (SELECT UNNEST([50, 90]) AS p)
+              SELECT c.stage, p.p, CAST(MIN(c.secs) AS BIGINT) AS secs
+              FROM cum c JOIN n USING (stage) CROSS JOIN p
+              WHERE c.cum * 100 >= p.p * n.n
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
