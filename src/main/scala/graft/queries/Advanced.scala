@@ -1382,8 +1382,18 @@ object Advanced {
     // reproducible), and the ABC boundaries compare decimals scaled by
     // integers (20·cum vs 16·total etc. would also work; spelled
     // 100-scale for readability), so classification never sits on a
-    // float boundary. The cumulative window runs over the
-    // DIMENSION-sized supplier table — bounded by construction.
+    // float boundary. The supplier table is NOT bounded — it scales
+    // with the corpus (TPC-H grows suppliers with SF: ~1e9 rows at
+    // 100 TB), so the descending cumulative runs the q153/q195
+    // two-phase block shape instead of one global window: 256 uniform
+    // value buckets over [min, max] revenue (block math on DOUBLES is
+    // plan-shape only — a block is a contiguous slice of the
+    // descending order, and the DECIMAL sums never touch it), local
+    // running sums per block, then one window over the 256 block
+    // summaries for the exclusive offsets. Equal revenues share a
+    // block (blk is a function of rev alone), so the suppkey tiebreak
+    // stays inside the local window and regrouped DECIMAL addition is
+    // bit-identical to the single-window form.
     Q("q193_pareto_abc",
       (s, d) => {
         val rev = t(s, d, "lineitem")
@@ -1392,10 +1402,26 @@ object Advanced {
               (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
               .as("r"))
           .groupBy(col("l_suppkey")).agg(sum(col("r")).as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("l_suppkey"))
+        val bounds = rev.agg(min(col("rev")).cast("double").as("lo"),
+          max(col("rev")).cast("double").as("hi"))
+        val blocked = rev.crossJoin(broadcast(bounds))
+          .withColumn("blk", least(lit(255L), greatest(lit(0L),
+            floor((col("rev").cast("double") - col("lo")) * 256.0 /
+              (col("hi") - col("lo") + 1e-9)).cast("long"))))
+          .drop("lo", "hi")
+        val wLocal = Window.partitionBy(col("blk"))
+          .orderBy(col("rev").desc, col("l_suppkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rev
-          .withColumn("cum", sum(col("rev")).over(w))
+        val local = blocked.withColumn("lc", sum(col("rev")).over(wLocal))
+        val wOff = Window.orderBy(col("blk").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = blocked.groupBy(col("blk"))
+          .agg(sum(col("rev")).as("bs"))
+          .select(col("blk"),
+            coalesce(sum(col("bs")).over(wOff),
+              lit(0).cast("decimal(38,4)")).as("off"))
+        local.join(broadcast(offs), Seq("blk"))
+          .withColumn("cum", col("lc") + col("off"))
           .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
           .select(col("l_suppkey"),
             round(col("rev").cast("double"), 2).as("revenue"),

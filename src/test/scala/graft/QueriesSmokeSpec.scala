@@ -27,9 +27,8 @@ class QueriesSmokeSpec extends AnyFunSuite with TestSpark {
   test("grid-cumulative queries window with non-empty partition specs") {
     // q191/q195 run the two-phase block shape: every WindowExec must
     // partition (a near-unique value grid in ONE task is the q159 bug
-    // class). Global-window queries (q188's bounded day grid, q193's
-    // dimension-sized supplier table) are bounded by construction and
-    // excluded by design.
+    // class). Global-window queries (q188's bounded day grid) are
+    // bounded by construction and excluded by design.
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q191_gap_percentiles", "q195_winsorize")) {
       val df = Registry.queries(q)(spark, sf)
@@ -39,6 +38,22 @@ class QueriesSmokeSpec extends AnyFunSuite with TestSpark {
       }
       assert(bad.isEmpty, s"$q has unpartitioned windows: $bad")
     }
+  }
+
+  test("q193: supplier cumulative is block-partitioned, never global") {
+    // The supplier table scales with SF (~1e9 rows at 100 TB), so the
+    // descending cumulative must run the two-phase block shape. The
+    // one unpartitioned window allowed is the 256-row block-summary
+    // offset pass — distinguished by its input: a supplier-cardinality
+    // window would carry l_suppkey, the summary window only (blk, bs).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Registry.queries("q193_pareto_abc")(spark, sf)
+    df.collect()
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        w.child.output.exists(_.name.contains("l_suppkey")) => w
+    }
+    assert(bad.isEmpty, s"supplier-cardinality unpartitioned window: $bad")
   }
 
   test("q17/q18 join dimensions via broadcast (no shuffled dim join)") {
