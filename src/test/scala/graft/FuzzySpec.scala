@@ -118,6 +118,35 @@ class FuzzySpec extends AnyFunSuite with TestSpark {
     assert(out(4L) == (("window spark receive zzzz", 0L)))
   }
 
+  test("plan: vocabulary id rank is block-partitioned, never a global sort") {
+    // r12 verdict #1: the id assignment must run the two-phase block
+    // shape — a row_number over an unpartitioned vocabulary window
+    // sorts the ENTIRE vocabulary (1e8–1e9 terms on a web corpus) in
+    // one task. The only unpartitioned window allowed is the
+    // block-summary offset pass, distinguished by its input: a
+    // vocabulary-cardinality window would carry `tok`, the summary
+    // window only (blk, bs).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ids = Fuzzy.blockRankIds(Fuzzy.vocab(docs))
+    ids.collect()
+    val bad = ids.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        w.child.output.exists(_.name == "tok") => w
+    }
+    assert(bad.isEmpty, s"vocabulary-sized unpartitioned window: $bad")
+    // substring scale paths carry no forced-broadcast join hints on
+    // corpus-derived sides; the offs broadcast here is bounded by the
+    // alphabet squared, not the vocabulary — and the ranks must be the
+    // EXACT global lexicographic ranks (min-id == min-token is what the
+    // q175/q180 string-label oracles stand on)
+    val got = ids.orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq.sorted == got.map(_._1).toSeq,
+      "id order must equal token sort order")
+    assert(got.map(_._2).toSeq == (1L to got.length.toLong).toSeq,
+      "ranks must be exact and dense from 1")
+  }
+
   test("deletion variants: counts and losslessness on a known token") {
     val v = spark.range(1).select(lit("abcd").as("tok"), lit(1L).as("c"))
     val variants = Fuzzy.deletionVariants(v)
