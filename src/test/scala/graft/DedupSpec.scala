@@ -570,6 +570,64 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("interval cut: native expression bit-equals the HOF form") {
+    // r12 verdict #2: the span-cut hot path moved from the interpreted
+    // filter/exists HOF pair to the compiled IntervalCut two-pointer.
+    // Pin bit-equality on adversarial interval shapes: overlap,
+    // containment, single-position, adjacency, past-end, whole-doc —
+    // evaluated over the SAME merged+sorted ivs arrays both forms see.
+    val rows = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"u$i").mkString(" ")),
+      (3L, (1 to 12).map(i => s"v$i").mkString(" ")),
+      (4L, (1 to 8).map(i => s"w$i").mkString(" "))) // no intervals
+    val docsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), schema)
+    val cov = Seq(
+      (1L, 3L, 7L), (1L, 5L, 9L),  // overlapping pair -> [3,9]
+      (1L, 11L, 11L),              // single position
+      (1L, 15L, 30L),              // runs past the end
+      (2L, 1L, 5L),                // whole doc
+      (3L, 2L, 4L), (3L, 5L, 5L), (3L, 8L, 11L)) // adjacent + disjoint
+    val covDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cov.map(Row.fromTuple), 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("s", LongType), StructField("e", LongType))))
+    val native = Dedup.cutIntervals(docsDf, covDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // independent replay: position-set complement of the raw intervals
+    val covered = cov.flatMap { case (d, s, e) =>
+      (s to e).map(p => (d, p)) }.toSet
+    rows.foreach { case (id, text) =>
+      val ts = text.split("\\s+").toSeq
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !covered.contains((id, (i + 1).toLong)) => t }
+      assert(native(id) == ((ts.size.toLong,
+        (ts.size - kept.size).toLong, kept.mkString(" "))),
+        s"doc$id: ${native(id)}")
+    }
+    // literal HOF-vs-native bit-equality on one materialized ivs column
+    val ivsDf = docsDf
+      .select(col("doc_id"),
+        split(col("text"), "\\s+").as("ts"))
+      .join(covDf.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+          struct(col("s").as("mn"), col("e").as("mx")))).as("ivs")),
+        Seq("doc_id"))
+    val both = ivsDf.select(col("doc_id"),
+      graft.functions.Fns.intervalCut(col("ts"), col("ivs")).as("nat"),
+      filter(col("ts"), (t, i) =>
+        !exists(col("ivs"), v =>
+          (i + 1) >= v.getField("mn") && (i + 1) <= v.getField("mx")))
+        .as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc${r.getLong(0)}: native=${r.getSeq[String](1)} " +
+          s"hof=${r.getSeq[String](2)}")
+    }
+  }
+
   test("substring scale paths carry no forced-broadcast join hints") {
     // the membership maps (one row per UNIQUE text) are
     // corpus-cardinality — at 100 TB a forced broadcast() of them
