@@ -216,6 +216,12 @@ object Main {
           println(s"upsert table=$tableDir keys=${keys.mkString(",")} " +
             s"version=$versionCol rows=$n")
 
+        // restore a readable table after a crashed upsert (promotes the
+        // staged merged copy, else the set-aside original)
+        case "upsert-recover" :: tableDir :: Nil =>
+          println(s"upsert-recover table=$tableDir state=${
+            Writers.upsertRecover(spark, tableDir)}")
+
         case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
           graft.etl.Writers.zorderParquet(
             spark.read.parquet(in), c1, c2, out)

@@ -135,15 +135,26 @@ object Writers {
     * footer-read overhead are driven by FILE count, not byte count.
     *
     * Output file count = ceil(current bytes / targetMB), rows preserved.
-    * The swap is write-to-temp + delete + rename: atomic enough on
-    * HDFS-like stores (rename is metadata-only); on object stores run it
-    * against a quiesced table or use a table format with commit logs —
-    * the compaction itself is the same repartition+write.
+    * The swap is write-to-temp + rename-aside + rename-in (the
+    * [[upsert]] scheme: a crash at any point leaves a complete readable
+    * copy under `dir`, `.compact-old`, or `.compact-tmp`); on object
+    * stores run it against a quiesced table or use a table format with
+    * commit logs — the compaction itself is the same coalesce+write.
+    * Refuses PARTITIONED layouts: reading them through
+    * `spark.read.parquet(dir)` would fold the partition columns into
+    * the data files and flatten the layout — use [[compactFiles]],
+    * which compacts partition-by-partition.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetMB: Int = 512): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = partitionDirs(fs, path)
+    require(parts.isEmpty,
+      s"compact: $dir holds partition directories (${parts.take(3)
+        .mkString(", ")}…) — in-place compaction would flatten the " +
+        "layout; use compactFiles, which preserves it partition-by-" +
+        "partition")
     val bytes = fs.getContentSummary(path).getLength
     val n = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
@@ -155,9 +166,15 @@ object Writers {
       .write.mode("overwrite")
       .option("compression", DefaultCompression)
       .parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path)
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true)
     n
   }
 
@@ -200,11 +217,26 @@ object Writers {
     * format: after the merge exactly one row per key survives — the one
     * with the highest `versionCol` across the existing table and the
     * incoming delta, the delta winning version ties (the newest write
-    * is the truth a CDC feed expects). The table is rewritten through
-    * the [[compact]] staging-dir swap, so readers never see a
-    * half-written table and a crashed upsert leaves the original
-    * intact (a stale `.upsert-tmp` is garbage to delete, not
-    * corruption). Replaying the same delta is a no-op by construction.
+    * is the truth a CDC feed expects). Replaying the same delta is a
+    * no-op by construction.
+    *
+    * Swap + crash guarantee (exact, r12 verdict #3): the merged table
+    * is staged at `<dir>.upsert-tmp`, the original renamed aside to
+    * `<dir>.upsert-old`, the staged copy renamed in, then the old copy
+    * deleted. Readers CAN observe a brief no-table-at-`dir` window —
+    * two metadata renames wide, not a recursive delete wide — and a
+    * crash at ANY point leaves at least one complete, readable copy of
+    * the table on disk under a deterministic name:
+    *  - before the first rename: original at `dir` (tmp is garbage);
+    *  - between the renames: old data at `.upsert-old` AND merged data
+    *    at `.upsert-tmp`;
+    *  - after the second rename: merged data live at `dir`
+    *    (`.upsert-old` garbage).
+    * [[upsertRecover]] inspects those states and restores a readable
+    * table at `dir` (preferring the merged copy); ExportSpec walks
+    * every interleaving point through it. On a true object store,
+    * rename is copy+delete — use a commit-log table format there; the
+    * merge reduction carries over unchanged.
     *
     * Scale shape: the keep-latest reduction is ONE exchange on the key
     * and a per-key top-1 (the TopKPerKey rewrite turns the filtered
@@ -239,10 +271,55 @@ object Writers {
       .option("compression", compression)
       .parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    if (fs.exists(path)) fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    // rename-aside swap: never delete before the replacement is in
+    // place — see the crash-state table in the Scaladoc
+    val old = new org.apache.hadoop.fs.Path(dir + ".upsert-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadTable = fs.exists(path)
+    if (hadTable && !fs.rename(path, old))
+      throw new java.io.IOException(s"upsert: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      // restore the original before failing — no state is lost
+      if (hadTable) fs.rename(old, path)
       throw new java.io.IOException(s"upsert: rename $tmp -> $path failed")
+    }
+    if (hadTable) fs.delete(old, true)
     n
+  }
+
+  /** Restore a readable table at `dir` after a crashed [[upsert]]:
+    * prefers the staged MERGED copy (`.upsert-tmp` — complete by
+    * construction once it exists with a _SUCCESS marker), falls back to
+    * the set-aside original (`.upsert-old`), and clears whichever
+    * leftovers remain. Returns the state it found:
+    * "clean" (table present, no leftovers), "promoted-tmp",
+    * "restored-old", or "missing" (no copy anywhere — nothing staged
+    * before the crash and no table existed).
+    */
+  def upsertRecover(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".upsert-tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".upsert-old")
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.exists(
+        new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (fs.exists(path)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      "clean"
+    } else if (complete(tmp)) {
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"recover: rename $tmp -> $path failed")
+      if (fs.exists(old)) fs.delete(old, true)
+      "promoted-tmp"
+    } else if (fs.exists(old)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete stage
+      if (!fs.rename(old, path))
+        throw new java.io.IOException(s"recover: rename $old -> $path failed")
+      "restored-old"
+    } else "missing"
   }
 
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
@@ -430,19 +507,49 @@ object Writers {
       .parquet(path)
   }
 
+  /** All data files under `dir`, RECURSIVELY — partitioned layouts
+    * (`shard=N` exports, `batch=N` streaming sinks: the layouts this
+    * repo's own sinks produce) keep their parquet files in
+    * subdirectories, so a top-level-only listing reports an empty
+    * table (ADVICE r12: fileStats said totalBytes=0 and compactFiles
+    * collapsed a partitioned table into ONE file).
+    */
+  private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith("."))
+        out += f
+    }
+    out.result()
+  }
+
+  /** Top-level `key=value` partition directory names under `dir`
+    * (empty for a flat layout). */
+  private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+
   /** Per-file size stats of a parquet dir — the SMALL-FILES smell
     * check: (n_files, total_bytes, avg_mb, n_under_half_target). At
     * scale, thousands of KB-sized files turn a scan into a
     * task-scheduling and NameNode/listing problem long before it is an
     * IO problem; this is the number that says when [[compactFiles]] is
-    * due.
+    * due. Listing is recursive, so partitioned layouts (shard=N,
+    * batch=N, ingest_date=D) report their true file population.
     */
   def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetMb: Int = 128): (Long, Long, Double, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val files = listParquetFiles(fs, path)
     val n = files.length.toLong
     val total = files.map(_.getLen).sum
     val avgMb = if (n == 0) 0.0 else total / 1e6 / n
@@ -461,20 +568,38 @@ object Writers {
     * `repartition` would re-exchange the whole table for nothing).
     * The trade-off — merged files inherit input-partition locality
     * rather than perfect size balance — is the standard one every
-    * table-maintenance service makes. Returns
-    * (files_before, files_after).
+    * table-maintenance service makes.
+    *
+    * PARTITIONED layouts are compacted partition-by-partition: each
+    * top-level `key=value` directory coalesces to its OWN byte-derived
+    * file count and lands under the same relative path in `outDir`, so
+    * the partition layout (and partition pruning, and the batch=N
+    * idempotency contracts of the streaming sinks) survives — never
+    * the whole table into one giant single-task file (ADVICE r12).
+    * Returns (files_before, files_after).
     */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetMb: Int = 128,
       compression: String = DefaultCompression): (Long, Long) = {
-    val (nBefore, totalBytes, _, _) = fileStats(spark, inDir, targetMb)
-    val nAfter = math.max(1L, math.ceil(
-      totalBytes.toDouble / (targetMb.toLong * 1000000)).toLong)
-    spark.read.parquet(inDir)
-      .coalesce(nAfter.toInt)
-      .write.mode("overwrite")
-      .option("compression", compression)
-      .parquet(outDir)
-    (nBefore, nAfter)
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = partitionDirs(fs, path)
+    def compactOne(in: String, out: String): (Long, Long) = {
+      val (nBefore, totalBytes, _, _) = fileStats(spark, in, targetMb)
+      if (nBefore == 0) return (0L, 0L)
+      val nAfter = math.max(1L, math.ceil(
+        totalBytes.toDouble / (targetMb.toLong * 1000000)).toLong)
+      spark.read.parquet(in)
+        .coalesce(nAfter.toInt)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(out)
+      (nBefore, nAfter)
+    }
+    if (parts.isEmpty) compactOne(inDir, outDir)
+    else parts // recurse: multi-level layouts (date=D/hour=H) keep every level
+      .map(p => compactFiles(spark, s"$inDir/$p", s"$outDir/$p",
+        targetMb, compression))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
   }
 }

@@ -218,6 +218,96 @@ class EtlSpec extends AnyFunSuite with TestSpark {
     assert(replay == before, s"replay drifted: $replay vs $before")
   }
 
+  test("upsert crash states: a complete copy survives every interleaving point") {
+    // r12 verdict #3: the swap is stage -> rename-aside -> rename-in ->
+    // delete-old. Construct each crash window's on-disk state directly
+    // and assert upsertRecover restores a readable, correct table.
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def tbl(rows: (Long, String)*) = df(schema, rows.map(Row.fromTuple): _*)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def vals(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val v1 = Set(1L -> "old")
+    val v2 = Set(1L -> "new", 2L -> "added")
+
+    // state 1: staged tmp written, crash BEFORE the rename-aside —
+    // original is the truth, tmp is garbage
+    val d1 = Files.createTempDirectory("ups1").toString + "/t"
+    tbl(v1.toSeq: _*).write.parquet(d1)
+    tbl(v2.toSeq: _*).write.parquet(d1 + ".upsert-tmp")
+    assert(Writers.upsertRecover(spark, d1) == "clean")
+    assert(vals(d1) == v1)
+    assert(!fs.exists(p(d1 + ".upsert-tmp")))
+
+    // state 2: crash BETWEEN the renames — no table at dir, but both
+    // copies exist; the complete merged copy is promoted
+    val d2 = Files.createTempDirectory("ups2").toString + "/t"
+    tbl(v1.toSeq: _*).write.parquet(d2 + ".upsert-old")
+    tbl(v2.toSeq: _*).write.parquet(d2 + ".upsert-tmp")
+    assert(Writers.upsertRecover(spark, d2) == "promoted-tmp")
+    assert(vals(d2) == v2)
+    assert(!fs.exists(p(d2 + ".upsert-old")) && !fs.exists(p(d2 + ".upsert-tmp")))
+
+    // state 3: crash AFTER the rename-in, before the old-copy delete
+    val d3 = Files.createTempDirectory("ups3").toString + "/t"
+    tbl(v2.toSeq: _*).write.parquet(d3)
+    tbl(v1.toSeq: _*).write.parquet(d3 + ".upsert-old")
+    assert(Writers.upsertRecover(spark, d3) == "clean")
+    assert(vals(d3) == v2)
+    assert(!fs.exists(p(d3 + ".upsert-old")))
+
+    // state 4: INCOMPLETE stage (no _SUCCESS) + set-aside original —
+    // the original is restored, the torn stage discarded
+    val d4 = Files.createTempDirectory("ups4").toString + "/t"
+    tbl(v1.toSeq: _*).write.parquet(d4 + ".upsert-old")
+    tbl(v2.toSeq: _*).write.parquet(d4 + ".upsert-tmp")
+    fs.delete(p(d4 + ".upsert-tmp/_SUCCESS"), false)
+    assert(Writers.upsertRecover(spark, d4) == "restored-old")
+    assert(vals(d4) == v1)
+
+    // and the happy path leaves no leftovers at all
+    val d5 = Files.createTempDirectory("ups5").toString + "/t"
+    val vschema = StructType(schema.fields :+ StructField("ver", LongType))
+    def vtbl(rows: (Long, String, Long)*) =
+      df(vschema, rows.map(Row.fromTuple): _*)
+    Writers.upsert(spark, d5, vtbl((1L, "old", 1L)), Seq("k"), "ver")
+    Writers.upsert(spark, d5, vtbl((1L, "new", 2L), (2L, "added", 1L)),
+      Seq("k"), "ver")
+    assert(vals(d5) == v2)
+    assert(!fs.exists(p(d5 + ".upsert-old")) && !fs.exists(p(d5 + ".upsert-tmp")))
+  }
+
+  test("fileStats/compactFiles on a partitioned layout: recursive, layout kept") {
+    // ADVICE r12 (medium): top-level-only listing reported 0 bytes on
+    // shard=N / batch=N layouts and compactFiles flattened them into
+    // one file. Stats must see through partition dirs; compaction must
+    // preserve them.
+    val in = Files.createTempDirectory("graft-part-in").toString
+    val out = Files.createTempDirectory("graft-part-out").toString + "/t"
+    spark.range(4000)
+      .select(col("id"), (col("id") % 4).cast("int").as("shard"))
+      .repartition(10) // ~10 files per partition — fragmented
+      .write.mode("overwrite").partitionBy("shard").parquet(in)
+    val (n0, bytes0, _, _) = Writers.fileStats(spark, in)
+    assert(n0 >= 40 && bytes0 > 0, s"recursive stats broken: ($n0, $bytes0)")
+    val (before, after) = Writers.compactFiles(spark, in, out)
+    assert(before == n0 && after == 4, s"($before, $after)")
+    // layout preserved: one shard=N dir each, partition pruning intact
+    val kept = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(kept == Set("shard=0", "shard=1", "shard=2", "shard=3"), s"$kept")
+    val got = spark.read.parquet(out)
+      .groupBy(col("shard")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1000L, 1 -> 1000L, 2 -> 1000L, 3 -> 1000L), s"$got")
+    // in-place compact refuses a partitioned dir instead of flattening
+    val err = intercept[IllegalArgumentException](Writers.compact(spark, in))
+    assert(err.getMessage.contains("compactFiles"))
+  }
+
   test("small-files compaction: fragmented dir merges, data intact, stats report") {
     import org.apache.spark.sql.functions._
     val in = java.nio.file.Files.createTempDirectory("graft-frag").toString
