@@ -150,10 +150,27 @@ object Bench {
     // repo-root JSONL so round-over-round per-query trends survive
     // without archaeology. The driver commits uncommitted files at
     // round end, so its official run lands here too.
-    Files.writeString(Paths.get("bench_history.jsonl"),
+    // History path anchored to the repo root, not the process cwd
+    // (ADVICE r12): a run launched elsewhere would otherwise scatter
+    // history files or die on a read-only cwd. Resolution order:
+    // GRAFT_BENCH_HISTORY env var > nearest ancestor dir holding
+    // build.sbt > target/ fallback. Append failures must never fail
+    // the bench itself — the stdout artifact is the primary channel.
+    val hist = sys.env.get("GRAFT_BENCH_HISTORY").map(Paths.get(_))
+      .orElse {
+        Iterator.iterate(Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null)
+          .find(d => Files.exists(d.resolve("build.sbt")))
+          .map(_.resolve("bench_history.jsonl"))
+      }
+      .getOrElse(Paths.get("target/bench_history.jsonl"))
+    try Files.writeString(hist,
       s"""{"ts":${System.currentTimeMillis() / 1000},"line":$full}""" + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] history append to $hist failed: $e")
+    }
     // Bare lines on stdout for the driver's tail-parse: full first,
     // compact LAST.
     println(full)

@@ -313,12 +313,18 @@ object Dq {
       keys: Seq[String]): DataFrame = {
     val shared = oldDf.columns.toSeq.filter(newDf.columns.contains)
       .filterNot(keys.contains)
-    val a = oldDf.select((keys ++ shared).map(col): _*).as("a")
-    val b = newDf.select((keys ++ shared).map(col): _*).as("b")
-    val joined = a.join(b, keys.map(k => col(s"a.$k") === col(s"b.$k"))
+    // NULL-keyed rows (ADVICE r12): join null-safely (<=>) so a
+    // NULL-keyed row present in both snapshots pairs up instead of
+    // being reported added AND removed, and detect side presence via
+    // explicit per-side markers, never key nullability
+    val a = oldDf.select((keys ++ shared).map(col): _*)
+      .withColumn("_in_old", lit(1)).as("a")
+    val b = newDf.select((keys ++ shared).map(col): _*)
+      .withColumn("_in_new", lit(1)).as("b")
+    val joined = a.join(b, keys.map(k => col(s"a.$k") <=> col(s"b.$k"))
       .reduce(_ && _), "full_outer")
-    val inOld = col(s"a.${keys.head}").isNotNull
-    val inNew = col(s"b.${keys.head}").isNotNull
+    val inOld = col("a._in_old").isNotNull
+    val inNew = col("b._in_new").isNotNull
     val diffFlags = shared.map(c =>
       when(!(col(s"a.$c") <=> col(s"b.$c")), lit(c)))
     val changedCols = concat_ws(",", diffFlags: _*)

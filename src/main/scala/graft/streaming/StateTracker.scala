@@ -30,7 +30,25 @@ object StateTracker {
       lastMs: Long, lastId: Long)
   final case class ClosedRun(user_id: Long, state: String,
       valid_from: Timestamp, valid_to: Timestamp, n_events: Long)
+  /** [[runsEvicting]]'s output: a closed run plus HOW it closed —
+    * "transition" (the q176 rule: the next event changed state) or
+    * "idle" (event-time eviction closed the open tail; valid_to is the
+    * run's LAST OBSERVED event, not a transition instant).
+    */
+  final case class RunOut(user_id: Long, state: String,
+      valid_from: Timestamp, valid_to: Timestamp, n_events: Long,
+      closed_by: String)
 
+  /** State bound (r12 verdict #4): NoTimeout means every user ever
+    * seen holds 28 bytes of state FOREVER — unbounded in |users| on an
+    * always-on stream. That is the deliberate contract here: this form
+    * matches the batch q176 exactly (an open run stays open until its
+    * user transitions, however long the silence), so it fits bounded
+    * user populations or finite replays; RocksDB state moves the growth
+    * to disk but not away. For an unbounded population use
+    * [[runsEvicting]], which closes idle runs by event-time timeout and
+    * removes their state.
+    */
   def runs(ds: Dataset[TrackEv]): Dataset[ClosedRun] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
@@ -57,6 +75,67 @@ object StateTracker {
           }
           if (st != null) state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** [[runs]] with an EVENT-TIME eviction story — the form whose state
+    * is bounded by the ACTIVE population, not by every user ever seen:
+    * when the stream's watermark passes a user's last event by
+    * `idleMs`, the open run is emitted as a final row
+    * (closed_by = "idle", valid_to = the run's last observed event)
+    * and the user's state is REMOVED. Transition closes carry
+    * closed_by = "transition" and match [[runs]] row for row.
+    *
+    * Contract notes:
+    *  - `ds` MUST carry a watermark on `ts` (event-time timeouts key
+    *    off it); without one Spark rejects the query.
+    *  - An event arriving for an evicted user starts a FRESH run — the
+    *    idempotency watermark (lastMs, lastId) is part of the evicted
+    *    state, so a replay spanning an eviction can re-emit the tail.
+    *    Exactly-once replay holds per the same arrival-order contract
+    *    as [[runs]]; a late-data-correct history is the batch q176
+    *    recompute's job.
+    *  - State per live user is the same 28-byte TrackState; the
+    *    timeout timestamp is lastMs + idleMs, re-armed on every event.
+    */
+  def runsEvicting(ds: Dataset[TrackEv], idleMs: Long): Dataset[RunOut] = {
+    import ds.sparkSession.implicits._
+    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrackState, RunOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[TrackEv], state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(RunOut(uid, st.state,
+              new Timestamp(st.sinceMs), new Timestamp(st.lastMs), st.n,
+              "idle"))
+          } else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[RunOut]
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (st == null)
+                st = TrackState(e.event_type, t, 1L, t, e.event_id)
+              else if (t > st.lastMs ||
+                  (t == st.lastMs && e.event_id > st.lastId)) {
+                if (e.event_type == st.state)
+                  st = st.copy(n = st.n + 1, lastMs = t, lastId = e.event_id)
+                else {
+                  out += RunOut(uid, st.state, new Timestamp(st.sinceMs),
+                    new Timestamp(t), st.n, "transition")
+                  st = TrackState(e.event_type, t, 1L, t, e.event_id)
+                }
+              } // else: replayed or out-of-order event — no-op by the rule
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + idleMs)
+            }
+            out.result().iterator
+          }
       }
   }
 }

@@ -65,6 +65,23 @@ class DqSpec extends AnyFunSuite with TestSpark {
     assert(hist(5L) == ((1L, 5L, false)))
   }
 
+  test("NULL-keyed rows pair up null-safely (never added AND removed)") {
+    // ADVICE r12: an === key join never matches NULL keys, so a
+    // NULL-keyed row present in both snapshots was double-reported.
+    val o = df(Seq(Row(null, "same", Integer.valueOf(1)),
+      Row(1L, "x", Integer.valueOf(1))))
+    val n = df(Seq(Row(null, "same", Integer.valueOf(1)),
+      Row(1L, "x", Integer.valueOf(1))))
+    assert(Dq.snapshotDiff(o, n, Seq("k")).collect().isEmpty,
+      "identical snapshots must diff empty even with NULL keys")
+    // and a NULL-keyed CHANGE is one 'changed' row, not two rows
+    val n2 = df(Seq(Row(null, "edited", Integer.valueOf(1)),
+      Row(1L, "x", Integer.valueOf(1))))
+    val d = Dq.snapshotDiff(o, n2, Seq("k")).collect()
+    assert(d.length == 1 && d.head.getString(1) == "changed" &&
+      d.head.getString(2) == "a", s"got ${d.toSeq}")
+  }
+
   test("columns only in one schema are ignored") {
     import org.apache.spark.sql.functions._
     val widened = newDf.withColumn("extra", lit(9))

@@ -63,6 +63,43 @@ class StateTrackerSpec extends AnyFunSuite with TestSpark {
     query.stop()
   }
 
+  test("idle eviction: open tail emitted as a final idle-closed run, state removed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[TrackEv]
+    // 3-minute idle gap, zero watermark delay: once the watermark
+    // passes lastMs + 3 min, the open run closes and the state evicts
+    val query = StateTracker
+      .runsEvicting(stream.toDS().withWatermark("ts", "0 seconds"),
+        idleMs = 3L * 60 * 1000)
+      .writeStream.format("memory").queryName("scd2_evict")
+      .outputMode("append").start()
+
+    // user 1: A A, then silence; user 9 keeps the watermark moving
+    stream.addData(TrackEv(1L, "A", ts(1), 1L), TrackEv(1L, "A", ts(2), 2L))
+    query.processAllAvailable()
+    stream.addData(TrackEv(9L, "Z", ts(30), 3L))
+    query.processAllAvailable() // wm -> ts(30): user 1 times out
+    val got = spark.table("scd2_evict").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getString(5))).toSet
+    assert(got == Set((1L, "A", ts(1), ts(2), 2L, "idle")), s"got $got")
+
+    // a post-eviction event starts a FRESH run (state really removed):
+    // same state A, but the later transition counts only the new event
+    stream.addData(TrackEv(1L, "A", ts(40), 4L))
+    query.processAllAvailable()
+    stream.addData(TrackEv(1L, "B", ts(41), 5L))
+    query.processAllAvailable()
+    val after = spark.table("scd2_evict").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getString(5))).toSet
+    assert(after.contains((1L, "A", ts(40), ts(41), 1L, "transition")),
+      s"fresh run after eviction missing: $after")
+    query.stop()
+  }
+
   test("same-instant events order by event_id, matching the q176 tie rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
