@@ -58,6 +58,14 @@ object Fuzzy {
   /** Maximum edit distance for a fuzzy pair. */
   val MaxDist = 2
 
+  /** Per-length refinement threshold ([[fuzzyTokenPairsRefined]]):
+    * tokens shorter than this get k = 1 — at 4–5 characters, 2 edits
+    * rewrite half the token, so distance-2 "pairs" there are mostly
+    * unrelated words (and the short deletion variants are exactly where
+    * candidate hubs concentrate: every variant of a 4-char token is a
+    * 2-char subsequence shared by a huge slice of the vocabulary). */
+  val ShortLen = 6
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
@@ -75,7 +83,17 @@ object Fuzzy {
     * a `transform()` lambda here would run interpreted), and `distinct`
     * collapses equal variants from different deletion positions.
     */
-  def deletionVariants(vocabDf: DataFrame): DataFrame = {
+  def deletionVariants(vocabDf: DataFrame): DataFrame =
+    deletionVariants(vocabDf, d2MinLen = 0)
+
+  /** [[deletionVariants]] with 2-deletion variants generated only for
+    * tokens of length >= `d2MinLen` — the per-length-k refinement's
+    * candidate side: short tokens' 2-deletion variants are the hub
+    * population (a 4-char token's 2-deletion variant is a 2-char
+    * subsequence), and under the per-length rule short pairs only need
+    * distance 1, for which 1-deletion variants are pigeonhole-complete.
+    */
+  def deletionVariants(vocabDf: DataFrame, d2MinLen: Int): DataFrame = {
     val toks = vocabDf.select(col("tok"))
     val d0 = toks.select(col("tok"), col("tok").as("variant"))
     val d1 = toks
@@ -86,6 +104,7 @@ object Fuzzy {
     // delete positions i < j: slice around both (j is the position in the
     // ORIGINAL string, so the middle run is (i+1 .. j-1))
     val d2 = toks
+      .filter(length(col("tok")) >= d2MinLen)
       .select(col("tok"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
       .select(col("tok"), col("i"),
         explode(sequence(col("i") + 1, length(col("tok")))).as("j"))
@@ -120,21 +139,57 @@ object Fuzzy {
     fuzzyPairsBy(docsDf,
       (a, b) => graft.functions.Fns.damerau(a, b).cast("long"))
 
-  private def fuzzyPairsBy(docsDf: DataFrame,
-      dist: (Column, Column) => Column): DataFrame = {
-    val v = vocab(docsDf)
-    val variants = deletionVariants(v)
-    val cands = variants.as("a")
+  /** Candidate pairs from a deletion-variant table: equi-join on the
+    * variant string, oriented tok_a < tok_b, deduped before the
+    * verify (shared variants re-derive a pair). */
+  private def candidatePairs(variants: DataFrame): DataFrame =
+    variants.as("a")
       .join(variants.as("b"), col("a.variant") === col("b.variant"))
       .filter(col("a.tok") < col("b.tok"))
       .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
-      .distinct() // before the verify: shared variants re-derive a pair
-    cands
-      .withColumn("dist", dist(col("tok_a"), col("tok_b")))
-      .filter(col("dist") <= MaxDist)
+      .distinct()
+
+  private def withCounts(pairs: DataFrame, v: DataFrame): DataFrame =
+    pairs
       .join(v.select(col("tok").as("tok_a"), col("c").as("c_a")), Seq("tok_a"))
       .join(v.select(col("tok").as("tok_b"), col("c").as("c_b")), Seq("tok_b"))
       .select(col("tok_a"), col("tok_b"), col("dist"), col("c_a"), col("c_b"))
+
+  private def fuzzyPairsBy(docsDf: DataFrame,
+      dist: (Column, Column) => Column): DataFrame = {
+    val v = vocab(docsDf)
+    val cands = candidatePairs(deletionVariants(v))
+    withCounts(
+      cands
+        .withColumn("dist", dist(col("tok_a"), col("tok_b")))
+        .filter(col("dist") <= MaxDist),
+      v)
+  }
+
+  /** q174 under the PER-LENGTH threshold (the r12 "documented, not
+    * applied" refinement, now applied as its own operator so the q174
+    * oracle contract stays one rule): a pair's allowed distance is 1
+    * when its shorter token is under [[ShortLen]] chars, else
+    * [[MaxDist]]. Semantics: at 4–5 chars two edits rewrite half the
+    * token, so the k=2 short pairs are noise, and dropping them also
+    * removes the candidate-hub population — 2-deletion variants are
+    * generated only for length >= ShortLen tokens (lossless by the
+    * pigeonhole: a distance-1 pair needs only 1-deletion variants,
+    * and a distance-2 pair under the rule has BOTH sides >=
+    * ShortLen). The worst candidate hub shrinks from "terms sharing a
+    * 2-char subsequence" to "terms sharing a 3-char one" at the short
+    * end — the SCALE.md fuzzy rehearsal measures the delta.
+    */
+  def fuzzyTokenPairsRefined(docsDf: DataFrame): DataFrame = {
+    val v = vocab(docsDf)
+    val cands = candidatePairs(deletionVariants(v, d2MinLen = ShortLen))
+    withCounts(
+      cands
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+        .filter(col("dist") <=
+          when(least(length(col("tok_a")), length(col("tok_b"))) < ShortLen,
+            lit(1L)).otherwise(lit(MaxDist.toLong))),
+      v)
   }
 
   /** Rank every vocabulary token in lexicographic order WITHOUT a global
@@ -342,6 +397,25 @@ object Fuzzy {
                 ON a.tok < b.tok
                AND ABS(LENGTH(a.tok) - LENGTH(b.tok)) <= $MaxDist
               WHERE damerau_levenshtein(a.tok, b.tok) <= $MaxDist
+              ORDER BY tok_a, tok_b""")),
+
+    // q174 under the per-length threshold: short pairs (min length <
+    // ShortLen) must sit at distance 1, longer pairs at <= 2 — the
+    // hub-bounding refinement, hash-checked under its own CASE-rule
+    // oracle (q174's fixed-k contract is untouched).
+    Q("q198_fuzzy_pairs_refined",
+      (s, d) => fuzzyTokenPairsRefined(docs(s, d))
+        .orderBy(col("tok_a"), col("tok_b")),
+      Some(vocabOracle + s"""
+              SELECT a.tok AS tok_a, b.tok AS tok_b,
+                     CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+                     a.c AS c_a, b.c AS c_b
+              FROM v a JOIN v b
+                ON a.tok < b.tok
+               AND ABS(LENGTH(a.tok) - LENGTH(b.tok)) <= $MaxDist
+              WHERE levenshtein(a.tok, b.tok) <=
+                    CASE WHEN LEAST(LENGTH(a.tok), LENGTH(b.tok)) < $ShortLen
+                         THEN 1 ELSE $MaxDist END
               ORDER BY tok_a, tok_b""")),
 
     // The apply step: count-weighted canonical spelling per cluster,

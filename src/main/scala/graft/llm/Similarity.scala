@@ -1353,7 +1353,94 @@ object Similarity {
                          generate_series(1, LEN(dq)),
                          i -> (dq[i] - qdq[i]) * (dq[i] - qdq[i])))),
                        c.vec_id
-              LIMIT 10"""))
+              LIMIT 10""")),
+
+    // SQ8 recall-vs-exact tuning report over the PERSISTED byte-code
+    // store (q133's sibling for the SQ8/IVF-SQ8 rung — r12 verdict #5):
+    // recall@10 of the full SQ8 code scan plus the IVF-SQ8 probe at
+    // widths 1/2/4 against exact float L2. The oracle reads the SAME
+    // stored bounds and codes parquet (q82's pattern), so the store
+    // build, dequantization, cell pruning, and every recall number all
+    // value-pin.
+    Q("q197_sq8_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        sqBuildStore(e, Q197SqStoreDir)
+        sqRecallReport(s, Q197SqStoreDir, e, queryVecId = 0L, k = 10,
+          probeWidths = Seq(1, 2, 4))
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              b AS (SELECT LIST(mn ORDER BY i) AS mns,
+                           LIST(mx ORDER BY i) AS mxs
+                    FROM read_parquet('$Q197SqStoreDir/bounds/*.parquet')),
+              c AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, LEN(code)), i ->
+                         CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                              ELSE mns[i] + code[i] * (mxs[i] - mns[i]) / 255
+                         END) AS dq
+                FROM read_parquet('$Q197SqStoreDir/codes/*.parquet'), b),
+              q AS (SELECT dq AS qdq FROM c WHERE vec_id = 0),
+              qraw AS (SELECT a AS qa FROM v WHERE vec_id = 0),
+              exact AS (
+                SELECT v.vec_id FROM v CROSS JOIN qraw
+                WHERE v.vec_id <> 0
+                ORDER BY list_sum(list_transform(generate_series(1, LEN(a)),
+                           i -> (a[i] - qa[i]) * (a[i] - qa[i]))), v.vec_id
+                LIMIT 10),
+              sqtop AS (
+                SELECT c.vec_id FROM c, q
+                WHERE c.vec_id <> 0
+                ORDER BY list_sum(list_transform(generate_series(1, LEN(dq)),
+                           i -> (dq[i] - qdq[i]) * (dq[i] - qdq[i]))), c.vec_id
+                LIMIT 10),
+              ivfcb AS (SELECT vec_id AS cell, a AS cv FROM v WHERE vec_id < 16),
+              scored AS (
+                SELECT v.vec_id, ivfcb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * ivfcb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(ivfcb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN ivfcb),
+              corpus AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cell) AS rn
+                  FROM scored) t WHERE rn = 1),
+              qrank AS (
+                SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell) AS pr
+                FROM scored WHERE vec_id = 0),
+              probes AS (SELECT UNNEST([1, 2, 4]) AS np),
+              cand AS (
+                SELECT p.np, c2.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.np
+                         ORDER BY list_sum(list_transform(
+                                    generate_series(1, LEN(c2.dq)),
+                                    i -> (c2.dq[i] - qdq[i]) * (c2.dq[i] - qdq[i]))),
+                                  c2.vec_id) AS rk
+                FROM probes p
+                JOIN qrank r ON r.pr <= p.np
+                JOIN corpus cc ON cc.cell = r.cell
+                JOIN c c2 ON c2.vec_id = cc.vec_id
+                CROSS JOIN q
+                WHERE c2.vec_id <> 0),
+              ivfhits AS (
+                SELECT np, COUNT(*) AS n FROM cand JOIN exact USING (vec_id)
+                WHERE rk <= 10 GROUP BY np),
+              sqhit AS (SELECT COUNT(*) AS n FROM sqtop JOIN exact USING (vec_id))
+              SELECT variant, n_hits, recall FROM (
+                SELECT 'sq8' AS variant, CAST(n AS BIGINT) AS n_hits,
+                       ROUND(n / 10.0, 4) AS recall
+                FROM sqhit
+                UNION ALL
+                SELECT 'ivfsq8_p' || p.np, CAST(COALESCE(h.n, 0) AS BIGINT),
+                       ROUND(COALESCE(h.n, 0) / 10.0, 4)
+                FROM probes p LEFT JOIN ivfhits h ON h.np = p.np)
+              ORDER BY variant"""))
   )
 
   /** Scalar-quantization (SQ8) ANN: quantize every dimension to an
@@ -1508,6 +1595,76 @@ object Similarity {
     (b.map(_.getDouble(1)).toSeq, b.map(_.getDouble(2)).toSeq)
   }
 
+  /** Recall@k of the SQ8 full-code-scan and IVF-SQ8 probes against
+    * exact float L2 — the q133 tuning report's sibling for the
+    * byte-code ANN rung (r12 verdict #5): quantization costs accuracy
+    * and cell pruning costs candidates, and the number that says
+    * whether 4×-smaller scans (and, composed, nprobe-bounded ones) are
+    * safe to deploy IS this table. Runs over the PERSISTED store
+    * ([[sqBuildStore]]'s bounds + codes parquet) — one build serves
+    * every width, raw floats appear only in the exact baseline and the
+    * one-off cell assignment; the DuckDB oracle reads the same parquet
+    * bits, so every recall number value-pins.
+    *
+    * 100 TB shape: exact baseline over a fixed query sample (here one
+    * pinned query vector — recall estimation never needs every query),
+    * candidate ranking map-side over dequantized codes + TakeOrdered,
+    * corpus cell assignment computed once and reused across widths.
+    */
+  def sqRecallReport(spark: SparkSession, dir: String, vectors: DataFrame,
+      queryVecId: Long, k: Int, probeWidths: Seq[Int]): DataFrame = {
+    val (mns, mxs) = storedSqBounds(spark, dir)
+    val mnL = typedLit(mns)
+    val mxL = typedLit(mxs)
+    val coded = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), sqDequant(col("code"), mnL, mxL).as("dq"))
+    val v = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("a"))
+    val qRaw = v.filter(col("vec_id") === queryVecId).select(col("a").as("qa"))
+    // exact baseline: squared L2 over RAW floats (same order as sqrt'd,
+    // same sequential fold as the oracle's list_sum — the q168 parity)
+    val exact = v.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qRaw))
+      .select(col("vec_id"),
+        zip_with(col("a"), col("qa"), (x, y) => x - y).as("d"))
+      .select(col("vec_id"), dot(col("d"), col("d")).as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+    val q = coded.filter(col("vec_id") === queryVecId)
+      .select(col("dq").as("qdq"))
+    def topkFrom(cands: DataFrame): DataFrame = cands
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        zip_with(col("dq"), col("qdq"), (x, y) => x - y).as("d"))
+      .select(col("vec_id"), dot(col("d"), col("d")).as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+    def hitRow(cand: DataFrame, label: String): DataFrame =
+      cand.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(label).as("variant"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 4).as("recall"))
+    val rows = v.select(col("vec_id"), col("a").as("v"))
+    val ivfCb = rows.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val corpusCells = ivfAssign(ivfCb, rows, probes = 1)
+      .select(col("vec_id"), col("cell"))
+    val reports = hitRow(topkFrom(coded), "sq8") +:
+      probeWidths.sorted.map { np =>
+        val qCells = ivfAssign(ivfCb,
+            rows.filter(col("vec_id") === queryVecId), np)
+          .select(col("cell"))
+        val cand = coded.join(corpusCells, Seq("vec_id"))
+          .join(broadcast(qCells), Seq("cell"), "left_semi")
+          .select(col("vec_id"), col("dq"))
+        hitRow(topkFrom(cand), s"ivfsq8_p$np")
+      }
+    reports.reduce(_.unionByName(_)).orderBy(col("variant"))
+  }
+
   /** IVF-SQ8 — the two layouts composed, the FAISS IVF+SQ8 medium-scale
     * default (the accuracy-friendlier sibling of q92's IVF-PQ): IVF
     * cell pruning bounds WHICH codes the query scans (the q50 first-16
@@ -1551,6 +1708,7 @@ object Similarity {
     * oracle SQL is a fixed string dumped at Verify time.
     */
   val Q82CodebookDir = "/tmp/graft_q82_codebook"
+  val Q197SqStoreDir = "/tmp/graft_q197_sqstore"
   val Q133CodebookDir = "/tmp/graft_q133_codebook"
   val Q93CodebookDir = "/tmp/graft_q93_codebook"
   val Q124CodebookDir = "/tmp/graft_q124_codebook"
