@@ -142,6 +142,58 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two array<double> columns, sequential fold:
+  * sum over i of (a_i - b_i)^2, accumulated left-to-right. Bit-identical
+  * to the HOF form it replaces — `dot(zip_with(a, b, (x, y) => x - y),
+  * same)` — because each term is the same two IEEE ops ((x-y) then
+  * square-and-add) in the same element order (FnsSpec pins the
+  * equality); it just skips the interpreted lambda dispatch and the
+  * materialized difference array (the q97/q145 law, r13 verdict #8).
+  * Inline codegen: one fused loop in the enclosing stage.
+  */
+case class L2SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct xxhash64 values (seed 42 — Spark's `xxhash64` on strings) of
   * the n-gram word shingles of a token array: tokenize → shingle →
   * hash → dedupe in ONE pass per row, never materializing shingle
@@ -557,6 +609,24 @@ case class IntervalCut(left: Expression, right: Expression)
   override def dataType: DataType = left.dataType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_interval_cut"
+
+  // compute() reads the interval fields with getLong; an un-cast
+  // struct<mn:int,mx:int> (which the replaced HOF form happily took)
+  // would hit a runtime ClassCastException or representation-dependent
+  // garbage — fail at ANALYSIS time instead (ADVICE r13)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, _), ArrayType(StructType(fs), _))
+          if fs.length == 2 && fs.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName expects (array<T>, " +
+            "array<struct<BIGINT, BIGINT>>) — cast the interval bounds " +
+            s"to BIGINT — got (${l.sql}, ${r.sql})")
+    }
 
   private lazy val elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
@@ -1081,6 +1151,7 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     d("graft_dot", classOf[DotProduct], es => DotProduct(es(0), es(1))),
     d("graft_cosine", classOf[CosineSim], es => CosineSim(es(0), es(1))),
+    d("graft_l2sq", classOf[L2SqDist], es => L2SqDist(es(0), es(1))),
     d("graft_shingle_hashes", classOf[ShingleHashes],
       es => ShingleHashes(es.head, 3)),
     d("graft_minhash_sig", classOf[MinHashSig], es => MinHashSig(es.head)),
@@ -1404,6 +1475,12 @@ object Fns {
     * dot/(sqrt(dot_aa)*sqrt(dot_bb)) computed as separate folds. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", dbl(a), dbl(b))
+
+  /** Squared L2 distance, sequential fold — bit-identical to
+    * dotProduct(zip_with(a,b,(x,y)=>x-y), same) without the interpreted
+    * lambda or the difference array. */
+  def l2sqDist(a: Column, b: Column): Column =
+    call_function("graft_l2sq", dbl(a), dbl(b))
 
   /** True Damerau-Levenshtein distance (adjacent transposition = one
     * edit, Lowrance-Wagner) — matches DuckDB's damerau_levenshtein. */

@@ -1504,16 +1504,15 @@ object Similarity {
       sqDequant(sqCodes(col("a"), mnL, mxL), mnL, mxL).as("dq"))
     val q = coded.filter(col("vec_id") === queryVecId)
       .select(col("dq").as("qdq"))
-    // diff materialized as an attribute, distance via the native
-    // sequential-fold dot — the SAME products in the SAME order as the
-    // oracle's list_sum, so the 4-dp values can't straddle a rounding
-    // boundary differently (the float-identity trap: p·p−2p·q+q·q is
-    // only equal in the reals)
+    // distance via the native sequential-fold l2sq — the SAME (x-y)
+    // then square-and-add ops in the SAME order as the oracle's
+    // list_sum over the difference list, so the 4-dp values can't
+    // straddle a rounding boundary differently (the float-identity
+    // trap: p·p−2p·q+q·q is only equal in the reals)
     coded.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        zip_with(col("dq"), col("qdq"), (x, y) => x - y).as("d"))
-      .select(col("vec_id"), sqrt(dot(col("d"), col("d"))).as("raw"))
+        sqrt(Fns.l2sqDist(col("dq"), col("qdq"))).as("raw"))
       .orderBy(col("raw"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("raw"), 4).as("dist"))
@@ -1581,9 +1580,7 @@ object Similarity {
     val scoped = excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
     scoped
       .select(col("vec_id"),
-        zip_with(sqDequant(col("code"), mnL, mxL), qdq, (x, y) => x - y)
-          .as("d"))
-      .select(col("vec_id"), sqrt(dot(col("d"), col("d"))).as("raw"))
+        sqrt(Fns.l2sqDist(sqDequant(col("code"), mnL, mxL), qdq)).as("raw"))
       .orderBy(col("raw"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("raw"), 4).as("dist"))
@@ -1625,9 +1622,7 @@ object Similarity {
     // same sequential fold as the oracle's list_sum — the q168 parity)
     val exact = v.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qRaw))
-      .select(col("vec_id"),
-        zip_with(col("a"), col("qa"), (x, y) => x - y).as("d"))
-      .select(col("vec_id"), dot(col("d"), col("d")).as("raw"))
+      .select(col("vec_id"), Fns.l2sqDist(col("a"), col("qa")).as("raw"))
       .orderBy(col("raw"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"))
@@ -1636,9 +1631,7 @@ object Similarity {
     def topkFrom(cands: DataFrame): DataFrame = cands
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        zip_with(col("dq"), col("qdq"), (x, y) => x - y).as("d"))
-      .select(col("vec_id"), dot(col("d"), col("d")).as("raw"))
+      .select(col("vec_id"), Fns.l2sqDist(col("dq"), col("qdq")).as("raw"))
       .orderBy(col("raw"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"))
@@ -1696,8 +1689,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        zip_with(col("dq"), col("qdq"), (x, y) => x - y).as("d"))
-      .select(col("vec_id"), sqrt(dot(col("d"), col("d"))).as("raw"))
+        sqrt(Fns.l2sqDist(col("dq"), col("qdq"))).as("raw"))
       .orderBy(col("raw"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("raw"), 4).as("dist"))

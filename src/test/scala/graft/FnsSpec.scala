@@ -32,6 +32,18 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(bad == 0)
   }
 
+  test("native l2sq == dot over zip_with difference, bit-identical") {
+    // the exact HOF form l2sqDist replaced in sqTopK/sqRecallReport
+    // (r13 verdict #8): diff array then sequential-fold dot
+    val hofL2 = aggregate(
+      zip_with(col("x"), col("y"), (x, y) => x - y), lit(0.0),
+      (acc, v) => acc + v * v)
+    val bad = embPairs
+      .select(Fns.l2sqDist(col("x"), col("y")).as("n"), hofL2.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
   test("native cosine == dot/(norm*norm) HOF formulation, bit-identical") {
     val hofCos = hofDot(col("x"), col("y")) /
       (sqrt(hofDot(col("x"), col("x"))) * sqrt(hofDot(col("y"), col("y"))))
@@ -180,6 +192,24 @@ class FnsSpec extends AnyFunSuite with TestSpark {
         graft.llm.Dedup.winnowedMinimaHof(col("hs"), 4).as("h"))
       .filter(col("n") =!= col("h")).count()
     assert(bad == 0)
+  }
+
+  test("graft_interval_cut rejects un-cast int interval bounds at analysis") {
+    // compute() reads interval fields as longs; a struct<int,int> input
+    // (which the replaced HOF form accepted) must fail at analysis time
+    // with the cast spelled out, not ClassCastException at runtime
+    val df = spark.range(1).select(
+      split(lit("a b c d"), " ").as("ts"),
+      array(struct(lit(2).as("mn"), lit(3).as("mx"))).as("ivs"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Fns.intervalCut(col("ts"), col("ivs"))).collect()
+    }
+    assert(err.getMessage.contains("BIGINT"), err.getMessage)
+    // the documented contract (long bounds) still evaluates
+    val ok = df.select(Fns.intervalCut(col("ts"),
+        array(struct(lit(2L).as("mn"), lit(3L).as("mx")))).as("out"))
+      .head.getSeq[String](0)
+    assert(ok == Seq("a", "d"))
   }
 
   test("expressions are SQL-callable via GraftExtensions registration") {
