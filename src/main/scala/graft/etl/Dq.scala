@@ -304,27 +304,44 @@ object Dq {
     * Unchanged keys are omitted — at 100 TB the overlap is the bulk,
     * and emitting it would make the report corpus-sized.
     *
-    * Shape: ONE full-outer shuffle join on the key; every per-column
-    * comparison is a map-side `<=>` flag above the join — no windows,
-    * no second pass. Only columns present in BOTH schemas compare;
-    * schema adds/drops surface through `dq drift` instead.
+    * The key is expected UNIQUE per snapshot (NULL counts as a key
+    * value like any other). A key carried by MULTIPLE rows on either
+    * side — duplicate non-NULL keys, or 2+ NULL-keyed rows (ADVICE
+    * r13) — has no well-defined row pairing, so instead of emitting
+    * N×M spurious join pairs, each side pre-aggregates to one row per
+    * key and the violating keys report as change = `ambiguous`
+    * (changed_cols empty): the signal is "this key needs a real
+    * uniqueness fix (pk_audit), not a row diff". The q179 oracle pins
+    * the unique-key contract; DqSpec pins the ambiguous rows.
+    *
+    * Shape: one exchange per side — the per-key aggregate (count +
+    * first(), map-side combined; first() is only READ when the group
+    * has exactly one row, so every consumed value is deterministic)
+    * hash-partitions on the key and the full-outer join reuses the
+    * key; every per-column comparison is a `<=>` flag above the join.
+    * Only columns present in BOTH schemas compare; schema adds/drops
+    * surface through `dq drift` instead.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String]): DataFrame = {
     val shared = oldDf.columns.toSeq.filter(newDf.columns.contains)
       .filterNot(keys.contains)
-    // NULL-keyed rows (ADVICE r12): join null-safely (<=>) so a
-    // NULL-keyed row present in both snapshots pairs up instead of
-    // being reported added AND removed, and detect side presence via
-    // explicit per-side markers, never key nullability
-    val a = oldDf.select((keys ++ shared).map(col): _*)
-      .withColumn("_in_old", lit(1)).as("a")
-    val b = newDf.select((keys ++ shared).map(col): _*)
-      .withColumn("_in_new", lit(1)).as("b")
+    // groupBy treats NULL as a key value (SQL semantics), so NULL-keyed
+    // rows collapse into one group per side and pair up across sides
+    // through the null-safe join below
+    def slim(df: DataFrame, nCol: String) =
+      df.select((keys ++ shared).map(col): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(nCol),
+          shared.map(c => first(col(c)).as(c)): _*)
+    val a = slim(oldDf, "_n_old").as("a")
+    val b = slim(newDf, "_n_new").as("b")
     val joined = a.join(b, keys.map(k => col(s"a.$k") <=> col(s"b.$k"))
       .reduce(_ && _), "full_outer")
-    val inOld = col("a._in_old").isNotNull
-    val inNew = col("b._in_new").isNotNull
+    val inOld = col("a._n_old").isNotNull
+    val inNew = col("b._n_new").isNotNull
+    val dup = coalesce(col("a._n_old"), lit(1L)) > 1L ||
+      coalesce(col("b._n_new"), lit(1L)) > 1L
     val diffFlags = shared.map(c =>
       when(!(col(s"a.$c") <=> col(s"b.$c")), lit(c)))
     val changedCols = concat_ws(",", diffFlags: _*)
@@ -332,8 +349,9 @@ object Dq {
       .select(
         keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++ Seq(
           when(!inOld, "added").when(!inNew, "removed")
+            .when(dup, "ambiguous")
             .otherwise("changed").as("change"),
-          when(inOld && inNew, changedCols).otherwise(lit(""))
+          when(inOld && inNew && !dup, changedCols).otherwise(lit(""))
             .as("changed_cols")): _*)
       .filter(col("change") =!= "changed" || col("changed_cols") =!= "")
   }

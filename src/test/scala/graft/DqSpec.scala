@@ -82,6 +82,34 @@ class DqSpec extends AnyFunSuite with TestSpark {
       d.head.getString(2) == "a", s"got ${d.toSeq}")
   }
 
+  test("duplicate keys (incl. 2+ NULL-keyed rows) report ambiguous, " +
+      "never N*M join pairs") {
+    // ADVICE r13: with 2+ distinct NULL-keyed rows per side, the raw
+    // <=> join cross-joined them (N*M spurious 'changed' rows). The
+    // pre-aggregation collapses every duplicated key — NULL or not —
+    // to ONE 'ambiguous' row, the "fix uniqueness first" signal.
+    val o = df(Seq(Row(null, "p", Integer.valueOf(1)),
+      Row(null, "q", Integer.valueOf(2)),
+      Row(7L, "x", Integer.valueOf(1)),
+      Row(8L, "a", Integer.valueOf(1)),
+      Row(8L, "b", Integer.valueOf(2))))
+    val n = df(Seq(Row(null, "p", Integer.valueOf(1)),
+      Row(null, "q", Integer.valueOf(2)),
+      Row(7L, "x", Integer.valueOf(1)),
+      Row(8L, "a", Integer.valueOf(1))))
+    val d = Dq.snapshotDiff(o, n, Seq("k")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (r.getString(1), r.getString(2)))
+    assert(d.length == 2, s"got ${d.toSeq}")
+    val m = d.toMap
+    // two NULL-keyed rows per side -> one ambiguous row, not 4 pairs
+    assert(m(-1L) == (("ambiguous", "")))
+    // duplicated non-NULL key on one side -> ambiguous too
+    assert(m(8L) == (("ambiguous", "")))
+    // the clean unique key is untouched by its neighbors
+    assert(!m.contains(7L))
+  }
+
   test("columns only in one schema are ignored") {
     import org.apache.spark.sql.functions._
     val widened = newDf.withColumn("extra", lit(9))
