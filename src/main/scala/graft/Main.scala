@@ -222,6 +222,45 @@ object Main {
           println(s"upsert-recover table=$tableDir state=${
             Writers.upsertRecover(spark, tableDir)}")
 
+        // partition-scoped merge against a hive layout: only the
+        // partitions the delta touches are read and rewritten
+        case "upsert-part" :: tableDir :: deltaParquet :: partCol ::
+            versionCol :: keys if keys.nonEmpty =>
+          val n = Writers.upsertPartitioned(spark, tableDir,
+            spark.read.parquet(deltaParquet), partCol, keys, versionCol)
+          println(s"upsert-part table=$tableDir part=$partCol " +
+            s"keys=${keys.mkString(",")} version=$versionCol rows=$n")
+
+        // per-partition recovery after a crashed upsert-part
+        case "upsert-recover-parts" :: tableDir :: Nil =>
+          val states = Writers.upsertRecoverPartitions(spark, tableDir)
+          if (states.isEmpty) println(s"upsert-recover-parts " +
+            s"table=$tableDir state=clean")
+          else states.toSeq.sortBy(_._1).foreach { case (part, st) =>
+            println(s"upsert-recover-parts table=$tableDir " +
+              s"partition=$part state=$st")
+          }
+
+        // restore a readable table after a crashed in-place compact
+        case "compact-recover" :: tableDir :: Nil =>
+          println(s"compact-recover table=$tableDir state=${
+            Writers.compactRecover(spark, tableDir)}")
+
+        // streaming SCD2 with idle eviction over a landing dir of
+        // parquet events: drain what's landed (AvailableNow), append
+        // closed runs (transition + idle) to <outDir>/runs, then stop;
+        // state and processed-file tracking live in the checkpoint, so
+        // cron re-runs resume where they left off
+        case "track" :: landingDir :: outDir :: idleMs :: rest
+            if rest.length <= 1 =>
+          val q = graft.streaming.StateTracker.startTracking(spark,
+            landingDir, outDir, idleMs.toLong,
+            rest.headOption.getOrElse("10 seconds"))
+          q.awaitTermination()
+          val n = spark.read.parquet(s"$outDir/runs").count()
+          println(s"track landing=$landingDir out=$outDir " +
+            s"idle_ms=$idleMs closed_runs=$n")
+
         case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
           graft.etl.Writers.zorderParquet(
             spark.read.parquet(in), c1, c2, out)
@@ -610,6 +649,10 @@ object Main {
         |  media index <docsParquet> <indexDir> | media pairs <docsParquet> | media append <docsParquet> <indexDir>
         |  sketch build <docsParquet> <sketchDir> | sketch append <docsParquet> <sketchDir> | sketch query <sketchDir> <token>...
         |  upsert <tableDir> <deltaParquet> <versionCol> <keyCol...>
+        |  upsert-recover <tableDir> | compact-recover <tableDir>
+        |  upsert-part <tableDir> <deltaParquet> <partCol> <versionCol> <keyCol...>
+        |  upsert-recover-parts <tableDir>
+        |  track <landingDir> <outDir> <idleMs> [watermarkDelay]
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]

@@ -166,6 +166,11 @@ object Writers {
       .write.mode("overwrite")
       .option("compression", DefaultCompression)
       .parquet(tmp.toString)
+    // guarantee the completeness marker compactRecover keys off (same
+    // rule as upsertInto — the write just returned, so the stage IS
+    // complete even if the committer skips markers)
+    val cMarker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!fs.exists(cMarker)) fs.createNewFile(cMarker)
     val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(path, old))
@@ -241,23 +246,38 @@ object Writers {
     * Scale shape: the keep-latest reduction is ONE exchange on the key
     * and a per-key top-1 (the TopKPerKey rewrite turns the filtered
     * row_number into bounded map-side heaps — no full per-key sort).
-    * The rewrite itself is table-sized: at 100 TB, partition the table
-    * (dated layout) and upsert only affected partitions, or move to a
-    * commit-log format — the merge reduction carries over unchanged.
+    * The rewrite itself is table-sized: at 100 TB use
+    * [[upsertPartitioned]] against the dated layout — it merges and
+    * swaps only the partitions the delta touches — or move to a
+    * commit-log table format; the merge reduction carries over
+    * unchanged in both.
     *
     * Returns the merged row count.
     */
   def upsert(spark: org.apache.spark.sql.SparkSession, dir: String,
       delta: DataFrame, keyCols: Seq[String], versionCol: String,
-      compression: String = DefaultCompression): Long = {
+      compression: String = DefaultCompression): Long =
+    upsertInto(spark, new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".upsert-tmp"),
+      new org.apache.hadoop.fs.Path(dir + ".upsert-old"),
+      delta, keyCols, versionCol, compression)
+
+  /** The merge + rename-aside swap core shared by [[upsert]] (tmp/old
+    * beside the table dir) and [[upsertPartitioned]] (tmp/old as
+    * dot-prefixed SIBLINGS inside the table root, hidden from readers).
+    */
+  private def upsertInto(spark: org.apache.spark.sql.SparkSession,
+      path: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, delta: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      compression: String): Long = {
     import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "upsert: at least one key column")
-    val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val incoming = delta.withColumn("_src", lit(1))
     val merged =
       if (fs.exists(path))
-        spark.read.parquet(dir).withColumn("_src", lit(0))
+        spark.read.parquet(path.toString).withColumn("_src", lit(0))
           .unionByName(incoming)
       else incoming
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -266,14 +286,20 @@ object Writers {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".upsert-tmp")
     kept.write.mode("overwrite")
       .option("compression", compression)
       .parquet(tmp.toString)
+    // recovery keys "stage is complete" off the _SUCCESS marker; the
+    // write above just returned, so the stage IS complete — stamp the
+    // marker ourselves if the committer was configured not to
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false would
+    // otherwise make upsertRecover discard a complete merged copy,
+    // ADVICE r13)
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) fs.createNewFile(marker)
     val n = spark.read.parquet(tmp.toString).count()
     // rename-aside swap: never delete before the replacement is in
     // place — see the crash-state table in the Scaladoc
-    val old = new org.apache.hadoop.fs.Path(dir + ".upsert-old")
     if (fs.exists(old)) fs.delete(old, true)
     val hadTable = fs.exists(path)
     if (hadTable && !fs.rename(path, old))
@@ -287,21 +313,136 @@ object Writers {
     n
   }
 
+  /** PARTITION-SCOPED [[upsert]] (r13 verdict #4): against a
+    * hive-layout table (`dir/partCol=value/...`, the OP-07 dated
+    * layout), merge + swap ONLY the partitions the delta touches —
+    * untouched partitions' files are never read, never rewritten, and
+    * stay byte-identical (EtlSpec pins it). This is the 100 TB form:
+    * [[upsert]]'s whole-table rewrite costs the full corpus per delta,
+    * this costs only the touched partitions (for a dated CDC feed,
+    * typically today's).
+    *
+    * Contract:
+    *  - `partCol` is the table's physical partition column and must be
+    *    carried by the delta; its values must be non-null and render as
+    *    safe dir names (`[A-Za-z0-9._-]+` — dates, hours, shard ids).
+    *  - Keys never MIGRATE partitions: a delta row upserts the key
+    *    within the partition the row itself carries. If the same key
+    *    can legitimately appear under different partition values over
+    *    time (partCol not functionally dependent on the key), this
+    *    operator would keep both rows — use the table-wide [[upsert]]
+    *    (or a commit-log table format) there.
+    *
+    * Crash safety is [[upsert]]'s rename-aside per partition, with the
+    * staging dirs as DOT-PREFIXED siblings inside the table root
+    * (`.upsert-tmp-partCol=v` / `.upsert-old-partCol=v`): hidden dirs
+    * are skipped by Spark/Hadoop file listings, so a reader scanning
+    * the whole table mid-upsert never double-counts a staged copy, and
+    * a crash leaves every untouched partition live plus a complete
+    * copy of the in-flight one under a deterministic hidden name —
+    * [[upsertRecoverPartitions]] restores it. Partitions are processed
+    * sequentially; a mid-sequence crash leaves earlier partitions
+    * merged (each delta partition's merge is idempotent — replaying
+    * the same delta is a no-op, so re-running after recovery is safe).
+    *
+    * Returns the merged row count across touched partitions.
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delta: DataFrame, partCol: String, keyCols: Seq[String],
+      versionCol: String,
+      compression: String = DefaultCompression): Long = {
+    require(keyCols.nonEmpty, "upsertPartitioned: at least one key column")
+    require(!keyCols.contains(partCol) && versionCol != partCol,
+      s"upsertPartitioned: $partCol is the partition column")
+    require(delta.columns.contains(partCol),
+      s"upsertPartitioned: delta must carry $partCol")
+    // touched partitions: bounded by the delta's distinct partition
+    // values (a dated feed touches a handful), never the table's
+    val touched = delta.select(col(partCol).cast("string").as("p"))
+      .distinct().collect().map(r => Option(r.getString(0)))
+    val safe = "[A-Za-z0-9._-]+".r
+    touched.foreach { p =>
+      require(p.exists(v => safe.pattern.matcher(v).matches()),
+        s"upsertPartitioned: partition value ${p.orNull} is not a safe " +
+          "dir name — NULL or characters needing hive escaping; route " +
+          "those rows through the table-wide upsert")
+    }
+    touched.map { p =>
+      val part = s"$partCol=${p.get}"
+      val slice = delta
+        .filter(col(partCol).cast("string") === p.get).drop(partCol)
+      upsertInto(spark,
+        new org.apache.hadoop.fs.Path(dir, part),
+        new org.apache.hadoop.fs.Path(dir, s".upsert-tmp-$part"),
+        new org.apache.hadoop.fs.Path(dir, s".upsert-old-$part"),
+        slice, keyCols, versionCol, compression)
+    }.sum
+  }
+
   /** Restore a readable table at `dir` after a crashed [[upsert]]:
-    * prefers the staged MERGED copy (`.upsert-tmp` — complete by
-    * construction once it exists with a _SUCCESS marker), falls back to
+    * prefers the staged MERGED copy (`.upsert-tmp`), falls back to
     * the set-aside original (`.upsert-old`), and clears whichever
     * leftovers remain. Returns the state it found:
     * "clean" (table present, no leftovers), "promoted-tmp",
     * "restored-old", or "missing" (no copy anywhere — nothing staged
     * before the crash and no table existed).
+    *
+    * "Stage is complete" is keyed off the `_SUCCESS` marker. [[upsert]]
+    * guarantees the marker on its own stages (it stamps one if the
+    * committer was configured with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` — ADVICE
+    * r13); a marker-less tmp dir is therefore always a TORN stage and
+    * is discarded in favor of the set-aside original.
     */
   def upsertRecover(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(dir)
+      dir: String): String =
+    recoverSwap(spark, new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".upsert-tmp"),
+      new org.apache.hadoop.fs.Path(dir + ".upsert-old"))
+
+  /** [[upsertRecover]]'s sibling for a crashed in-place [[compact]],
+    * whose swap leaves the same two-suffix states (`.compact-tmp` /
+    * `.compact-old` — ADVICE r13: the window existed with no recover
+    * counterpart). Same preference order: a COMPLETE compacted copy is
+    * promoted, else the set-aside original is restored.
+    */
+  def compactRecover(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    recoverSwap(spark, new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".compact-tmp"),
+      new org.apache.hadoop.fs.Path(dir + ".compact-old"))
+
+  /** Recover every partition of a hive-layout table after a crashed
+    * [[upsertPartitioned]]: scans the table root for the dot-prefixed
+    * staging leftovers (`.upsert-tmp-partCol=v` / `.upsert-old-…`) and
+    * runs the swap recovery per touched partition. Returns
+    * (partition dir name → state) for every partition that had
+    * leftovers — empty map means the table was clean.
+    */
+  def upsertRecoverPartitions(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val touched = names.collect {
+      case n if n.startsWith(".upsert-tmp-") =>
+        n.stripPrefix(".upsert-tmp-")
+      case n if n.startsWith(".upsert-old-") =>
+        n.stripPrefix(".upsert-old-")
+    }.distinct
+    touched.map { part =>
+      part -> recoverSwap(spark,
+        new org.apache.hadoop.fs.Path(root, part),
+        new org.apache.hadoop.fs.Path(root, s".upsert-tmp-$part"),
+        new org.apache.hadoop.fs.Path(root, s".upsert-old-$part"))
+    }.toMap
+  }
+
+  private def recoverSwap(spark: org.apache.spark.sql.SparkSession,
+      path: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): String = {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".upsert-tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + ".upsert-old")
     def complete(p: org.apache.hadoop.fs.Path): Boolean =
       fs.exists(p) && fs.exists(
         new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
@@ -597,9 +738,26 @@ object Writers {
       (nBefore, nAfter)
     }
     if (parts.isEmpty) compactOne(inDir, outDir)
-    else parts // recurse: multi-level layouts (date=D/hour=H) keep every level
-      .map(p => compactFiles(spark, s"$inDir/$p", s"$outDir/$p",
-        targetMb, compression))
-      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    else {
+      // MIXED layout (partition dirs PLUS loose top-level data files,
+      // ADVICE r13): the partition recursion would silently drop the
+      // loose files from outDir and from the counts — fail loudly
+      // (the in-place compact's require rule) instead of losing data
+      val loose = fs.listStatus(path).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(loose.isEmpty,
+        s"compactFiles: $inDir mixes partition directories " +
+          s"(${parts.take(3).mkString(", ")}…) with ${loose.length} " +
+          s"top-level data files (${loose.take(3).map(_.getPath.getName)
+            .mkString(", ")}…) — a partition-by-partition compaction " +
+          "would drop the loose files; clean the layout first")
+      parts // recurse: multi-level layouts (date=D/hour=H) keep every level
+        .map(p => compactFiles(spark, s"$inDir/$p", s"$outDir/$p",
+          targetMb, compression))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    }
   }
 }

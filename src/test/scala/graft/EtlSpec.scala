@@ -280,6 +280,152 @@ class EtlSpec extends AnyFunSuite with TestSpark {
     assert(!fs.exists(p(d5 + ".upsert-old")) && !fs.exists(p(d5 + ".upsert-tmp")))
   }
 
+  test("partitioned upsert: only touched partitions rewritten; " +
+      "untouched partitions byte-identical") {
+    val root = Files.createTempDirectory("graft-upsert-part").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType), StructField("dt", StringType)))
+    def tbl(rows: (Long, String, Long, String)*) =
+      df(schema, rows.map(Row.fromTuple): _*)
+    tbl((1L, "a1", 1L, "2024-01-01"), (2L, "b1", 1L, "2024-01-01"),
+      (3L, "c1", 1L, "2024-01-02"))
+      .write.partitionBy("dt").parquet(root)
+    def partFiles(part: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(s"$root/$part")
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val before = partFiles("dt=2024-01-01")
+    // delta touches ONLY dt=2024-01-02: update key 3, add key 4
+    val n = Writers.upsertPartitioned(spark, root,
+      tbl((3L, "c2", 2L, "2024-01-02"), (4L, "d1", 1L, "2024-01-02")),
+      "dt", Seq("k"), "ver")
+    assert(n == 2L)
+    // the untouched partition's files are BYTE-identical — never read,
+    // never rewritten (the whole point vs the table-wide upsert)
+    assert(partFiles("dt=2024-01-01") == before,
+      "untouched partition was rewritten")
+    val got = spark.read.parquet(root).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.get(3).toString)).toSet
+    assert(got == Set((1L, "a1", "2024-01-01"), (2L, "b1", "2024-01-01"),
+      (3L, "c2", "2024-01-02"), (4L, "d1", "2024-01-02")), s"got $got")
+    // no staging leftovers
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith(".upsert"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // unsafe partition values are refused loudly, not mangled into dirs
+    val err = intercept[IllegalArgumentException] {
+      Writers.upsertPartitioned(spark, root,
+        tbl((9L, "x", 1L, "2024/01/03")), "dt", Seq("k"), "ver")
+    }
+    assert(err.getMessage.contains("safe"))
+  }
+
+  test("partitioned upsert crash states: hidden staging invisible to " +
+      "readers, per-partition recovery") {
+    val root = Files.createTempDirectory("graft-upsert-pcrash")
+      .toString + "/t"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def tbl(rows: (Long, String)*) = df(schema, rows.map(Row.fromTuple): _*)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    tbl(1L -> "a-old").write.parquet(s"$root/dt=a")
+    tbl(2L -> "b-old").write.parquet(s"$root/dt=b")
+
+    // state 1: stage written for dt=a, crash BEFORE the rename-aside.
+    // A concurrent reader of the WHOLE table must not see the staged
+    // copy (dot-prefixed dirs are skipped by the file index).
+    tbl(1L -> "a-new").write.parquet(s"$root/.upsert-tmp-dt=a")
+    assert(spark.read.parquet(root).count() == 2,
+      "reader saw the hidden staged copy")
+    assert(Writers.upsertRecoverPartitions(spark, root) ==
+      Map("dt=a" -> "clean"))
+    assert(!fs.exists(p(s"$root/.upsert-tmp-dt=a")))
+
+    // state 2: crash BETWEEN the renames on dt=a — partition dir gone,
+    // both copies hidden; dt=b untouched and still readable
+    fs.rename(p(s"$root/dt=a"), p(s"$root/.upsert-old-dt=a"))
+    tbl(1L -> "a-new").write.parquet(s"$root/.upsert-tmp-dt=a")
+    assert(spark.read.parquet(s"$root/dt=b").count() == 1)
+    assert(Writers.upsertRecoverPartitions(spark, root) ==
+      Map("dt=a" -> "promoted-tmp"))
+    val gotA = spark.read.parquet(s"$root/dt=a").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotA == Set(1L -> "a-new"))
+
+    // state 3: TORN stage (no _SUCCESS) + set-aside original on dt=b
+    fs.rename(p(s"$root/dt=b"), p(s"$root/.upsert-old-dt=b"))
+    tbl(2L -> "b-new").write.parquet(s"$root/.upsert-tmp-dt=b")
+    fs.delete(p(s"$root/.upsert-tmp-dt=b/_SUCCESS"), false)
+    assert(Writers.upsertRecoverPartitions(spark, root) ==
+      Map("dt=b" -> "restored-old"))
+    val gotB = spark.read.parquet(s"$root/dt=b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotB == Set(2L -> "b-old"))
+
+    // clean table: nothing to do
+    assert(Writers.upsertRecoverPartitions(spark, root).isEmpty)
+  }
+
+  test("compactRecover: the in-place compact's crash windows restore") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def tbl(rows: (Long, String)*) = df(schema, rows.map(Row.fromTuple): _*)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def vals(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val data = Set(1L -> "x", 2L -> "y")
+
+    // between the renames: only .compact-old + .compact-tmp exist
+    val d1 = Files.createTempDirectory("cmp1").toString + "/t"
+    tbl(data.toSeq: _*).write.parquet(d1 + ".compact-old")
+    tbl(data.toSeq: _*).write.parquet(d1 + ".compact-tmp")
+    assert(Writers.compactRecover(spark, d1) == "promoted-tmp")
+    assert(vals(d1) == data)
+    assert(!fs.exists(p(d1 + ".compact-old")))
+
+    // torn compacted copy: original restored
+    val d2 = Files.createTempDirectory("cmp2").toString + "/t"
+    tbl(data.toSeq: _*).write.parquet(d2 + ".compact-old")
+    tbl(data.toSeq: _*).write.parquet(d2 + ".compact-tmp")
+    fs.delete(p(d2 + ".compact-tmp/_SUCCESS"), false)
+    assert(Writers.compactRecover(spark, d2) == "restored-old")
+    assert(vals(d2) == data)
+
+    // and a healthy compact leaves a recoverable marker trail: the
+    // stamped _SUCCESS means a crash right before the swap would have
+    // promoted, not discarded, the compacted copy
+    val d3 = Files.createTempDirectory("cmp3").toString + "/t"
+    tbl(data.toSeq: _*).repartition(4).write.parquet(d3)
+    Writers.compact(spark, d3)
+    assert(vals(d3) == data)
+    assert(Writers.compactRecover(spark, d3) == "clean")
+  }
+
+  test("compactFiles refuses a MIXED layout (partition dirs + loose " +
+      "top-level files) instead of dropping the loose files") {
+    val in = Files.createTempDirectory("graft-mixed-in").toString
+    val out = Files.createTempDirectory("graft-mixed-out").toString + "/t"
+    spark.range(100).select(col("id"))
+      .write.parquet(s"$in/shard=0")
+    // plant a loose top-level data file beside the partition dir
+    val loose = new java.io.File(in, "part-loose.parquet")
+    val src = new java.io.File(s"$in/shard=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath, loose.toPath)
+    val err = intercept[IllegalArgumentException] {
+      Writers.compactFiles(spark, in, out)
+    }
+    assert(err.getMessage.contains("mixes"), err.getMessage)
+  }
+
   test("fileStats/compactFiles on a partitioned layout: recursive, layout kept") {
     // ADVICE r12 (medium): top-level-only listing reported 0 bytes on
     // shard=N / batch=N layouts and compactFiles flattened them into
