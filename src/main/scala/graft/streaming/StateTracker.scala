@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 
 /** Streaming SCD2 — the always-on form of the batch q176
   * (`Advanced.stateHistory`): each user's event stream collapses into
@@ -137,5 +137,41 @@ object StateTracker {
             out.result().iterator
           }
       }
+  }
+
+  /** Always-on file-source form of [[runsEvicting]] (the `track` CLI —
+    * r13 verdict #5): watch a landing dir of parquet events
+    * (user_id, event_type, ts, event_id — the [[TrackEv]] schema),
+    * watermark on `ts`, and append every closed run — transition AND
+    * idle — to `outDir/runs`, checkpoint at `outDir/_checkpoint`.
+    * Default trigger AvailableNow: drain what's landed, then stop
+    * (cron-friendly, the Incremental convention); pass a
+    * processing-time trigger for a daemon.
+    *
+    * Choosing `idleMs` vs the watermark delay: the watermark delay is
+    * the INGESTION-lag allowance — how out-of-order events may arrive
+    * and still be applied (and it holds the eviction clock back by
+    * exactly that much); `idleMs` is the BUSINESS rule for "this run
+    * ended by silence". An idle close for a user fires once observed
+    * event time advances past lastEvent + idleMs + delay, so pick
+    * idleMs well above the delay — otherwise ingestion lag, not user
+    * silence, decides when runs close.
+    */
+  def startTracking(spark: SparkSession, landingDir: String,
+      outDir: String, idleMs: Long, watermarkDelay: String = "10 seconds",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val evs = spark.readStream
+      .schema(Encoders.product[TrackEv].schema)
+      .parquet(landingDir)
+      .withWatermark("ts", watermarkDelay)
+      .as[TrackEv]
+    runsEvicting(evs, idleMs).writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode("append")
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", s"$outDir/runs")
+      .start()
   }
 }

@@ -100,6 +100,53 @@ class StateTrackerSpec extends AnyFunSuite with TestSpark {
     query.stop()
   }
 
+  test("track e2e: landed parquet -> checkpointed runs, idle closes " +
+      "fire across restarts") {
+    // the `track` CLI's engine (r13 verdict #5): AvailableNow drains,
+    // checkpoint carries the state + watermark across runs, closed
+    // runs append to <out>/runs
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-track-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-track-out").toString
+    def land(name: String, evs: Seq[TrackEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-track-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit = StateTracker.startTracking(spark, landing, out,
+      idleMs = 3L * 60 * 1000, watermarkDelay = "0 seconds")
+      .awaitTermination()
+    def runsOut() = spark.read.parquet(s"$out/runs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getString(5))).toSet
+
+    // wave 1: user 1 transitions A -> B (closed run); user 2 open
+    land("w1.parquet", Seq(TrackEv(1L, "A", ts(1), 1L),
+      TrackEv(1L, "A", ts(2), 2L), TrackEv(1L, "B", ts(5), 3L),
+      TrackEv(2L, "C", ts(5), 4L)))
+    drain()
+    assert(runsOut() == Set((1L, "A", ts(1), ts(5), 2L, "transition")),
+      s"got ${runsOut()}")
+
+    // waves 2+3 on RESTARTED queries: a far-future event advances the
+    // checkpointed watermark past every idle horizon; the next batch
+    // fires the timeouts — user 1's B tail and user 2's C run close as
+    // idle with valid_to = their last observed event
+    land("w2.parquet", Seq(TrackEv(9L, "Z", ts(40), 9L)))
+    drain()
+    land("w3.parquet", Seq(TrackEv(9L, "Z", ts(45), 10L)))
+    drain()
+    val got = runsOut()
+    assert(got.contains((1L, "B", ts(5), ts(5), 1L, "idle")), s"got $got")
+    assert(got.contains((2L, "C", ts(5), ts(5), 1L, "idle")), s"got $got")
+  }
+
   test("same-instant events order by event_id, matching the q176 tie rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
