@@ -33,6 +33,13 @@ def counts(dump_dir):
 def test_counts():
     suites, tests = 0, 0
     for p in glob.glob(os.path.join(REPO, "target/test-reports/TEST-*.xml")):
+        # skip stale XML from renamed/deleted suites (DocsGuardSpec
+        # applies the same filter via Class.forName)
+        cls = os.path.basename(p)[len("TEST-"):-len(".xml")]
+        src = os.path.join(REPO, "src/test/scala",
+                           cls.replace(".", "/") + ".scala")
+        if not os.path.exists(src):
+            continue
         root = ET.parse(p).getroot()
         suites += 1
         tests += int(root.get("tests", 0))

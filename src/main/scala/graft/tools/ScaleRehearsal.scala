@@ -22,7 +22,8 @@ import graft.core.{Session, Tables}
   * totals (shuffle bytes, spill, peak task memory) from a listener —
   * the evidence SCALE.md needs for where the first knee is.
   *
-  * Usage: runMain graft.tools.ScaleRehearsal <outDir> <mult> [unique] <query>...
+  * Usage: runMain graft.tools.ScaleRehearsal <outDir> <mult>
+  *          [unique|rot|rel] <query>...
   *
   * `unique` switches documents to the CLONE-FREE regime: every copy's
   * tokens get a per-copy suffix, so no gram/shingle collides across
@@ -31,14 +32,30 @@ import graft.core.{Session, Tables}
   * unique mode measures the other regime, where precollapse buys
   * nothing and its md5 pass is pure overhead — both numbers are needed
   * to state which form is the default (SCALE.md).
+  *
+  * `rot` is the LENGTH-PRESERVING unique regime for the vocabulary
+  * operators (q174/q175/q198 — r13 verdict #1): copy c Caesar-shifts
+  * the document text by c letters, so the vocabulary grows ~mult× with
+  * the ORIGINAL length distribution intact. The `unique` suffixing
+  * would lengthen every token past ShortLen, emptying exactly the
+  * short-token hub population the per-length-k refinement exists to
+  * bound — rot keeps that population scaling with the corpus.
+  *
+  * `rel` scales LINEITEM instead of documents (the supplier-grid
+  * stress for q193's two-phase block cumulative): copies re-salt
+  * l_orderkey AND l_suppkey, so the supplier population — the
+  * cumulative's input cardinality — grows mult× along with the rows.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val srcDir = "/root/testdata/sf0.1"
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
-    val unique = args.drop(2).headOption.contains("unique")
-    val rest = if (unique) args.drop(3).toSeq else args.drop(2).toSeq
+    val regime = args.drop(2).headOption
+      .filter(Set("unique", "rot", "rel")).getOrElse("clone")
+    val unique = regime == "unique"
+    val rest =
+      if (regime != "clone") args.drop(3).toSeq else args.drop(2).toSeq
     val names =
       if (rest.nonEmpty) rest
       else Seq("q32_ngram_jaccard", "q56_dedup_groups", "q61_corpus_curation",
@@ -50,10 +67,31 @@ object ScaleRehearsal {
     val marker = Paths.get(outDir, "_SCALE_READY")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(outDir))
+      val scaledRel = if (regime == "rel") Set("lineitem") else Set.empty[String]
       for (t <- Tables.all
-          if t != "documents" && t != "embeddings" && t != "events")
+          if t != "documents" && t != "embeddings" && t != "events" &&
+            !scaledRel(t))
         Files.copy(Paths.get(srcDir, s"$t.parquet"),
           Paths.get(outDir, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      // rel regime: lineitem copies re-salt BOTH the row id and the
+      // supplier key — q193's cumulative runs over suppliers, so the
+      // stress must grow that population, not just the fact rows
+      if (regime == "rel") {
+        val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+        val oStride = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+        val sStride = li.agg(max(col("l_suppkey"))).head.getLong(0) + 1L
+        li.crossJoin(spark.range(mult).toDF("copy"))
+          .withColumn("l_orderkey", col("l_orderkey") + col("copy") * lit(oStride))
+          .withColumn("l_suppkey", col("l_suppkey") + col("copy") * lit(sStride))
+          .drop("copy")
+          .repartition(32, col("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      }
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def rotAlpha(k: Int): String = {
+        val s = k % 26
+        alpha.drop(s) + alpha.take(s)
+      }
       for ((t, idCol) <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
         val df = spark.read.parquet(s"$srcDir/$t.parquet")
         val stride = df.agg(max(col(idCol))).head.getLong(0) + 1L
@@ -67,6 +105,16 @@ object ScaleRehearsal {
             copies.withColumn("text",
               concat_ws(" ", transform(split(col("text"), "\\s+"),
                 tk => concat(tk, lit("x"), col("copy")))))
+          else if (regime == "rot" && t == "documents")
+            // length-preserving unique regime: copy c is a Caesar shift
+            // by c, so the vocabulary grows ~mult× while every token
+            // keeps its length (short-token hubs scale realistically)
+            copies.withColumn("text",
+              (1 until mult).foldLeft(
+                when(col("copy") === 0, col("text"))) { (acc, c) =>
+                acc.when(col("copy") === c,
+                  translate(col("text"), alpha, rotAlpha(c)))
+              })
           else copies
         salted
           .drop("copy")
@@ -98,7 +146,7 @@ object ScaleRehearsal {
           .write.mode("overwrite").parquet(s"$outDir/events.parquet")
       }
       Files.createFile(marker)
-      println(s"[scale] built $outDir at mult=$mult")
+      println(s"[scale] built $outDir at mult=$mult regime=$regime")
     } else println(s"[scale] reusing $outDir")
 
     // Task-metric totals per query. LongAdders because tasks complete on

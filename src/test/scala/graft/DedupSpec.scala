@@ -38,6 +38,10 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     (0L until 5L).foreach { i =>
       assert(pairs.contains((i, 100L + i)), s"missed planted pair ($i, ${100 + i})")
     }
+    // and a known-FAR pair (independent random docs) must not appear —
+    // the behavioral pin that keeps the rows-only q33 honest
+    assert(!pairs.contains((10L, 20L)) && !pairs.contains((20L, 10L)),
+      s"independent docs paired: ${pairs.take(20)}")
     // scale guarantee: candidate generation must be a shuffle join on
     // (band, band_hash), never a cartesian product
     val plan = cands.queryExecution.executedPlan.toString
@@ -384,6 +388,11 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     val pairs = Dedup.simhashPairs(withExact, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 3L && p._2 == 1003L && p._3 == 0))
+    // known-far pair stays out (independent docs sit > maxHamming —
+    // the signature-level test pins their distance > 5): the q34
+    // rows-only entry's behavioral negative
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(10L, 20L)),
+      s"independent docs paired: ${pairs.take(20).mkString(",")}")
   }
 
   test("pageRank: hand-checked path graph, mass conservation, hub centrality") {

@@ -155,4 +155,66 @@ class FuzzySpec extends AnyFunSuite with TestSpark {
     assert(variants == Set("abcd", "bcd", "acd", "abd", "abc",
       "cd", "bd", "bc", "ad", "ac", "ab"))
   }
+
+  /** The per-length rule q198 registers: a pair is admitted iff its
+    * distance is <= 1 when the shorter token is under ShortLen chars,
+    * else <= MaxDist. */
+  private def refinedBruteForce(toks: Seq[String]): Set[(String, String, Int)] =
+    bruteForcePairs(toks).filter { case (a, b, d) =>
+      d <= (if (math.min(a.length, b.length) < Fuzzy.ShortLen) 1
+            else Fuzzy.MaxDist)
+    }
+
+  test("refined pairs: short d=2 dropped, short d=1 kept, long d=2 kept") {
+    val vocabToks = Fuzzy.vocab(docs).select("tok").collect()
+      .map(_.getString(0)).toSeq
+    val fixed = bruteForcePairs(vocabToks)
+    val expected = refinedBruteForce(vocabToks)
+    // the fixture plants all three behaviors — the rule must actually
+    // fire here, not pass vacuously (the r13 q198 finding):
+    // (i) a SHORT distance-2 pair the fixed-k q174 keeps but the rule
+    //     drops (sparkk/spork: min length 5 < ShortLen, lev = 2)
+    assert(fixed.contains(("sparkk", "spork", 2)))
+    assert(!expected.contains(("sparkk", "spork", 2)))
+    // (ii) a SHORT distance-1 pair the rule keeps (spark/spork)
+    assert(expected.contains(("spark", "spork", 1)))
+    // (iii) a LONG (>= ShortLen) distance-2 pair the rule keeps
+    assert(expected.contains(("receive", "recieve", 2)))
+    val got = Fuzzy.fuzzyTokenPairsRefined(docs)
+      .select("tok_a", "tok_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2).toInt)).toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("pigeonhole completeness: d2MinLen-narrowed variants yield every " +
+      "rule-admitted pair") {
+    // the Fuzzy.scala:89-95 claim, checked property-style on a dense
+    // pseudo-random vocabulary: a distance-1 pair needs only 1-deletion
+    // variants, and a rule-admitted distance-2 pair has BOTH sides >=
+    // ShortLen, so skipping 2-deletion variants for short tokens loses
+    // no admitted candidate. Alphabet {a,b,c}, lengths 4..9: hundreds
+    // of admitted pairs, both regimes (short d=1, long d<=2) populated.
+    val rng = new scala.util.Random(7)
+    val toks = Iterator.continually {
+      val n = 4 + rng.nextInt(6)
+      (0 until n).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+    }.distinct.take(120).toSeq
+    val v = spark.createDataFrame(
+      spark.sparkContext.parallelize(toks.map(t => Row(t, 1L)), 2),
+      StructType(Seq(StructField("tok", StringType),
+        StructField("c", LongType))))
+    val byTok = Fuzzy.deletionVariants(v, d2MinLen = Fuzzy.ShortLen)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    val admitted = refinedBruteForce(toks)
+    // non-vacuity: both regimes of the rule must occur in the sample
+    assert(admitted.exists { case (a, b, d) =>
+      d == 1 && math.min(a.length, b.length) < Fuzzy.ShortLen })
+    assert(admitted.exists { case (a, b, d) =>
+      d == 2 && math.min(a.length, b.length) >= Fuzzy.ShortLen })
+    for ((a, b, d) <- admitted)
+      assert(byTok(a).intersect(byTok(b)).nonEmpty,
+        s"admitted pair ($a, $b, d=$d) shares no generated variant")
+  }
 }
