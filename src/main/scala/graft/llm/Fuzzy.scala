@@ -176,9 +176,12 @@ object Fuzzy {
     * generated only for length >= ShortLen tokens (lossless by the
     * pigeonhole: a distance-1 pair needs only 1-deletion variants,
     * and a distance-2 pair under the rule has BOTH sides >=
-    * ShortLen). The worst candidate hub shrinks from "terms sharing a
-    * 2-char subsequence" to "terms sharing a 3-char one" at the short
-    * end — the SCALE.md fuzzy rehearsal measures the delta.
+    * ShortLen; FuzzySpec property-checks it on a dense random
+    * vocabulary). The worst candidate hub shrinks from "terms sharing
+    * a 2-char subsequence" to "terms sharing a 3-char one" at the
+    * short end — SCALE.md's r14 vocab-regime rehearsal (synthetic
+    * ~200k-term vocabulary, one query per JVM) measures the
+    * refined-vs-fixed-k delta.
     */
   def fuzzyTokenPairsRefined(docsDf: DataFrame): DataFrame = {
     val v = vocab(docsDf)

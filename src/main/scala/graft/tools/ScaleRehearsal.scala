@@ -45,6 +45,15 @@ import graft.core.{Session, Tables}
   * stress for q193's two-phase block cumulative): copies re-salt
   * l_orderkey AND l_suppkey, so the supplier population — the
   * cumulative's input cardinality — grows mult× along with the rows.
+  *
+  * `vocab` replaces the document TEXT with synthetic tokens drawn from
+  * a generated vocabulary of 20000·mult ids (deterministic splitmix
+  * strings, lengths 4–10, so ~29% fall in the short-token regime the
+  * per-length-k rule targets). The driver testdata's documents carry a
+  * ~24-term vocabulary — fine for corpus-sized operators, useless for
+  * stressing VOCABULARY-sized ones (rank, deletion variants, candidate
+  * hubs), whose real-world cardinality is 1e5–1e6+. Docs and every
+  * non-text column still come from the testdata (mult copies).
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -52,7 +61,7 @@ object ScaleRehearsal {
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val regime = args.drop(2).headOption
-      .filter(Set("unique", "rot", "rel")).getOrElse("clone")
+      .filter(Set("unique", "rot", "rel", "vocab")).getOrElse("clone")
     val unique = regime == "unique"
     val rest =
       if (regime != "clone") args.drop(3).toSeq else args.drop(2).toSeq
@@ -115,6 +124,30 @@ object ScaleRehearsal {
                 acc.when(col("copy") === c,
                   translate(col("text"), alpha, rotAlpha(c)))
               })
+          else if (regime == "vocab" && t == "documents") {
+            // synthetic 20000·mult-id vocabulary: every doc draws 40
+            // uniform token ids; a token renders as 4–10 base-26 chars
+            // of per-position splitmix hashes (deterministic — no RNG
+            // state, same string for the same id on any engine). ~2/7
+            // of ids land in the short (4–5 char) regime, so the
+            // candidate-hub population scales with the vocabulary.
+            val v = lit(20000L * mult)
+            val text = concat_ws(" ",
+              transform(sequence(lit(0L), lit(39L)), i => {
+                val tid = pmod(xxhash64(concat(
+                  col(idCol).cast("string"), lit("#"), i.cast("string"))), v)
+                val mixBase = concat(tid.cast("string"), lit(":"))
+                val len =
+                  pmod(xxhash64(concat(mixBase, lit("len"))), lit(7L)) +
+                    lit(4L)
+                concat_ws("", transform(sequence(lit(1L), len), j =>
+                  lit(alpha).substr(
+                    (pmod(xxhash64(concat(mixBase, j.cast("string"))),
+                      lit(26L)) + lit(1L)).cast("int"),
+                    lit(1))))
+              }))
+            copies.withColumn("text", text)
+          }
           else copies
         salted
           .drop("copy")
