@@ -231,6 +231,20 @@ object Main {
           println(s"upsert-part table=$tableDir part=$partCol " +
             s"keys=${keys.mkString(",")} version=$versionCol rows=$n")
 
+        // streaming CDC apply: drain landed delta parquet into the
+        // SCD1 table partition-scoped (AvailableNow; cron-friendly).
+        // Schema comes from the files already landed — the stream needs
+        // at least one delta file to start.
+        case "upsert-stream" :: landingDir :: tableDir :: partCol ::
+            versionCol :: keys if keys.nonEmpty =>
+          val schema = spark.read.parquet(landingDir).schema
+          graft.streaming.StreamingUpsert.start(spark, landingDir,
+            tableDir, schema, partCol, keys, versionCol)
+            .awaitTermination()
+          println(s"upsert-stream landing=$landingDir table=$tableDir " +
+            s"part=$partCol keys=${keys.mkString(",")} rows=${
+              spark.read.parquet(tableDir).count()}")
+
         // per-partition recovery after a crashed upsert-part
         case "upsert-recover-parts" :: tableDir :: Nil =>
           val states = Writers.upsertRecoverPartitions(spark, tableDir)
@@ -651,6 +665,7 @@ object Main {
         |  upsert <tableDir> <deltaParquet> <versionCol> <keyCol...>
         |  upsert-recover <tableDir> | compact-recover <tableDir>
         |  upsert-part <tableDir> <deltaParquet> <partCol> <versionCol> <keyCol...>
+        |  upsert-stream <landingDir> <tableDir> <partCol> <versionCol> <keyCol...>
         |  upsert-recover-parts <tableDir>
         |  track <landingDir> <outDir> <idleMs> [watermarkDelay]
         |  zorder <inParquet> <col1> <col2> <outDir>
