@@ -675,6 +675,116 @@ object Dedup {
           (size(col("h1")) + size(col("h2")) - col("i")), 4).as("jaccard"))
   }
 
+  /** LSH BANDING calibration: recall/precision of each (bands ×
+    * rows-per-band) split of the SAME K-slot MD5 minhash signature
+    * against the true near-dup pair set — the dedup-family analog of
+    * the ANN recall reports (q133 IVF, q197 SQ8), and the number a
+    * 100 TB dedup run needs BEFORE picking its banding: each split's
+    * S-curve threshold is ~(1/bands)^(1/rows), so more, narrower bands
+    * buy recall at the given Jaccard bar and pay for it in candidate
+    * volume (precision). This report measures that trade on the actual
+    * corpus instead of trusting the asymptotic formula.
+    *
+    * Ground truth: pairs with true set Jaccard >= `minJaccard` over
+    * the md5 shingle-hash sets, enumerated through the df-capped
+    * shared-shingle join (the q32 reduction — a pair ALL of whose
+    * shared shingles exceed the df cap is invisible to the truth set;
+    * the cap is what keeps truth enumeration off the all-pairs cliff,
+    * and the banded candidates are graded against the same reachable
+    * universe). Cost: one df-capped truth join plus one slim
+    * (id, band-key) self-join per config over a shared exchange —
+    * never corpus². At 100 TB, calibrate on a representative sample
+    * (the operator takes any docs frame) and apply the chosen banding
+    * corpus-wide.
+    */
+  def bandRecallReport(docsDf: DataFrame, minJaccard: Double = 0.5,
+      cfgs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))): DataFrame = {
+    require(cfgs.nonEmpty && cfgs.forall { case (b, r) =>
+      b * r == Md5MinhashK }, s"each bands*rows must equal $Md5MinhashK")
+    require(cfgs.map(_._1).distinct.size == cfgs.size,
+      "band counts must be distinct (bands identifies the config)")
+    val hv = withShingleArray(docsDf)
+      .select(col("doc_id"),
+        graft.functions.Fns.md5Hash32(col("sh")).as("hv"))
+    val side = hv.select(col("doc_id"),
+      array_distinct(col("hv")).as("hvd"),
+      graft.functions.Fns.md5MinhashSig(col("hv")).as("s"))
+    // truth: df-capped shared-shingle pairs certified by true Jaccard
+    val ex = side.select(col("doc_id"), explode(col("hvd")).as("h"))
+    val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DefaultMaxShingleDf).select("h")
+    val exk = ex.join(keep, Seq("h"))
+    val tp = exk.select(col("doc_id").as("d1"), col("h"))
+      .join(exk.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val inter = size(array_intersect(col("h1"), col("h2")))
+    val truth = tp
+      .join(side.select(col("doc_id").as("d1"), col("hvd").as("h1")),
+        Seq("d1"))
+      .join(side.select(col("doc_id").as("d2"), col("hvd").as("h2")),
+        Seq("d2"))
+      .filter(inter.cast("double") /
+        (size(col("h1")) + size(col("h2")) - inter) >= minJaccard)
+      .select("d1", "d2")
+    // candidates: every config's bands ride ONE exchange — the band
+    // index is folded into the key string, so (bands, key) is the
+    // complete join identity
+    val banded = side.select(col("doc_id"),
+      posexplode(array(cfgs.flatMap { case (b, r) =>
+        (0 until b).map(bi =>
+          struct(lit(b).as("bands"), lit(r).as("rpb"),
+            concat_ws(",", lit(bi.toString) +: (0 until r).map(i =>
+              element_at(col("s"), bi * r + i + 1).cast("string")): _*)
+              .as("key")))
+      }: _*)).as(Seq("pos", "bk")))
+      .select(col("doc_id"), col("bk.bands").as("bands"),
+        col("bk.rpb").as("rpb"), col("bk.key").as("key"))
+    val cand = banded
+      .select(col("doc_id").as("d1"), col("bands"), col("rpb"), col("key"))
+      .join(banded.select(col("doc_id").as("d2"), col("bands"), col("key")),
+        Seq("bands", "key"))
+      .filter(col("d1") < col("d2"))
+      .select("bands", "rpb", "d1", "d2").distinct()
+    val truthCount = truth.agg(count(lit(1)).as("n_truth"))
+    cand.join(truth.withColumn("t", lit(1)), Seq("d1", "d2"), "left")
+      .groupBy("bands", "rpb")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      // 1-row aggregate: the repo's broadcast-crossJoin-of-artifact shape
+      .crossJoin(broadcast(truthCount))
+      .select(col("bands").cast("long").as("bands"),
+        col("rpb").cast("long").as("rows_per_band"),
+        col("n_truth"), col("n_candidates"), col("n_hits"),
+        round(when(col("n_truth") === 0, lit(null))
+          .otherwise(col("n_hits").cast("double") / col("n_truth")), 4)
+          .as("recall"),
+        round(col("n_hits").cast("double") / col("n_candidates"), 4)
+          .as("precision"))
+      .orderBy(col("bands"))
+  }
+
+  /** Banding choice over [[bandRecallReport]]: the one-row decision a
+    * dedup run consumes. Rule: among splits whose measured recall at
+    * the Jaccard bar clears `targetRecall`, take the highest-precision
+    * one (fewest wasted candidate verifications — candidates are the
+    * 100 TB cost), ties broken by fewer candidates then fewer bands;
+    * if NO split clears the target, surface the max-recall split so
+    * the report's failure is visible in the choice (meets_target =
+    * false), not silently hidden. Calibrate on a sample, apply the
+    * chosen (bands, rows) corpus-wide — the report is bounded, the
+    * choice is free. */
+  def chooseBanding(docsDf: DataFrame, minJaccard: Double = 0.5,
+      targetRecall: Double = 0.9,
+      cfgs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))): DataFrame =
+    bandRecallReport(docsDf, minJaccard, cfgs)
+      .withColumn("meets_target", col("recall") >= targetRecall)
+      .orderBy(col("meets_target").desc,
+        when(col("meets_target"), col("precision"))
+          .otherwise(col("recall")).desc,
+        col("n_candidates").asc, col("bands").asc)
+      .limit(1)
+
   /** The production dedup funnel with the exact-dup PRE-COLLAPSE the
     * 30× scale rehearsal proved necessary (SCALE.md): identical texts
     * are collapsed to one representative (min doc_id per md5(text))
@@ -2590,8 +2700,102 @@ object Dedup {
                          2.0 * COALESCE(tc.n_tri, 0) / (dg.deg * (dg.deg - 1))
                        ELSE 0 END, 4) AS coeff
               FROM dg LEFT JOIN tc ON tc.doc_id = dg.doc_id
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // LSH banding calibration report (see [[bandRecallReport]]): recall
+    // and precision of the (2x8)/(4x4)/(8x2) splits of the one 16-slot
+    // MD5 signature against the true Jaccard >= 0.5 pair set. Every
+    // step — shingles, MD5 slot hashes, banding, df-capped truth join —
+    // is reproducible in DuckDB, so the whole report value-hash
+    // matches (the q65/q71 convention applied to the calibration).
+    Q("q199_lsh_band_recall",
+      (s, d) => bandRecallReport(docs(s, d), minJaccard = 0.5),
+      Some(bandRecallOracleSql)),
+
+    // Banding CHOICE over the q199 report (see [[chooseBanding]]): the
+    // one-row decision a 100 TB dedup run actually consumes — cheapest
+    // banding that clears the recall target, or the max-recall split
+    // if none does. Oracle = q199's report CTE + the selection rule.
+    Q("q200_band_choice",
+      (s, d) => chooseBanding(docs(s, d), minJaccard = 0.5,
+        targetRecall = 0.9),
+      Some(s"""WITH report AS ($bandRecallOracleSql)
+              SELECT bands, rows_per_band, n_truth, n_candidates,
+                     n_hits, recall, precision,
+                     recall >= 0.9 AS meets_target
+              FROM report
+              ORDER BY (recall >= 0.9) DESC,
+                       CASE WHEN recall >= 0.9 THEN precision
+                            ELSE recall END DESC,
+                       n_candidates ASC, bands ASC
+              LIMIT 1"""))
   )
+
+  /** q199's full oracle — the whole calibration (shingles → MD5 slot
+    * hashes → banding → df-capped truth join) replayed in DuckDB;
+    * q200 wraps it VERBATIM as its report CTE (the q66/q80 sharing
+    * convention). */
+  private def bandRecallOracleSql: String = {
+    val slotList = Md5MinhashMixers.map { case (a, b) =>
+      s"list_min(list_transform(hv, h -> ($a * h + $b) % $Md5MinhashMod))"
+    }.mkString("[", ", ", "]")
+    s"""WITH tok AS (
+             SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
+             FROM documents),
+           sh AS (
+             SELECT doc_id,
+                    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in generate_series(1, LEN(ts)-2)]) AS sh
+             FROM tok WHERE LEN(ts) >= 3),
+           hv AS (
+             SELECT doc_id,
+                    list_transform(sh, s -> CAST('0x' || SUBSTR(MD5(s), 1, 8) AS BIGINT)) AS hv
+             FROM sh),
+           side AS (SELECT doc_id, list_distinct(hv) AS hvd, $slotList AS s FROM hv),
+           ex AS (SELECT doc_id, UNNEST(hvd) AS h FROM side),
+           keep AS (SELECT h FROM ex GROUP BY h
+                    HAVING COUNT(*) <= $DefaultMaxShingleDf),
+           exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+           tp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id),
+           truth AS (
+             SELECT d1, d2 FROM tp
+             JOIN side sa ON sa.doc_id = tp.d1
+             JOIN side sb ON sb.doc_id = tp.d2
+             WHERE CAST(LEN(list_intersect(sa.hvd, sb.hvd)) AS DOUBLE)
+                   / (LEN(sa.hvd) + LEN(sb.hvd)
+                      - LEN(list_intersect(sa.hvd, sb.hvd))) >= 0.5),
+           cfgs AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2)) AS t(bands, rpb)),
+           banded AS (
+             SELECT c.bands, c.rpb, s.doc_id,
+                    CAST(bs.b AS VARCHAR) || ',' ||
+                    array_to_string(list_transform(generate_series(1, c.rpb),
+                      i -> CAST(s.s[c.rpb * bs.b + i] AS VARCHAR)), ',') AS key
+             FROM side s, cfgs c,
+                  (SELECT UNNEST(generate_series(0, 7)) AS b) bs
+             WHERE bs.b < c.bands),
+           cand AS (
+             SELECT DISTINCT a.bands, a.rpb, a.doc_id AS d1, b2.doc_id AS d2
+             FROM banded a JOIN banded b2
+               ON a.bands = b2.bands AND a.key = b2.key
+              AND a.doc_id < b2.doc_id),
+           nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+           SELECT CAST(c.bands AS BIGINT) AS bands,
+                  CAST(c.rpb AS BIGINT) AS rows_per_band,
+                  nt.n_truth AS n_truth,
+                  COUNT(*) AS n_candidates,
+                  CAST(SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                  ROUND(CASE WHEN nt.n_truth = 0 THEN NULL
+                        ELSE SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                             / nt.n_truth END, 4) AS recall,
+                  ROUND(SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                        / COUNT(*), 4) AS precision
+           FROM cand c
+           LEFT JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2
+           CROSS JOIN nt
+           GROUP BY c.bands, c.rpb, nt.n_truth
+           ORDER BY bands"""
+  }
 
   /** Shared oracle front end for q137/q138: positional L-grams over the
     * standard tokenization, df-capped, self-joined, islands per

@@ -187,6 +187,60 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(byDoc(1L).size < 46 / 2)
   }
 
+  test("band recall report: S-curve ordering, hits bounded, no cartesian") {
+    val report = Dedup.bandRecallReport(docs, minJaccard = 0.5)
+    val rows = report.collect()
+    // three configs back in band order, n_truth constant across rows
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).forall(_ == 16L))
+    val nTruth = rows.map(_.getLong(2)).distinct
+    assert(nTruth.length == 1 && nTruth.head >= 5,
+      s"planted near-dups missing from truth: ${nTruth.toSeq}")
+    rows.foreach { r =>
+      val (cand, hits) = (r.getLong(3), r.getLong(4))
+      assert(hits <= nTruth.head && hits <= cand, s"hit bounds: $r")
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
+    }
+    // the S-curve: more, narrower bands -> lower collision threshold ->
+    // recall at the 0.5 bar is (weakly) monotone in the band count,
+    // and the 8x2 split must surface the ~0.95-Jaccard plants
+    val recallByBands = rows.map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(recallByBands(8L) >= recallByBands(4L) &&
+      recallByBands(4L) >= recallByBands(2L), s"S-curve order: $recallByBands")
+    assert(recallByBands(8L) >= 0.99, s"8x2 recall: ${recallByBands(8L)}")
+    // scale guarantee: banded + truth joins only, never all-pairs — the
+    // single BNLJ is the 1-row n_truth artifact broadcast (the repo's
+    // bounded-crossJoin shape), not a pair join
+    val plan = report.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"pair-sized BNLJ in plan:\n$plan")
+  }
+
+  test("chooseBanding: cheapest split clearing the target, else max recall") {
+    val rep = Dedup.bandRecallReport(docs, minJaccard = 0.5).collect()
+    val chosen = Dedup.chooseBanding(docs, minJaccard = 0.5,
+      targetRecall = 0.9).collect()
+    assert(chosen.length == 1)
+    val c = chosen.head
+    assert(c.schema.fieldNames.last == "meets_target")
+    val meets = rep.filter(_.getDouble(5) >= 0.9)
+    if (meets.nonEmpty) {
+      // highest precision among qualifiers, then fewest candidates,
+      // then fewest bands
+      val best = meets.maxBy(r =>
+        (r.getDouble(6), -r.getLong(3), -r.getLong(0)))
+      assert(c.getLong(0) == best.getLong(0) && c.getBoolean(7),
+        s"chose $c over $best")
+    } else {
+      val best = rep.maxBy(r =>
+        (r.getDouble(5), -r.getLong(3), -r.getLong(0)))
+      assert(c.getLong(0) == best.getLong(0) && !c.getBoolean(7))
+    }
+  }
+
   test("jaccardOnCandidates certifies LSH candidates with true jaccard") {
     val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.5)
     val verified = Dedup.jaccardOnCandidates(docs, cands)
