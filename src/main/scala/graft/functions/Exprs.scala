@@ -1239,6 +1239,16 @@ object GraftExtensions {
         outer.getArray(s).toDoubleArray())
       PqAdcDist(es(0), table)
     }),
+    d("graft_mat_project", classOf[MatProject], { es =>
+      // second arg must be a foldable array<array<double>> literal —
+      // the projection matrix is part of the expression, not row data
+      require(es(1).foldable,
+        "graft_mat_project expects a literal projection matrix")
+      val outer = es(1).eval().asInstanceOf[ArrayData]
+      val mat = Array.tabulate(outer.numElements())(r =>
+        outer.getArray(r).toDoubleArray())
+      MatProject(es(0), mat)
+    }),
     d("graft_bloom_contains_bc", classOf[BloomMightContainBc], { es =>
       // first arg is a registry token literal, resolved ON THE DRIVER
       // (analysis runs there) and replaced by the broadcast handle —
@@ -1460,6 +1470,60 @@ case class PqAdcDist(child: Expression, table: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Dense k × d projection of a vector: out[r] = Σ_i mat(r)(i) · v(i),
+  * the inner sum folded in ascending i (bit-identical to the oracle's
+  * `list_sum(list_transform(...))` replay and to k DotProduct calls,
+  * without re-reading the input array k times through k separate
+  * expressions). The matrix rides the plan as a reference object (the
+  * PqAssignCodes codebook pattern) — projection matrices are k·d
+  * doubles (16 × 64 here), never row data. Used for the
+  * Johnson-Lindenstrauss Rademacher projection (see
+  * `Similarity.jlMatrix`); any dense linear map (PCA components,
+  * learned projections) fits the same expression.
+  */
+case class MatProject(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_mat_project"
+
+  @transient private lazy val k = mat.length
+  @transient private lazy val d = mat(0).length
+
+  def compute(a: ArrayData): ArrayData = {
+    val v = a.toDoubleArray()
+    require(v.length == d,
+      s"graft_mat_project: vector dim ${v.length} != matrix dim $d")
+    val out = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      val row = mat(r)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        acc += row(i) * v(i)
+        i += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matProject", this, classOf[MatProject].getName)
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($ad) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions (requires a session built
   * with GraftExtensions — `graft.core.Session.builder` wires it in).
   */
@@ -1562,6 +1626,13 @@ object Fns {
   def pqAdcDist(codes: Column, table: Seq[Seq[Double]]): Column = {
     import org.apache.spark.sql.functions.typedlit
     call_function("graft_pq_adc", codes, typedlit(table))
+  }
+
+  /** Dense k × d matrix projection of a vector column (one pass over
+    * the input array for all k outputs; inner sums fold ascending). */
+  def matProject(vec: Column, mat: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function("graft_mat_project", dbl(vec), typedlit(mat))
   }
 
   /** All HyperplaneBuckets.Tables LSH bucket ids for an embedding. */

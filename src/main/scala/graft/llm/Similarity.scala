@@ -1440,7 +1440,61 @@ object Similarity {
                 SELECT 'ivfsq8_p' || p.np, CAST(COALESCE(h.n, 0) AS BIGINT),
                        ROUND(COALESCE(h.n, 0) / 10.0, 4)
                 FROM probes p LEFT JOIN ivfhits h ON h.np = p.np)
-              ORDER BY variant"""))
+              ORDER BY variant""")),
+
+    // Johnson-Lindenstrauss distortion report (see
+    // [[jlDistortionReport]]): histogram of projected/original
+    // squared-distance ratios over the declared bounded pair sample —
+    // the measured counterpart of the JL lemma's (1±ε) guarantee for
+    // the train-free 64→16 Rademacher projection, the same
+    // report-before-you-commit discipline as q133/q197/q199.
+    Q("q201_jl_distortion",
+      (s, d) => jlDistortionReport(emb(s, d)),
+      Some(s"""WITH $jlProjectedSql
+              pr AS (SELECT
+                       list_sum(list_transform(generate_series(1, LEN(x.a)),
+                         i -> (x.a[i] - y.a[i]) * (x.a[i] - y.a[i]))) AS od,
+                       list_sum(list_transform(generate_series(1, $JlK),
+                         r -> (x.p[r] - y.p[r]) * (x.p[r] - y.p[r]))) AS pd
+                     FROM p x JOIN p y ON x.vec_id < y.vec_id
+                     WHERE x.vec_id < 50 AND y.vec_id < 50),
+              rt AS (SELECT pd / od AS ratio FROM pr WHERE od > 0)
+              SELECT CAST(FLOOR(ratio * 10) AS BIGINT) AS bucket,
+                     COUNT(*) AS n_pairs,
+                     ROUND(SUM(CAST(ROUND(ratio * 10000) AS BIGINT))
+                           / (COUNT(*) * 10000.0), 4) AS mean_ratio,
+                     ROUND(MIN(ratio), 4) AS min_ratio,
+                     ROUND(MAX(ratio), 4) AS max_ratio
+              FROM rt GROUP BY 1 ORDER BY bucket""")),
+
+    // ANN through the JL-projected space (see [[jlRerankTopK]]):
+    // candidates ranked on the 16-dim projection (4× fewer float ops
+    // and 4× less memory traffic per comparison than the 64-dim scan),
+    // exact L2 rerank touches only the candidate rows — the
+    // train-free sibling of the PCA rerank (q120).
+    Q("q202_jl_rerank",
+      (s, d) => jlRerankTopK(emb(s, d)),
+      Some(s"""WITH $jlProjectedSql
+              q AS (SELECT vec_id AS qid, a AS qa, p AS qp
+                    FROM p WHERE vec_id < 3),
+              cand AS (
+                SELECT q.qid, x.vec_id, x.a, q.qa,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                         list_sum(list_transform(generate_series(1, $JlK),
+                           r -> (x.p[r] - q.qp[r]) * (x.p[r] - q.qp[r]))),
+                         x.vec_id) AS crn
+                FROM p x CROSS JOIN q WHERE x.vec_id <> q.qid),
+              ex AS (
+                SELECT qid, vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(a)),
+                         i -> (a[i] - qa[i]) * (a[i] - qa[i]))) AS edist,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                         list_sum(list_transform(generate_series(1, LEN(a)),
+                           i -> (a[i] - qa[i]) * (a[i] - qa[i]))),
+                         vec_id) AS rn
+                FROM cand WHERE crn <= 10)
+              SELECT qid, vec_id, ROUND(edist, 4) AS dist, rn
+              FROM ex WHERE rn <= 5 ORDER BY qid, rn"""))
   )
 
   /** Scalar-quantization (SQ8) ANN: quantize every dimension to an
@@ -2001,5 +2055,134 @@ object Similarity {
       .orderBy(col("sim_raw").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("sim"))
+  }
+
+  // ----- Johnson-Lindenstrauss random projection (r14) -----
+
+  /** Target dimension of the JL projection (64 → 16 on the testdata
+    * embeddings: 4× cheaper per distance comparison while the JL lemma
+    * bounds the squared-distance distortion — E[ratio] = 1,
+    * Var = 2/k). */
+  val JlK = 16
+
+  /** MD5-derived Rademacher projection matrix: entry (r, i) is ±1/√k
+    * with the sign from the parity of the first MD5 byte of "jl:r:i" —
+    * engine-agnostic (the Md5HyperplaneBuckets convention), so the
+    * DuckDB oracle replays the identical matrix, and any executor can
+    * rebuild it from (k, d) alone. ±1 entries satisfy the JL guarantee
+    * (Achlioptas 2003, "Database-friendly random projections"); unlike
+    * PCA (q111) there is NO training pass — a 100 TB corpus gets its
+    * projection for free, which is the practical reason this rung of
+    * the dimension-reduction ladder exists. */
+  def jlMatrix(k: Int = JlK, d: Int = 64): Array[Array[Double]] = {
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    Array.tabulate(k, d) { (r, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b0 = md.digest(s"jl:$r:$i".getBytes("UTF-8"))(0) & 0xff
+      if (b0 % 2 == 0) scale else -scale
+    }
+  }
+
+  /** Project a vector column through [[jlMatrix]] — one map-side
+    * codegen'd pass per row (native MatProject), no shuffle, no state:
+    * the projection composes with every ANN front end (LSH buckets,
+    * IVF cells) by projecting before bucketing. */
+  def jlProject(vec: Column, k: Int = JlK, d: Int = 64): Column =
+    graft.functions.Fns.matProject(vec,
+      jlMatrix(k, d).map(_.toSeq).toSeq)
+
+  /** The [[jlMatrix]] projection replayed in DuckDB SQL — shared CTE
+    * prefix (`v` = doubles, `p` = vec_id/a/p) for the q201/q202
+    * oracles; inner sums fold ascending exactly like MatProject. */
+  private def jlProjectedSql: String =
+    s"""v AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS a
+              FROM embeddings),
+        p AS (SELECT vec_id, a,
+                list_transform(generate_series(0, ${JlK - 1}), r ->
+                  list_sum(list_transform(generate_series(1, LEN(a)), i ->
+                    a[i] * (CASE WHEN CAST('0x' ||
+                        SUBSTR(MD5('jl:' || r || ':' || (i - 1)), 1, 2)
+                        AS INT) % 2 = 0
+                      THEN 0.25 ELSE -0.25 END)))) AS p
+              FROM v),"""
+
+  /** Measured JL distortion: histogram of projected/original squared-
+    * L2 ratios over all pairs of the declared bounded sample
+    * (`vec_id < sampleN`, C(50,2) = 1225 pairs — a broadcast-sized
+    * diagnostic, like the q133/q197 recall reports; at 100 TB the
+    * sample is drawn, the report shape is unchanged). Ratios are
+    * rounded to 1e-4 integers BEFORE the mean so the aggregate is an
+    * exact integer sum (order-independent); min/max are order-free on
+    * the raw doubles. Zero-distance pairs (exact clones) are excluded —
+    * ratio is undefined there and a projection preserves them
+    * trivially. */
+  def jlDistortionReport(vectors: DataFrame, sampleN: Int = 50,
+      k: Int = JlK, d: Int = 64): DataFrame = {
+    import graft.functions.Fns
+    val v = vectors.filter(col("vec_id") < sampleN)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val p = v.select(col("vec_id"), col("v"),
+      jlProject(col("v"), k, d).as("p"))
+    val a = p.select(col("vec_id").as("d1"), col("v").as("v1"),
+      col("p").as("p1"))
+    val b = p.select(col("vec_id").as("d2"), col("v").as("v2"),
+      col("p").as("p2"))
+    val pairs = a.join(broadcast(b), col("d1") < col("d2"))
+      .select(Fns.l2sqDist(col("v1"), col("v2")).as("od"),
+        Fns.l2sqDist(col("p1"), col("p2")).as("pd"))
+      .filter(col("od") > 0)
+      .withColumn("ratio", col("pd") / col("od"))
+    pairs
+      .select(floor(col("ratio") * 10).cast("long").as("bucket"),
+        col("ratio"),
+        round(col("ratio") * 10000, 0).cast("long").as("r4"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("r4")).as("sr4"),
+        min(col("ratio")).as("mn"), max(col("ratio")).as("mx"))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("sr4") / (col("n_pairs") * 10000.0), 4).as("mean_ratio"),
+        round(col("mn"), 4).as("min_ratio"),
+        round(col("mx"), 4).as("max_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  /** ANN with JL-projected candidate scoring + exact rerank: rank the
+    * corpus by 16-dim projected L2 (4× fewer float ops, 4× less memory
+    * traffic per comparison than the 64-dim scan), keep `candK` per
+    * query, rerank those by exact 64-dim L2 — the train-free sibling
+    * of the PCA rerank (q120). Candidate ranking plans through
+    * TopKPerKey (filtered row_number), so ≤ candK rows per (partition,
+    * query) reach the exchange; the exact vectors are fetched only for
+    * the candidates. The brute scan against a broadcast query batch is
+    * the exact baseline shape (q96); the banded front ends compose
+    * when the corpus side is 100 TB. */
+  def jlRerankTopK(vectors: DataFrame, nQueries: Int = 3,
+      candK: Int = 10, k: Int = 5, jlDim: Int = JlK,
+      d: Int = 64): DataFrame = {
+    import graft.functions.Fns
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("p", jlProject(col("v"), jlDim, d))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("p").as("qp"))
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("pdist_raw"), col("vec_id"))
+    val cand = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("qv"),
+        Fns.l2sqDist(col("p"), col("qp")).as("pdist_raw"))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= candK)
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("edist_raw"), col("vec_id"))
+    cand
+      .select(col("qid"), col("vec_id"),
+        Fns.l2sqDist(col("v"), col("qv")).as("edist_raw"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(col("edist_raw"), 4).as("dist"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
   }
 }

@@ -44,6 +44,38 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(bad == 0)
   }
 
+  test("native matProject == per-row dotProduct calls, bit-identical; " +
+      "exact on a hand matrix") {
+    // parity: one MatProject pass == k separate DotProduct folds (same
+    // ascending element order), on real embeddings
+    val mat = graft.llm.Similarity.jlMatrix(k = 4, d = 64)
+    val matSeq = mat.map(_.toSeq).toSeq
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val perRow = array(matSeq.map(row =>
+      Fns.dotProduct(col("v"), typedlit(row))): _*)
+    val bad = e.select(Fns.matProject(col("v"), matSeq).as("n"),
+        perRow.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+    // exact values on a hand case: (1,2,3) through ((1,0,0),(0,1,0),
+    // (0.5,0.5,0.5)) = (1, 2, 3)
+    import spark.implicits._
+    val got = Seq(Seq(1.0, 2.0, 3.0)).toDF("v")
+      .select(Fns.matProject(col("v"),
+        Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+          Seq(0.5, 0.5, 0.5))).as("p"))
+      .head.getSeq[Double](0)
+    assert(got == Seq(1.0, 2.0, 3.0))
+    // dimension mismatch fails loudly, not silently truncated
+    val err = intercept[Exception] {
+      Seq(Seq(1.0, 2.0)).toDF("v")
+        .select(Fns.matProject(col("v"), Seq(Seq(1.0, 0.0, 0.0))))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("native cosine == dot/(norm*norm) HOF formulation, bit-identical") {
     val hofCos = hofDot(col("x"), col("y")) /
       (sqrt(hofDot(col("x"), col("x"))) * sqrt(hofDot(col("y"), col("y"))))

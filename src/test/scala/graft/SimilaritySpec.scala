@@ -459,4 +459,57 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     // n_hits consistent with recall at k = 5
     rep.foreach { case (_, n, r) => assert(r == n / 5.0) }
   }
+
+  test("JL matrix: deterministic ±1/√k Rademacher entries, balanced signs") {
+    val m = Similarity.jlMatrix(k = 8, d = 32)
+    assert(m.map(_.toSeq).toSeq ==
+      Similarity.jlMatrix(k = 8, d = 32).map(_.toSeq).toSeq)
+    val s = 1.0 / math.sqrt(8.0)
+    val flat = m.flatten
+    assert(flat.forall(v => v == s || v == -s))
+    // MD5 parity signs must not be degenerate (all one sign would make
+    // the projection a scaled sum, collapsing distances)
+    val pos = flat.count(_ > 0)
+    assert(pos > flat.length / 4 && pos < 3 * flat.length / 4,
+      s"signs degenerate: $pos of ${flat.length}")
+  }
+
+  test("JL distortion report: full pair count, ratios concentrate near 1") {
+    val rep = Similarity.jlDistortionReport(vectors, sampleN = 1000,
+      k = 8, d = 32).collect()
+    // fixture ids 0..59 + 500, all < 1000 -> C(61,2) = 1830 pairs, none
+    // at distance zero
+    val n = rep.map(_.getLong(1)).sum
+    assert(n == 1830L, s"pair count: $n")
+    rep.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-9 &&
+        r.getDouble(2) <= r.getDouble(4) + 1e-9,
+        s"mean outside [min,max]: $r")
+    }
+    // E[ratio] = 1 (JL): the weighted mean over all pairs lands near 1,
+    // and most mass sits in ratio [0.5, 1.5) (Var = 2/k = 0.25 at k=8)
+    val mean = rep.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+    assert(mean > 0.85 && mean < 1.15, s"overall mean ratio: $mean")
+    val near = rep.filter(r => r.getLong(0) >= 5 && r.getLong(0) <= 14)
+      .map(_.getLong(1)).sum
+    assert(near >= n * 6 / 10, s"mass near 1: $near of $n")
+  }
+
+  test("JL rerank: planted clone tops its query; dists exact and sorted") {
+    val top = Similarity.jlRerankTopK(vectors, nQueries = 3, candK = 10,
+      k = 5, jlDim = 8, d = 32).collect()
+    assert(top.length == 15, s"3 queries x 5: ${top.length}")
+    // clone 500 differs from vec 1 in ONE coordinate by 0.001; a
+    // Rademacher projection maps that to ±0.001/√k per output dim, so
+    // the projected distance is ~0 too — it must survive the candidate
+    // cut and win the exact rerank
+    val q1 = top.filter(_.getLong(0) == 1L).sortBy(_.getInt(3))
+    assert(q1.head.getLong(1) == 500L, s"q1 top: ${q1.toSeq}")
+    assert(q1.head.getDouble(2) < 0.01)
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ds = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(ds == ds.sorted, s"dists not ascending: $ds")
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+  }
 }
