@@ -1622,6 +1622,155 @@ object Advanced {
               SELECT c.stage, p.p, CAST(MIN(c.secs) AS BIGINT) AS secs
               FROM cum c JOIN n USING (stage) CROSS JOIN p
               WHERE c.cum * 100 >= p.p * n.n
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // TPC-H Q5 (local supplier volume), the classic 6-way join:
+    // revenue by nation where the customer and the line's supplier sit
+    // in the SAME nation, one region, one order-year. Scale shape: the
+    // two true dimensions (region-filtered nation) ride ONE broadcast
+    // into customer; lineitem⋈orders⋈customer⋈supplier are shuffle
+    // joins on their keys (AQE may broadcast supplier at small SF —
+    // correct either way); the c_nationkey = s_nationkey equality rides
+    // the supplier join condition, costing no extra exchange; the final
+    // aggregate lands on ≤ |nations| rows. Revenue accumulates in
+    // DECIMAL (the q58/q193 discipline) so the sum is order-independent
+    // and the oracle hash exact. Date window shifted to the testdata's
+    // 1995-2001 order range (reference window 1994 is empty here).
+    Q("q203_tpch_q5",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+        val nat = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), rev.as("r"))
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          // decimal round BEFORE the double cast — see q205's note
+          .agg(round(sum(col("r")), 2).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                       AS revenue
+              FROM customer
+              JOIN orders   ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1997-01-01'
+              GROUP BY n_name
+              ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q18 (large-volume customers): orders whose total quantity
+    // clears 300, with their customer. Scale shape: the HAVING is a
+    // map-side partial aggregate of lineitem BEFORE any join — the
+    // join input shrinks to |qualifying orders|, never |lineitem|;
+    // quantity accumulates in DECIMAL; ORDER BY is unique under the
+    // LIMIT (totalprice DESC then orderkey — the oracle-LIMIT rule).
+    Q("q204_tpch_q18",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+          .filter(col("qty") > 300)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            round(col("o_totalprice").cast("double"), 2)
+              .as("o_totalprice"),
+            col("qty").cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+              SELECT c_name, c_custkey, o_orderkey,
+                     STRFTIME(o_orderdate, '%Y-%m-%d') AS o_date,
+                     ROUND(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+                     CAST(qty AS DOUBLE) AS total_qty
+              FROM orders
+              JOIN big ON o_orderkey = l_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // TPC-H Q10 (returned-item reporting): top customers by revenue
+    // lost to returns in one quarter. Scale shape: the returnflag and
+    // date filters push to the two fact scans BEFORE the joins; nation
+    // broadcasts into customer; the group-by keys on c_custkey so the
+    // aggregate exchange is customer-sized, and the top-20 is a
+    // TakeOrdered, never a full sort. DECIMAL revenue; ORDER BY unique
+    // under the LIMIT (revenue DESC then c_custkey).
+    Q("q205_tpch_q10",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+        val li = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), rev.as("r"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          // round while still DECIMAL (exact half-up in both engines),
+          // THEN cast: rounding after the double cast is representation-
+          // dependent (….595 stored as ….59499999 flips the last digit)
+          .agg(round(sum(col("r")), 2).cast("double").as("revenue"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            round(col("c_acctbal").cast("double"), 2).as("c_acctbal"),
+            col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                       AS revenue,
+                     ROUND(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal,
+                     n_name
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN orders ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1996-04-01'
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20"""))
   )
 }

@@ -62,4 +62,15 @@ class QueriesSmokeSpec extends AnyFunSuite with TestSpark {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"dim join should not SMJ:\n$plan")
   }
+
+  test("q203 TPC-H Q5: region-filtered nation dims broadcast, never cartesian") {
+    val df = Registry.queries("q203_tpch_q5")(spark, sf)
+    df.collect() // materialize the AQE-final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/region dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q5 must stay equi-joined:\n$plan")
+  }
 }

@@ -496,8 +496,14 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
   }
 
   test("JL rerank: planted clone tops its query; dists exact and sorted") {
-    val top = Similarity.jlRerankTopK(vectors, nQueries = 3, candK = 10,
-      k = 5, jlDim = 8, d = 32).collect()
+    val df = Similarity.jlRerankTopK(vectors, nQueries = 3, candK = 10,
+      k = 5, jlDim = 8, d = 32)
+    val top = df.collect()
+    // the Scaladoc's claim: candidate ranking plans through TopKPerKey,
+    // so <= candK rows per (partition, query) reach the exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"candidate cut must plan through TopKPerKey:\n$plan")
     assert(top.length == 15, s"3 queries x 5: ${top.length}")
     // clone 500 differs from vec 1 in ONE coordinate by 0.001; a
     // Rademacher projection maps that to ±0.001/√k per output dim, so
