@@ -1494,7 +1494,53 @@ object Similarity {
                          vec_id) AS rn
                 FROM cand WHERE crn <= 10)
               SELECT qid, vec_id, ROUND(edist, 4) AS dist, rn
-              FROM ex WHERE rn <= 5 ORDER BY qid, rn"""))
+              FROM ex WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    // Simplified silhouette over the persisted trained codebook (see
+    // [[silhouette]]): the cluster-quality readout that closes the
+    // clustering loop — q82 trains, q124 profiles cohesion/purity,
+    // q125 samples, q206 says whether the cells are SEPARATED (the
+    // merge/split decision q93's semantic dedup and q125's balanced
+    // draw both ride on). Centroid-based s(i), O(n·cells), map-side.
+    Q("q206_silhouette",
+      (s, d) => {
+        val e = emb(s, d)
+        val cb = IvfStore.train(e, iters = 3, sampleFraction = 0.5)
+        cb.write.mode("overwrite").parquet(Q206CodebookDir)
+        silhouette(
+          s.read.parquet(Q206CodebookDir).select(col("cell"), col("cv")),
+          e)
+      },
+      Some(s"""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              cb AS (SELECT cell, cv
+                     FROM read_parquet('$Q206CodebookDir/*.parquet')),
+              scored AS (
+                SELECT v.vec_id, cb.cell,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * cb.cv[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(cb.cv, x -> x*x)))) AS sim
+                FROM v CROSS JOIN cb),
+              rk AS (
+                SELECT vec_id, cell, 1 - sim AS dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, cell) AS rn
+                FROM scored),
+              sv AS (
+                SELECT o.cell,
+                       CASE WHEN GREATEST(o.dist, t.dist) <= 0 THEN 0.0
+                            ELSE (t.dist - o.dist)
+                                 / GREATEST(o.dist, t.dist) END AS s
+                FROM rk o JOIN rk t
+                  ON o.vec_id = t.vec_id AND o.rn = 1 AND t.rn = 2)
+              SELECT cell, COUNT(*) AS n,
+                     ROUND(SUM(CAST(ROUND(s * 10000) AS BIGINT))
+                           / (COUNT(*) * 10000.0), 4) AS avg_sil,
+                     ROUND(MIN(s), 4) AS min_sil
+              FROM sv GROUP BY cell ORDER BY cell"""))
   )
 
   /** Scalar-quantization (SQ8) ANN: quantize every dimension to an
@@ -1759,6 +1805,7 @@ object Similarity {
   val Q93CodebookDir = "/tmp/graft_q93_codebook"
   val Q124CodebookDir = "/tmp/graft_q124_codebook"
   val Q125CodebookDir = "/tmp/graft_q125_codebook"
+  val Q206CodebookDir = "/tmp/graft_q206_codebook"
   val Q187CodebookDir = "/tmp/graft_q187_codebook"
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -1860,6 +1907,56 @@ object Similarity {
         max(when(col("rn") === 1, col("label"))).as("top_label"),
         round(max(when(col("rn") === 1, col("lc"))).cast("double")
           / sum(col("lc")), 4).as("purity"))
+      .orderBy(col("cell"))
+  }
+
+  /** Simplified silhouette per cluster (Rousseeuw 1987's s(i) with
+    * CENTROID distances standing in for mean pairwise distances — the
+    * O(n·cells) form usable at corpus scale, where the classical
+    * definition is O(n²)): assignment is the q124 cosine argmax
+    * against the persisted codebook, a(i) = cosine distance to the own
+    * centroid, b(i) = cosine distance to the nearest OTHER centroid,
+    * s(i) = (b−a)/max(a,b) ∈ [−1,1]. Low avg flags a cell overlapping
+    * its neighbor (merge it); a negative min flags rows nearer another
+    * centroid than their own (argmax ties / boundary rows). Output per
+    * cell: (cell, n, avg_sil, min_sil); avg accumulates integer-e4
+    * terms (the q201 convention) so the mean is summation-order-
+    * independent and the oracle hash exact.
+    *
+    * Scale shape: ONE map-side projection against the broadcast
+    * codebook scores every cell and keeps the top-2 (own + nearest
+    * other) inside the same select — no second scoring pass, no join,
+    * no per-vector shuffle; the aggregate exchange carries |cells|
+    * rows. Pairwise-exact silhouette would be corpus² — this is the
+    * published large-scale substitute (the "simplified silhouette" of
+    * Hruschka et al.), and it degrades gracefully: cells are a
+    * broadcast-sized artifact at any corpus size.
+    */
+  def silhouette(codebook: DataFrame, vectors: DataFrame): DataFrame = {
+    val vecs = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cb = codebook
+      .select(struct(col("cell"), col("cv")).as("c"))
+      .agg(collect_list(col("c")).as("cb"))
+    val scoredCells = transform(col("cb"), c =>
+      struct((-cosine(col("v"), c.getField("cv"))).as("negsim"),
+        c.getField("cell").as("cell")))
+    // sort by (-sim, cell): slot 0 = own cell (argmax, ties to the
+    // smaller cell — the q124 convention), slot 1 = nearest other
+    val top2 = vecs.crossJoin(broadcast(cb))
+      .select(slice(sort_array(scoredCells), 1, 2).as("t"))
+      .select(col("t")(0).getField("cell").as("cell"),
+        (lit(1.0) + col("t")(0).getField("negsim")).as("a"),
+        (lit(1.0) + col("t")(1).getField("negsim")).as("b"))
+    top2
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) <= 0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("s") * 10000).cast("long"))
+          / (count(lit(1)) * 10000.0), 4).as("avg_sil"),
+        round(min(col("s")), 4).as("min_sil"))
       .orderBy(col("cell"))
   }
 

@@ -433,6 +433,43 @@ class SimilaritySpec extends AnyFunSuite with TestSpark {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("silhouette: separated antipodal clusters score near 1") {
+    val (df, cb) = labeledTwoClusters
+    val sil = Similarity.silhouette(cb, df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sil.keySet == Set(0L, 1L))
+    sil.foreach { case (cell, (n, avg, mn)) =>
+      // jittered copies of ±a: a(i) ~ 0, b(i) ~ 2 (antipodal) -> s ~ 1
+      assert(n == 20L, s"cell $cell size $n")
+      assert(avg > 0.95, s"cell $cell avg_sil $avg")
+      assert(mn > 0.9, s"cell $cell min_sil $mn")
+    }
+  }
+
+  test("silhouette: hand geometry — on-centroid s=1, equidistant s=0") {
+    val schemaV = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f)), // == centroid 0: a=0, b=1 -> s=1
+      Row(1L, Seq(1f, 1f)), // equidistant: tie -> cell 0, a=b -> s=0
+      Row(2L, Seq(0f, 1f))) // == centroid 1: s=1
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schemaV)
+    val cbSchema = StructType(Seq(
+      StructField("cell", LongType),
+      StructField("cv", ArrayType(DoubleType))))
+    val cb = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(0L, Seq(1.0, 0.0)), Row(1L, Seq(0.0, 1.0))), 1), cbSchema)
+    val sil = Similarity.silhouette(cb, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toList.sortBy(_._1)
+    // cell 0: {v0 s=1, v1 s=0} -> n=2, avg=0.5, min=0; cell 1: n=1, s=1
+    assert(sil == List((0L, 2L, 0.5, 0.0), (1L, 1L, 1.0, 1.0)), s"$sil")
+  }
+
   test("knn hubness: every query votes k times, hubs sorted by in-degree") {
     val out = Similarity.knnHubness(vectors, maxId = 100L, k = 3,
       topHubs = 1000).collect()
