@@ -74,6 +74,30 @@ object Writers {
     conv(substring(md5(concat(idCol.cast("string"), lit(seed))), 1, 15),
       16, 10).cast("long")
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): shard = argmax over s < n of md5(id ++ ":hrw:"
+    * ++ s). Unlike [[shuffledShards]]'s mod-hash (where growing the
+    * shard count remaps ~(1 − 1/new) of the corpus), HRW moves ONLY the
+    * rows whose new-shard weight beats their old max — expected
+    * (new − old)/new, and every moved row lands in a NEW shard;
+    * surviving shards never exchange rows (q207 reports both policies'
+    * movement side by side; EtlSpec pins the invariant). The weight is
+    * the hex md5 compared lexicographically — identical in any engine,
+    * so membership is a pure function of (id, n), no ring state to
+    * store or replicate. Ties (md5 collisions) break to the larger
+    * shard id; cost is n hashes per row, map-side, no shuffle.
+    */
+  def hrwShard(id: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    require(n >= 1, s"need at least one shard, got $n")
+    val scored = transform(sequence(lit(0), lit(n - 1)), s =>
+      struct(
+        md5(concat(id.cast("string"), lit(":hrw:"), s.cast("string")))
+          .as("w"),
+        s.cast("int").as("shard")))
+    sort_array(scored, asc = false)(0).getField("shard")
+  }
+
   /** Shuffled-shard training-data export — the last step of the curation
     * funnel: write the corpus in a deterministic pseudorandom order,
     * split into `shards` files a trainer can stream round-robin.

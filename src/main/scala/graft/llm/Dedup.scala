@@ -26,6 +26,19 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Deterministic 1/4 calibration sample (q199/q200): md5-bucket of
+    * doc_id with the ":cal" salt — the repo's salted-md5 sampling
+    * convention (q59/q67/q81), a pure function of the id, so the
+    * DuckDB oracle replays the identical subset. Calibration reports
+    * have pair-quadratic truth joins; the sample is what keeps their
+    * cost bounded at any corpus size (the bandRecallReport Scaladoc's
+    * own 100 TB prescription). */
+  private def calSample(df: DataFrame): DataFrame =
+    df.filter(pmod(
+      conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":cal"))), 1, 8),
+        16, 10).cast("long"), lit(4)) === 0)
+
   /** Spread rows across the full shuffle-partition count BEFORE per-row
     * heavy computation. The documents table arrives as few parquet row
     * groups (often one), so without this every interpreted array-lambda
@@ -2708,16 +2721,22 @@ object Dedup {
     // step — shingles, MD5 slot hashes, banding, df-capped truth join —
     // is reproducible in DuckDB, so the whole report value-hash
     // matches (the q65/q71 convention applied to the calibration).
+    // Calibration runs on the deterministic 1/4 md5-bucket SAMPLE
+    // (the operator Scaladoc's own 100 TB prescription — the truth
+    // join's pair space is quadratic in the input, so sampling is what
+    // bounds the report's cost at any corpus size; the bucket is a
+    // pure function of doc_id, so the oracle replays the same sample).
     Q("q199_lsh_band_recall",
-      (s, d) => bandRecallReport(docs(s, d), minJaccard = 0.5),
+      (s, d) => bandRecallReport(calSample(docs(s, d)), minJaccard = 0.5),
       Some(bandRecallOracleSql)),
 
     // Banding CHOICE over the q199 report (see [[chooseBanding]]): the
     // one-row decision a 100 TB dedup run actually consumes — cheapest
     // banding that clears the recall target, or the max-recall split
-    // if none does. Oracle = q199's report CTE + the selection rule.
+    // if none does. Oracle = q199's report CTE + the selection rule;
+    // same 1/4 calibration sample as q199.
     Q("q200_band_choice",
-      (s, d) => chooseBanding(docs(s, d), minJaccard = 0.5,
+      (s, d) => chooseBanding(calSample(docs(s, d)), minJaccard = 0.5,
         targetRecall = 0.9),
       Some(s"""WITH report AS ($bandRecallOracleSql)
               SELECT bands, rows_per_band, n_truth, n_candidates,
@@ -2741,7 +2760,9 @@ object Dedup {
     }.mkString("[", ", ", "]")
     s"""WITH tok AS (
              SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS ts
-             FROM documents),
+             FROM documents
+             WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                   || ':cal'), 1, 8) AS BIGINT) % 4 = 0),
            sh AS (
              SELECT doc_id,
                     list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]

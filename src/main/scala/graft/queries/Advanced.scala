@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.etl.Dq
+import graft.etl.{Dq, Writers}
 
 /** Analytic operators beyond the reference's surface that a complete
   * engine needs: rollup with grouping flags, lag/lead deltas, filtered
@@ -1771,6 +1771,82 @@ object Advanced {
                 AND o_orderdate >= DATE '1996-01-01'
                 AND o_orderdate < DATE '1996-04-01'
               GROUP BY c_custkey, c_name, c_acctbal, n_name
-              ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // Reshard-delta report: what fraction of the corpus MOVES when the
+    // export grows 16 → 20 shards, under the two assignment policies —
+    // mod-hash (q90's shuffledShards layout) vs rendezvous/HRW
+    // (Writers.hrwShard). Per (policy, new_shard): population and how
+    // many of its rows came from a different old shard. The mod rows
+    // show ~3/4 of the corpus remapping and churn in EVERY shard; the
+    // hrw rows show n_moved = 0 for every surviving shard (< 16) and
+    // ~4/20 of the corpus total — the decision artifact for "can we
+    // grow the shard count without rewriting the exported corpus".
+    //
+    // Scale shape: one doc_id-only columnar scan; both policies'
+    // assignments are computed in the same map-side projection
+    // (explode of a 2-element literal-keyed array — no second scan, no
+    // join); the aggregate exchange carries ≤ |policies| × |new shards|
+    // rows. At 100 TB the report costs one pass over one column.
+    Q("q207_reshard_delta",
+      (s, d) => {
+        val h = Writers.shuffleKey(col("doc_id"))
+        val moves = t(s, d, "documents")
+          .select(
+            explode(array(
+              struct(lit("mod").as("policy"),
+                pmod(h, lit(16)).cast("int").as("old_shard"),
+                pmod(h, lit(20)).cast("int").as("new_shard")),
+              struct(lit("hrw").as("policy"),
+                Writers.hrwShard(col("doc_id"), 16).as("old_shard"),
+                Writers.hrwShard(col("doc_id"), 20).as("new_shard"))))
+              .as("m"))
+          .select(col("m.policy").as("policy"),
+            col("m.old_shard").as("old_shard"),
+            col("m.new_shard").as("new_shard"))
+        moves
+          .groupBy(col("policy"), col("new_shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("old_shard") =!= col("new_shard")).cast("long"))
+              .as("n_moved"))
+          .orderBy(col("policy"), col("new_shard"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+              mk AS (
+                SELECT doc_id,
+                       CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                         || ':shuf'), 1, 15) AS BIGINT) AS h
+                FROM ids),
+              modp AS (
+                SELECT 'mod' AS policy,
+                       CAST(h % 16 AS INT) AS old_shard,
+                       CAST(h % 20 AS INT) AS new_shard
+                FROM mk),
+              w AS (
+                SELECT i.doc_id, s.s,
+                       MD5(CAST(i.doc_id AS VARCHAR) || ':hrw:'
+                           || CAST(s.s AS VARCHAR)) AS wt
+                FROM ids i CROSS JOIN
+                     (SELECT UNNEST(range(20)) AS s) s),
+              ho AS (
+                SELECT doc_id, s AS old_shard FROM (
+                  SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY wt DESC, s DESC) AS rn
+                  FROM w WHERE s < 16) t WHERE rn = 1),
+              hn AS (
+                SELECT doc_id, s AS new_shard FROM (
+                  SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY wt DESC, s DESC) AS rn
+                  FROM w) t WHERE rn = 1),
+              hrwp AS (
+                SELECT 'hrw' AS policy,
+                       CAST(ho.old_shard AS INT) AS old_shard,
+                       CAST(hn.new_shard AS INT) AS new_shard
+                FROM ho JOIN hn USING (doc_id)),
+              u AS (SELECT * FROM modp UNION ALL SELECT * FROM hrwp)
+              SELECT policy, new_shard, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN old_shard <> new_shard
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+              FROM u GROUP BY 1, 2 ORDER BY policy, new_shard"""))
   )
 }

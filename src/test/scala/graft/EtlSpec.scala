@@ -471,4 +471,30 @@ class EtlSpec extends AnyFunSuite with TestSpark {
     assert(spark.read.parquet(out).agg(count(lit(1)), sum(col("v")))
       .head.toSeq == Seq(10000L, (0L until 10000L).map(_ * 7).sum))
   }
+
+  test("hrw shard: minimal disruption growing 16 -> 20, deterministic") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(4000).select(col("id").as("doc_id"))
+    val a = ids.select(col("doc_id"),
+      Writers.hrwShard(col("doc_id"), 16).as("s16"),
+      Writers.hrwShard(col("doc_id"), 20).as("s20")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // assignments in range, reasonably spread
+    assert(a.forall { case (_, s16, s20) =>
+      s16 >= 0 && s16 < 16 && s20 >= 0 && s20 < 20 })
+    assert(a.map(_._2).distinct.length == 16 &&
+      a.map(_._3).distinct.length == 20)
+    // THE rendezvous invariant: a row moves only INTO a new shard —
+    // surviving shards never exchange rows (mod-hash fails this hard)
+    val moved = a.filter { case (_, s16, s20) => s16 != s20 }
+    assert(moved.forall(_._3 >= 16),
+      s"moved row landed in a surviving shard: ${moved.find(_._3 < 16)}")
+    // expected movement = 4/20 = 20%; allow generous slack
+    val frac = moved.length.toDouble / a.length
+    assert(frac > 0.12 && frac < 0.28, s"moved fraction $frac")
+    // pure function of (id, n): a re-run is identical
+    val b = ids.select(Writers.hrwShard(col("doc_id"), 20).as("s"))
+      .collect().map(_.getInt(0))
+    assert(b.toSeq == a.map(_._3).toSeq)
+  }
 }
