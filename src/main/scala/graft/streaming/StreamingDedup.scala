@@ -352,6 +352,49 @@ object StreamingDedup {
       .start()
   }
 
+  /** Streaming exact dedup through Spark's OWN stateful operator —
+    * `dropDuplicatesWithinWatermark` on the content fingerprint — the
+    * bounded-state counterpart of [[startExact]]. [[startExact]] keeps
+    * every fingerprint ever seen (exact forever; its parquet seen-set
+    * grows with the corpus), while this keeps a key only until the
+    * watermark passes its last-seen event time + `delay`: state is
+    * bounded by feed-rate × window at ANY corpus size, and duplicates
+    * separated by more than `delay` of EVENT time pass through — the
+    * operator's documented contract, the right trade for retry-storm /
+    * double-send suppression on an unbounded feed (run [[startExact]]
+    * or the batch q27 pass downstream when eventual exactness
+    * matters). State lives in the checkpoint's state store, hash-
+    * partitioned by fp across `spark.sql.shuffle.partitions` tasks —
+    * it scales out with the cluster and survives restarts; eviction
+    * happens as the WATERMARK advances (end of a later batch), never
+    * mid-batch, so a dup arriving before any watermark progress is
+    * still caught (StreamingDedupSpec pins both sides). Schema must
+    * carry doc_id + text + an event-time `ts`.
+    */
+  def startExactWindowed(
+      spark: SparkSession,
+      landingDir: String,
+      schema: StructType,
+      outDir: String,
+      delay: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .schema(schema)
+      .json(landingDir)
+      .select(col("doc_id"), col("text"), col("ts"),
+        md5(col("text")).as("fp"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .option("compression", Writers.DefaultCompression)
+      .option("path", s"$outDir/unique")
+      .trigger(trigger)
+      .format("parquet")
+      .start()
+  }
+
   def startExact(
       spark: SparkSession,
       landingDir: String,

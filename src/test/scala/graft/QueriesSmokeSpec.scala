@@ -17,6 +17,14 @@ class QueriesSmokeSpec extends AnyFunSuite with TestSpark {
       val n = df.count()
       assert(n >= 0)
       assert(df.schema.fields.nonEmpty)
+      // registry-wide scale hygiene: no query may plan a true
+      // cartesian product — every crossJoin in the repo is against a
+      // broadcast bounded artifact (plans as BroadcastNestedLoopJoin),
+      // and a CartesianProductExec sneaking in would be corpus² at
+      // scale regardless of how fast it runs at sf0.001
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$plan")
     }
   }
 

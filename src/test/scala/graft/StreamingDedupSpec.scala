@@ -75,6 +75,46 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     assert(bandsAfter2 == 26L * Dedup.Bands, s"index rows: $bandsAfter2")
   }
 
+  test("windowed exact dedup: in-window dups drop even before watermark " +
+      "progress; state evicts once the watermark passes") {
+    import org.apache.spark.sql.types._
+    val landing = Files.createTempDirectory("swdedup-land").toString
+    val out = Files.createTempDirectory("swdedup-out").toString
+    val wschema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def writeBatch(name: String, docs: Seq[(Long, String, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, t, ts) =>
+          s"""{"doc_id":$i,"text":"$t","ts":"${ts}Z"}""" }
+          .mkString("\n").getBytes)
+    def run(): Unit =
+      StreamingDedup.startExactWindowed(spark, landing, wschema, out,
+        delay = "10 minutes").awaitTermination()
+
+    // batch 1: alpha@10:00, its dup @10:02 (watermark is still the
+    // epoch during the first batch — the dup must drop via STATE, not
+    // via watermark math), beta@10:03
+    writeBatch("b1.json", Seq(
+      (1L, "alpha", "2024-01-01T10:00:00.000"),
+      (2L, "alpha", "2024-01-01T10:02:00.000"),
+      (3L, "beta", "2024-01-01T10:03:00.000")))
+    run()
+    // batch 2: gamma@11:00 — advances the watermark to 10:50, past
+    // alpha's 10:02+10min expiry, so alpha's key is evicted at batch end
+    writeBatch("b2.json", Seq((5L, "gamma", "2024-01-01T11:00:00.000")))
+    run()
+    // batch 3: alpha again @11:05 — beyond the window, state evicted,
+    // the late dup PASSES (the operator's documented bounded-state trade)
+    writeBatch("b3.json", Seq((9L, "alpha", "2024-01-01T11:05:00.000")))
+    run()
+
+    val got = spark.read.parquet(s"$out/unique")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L, 5L, 9L), s"got $got")
+  }
+
   test("exact streaming dedup: first arrival wins across batches, batch layout idempotent") {
     val landing = Files.createTempDirectory("sxdedup-land").toString
     val state = Files.createTempDirectory("sxdedup-state").toString + "/seen"
