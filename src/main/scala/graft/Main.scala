@@ -342,6 +342,19 @@ object Main {
             .clusterProfile(cb, spark.read.parquet(vecsParquet))
             .show(200, truncate = false)
 
+        case "cluster" :: "silhouette" :: vecsParquet :: cbDir :: Nil =>
+          import org.apache.spark.sql.functions.col
+          val cb = spark.read.parquet(cbDir).select(col("cell"), col("cv"))
+          graft.llm.Similarity
+            .silhouette(cb, spark.read.parquet(vecsParquet))
+            .show(200, truncate = false)
+
+        case "reshard" :: parquet :: idCol :: oldN :: newN :: Nil =>
+          graft.etl.Writers
+            .reshardReport(spark.read.parquet(parquet), idCol,
+              oldN.toInt, newN.toInt)
+            .show(500, truncate = false)
+
         case "cluster" :: "sample" :: vecsParquet :: cbDir :: perCell :: out :: Nil =>
           import org.apache.spark.sql.functions.col
           val cb = spark.read.parquet(cbDir).select(col("cell"), col("cv"))
@@ -649,7 +662,9 @@ object Main {
         |  ivf compact <ivfDir> | ivf recover <ivfDir>
         |  cluster train <vecsParquet> <codebookDir>
         |  cluster profile <vecsParquet> <codebookDir>
+        |  cluster silhouette <vecsParquet> <codebookDir>
         |  cluster sample <vecsParquet> <codebookDir> <perCell> <outDir>
+        |  reshard <parquet> <idCol> <oldShards> <newShards>
         |  pq build <vecsParquet> <pqDir> | pq append <vecsParquet> <pqDir>
         |  pq query <vecsParquet> <pqDir> <vecId> <k>
         |  sq build <vecsParquet> <sqDir> | sq append <vecsParquet> <sqDir>

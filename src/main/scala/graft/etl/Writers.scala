@@ -98,6 +98,36 @@ object Writers {
     sort_array(scored, asc = false)(0).getField("shard")
   }
 
+  /** Reshard-movement report (q207, `reshard` CLI): per (policy,
+    * new_shard), the population and how many rows change shard when
+    * the count grows `oldN` → `newN`, under mod-hash ([[shuffledShards]]'s
+    * layout, via [[shuffleKey]]) vs rendezvous ([[hrwShard]]) side by
+    * side. One id-only columnar scan; both policies are computed in
+    * the same map-side projection (explode of a 2-element array — no
+    * second scan, no join); the exchange carries ≤ 2 × newN rows.
+    */
+  def reshardReport(df: DataFrame, idCol: String,
+      oldN: Int, newN: Int): DataFrame = {
+    val h = shuffleKey(col(idCol))
+    df.select(
+        explode(array(
+          struct(lit("mod").as("policy"),
+            pmod(h, lit(oldN)).cast("int").as("old_shard"),
+            pmod(h, lit(newN)).cast("int").as("new_shard")),
+          struct(lit("hrw").as("policy"),
+            hrwShard(col(idCol), oldN).as("old_shard"),
+            hrwShard(col(idCol), newN).as("new_shard"))))
+          .as("m"))
+      .select(col("m.policy").as("policy"),
+        col("m.old_shard").as("old_shard"),
+        col("m.new_shard").as("new_shard"))
+      .groupBy(col("policy"), col("new_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("old_shard") =!= col("new_shard")).cast("long"))
+          .as("n_moved"))
+      .orderBy(col("policy"), col("new_shard"))
+  }
+
   /** Shuffled-shard training-data export — the last step of the curation
     * funnel: write the corpus in a deterministic pseudorandom order,
     * split into `shards` files a trainer can stream round-robin.

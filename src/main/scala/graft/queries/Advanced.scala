@@ -1789,28 +1789,8 @@ object Advanced {
     // join); the aggregate exchange carries ≤ |policies| × |new shards|
     // rows. At 100 TB the report costs one pass over one column.
     Q("q207_reshard_delta",
-      (s, d) => {
-        val h = Writers.shuffleKey(col("doc_id"))
-        val moves = t(s, d, "documents")
-          .select(
-            explode(array(
-              struct(lit("mod").as("policy"),
-                pmod(h, lit(16)).cast("int").as("old_shard"),
-                pmod(h, lit(20)).cast("int").as("new_shard")),
-              struct(lit("hrw").as("policy"),
-                Writers.hrwShard(col("doc_id"), 16).as("old_shard"),
-                Writers.hrwShard(col("doc_id"), 20).as("new_shard"))))
-              .as("m"))
-          .select(col("m.policy").as("policy"),
-            col("m.old_shard").as("old_shard"),
-            col("m.new_shard").as("new_shard"))
-        moves
-          .groupBy(col("policy"), col("new_shard"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum((col("old_shard") =!= col("new_shard")).cast("long"))
-              .as("n_moved"))
-          .orderBy(col("policy"), col("new_shard"))
-      },
+      (s, d) => Writers.reshardReport(t(s, d, "documents"), "doc_id",
+        oldN = 16, newN = 20),
       Some("""WITH ids AS (SELECT doc_id FROM documents),
               mk AS (
                 SELECT doc_id,
