@@ -280,6 +280,13 @@ object Main {
             spark.read.parquet(in), c1, c2, out)
           println(s"rows=${spark.read.parquet(out).count()} dir=$out")
 
+        case "range" :: in :: key :: tiebreak :: out :: rest
+            if rest.length <= 1 =>
+          graft.etl.Writers.rangeParquet(
+            spark.read.parquet(in), key, tiebreak, out,
+            files = rest.headOption.map(_.toInt).getOrElse(16))
+          println(s"rows=${spark.read.parquet(out).count()} dir=$out")
+
         // fold a streaming-curation state dir's per-batch appends (stop
         // the stream first; the compaction lock trips concurrent appends)
         case "compact-state" :: stateDir :: rest if rest.isEmpty || rest == List("force") =>
@@ -684,6 +691,7 @@ object Main {
         |  upsert-recover-parts <tableDir>
         |  track <landingDir> <outDir> <idleMs> [watermarkDelay]
         |  zorder <inParquet> <col1> <col2> <outDir>
+        |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
         |  export <inParquet> <outDir> <shards> [idCol]
         |  curate <docsParquet> <outDir> <shards> [cut]

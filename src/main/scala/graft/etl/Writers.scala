@@ -702,6 +702,24 @@ object Writers {
       .parquet(path)
   }
 
+  /** Range-clustered parquet layout: rows repartitioned into contiguous
+    * key ranges (Spark's sampling RangePartitioner — one pass + a
+    * sample scan) and sorted within each file, so parquet min/max
+    * row-group stats prune key-range predicates to the few files whose
+    * [lo, hi] overlap. The 1-D complement of [[zorderParquet]] (one hot
+    * range dimension vs two), and the layout whose EXACT equi-depth
+    * boundary report is q209 — the sampler approximates those
+    * boundaries; q209 is the audit that says how well.
+    */
+  def rangeParquet(df: DataFrame, key: String, tiebreak: String,
+      path: String, files: Int = 16,
+      compression: String = DefaultCompression): Unit =
+    df.repartitionByRange(files, col(key), col(tiebreak))
+      .sortWithinPartitions(col(key), col(tiebreak))
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .parquet(path)
+
   /** All data files under `dir`, RECURSIVELY — partitioned layouts
     * (`shard=N` exports, `batch=N` streaming sinks: the layouts this
     * repo's own sinks produce) keep their parquet files in

@@ -1163,6 +1163,19 @@ object GraftExtensions {
       es => DamerauLevenshtein(es(0), es(1))),
     d("graft_interval_cut", classOf[IntervalCut],
       es => IntervalCut(es(0), es(1))),
+    d("graft_ewma", classOf[EwmaFold], { es =>
+      // second arg must be a literal alpha (part of the expression)
+      require(es(1).foldable, "graft_ewma expects a literal alpha")
+      val a = es(1).eval() match {
+        case d: java.lang.Double => d.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_ewma: alpha must be numeric, got $other")
+      }
+      require(a > 0.0 && a <= 1.0, s"graft_ewma: alpha in (0,1], got $a")
+      EwmaFold(es.head, a)
+    }),
     d("graft_media_phash", classOf[MediaPHash64], { es =>
       // optional second arg: a literal bucket-grid size (part of the
       // expression, like graft_winnow_min's window)
@@ -1524,6 +1537,76 @@ case class MatProject(child: Expression, mat: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Exponentially-weighted moving average over an ORDERED array of
+  * doubles: the left fold E_1 = x_1, E_t = alpha * x_t + (1-alpha) *
+  * E_{t-1}, returning the final E_n — the linear-recurrence scan
+  * (trend/monitoring feature) that plain windows can't express
+  * without a per-row self-join. One codegen'd O(n) pass; the fold
+  * order is the ARRAY order, and DuckDB's `list_reduce` over the same
+  * list with the same lambda performs the bit-identical operation
+  * sequence, so q208's oracle matches exactly — no rounding slack
+  * needed (the q97/q190 native-parity convention).
+  *
+  * Contract: input has ≥1 non-null element (a groupBy never emits an
+  * empty group); null elements contribute nothing, like the rest of
+  * the SQL surface (a null neither moves the average nor resets it);
+  * per-key arrays are the bounded-user-stream shape (q43/q150). For
+  * unbounded per-key streams, EWMA is an affine map per block —
+  * E_out = E_in * (1-alpha)^len + c_block — so the q193 two-phase
+  * block decomposition applies: fold blocks locally, compose the
+  * ≤ blocks-per-key affine summaries in a second pass.
+  */
+case class EwmaFold(child: Expression, alpha: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ewma"
+
+  // compute() reads elements with getDouble; an un-cast array<int>
+  // would read garbage bytes — fail at ANALYSIS time instead (the
+  // IntervalCut convention, ADVICE r13; the Fns wrapper casts)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName expects array<DOUBLE> — " +
+            s"cast the values — got ${t.sql}")
+    }
+
+  def compute(a: ArrayData): Double = {
+    val n = a.numElements()
+    var e = 0.0
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = a.getDouble(i)
+        e = if (seen) alpha * x + (1.0 - alpha) * e else x
+        seen = true
+      }
+      i += 1
+    }
+    require(seen, "graft_ewma: no non-null elements")
+    e
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ewmaFold", this, classOf[EwmaFold].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions (requires a session built
   * with GraftExtensions — `graft.core.Session.builder` wires it in).
   */
@@ -1556,6 +1639,13 @@ object Fns {
     * array<struct<mn:long, mx:long>> sorted ascending by mn. */
   def intervalCut(ts: Column, ivs: Column): Column =
     call_function("graft_interval_cut", ts, ivs)
+
+  /** Final EWMA of an ordered array of values (see EwmaFold):
+    * left fold E_t = alpha*x_t + (1-alpha)*E_{t-1}, E_1 = x_1 —
+    * bit-identical to DuckDB's list_reduce with the same lambda. */
+  def ewma(values: Column, alpha: Double): Column =
+    call_function("graft_ewma", dbl(values),
+      org.apache.spark.sql.functions.lit(alpha))
 
   /** Distinct xxhash64 values of 3-gram word shingles of a token array. */
   def shingleHashes(tokens: Column): Column =

@@ -48,6 +48,53 @@ object Advanced {
         col("n_events"))
   }
 
+  /** q208's fold on any (user_id, ts, event_id, value) frame —
+    * exposed so TrendSpec can plant out-of-order and tied sequences. */
+  def ewmaTrend(events: DataFrame, alpha: Double): DataFrame = {
+    val seq = sort_array(collect_list(
+      struct(col("ts"), col("event_id"), col("value"))))
+    events
+      .groupBy(col("user_id"))
+      .agg(seq.as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        round(graft.functions.Fns.ewma(
+          transform(col("seq"), x => x.getField("value")), alpha), 4)
+          .as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q210's closed form on any (user_id, ts, value) frame — exposed so
+    * TrendSpec can plant exactly-linear and zero-variance streams. */
+  def userTrend(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wU = Window.partitionBy(col("user_id"))
+    val e = events
+      .select(col("user_id"),
+        // ts may surface NTZ from parquet; the session is UTC, so the
+        // cast is the same instant DuckDB's epoch_us reads
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("sec"),
+        expr("CAST(ROUND(value * 10000) AS BIGINT)").as("y4"))
+      .withColumn("x", col("sec") - min(col("sec")).over(wU))
+    val a = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y4").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y4")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+    a.select(col("user_id"),
+        col("n").cast("long").as("n_events"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") /
+              10000.0 * 86400.0, 6)).as("slope_per_day"))
+      .orderBy(col("user_id"))
+  }
+
   def defs: Seq[Q] = Seq(
     // ROLLUP with grouping() disambiguation (subtotal rows vs real null).
     Q("q39_rollup",
@@ -1827,6 +1874,126 @@ object Advanced {
               SELECT policy, new_shard, COUNT(*) AS n_docs,
                      CAST(SUM(CASE WHEN old_shard <> new_shard
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
-              FROM u GROUP BY 1, 2 ORDER BY policy, new_shard"""))
+              FROM u GROUP BY 1, 2 ORDER BY policy, new_shard""")),
+
+    // Per-user EWMA trend (the codegen'd linear-recurrence scan, see
+    // functions.EwmaFold): E_t = 0.3·x_t + 0.7·E_{t-1} over each
+    // user's event stream ordered by (ts, event_id), reported as the
+    // final smoothed value — the monitoring/trend feature a window
+    // can't express without a per-row self-join (q158's trailing mean
+    // weights uniformly; EWMA discounts geometrically). The oracle's
+    // list_reduce replays the IDENTICAL left fold — same element
+    // order, same (1.0 − 0.3) IEEE construction — so the doubles are
+    // bit-equal before the display rounding (the q97/q190 parity law).
+    //
+    // Scale shape: one user-keyed exchange, then the fold is map-side
+    // O(events-per-user) inside codegen; per-user streams are the
+    // bounded-stream contract (q43/q150). For unbounded keys the
+    // Scaladoc's affine block decomposition (q193's two-phase shape)
+    // applies unchanged.
+    Q("q208_ewma",
+      (s, d) => ewmaTrend(t(s, d, "events"), 0.3),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+                     ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.3*x + (1.0 - 0.3)*acc), 4) AS ewma
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // EQUI-DEPTH RANGE-SHARD manifest — the boundary artifact for a
+    // range-clustered layout: split the corpus into 16 equal-count
+    // shards in (n_chars, doc_id) order and report each shard's row
+    // count and key range. Written as a layout (repartitionByRange +
+    // sortWithinPartitions), those [lo, hi] ranges are what parquet
+    // min/max row-group skipping prunes on — the 1-D complement of the
+    // Z-order layout (`Writers.zorderParquet`) and the hash layouts
+    // (q90 mod, q207 HRW); THIS query is the exact-boundary decision
+    // report Spark's sampling-based RangePartitioner can't give.
+    //
+    // Exact global rank without a global sort: the q193/q195 two-phase
+    // block shape — 256 uniform integer blocks over [min, max] length
+    // (blk is a function of n_chars alone, so ties share a block and
+    // the doc_id tiebreak stays inside the local window), local
+    // row_number per block, exclusive block offsets from a window over
+    // the 256-row block summary on a broadcast. Shard assignment is
+    // pure integer math (rank0 * 16 div N) — no float anywhere, so the
+    // boundary rows can't straddle engines.
+    Q("q209_range_shards",
+      (s, d) => {
+        val k = t(s, d, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        val bounds = k.agg(min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"),
+          count(lit(1)).as("n"))
+        val blocked = k.crossJoin(broadcast(bounds))
+          .withColumn("blk",
+            least(lit(255L), expr("(n_chars - lo) * 256 div (hi - lo + 1)")))
+        val wLocal = Window.partitionBy(col("blk"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val local = blocked.withColumn("rn", row_number().over(wLocal))
+        val wOff = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = blocked.groupBy(col("blk"))
+          .agg(count(lit(1)).as("bn"))
+          .select(col("blk"), coalesce(sum(col("bn")).over(wOff), lit(0L))
+            .as("off"))
+        local.join(broadcast(offs), Seq("blk"))
+          .withColumn("shard", expr("(off + rn - 1) * 16 div n"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("lo_chars"),
+            max(col("n_chars")).as("hi_chars"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH k AS (
+                SELECT doc_id, LENGTH(text) AS n_chars FROM documents),
+              r AS (
+                SELECT n_chars,
+                       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                         AS rk,
+                       (SELECT COUNT(*) FROM k) AS n
+                FROM k)
+              SELECT rk * 16 // n AS shard, COUNT(*) AS n_docs,
+                     MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // PER-USER TREND SLOPE — the OLS slope of value over time for each
+    // user's event stream, q208's least-squares sibling (EWMA gives
+    // the smoothed level; this gives the direction and rate). Closed
+    // form slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over x = seconds
+    // since the user's first event (shift-invariant, keeps magnitudes
+    // bounded), y = integer-e4 value (the q195 winsorize discipline).
+    // EVERY accumulation is exact integer arithmetic — Spark rides
+    // DECIMAL(38,0), the oracle HUGEINT; both are exact on these
+    // magnitudes, so the single double division at the end sees
+    // identical integers and the 6-dp rounding can't straddle engines
+    // (a double Σxy would be fold-order-dependent and is why this
+    // isn't corr()/regr_slope()). Zero-variance users (one event, or
+    // all events in the same second) report NULL, not a 0/0.
+    //
+    // Scale shape: ONE user-keyed exchange carries the plan — the
+    // window min and the groupBy share it; the five sums are map-side
+    // partial aggregates; output is |users|.
+    Q("q210_user_trend",
+      (s, d) => userTrend(t(s, d, "events")),
+      Some("""WITH e AS (
+                SELECT user_id,
+                       epoch_us(ts) // 1000000
+                         - MIN(epoch_us(ts) // 1000000)
+                             OVER (PARTITION BY user_id) AS x,
+                       CAST(ROUND(value * 10000) AS BIGINT) AS y4
+                FROM events),
+              a AS (
+                SELECT user_id, COUNT(*) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y4 AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y4) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM e GROUP BY 1)
+              SELECT user_id, n AS n_events,
+                     CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                          ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                                 / 10000.0 * 86400.0, 6) END
+                       AS slope_per_day
+              FROM a ORDER BY user_id"""))
   )
 }

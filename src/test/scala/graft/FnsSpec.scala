@@ -306,4 +306,46 @@ class FnsSpec extends AnyFunSuite with TestSpark {
       .filter(col("dl") > col("lev")).collect()
     assert(chk.isEmpty, s"DL exceeded levenshtein: ${chk.mkString(", ")}")
   }
+
+  test("native ewma == HOF left fold, bit-identical on real embeddings") {
+    // the reference formulation: seed with x_1, fold the tail with the
+    // SAME (1.0 - alpha) IEEE construction compute() uses at runtime
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val hof = aggregate(
+      slice(col("v"), lit(2), size(col("v")) - 1), element_at(col("v"), 1),
+      (acc, x) => lit(0.3) * x + (lit(1.0) - lit(0.3)) * acc)
+    val bad = e.select(Fns.ewma(col("v"), 0.3).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad == 0)
+  }
+
+  test("graft_ewma: fold semantics, null skip, and analysis-time guards") {
+    // E_1 = 1, E_2 = .5*2+.5*1 = 1.5, E_3 = .5*3+.5*1.5 = 2.25
+    val r = spark.sql(
+      "SELECT graft_ewma(array(1.0d, 2.0d, 3.0d), 0.5d) AS a," +
+        " graft_ewma(array(7.5d), 0.5d) AS single," +
+        // null elements contribute nothing (the SQL-surface convention):
+        // fold reduces to ewma([1, 3]) = 2.0
+        " graft_ewma(array(1.0d, CAST(NULL AS DOUBLE), 3.0d), 0.5d) AS sk," +
+        " graft_ewma(CAST(NULL AS ARRAY<DOUBLE>), 0.5d) AS n")
+      .collect().head
+    assert(r.getDouble(0) == 2.25)
+    assert(r.getDouble(1) == 7.5)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.isNullAt(3))
+    // un-cast int array: analysis-time failure, not garbage bytes
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_ewma(array(1, 2), 0.5d)").collect()
+    }
+    assert(err.getMessage.contains("DOUBLE"), err.getMessage)
+    // alpha must be a literal in (0, 1]
+    intercept[Exception] {
+      spark.range(1)
+        .selectExpr("graft_ewma(array(1.0d), CAST(id AS DOUBLE))").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_ewma(array(1.0d), 1.5d)").collect()
+    }
+  }
 }

@@ -59,6 +59,35 @@ class LayoutSpec extends AnyFunSuite with TestSpark {
       s"zorder no better than naive: z=($zCust,$zPrice) naive=($nCust,$nPrice)")
   }
 
+  test("rangeParquet: per-file key ranges are disjoint and sorted") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range").toString
+    Writers.rangeParquet(docs, "n_chars", "doc_id", tmp, files = 8)
+
+    assert(spark.read.parquet(tmp).count() == docs.count())
+    val files = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    assert(files.length >= 4, s"expected multiple files, got ${files.length}")
+    // the property min/max row-group pruning needs: each file covers a
+    // contiguous key slice and the slices don't interleave (boundaries
+    // may touch — equal lengths split by the doc_id tiebreak)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("n_chars")), max(col("n_chars"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"interleaved file ranges: hi=$hiA > lo=$loB")
+    }
+    // and within a file the rows are key-sorted (row-group stats align)
+    val one = spark.read.parquet(files.head)
+      .select(col("n_chars")).collect().map(_.getLong(0))
+    assert(one.sameElements(one.sorted), "file not sorted by key")
+  }
+
   test("zorderParquet rejects unusable bounds with the column named") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-err").toString
     val orders = Tables.load(spark, "/root/testdata/sf0.01", "orders")

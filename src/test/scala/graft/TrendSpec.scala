@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Advanced, Registry}
+
+/** q208 EWMA / q210 OLS-slope trend semantics on planted streams, and
+  * the q209 range-shard manifest's equi-depth + plan contracts.
+  */
+class TrendSpec extends AnyFunSuite with TestSpark {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("value", DoubleType)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, Double)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t, u, v) =>
+        Row(id, ts(t), u, v) }),
+      schema)
+
+  test("ewma: left fold in (ts, event_id) order, out-of-order input") {
+    // user 1 planted OUT OF ORDER: time order is 10, 20, 30 ->
+    // E = 10; .3*20+.7*10 = 13; .3*30+.7*13 = 18.1
+    val df = events(
+      (3L, "2024-01-01 00:00:03", 1L, 30.0),
+      (1L, "2024-01-01 00:00:01", 1L, 10.0),
+      (2L, "2024-01-01 00:00:02", 1L, 20.0),
+      // user 2: same-ts tie broken by event_id (5 then 6): E = .3*9+.7*1
+      (5L, "2024-01-01 00:00:01", 2L, 1.0),
+      (6L, "2024-01-01 00:00:01", 2L, 9.0),
+      // user 3: single event is its own average
+      (7L, "2024-01-01 00:00:01", 3L, 4.25))
+    val out = Advanced.ewmaTrend(df, 0.3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 18.1)))
+    // .3*9+.7*1 = 3.3999999999999995 in IEEE, 3.4 after the 4-dp display
+    assert(out(2L) == ((2L, 3.4)))
+    assert(out(3L) == ((1L, 4.25)))
+  }
+
+  test("user trend: exact slope on a planted linear stream, NULL on " +
+      "zero time variance") {
+    // user 1: perfectly linear, +1.0 per minute -> 1440.0 per day
+    // user 2: single event -> NULL (no variance)
+    // user 3: two events in the SAME second -> denominator 0 -> NULL
+    // user 4: flat values -> slope exactly 0
+    val df = events(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (2L, "2024-01-01 00:01:00", 1L, 2.0),
+      (3L, "2024-01-01 00:02:00", 1L, 3.0),
+      (4L, "2024-01-01 00:00:00", 2L, 5.0),
+      (5L, "2024-01-01 00:00:00", 3L, 1.0),
+      (6L, "2024-01-01 00:00:00", 3L, 9.0),
+      (7L, "2024-01-01 00:00:00", 4L, 7.5),
+      (8L, "2024-01-01 06:00:00", 4L, 7.5))
+    val rows = Advanced.userTrend(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(rows(1L) == ((3L, Some(1440.0))))
+    assert(rows(2L) == ((1L, None)))
+    assert(rows(3L) == ((2L, None)))
+    assert(rows(4L) == ((2L, Some(0.0))))
+  }
+
+  test("q209: shards are equi-depth, ranges monotone, corpus accounted") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Registry.queries("q209_range_shards")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 16L))
+    val counts = out.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1,
+      s"not equi-depth: ${counts.mkString(",")}")
+    val total = graft.core.Tables.load(spark, sf, "documents").count()
+    assert(counts.sum == total)
+    // key ranges must be non-overlapping in shard order (boundaries may
+    // touch: equal lengths split by the doc_id tiebreak)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"overlap: shard ${a.getLong(0)} hi=${a.getLong(3)} vs " +
+          s"shard ${b.getLong(0)} lo=${b.getLong(2)}")
+    }
+  }
+
+  test("q209 plan: rank is block-partitioned, never a global corpus sort") {
+    // the q193/q195 contract: the only unpartitioned window is the
+    // 256-row block-summary offset pass, distinguished by its input —
+    // a corpus-cardinality window would carry doc_id, the summary
+    // window only (blk, bn)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Registry.queries("q209_range_shards")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        w.child.output.exists(_.name == "doc_id") => w
+    }
+    assert(bad.isEmpty, s"corpus-sized unpartitioned window: $bad")
+  }
+}
