@@ -275,6 +275,16 @@ object Main {
           println(s"track landing=$landingDir out=$outDir " +
             s"idle_ms=$idleMs closed_runs=$n")
 
+        case "trend" :: landingDir :: outDir :: alpha :: idleMs :: rest
+            if rest.length <= 1 =>
+          val q = graft.streaming.StreamingTrend.startLevels(spark,
+            landingDir, outDir, alpha.toDouble, idleMs.toLong,
+            rest.headOption.getOrElse("10 seconds"))
+          q.awaitTermination()
+          val n = spark.read.parquet(s"$outDir/levels").count()
+          println(s"trend landing=$landingDir out=$outDir " +
+            s"alpha=$alpha idle_ms=$idleMs levels=$n")
+
         case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
           graft.etl.Writers.zorderParquet(
             spark.read.parquet(in), c1, c2, out)
@@ -690,6 +700,7 @@ object Main {
         |  upsert-stream <landingDir> <tableDir> <partCol> <versionCol> <keyCol...>
         |  upsert-recover-parts <tableDir>
         |  track <landingDir> <outDir> <idleMs> [watermarkDelay]
+        |  trend <landingDir> <outDir> <alpha> <idleMs> [watermarkDelay]
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]

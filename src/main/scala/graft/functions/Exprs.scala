@@ -1551,10 +1551,12 @@ case class MatProject(child: Expression, mat: Array[Array[Double]])
   * empty group); null elements contribute nothing, like the rest of
   * the SQL surface (a null neither moves the average nor resets it);
   * per-key arrays are the bounded-user-stream shape (q43/q150). For
-  * unbounded per-key streams, EWMA is an affine map per block —
-  * E_out = E_in * (1-alpha)^len + c_block — so the q193 two-phase
-  * block decomposition applies: fold blocks locally, compose the
-  * ≤ blocks-per-key affine summaries in a second pass.
+  * unbounded per-key streams the recurrence decomposes per block with
+  * an affine carry (E is the 1-value seed of the next block's fold),
+  * which `streaming/StreamingTrend` implements: per-user state IS the
+  * carry, and because the fold never reassociates, its cross-batch
+  * levels are BIT-equal to this expression on the union
+  * (StreamingTrendSpec pins the equality).
   */
 case class EwmaFold(child: Expression, alpha: Double)
     extends UnaryExpression {
