@@ -95,6 +95,35 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** q211's body on any (user_id, ts, event_id, event_type) frame —
+    * exposed so TrendSpec can plant cold/expired/tied conversions. */
+  def lastTouchAttribution(events: DataFrame, conversion: String,
+      lookbackDays: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("lt",
+        last(when(col("event_type") =!= conversion,
+          struct(col("us").as("us"), col("event_type").as("et"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversion)
+      .select(when(col("lt").isNull ||
+          col("us") - col("lt.us") >
+            lit(lookbackDays.toLong * 86400 * 1000000L),
+          "none").otherwise(col("lt.et")).as("src"))
+    touched.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(touched.agg(count(lit(1)).as("total"))))
+      .select(col("src"), col("n_purchases"),
+        round(col("n_purchases").cast("double") / col("total"), 4)
+          .as("share"))
+      .orderBy(col("src"))
+  }
+
   def defs: Seq[Q] = Seq(
     // ROLLUP with grouping() disambiguation (subtotal rows vs real null).
     Q("q39_rollup",
@@ -1994,6 +2023,46 @@ object Advanced {
                                  / CAST(n * sxx - sx * sx AS DOUBLE)
                                  / 10000.0 * 86400.0, 6) END
                        AS slope_per_day
-              FROM a ORDER BY user_id"""))
+              FROM a ORDER BY user_id""")),
+
+    // LAST-TOUCH ATTRIBUTION — each purchase credits the user's most
+    // recent PRIOR non-purchase event within a 7-day lookback; the
+    // report is purchases and share per credited source (plus "none"
+    // for cold purchases — first action, or every touch expired). The
+    // standard marketing attribution read-model the funnel (q150) and
+    // lift (q192) reports don't give: those count co-occurrence, this
+    // assigns each conversion to exactly ONE cause.
+    //
+    // Shape: the credited touch is a running `last(non-purchase
+    // struct, ignoreNulls)` over the (ts, event_id)-ordered per-user
+    // frame ending 1 PRECEDING — one user-keyed exchange, no self-join
+    // (the naive per-purchase "latest prior event" probe is a range
+    // self-join that explodes on hot users); the lookback compares
+    // integer epoch micros. The share divides by a broadcast one-row
+    // total (integers; one double division — engine-identical).
+    Q("q211_attribution",
+      (s, d) => lastTouchAttribution(t(s, d, "events"),
+        conversion = "purchase", lookbackDays = 7),
+      Some("""WITH a AS (
+                SELECT event_type, us,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                           THEN struct_pack(us := us, et := event_type)
+                           END IGNORE NULLS)
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS lt
+                FROM (SELECT user_id, ts, event_id, event_type,
+                             epoch_us(ts) AS us FROM events)),
+              p AS (
+                SELECT CASE WHEN lt IS NULL
+                              OR us - lt.us
+                                 > CAST(7 AS BIGINT) * 86400 * 1000000
+                            THEN 'none' ELSE lt.et END AS src
+                FROM a WHERE event_type = 'purchase')
+              SELECT src, COUNT(*) AS n_purchases,
+                     ROUND(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM p), 4) AS share
+              FROM p GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -46,6 +46,14 @@ import graft.core.{Session, Tables}
   * l_orderkey AND l_suppkey, so the supplier population — the
   * cumulative's input cardinality — grows mult× along with the rows.
   *
+  * `users` scales the EVENT POPULATION instead of per-user density:
+  * copies re-salt user_id AND event_id, so the user count grows mult×
+  * while every stream keeps its original length — the OTHER events
+  * axis (the default regime densifies streams at constant |users|).
+  * The per-user operators (q208/q210/q211 trend family, sessionize,
+  * funnel, SCD2) carry state and exchange payloads ∝ |users|; this
+  * regime is the one that grows them.
+  *
   * `vocab` replaces the document TEXT with synthetic tokens drawn from
   * a generated vocabulary of 20000·mult ids (deterministic splitmix
   * strings, lengths 4–10, so ~29% fall in the short-token regime the
@@ -61,7 +69,8 @@ object ScaleRehearsal {
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val regime = args.drop(2).headOption
-      .filter(Set("unique", "rot", "rel", "vocab")).getOrElse("clone")
+      .filter(Set("unique", "rot", "rel", "vocab", "users"))
+      .getOrElse("clone")
     val unique = regime == "unique"
     val rest =
       if (regime != "clone") args.drop(3).toSeq else args.drop(2).toSeq
@@ -165,8 +174,17 @@ object ScaleRehearsal {
       locally {
         val ev = spark.read.parquet(s"$srcDir/events.parquet")
         val stride = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+        val uStride =
+          if (regime == "users")
+            ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+          else 0L
         ev.crossJoin(spark.range(mult).toDF("copy"))
           .withColumn("event_id", col("event_id") + col("copy") * lit(stride))
+          // users regime: mult× the POPULATION at original density
+          .withColumn("user_id",
+            if (regime == "users")
+              col("user_id") + col("copy") * lit(uStride)
+            else col("user_id"))
           // shift each copy by `copy` seconds; ts may surface as LONG
           // nanos (nanosAsLong) or as a timestamp depending on session
           .withColumn("ts",

@@ -71,6 +71,42 @@ class TrendSpec extends AnyFunSuite with TestSpark {
     assert(rows(4L) == ((2L, Some(0.0))))
   }
 
+  test("last-touch attribution: credit, cold start, expiry, same-ts tie") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def ev(rows: (Long, String, Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, u, e) =>
+          Row(id, ts(t), u, e) }),
+        evSchema)
+    val df = ev(
+      // user 1: click then view then purchase -> view credited (latest)
+      (1L, "2024-01-01 00:00:01", 1L, "click"),
+      (2L, "2024-01-01 00:00:02", 1L, "view"),
+      (3L, "2024-01-01 00:00:03", 1L, "purchase"),
+      // user 2: cold purchase, nothing before -> none
+      (4L, "2024-01-01 00:00:01", 2L, "purchase"),
+      // user 3: touch 8 days before the purchase -> expired -> none
+      (5L, "2024-01-01 00:00:00", 3L, "click"),
+      (6L, "2024-01-09 00:00:01", 3L, "purchase"),
+      // user 4: touch at the SAME ts as the purchase, lower event_id —
+      // the (ts, event_id) frame ends 1 PRECEDING, so it still counts
+      (7L, "2024-01-01 00:00:05", 4L, "signup"),
+      (8L, "2024-01-01 00:00:05", 4L, "purchase"),
+      // user 5: a purchase between touches never credits a purchase
+      (9L, "2024-01-01 00:00:01", 5L, "click"),
+      (10L, "2024-01-01 00:00:02", 5L, "purchase"),
+      (11L, "2024-01-01 00:00:03", 5L, "purchase"))
+    val out = Advanced.lastTouchAttribution(df, "purchase", 7).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 6 purchases: view 1, none 2, signup 1, click 2 (user 5's both)
+    assert(out("view") == ((1L, 0.1667)))
+    assert(out("none") == ((2L, 0.3333)))
+    assert(out("signup") == ((1L, 0.1667)))
+    assert(out("click") == ((2L, 0.3333)))
+  }
+
   test("q209: shards are equi-depth, ranges monotone, corpus accounted") {
     val sf = "/root/testdata/sf0.001"
     val out = Registry.queries("q209_range_shards")(spark, sf).collect()
