@@ -1944,7 +1944,11 @@ object Advanced {
     // row_number per block, exclusive block offsets from a window over
     // the 256-row block summary on a broadcast. Shard assignment is
     // pure integer math (rank0 * 16 div N) — no float anywhere, so the
-    // boundary rows can't straddle engines.
+    // boundary rows can't straddle engines. Same caveat as q193/q195:
+    // blocks are uniform over the VALUE range, so a degenerate corpus
+    // whose keys concentrate in one 1/256th slice concentrates that
+    // block's local sort — on real length distributions the blocks
+    // spread; for a known-degenerate key, block on a finer grid.
     Q("q209_range_shards",
       (s, d) => {
         val k = t(s, d, "documents")

@@ -86,6 +86,13 @@ class LayoutSpec extends AnyFunSuite with TestSpark {
     val one = spark.read.parquet(files.head)
       .select(col("n_chars")).collect().map(_.getLong(0))
     assert(one.sameElements(one.sorted), "file not sorted by key")
+    // the sampler's split points approximate q209's exact equi-depth
+    // boundaries: no file may hold more than 2x its equal share (the
+    // audit relationship the q209 Scaladoc claims)
+    val counts = files.map(f => spark.read.parquet(f).count())
+    val share = docs.count().toDouble / files.length
+    assert(counts.max <= 2 * share,
+      s"sampler far off equi-depth: max=${counts.max} share=$share")
   }
 
   test("zorderParquet rejects unusable bounds with the column named") {
