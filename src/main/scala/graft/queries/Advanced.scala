@@ -124,6 +124,46 @@ object Advanced {
       .orderBy(col("src"))
   }
 
+  /** q212's body on any (user_id, ts, event_id, event_type) frame. */
+  def linearAttribution(events: DataFrame, conversion: String,
+      lookbackDays: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("j",
+        count(when(col("event_type") === conversion, 1)).over(w))
+    val conv = e.filter(col("event_type") === conversion)
+      .select(col("user_id"), col("j"), col("us").as("conv_us"))
+    val tch = e.filter(col("event_type") =!= conversion)
+      .select(col("user_id"), col("j"), col("event_type").as("src"),
+        col("us"))
+      .join(conv, Seq("user_id", "j"))
+      .filter(col("conv_us") - col("us") <=
+          lit(lookbackDays.toLong * 86400 * 1000000L) &&
+        col("conv_us") - col("us") >= 0)
+    val perJ = tch.groupBy(col("user_id"), col("j"), col("src"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("n",
+        sum(col("k")).over(Window.partitionBy(col("user_id"), col("j"))))
+    val typed = perJ.groupBy(col("src"))
+      .agg(sum(expr("CAST(ROUND(CAST(k AS DOUBLE) / n * 1000000) AS BIGINT)"))
+        .as("c6"))
+    val none = conv
+      .join(tch.select(col("user_id"), col("j")).distinct(),
+        Seq("user_id", "j"), "left_anti")
+      .agg((count(lit(1)) * lit(1000000L)).as("c6"))
+      .select(lit("none").as("src"), col("c6"))
+    typed.unionByName(none)
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_conv"))))
+      .select(col("src"),
+        round(col("c6") / 1000000.0, 4).as("credit"),
+        round(col("c6") / 1000000.0 / col("n_conv"), 4).as("share"))
+      .orderBy(col("src"))
+  }
+
   def defs: Seq[Q] = Seq(
     // ROLLUP with grouping() disambiguation (subtotal rows vs real null).
     Q("q39_rollup",
@@ -2067,6 +2107,63 @@ object Advanced {
               SELECT src, COUNT(*) AS n_purchases,
                      ROUND(CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM p), 4) AS share
-              FROM p GROUP BY 1 ORDER BY 1"""))
+              FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // LINEAR MULTI-TOUCH ATTRIBUTION — q211's other standard model:
+    // each conversion's credit splits EQUALLY across every touch in
+    // its journey (the events since the previous conversion, within
+    // the 7-day lookback); journeys with no eligible touch credit
+    // "none". Journey segmentation is a running prior-conversion count
+    // (the q103 gaps-and-islands discipline), so a touch joins exactly
+    // ONE conversion — never a per-pair explosion. Credit fractions
+    // ride integer e6 units: round(k/n·1e6) is deterministic per
+    // journey in both engines and the cross-journey SUM is an exact
+    // BIGINT — a double Σ(k/n) would be fold-order-dependent. The two
+    // final divisions are mirrored left-to-right in the oracle.
+    //
+    // Scale shape: one user-keyed window, then every join/aggregate
+    // keys on (user_id, journey) — journeys are conversion-bounded, so
+    // group width is one journey's touches (the q43/q150 stream
+    // contract); the 'none' branch is a left-anti on the same key.
+    Q("q212_linear_attribution",
+      (s, d) => linearAttribution(t(s, d, "events"),
+        conversion = "purchase", lookbackDays = 7),
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id, event_type,
+                       epoch_us(ts) AS us,
+                       COUNT(*) FILTER (WHERE event_type = 'purchase')
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS j
+                FROM events),
+              conv AS (
+                SELECT user_id, j, us AS conv_us FROM e
+                WHERE event_type = 'purchase'),
+              tch AS (
+                SELECT t.user_id, t.j, t.event_type AS src
+                FROM e t JOIN conv c
+                  ON t.user_id = c.user_id AND t.j = c.j
+                WHERE t.event_type <> 'purchase'
+                  AND c.conv_us - t.us
+                      <= CAST(7 AS BIGINT) * 86400 * 1000000
+                  AND c.conv_us - t.us >= 0),
+              per_j AS (
+                SELECT user_id, j, src, COUNT(*) AS k,
+                       SUM(COUNT(*)) OVER (PARTITION BY user_id, j) AS n
+                FROM tch GROUP BY 1, 2, 3),
+              credits AS (
+                SELECT src,
+                       SUM(CAST(ROUND(CAST(k AS DOUBLE) / n * 1000000)
+                         AS BIGINT)) AS c6
+                FROM per_j GROUP BY 1
+                UNION ALL
+                SELECT 'none' AS src, COUNT(*) * 1000000 AS c6
+                FROM conv c WHERE NOT EXISTS (
+                  SELECT 1 FROM tch t
+                  WHERE t.user_id = c.user_id AND t.j = c.j))
+              SELECT src, ROUND(c6 / 1000000.0, 4) AS credit,
+                     ROUND(c6 / 1000000.0
+                       / (SELECT COUNT(*) FROM conv), 4) AS share
+              FROM credits ORDER BY 1"""))
   )
 }

@@ -107,6 +107,46 @@ class TrendSpec extends AnyFunSuite with TestSpark {
     assert(out("click") == ((2L, 0.3333)))
   }
 
+  test("linear attribution: equal split per journey, cold/expired to none, " +
+      "trailing touches discarded") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def ev(rows: (Long, String, Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, u, e) =>
+          Row(id, ts(t), u, e) }),
+        evSchema)
+    val df = ev(
+      // user 1: click + view split the single conversion 0.5 / 0.5
+      (1L, "2024-01-01 00:00:01", 1L, "click"),
+      (2L, "2024-01-01 00:00:02", 1L, "view"),
+      (3L, "2024-01-01 00:00:03", 1L, "purchase"),
+      // user 2: cold conversion -> none
+      (4L, "2024-01-01 00:00:01", 2L, "purchase"),
+      // user 3: only touch is 8 days old -> expired -> none
+      (5L, "2024-01-01 00:00:00", 3L, "click"),
+      (6L, "2024-01-09 00:00:01", 3L, "purchase"),
+      // user 4: two journeys, one touch each — credit never leaks
+      // across the conversion boundary
+      (7L, "2024-01-01 00:00:01", 4L, "click"),
+      (8L, "2024-01-01 00:00:02", 4L, "purchase"),
+      (9L, "2024-01-01 00:00:03", 4L, "view"),
+      (10L, "2024-01-01 00:00:04", 4L, "purchase"),
+      // user 5: the trailing click after the last conversion credits
+      // nothing (open journey)
+      (11L, "2024-01-01 00:00:01", 5L, "click"),
+      (12L, "2024-01-01 00:00:02", 5L, "purchase"),
+      (13L, "2024-01-01 00:00:03", 5L, "click"))
+    val out = Advanced.linearAttribution(df, "purchase", 7).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // 6 conversions: click 0.5+1+1 = 2.5, view 0.5+1 = 1.5, none 2
+    assert(out("click") == ((2.5, 0.4167)))
+    assert(out("view") == ((1.5, 0.25)))
+    assert(out("none") == ((2.0, 0.3333)))
+    assert(out.keySet == Set("click", "view", "none"))
+  }
+
   test("q209: shards are equi-depth, ranges monotone, corpus accounted") {
     val sf = "/root/testdata/sf0.001"
     val out = Registry.queries("q209_range_shards")(spark, sf).collect()
