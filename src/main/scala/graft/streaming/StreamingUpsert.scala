@@ -31,6 +31,14 @@ import graft.etl.Writers
   * Deltas must carry non-null, dir-name-safe partition values
   * (upsertPartitioned's contract); a violating batch fails the query
   * loudly rather than mangling the layout.
+  *
+  * ONE writer per table: the rename-aside staging names
+  * (`.upsert-tmp-partCol=v`) are deterministic per partition, so two
+  * concurrent upserting streams (or a stream plus the CLI) against the
+  * same table race each other's swaps — run a single stream per table
+  * (micro-batches within one stream are already serial via
+  * foreachBatch). The same single-writer rule as `compact`
+  * (Writers.scala's quiesce contract).
   */
 object StreamingUpsert {
 
