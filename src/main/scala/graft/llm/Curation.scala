@@ -684,6 +684,31 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q213's matrix over any frame of boolean removal-flag columns
+    * (one column per gate, column name = gate name): pairwise removed
+    * counts and Jaccard, every pair from ONE aggregate pass. */
+  def filterOverlap(flags: DataFrame): DataFrame = {
+    val names = flags.columns.toSeq
+    val k = names.length
+    val pairs = for (i <- 0 until k; j <- i until k) yield (i, j)
+    def cnt(i: Int, j: Int) =
+      sum((col(names(i)) && col(names(j))).cast("long")).as(s"n_${i}_$j")
+    val m = flags.agg(cnt(0, 0),
+      pairs.tail.map { case (i, j) => cnt(i, j) }: _*)
+    val stackArgs = pairs.map { case (i, j) =>
+      s"'${names(i)}', '${names(j)}', n_${i}_$i, n_${j}_$j, n_${i}_$j"
+    }.mkString(", ")
+    m.selectExpr(
+        s"stack(${pairs.length}, $stackArgs) AS (fa, fb, n_a, n_b, n_both)")
+      .select(col("fa"), col("fb"), col("n_a"), col("n_b"), col("n_both"),
+        when(col("n_a") + col("n_b") - col("n_both") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")), 4))
+          .as("jaccard"))
+      .orderBy(col("fa"), col("fb"))
+  }
+
   def defs: Seq[Q] = Seq(
     // Train/test DECONTAMINATION: count test-split docs whose normalized
     // content fingerprint also appears in the train split — the standard
@@ -1790,7 +1815,73 @@ object Curation {
                      ROUND(-LN((CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
                                / 4294967296.0) / n_chars, 6) AS key
               FROM documents
-              ORDER BY key, doc_id LIMIT 100"""))
+              ORDER BY key, doc_id LIMIT 100""")),
+
+    // FILTER-OVERLAP MATRIX — the quality-stack ablation artifact:
+    // four removal gates (short, long, low-stopword, low-diversity)
+    // evaluated in ONE scan, reported as the pairwise overlap matrix
+    // (n removed by each, by both, Jaccard of the removed sets). This
+    // is the decision report for ORDERING and PRUNING a filter stack:
+    // a pair at Jaccard ~1 is a redundant gate (drop one); a pair at
+    // ~0 means both earn their scan. The gates are the compact C4/
+    // Gopher-style rules the corpus supports (tiny synthetic vocab —
+    // see q108 for the full rule set); the PATTERN is rule-agnostic.
+    //
+    // Scale shape: flags are map-side column arithmetic; the matrix is
+    // one global aggregate of 10 partial sums (every pair in the same
+    // pass), then a 10-row stack on the driver-side single row — the
+    // corpus is scanned ONCE for the whole matrix, vs once per filter
+    // pair for the naive ablation.
+    Q("q213_filter_overlap",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        filterOverlap(docs(s, d).select(
+          (length(col("text")) < 150).as("short"),
+          (length(col("text")) > 450).as("long"),
+          (size(filter(toks, t => t.isin("the", "a"))).cast("double") /
+            size(toks) < 0.02).as("stopword"),
+          (size(array_distinct(toks)).cast("double") /
+            size(toks) < 0.45).as("diversity")))
+      },
+      Some("""WITH f AS (
+                SELECT
+                  LENGTH(text) < 150 AS f0,
+                  LENGTH(text) > 450 AS f1,
+                  length(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a')))::DOUBLE
+                    / length(string_split(text, ' ')) < 0.02 AS f2,
+                  length(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / length(string_split(text, ' ')) < 0.45 AS f3
+                FROM documents),
+              m AS (
+                SELECT
+                  CAST(SUM((f0 AND f0)::INT) AS BIGINT) AS n_0_0,
+                  CAST(SUM((f0 AND f1)::INT) AS BIGINT) AS n_0_1,
+                  CAST(SUM((f0 AND f2)::INT) AS BIGINT) AS n_0_2,
+                  CAST(SUM((f0 AND f3)::INT) AS BIGINT) AS n_0_3,
+                  CAST(SUM((f1 AND f1)::INT) AS BIGINT) AS n_1_1,
+                  CAST(SUM((f1 AND f2)::INT) AS BIGINT) AS n_1_2,
+                  CAST(SUM((f1 AND f3)::INT) AS BIGINT) AS n_1_3,
+                  CAST(SUM((f2 AND f2)::INT) AS BIGINT) AS n_2_2,
+                  CAST(SUM((f2 AND f3)::INT) AS BIGINT) AS n_2_3,
+                  CAST(SUM((f3 AND f3)::INT) AS BIGINT) AS n_3_3
+                FROM f),
+              rows_ AS (
+                SELECT 'short' AS fa, 'short' AS fb, n_0_0 AS n_a, n_0_0 AS n_b, n_0_0 AS n_both FROM m
+                UNION ALL SELECT 'short', 'long', n_0_0, n_1_1, n_0_1 FROM m
+                UNION ALL SELECT 'short', 'stopword', n_0_0, n_2_2, n_0_2 FROM m
+                UNION ALL SELECT 'short', 'diversity', n_0_0, n_3_3, n_0_3 FROM m
+                UNION ALL SELECT 'long', 'long', n_1_1, n_1_1, n_1_1 FROM m
+                UNION ALL SELECT 'long', 'stopword', n_1_1, n_2_2, n_1_2 FROM m
+                UNION ALL SELECT 'long', 'diversity', n_1_1, n_3_3, n_1_3 FROM m
+                UNION ALL SELECT 'stopword', 'stopword', n_2_2, n_2_2, n_2_2 FROM m
+                UNION ALL SELECT 'stopword', 'diversity', n_2_2, n_3_3, n_2_3 FROM m
+                UNION ALL SELECT 'diversity', 'diversity', n_3_3, n_3_3, n_3_3 FROM m)
+              SELECT fa, fb, n_a, n_b, n_both,
+                     CASE WHEN n_a + n_b - n_both = 0 THEN NULL
+                          ELSE ROUND(CAST(n_both AS DOUBLE)
+                                 / (n_a + n_b - n_both), 4) END AS jaccard
+              FROM rows_ ORDER BY fa, fb"""))
   )
 
   /** Mutual information (nats) between `source` and `lang`, with the

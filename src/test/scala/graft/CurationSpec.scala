@@ -818,4 +818,23 @@ class CurationSpec extends AnyFunSuite with TestSpark {
     assert(got("name") == ((4L, 0L, 0L, 1L)), s"name: ${got("name")}")
     assert(got("contact") == ((4L, 2L, 1L, 1L)), s"contact: ${got("contact")}")
   }
+
+  test("filter overlap: pairwise counts and jaccard from planted flags") {
+    import spark.implicits._
+    // 4 docs: a={1,2}, b={1,4}, c={} — a∩b={1}
+    val flags = Seq(
+      (true, true, false), (true, false, false),
+      (false, false, false), (false, true, false))
+      .toDF("a", "b", "c")
+    val got = Curation.filterOverlap(flags).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got(("a", "a")) == ((2L, 2L, 2L, Some(1.0))))
+    assert(got(("a", "b")) == ((2L, 2L, 1L, Some(0.3333))))
+    assert(got(("a", "c")) == ((2L, 0L, 0L, Some(0.0))))
+    // an empty∩empty pair is NULL, not 0/0
+    assert(got(("c", "c")) == ((0L, 0L, 0L, None)))
+    assert(got.size == 6) // i <= j pairs only, no mirrored duplicates
+  }
 }
