@@ -165,6 +165,30 @@ class TrendSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("q209 degenerate distribution: all-equal keys still shard exactly " +
+      "by the tiebreak") {
+    // the documented caveat case (one value -> one block): correctness
+    // must hold — 33 same-length docs over 16 shards = 15 shards of 2
+    // + one of 3, split purely by doc_id order
+    val docs = spark.range(33).selectExpr("id AS doc_id",
+      "repeat('x', 40) AS text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q209").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    for (t <- graft.core.Tables.all if t != "documents")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        java.nio.file.Paths.get(s"$tmp/$t.parquet"))
+    val out = Registry.queries("q209_range_shards")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum == 33)
+    assert(out.forall(r => r._3 == 40L && r._4 == 40L))
+    // rank*16 div 33: ranks 0..32 -> shard sizes follow the exact
+    // integer split (first shards 3 wide where floor boundaries cluster)
+    val expected = (0L until 33L).groupBy(rk => rk * 16 / 33)
+      .map { case (s, rks) => (s, rks.size.toLong) }
+    assert(out.map(r => (r._1, r._2)).toMap == expected)
+  }
+
   test("q209 plan: rank is block-partitioned, never a global corpus sort") {
     // the q193/q195 contract: the only unpartitioned window is the
     // 256-row block-summary offset pass, distinguished by its input —
