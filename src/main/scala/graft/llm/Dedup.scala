@@ -954,6 +954,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Degree assortativity of the near-dup pair graph — the Pearson
+    * correlation of endpoint degrees over every DIRECTED edge (both
+    * orientations of each pair, the Newman 2002 convention). Positive:
+    * hubs pair with hubs (boilerplate families referencing each other —
+    * transitive-closure dedup will chain them); negative: hubs fan out
+    * to leaves (template-plus-instances, safe to collapse onto the
+    * hub). One number that says which dedup topology a corpus has
+    * before committing to a collapse rule; q177/q181 then localize the
+    * offending nodes.
+    *
+    * Shape: the degree aggregate and both endpoint joins are pair-sized
+    * equi-shuffles (degree lookup is never a forced broadcast — the r11
+    * rule); the Pearson fold runs [[graft.queries.Frontier.pearsonExact]]
+    * — exact DECIMAL(38,0) integer sums, one double sqrt/divide at the
+    * end, so the statistic is bit-stable under any aggregation order.
+    * Same one-materialization discipline as [[clusteringCoefficients]]:
+    * `pairs` is usually an expensive LSH pipeline and is referenced from
+    * three subplans.
+    */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val e = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "n")
+    val xy = e
+      .join(deg.select(col("n").as("src"), col("deg").as("gs")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("deg").as("gd")), Seq("dst"))
+    val result = graft.queries.Frontier
+      .pearsonExact(xy, col("gs"), col("gd"), "assortativity")
+      .checkpoint(eager = true)
+    checkpointRdd(p).foreach(_.unpersist(blocking = false))
+    result
+  }
+
   /** Iterations the most recent [[pageRank]] call actually ran —
     * diagnostic only (spec observability for the convergence exit; a
     * driver-side single-threaded convention like the stores' counters).
@@ -2714,6 +2754,36 @@ object Dedup {
                        ELSE 0 END, 4) AS coeff
               FROM dg LEFT JOIN tc ON tc.doc_id = dg.doc_id
               ORDER BY doc_id""")),
+
+    // Degree assortativity over the same pair graph (see
+    // [[degreeAssortativity]]): one row — directed edge count and the
+    // endpoint-degree Pearson — the clique-vs-hub topology signal read
+    // BEFORE choosing a collapse rule.
+    Q("q220_assortativity",
+      (s, d) => degreeAssortativity(
+        hashJaccardPairs(docs(s, d), minJaccard = 0.6)),
+      Some(pairGraphOraclePrefix + """,
+              dg AS (SELECT src AS n, COUNT(*) AS deg
+                     FROM edges GROUP BY 1),
+              xy AS (
+                SELECT CAST(a.deg AS HUGEINT) AS x,
+                       CAST(b.deg AS HUGEINT) AS y
+                FROM edges e
+                JOIN dg a ON a.n = e.src
+                JOIN dg b ON b.n = e.dst),
+              s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy
+                FROM xy)
+              SELECT CAST(n AS BIGINT) AS n_edges,
+                     CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+                       THEN NULL
+                       ELSE ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+                         SQRT(CAST(n*sxx - sx*sx AS DOUBLE) *
+                              CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                     END AS assortativity
+              FROM s""")),
 
     // LSH banding calibration report (see [[bandRecallReport]]): recall
     // and precision of the (2x8)/(4x4)/(8x2) splits of the one 16-slot

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Decision-support frontier operators: the remaining classic TPC-H
+  * subquery decorrelation shapes (EXISTS with a non-equi correlated
+  * predicate, a correlated scalar average, a global scalar threshold
+  * plus NOT EXISTS), a distributed 2-D skyline (Pareto frontier), the
+  * ranked-window family (ntile / percent_rank / cume_dist), and exact
+  * rolling-window distinct users.
+  *
+  * Shared scale discipline (the q193/q195 house rules): no global
+  * single-task windows — the skyline runs the two-phase block shape
+  * per group; money accumulates in DECIMAL and rounds BEFORE the
+  * double cast; comparisons that gate membership (the Q22 threshold)
+  * are exact cross-multiplied integers, never a float average; the
+  * rolling-distinct explodes each user-day into its ≤W windows instead
+  * of range-joining days against the corpus.
+  */
+object Frontier {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  /** Per-group 2-D skyline (Pareto frontier): rows of `df` not
+    * dominated within their `grp` group, MINIMIZING `mnCol` and
+    * MAXIMIZING `mxCol`. `a` dominates `b` iff `a.mn <= b.mn` and
+    * `a.mx >= b.mx` with at least one strict; exact duplicates
+    * dominate neither way, so both survive (the NOT EXISTS contract).
+    * Both axes must be integer-valued (the q195 grid rule — callers
+    * pre-grid floats, e.g. ROUND(price*100) cents); NULL on either
+    * axis drops the row.
+    *
+    * Scale shape: a row is on the frontier iff its `mx` (i) beats the
+    * best `mx` among STRICTLY cheaper rows and (ii) equals the best
+    * `mx` at its own price point. Both maxima come from a per-(grp,
+    * mn) aggregate — one map-side-combined shuffle, |distinct prices|
+    * rows — run through the q193 two-phase cumulative: 256 uniform
+    * value blocks per group (blk is a function of mn alone, so equal
+    * prices share a block and ties never straddle the boundary), a
+    * local running max per (grp, blk) partition, and one window over
+    * the ≤256-per-group BLOCK SUMMARIES for the exclusive prefix. No
+    * single-task sort at any width of group; the final membership
+    * test is a shuffle join back on (grp, mn) plus a map-side filter.
+    */
+  def skyline2d(df: DataFrame, grp: String, mnCol: Column,
+      mxCol: Column): DataFrame = {
+    val pts = df
+      .withColumn("_mn", mnCol.cast("long"))
+      .withColumn("_mx", mxCol.cast("long"))
+      .filter(col("_mn").isNotNull && col("_mx").isNotNull)
+    val g = pts.groupBy(col(grp), col("_mn"))
+      .agg(max(col("_mx")).as("_m2"))
+    val bounds = g.groupBy(col(grp))
+      .agg(min(col("_mn")).as("_lo"), max(col("_mn")).as("_hi"))
+    val blocked = g.join(bounds, Seq(grp))
+      .withColumn("_blk", least(lit(255L), greatest(lit(0L),
+        floor((col("_mn") - col("_lo")).cast("double") * 256.0 /
+          ((col("_hi") - col("_lo")).cast("double") + 1e-9)).cast("long"))))
+      .drop("_lo", "_hi")
+    val wLoc = Window.partitionBy(col(grp), col("_blk")).orderBy(col("_mn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val loc = blocked.withColumn("_lmax", max(col("_m2")).over(wLoc))
+    val wOff = Window.partitionBy(col(grp)).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blocked.groupBy(col(grp), col("_blk"))
+      .agg(max(col("_m2")).as("_bmax"))
+      .withColumn("_off", max(col("_bmax")).over(wOff))
+      .drop("_bmax")
+    // m1 = best mx among strictly cheaper rows (local prefix within the
+    // block ∨ prefix over earlier blocks); NULL when none exist.
+    val pre = loc.join(offs, Seq(grp, "_blk"))
+      .select(col(grp), col("_mn"), col("_m2"),
+        greatest(coalesce(col("_lmax"), lit(Long.MinValue)),
+          coalesce(col("_off"), lit(Long.MinValue))).as("_m1"))
+    pts.join(pre, Seq(grp, "_mn"))
+      .filter(col("_mx") > col("_m1") && col("_mx") === col("_m2"))
+      .drop("_mn", "_mx", "_m1", "_m2")
+  }
+
+  /** Exact rolling-`windowDays`-day distinct users per observed event
+    * day. Each (user, day) pair is deduped once, EXPLODED into the
+    * ≤`windowDays` window-end days it contributes to, clipped to days
+    * that actually appear in the stream, and distinct-counted per
+    * window — cost is `windowDays` × |user-days|, all equi-shuffles,
+    * instead of the range join (days × corpus) whose probe side
+    * re-reads every event `windowDays` times. `events` needs user_id
+    * and ts.
+    */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    val ud = events
+      .select(col("user_id"),
+        to_date(expr("CAST(ts AS TIMESTAMP)")).as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("w")).distinct()
+    ud.withColumn("w",
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
+      .join(broadcast(days), Seq("w"), "left_semi")
+      .groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .select(date_format(col("w"), "yyyy-MM-dd").as("day"),
+        col("users_7d"))
+      .orderBy(col("day"))
+  }
+
+  /** q220's Pearson fold on any directed edge list with integer-valued
+    * per-row x/y — exposed for [[graft.llm.Dedup.degreeAssortativity]]
+    * and the spec's planted graphs. Sums accumulate in DECIMAL(38,0)
+    * (exact; x,y and the counts are integers — fits through ~1e12
+    * edges at degree ~1e6, the 100 TB envelope), with ONE double
+    * division and sqrt at the end, so the statistic is bit-stable
+    * under any aggregation order.
+    */
+  def pearsonExact(xy: DataFrame, x: Column, y: Column,
+      outName: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = xy.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(x.cast(dec)).as("sx"),
+      sum(y.cast(dec)).as("sy"),
+      sum(x.cast(dec) * y.cast(dec)).as("sxy"),
+      sum(x.cast(dec) * x.cast(dec)).as("sxx"),
+      sum(y.cast(dec) * y.cast(dec)).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    a.select(col("n").cast("long").as("n_edges"),
+      when(dxx === 0 || dyy === 0, lit(null).cast("double"))
+        .otherwise(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(dxx.cast("double") * dyy.cast("double")), 6))
+        .as(outName))
+  }
+
+  def defs: Seq[Q] = Seq(
+    // TPC-H Q4 shape — order-priority counts of orders with a LATE
+    // line (shipped >60 days after the order date): a correlated
+    // EXISTS whose predicate mixes an equi key with a non-equi
+    // cross-table comparison. Declared as a left-semi join carrying
+    // both conditions, so Catalyst keeps the equi part as the shuffle
+    // key and evaluates the date comparison as join residual — the
+    // decorrelated plan a SQL EXISTS compiles to, with the date-range
+    // filter pushed to the orders scan.
+    Q("q214_tpch_q4",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1996-04-01'
+                AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // TPC-H Q17 shape — revenue from small-quantity orders of one
+    // brand's parts: lines whose quantity undercuts 20% of the part's
+    // own average. The correlated scalar AVG decorrelates to a
+    // per-part aggregate joined back; the brand filter semi-joins
+    // lineitem against the ~|parts|/25 broadcast key list FIRST, so
+    // both the aggregate and the probe run over the brand's slice,
+    // never the whole fact table (partkey determines the part, so the
+    // restricted per-part average equals the global one). Quantities
+    // are integer-valued, so the average is an exact-integer division
+    // and the 0.2× threshold compare is reproducible across engines;
+    // revenue sums in DECIMAL and rounds before the double cast.
+    Q("q215_tpch_q17",
+      (s, d) => {
+        val bp = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))
+        val li = t(s, d, "lineitem")
+          .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        val pavg = li.groupBy(col("l_partkey"))
+          .agg(avg(col("l_quantity")).as("aq"))
+        li.join(pavg, Seq("l_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("aq"))
+          .agg(count(lit(1)).as("n_lines"),
+            (round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+              .cast("double") / 7.0).as("avg_yearly"))
+      },
+      Some("""SELECT COUNT(*) AS n_lines,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+                       2) AS DOUBLE) / 7.0 AS avg_yearly
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23'
+                AND l_quantity < (
+                  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = p_partkey)""")),
+
+    // TPC-H Q22 shape — per market segment, the dormant rich: count
+    // and balance of customers above the positive-balance average with
+    // no order since 1999. The global-average gate compares EXACT
+    // integers cross-multiplied (bal·n > total, both DECIMAL — a float
+    // average threshold puts membership on a representation-dependent
+    // boundary), the 1-row aggregate broadcasts, and the "no recent
+    // order" is a left-anti join whose probe side is pre-filtered by
+    // the pushed date predicate.
+    Q("q216_tpch_q22",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).cast("decimal(18,0)").as("n"))
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") >
+            col("s"))
+          .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+              .cast("double").as("totacctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH t AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+                       COUNT(*) AS n
+                FROM customer WHERE c_acctbal > 0)
+              SELECT c_mktsegment, COUNT(*) AS numcust,
+                     CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                       AS DOUBLE) AS totacctbal
+              FROM customer, t
+              WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1999-01-01')
+              GROUP BY c_mktsegment
+              ORDER BY c_mktsegment""")),
+
+    // Per-brand price/size skyline: the parts no same-brand part beats
+    // on BOTH cheapness and size — the catalog-curation frontier (see
+    // [[skyline2d]] for the two-phase block shape). Price rides the
+    // integer-cent grid; output ordered by (brand, price, partkey).
+    Q("q217_skyline",
+      (s, d) => skyline2d(t(s, d, "part"), "p_brand",
+          expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)"), col("p_size"))
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice").cast("double"), 2).as("price"),
+          col("p_size"))
+        .orderBy(col("p_brand"), col("price"), col("p_partkey")),
+      Some("""SELECT p_brand, p_partkey,
+                     ROUND(CAST(p_retailprice AS DOUBLE), 2) AS price,
+                     p_size
+              FROM part a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_brand = a.p_brand
+                  AND b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size))
+              ORDER BY p_brand, price, p_partkey""")),
+
+    // Ranked-window family — ntile(4) / percent_rank / cume_dist over
+    // each customer's orders by price, aggregated to a (priority,
+    // quartile) grid. The windows partition by o_custkey (corpus-many
+    // parallel partitions, never a global sort); the ORDER BY includes
+    // the unique orderkey so rank has no peer groups and all three
+    // functions are deterministic; the fractional ranks aggregate as
+    // exact integer micros (a double SUM's fold order is not
+    // reproducible — the q58 discipline).
+    Q("q218_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderpriority"),
+            ntile(4).over(w).as("quartile"),
+            expr("CAST(ROUND(1e6 * percent_rank() OVER " +
+              "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, " +
+              "o_orderkey)) AS BIGINT)").as("pr6"),
+            expr("CAST(ROUND(1e6 * cume_dist() OVER " +
+              "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, " +
+              "o_orderkey)) AS BIGINT)").as("cd6"))
+          .groupBy(col("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("pr6")).as("sum_pr6"),
+            sum(col("cd6")).as("sum_cd6"))
+          .orderBy(col("o_orderpriority"), col("quartile"))
+      },
+      Some("""WITH r AS (
+                SELECT o_orderpriority,
+                       NTILE(4) OVER w AS quartile,
+                       CAST(ROUND(1e6 * PERCENT_RANK() OVER w) AS BIGINT)
+                         AS pr6,
+                       CAST(ROUND(1e6 * CUME_DIST() OVER w) AS BIGINT)
+                         AS cd6
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey))
+              SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+                     SUM(pr6) AS sum_pr6, SUM(cd6) AS sum_cd6
+              FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Exact 7-day rolling distinct users per observed day (see
+    // [[rollingDistinctUsers]] for the explode-vs-range-join shape).
+    Q("q219_rolling_users",
+      (s, d) => rollingDistinctUsers(t(s, d, "events"), windowDays = 7),
+      Some("""WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+              days AS (SELECT DISTINCT day FROM ud)
+              SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+                     COUNT(DISTINCT u.user_id) AS users_7d
+              FROM days d
+              JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+              GROUP BY d.day ORDER BY day"""))
+  )
+}

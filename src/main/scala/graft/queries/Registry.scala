@@ -23,9 +23,9 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.defs ++ Advanced.defs ++ Sessionize.defs ++
-      ScaleWindows.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
-      Multimodal.defs ++ Curation.defs ++ Pq.defs ++ QualityClassifier.defs ++
-      Pca.defs ++ Fuzzy.defs
+      ScaleWindows.defs ++ Frontier.defs ++ TextOps.defs ++ Dedup.defs ++
+      Similarity.defs ++ Multimodal.defs ++ Curation.defs ++ Pq.defs ++
+      QualityClassifier.defs ++ Pca.defs ++ Fuzzy.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,183 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Frontier
+import graft.llm.Dedup
+
+/** Planted-input semantics for the Frontier family: the 2-D skyline's
+  * domination contract (duplicates, one-axis ties, cross-block
+  * domination, brute-force equivalence), rolling-distinct window
+  * clipping, the exact Pearson fold, and degree assortativity on
+  * hand-computable graphs.
+  */
+class FrontierSpec extends AnyFunSuite with TestSpark {
+
+  // ---- skyline2d ----------------------------------------------------
+
+  private val ptSchema = StructType(Seq(
+    StructField("g", StringType), StructField("id", LongType),
+    StructField("mn", LongType), StructField("mx", LongType)))
+
+  private def pts(rows: (String, Long, Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (g, i, a, b) =>
+        Row(g, i, a, b) }),
+      ptSchema)
+
+  private def sky(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    Frontier.skyline2d(df, "g", col("mn"), col("mx"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+
+  test("skyline: dominated chain, duplicates both kept, equal-mn tie " +
+      "keeps only the max-mx point") {
+    val df = pts(
+      // frontier: (10, 100) and (20, 200)
+      ("a", 1L, 10L, 100L), ("a", 2L, 20L, 200L),
+      // strictly dominated by id=2 on both axes
+      ("a", 3L, 30L, 150L),
+      // equal mn=20, smaller mx -> dominated by id=2 (strict on mx)
+      ("a", 4L, 20L, 180L),
+      // exact duplicate of id=1: dominates neither way, BOTH survive
+      ("a", 5L, 10L, 100L),
+      // equal mx=200 at higher mn -> dominated by id=2 (strict on mn)
+      ("a", 6L, 25L, 200L))
+    assert(sky(df) == Set(1L, 2L, 5L))
+  }
+
+  test("skyline: groups are independent; cross-block domination (wide " +
+      "value range forces points into different 256-blocks)") {
+    val df = pts(
+      // group a spans a huge mn range -> the two points land in
+      // different blocks of the 256-grid; domination must still see
+      // across blocks through the prefix-max offsets
+      ("a", 1L, 0L, 50L), ("a", 2L, 1000000L, 40L),
+      ("a", 3L, 2000000L, 60L),
+      // group b: same coordinates as a's dominated point, but alone in
+      // its group -> survives
+      ("b", 4L, 1000000L, 40L))
+    assert(sky(df) == Set(1L, 3L, 4L))
+  }
+
+  test("skyline: equals brute-force NOT EXISTS on a pseudo-random set") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 400L).map(i =>
+      ("g" + (i % 3), i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = pts(rows: _*)
+    val brute = rows.filter { case (g, _, mn, mx) =>
+      !rows.exists { case (g2, _, mn2, mx2) =>
+        g2 == g && mn2 <= mn && mx2 >= mx && (mn2 < mn || mx2 > mx) }
+    }.map(_._2).toSet
+    assert(sky(df) == brute)
+  }
+
+  test("skyline: NULL on either axis drops the row") {
+    val df = pts(("a", 1L, 5L, 5L))
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("a", 2L, null, 99L), Row("a", 3L, 0L, null))),
+        ptSchema))
+    assert(sky(df) == Set(1L))
+  }
+
+  // ---- rollingDistinctUsers -----------------------------------------
+
+  private val evSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType)))
+
+  private def ev(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (u, t) =>
+        Row(u, Timestamp.valueOf(t)) }),
+      evSchema)
+
+  test("rolling distinct: window counts each user once, only observed " +
+      "days emit, gap days roll forward") {
+    val df = ev(
+      // day 01: users 1,2 (user 1 twice — deduped)
+      (1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 02:00:00"),
+      (2L, "2024-01-01 03:00:00"),
+      // day 03: user 1 again (still ONE distinct over any window)
+      (1L, "2024-01-03 01:00:00"),
+      // day 10: outside day-03's 7-day reach, inside nothing else
+      (3L, "2024-01-10 01:00:00"))
+    val out = Frontier.rollingDistinctUsers(df, 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // observed days only: 01, 03, 10 — no rows for 02, 04..09
+    assert(out.keySet == Set("2024-01-01", "2024-01-03", "2024-01-10"))
+    assert(out("2024-01-01") == 2L) // users 1,2
+    assert(out("2024-01-03") == 2L) // users 1,2 (user 1 NOT double-counted)
+    // day 10: day 03 is 7 days back (outside [04,10]); only user 3
+    assert(out("2024-01-10") == 1L)
+  }
+
+  test("rolling distinct: a user-day reaches exactly windowDays ends") {
+    val df = ev((1L, "2024-01-01 00:00:00"), (2L, "2024-01-07 00:00:00"))
+    val out = Frontier.rollingDistinctUsers(df, 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // day 07 is the LAST window that still sees day 01 (inclusive span)
+    assert(out == Map("2024-01-01" -> 1L, "2024-01-07" -> 2L))
+  }
+
+  // ---- pearsonExact / degreeAssortativity ---------------------------
+
+  private val xySchema = StructType(Seq(
+    StructField("x", LongType), StructField("y", LongType)))
+
+  private def xy(rows: (Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b) =>
+        Row(a, b) }),
+      xySchema)
+
+  test("pearsonExact: +1 on a perfect line, -1 on a perfect anti-line, " +
+      "NULL on zero variance") {
+    def r(df: org.apache.spark.sql.DataFrame): (Long, Any) = {
+      val row = Frontier.pearsonExact(df, col("x"), col("y"), "r")
+        .collect().head
+      (row.getLong(0), if (row.isNullAt(1)) null else row.getDouble(1))
+    }
+    assert(r(xy((1L, 2L), (2L, 4L), (3L, 6L))) == ((3L, 1.0)))
+    assert(r(xy((1L, 6L), (2L, 4L), (3L, 2L))) == ((3L, -1.0)))
+    assert(r(xy((1L, 5L), (2L, 5L), (3L, 5L))) == ((3L, null)))
+  }
+
+  private val pairSchema = StructType(Seq(
+    StructField("d1", LongType), StructField("d2", LongType)))
+
+  private def pairs(rows: (Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b) =>
+        Row(a, b) }),
+      pairSchema)
+
+  test("assortativity: a star is maximally disassortative (-1); a " +
+      "clique plus a disjoint edge is computed exactly") {
+    // star 0-{1,2,3}: every directed edge pairs degree 3 with degree 1
+    val star = Dedup.degreeAssortativity(pairs((0L, 1L), (0L, 2L), (0L, 3L)))
+      .collect().head
+    assert(star.getLong(0) == 6L)
+    assert(star.getDouble(1) == -1.0)
+    // triangle {1,2,3} plus edge {4,5}: degrees 2,2,2,1,1.
+    // Directed xy pairs: six (2,2), two (1,1) ->
+    // n=8 sx=sy=14 sxy=26 sxx=syy=26; r = (208-196)/(208-196) = 1? No:
+    // n*sxy - sx*sy = 8*26 - 196 = 12; n*sxx - sx^2 = 12 -> r = 1.0
+    // (two perfectly degree-homogeneous components ARE assortative).
+    val tri = Dedup.degreeAssortativity(
+      pairs((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))).collect().head
+    assert(tri.getLong(0) == 8L)
+    assert(tri.getDouble(1) == 1.0)
+    // break the symmetry: path 1-2-3 (degrees 1,2,1) plus edge 4-5 —
+    // hand-computed: xy = {(1,2),(2,1),(2,1),(1,2),(1,1),(1,1)} ->
+    // n=6 sx=sy=8 sxy=10 sxx=syy=12; r=(60-64)/((72-64)) = -0.5
+    val path = Dedup.degreeAssortativity(
+      pairs((1L, 2L), (2L, 3L), (4L, 5L))).collect().head
+    assert(path.getLong(0) == 6L)
+    assert(path.getDouble(1) == -0.5)
+  }
+}
