@@ -994,6 +994,77 @@ object Dedup {
     result
   }
 
+  /** k-core peel of the pair graph: repeatedly drop nodes with degree
+    * < k (and their edges) for at most `maxRounds` rounds, returning
+    * the surviving nodes with their in-core degree. The contract is
+    * "exactly maxRounds peel rounds" — the loop exits early when a
+    * round removes nothing, which leaves the identical result (peeling
+    * only shrinks the edge set, so an unchanged edge COUNT is an
+    * unchanged edge SET), and near-dup graphs are cliquish enough to
+    * fixpoint in 1–3 rounds. The k-core is the cluster-CORE extraction
+    * the bridge diagnostics (q177/q181) motivate: everything outside
+    * the 2-core is tree-like fringe — chains of weak links that
+    * transitive closure would merge but no triangle supports.
+    *
+    * Shape: each round is two semi-joins + one degree aggregate, all
+    * keyed on node id (pair-sized equi-shuffles); the edge set is
+    * localCheckpoint'ed per round (bounded lineage, the pageRank
+    * discipline) and the previous round's blocks are released
+    * immediately. Early-exit reads only the edge COUNT per round.
+    */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    def degrees(e: DataFrame): DataFrame = e
+      .select(col("d1").as("n")).unionAll(e.select(col("d2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var e = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    var nEdges = e.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val surv = degrees(e).filter(col("deg") >= k).select(col("n"))
+      val e2 = e
+        .join(surv.withColumnRenamed("n", "d1"), Seq("d1"), "left_semi")
+        .join(surv.withColumnRenamed("n", "d2"), Seq("d2"), "left_semi")
+        .select(col("d1"), col("d2"))
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      checkpointRdd(e).foreach(_.unpersist(blocking = false))
+      converged = n2 == nEdges
+      e = e2; nEdges = n2; round += 1
+    }
+    val result = degrees(e)
+      .select(col("n").as("doc_id"), col("deg"))
+      .checkpoint(eager = true)
+    checkpointRdd(e).foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Oracle stages for [[kCore]]: `rounds` unrolled peel rounds over a
+    * `p0(d1, d2)` CTE — each round recomputes degrees, keeps nodes
+    * with deg >= k, and restricts edges to surviving endpoints. Every
+    * stage is MATERIALIZED: each p_i is referenced three times by
+    * round i+1, so DuckDB's default CTE inlining would re-expand the
+    * whole shingle pipeline 3^rounds times (observed as a
+    * file-handle explosion, not just slowness).
+    */
+  private def kCoreOracleStages(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+                SELECT n, COUNT(*) AS deg FROM (
+                  SELECT d1 AS n FROM p${i - 1}
+                  UNION ALL SELECT d2 FROM p${i - 1}) u GROUP BY 1),
+              s$i AS MATERIALIZED (SELECT n FROM d$i WHERE deg >= $k),
+              p$i AS MATERIALIZED (
+                SELECT p.d1, p.d2 FROM p${i - 1} p
+                JOIN s$i a ON a.n = p.d1
+                JOIN s$i b ON b.n = p.d2)"""
+    }.mkString(",\n              ")
+
   /** Iterations the most recent [[pageRank]] call actually ran —
     * diagnostic only (spec observability for the convergence exit; a
     * driver-side single-threaded convention like the stores' counters).
@@ -2784,6 +2855,25 @@ object Dedup {
                               CAST(n*syy - sy*sy AS DOUBLE)), 6)
                      END AS assortativity
               FROM s""")),
+
+    // 2-core of the pair graph (see [[kCore]]): surviving nodes with
+    // their in-core degree after 6 peel rounds (fixpoint comes much
+    // sooner on cliquish near-dup graphs; the round budget is the
+    // contract both engines execute). The fringe this drops is exactly
+    // the bridge population q177/q181 flag.
+    Q("q222_kcore",
+      (s, d) => kCore(hashJaccardPairs(docs(s, d), minJaccard = 0.6),
+          k = 2, maxRounds = 6)
+        .orderBy(col("doc_id")),
+      Some(pairGraphOraclePrefix + s""",
+              p0 AS MATERIALIZED (SELECT d1, d2 FROM pairs),
+              ${kCoreOracleStages(k = 2, rounds = 6)},
+              fin AS (
+                SELECT n, COUNT(*) AS deg FROM (
+                  SELECT d1 AS n FROM p6
+                  UNION ALL SELECT d2 FROM p6) u GROUP BY 1)
+              SELECT n AS doc_id, CAST(deg AS BIGINT) AS deg
+              FROM fin ORDER BY doc_id""")),
 
     // LSH banding calibration report (see [[bandRecallReport]]): recall
     // and precision of the (2x8)/(4x4)/(8x2) splits of the one 16-slot

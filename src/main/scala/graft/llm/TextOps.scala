@@ -33,6 +33,54 @@ object TextOps {
 
   val EnglishStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Per-doc BM25 scores for a fixed term set (q84's body, factored so
+    * the hybrid-retrieval fusion q221 reuses the identical sparse leg).
+    * Returns (doc_id, score_raw) UNROUNDED and unordered — callers rank.
+    * See q84's entry for the scale shape (term filter above the
+    * tokenize, |terms|-row df broadcast, 1-row stats broadcast).
+    */
+  def bm25Scores(docsDf: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, bp: Double = 0.75): DataFrame = {
+    val tok = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("dl"), col("ts"))
+    val stats = tok.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = tok
+      .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val termScore = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - bp) +
+        lit(bp) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(termScore).as("score_raw"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (q221's combiner,
+    * exposed for planted-list specs): full-outer on doc_id, fused
+    * score = Σ 1/(kR + rank) over the legs that retrieved the doc,
+    * absent legs reported as rank 0. Inputs are (doc_id, rank_s) and
+    * (doc_id, rank_d) with 1-based ranks.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, kR: Int = 60): DataFrame = {
+    val rrf = coalesce(lit(1.0) / (lit(kR) + col("rank_s")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(kR) + col("rank_d")), lit(0.0))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_s"), lit(0)).as("rank_s"),
+        coalesce(col("rank_d"), lit(0)).as("rank_d"),
+        round(rrf, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** Normalized-text fingerprint: md5 of whitespace-collapsed lowercase
     * text, first 8 hex chars (the reference-style rolling-hash use case —
     * stable identity for exact-dup detection and sharding).
@@ -834,35 +882,11 @@ object TextOps {
     // sort. Per-doc score sums 3 doubles — same cross-engine rounding
     // exposure as q49's LN scoring, absorbed by round(4).
     Q("q84_bm25_search",
-      (s, d) => {
-        val terms = Seq("spark", "join", "window")
-        val k1 = 1.2
-        val bp = 0.75
-        val tok = docs(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("ts"))
-          .select(col("doc_id"), size(col("ts")).as("dl"), col("ts"))
-        val stats = tok.agg(count(lit(1)).as("n_docs"),
-          avg(col("dl")).as("avgdl"))
-        val tf = tok
-          .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("term"))
-          .agg(count(lit(1)).as("df"))
-        val idf = log((col("n_docs") - col("df") + 0.5) /
-          (col("df") + 0.5) + 1.0)
-        val termScore = idf * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - bp) +
-            lit(bp) * col("dl") / col("avgdl")))
-        tf.join(broadcast(dfreq), Seq("term"))
-          .crossJoin(broadcast(stats))
-          .groupBy(col("doc_id"))
-          .agg(sum(termScore).as("score_raw"))
+      (s, d) =>
+        bm25Scores(docs(s, d), Seq("spark", "join", "window"))
           .orderBy(col("score_raw").desc, col("doc_id"))
           .limit(10)
-          .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
-      },
+          .select(col("doc_id"), round(col("score_raw"), 4).as("score")),
       Some("""WITH tok AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
                 FROM documents),
@@ -885,6 +909,105 @@ object TextOps {
               SELECT doc_id, ROUND(score_raw, 4) AS score
               FROM scored
               ORDER BY score_raw DESC, doc_id LIMIT 10""")),
+
+    // Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
+    // 2009) of the BM25 sparse leg (q84's scorer, top-20) and the
+    // exact-cosine dense leg (q36's brute-force baseline against query
+    // doc 0, top-20): score = Σ 1/(60 + rank) over the legs that
+    // retrieved the doc, rank 0 in the output marking "not retrieved
+    // by this leg". The RAG-stack default fusion — rank-based, so the
+    // legs' incomparable score scales never mix, and the fused value
+    // depends ONLY on integer ranks (zero data-dependent float
+    // precision in the fusion itself).
+    //
+    // Scale shape: each leg ends in a TakeOrdered top-k (the corpus
+    // never globally sorts); the rank windows and the full-outer fusion
+    // join run over two 20-row artifacts — bounded, where an
+    // unpartitioned window is correct by contract. The dense leg is
+    // brute-force by design (the oracle-checkable contract); at scale
+    // the same fusion composes unchanged with the IVF/SQ8/PQ legs
+    // (q50/q168/q91) — anything that emits (doc_id, rank).
+    Q("q221_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sparse = bm25Scores(docs(s, d), Seq("spark", "join", "window"))
+          .orderBy(col("score_raw").desc, col("doc_id")).limit(20)
+          .withColumn("rank_s", row_number().over(
+            Window.orderBy(col("score_raw").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank_s"))
+        val v = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+        val qv = v.filter(col("vec_id") === 0).select(col("a").as("qa"))
+        val sim = Similarity.dot(col("a"), col("qa")) /
+          (Similarity.norm(col("a")) * Similarity.norm(col("qa")))
+        val dense = v.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"), sim.as("sim_raw"))
+          .orderBy(col("sim_raw").desc, col("doc_id")).limit(20)
+          .withColumn("rank_d", row_number().over(
+            Window.orderBy(col("sim_raw").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank_d"))
+        rrfFuse(sparse, dense).limit(10)
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ts
+                FROM documents),
+              dl AS (SELECT doc_id, LEN(ts) AS dl, ts FROM tok),
+              stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+              tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, dl, UNNEST(ts) AS term FROM dl) u
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY 1, 2, 3),
+              withdf AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+              scored AS (
+                SELECT doc_id,
+                       SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * (tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score_raw
+                FROM withdf CROSS JOIN stats
+                GROUP BY doc_id),
+              stop AS (
+                SELECT doc_id, score_raw FROM scored
+                ORDER BY score_raw DESC, doc_id LIMIT 20),
+              sparse AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id)
+                         AS rank_s
+                FROM stop),
+              v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              q AS (SELECT a AS qa FROM v WHERE vec_id = 0),
+              dtop AS (
+                SELECT v.vec_id AS doc_id,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.qa[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.qa, x -> x*x))))
+                         AS sim_raw
+                FROM v, q WHERE v.vec_id <> 0
+                ORDER BY sim_raw DESC, doc_id LIMIT 20),
+              dense AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY sim_raw DESC, doc_id)
+                         AS rank_d
+                FROM dtop),
+              f AS (
+                SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+                       rank_s, rank_d,
+                       COALESCE(CAST(1 AS DOUBLE)/(60 + rank_s), 0)
+                       + COALESCE(CAST(1 AS DOUBLE)/(60 + rank_d), 0)
+                         AS rrf_raw
+                FROM sparse s FULL OUTER JOIN dense de
+                  ON s.doc_id = de.doc_id)
+              SELECT doc_id,
+                     CAST(COALESCE(rank_s, 0) AS INT) AS rank_s,
+                     CAST(COALESCE(rank_d, 0) AS INT) AS rank_d,
+                     ROUND(rrf_raw, 6) AS rrf
+              FROM f
+              ORDER BY ROUND(rrf_raw, 6) DESC, doc_id LIMIT 10""")),
 
     // Overlapping character chunking (width 80, stride 60) — the
     // RAG/long-context prep pass. chunk_id is the 0-based window index;

@@ -107,6 +107,61 @@ object Frontier {
       .orderBy(col("day"))
   }
 
+  /** One-sided CUSUM drift detection over per-type daily event counts
+    * (Page 1954): per event type, the running statistic
+    * S_i = max(0, S_{i-1} + N·x_i − Σx) over the DENSE day grid (every
+    * observed day × every type, zeros filled — a type going quiet must
+    * keep decaying the statistic), alarming when S exceeds Σx. All
+    * arithmetic is N-scaled INTEGERS (N·x − Σx is the deviation from
+    * the type's own mean cross-multiplied by the day count), so the
+    * sequential fold is exact — no float accumulation order anywhere.
+    *
+    * Scale: the grid is |types| × |days| — both bounded by contract
+    * (dozens of types, the retention window of days), so the per-type
+    * collected sequence is a bounded artifact like q208's per-user
+    * streams, and the fold is ONE `aggregate` over ≤|days| elements
+    * per type. The only corpus-sized work is the (type, day) count
+    * aggregate: one map-side-combined shuffle of the raw stream.
+    */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(col("event_type"),
+        to_date(expr("CAST(ts AS TIMESTAMP)")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val types = counts.select(col("event_type")).distinct()
+    val days = counts.select(col("day")).distinct()
+    val nDays = days.agg(count(lit(1)).as("n_days"))
+    val grid = types.crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val folded = grid
+      .groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sum_t"),
+        sort_array(collect_list(struct(col("day"), col("x")))).as("seq"))
+      .crossJoin(broadcast(nDays))
+      .withColumn("cs", expr(
+        """aggregate(seq,
+             named_struct('s', CAST(0 AS BIGINT),
+               'out', CAST(array() AS array<struct<day:date,s:bigint>>)),
+             (acc, e) -> named_struct(
+               's', greatest(CAST(0 AS BIGINT),
+                      acc.s + n_days * e.x - sum_t),
+               'out', array_append(acc.out, named_struct(
+                 'day', e.day,
+                 's', greatest(CAST(0 AS BIGINT),
+                        acc.s + n_days * e.x - sum_t)))),
+             acc -> acc.out)"""))
+    folded
+      .select(col("event_type"), col("sum_t"), explode(col("cs")).as("e"))
+      .select(col("event_type"),
+        date_format(col("e.day"), "yyyy-MM-dd").as("day"),
+        col("e.s").as("cusum"),
+        (col("e.s") > col("sum_t")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q220's Pearson fold on any directed edge list with integer-valued
     * per-row x/y — exposed for [[graft.llm.Dedup.degreeAssortativity]]
     * and the spec's planted graphs. Sums accumulate in DECIMAL(38,0)
@@ -329,6 +384,46 @@ object Frontier {
                      COUNT(DISTINCT u.user_id) AS users_7d
               FROM days d
               JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
-              GROUP BY d.day ORDER BY day"""))
+              GROUP BY d.day ORDER BY day""")),
+
+    // CUSUM drift detection on per-type daily volumes (see
+    // [[cusumDaily]]): exact N-scaled integer fold, alarm when the
+    // cumulative excess over the type's own mean exceeds one total.
+    Q("q223_cusum",
+      (s, d) => cusumDaily(t(s, d, "events")),
+      Some("""WITH RECURSIVE counts AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1, 2),
+              days AS (SELECT DISTINCT day FROM counts),
+              nd AS (SELECT COUNT(*) AS n_days FROM days),
+              grid AS (
+                SELECT t.event_type, d.day, COALESCE(c.x, 0) AS x
+                FROM (SELECT DISTINCT event_type FROM counts) t
+                CROSS JOIN days d
+                LEFT JOIN counts c
+                  ON c.event_type = t.event_type AND c.day = d.day),
+              tot AS (
+                SELECT event_type, SUM(x) AS sum_t
+                FROM grid GROUP BY 1),
+              g2 AS (
+                SELECT g.event_type, g.day, g.x,
+                       ROW_NUMBER() OVER (PARTITION BY g.event_type
+                         ORDER BY g.day) AS rn,
+                       tot.sum_t, nd.n_days
+                FROM grid g
+                JOIN tot USING (event_type) CROSS JOIN nd),
+              c AS (
+                SELECT event_type, day, x, rn, sum_t, n_days,
+                       GREATEST(0, n_days * x - sum_t) AS s
+                FROM g2 WHERE rn = 1
+                UNION ALL
+                SELECT g.event_type, g.day, g.x, g.rn, g.sum_t, g.n_days,
+                       GREATEST(0, c.s + g.n_days * g.x - g.sum_t)
+                FROM c JOIN g2 g
+                  ON g.event_type = c.event_type AND g.rn = c.rn + 1)
+              SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+                     CAST(s AS BIGINT) AS cusum, s > sum_t AS alarm
+              FROM c ORDER BY event_type, day"""))
   )
 }

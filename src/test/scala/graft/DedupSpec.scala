@@ -773,4 +773,32 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(direct.contains((0L, 1000L, 1.0)) && direct.contains((1000L, 2000L, 1.0)))
     assert(!direct.exists(p => p._1 == 9001L || p._2 == 9002L))
   }
+
+  test("kCore: cycles survive, trees peel to empty, pendant fringe " +
+      "drops, multi-round peel and the round budget both honored") {
+    val pairSchema = StructType(Seq(
+      StructField("d1", LongType), StructField("d2", LongType)))
+    def pairsOf(rows: (Long, Long)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromTuple)), pairSchema)
+    def core(df: org.apache.spark.sql.DataFrame, rounds: Int = 6) =
+      Dedup.kCore(df, k = 2, maxRounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4-cycle: every node degree 2, nothing peels
+    assert(core(pairsOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // path a-b-c-d-e peels end-in: 3 rounds to empty (tests iteration)
+    assert(core(pairsOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)).isEmpty)
+    // triangle + pendant: the pendant and ONLY the pendant drops
+    assert(core(pairsOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 9L)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // round budget: path of 5 after exactly ONE round keeps b-c-d
+    assert(core(pairsOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L),
+      rounds = 1) == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // two triangles joined by a bridge: everything is 2-core, bridge
+    // endpoints carry degree 3
+    assert(core(pairsOf(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 2L, 6L -> 2L))
+  }
 }

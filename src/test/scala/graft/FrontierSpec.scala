@@ -180,4 +180,38 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     assert(path.getLong(0) == 6L)
     assert(path.getDouble(1) == -0.5)
   }
+
+  // ---- cusumDaily -----------------------------------------------------
+
+  private val evtSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType),
+    StructField("event_type", StringType)))
+
+  test("cusum: constant rate stays at zero, a spike alarms, a quiet " +
+      "grid day zero-fills and decays the statistic") {
+    // 3 observed days; type a: 1,1,7 (N=3, sum=9, dev=3x-9: -6,-6,12)
+    // type b: 2,2,2 (dev 0 everywhere); type c: 3,absent,absent
+    // (sum=3, dev: 6,-3,-3 -> S: 6 alarm, 3 quiet, 0)
+    val rows = Seq.tabulate(1)(_ => ()).flatMap { _ =>
+      def on(day: Int, n: Int, t: String) = Seq.fill(n)(
+        (1L, Timestamp.valueOf(f"2024-01-0$day%d 10:00:00"), t))
+      on(1, 1, "a") ++ on(2, 1, "a") ++ on(3, 7, "a") ++
+        on(1, 2, "b") ++ on(2, 2, "b") ++ on(3, 2, "b") ++
+        on(1, 3, "c")
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple)), evtSchema)
+    val out = Frontier.cusumDaily(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("a", "2024-01-01")) == ((0L, false)))
+    assert(out(("a", "2024-01-02")) == ((0L, false)))
+    assert(out(("a", "2024-01-03")) == ((12L, true)))   // 12 > 9
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach(day =>
+      assert(out(("b", day)) == ((0L, false))))
+    assert(out(("c", "2024-01-01")) == ((6L, true)))    // 6 > 3
+    assert(out(("c", "2024-01-02")) == ((3L, false)))   // 3 > 3 is false
+    assert(out(("c", "2024-01-03")) == ((0L, false)))
+    assert(out.size == 9)                               // dense 3x3 grid
+  }
 }

@@ -342,4 +342,32 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
     // the planted tail doc is in de's tail bucket
     assert(got.contains(("de", "tail")))
   }
+
+  test("rrfFuse: both-leg docs sum, single-leg docs score one term, " +
+      "absent leg reports rank 0, ties break by doc_id") {
+    val idSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("rank_s", IntegerType)))
+    def ranked(name: String, rows: (Long, Int)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromTuple)), idSchema)
+        .withColumnRenamed("rank_s", name)
+    // sparse: doc 10 rank1, doc 20 rank2; dense: doc 20 rank1, doc 30 rank2
+    val out = TextOps.rrfFuse(
+        ranked("rank_s", 10L -> 1, 20L -> 2),
+        ranked("rank_d", 20L -> 1, 30L -> 2), kR = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    def rrf(rs: Seq[Int]) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20 in BOTH legs outranks the two single-leg docs
+    assert(out.head == ((20L, 2, 1, rrf(Seq(2, 1)))))
+    // single-leg docs: 1/(60+1) > 1/(60+2); absent leg rank renders 0
+    assert(out(1) == ((10L, 1, 0, rrf(Seq(1)))))
+    assert(out(2) == ((30L, 0, 2, rrf(Seq(2)))))
+    // equal ranks on opposite legs tie exactly -> doc_id ascending
+    val tied = TextOps.rrfFuse(
+        ranked("rank_s", 5L -> 1), ranked("rank_d", 3L -> 1), kR = 60)
+      .collect().map(_.getLong(0))
+    assert(tied.toSeq == Seq(3L, 5L))
+  }
 }
