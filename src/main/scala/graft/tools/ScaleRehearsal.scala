@@ -69,7 +69,7 @@ object ScaleRehearsal {
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val regime = args.drop(2).headOption
-      .filter(Set("unique", "rot", "rel", "vocab", "users"))
+      .filter(Set("unique", "rot", "rel", "vocab", "users", "part"))
       .getOrElse("clone")
     val unique = regime == "unique"
     val rest =
@@ -85,7 +85,11 @@ object ScaleRehearsal {
     val marker = Paths.get(outDir, "_SCALE_READY")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(outDir))
-      val scaledRel = if (regime == "rel") Set("lineitem") else Set.empty[String]
+      val scaledRel: Set[String] = regime match {
+        case "rel"  => Set("lineitem")
+        case "part" => Set("part")
+        case _      => Set.empty
+      }
       for (t <- Tables.all
           if t != "documents" && t != "embeddings" && t != "events" &&
             !scaledRel(t))
@@ -104,6 +108,22 @@ object ScaleRehearsal {
           .drop("copy")
           .repartition(32, col("l_orderkey"))
           .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      }
+      // part regime: mult× the part population with per-copy cent
+      // offsets, so the skyline's per-(brand, cents) grid — the
+      // two-phase cumulative's input cardinality — grows ~mult× while
+      // the value RANGE stays put (finer grid, fatter 256-blocks: the
+      // q217 stress axis).
+      if (regime == "part") {
+        val p = spark.read.parquet(s"$srcDir/part.parquet")
+        val stride = p.agg(max(col("p_partkey"))).head.getLong(0) + 1L
+        p.crossJoin(spark.range(mult).toDF("copy"))
+          .withColumn("p_partkey", col("p_partkey") + col("copy") * lit(stride))
+          .withColumn("p_retailprice",
+            col("p_retailprice") + col("copy") * lit(0.01))
+          .drop("copy")
+          .repartition(32, col("p_partkey"))
+          .write.mode("overwrite").parquet(s"$outDir/part.parquet")
       }
       val alpha = "abcdefghijklmnopqrstuvwxyz"
       def rotAlpha(k: Int): String = {
