@@ -150,6 +150,42 @@ object Similarity {
   def md5BatchAnnTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
     batchAnnTopKBanded(vectors, queries, k, md5LshBuckets)
 
+  /** Retrieval-quality report (q225's body, exposed for planted-list
+    * specs): per query, recall / MRR / binary-relevance nDCG of a
+    * ranked candidate list `cand` (qid, vec_id, rn — 1-based) against
+    * a relevance set `truth` (qid, vec_id). recall divides by the
+    * per-query truth size; IDCG is the all-relevant-at-top prefix
+    * Σ 1/log2(i+1) over that size (computed as a sequential
+    * `aggregate` fold — no data-dependent summation order); DCG/MRR
+    * read only the integer ranks. The ≤10-term double sums carry the
+    * q49/q84 fold-order exposure, absorbed by round(4).
+    *
+    * Scale: both inputs are per-query top-k artifacts (|queries|·k
+    * rows); everything here is one equi-join on (qid, vec_id) plus a
+    * qid-keyed aggregate — report-sized, whatever the corpus was.
+    */
+  def retrievalEval(cand: DataFrame, truth: DataFrame): DataFrame = {
+    val tn = truth.groupBy(col("qid")).agg(count(lit(1)).as("truth_n"))
+    val j = cand.select(col("qid"), col("vec_id"), col("rn"))
+      .join(truth.select(col("qid"), col("vec_id"), lit(1).as("rel")),
+        Seq("qid", "vec_id"), "left")
+    j.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("rel"), lit(0))).as("hits"),
+        max(when(col("rel") === 1, lit(1.0) / col("rn"))).as("mrr_raw"),
+        sum(when(col("rel") === 1, lit(1.0) / log2(col("rn") + 1)))
+          .as("dcg"))
+      .join(tn, Seq("qid"))
+      .select(col("qid"), col("n_cand"),
+        round(col("hits").cast("double") / col("truth_n"), 4).as("recall"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 4).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) /
+          expr("aggregate(sequence(1L, truth_n), CAST(0 AS DOUBLE), " +
+            "(a, i) -> a + 1.0/log2(CAST(i AS DOUBLE) + 1))"), 4)
+          .as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
   private def batchAnnTopKBanded(vectors: DataFrame, queries: DataFrame,
       k: Int, bander: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -557,6 +593,106 @@ object Similarity {
                 FROM s)
               SELECT qid, vec_id, ROUND(sim, 4) AS sim, rn
               FROM r WHERE rn <= 3 ORDER BY qid, rn""")),
+
+    // Retrieval-quality report (see [[retrievalEval]]): recall / MRR /
+    // nDCG@10 of the MD5-LSH batched ANN against the exact cosine
+    // top-10 — the METRIC layer over the recall-style reports
+    // (q133/q197): rank-position-weighted quality, not just set
+    // overlap. Both legs are the hash-checked MD5 machinery, so the
+    // whole evaluation replays in SQL.
+    Q("q225_retrieval_ndcg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val v = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val queries = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim_raw").desc, col("vec_id"))
+        val truth = v.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("v"), col("qv")).as("sim_raw"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        retrievalEval(md5BatchAnnTopK(e, queries, k = 10), truth)
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+                FROM embeddings),
+              planes AS (
+                SELECT t, b,
+                       LIST(CAST(CAST('0x' || SUBSTR(MD5(t || ':' || b || ':' || i), 1, 8) AS BIGINT)
+                                 - 2147483648 AS DOUBLE) ORDER BY i) AS p
+                FROM generate_series(0, 3) AS ts(t),
+                     generate_series(0, 7) AS bs(b),
+                     generate_series(0, 63) AS ds(i)
+                GROUP BY t, b),
+              buckets AS (
+                SELECT v.vec_id, pl.t AS tbl,
+                       CAST(SUM(CASE WHEN list_sum(list_transform(
+                                        generate_series(1, LEN(v.a)),
+                                        j -> pl.p[j] * v.a[j])) >= 0
+                                     THEN CAST(1 << pl.b AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM v CROSS JOIN planes pl
+                GROUP BY v.vec_id, pl.t),
+              cand AS (
+                SELECT DISTINCT bq.vec_id AS qid, bv.vec_id
+                FROM buckets bv JOIN buckets bq
+                  ON bv.tbl = bq.tbl AND bv.bucket = bq.bucket
+                WHERE bq.vec_id < 5 AND bv.vec_id <> bq.vec_id),
+              s AS (
+                SELECT c.qid, c.vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(cv.a)),
+                         i -> cv.a[i] * qv.a[i]))
+                       / (SQRT(list_sum(list_transform(cv.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(qv.a, x -> x*x)))) AS sim
+                FROM cand c
+                JOIN v cv ON cv.vec_id = c.vec_id
+                JOIN v qv ON qv.vec_id = c.qid),
+              r AS (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY sim DESC, vec_id) AS rn
+                FROM s),
+              ex AS (
+                SELECT q.vec_id AS qid, v.vec_id,
+                       list_sum(list_transform(generate_series(1, LEN(v.a)),
+                         i -> v.a[i] * q.a[i]))
+                       / (SQRT(list_sum(list_transform(v.a, x -> x*x)))
+                        * SQRT(list_sum(list_transform(q.a, x -> x*x)))) AS sim
+                FROM v, v q WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id),
+              tr AS (
+                SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, vec_id) AS rn
+                  FROM ex) t WHERE rn <= 10),
+              tn AS (SELECT qid, COUNT(*) AS truth_n FROM tr GROUP BY 1),
+              ev AS (
+                SELECT r.qid, r.rn,
+                       CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS rel
+                FROM r LEFT JOIN tr
+                  ON tr.qid = r.qid AND tr.vec_id = r.vec_id
+                WHERE r.rn <= 10),
+              ag AS (
+                SELECT qid, COUNT(*) AS n_cand, SUM(rel) AS hits,
+                       MAX(CASE WHEN rel = 1
+                         THEN CAST(1 AS DOUBLE)/rn END) AS mrr_raw,
+                       SUM(CASE WHEN rel = 1
+                         THEN CAST(1 AS DOUBLE)/LOG2(rn + 1) END) AS dcg
+                FROM ev GROUP BY 1)
+              SELECT ag.qid, n_cand,
+                     ROUND(CAST(hits AS DOUBLE)/truth_n, 4) AS recall,
+                     ROUND(COALESCE(mrr_raw, 0), 4) AS mrr,
+                     ROUND(COALESCE(dcg, 0) /
+                       list_sum(list_transform(
+                         generate_series(1, CAST(truth_n AS BIGINT)),
+                         i -> CAST(1 AS DOUBLE)/LOG2(i + 1))), 4) AS ndcg
+              FROM ag JOIN tn USING (qid) ORDER BY qid""")),
 
     // Embedding near-dup GROUPS: the q35 cosine pair graph collapsed to
     // dedup clusters via connected components (min reachable vec_id) —

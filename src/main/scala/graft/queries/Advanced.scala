@@ -48,6 +48,61 @@ object Advanced {
         col("n_events"))
   }
 
+  /** q224's body on any (user_id, event_type, ts, event_id) frame —
+    * the POINT-IN-TIME lookup join (the feature-store staple): each
+    * `probeType` event joins the state run (from the OTHER events'
+    * q176-style gaps-and-islands history) valid AT its instant —
+    * state = the latest non-probe event at-or-before (ts, event_id),
+    * `since` = that run's start. Events before any state emit NULLs
+    * (the cold-start contract; an outer "unknown" default is one
+    * coalesce away).
+    *
+    * Scale shape: the correct distributed form of an interval
+    * containment join — NO range join anywhere. Runs get their
+    * valid_from via per-user windows over the state subset; then ONE
+    * union of both streams rides ONE user-keyed window whose running
+    * `last(state struct, ignoreNulls)` carries the open run onto every
+    * probe row. Everything keys on user_id: one exchange carries the
+    * whole plan, and a probe row costs O(1) state regardless of how
+    * many intervals precede it (the naive per-probe interval probe is
+    * a range join that explodes on hot users). Same-instant rule:
+    * the global (ts, event_id) order decides — a state event with a
+    * smaller event_id at the same timestamp is already visible.
+    */
+  def statePitJoin(events: DataFrame, probeType: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val states = events.filter(col("event_type") =!= probeType)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wU).isNull ||
+          lag(col("event_type"), 1).over(wU) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("vf", min(col("ts")).over(
+        Window.partitionBy(col("user_id"), col("island"))))
+    val tagged = states
+      .select(col("user_id"), col("ts"), col("event_id"),
+        struct(col("event_type").as("state"), col("vf").as("since"))
+          .as("dim"),
+        lit(null).cast("long").as("probe_id"))
+      .unionByName(events.filter(col("event_type") === probeType)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("struct<state:string,since:timestamp>").as("dim"),
+          col("event_id").as("probe_id")))
+    tagged
+      .withColumn("cur", last(col("dim"), ignoreNulls = true).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("probe_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("cur.state").as("state"),
+        date_format(col("cur.since"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("since"))
+      .orderBy(col("event_id"))
+  }
+
   /** q208's fold on any (user_id, ts, event_id, value) frame —
     * exposed so TrendSpec can plant out-of-order and tied sequences. */
   def ewmaTrend(events: DataFrame, alpha: Double): DataFrame = {
@@ -2164,6 +2219,50 @@ object Advanced {
               SELECT src, ROUND(c6 / 1000000.0, 4) AS credit,
                      ROUND(c6 / 1000000.0
                        / (SELECT COUNT(*) FROM conv), 4) AS share
-              FROM credits ORDER BY 1"""))
+              FROM credits ORDER BY 1""")),
+
+    // Point-in-time SCD2 lookup join (see [[statePitJoin]]): every
+    // purchase joined to the state run (from the other events'
+    // gaps-and-islands history) valid at its instant — the
+    // training-data feature join that must NOT leak the future.
+    Q("q224_pit_join",
+      (s, d) => statePitJoin(t(s, d, "events"), probeType = "purchase"),
+      Some("""WITH np AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM
+                         event_type THEN 1 ELSE 0 END AS chg
+                FROM events WHERE event_type <> 'purchase'
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              isl AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(chg) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS island
+                FROM np),
+              runs AS (
+                SELECT user_id, ts, event_id, event_type,
+                       MIN(ts) OVER (PARTITION BY user_id, island) AS vf
+                FROM isl),
+              u AS (
+                SELECT user_id, ts, event_id,
+                       {'state': event_type, 'since': vf} AS dim,
+                       CAST(NULL AS BIGINT) AS probe_id
+                FROM runs
+                UNION ALL
+                SELECT user_id, ts, event_id, NULL AS dim,
+                       event_id AS probe_id
+                FROM events WHERE event_type = 'purchase'),
+              c AS (
+                SELECT *,
+                       LAST_VALUE(dim IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cur
+                FROM u)
+              SELECT event_id, user_id,
+                     STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                     cur.state AS state,
+                     STRFTIME(cur.since, '%Y-%m-%d %H:%M:%S.%f') AS since
+              FROM c WHERE probe_id IS NOT NULL
+              ORDER BY event_id"""))
   )
 }

@@ -129,4 +129,36 @@ class RetrievalSpec extends AnyFunSuite with TestSpark {
       .queryExecution.executedPlan.toString
     assert(p85.contains("TopKPerKey"), s"q85 lost the TopKPerKey rewrite:\n$p85")
   }
+
+  test("retrievalEval: perfect list = all ones; first hit at rank 2 " +
+      "pins MRR/nDCG exactly; disjoint list zeroes") {
+    val ptSchema = StructType(Seq(
+      StructField("qid", LongType), StructField("vec_id", LongType),
+      StructField("rn", IntegerType)))
+    def df(rows: (Long, Long, Int)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple)), ptSchema)
+    def truthOf(rows: (Long, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (q, v) => Row(q, v, 0) }), ptSchema)
+      .select(org.apache.spark.sql.functions.col("qid"),
+        org.apache.spark.sql.functions.col("vec_id"))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = graft.llm.Similarity.retrievalEval(
+      df((1L, 10L, 1), (1L, 11L, 2),        // perfect 2-of-2
+        (2L, 90L, 1), (2L, 10L, 2), (2L, 91L, 3),  // hit only at rank 2
+        (3L, 90L, 1)),                      // disjoint
+      truthOf((1L, 10L), (1L, 11L),
+        (2L, 10L), (2L, 11L),
+        (3L, 10L)))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((2L, 1.0, 1.0, 1.0)))
+    // q2: recall 1/2; mrr 1/2; dcg = 1/log2(3); idcg = 1 + 1/log2(3)
+    val dcg = 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(out(2L) == ((3L, 0.5, 0.5, r4(dcg / (1.0 + dcg)))))
+    assert(out(3L) == ((1L, 0.0, 0.0, 0.0)))
+  }
 }

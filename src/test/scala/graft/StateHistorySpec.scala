@@ -66,4 +66,32 @@ class StateHistorySpec extends AnyFunSuite with TestSpark {
     // would surface as a SinglePartition exchange
     assert(!plan.contains("SinglePartition"), s"global window in plan:\n$plan")
   }
+
+  test("statePitJoin: cold start NULLs, run-start since, same-instant " +
+      "smaller-id state visible, later runs picked") {
+    // user 1: A(10:00) A(10:05) purchase(10:07) B(10:10) purchase(10:12)
+    //   -> first purchase sees run A since 10:00; second sees B since 10:10
+    // user 2: purchase(09:00) before any state -> NULL state/since
+    // user 3: state A and purchase at the SAME ts, state id smaller ->
+    //   the purchase sees A
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+        Row(2L, ts("2024-01-01 10:05:00"), 1L, "A"),
+        Row(3L, ts("2024-01-01 10:07:00"), 1L, "purchase"),
+        Row(4L, ts("2024-01-01 10:10:00"), 1L, "B"),
+        Row(5L, ts("2024-01-01 10:12:00"), 1L, "purchase"),
+        Row(6L, ts("2024-01-01 09:00:00"), 2L, "purchase"),
+        Row(7L, ts("2024-01-01 11:00:00"), 3L, "A"),
+        Row(8L, ts("2024-01-01 11:00:00"), 3L, "purchase"))),
+      schema)
+    val out = Advanced.statePitJoin(df, "purchase").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)),
+        Option(r.getString(4))))).toMap
+    assert(out(3L) == ((Some("A"), Some("2024-01-01 10:00:00.000000"))))
+    assert(out(5L) == ((Some("B"), Some("2024-01-01 10:10:00.000000"))))
+    assert(out(6L) == ((None, None)))
+    assert(out(8L) == ((Some("A"), Some("2024-01-01 11:00:00.000000"))))
+    assert(out.size == 4)
+  }
 }
