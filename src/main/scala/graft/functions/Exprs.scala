@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -1176,6 +1176,22 @@ object GraftExtensions {
       require(a > 0.0 && a <= 1.0, s"graft_ewma: alpha in (0,1], got $a")
       EwmaFold(es.head, a)
     }),
+    d("graft_holt", classOf[HoltFold], { es =>
+      // alpha and beta must be literals (part of the expression)
+      def p(e: Expression, name: String): Double = {
+        require(e.foldable, s"graft_holt expects a literal $name")
+        val v = e.eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_holt: $name must be numeric, got $other")
+        }
+        require(v > 0.0 && v <= 1.0, s"graft_holt: $name in (0,1], got $v")
+        v
+      }
+      HoltFold(es.head, p(es(1), "alpha"), p(es(2), "beta"))
+    }),
     d("graft_media_phash", classOf[MediaPHash64], { es =>
       // optional second arg: a literal bucket-grid size (part of the
       // expression, like graft_winnow_min's window)
@@ -1609,6 +1625,80 @@ case class EwmaFold(child: Expression, alpha: Double)
     copy(child = newChild)
 }
 
+/** Holt double-exponential smoothing over an ORDERED array of doubles
+  * — EwmaFold's two-state sibling for trending series: the left fold
+  *
+  *   l_1 = x_1, b_1 = 0;
+  *   l_t = alpha·x_t + (1-alpha)·(l_{t-1} + b_{t-1});
+  *   b_t = beta·(l_t - l_{t-1}) + (1-beta)·b_{t-1}
+  *
+  * returning struct<level, trend> after the last element — EWMA lags a
+  * trending series by design, Holt's trend state closes the gap, and
+  * the h-step forecast is level + h·trend. One codegen'd O(n) pass;
+  * (1-alpha)/(1-beta) are computed AT FOLD TIME exactly as a SQL
+  * oracle spelling `(1.0 - 0.3)` computes them (NOT pre-folded
+  * literals — `1.0-0.3` and the literal `0.7` are different doubles),
+  * so a recursive-CTE replay is bit-identical, the q208 convention.
+  * Same contract as EwmaFold: ≥1 non-null element, nulls contribute
+  * nothing, per-key arrays are the bounded-stream shape; the
+  * (level, trend) pair is the affine carry for an unbounded-stream
+  * block decomposition.
+  */
+case class HoltFold(child: Expression, alpha: Double, beta: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("level", DoubleType, nullable = false),
+    StructField("trend", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_holt"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName expects array<DOUBLE> — " +
+            s"cast the values — got ${t.sql}")
+    }
+
+  def compute(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    var l = 0.0
+    var b = 0.0
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = a.getDouble(i)
+        if (!seen) { l = x; b = 0.0; seen = true }
+        else {
+          val l0 = l
+          l = alpha * x + (1.0 - alpha) * (l + b)
+          b = beta * (l - l0) + (1.0 - beta) * b
+        }
+      }
+      i += 1
+    }
+    require(seen, "graft_holt: no non-null elements")
+    InternalRow.fromSeq(Seq(l, b))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("holtFold", this, classOf[HoltFold].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions (requires a session built
   * with GraftExtensions — `graft.core.Session.builder` wires it in).
   */
@@ -1648,6 +1738,14 @@ object Fns {
   def ewma(values: Column, alpha: Double): Column =
     call_function("graft_ewma", dbl(values),
       org.apache.spark.sql.functions.lit(alpha))
+
+  /** Final Holt (level, trend) struct of an ordered array of values
+    * (see HoltFold): the double-exponential fold, bit-identical to a
+    * recursive-CTE replay with the same `(1.0 - alpha)` spelling. */
+  def holt(values: Column, alpha: Double, beta: Double): Column =
+    call_function("graft_holt", dbl(values),
+      org.apache.spark.sql.functions.lit(alpha),
+      org.apache.spark.sql.functions.lit(beta))
 
   /** Distinct xxhash64 values of 3-gram word shingles of a token array. */
   def shingleHashes(tokens: Column): Column =

@@ -119,6 +119,27 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** q226's fold on any (user_id, ts, event_id, value) frame — exposed
+    * so TrendSpec can plant linear and constant streams. Forecast is
+    * the 1-step Holt projection level + trend. */
+  def holtTrend(events: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    val seq = sort_array(collect_list(
+      struct(col("ts"), col("event_id"), col("value"))))
+    events
+      .groupBy(col("user_id"))
+      .agg(seq.as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        graft.functions.Fns.holt(
+          transform(col("seq"), x => x.getField("value")), alpha, beta)
+          .as("h"))
+      .select(col("user_id"), col("n_events"),
+        round(col("h.level"), 4).as("level"),
+        round(col("h.trend"), 4).as("trend"),
+        round(col("h.level") + col("h.trend"), 4).as("forecast"))
+      .orderBy(col("user_id"))
+  }
+
   /** q210's closed form on any (user_id, ts, value) frame — exposed so
     * TrendSpec can plant exactly-linear and zero-variance streams. */
   def userTrend(events: DataFrame): DataFrame = {
@@ -2263,6 +2284,41 @@ object Advanced {
                      cur.state AS state,
                      STRFTIME(cur.since, '%Y-%m-%d %H:%M:%S.%f') AS since
               FROM c WHERE probe_id IS NOT NULL
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // Holt double-exponential trend per user (see [[holtTrend]] and
+    // functions.HoltFold): final (level, trend) + the 1-step forecast —
+    // q208's EWMA lags a trending stream by design; Holt's trend state
+    // is the standard fix. Same per-user collected-stream shape as
+    // q208 (one user-keyed exchange, native codegen'd fold map-side
+    // after it); the oracle replays the recurrence as a recursive CTE
+    // with the identical (1.0 - alpha) spelling, so the match is
+    // bit-exact before the display rounding.
+    Q("q226_holt_trend",
+      (s, d) => holtTrend(t(s, d, "events"), alpha = 0.3, beta = 0.2),
+      Some("""WITH RECURSIVE e AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn
+                FROM events),
+              n AS (SELECT user_id, COUNT(*) AS n_events
+                    FROM e GROUP BY 1),
+              h AS (
+                SELECT user_id, rn, value AS l, CAST(0 AS DOUBLE) AS b
+                FROM e WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.rn,
+                       0.3*e.value + (1.0 - 0.3)*(h.l + h.b),
+                       0.2*((0.3*e.value + (1.0 - 0.3)*(h.l + h.b)) - h.l)
+                         + (1.0 - 0.2)*h.b
+                FROM h JOIN e
+                  ON e.user_id = h.user_id AND e.rn = h.rn + 1)
+              SELECT h.user_id, n.n_events,
+                     ROUND(h.l, 4) AS level,
+                     ROUND(h.b, 4) AS trend,
+                     ROUND(h.l + h.b, 4) AS forecast
+              FROM h JOIN n ON n.user_id = h.user_id
+                           AND h.rn = n.n_events
+              ORDER BY h.user_id"""))
   )
 }

@@ -348,4 +348,35 @@ class FnsSpec extends AnyFunSuite with TestSpark {
       spark.sql("SELECT graft_ewma(array(1.0d), 1.5d)").collect()
     }
   }
+
+  test("graft_holt: fold semantics, null skip, analysis-time guards") {
+    // [1, 2, 3] with alpha=.5, beta=.5:
+    // l1=1 b1=0; l2=.5*2+.5*1=1.5, b2=.5*.5+.5*0=.25;
+    // l3=.5*3+.5*1.75=2.375, b3=.5*.875+.5*.25=.5625
+    val r = spark.sql(
+      "SELECT graft_holt(array(1.0d, 2.0d, 3.0d), 0.5d, 0.5d) AS h," +
+        " graft_holt(array(7.5d), 0.5d, 0.5d) AS single," +
+        " graft_holt(array(1.0d, CAST(NULL AS DOUBLE), 3.0d), 0.5d, 0.5d)" +
+        "   AS sk," +
+        " graft_holt(CAST(NULL AS ARRAY<DOUBLE>), 0.5d, 0.5d) AS n")
+      .collect().head
+    assert(r.getStruct(0).getDouble(0) == 2.375)
+    assert(r.getStruct(0).getDouble(1) == 0.5625)
+    assert(r.getStruct(1).getDouble(0) == 7.5 &&
+      r.getStruct(1).getDouble(1) == 0.0)
+    // null element skipped: fold over [1, 3] -> l=2, b=0.5
+    assert(r.getStruct(2).getDouble(0) == 2.0)
+    assert(r.getStruct(2).getDouble(1) == 0.5)
+    assert(r.isNullAt(3))
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_holt(array(1, 2), 0.5d, 0.5d)").collect()
+    }
+    assert(e1.getMessage.contains("array<DOUBLE>"))
+    val e2 = intercept[Exception] {
+      spark.range(1)
+        .selectExpr("graft_holt(array(1.0d), CAST(id AS DOUBLE), 0.5d)")
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
 }

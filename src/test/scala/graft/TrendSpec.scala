@@ -204,4 +204,34 @@ class TrendSpec extends AnyFunSuite with TestSpark {
     }
     assert(bad.isEmpty, s"corpus-sized unpartitioned window: $bad")
   }
+
+  test("holt trend: exactly-linear stream is tracked with zero lag, " +
+      "constant stream pins zero trend, forecast extends the line") {
+    // user 1: perfectly linear 10, 20, 30 -> Holt (any alpha/beta)
+    // cannot track a ramp exactly from b1=0, but with alpha=1 the level
+    // follows x exactly and trend converges; use alpha=1.0, beta=1.0:
+    // l=10 b=0; l=20 b=10; l=30 b=10 -> forecast 40
+    val lin = events(
+      (1L, "2024-01-01 00:00:01", 1L, 10.0),
+      (2L, "2024-01-01 00:00:02", 1L, 20.0),
+      (3L, "2024-01-01 00:00:03", 1L, 30.0),
+      // user 2: constant 5s -> level 5, trend 0 at ANY smoothing
+      (4L, "2024-01-01 00:00:01", 2L, 5.0),
+      (5L, "2024-01-01 00:00:02", 2L, 5.0),
+      (6L, "2024-01-01 00:00:03", 2L, 5.0))
+    val out = Advanced.holtTrend(lin, alpha = 1.0, beta = 1.0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((3L, 30.0, 10.0, 40.0)))
+    assert(out(2L) == ((3L, 5.0, 0.0, 5.0)))
+    // out-of-order input folds in (ts, event_id) order like q208
+    val ooo = events(
+      (3L, "2024-01-01 00:00:03", 7L, 30.0),
+      (1L, "2024-01-01 00:00:01", 7L, 10.0),
+      (2L, "2024-01-01 00:00:02", 7L, 20.0))
+    val o = Advanced.holtTrend(ooo, 1.0, 1.0).collect().head
+    assert((o.getDouble(2), o.getDouble(3), o.getDouble(4)) ==
+      ((30.0, 10.0, 40.0)))
+  }
 }
