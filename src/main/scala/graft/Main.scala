@@ -285,6 +285,16 @@ object Main {
           println(s"trend landing=$landingDir out=$outDir " +
             s"alpha=$alpha idle_ms=$idleMs levels=$n")
 
+        case "cusum" :: landingDir :: baselinePath :: outDir :: idleMs ::
+            rest if rest.length <= 1 =>
+          val q = graft.streaming.StreamingCusum.start(spark, landingDir,
+            baselinePath, outDir, idleMs.toLong,
+            rest.headOption.getOrElse("10 seconds"))
+          q.awaitTermination()
+          val n = spark.read.parquet(s"$outDir/cusum").count()
+          println(s"cusum landing=$landingDir baseline=$baselinePath " +
+            s"out=$outDir idle_ms=$idleMs days=$n")
+
         case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
           graft.etl.Writers.zorderParquet(
             spark.read.parquet(in), c1, c2, out)
@@ -701,6 +711,7 @@ object Main {
         |  upsert-recover-parts <tableDir>
         |  track <landingDir> <outDir> <idleMs> [watermarkDelay]
         |  trend <landingDir> <outDir> <alpha> <idleMs> [watermarkDelay]
+        |  cusum <landingDir> <baselineParquet> <outDir> <idleMs> [watermarkDelay]
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
+
+/** Always-on CUSUM volume-drift monitor — the streaming form of the
+  * batch q223 (`Frontier.cusumDaily`), run against a STORED baseline
+  * instead of the stream's own mean (the textbook CUSUM-vs-target
+  * deployment, and the StreamingDq artifact pattern: monitor alerts
+  * and the offline report share one reference). The baseline carries
+  * per type the RATIONAL expected daily rate as the exact integer pair
+  * (sum_t, n_days) — q223's own quantities over a history window — so
+  * the increment `S := max(0, S + n_days·x − sum_t)` is the identical
+  * integer arithmetic, no float anywhere.
+  *
+  * Day-close semantics (arrival-order, the StateTracker contract): a
+  * type's open day FINALIZES — one row emitted, S updated — when an
+  * event of a LATER day arrives; skipped quiet days in between each
+  * fold x = 0 (one decay row apiece, q223's dense-grid rule).
+  * Stragglers into a finalized day and replays (at-or-before the
+  * (ts, event_id) watermark) are no-ops; the late-data-correct
+  * statistic is what the batch q223 recompute is for. Event-time idle
+  * timeout finalizes the open day (closed_by = "idle") and REMOVES the
+  * state — bounded by the ACTIVE type population, though |types| is
+  * usually bounded by contract anyway. State is one 5-field struct per
+  * type.
+  *
+  * Types absent from the baseline are DROPPED (documented contract —
+  * an unknown type has no target to drift from; extend the baseline
+  * and replay to cover it).
+  */
+object StreamingCusum {
+
+  final case class CusumEv(event_type: String, ts: Timestamp, event_id: Long)
+  /** Per-type baseline: expected daily rate sum_t / n_days, exact. */
+  final case class CusumBase(event_type: String, sum_t: Long, n_days: Long)
+  final case class CusumState(day: Long, dayCount: Long, s: Long,
+      lastMs: Long, lastId: Long)
+  /** One row per FINALIZED (type, day): the day's count, the CUSUM
+    * statistic after folding it, and the alarm flag (S > sum_t, q223's
+    * rule). closed_by is null for rollover-closed days, "idle" for the
+    * open day an eviction finalizes. */
+  final case class CusumOut(event_type: String, day: String, x: Long,
+      cusum: Long, alarm: Boolean, closed_by: String)
+
+  private val MsPerDay = 86400000L
+
+  private def dayStr(day: Long): String =
+    java.time.LocalDate.ofEpochDay(day).toString
+
+  /** Fold a batch's events into the state, emitting finalized days. */
+  private def fold(base: CusumBase, st: CusumState,
+      evs: Iterator[CusumEv]): (CusumState, Seq[CusumOut]) = {
+    var s = st
+    val out = Seq.newBuilder[CusumOut]
+    def close(day: Long, x: Long, cusum: Long): Long = {
+      val next = math.max(0L, cusum + base.n_days * x - base.sum_t)
+      out += CusumOut(base.event_type, dayStr(day), x, next,
+        next > base.sum_t, null)
+      next
+    }
+    evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      val day = Math.floorDiv(t, MsPerDay)
+      if (s == null)
+        s = CusumState(day, 1L, 0L, t, e.event_id)
+      else if (t > s.lastMs || (t == s.lastMs && e.event_id > s.lastId)) {
+        // day is a monotone function of ts, so t > lastMs implies
+        // day >= s.day — an applied event never lands in a closed day
+        if (day == s.day)
+          s = CusumState(day, s.dayCount + 1, s.s, t, e.event_id)
+        else {
+          var cusum = close(s.day, s.dayCount, s.s)
+          var d = s.day + 1
+          while (d < day) { cusum = close(d, 0L, cusum); d += 1 }
+          s = CusumState(day, 1L, cusum, t, e.event_id)
+        }
+      }
+      // else: replay at-or-before the watermark — no-op
+    }
+    (s, out.result())
+  }
+
+  /** The monitor as a typed stream transform. `baseline` is the small
+    * per-type artifact (read it with [[readBaseline]]); `ds` must
+    * carry a watermark on `ts` for the idle timeout. */
+  def alarms(ds: Dataset[CusumEv], baseline: Map[String, CusumBase],
+      idleMs: Long): Dataset[CusumOut] = {
+    import ds.sparkSession.implicits._
+    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
+    require(baseline.nonEmpty, "empty CUSUM baseline")
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, evs: Iterator[CusumEv], state) =>
+          baseline.get(tpe) match {
+            case None => Iterator.empty // no target: dropped by contract
+            case Some(base) =>
+              if (state.hasTimedOut) {
+                val st = state.get
+                state.remove()
+                val next = math.max(0L,
+                  st.s + base.n_days * st.dayCount - base.sum_t)
+                Iterator.single(CusumOut(tpe, dayStr(st.day), st.dayCount,
+                  next, next > base.sum_t, "idle"))
+              } else {
+                val before = state.getOption.orNull
+                val (after, rows) = fold(base, before, evs)
+                if (after ne before) {
+                  state.update(after)
+                  state.setTimeoutTimestamp(after.lastMs + idleMs)
+                }
+                rows.iterator
+              }
+          }
+      }
+  }
+
+  /** Read the per-type baseline artifact (event_type, sum_t, n_days)
+    * — |types|-sized, a bounded collect by contract. */
+  def readBaseline(spark: SparkSession, path: String): Map[String, CusumBase] = {
+    import spark.implicits._
+    val m = spark.read.parquet(path)
+      .select("event_type", "sum_t", "n_days")
+      .as[CusumBase].collect()
+      .map(b => b.event_type -> b).toMap
+    require(m.nonEmpty, s"CUSUM baseline at $path is empty")
+    m
+  }
+
+  /** File-landing wiring (the StreamingTrend.startLevels shape):
+    * parquet event drops under `landingDir` stream through [[alarms]]
+    * into `outDir/cusum`, exactly-once per file via the checkpoint. */
+  def start(spark: SparkSession, landingDir: String, baselinePath: String,
+      outDir: String, idleMs: Long, watermarkDelay: String = "10 seconds",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val base = readBaseline(spark, baselinePath)
+    val evs = spark.readStream
+      .schema(Encoders.product[CusumEv].schema)
+      .parquet(landingDir)
+      .withWatermark("ts", watermarkDelay)
+      .as[CusumEv]
+    alarms(evs, base, idleMs).writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode("append")
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", s"$outDir/cusum")
+      .start()
+  }
+}
