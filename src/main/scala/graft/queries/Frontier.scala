@@ -386,6 +386,84 @@ object Frontier {
               JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
               GROUP BY d.day ORDER BY day""")),
 
+    // TPC-H Q14 (promo revenue share): one month's shipped revenue
+    // split by whether the part is PROMO-typed. Shape: the date filter
+    // pushes to the lineitem scan, the part dimension broadcasts, and
+    // the conditional split is ONE aggregate with two CASE sums — not
+    // two scans. DECIMAL sums round(2) BEFORE the double cast; the
+    // share is one double division rounded 4 (the q205 discipline).
+    Q("q227_tpch_q14",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-02-01"))
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(sum(when(col("p_type") === "PROMO", rev)), 2)
+              .cast("double").as("promo_revenue"),
+            round(sum(rev), 2).cast("double").as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            round(lit(100.0) * col("promo_revenue") /
+              col("total_revenue"), 4).as("promo_share"))
+      },
+      Some("""SELECT promo_revenue, total_revenue,
+                     ROUND(100.0 * promo_revenue / total_revenue, 4)
+                       AS promo_share
+              FROM (
+                SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN
+                         CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(4,2)) END), 2)
+                       AS DOUBLE) AS promo_revenue,
+                       CAST(ROUND(SUM(
+                         CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(4,2))), 2)
+                       AS DOUBLE) AS total_revenue
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-02-01') t""")),
+
+    // TPC-H Q19 shape (disjunctive multi-attribute predicates): revenue
+    // from lines matching any of three (brand, size-range, qty-range)
+    // triples — the OR-of-ANDs join residual that exercises predicate
+    // normalization. Shape: the common `p_size >= 1` conjunct and the
+    // partkey equi-key stay pushable; the dimension broadcasts; the
+    // disjunction evaluates as ONE residual, never three scans.
+    Q("q228_tpch_q19",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+        val cond =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 30))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey") && cond)
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(rev), 2).cast("double").as("revenue"))
+      },
+      Some("""SELECT COUNT(*) AS n_lines,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                       AS revenue
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                     AND l_quantity BETWEEN 20 AND 30)""")),
+
     // CUSUM drift detection on per-type daily volumes (see
     // [[cusumDaily]]): exact N-scaled integer fold, alarm when the
     // cumulative excess over the type's own mean exceeds one total.
