@@ -2875,6 +2875,26 @@ object Dedup {
               SELECT n AS doc_id, CAST(deg AS BIGINT) AS deg
               FROM fin ORDER BY doc_id""")),
 
+    // Degree histogram of the pair graph — node count per degree
+    // value, the one-glance shape check (clean near-dup corpora are
+    // flat-low-degree; a heavy tail says boilerplate hubs) read before
+    // the per-node diagnostics (q177/q181/q220/q222). Output bounded
+    // by |distinct degrees|; two map-side-combined aggregates over the
+    // pair table.
+    Q("q230_degree_histogram",
+      (s, d) => {
+        val p = hashJaccardPairs(docs(s, d), minJaccard = 0.6)
+        p.select(col("d1").as("n")).unionAll(p.select(col("d2").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+          .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("deg"))
+      },
+      Some(pairGraphOraclePrefix + """,
+              dg AS (SELECT src, COUNT(*) AS deg
+                     FROM edges GROUP BY 1)
+              SELECT deg, COUNT(*) AS n_nodes
+              FROM dg GROUP BY deg ORDER BY deg""")),
+
     // LSH banding calibration report (see [[bandRecallReport]]): recall
     // and precision of the (2x8)/(4x4)/(8x2) splits of the one 16-slot
     // MD5 signature against the true Jaccard >= 0.5 pair set. Every

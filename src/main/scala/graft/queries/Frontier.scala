@@ -162,6 +162,46 @@ object Frontier {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** q231's exact Gini fold on any (id, x4) frame with non-negative
+    * DECIMAL(38,0) values — exposed for planted specs. Returns one row
+    * (n DECIMAL-cast long, sx DECIMAL, gini double): G = (2·Σ rank·x −
+    * (n+1)·Σx)/(n·Σx) over ascending (x4, id) ranks, every sum exact
+    * DECIMAL(38,0), ONE double division. The global rank is the
+    * q209/q193 two-phase block shape — 256 uniform value blocks, local
+    * row_number per block (ties share a block: blk is a function of x4
+    * alone), exclusive count offsets from a window over the block
+    * summaries — so the population never sorts in one task.
+    */
+  def giniExact(rev: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bounds = rev.agg(min(col("x4")).cast("double").as("lo"),
+      max(col("x4")).cast("double").as("hi"))
+    val blocked = rev.crossJoin(broadcast(bounds))
+      .withColumn("blk", least(lit(255L), greatest(lit(0L),
+        floor((col("x4").cast("double") - col("lo")) * 256.0 /
+          (col("hi") - col("lo") + 1e-9)).cast("long"))))
+      .drop("lo", "hi")
+    val wLoc = Window.partitionBy(col("blk"))
+      .orderBy(col("x4"), col("id"))
+    val wOff = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blocked.groupBy(col("blk"))
+      .agg(count(lit(1)).as("bn"))
+      .select(col("blk"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
+    blocked
+      .withColumn("lrn", row_number().over(wLoc))
+      .join(broadcast(offs), Seq("blk"))
+      .select(col("x4"), (col("lrn") + col("off")).cast(dec).as("rank"))
+      .agg(count(lit(1)).cast(dec).as("nD"),
+        sum(col("x4")).as("sx"),
+        sum(col("rank") * col("x4")).as("srx"))
+      .select(col("nD").cast("long").as("n"), col("sx"),
+        round((lit(2) * col("srx") - (col("nD") + 1) * col("sx"))
+          .cast("double") /
+          (col("nD") * col("sx")).cast("double"), 6).as("gini"))
+  }
+
   /** q220's Pearson fold on any directed edge list with integer-valued
     * per-row x/y — exposed for [[graft.llm.Dedup.degreeAssortativity]]
     * and the spec's planted graphs. Sums accumulate in DECIMAL(38,0)
@@ -463,6 +503,91 @@ object Frontier {
                      AND l_quantity BETWEEN 10 AND 20)
                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
                      AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // DAU/WAU stickiness — per observed day, the 1-day and trailing
+    // 7-day distinct-user counts and their ratio (the growth-analytics
+    // staple). Both counts are [[rollingDistinctUsers]] runs (window
+    // 1 = plain DAU), joined on the |days|-sized grid; the ratio is
+    // ONE double division rounded 4. Scale = two q219 envelopes plus
+    // a summary-sized join.
+    Q("q229_stickiness",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dau = rollingDistinctUsers(ev, 1)
+          .withColumnRenamed("users_7d", "dau")
+        val wau = rollingDistinctUsers(ev, 7)
+          .withColumnRenamed("users_7d", "wau")
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 4)
+              .as("stickiness"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+              days AS (SELECT DISTINCT day FROM ud),
+              dau AS (
+                SELECT d.day, COUNT(DISTINCT u.user_id) AS dau
+                FROM days d JOIN ud u ON u.day = d.day
+                GROUP BY d.day),
+              wau AS (
+                SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+                FROM days d
+                JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+                GROUP BY d.day)
+              SELECT STRFTIME(dau.day, '%Y-%m-%d') AS day, dau, wau,
+                     ROUND(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+              FROM dau JOIN wau ON wau.day = dau.day
+              ORDER BY day""")),
+
+    // Gini coefficient of supplier revenue — the single-number
+    // concentration complement to q193's ABC classes: G =
+    // (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over ascending (revenue,
+    // suppkey) ranks. Revenue rides exact e4-scaled integers (the
+    // decimal(18,2)×(4,2) product has scale 4, so ×10000 is integral)
+    // and every sum is DECIMAL(38,0) — the statistic has ONE double
+    // division at the end. The global rank runs the q209 two-phase
+    // block shape: 256 uniform value blocks, local row_number per
+    // block, exclusive count offsets from a window over the block
+    // summaries — the supplier population scales with the corpus and
+    // never sorts in one task.
+    Q("q231_gini",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("id"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+              .as("r"))
+          .groupBy(col("id"))
+          .agg((sum(col("r")) * 10000).cast("decimal(38,0)").as("x4"))
+        giniExact(rev)
+          .select(col("n").as("n_suppliers"),
+            round((col("sx") / 10000).cast("double"), 2)
+              .as("total_revenue"),
+            col("gini"))
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                         * 10000 AS HUGEINT) AS x4
+                FROM lineitem GROUP BY 1),
+              rk AS (
+                SELECT x4,
+                       CAST(ROW_NUMBER() OVER (ORDER BY x4, l_suppkey)
+                         AS HUGEINT) AS rank
+                FROM rev),
+              s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x4) AS sx,
+                       SUM(rank * x4) AS srx
+                FROM rk)
+              SELECT CAST(n AS BIGINT) AS n_suppliers,
+                     ROUND(CAST(sx AS DOUBLE) / 10000, 2)
+                       AS total_revenue,
+                     ROUND(CAST(2*srx - (n+1)*sx AS DOUBLE) /
+                       CAST(n*sx AS DOUBLE), 6) AS gini
+              FROM s""")),
 
     // CUSUM drift detection on per-type daily volumes (see
     // [[cusumDaily]]): exact N-scaled integer fold, alarm when the

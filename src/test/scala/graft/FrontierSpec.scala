@@ -214,4 +214,27 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     assert(out(("c", "2024-01-03")) == ((0L, false)))
     assert(out.size == 9)                               // dense 3x3 grid
   }
+
+  // ---- giniExact ------------------------------------------------------
+
+  test("gini: hand-computed values, perfect equality pins zero, " +
+      "single-holder concentration approaches (n-1)/n") {
+    val giniSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("x4", DecimalType(38, 0))))
+    def g(xs: Long*): (Long, Double) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.zipWithIndex.map { case (x, i) =>
+          Row(i.toLong, new java.math.BigDecimal(x)) }),
+        giniSchema)
+      val r = Frontier.giniExact(df).collect().head
+      (r.getLong(0), r.getDouble(2))
+    }
+    // [1,2,3,4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+    assert(g(1L, 2L, 3L, 4L) == ((4L, 0.25)))
+    // perfect equality -> 0 at any n
+    assert(g(7L, 7L, 7L, 7L, 7L) == ((5L, 0.0)))
+    // one holder of everything: G = (n-1)/n = 0.75 at n=4
+    assert(g(0L, 0L, 0L, 100L) == ((4L, 0.75)))
+  }
 }
