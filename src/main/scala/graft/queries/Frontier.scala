@@ -589,6 +589,122 @@ object Frontier {
                        CAST(n*sx AS DOUBLE), 6) AS gini
               FROM s""")),
 
+    // TPC-H Q7 shape (volume shipping): revenue between two trading
+    // nations, per (supplier nation, customer nation, ship year),
+    // counting BOTH directions of the pair. Shape: both nation dims
+    // broadcast into their fact sides BEFORE the big join, so the
+    // direction disjunction evaluates over two pre-tagged slim inputs;
+    // the fact-fact join keys on orderkey; the aggregate exchange
+    // carries a 2×|years| grid.
+    Q("q232_tpch_q7",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+        val supp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+          .select(col("c_custkey"), col("cust_nation"))
+        t(s, d, "lineitem")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(round(sum(rev), 2).cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                       AS revenue
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey
+              WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+                AND cn.n_name IN ('NATION_1', 'NATION_2')
+                AND sn.n_name <> cn.n_name
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q8 shape (national market share): NATION_3 suppliers'
+    // revenue share within ASIA customers' orders, per order year.
+    // Shape: the share is ONE aggregate with a conditional numerator
+    // (never two scans); region/nation broadcast; DECIMAL sums round
+    // BEFORE the double cast, one double division per year row.
+    Q("q233_tpch_q8",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+            .join(broadcast(t(s, d, "region")
+              .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val supp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name").as("sn"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("sn"))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            round(sum(when(col("sn") === "NATION_3", rev)), 2)
+              .cast("double").as("nation_revenue"),
+            round(sum(rev), 2).cast("double").as("total_revenue"))
+          .select(col("o_year"),
+            coalesce(col("nation_revenue"), lit(0.0)).as("nation_revenue"),
+            col("total_revenue"),
+            round(coalesce(col("nation_revenue"), lit(0.0)) /
+              col("total_revenue"), 4).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH asiac AS (
+                SELECT c_custkey FROM customer
+                JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'ASIA'),
+              base AS (
+                SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                       sn.n_name AS sn,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(4,2)) AS r
+                FROM lineitem
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s_nationkey
+                WHERE o_custkey IN (SELECT c_custkey FROM asiac)),
+              agg AS (
+                SELECT o_year,
+                       CAST(ROUND(SUM(CASE WHEN sn = 'NATION_3'
+                         THEN r END), 2) AS DOUBLE) AS nation_revenue,
+                       CAST(ROUND(SUM(r), 2) AS DOUBLE) AS total_revenue
+                FROM base GROUP BY 1)
+              SELECT o_year,
+                     COALESCE(nation_revenue, 0.0) AS nation_revenue,
+                     total_revenue,
+                     ROUND(COALESCE(nation_revenue, 0.0) / total_revenue,
+                       4) AS mkt_share
+              FROM agg ORDER BY o_year""")),
+
     // CUSUM drift detection on per-type daily volumes (see
     // [[cusumDaily]]): exact N-scaled integer fold, alarm when the
     // cumulative excess over the type's own mean exceeds one total.
