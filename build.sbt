@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Query-written oracle artifacts (codebooks, PCA components, weights)
+// go under a test-scoped root in the test JVM, so `sbt test` running
+// beside a Verify/Bench process can never clobber the /tmp artifacts
+// that process's DuckDB oracles re-read (see graft.core.Artifacts).
+Test / javaOptions += "-Dgraft.artifact.root=target/test-artifacts"

@@ -209,9 +209,9 @@ object Pca {
       round(Similarity.dot(col("a"), wLit) - lit(muDotW), 4).as("p_pca"))
   }
 
-  val Q111ComponentDir = "/tmp/graft_q111_component"
-  val Q116CentroidDir = "/tmp/graft_q116_centroid"
-  val Q119ComponentsDir = "/tmp/graft_q119_components"
+  val Q111ComponentDir = graft.core.Artifacts.dir("graft_q111_component")
+  val Q116CentroidDir = graft.core.Artifacts.dir("graft_q116_centroid")
+  val Q119ComponentsDir = graft.core.Artifacts.dir("graft_q119_components")
 
   /** Multi-component artifact: `k·dim` rows `(comp, j, mu, w, ev)` —
     * `ev` is the component's eigenvalue (explained variance), carried
@@ -457,7 +457,7 @@ object Pca {
   )
 
   val Q120Comps = 16
-  val Q120ComponentsDir = "/tmp/graft_q120_components"
+  val Q120ComponentsDir = graft.core.Artifacts.dir("graft_q120_components")
 
   /** q120's oracle, generated over the 16 components: per-component
     * list/shift CTEs (the q119 pattern ×16), rounded projections, the

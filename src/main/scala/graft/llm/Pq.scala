@@ -218,8 +218,8 @@ object Pq {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
-  val Q91CodebookDir = "/tmp/graft_q91_pq_codebook"
-  val Q92CodebookDir = "/tmp/graft_q92_pq_codebook"
+  val Q91CodebookDir = graft.core.Artifacts.dir("graft_q91_pq_codebook")
+  val Q92CodebookDir = graft.core.Artifacts.dir("graft_q92_pq_codebook")
 
   def defs: Seq[Q] = Seq(
     // PQ ANN: train per-subspace codebooks (seeded, sampled), PERSIST

@@ -105,9 +105,9 @@ object QualityClassifier {
         (p >= 0.5).cast("int").as("pred"))
   }
 
-  val Q110WeightsDir = "/tmp/graft_q110_weights"
-  val Q115WeightsDir = "/tmp/graft_q115_weights"
-  val Q118WeightsDir = "/tmp/graft_q118_weights"
+  val Q110WeightsDir = graft.core.Artifacts.dir("graft_q110_weights")
+  val Q115WeightsDir = graft.core.Artifacts.dir("graft_q115_weights")
+  val Q118WeightsDir = graft.core.Artifacts.dir("graft_q118_weights")
 
   def defs: Seq[Q] = Seq(
     // Learned quality classifier end to end: train logistic regression

@@ -1935,14 +1935,14 @@ object Similarity {
     * read the identical bits (`read_parquet`). Static by necessity: the
     * oracle SQL is a fixed string dumped at Verify time.
     */
-  val Q82CodebookDir = "/tmp/graft_q82_codebook"
-  val Q197SqStoreDir = "/tmp/graft_q197_sqstore"
-  val Q133CodebookDir = "/tmp/graft_q133_codebook"
-  val Q93CodebookDir = "/tmp/graft_q93_codebook"
-  val Q124CodebookDir = "/tmp/graft_q124_codebook"
-  val Q125CodebookDir = "/tmp/graft_q125_codebook"
-  val Q206CodebookDir = "/tmp/graft_q206_codebook"
-  val Q187CodebookDir = "/tmp/graft_q187_codebook"
+  val Q82CodebookDir = graft.core.Artifacts.dir("graft_q82_codebook")
+  val Q197SqStoreDir = graft.core.Artifacts.dir("graft_q197_sqstore")
+  val Q133CodebookDir = graft.core.Artifacts.dir("graft_q133_codebook")
+  val Q93CodebookDir = graft.core.Artifacts.dir("graft_q93_codebook")
+  val Q124CodebookDir = graft.core.Artifacts.dir("graft_q124_codebook")
+  val Q125CodebookDir = graft.core.Artifacts.dir("graft_q125_codebook")
+  val Q206CodebookDir = graft.core.Artifacts.dir("graft_q206_codebook")
+  val Q187CodebookDir = graft.core.Artifacts.dir("graft_q187_codebook")
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster embeddings with a trained codebook (map-side argmax

@@ -705,6 +705,138 @@ object Frontier {
                        4) AS mkt_share
               FROM agg ORDER BY o_year""")),
 
+    // TPC-H Q13 shape (customer order-count distribution): how many
+    // customers placed exactly k qualifying orders, INCLUDING the
+    // zero-order customers the outer join preserves. Scale shape:
+    // orders pre-aggregate to one (custkey, count) row per customer
+    // BEFORE the outer join (map-side combined), so the join carries
+    // |customers| + |buying customers| slim rows, never raw orders;
+    // both exchanges hash on custkey; the distribution re-aggregate
+    // is ≤|distinct k| rows.
+    Q("q234_tpch_q13",
+      (s, d) => {
+        val oc = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("c_count"))
+        t(s, d, "customer").select(col("c_custkey"))
+          .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+              FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey) c_orders
+              GROUP BY c_count
+              ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q15 shape (top supplier): supplier(s) whose quarterly
+    // revenue EQUALS the global maximum — the scalar-subquery-on-an-
+    // aggregate shape. The equality gate compares the rounded DECIMAL
+    // revenues (exact, reproducible across engines — the q195 house
+    // rule), never a float. Scale shape: one map-side-combined
+    // aggregate to |suppliers| rows, a 1-row global max broadcast back
+    // over it, and the ~1-row winner set broadcast into the supplier
+    // dim probe — the fact table is scanned once, date-pruned.
+    Q("q235_tpch_q15",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(4,2)")), 2)
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        val winners = rev.join(broadcast(mx),
+          col("total_revenue") === col("mx"))
+        t(s, d, "supplier")
+          .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_revenue").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey,
+                       ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(4,2))), 2)
+                         AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY 1)
+              SELECT s_suppkey, s_name,
+                     CAST(total_revenue AS DOUBLE) AS total_revenue
+              FROM rev JOIN supplier ON s_suppkey = l_suppkey
+              WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): on finished
+    // multi-supplier orders, charge the UNIQUE supplier whose last
+    // ship date is the order's latest — the classic EXISTS (another
+    // supplier participated) + NOT EXISTS (no other supplier shipped
+    // as late) double-correlated shape, with l_shipdate standing in
+    // for the receipt/commit columns the test schema omits. Scale
+    // shape: the correlated pair decorrelates to ONE per-order window
+    // over the ≤|suppliers-per-order| (orderkey, suppkey, last-ship)
+    // rows (bounded by order width, never population-sized), after a
+    // map-side-combined (orderkey, suppkey) pre-aggregate; the 'F'
+    // status gate is a semi join on the order key; numwait
+    // re-aggregates to |suppliers| rows before the dim probe.
+    Q("q236_tpch_q21",
+      (s, d) => {
+        val os = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("l_shipdate")).as("sd"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        val charged = os
+          .withColumn("s_cnt", count(lit(1)).over(w))
+          .withColumn("mx", max(col("sd")).over(w))
+          .filter(col("s_cnt") >= 2 && col("sd") === col("mx"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("last_cnt"),
+            max(col("l_suppkey")).as("l_suppkey"))
+          .filter(col("last_cnt") === 1)
+        val fOrders = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        charged
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"),
+            "left_semi")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(t(s, d, "supplier"),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+      },
+      Some("""WITH os AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+                FROM lineitem GROUP BY 1, 2)
+              SELECT s_suppkey, s_name, COUNT(*) AS numwait
+              FROM os o1
+              JOIN supplier ON s_suppkey = o1.l_suppkey
+              WHERE o1.l_orderkey IN (
+                  SELECT o_orderkey FROM orders
+                  WHERE o_orderstatus = 'F')
+                AND EXISTS (
+                  SELECT 1 FROM os o2
+                  WHERE o2.l_orderkey = o1.l_orderkey
+                    AND o2.l_suppkey <> o1.l_suppkey)
+                AND NOT EXISTS (
+                  SELECT 1 FROM os o3
+                  WHERE o3.l_orderkey = o1.l_orderkey
+                    AND o3.l_suppkey <> o1.l_suppkey
+                    AND o3.sd >= o1.sd)
+              GROUP BY 1, 2
+              ORDER BY numwait DESC, s_suppkey""")),
+
     // CUSUM drift detection on per-type daily volumes (see
     // [[cusumDaily]]): exact N-scaled integer fold, alarm when the
     // cumulative excess over the type's own mean exceeds one total.

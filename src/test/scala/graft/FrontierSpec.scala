@@ -237,4 +237,87 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     // one holder of everything: G = (n-1)/n = 0.75 at n=4
     assert(g(0L, 0L, 0L, 100L) == ((4L, 0.75)))
   }
+
+  // ---- q234/q235/q236 planted star schemas --------------------------
+
+  /** Writes the given tables as `<name>.parquet` under a temp sfDir so
+    * the registry fns (which read via Tables.load) run on planted data.
+    */
+  private def plantedDir(tables: (String, org.apache.spark.sql.DataFrame)*)
+      : String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-frontier-sf").toString
+    tables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  test("q234 (Q13 shape): zero-order customers survive the outer join; " +
+      "urgent-only customers count as zero") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "5-LOW"), (11L, 1L, "3-MEDIUM"),  // c1: 2 qualifying
+      (12L, 2L, "1-URGENT")                        // c2: urgent only -> 0
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val d = plantedDir("customer" -> customer, "orders" -> orders)
+    val out = graft.queries.Registry.queries("q234_tpch_q13")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // custdist DESC, c_count DESC: two zero-order customers, one with 2
+    assert(out == Seq((0L, 2L), (2L, 1L)))
+  }
+
+  test("q235 (Q15 shape): revenue ties at the max keep BOTH suppliers; " +
+      "out-of-window lines are ignored") {
+    import spark.implicits._
+    // s1: one line 100.00 at 10% discount -> 90.00
+    // s2: two lines 50.00 at 10% -> 45.00 + 45.00 = 90.00 (exact tie)
+    // s3: 80.00 at 0% -> 80.00 (loser); s1 also has an out-of-window
+    // line that would win if counted.
+    val lineitem = Seq(
+      (1L, 100.0, 0.10, ts("1996-02-01")),
+      (2L, 50.0, 0.10, ts("1996-02-02")),
+      (2L, 50.0, 0.10, ts("1996-02-03")),
+      (3L, 80.0, 0.00, ts("1996-03-01")),
+      (1L, 999.0, 0.00, ts("1997-01-01"))
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val d = plantedDir("lineitem" -> lineitem, "supplier" -> supplier)
+    val out = graft.queries.Registry.queries("q235_tpch_q15")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "s1", 90.0), (2L, "s2", 90.0)))
+  }
+
+  test("q236 (Q21 shape): unique last-shipper on a multi-supplier F " +
+      "order is charged; ties, single-supplier and non-F orders are not") {
+    import spark.implicits._
+    val lineitem = Seq(
+      // order 1 (F): s1 ships last uniquely -> s1 charged
+      (1L, 1L, ts("2000-01-03")), (1L, 2L, ts("2000-01-02")),
+      // order 2 (F): s1 and s2 tie at the max -> nobody charged
+      (2L, 1L, ts("2000-02-01")), (2L, 2L, ts("2000-02-01")),
+      // order 3 (F): single supplier -> not charged
+      (3L, 1L, ts("2000-03-01")),
+      // order 4 (O, not finished): s2 last -> not charged
+      (4L, 1L, ts("2000-04-01")), (4L, 2L, ts("2000-04-02")),
+      // order 5 (F): s2's LATEST line is the order max, but s2 also
+      // has an earlier line — per-supplier max must dedup first
+      (5L, 2L, ts("2000-05-01")), (5L, 2L, ts("2000-05-03")),
+      (5L, 1L, ts("2000-05-02"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val orders = Seq((1L, "F"), (2L, "F"), (3L, "F"), (4L, "O"),
+      (5L, "F")).toDF("o_orderkey", "o_orderstatus")
+    val supplier = Seq((1L, "s1"), (2L, "s2"))
+      .toDF("s_suppkey", "s_name")
+    val d = plantedDir("lineitem" -> lineitem, "orders" -> orders,
+      "supplier" -> supplier)
+    val out = graft.queries.Registry.queries("q236_tpch_q21")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // numwait DESC, s_suppkey: s2 charged on order 5, s1 on order 1
+    assert(out.toSet == Set((1L, "s1", 1L), (2L, "s2", 1L)))
+  }
 }
