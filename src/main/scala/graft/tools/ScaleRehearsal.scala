@@ -46,6 +46,12 @@ import graft.core.{Session, Tables}
   * l_orderkey AND l_suppkey, so the supplier population — the
   * cumulative's input cardinality — grows mult× along with the rows.
   *
+  * `ord` scales ORDERS AND CUSTOMER together: copies re-salt
+  * o_orderkey, and o_custkey/c_custkey share one stride, so the
+  * customer population — the outer-join + per-customer-aggregate axis
+  * of q234 (Q13) and the Q22/Q10/Q3 shapes — grows mult× while each
+  * customer keeps its original order fan-in.
+  *
   * `users` scales the EVENT POPULATION instead of per-user density:
   * copies re-salt user_id AND event_id, so the user count grows mult×
   * while every stream keeps its original length — the OTHER events
@@ -69,7 +75,7 @@ object ScaleRehearsal {
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val regime = args.drop(2).headOption
-      .filter(Set("unique", "rot", "rel", "vocab", "users", "part"))
+      .filter(Set("unique", "rot", "rel", "vocab", "users", "part", "ord"))
       .getOrElse("clone")
     val unique = regime == "unique"
     val rest =
@@ -88,6 +94,7 @@ object ScaleRehearsal {
       val scaledRel: Set[String] = regime match {
         case "rel"  => Set("lineitem")
         case "part" => Set("part")
+        case "ord"  => Set("orders", "customer")
         case _      => Set.empty
       }
       for (t <- Tables.all
@@ -108,6 +115,31 @@ object ScaleRehearsal {
           .drop("copy")
           .repartition(32, col("l_orderkey"))
           .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      }
+      // ord regime: orders and customer grow together — one shared
+      // custkey stride keeps every salted order pointing at its
+      // copy's salted customer, so per-customer fan-in is preserved
+      // while the customer population (the q234/Q22/Q10 exchange and
+      // aggregate cardinality) grows mult×.
+      if (regime == "ord") {
+        val o = spark.read.parquet(s"$srcDir/orders.parquet")
+        val c = spark.read.parquet(s"$srcDir/customer.parquet")
+        val oStride = o.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+        val cStride = c.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+        o.crossJoin(spark.range(mult).toDF("copy"))
+          .withColumn("o_orderkey",
+            col("o_orderkey") + col("copy") * lit(oStride))
+          .withColumn("o_custkey",
+            col("o_custkey") + col("copy") * lit(cStride))
+          .drop("copy")
+          .repartition(32, col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+        c.crossJoin(spark.range(mult).toDF("copy"))
+          .withColumn("c_custkey",
+            col("c_custkey") + col("copy") * lit(cStride))
+          .drop("copy")
+          .repartition(32, col("c_custkey"))
+          .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
       }
       // part regime: mult× the part population with per-copy cent
       // offsets, so the skyline's per-(brand, cents) grid — the
