@@ -505,6 +505,47 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical composition) — the missing
+  * Spark half of the standard text-canonicalization step before exact
+  * or fingerprint dedup: a decomposed "é" (e + U+0301) and the
+  * composed U+00E9 are byte-different, hash-different strings that
+  * READ identically, so un-normalized corpora under-deduplicate and
+  * fingerprints drift across sources that compose differently.
+  * Matches DuckDB's `nfc_normalize` (both are Unicode NFC). ONLY the
+  * NFC step lives here: casefolding and whitespace collapse stay in
+  * Spark's own `lower`/`regexp_replace` codegen so Catalyst can fold,
+  * prune, and push them independently. Fast path: `isNormalized`
+  * (the UAX#15 quick check) returns the input UTF8String untouched —
+  * ASCII and already-composed text (the overwhelming majority) pays
+  * one scan and zero allocation.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this,
+      classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** TRUE Damerau-Levenshtein distance (unrestricted transpositions —
   * the Lowrance-Wagner 1975 algorithm with a last-occurrence table),
   * the edit metric where swapped adjacent characters cost ONE edit:
@@ -1161,6 +1202,7 @@ object GraftExtensions {
       es => CharEntropy(es.head)),
     d("graft_damerau", classOf[DamerauLevenshtein],
       es => DamerauLevenshtein(es(0), es(1))),
+    d("graft_nfc", classOf[NfcNormalize], es => NfcNormalize(es.head)),
     d("graft_interval_cut", classOf[IntervalCut],
       es => IntervalCut(es(0), es(1))),
     d("graft_ewma", classOf[EwmaFold], { es =>
@@ -1725,6 +1767,11 @@ object Fns {
     * edit, Lowrance-Wagner) — matches DuckDB's damerau_levenshtein. */
   def damerau(a: Column, b: Column): Column =
     call_function("graft_damerau", a, b)
+
+  /** Unicode NFC normalization (see NfcNormalize) — matches DuckDB's
+    * nfc_normalize; compose with lower/regexp_replace for the full
+    * canonicalization ladder. */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
 
   /** Cut 1-based token positions covered by any [mn, mx] interval out of
     * a token array (see IntervalCut): `ivs` must be

@@ -709,7 +709,40 @@ object Curation {
       .orderBy(col("fa"), col("fb"))
   }
 
+  /** Canonicalization ladder for dedup preprocessing: Unicode NFC
+    * (native [[graft.functions.NfcNormalize]] — composed "é" and
+    * decomposed "e<combining acute>" become one byte sequence) →
+    * casefold (`lower`) → trim + collapse whitespace runs to a single
+    * space. Exact/fingerprint dedup over un-canonicalized text
+    * under-merges across sources that compose, case, or wrap
+    * differently; every hash-keyed operator upstream of dedup should
+    * consume this column. NFC is the only custom step — casefold and
+    * collapse stay in Spark's own codegen'd `lower`/`regexp_replace`
+    * so Catalyst folds and pushes them independently. Map-only.
+    */
+  def canonicalColumn(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.Fns.nfc(text)), "\\s+", " "))
+
   def defs: Seq[Q] = Seq(
+    // Text canonicalization (see [[canonicalColumn]]): per doc, the
+    // md5 of the canonical form plus a changed flag. The testdata
+    // corpus is already canonical (the oracle match pins byte-identity
+    // of the two engines' NFC+casefold+collapse ladders on it);
+    // FnsSpec pins the real semantics on planted Unicode — composed ==
+    // decomposed, NFC-only (ligatures survive), ASCII fast path.
+    Q("q237_canonicalize",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          md5(canonicalColumn(col("text"))).as("canon_md5"),
+          (col("text") =!= canonicalColumn(col("text"))).as("changed"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     MD5(TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(text)),
+                       '\s+', ' ', 'g'))) AS canon_md5,
+                     text <> TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(text)),
+                       '\s+', ' ', 'g')) AS changed
+              FROM documents ORDER BY doc_id""")),
+
     // Train/test DECONTAMINATION: count test-split docs whose normalized
     // content fingerprint also appears in the train split — the standard
     // leakage check before an eval set ships (a training pipeline that

@@ -379,4 +379,44 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     }
     assert(e2.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("native nfc: composed == decomposed, NFC-only (ligature survives), " +
+      "ASCII fast-path identity, null passthrough") {
+    import spark.implicits._
+    val composed = "café"              // é as U+00E9
+    val decomposed = "café"           // e + combining acute
+    val ligature = "ﬁle"               // ﬁle — NFKC would expand, NFC must NOT
+    val ascii = "plain ascii text"
+    val df = Seq((1L, composed), (2L, decomposed), (3L, ligature),
+      (4L, ascii), (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .select(col("id"), Fns.nfc(col("s")).as("n"), col("s"))
+      .orderBy("id").collect()
+    // composed and decomposed normalize to the same bytes (the composed form)
+    assert(df(0).getString(1) == composed)
+    assert(df(1).getString(1) == composed)
+    // NFC is canonical-only: the compatibility ligature is untouched
+    assert(df(2).getString(1) == ligature)
+    // ASCII is returned unchanged (quick-check fast path)
+    assert(df(3).getString(1) == ascii)
+    assert(df(4).isNullAt(1))
+    // ground truth: java.text.Normalizer agrees on every non-null row
+    df.take(4).foreach { r =>
+      assert(r.getString(1) == java.text.Normalizer.normalize(
+        r.getString(2), java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  test("canonicalColumn ladder: case, whitespace runs, and composition " +
+      "variants converge to one canonical form") {
+    import spark.implicits._
+    val variants = Seq(
+      "  The   CAFÉ menu ",            // case + padding + runs
+      "the café menu",                // decomposed, already lower
+      "THE\tCAFÉ\n\nMENU")             // tabs/newlines as whitespace
+    val out = variants.toDF("text")
+      .select(graft.llm.Curation.canonicalColumn(col("text")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("the café menu"))
+  }
 }
