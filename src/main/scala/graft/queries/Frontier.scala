@@ -837,6 +837,52 @@ object Frontier {
               GROUP BY 1, 2
               ORDER BY numwait DESC, s_suppkey""")),
 
+    // TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    // counts per (brand, type, size) over the lineitem-derived
+    // part-supplier relation, EXCLUDING complaint suppliers via true
+    // NOT IN — the null-aware anti join, the one subquery shape q19's
+    // EXISTS pair deliberately does not cover (NOT IN returns zero
+    // rows if the subquery yields a NULL; NOT EXISTS doesn't). The
+    // join condition is written as the exact
+    // `Or(EqualTo, IsNull(EqualTo))` pattern Spark's
+    // ExtractSingleColumnNullAwareAntiJoin recognizes, so it plans as
+    // a broadcast null-aware anti join over the tiny exclusion list —
+    // never the nested-loop fallback (plan-pinned in FrontierSpec).
+    // Scale shape: the (partkey, suppkey) distinct is the one
+    // fact-sized exchange; the part-dim probe shuffles on partkey with
+    // the brand/size filters pushed to the part scan; countDistinct
+    // re-aggregates on the small (brand, type, size) grid.
+    Q("q238_tpch_q16",
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excl = t(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val eq = col("l_suppkey") === col("s_suppkey")
+        val clean = ps.join(excl, eq || eq.isNull, "left_anti")
+        val dims = t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 33))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        clean.join(dims, col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+            col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+                     COUNT(DISTINCT l_suppkey) AS supplier_cnt
+              FROM (SELECT DISTINCT l_partkey, l_suppkey
+                    FROM lineitem) ps
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_brand <> 'Brand#1'
+                AND p_size IN (1, 4, 9, 14, 19, 24, 28, 33)
+                AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              GROUP BY 1, 2, 3
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
     // CUSUM drift detection on per-type daily volumes (see
     // [[cusumDaily]]): exact N-scaled integer fold, alarm when the
     // cumulative excess over the type's own mean exceeds one total.

@@ -320,4 +320,39 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     // numwait DESC, s_suppkey: s2 charged on order 5, s1 on order 1
     assert(out.toSet == Set((1L, "s1", 1L), (2L, "s2", 1L)))
   }
+
+  test("q238 (Q16 shape): NOT IN excludes the complaint supplier; a NULL " +
+      "in the exclusion list empties the result (NOT IN, not NOT " +
+      "EXISTS); plans as a null-aware anti join, not a nested loop") {
+    import spark.implicits._
+    val li = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "Brand#2", "t", 1), (2L, "Brand#2", "t", 4))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val suppOk = Seq((11L, -5.0), (12L, 3.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val d1 = plantedDir("lineitem" -> li, "part" -> part,
+      "supplier" -> suppOk)
+    val q = graft.queries.Registry.queries("q238_tpch_q16")
+    val out1 = q(spark, d1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // supplier 11 (negative balance) excluded everywhere
+    assert(out1.toSet ==
+      Set(("Brand#2", "t", 1, 1L), ("Brand#2", "t", 4, 1L)))
+    // a NULL key in the exclusion subquery makes every NOT IN UNKNOWN
+    val suppNull = Seq((Option(11L), -5.0), (Option.empty[Long], -2.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val d2 = plantedDir("lineitem" -> li, "part" -> part,
+      "supplier" -> suppNull)
+    assert(q(spark, d2).count() == 0)
+    // plan pin: the Or(EqualTo, IsNull(EqualTo)) condition must hit
+    // ExtractSingleColumnNullAwareAntiJoin's broadcast hash path —
+    // BroadcastHashJoinExec prints isNullAwareAntiJoin as the trailing
+    // boolean: `BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true`
+    val plan = q(spark, d1).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware broadcast anti join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "NOT IN fell back to the nested-loop join")
+  }
 }
