@@ -240,6 +240,116 @@ object Advanced {
       .orderBy(col("src"))
   }
 
+  /** q239's body — TIME-DECAY attribution, the third standard model
+    * beside last-touch (q211) and linear (q212): a touch's credit
+    * halves for every `halfLifeDays` of age at conversion time. The
+    * weights are INTEGER POWERS OF TWO — w = 1 << (maxK −
+    * age_days/halfLifeDays), both divisions integer-floor — so the
+    * per-journey normalization is the exact same e6-rounded integer
+    * credit arithmetic as q212: no float pow anywhere, bit-identical
+    * across engines and aggregation orders. Same journey framing as
+    * q212 (j = prior-conversion count), same lookback gate, same
+    * "none" bucket for journeys with no touch in window.
+    */
+  def timeDecayAttribution(events: DataFrame, conversion: String,
+      lookbackDays: Int, halfLifeDays: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("j",
+        count(when(col("event_type") === conversion, 1)).over(w))
+    val conv = e.filter(col("event_type") === conversion)
+      .select(col("user_id"), col("j"), col("us").as("conv_us"))
+    val maxK = lookbackDays / halfLifeDays + 1
+    val tch = e.filter(col("event_type") =!= conversion)
+      .select(col("user_id"), col("j"), col("event_type").as("src"),
+        col("us"))
+      .join(conv, Seq("user_id", "j"))
+      .filter(col("conv_us") - col("us") <=
+          lit(lookbackDays.toLong * 86400 * 1000000L) &&
+        col("conv_us") - col("us") >= 0)
+      // age in WHOLE days, halvings in WHOLE half-lives — both
+      // integer-floor divisions (div, not /: Column./ is double)
+      .withColumn("wgt", expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        s"$maxK - CAST((conv_us - us) div 86400000000 " +
+        s"div $halfLifeDays AS INT))"))
+    val perJ = tch.groupBy(col("user_id"), col("j"), col("src"))
+      .agg(sum(col("wgt")).as("kw"))
+      .withColumn("n",
+        sum(col("kw")).over(Window.partitionBy(col("user_id"), col("j"))))
+    val typed = perJ.groupBy(col("src"))
+      .agg(sum(expr("CAST(ROUND(CAST(kw AS DOUBLE) / n * 1000000) AS BIGINT)"))
+        .as("c6"))
+    val none = conv
+      .join(tch.select(col("user_id"), col("j")).distinct(),
+        Seq("user_id", "j"), "left_anti")
+      .agg((count(lit(1)) * lit(1000000L)).as("c6"))
+      .select(lit("none").as("src"), col("c6"))
+    typed.unionByName(none)
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_conv"))))
+      .select(col("src"),
+        round(col("c6") / 1000000.0, 4).as("credit"),
+        round(col("c6") / 1000000.0 / col("n_conv"), 4).as("share"))
+      .orderBy(col("src"))
+  }
+
+  /** q240's body — POSITION-BASED (U-shaped 40/20/40) attribution, the
+    * fourth standard model: first touch 40%, last touch 40%, the
+    * middle 20% split evenly. Credits are e6 integers assigned per
+    * touch BY POSITION (row_number over the journey's (ts, event_id)
+    * order): n=1 → 1e6, n=2 → 5e5 each, else 4e5/4e5 ends +
+    * round(2e5/(n−2)) middles — the only division is over the
+    * journey's own touch count (positive half-up rounding, identical
+    * in both engines). Per-journey windows are bounded by the
+    * journey's touch count, never population-sized.
+    */
+  def positionAttribution(events: DataFrame, conversion: String,
+      lookbackDays: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .withColumn("j",
+        count(when(col("event_type") === conversion, 1)).over(w))
+    val conv = e.filter(col("event_type") === conversion)
+      .select(col("user_id"), col("j"), col("us").as("conv_us"))
+    val jw = Window.partitionBy(col("user_id"), col("j"))
+    val tch = e.filter(col("event_type") =!= conversion)
+      .select(col("user_id"), col("j"), col("event_type").as("src"),
+        col("us"), col("event_id"))
+      .join(conv, Seq("user_id", "j"))
+      .filter(col("conv_us") - col("us") <=
+          lit(lookbackDays.toLong * 86400 * 1000000L) &&
+        col("conv_us") - col("us") >= 0)
+      .withColumn("pos",
+        row_number().over(jw.orderBy(col("us"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(jw))
+    val credited = tch.withColumn("c6",
+      when(col("n") === 1, lit(1000000L))
+        .when(col("n") === 2, lit(500000L))
+        .when(col("pos") === 1 || col("pos") === col("n"), lit(400000L))
+        .otherwise(expr(
+          "CAST(ROUND(200000.0 / (n - 2)) AS BIGINT)")))
+    val typed = credited.groupBy(col("src"))
+      .agg(sum(col("c6")).as("c6"))
+    val none = conv
+      .join(tch.select(col("user_id"), col("j")).distinct(),
+        Seq("user_id", "j"), "left_anti")
+      .agg((count(lit(1)) * lit(1000000L)).as("c6"))
+      .select(lit("none").as("src"), col("c6"))
+    typed.unionByName(none)
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_conv"))))
+      .select(col("src"),
+        round(col("c6") / 1000000.0, 4).as("credit"),
+        round(col("c6") / 1000000.0 / col("n_conv"), 4).as("share"))
+      .orderBy(col("src"))
+  }
+
   def defs: Seq[Q] = Seq(
     // ROLLUP with grouping() disambiguation (subtotal rows vs real null).
     Q("q39_rollup",
@@ -2232,6 +2342,101 @@ object Advanced {
                        SUM(CAST(ROUND(CAST(k AS DOUBLE) / n * 1000000)
                          AS BIGINT)) AS c6
                 FROM per_j GROUP BY 1
+                UNION ALL
+                SELECT 'none' AS src, COUNT(*) * 1000000 AS c6
+                FROM conv c WHERE NOT EXISTS (
+                  SELECT 1 FROM tch t
+                  WHERE t.user_id = c.user_id AND t.j = c.j))
+              SELECT src, ROUND(c6 / 1000000.0, 4) AS credit,
+                     ROUND(c6 / 1000000.0
+                       / (SELECT COUNT(*) FROM conv), 4) AS share
+              FROM credits ORDER BY 1""")),
+
+    // TIME-DECAY attribution (see [[timeDecayAttribution]]): credit
+    // halves per whole week of touch age — integer power-of-two
+    // weights, e6-rounded integer credits, the q212 discipline.
+    Q("q239_decay_attribution",
+      (s, d) => timeDecayAttribution(t(s, d, "events"),
+        conversion = "purchase", lookbackDays = 7, halfLifeDays = 7),
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id, event_type,
+                       epoch_us(ts) AS us,
+                       COUNT(*) FILTER (WHERE event_type = 'purchase')
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS j
+                FROM events),
+              conv AS (
+                SELECT user_id, j, us AS conv_us FROM e
+                WHERE event_type = 'purchase'),
+              tch AS (
+                SELECT t.user_id, t.j, t.event_type AS src,
+                       (CAST(1 AS BIGINT) << CAST(
+                         2 - (c.conv_us - t.us) // 86400000000 // 7
+                         AS INT)) AS wgt
+                FROM e t JOIN conv c
+                  ON t.user_id = c.user_id AND t.j = c.j
+                WHERE t.event_type <> 'purchase'
+                  AND c.conv_us - t.us
+                      <= CAST(7 AS BIGINT) * 86400 * 1000000
+                  AND c.conv_us - t.us >= 0),
+              per_j AS (
+                SELECT user_id, j, src, SUM(wgt) AS kw,
+                       SUM(SUM(wgt)) OVER (PARTITION BY user_id, j) AS n
+                FROM tch GROUP BY 1, 2, 3),
+              credits AS (
+                SELECT src,
+                       SUM(CAST(ROUND(CAST(kw AS DOUBLE) / n * 1000000)
+                         AS BIGINT)) AS c6
+                FROM per_j GROUP BY 1
+                UNION ALL
+                SELECT 'none' AS src, COUNT(*) * 1000000 AS c6
+                FROM conv c WHERE NOT EXISTS (
+                  SELECT 1 FROM tch t
+                  WHERE t.user_id = c.user_id AND t.j = c.j))
+              SELECT src, ROUND(c6 / 1000000.0, 4) AS credit,
+                     ROUND(c6 / 1000000.0
+                       / (SELECT COUNT(*) FROM conv), 4) AS share
+              FROM credits ORDER BY 1""")),
+
+    // POSITION-BASED (U-shaped 40/20/40) attribution (see
+    // [[positionAttribution]]): first/last 40% each, middles split the
+    // 20% — per-touch e6 credits by journey position.
+    Q("q240_position_attribution",
+      (s, d) => positionAttribution(t(s, d, "events"),
+        conversion = "purchase", lookbackDays = 7),
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id, event_type,
+                       epoch_us(ts) AS us,
+                       COUNT(*) FILTER (WHERE event_type = 'purchase')
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS j
+                FROM events),
+              conv AS (
+                SELECT user_id, j, us AS conv_us FROM e
+                WHERE event_type = 'purchase'),
+              tch AS (
+                SELECT t.user_id, t.j, t.event_type AS src,
+                       ROW_NUMBER() OVER (PARTITION BY t.user_id, t.j
+                         ORDER BY t.us, t.event_id) AS pos,
+                       COUNT(*) OVER (PARTITION BY t.user_id, t.j) AS n
+                FROM e t JOIN conv c
+                  ON t.user_id = c.user_id AND t.j = c.j
+                WHERE t.event_type <> 'purchase'
+                  AND c.conv_us - t.us
+                      <= CAST(7 AS BIGINT) * 86400 * 1000000
+                  AND c.conv_us - t.us >= 0),
+              credited AS (
+                SELECT src,
+                       CASE WHEN n = 1 THEN 1000000
+                            WHEN n = 2 THEN 500000
+                            WHEN pos = 1 OR pos = n THEN 400000
+                            ELSE CAST(ROUND(200000.0 / (n - 2)) AS BIGINT)
+                       END AS c6
+                FROM tch),
+              credits AS (
+                SELECT src, SUM(c6) AS c6 FROM credited GROUP BY 1
                 UNION ALL
                 SELECT 'none' AS src, COUNT(*) * 1000000 AS c6
                 FROM conv c WHERE NOT EXISTS (

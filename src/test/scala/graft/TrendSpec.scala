@@ -147,6 +147,69 @@ class TrendSpec extends AnyFunSuite with TestSpark {
     assert(out.keySet == Set("click", "view", "none"))
   }
 
+  test("time-decay attribution: fresh touch outweighs a half-life-old " +
+      "one 2:1, cold conversion to none") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def ev(rows: (Long, String, Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, u, e) =>
+          Row(id, ts(t), u, e) }),
+        evSchema)
+    val df = ev(
+      // user 1: click age 0 days (w = 4), view age exactly 7 days
+      // (one whole half-life -> w = 2): split 2/3 vs 1/3
+      (1L, "2024-01-08 00:00:00", 1L, "view"),
+      (2L, "2024-01-14 23:59:59", 1L, "click"),
+      (3L, "2024-01-15 00:00:00", 1L, "purchase"),
+      // user 2: cold conversion -> none
+      (4L, "2024-01-01 00:00:01", 2L, "purchase"))
+    val out = Advanced
+      .timeDecayAttribution(df, "purchase", 7, halfLifeDays = 7)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("click") == ((0.6667, 0.3333)))
+    assert(out("view") == ((0.3333, 0.1667)))
+    assert(out("none") == ((1.0, 0.5)))
+    assert(out.keySet == Set("click", "view", "none"))
+  }
+
+  test("position attribution: 40/20/40 U-shape, n=1 and n=2 specials, " +
+      "cold to none") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def ev(rows: (Long, String, Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, u, e) =>
+          Row(id, ts(t), u, e) }),
+        evSchema)
+    val df = ev(
+      // user 1: click, view, view, click -> ends 0.4 each (both
+      // click), two middles 0.1 each (view): click 0.8, view 0.2
+      (1L, "2024-01-01 00:00:01", 1L, "click"),
+      (2L, "2024-01-01 00:00:02", 1L, "view"),
+      (3L, "2024-01-01 00:00:03", 1L, "view"),
+      (4L, "2024-01-01 00:00:04", 1L, "click"),
+      (5L, "2024-01-01 00:00:05", 1L, "purchase"),
+      // user 2: single touch takes everything
+      (6L, "2024-01-01 00:00:01", 2L, "view"),
+      (7L, "2024-01-01 00:00:02", 2L, "purchase"),
+      // user 3: two touches split 0.5 / 0.5
+      (8L, "2024-01-01 00:00:01", 3L, "click"),
+      (9L, "2024-01-01 00:00:02", 3L, "view"),
+      (10L, "2024-01-01 00:00:03", 3L, "purchase"),
+      // user 4: cold -> none
+      (11L, "2024-01-01 00:00:01", 4L, "purchase"))
+    val out = Advanced.positionAttribution(df, "purchase", 7).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // 4 conversions: click 0.8+0.5 = 1.3, view 0.2+1+0.5 = 1.7, none 1
+    assert(out("click") == ((1.3, 0.325)))
+    assert(out("view") == ((1.7, 0.425)))
+    assert(out("none") == ((1.0, 0.25)))
+  }
+
   test("q209: shards are equi-depth, ranges monotone, corpus accounted") {
     val sf = "/root/testdata/sf0.001"
     val out = Registry.queries("q209_range_shards")(spark, sf).collect()
