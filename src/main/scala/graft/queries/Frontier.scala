@@ -791,7 +791,16 @@ object Frontier {
     // re-aggregates to |suppliers| rows before the dim probe.
     Q("q236_tpch_q21",
       (s, d) => {
+        // ONE fact exchange for the whole per-order stage: hash on
+        // l_orderkey alone satisfies the (orderkey, suppkey)
+        // aggregate's ClusteredDistribution (subset rule), the
+        // per-order window, the charged re-aggregate AND the semi
+        // join's left side — without it Catalyst plans two fact-sized
+        // exchanges (agg on the pair, window on the order key),
+        // measured ~2x the shuffle bytes at the 10x rehearsal.
         val os = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .repartition(col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(max(col("l_shipdate")).as("sd"))
         val w = Window.partitionBy(col("l_orderkey"))
