@@ -172,17 +172,26 @@ object Frontier {
     * alone), exclusive count offsets from a window over the block
     * summaries — so the population never sorts in one task.
     */
-  def giniExact(rev: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
-    val bounds = rev.agg(min(col("x4")).cast("double").as("lo"),
-      max(col("x4")).cast("double").as("hi"))
-    val blocked = rev.crossJoin(broadcast(bounds))
+  /** Exact GLOBAL dense row-rank (1..n by ascending (`xName`,
+    * `idName`)) without a single-task sort — the q209/q193/q231
+    * two-phase block shape factored for reuse: 256 uniform value
+    * blocks (blk is a function of the value alone, so equal values
+    * share a block and ties never straddle a boundary), a local
+    * row_number per block partition, and exclusive count offsets from
+    * one window over the ≤256 block summaries on a broadcast. Adds a
+    * `rank` long column; both inputs must be non-null integral
+    * columns.
+    */
+  def blockRank(df: DataFrame, xName: String, idName: String): DataFrame = {
+    val bounds = df.agg(min(col(xName)).cast("double").as("lo"),
+      max(col(xName)).cast("double").as("hi"))
+    val blocked = df.crossJoin(broadcast(bounds))
       .withColumn("blk", least(lit(255L), greatest(lit(0L),
-        floor((col("x4").cast("double") - col("lo")) * 256.0 /
+        floor((col(xName).cast("double") - col("lo")) * 256.0 /
           (col("hi") - col("lo") + 1e-9)).cast("long"))))
       .drop("lo", "hi")
     val wLoc = Window.partitionBy(col("blk"))
-      .orderBy(col("x4"), col("id"))
+      .orderBy(col(xName), col(idName))
     val wOff = Window.orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = blocked.groupBy(col("blk"))
@@ -192,7 +201,14 @@ object Frontier {
     blocked
       .withColumn("lrn", row_number().over(wLoc))
       .join(broadcast(offs), Seq("blk"))
-      .select(col("x4"), (col("lrn") + col("off")).cast(dec).as("rank"))
+      .withColumn("rank", col("lrn") + col("off"))
+      .drop("blk", "lrn", "off")
+  }
+
+  def giniExact(rev: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    blockRank(rev, "x4", "id")
+      .select(col("x4"), col("rank").cast(dec).as("rank"))
       .agg(count(lit(1)).cast(dec).as("nD"),
         sum(col("x4")).as("sx"),
         sum(col("rank") * col("x4")).as("srx"))
@@ -891,6 +907,81 @@ object Frontier {
                   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
               GROUP BY 1, 2, 3
               ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // RFM SEGMENTATION — the classic customer-base partition by
+    // recency/frequency/monetary quintiles (scores 1-5 each, 555 =
+    // champions): per customer, days since last order, order count,
+    // and lifetime spend in exact DECIMAL cents, each ranked GLOBALLY
+    // by the two-phase [[blockRank]] (no single-task sort at any
+    // customer population) and bucketed by the exact NTILE(5) integer
+    // formula — first (n mod 5) buckets take one extra row, matching
+    // SQL NTILE bit-for-bit so the quintile boundaries are
+    // reproducible across engines (FrontierSpec pins the formula
+    // against Spark's own ntile). One orders scan, one custkey
+    // aggregate; each rank adds a fact-slim exchange of (cid, metric)
+    // rows plus a ≤256-row broadcast window; output is the ≤125-cell
+    // segment grid.
+    Q("q241_rfm",
+      (s, d) => {
+        val refd = t(s, d, "orders")
+          .agg(max(col("o_orderdate")).as("refd"))
+        val per = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_o"),
+            count(lit(1)).as("f"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("mdec"))
+          .crossJoin(broadcast(refd))
+          .select(col("o_custkey").as("cid"),
+            datediff(col("refd"), col("last_o")).cast("long").as("r_days"),
+            col("f"), (col("mdec") * 100).cast("long").as("m_cents"))
+          // materialize the |customers|-row frame ONCE (the q177
+          // pattern): each blockRank's bounds aggregate and window
+          // pass would otherwise re-execute the orders scan+aggregate
+          // — measured 2x wall at the 10x ord rehearsal
+          .localCheckpoint()
+        val ranked = Seq(("r_days", "r_rank"), ("f", "f_rank"),
+          ("m_cents", "m_rank")).foldLeft(per) { case (df, (m, out)) =>
+            blockRank(df, m, "cid").withColumnRenamed("rank", out)
+          }
+        // exact SQL NTILE(5) from the global rank: base = n div 5,
+        // the first (n mod 5) buckets hold base+1 rows
+        def nt(rank: String): Column = expr(
+          s"CASE WHEN $rank <= (n % 5) * (n DIV 5 + 1) " +
+          s"THEN ($rank - 1) DIV (n DIV 5 + 1) + 1 " +
+          s"ELSE (n % 5) + ($rank - 1 - (n % 5) * (n DIV 5 + 1)) " +
+          s"DIV (n DIV 5) + 1 END")
+        ranked
+          .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+          .select((lit(6) - nt("r_rank")).cast("int").as("r_score"),
+            nt("f_rank").cast("int").as("f_score"),
+            nt("m_rank").cast("int").as("m_score"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      Some("""WITH per AS (
+                SELECT o_custkey AS cid, MAX(o_orderdate) AS last_o,
+                       COUNT(*) AS f,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                         AS BIGINT) AS m_cents
+                FROM orders GROUP BY 1),
+              per2 AS (
+                SELECT cid,
+                       DATE_DIFF('day', CAST(last_o AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE)
+                          FROM orders)) AS r_days,
+                       f, m_cents
+                FROM per),
+              q AS (
+                SELECT NTILE(5) OVER (ORDER BY r_days, cid) AS rq,
+                       NTILE(5) OVER (ORDER BY f, cid) AS fq,
+                       NTILE(5) OVER (ORDER BY m_cents, cid) AS mq
+                FROM per2)
+              SELECT CAST(6 - rq AS INT) AS r_score,
+                     CAST(fq AS INT) AS f_score,
+                     CAST(mq AS INT) AS m_score,
+                     COUNT(*) AS n_customers
+              FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // CUSUM drift detection on per-type daily volumes (see
     // [[cusumDaily]]): exact N-scaled integer fold, alarm when the

@@ -321,6 +321,59 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     assert(out.toSet == Set((1L, "s1", 1L), (2L, "s2", 1L)))
   }
 
+  test("blockRank == global row_number on a cross-block spread; q241's " +
+      "NTILE formula == Spark's ntile at n=7 and n=12") {
+    import spark.implicits._
+    // values span a huge range so the 256-block grid actually splits
+    val vals = Seq(5L, 999999L, 17L, 123456L, 5L, 0L, 777L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cid", "x")
+    val got = Frontier.blockRank(df, "x", "cid")
+      .select(col("cid"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .sorted.zipWithIndex
+      .map { case ((_, cid), r) => cid -> (r + 1L) }.toMap
+    assert(got == want)
+    // NTILE(5) integer formula vs Spark's own ntile over the rank order
+    for (n <- Seq(7, 12)) {
+      val ranks = (1 to n).map(_.toLong).toDF("rank")
+        .crossJoin(broadcast(Seq(n.toLong).toDF("n")))
+      val formula = ranks.selectExpr("rank",
+        "CASE WHEN rank <= (n % 5) * (n DIV 5 + 1) " +
+        "THEN (rank - 1) DIV (n DIV 5 + 1) + 1 " +
+        "ELSE (n % 5) + (rank - 1 - (n % 5) * (n DIV 5 + 1)) " +
+        "DIV (n DIV 5) + 1 END AS q")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaNtile = (1 to n).map(_.toLong).toDF("rank")
+        .select(col("rank"), ntile(5).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("rank")))
+          .cast("long").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(formula == viaNtile, s"ntile mismatch at n=$n")
+    }
+  }
+
+  test("q241 RFM: five strictly-ordered customers land on the diagonal " +
+      "segments; recency score inverts the rank") {
+    import spark.implicits._
+    // customer N: N orders, more recent last order and more spend as N
+    // grows -> r_score = f_score = m_score = N, one customer per cell
+    val rows = for {
+      c <- 1 to 5
+      o <- 1 to c
+    } yield (c.toLong * 100 + o, c.toLong,
+      ts(f"2024-01-${10 + c}%02d"), 10.0 * c)
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderdate",
+      "o_totalprice")
+    val d = plantedDir("orders" -> orders)
+    val out = graft.queries.Registry.queries("q241_rfm")(spark, d)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq ==
+      (1 to 5).map(n => (n, n, n, 1L)))
+  }
+
   test("q238 (Q16 shape): NOT IN excludes the complaint supplier; a NULL " +
       "in the exclusion list empties the result (NOT IN, not NOT " +
       "EXISTS); plans as a null-aware anti join, not a nested loop") {
