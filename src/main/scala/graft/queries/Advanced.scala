@@ -350,6 +350,44 @@ object Advanced {
       .orderBy(col("src"))
   }
 
+  /** q242's body — deterministic A/B experiment readout: users are
+    * assigned to arms by the house md5 bucket (q59/q67 addressing,
+    * ":ab" salt decorrelates from the split/mixture hashes — any
+    * engine, any run, any subset assigns identically, which is what
+    * makes an experiment re-readable), success = ≥1 `conversion`
+    * event, and the two-proportion z-test runs on EXACT integer
+    * counts with one float expression at the end (the q53/q220
+    * discipline). Two exchanges total: the per-user any-conversion
+    * aggregate and the 4-counter global fold. Significance gates on
+    * the 4-dp-rounded z so the boolean can't sit on a ULP edge
+    * across engines.
+    */
+  def abTest(events: DataFrame, conversion: String): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === conversion, 1).otherwise(0))
+        .as("converted"))
+      .select(col("converted"),
+        pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+          lit(":ab"))), 1, 8), 16, 10).cast("long"), lit(2)).as("arm"))
+    val counts = per.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).as("n_a"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).as("n_b"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0))
+        .as("conv_a"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0))
+        .as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = round((pa - pb) /
+      sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+    counts.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      z.as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
   def defs: Seq[Q] = Seq(
     // ROLLUP with grouping() disambiguation (subtotal rows vs real null).
     Q("q39_rollup",
@@ -2446,6 +2484,41 @@ object Advanced {
                      ROUND(c6 / 1000000.0
                        / (SELECT COUNT(*) FROM conv), 4) AS share
               FROM credits ORDER BY 1""")),
+
+    // Deterministic A/B readout (see [[abTest]]): md5-bucket arms,
+    // exact-count two-proportion z-test, 4-dp-gated significance.
+    Q("q242_ab_test",
+      (s, d) => abTest(t(s, d, "events"), conversion = "purchase"),
+      Some("""WITH per AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS converted,
+                       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':ab'), 1, 8) AS BIGINT) % 2 AS arm
+                FROM events GROUP BY user_id),
+              c AS (
+                SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                       SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                       SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                         AS conv_a,
+                       SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                         AS conv_b
+                FROM per),
+              s AS (
+                SELECT n_a, n_b, conv_a, conv_b,
+                       CAST(conv_a AS DOUBLE) / n_a AS pa,
+                       CAST(conv_b AS DOUBLE) / n_b AS pb,
+                       CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+                         AS pool
+                FROM c)
+              SELECT n_a, n_b, conv_a, conv_b,
+                     ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+                     ROUND((pa - pb) / SQRT(pool * (1 - pool) *
+                       (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+                     ABS(ROUND((pa - pb) / SQRT(pool * (1 - pool) *
+                       (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96
+                       AS significant
+              FROM s""")),
 
     // Point-in-time SCD2 lookup join (see [[statePitJoin]]): every
     // purchase joined to the state run (from the other events'

@@ -210,6 +210,46 @@ class TrendSpec extends AnyFunSuite with TestSpark {
     assert(out("none") == ((1.0, 0.25)))
   }
 
+  test("ab test: arms match an independent MD5 derivation, counts " +
+      "conserve, z matches the hand formula") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    // independent ground-truth arm assignment (java MessageDigest,
+    // not the Spark expression under test)
+    def armOf(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$u:ab".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2
+    }
+    val users = (1L to 40L).toSeq
+    val buyers = users.filter(_ % 3 == 0).toSet
+    val rows = users.flatMap { u =>
+      Seq((u * 10, ts("2024-01-01 00:00:01"), u, "view")) ++
+        (if (buyers(u))
+          Seq((u * 10 + 1, ts("2024-01-01 00:00:02"), u, "purchase"))
+        else Nil)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t, u, e) =>
+        Row(id, t, u, e) }), evSchema)
+    val r = Advanced.abTest(df, "purchase").collect().head
+    val (na, nb) = (users.count(armOf(_) == 0).toLong,
+      users.count(armOf(_) == 1).toLong)
+    val (ca, cb) = (users.count(u => armOf(u) == 0 && buyers(u)).toLong,
+      users.count(u => armOf(u) == 1 && buyers(u)).toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, nb, ca, cb)))
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pool = (ca + cb).toDouble / (na + nb)
+    val z = BigDecimal((pa - pb) / math.sqrt(pool * (1 - pool) *
+      (1.0 / na + 1.0 / nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) == z)
+    assert(r.getBoolean(7) == (math.abs(z) > 1.96))
+  }
+
   test("q209: shards are equi-depth, ranges monotone, corpus accounted") {
     val sf = "/root/testdata/sf0.001"
     val out = Registry.queries("q209_range_shards")(spark, sf).collect()
