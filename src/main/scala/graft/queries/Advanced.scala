@@ -388,6 +388,68 @@ object Advanced {
       z.as("z"), (abs(z) > 1.96).as("significant"))
   }
 
+  /** q243's body — CUPED variance reduction (Deng et al. 2013) over
+    * the q242 experiment frame: per user, X = pre-period conversion
+    * count (the covariate), Y = post-period conversion count (the
+    * metric), arms from the same ":ab" md5 bucket. θ = cov(X,Y)/var(X)
+    * pooled over all users, the adjusted effect is
+    * (mean Y − θ·(mean X − mean X_pooled)) differenced across arms,
+    * and the variance-reduction factor is ρ² — ALL of it computed from
+    * seven exact DECIMAL(38,0) sums (n, Σx, Σy, Σxy, Σxx, Σyy per the
+    * [[graft.queries.Frontier.pearsonExact]] discipline, plus the
+    * per-arm triples) with one float block at the end, 6-dp rounded.
+    * Two exchanges: the per-user pre/post aggregate and the global
+    * fold. var(X) = 0 yields NULL θ (no covariate signal), keeping
+    * the raw difference as the answer.
+    */
+  def cuped(events: DataFrame, conversion: String,
+      boundary: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = events.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === conversion &&
+          col("ts") < lit(boundary), 1).otherwise(0)).as("x"),
+        sum(when(col("event_type") === conversion &&
+          col("ts") >= lit(boundary), 1).otherwise(0)).as("y"))
+      .select(col("x").cast(dec).as("x"), col("y").cast(dec).as("y"),
+        pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+          lit(":ab"))), 1, 8), 16, 10).cast("long"), lit(2)).as("arm"))
+    val g = per.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("arm") === 0, 1).otherwise(0)).cast(dec).as("na"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0)).as("sxa"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0)).as("sya"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).cast(dec).as("nb"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0)).as("sxb"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0)).as("syb"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val theta = when(dxx === 0, lit(null).cast("double"))
+      .otherwise(dxy.cast("double") / dxx.cast("double"))
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    val diffRaw = m("syb", "nb") - m("sya", "na")
+    val adjA = m("sya", "na") -
+      coalesce(theta, lit(0.0)) * (m("sxa", "na") - meanX)
+    val adjB = m("syb", "nb") -
+      coalesce(theta, lit(0.0)) * (m("sxb", "nb") - meanX)
+    val rho2 = when(dxx === 0 || dyy === 0, lit(0.0))
+      .otherwise((dxy.cast("double") * dxy.cast("double")) /
+        (dxx.cast("double") * dyy.cast("double")))
+    g.select(
+      col("n").cast("long").as("n_users"),
+      round(theta, 6).as("theta"),
+      round(diffRaw, 6).as("diff_raw"),
+      round(adjB - adjA, 6).as("diff_cuped"),
+      round(rho2, 6).as("var_reduction"))
+  }
+
   def defs: Seq[Q] = Seq(
     // ROLLUP with grouping() disambiguation (subtotal rows vs real null).
     Q("q39_rollup",
@@ -2484,6 +2546,60 @@ object Advanced {
                      ROUND(c6 / 1000000.0
                        / (SELECT COUNT(*) FROM conv), 4) AS share
               FROM credits ORDER BY 1""")),
+
+    // CUPED variance-reduced experiment readout (see [[cuped]]):
+    // exact DECIMAL moment sums, one float block, 6-dp rounding.
+    Q("q243_cuped",
+      (s, d) => cuped(t(s, d, "events"), conversion = "purchase",
+        boundary = "2024-01-16"),
+      Some("""WITH per AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                         AND ts < TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS HUGEINT) AS y,
+                       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':ab'), 1, 8) AS BIGINT) % 2 AS arm
+                FROM events GROUP BY user_id),
+              g AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+                       SUM(y*y) AS syy,
+                       CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS na,
+                       SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+                       SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+                       CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS nb,
+                       SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+                       SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb
+                FROM per),
+              f AS (
+                SELECT CAST(n AS BIGINT) AS n_users,
+                       CAST(n*sxx - sx*sx AS DOUBLE) AS dxx,
+                       CAST(n*syy - sy*sy AS DOUBLE) AS dyy,
+                       CAST(n*sxy - sx*sy AS DOUBLE) AS dxy,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+                       CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mya,
+                       CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS myb,
+                       CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mxa,
+                       CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mxb
+                FROM g)
+              SELECT n_users,
+                     ROUND(CASE WHEN dxx = 0 THEN NULL
+                       ELSE dxy / dxx END, 6) AS theta,
+                     ROUND(myb - mya, 6) AS diff_raw,
+                     ROUND((myb - COALESCE(dxy / NULLIF(dxx, 0), 0)
+                         * (mxb - mean_x))
+                       - (mya - COALESCE(dxy / NULLIF(dxx, 0), 0)
+                         * (mxa - mean_x)), 6) AS diff_cuped,
+                     ROUND(CASE WHEN dxx = 0 OR dyy = 0 THEN 0
+                       ELSE dxy * dxy / (dxx * dyy) END, 6)
+                       AS var_reduction
+              FROM f""")),
 
     // Deterministic A/B readout (see [[abTest]]): md5-bucket arms,
     // exact-count two-proportion z-test, 4-dp-gated significance.

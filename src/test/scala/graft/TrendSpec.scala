@@ -250,6 +250,41 @@ class TrendSpec extends AnyFunSuite with TestSpark {
     assert(r.getBoolean(7) == (math.abs(z) > 1.96))
   }
 
+  test("cuped: perfect covariate erases the effect (theta 1, rho2 1), " +
+      "zero-variance covariate degrades to the raw difference") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def build(xy: Long => (Int, Int)) = {
+      var id = 0L
+      val rows = (1L to 40L).flatMap { u =>
+        val (x, y) = xy(u)
+        (1 to x).map { _ => id += 1
+          Row(id, ts("2024-01-10 00:00:00"), u, "purchase") } ++
+        (1 to y).map { _ => id += 1
+          Row(id, ts("2024-01-20 00:00:00"), u, "purchase") } :+
+        { id += 1; Row(id, ts("2024-01-10 00:00:01"), u, "view") }
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), evSchema)
+    }
+    // y == x exactly: theta = 1, CUPED removes ALL apparent effect
+    val perfect = Advanced
+      .cuped(build(u => ((u % 5).toInt, (u % 5).toInt)),
+        "purchase", "2024-01-16")
+      .collect().head
+    assert(perfect.getLong(0) == 40L)
+    assert(perfect.getDouble(1) == 1.0)         // theta
+    assert(perfect.getDouble(3) == 0.0)         // diff_cuped
+    assert(perfect.getDouble(4) == 1.0)         // var_reduction
+    // constant covariate: theta NULL, adjusted == raw, rho2 = 0
+    val flat = Advanced
+      .cuped(build(u => (1, (u % 3).toInt)), "purchase", "2024-01-16")
+      .collect().head
+    assert(flat.isNullAt(1))
+    assert(flat.getDouble(3) == flat.getDouble(2))
+    assert(flat.getDouble(4) == 0.0)
+  }
+
   test("q209: shards are equi-depth, ranges monotone, corpus accounted") {
     val sf = "/root/testdata/sf0.001"
     val out = Registry.queries("q209_range_shards")(spark, sf).collect()
