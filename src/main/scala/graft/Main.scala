@@ -295,6 +295,15 @@ object Main {
           println(s"cusum landing=$landingDir baseline=$baselinePath " +
             s"out=$outDir idle_ms=$idleMs days=$n")
 
+        case "ab" :: landingDir :: outDir :: rest if rest.length <= 1 =>
+          val q = graft.streaming.StreamingAb.start(spark, landingDir,
+            outDir, rest.headOption.getOrElse("purchase"))
+          q.awaitTermination()
+          val latest = new java.io.File(s"$outDir/readouts").listFiles()
+            .map(_.getName).filter(_.startsWith("batch="))
+            .map(_.stripPrefix("batch=").toLong).max
+          spark.read.parquet(s"$outDir/readouts/batch=$latest").show()
+
         case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
           graft.etl.Writers.zorderParquet(
             spark.read.parquet(in), c1, c2, out)
@@ -712,6 +721,7 @@ object Main {
         |  track <landingDir> <outDir> <idleMs> [watermarkDelay]
         |  trend <landingDir> <outDir> <alpha> <idleMs> [watermarkDelay]
         |  cusum <landingDir> <baselineParquet> <outDir> <idleMs> [watermarkDelay]
+        |  ab <landingDir> <outDir> [conversionEventType]
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]

@@ -376,6 +376,14 @@ object Advanced {
         .as("conv_a"),
       sum(when(col("arm") === 1, col("converted")).otherwise(0))
         .as("conv_b"))
+    zFromCounts(counts)
+  }
+
+  /** The q242 readout from a 1-row (n_a, n_b, conv_a, conv_b) counts
+    * frame — shared with the always-on monitor
+    * ([[graft.streaming.StreamingAb]]), so a streaming alert
+    * reproduces verbatim from the same counts. */
+  def zFromCounts(counts: DataFrame): DataFrame = {
     val pa = col("conv_a").cast("double") / col("n_a")
     val pb = col("conv_b").cast("double") / col("n_b")
     val pool = (col("conv_a") + col("conv_b")).cast("double") /
