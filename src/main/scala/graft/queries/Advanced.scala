@@ -2609,6 +2609,48 @@ object Advanced {
                        AS var_reduction
               FROM f""")),
 
+    // SAMPLE-RATIO-MISMATCH health check — the gate every experiment
+    // readout must pass BEFORE its effect is believed (Fabijan et al.:
+    // a biased assignment invalidates q242/q243 silently): chi-square
+    // of the observed arm sizes against the designed 50/50 split,
+    // alarming at the 0.001 level (chi2 > 10.828, 1 dof) — SRM checks
+    // run strict because a true mismatch is a PLUMBING bug, not noise.
+    // Exact integer counts; chi2 = (n_a - n_b)^2 / (n_a + n_b) for the
+    // equal-split design (algebraic collapse of the two-cell formula),
+    // ONE float division, 4-dp rounded. One exchange: the per-user
+    // distinct before arm counting (assignment is per UNIT, so event
+    // volume per user must not weight the ratio).
+    Q("q244_srm",
+      (s, d) => {
+        val arms = t(s, d, "events")
+          .select(col("user_id")).distinct()
+          .select(pmod(conv(substring(md5(concat(
+            col("user_id").cast("string"), lit(":ab"))), 1, 8), 16, 10)
+            .cast("long"), lit(2)).as("arm"))
+          .agg(
+            sum(when(col("arm") === 0, 1).otherwise(0)).as("n_a"),
+            sum(when(col("arm") === 1, 1).otherwise(0)).as("n_b"))
+        val d2 = (col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+        val chi2 = round(d2.cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 4)
+        arms.select(col("n_a"), col("n_b"), chi2.as("chi2"),
+          (chi2 > 10.828).as("srm_detected"))
+      },
+      Some("""WITH arms AS (
+                SELECT CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':ab'), 1, 8) AS BIGINT) % 2 AS arm
+                FROM (SELECT DISTINCT user_id FROM events)),
+              c AS (
+                SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                       SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+                FROM arms)
+              SELECT n_a, n_b,
+                     ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                       / (n_a + n_b), 4) AS chi2,
+                     ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                       / (n_a + n_b), 4) > 10.828 AS srm_detected
+              FROM c""")),
+
     // Deterministic A/B readout (see [[abTest]]): md5-bucket arms,
     // exact-count two-proportion z-test, 4-dp-gated significance.
     Q("q242_ab_test",
