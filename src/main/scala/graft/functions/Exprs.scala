@@ -1234,6 +1234,22 @@ object GraftExtensions {
       }
       HoltFold(es.head, p(es(1), "alpha"), p(es(2), "beta"))
     }),
+    d("graft_holt_backtest", classOf[HoltBacktest], { es =>
+      def p(e: Expression, name: String): Double = {
+        require(e.foldable, s"graft_holt_backtest expects a literal $name")
+        val v = e.eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_holt_backtest: $name must be numeric, got $other")
+        }
+        require(v > 0.0 && v <= 1.0,
+          s"graft_holt_backtest: $name in (0,1], got $v")
+        v
+      }
+      HoltBacktest(es.head, p(es(1), "alpha"), p(es(2), "beta"))
+    }),
     d("graft_media_phash", classOf[MediaPHash64], { es =>
       // optional second arg: a literal bucket-grid size (part of the
       // expression, like graft_winnow_min's window)
@@ -1741,6 +1757,86 @@ case class HoltFold(child: Expression, alpha: Double, beta: Double)
     copy(child = newChild)
 }
 
+/** Walk-forward one-step Holt backtest over an ordered value array —
+  * the EVALUATION half of the trend family (HoltFold forecasts;
+  * nothing previously measured whether those forecasts beat the
+  * trivial "tomorrow equals today" rule). One pass, same recurrence
+  * and `(1.0 - alpha)` spelling as HoltFold so a replayed oracle is
+  * bit-identical: BEFORE applying element i (i ≥ 2) it scores the
+  * standing one-step forecast l+b against x_i (absolute error) and the
+  * naive carry-forward x_{i−1} against x_i, then updates. Returns
+  * struct(n_forecasts, sum_abs_err, naive_abs_err) — exact fold sums,
+  * division and skill ratios left to the caller (one float block at
+  * the end, the q210/q243 discipline). Nulls skip: they neither score
+  * nor update, matching HoltFold.
+  */
+case class HoltBacktest(child: Expression, alpha: Double, beta: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_forecasts", LongType, nullable = false),
+    StructField("sum_abs_err", DoubleType, nullable = false),
+    StructField("naive_abs_err", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_holt_backtest"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName expects array<DOUBLE> — " +
+            s"cast the values — got ${t.sql}")
+    }
+
+  def compute(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    var l = 0.0
+    var b = 0.0
+    var prev = 0.0
+    var seen = false
+    var nf = 0L
+    var sumErr = 0.0
+    var naiveErr = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = a.getDouble(i)
+        if (!seen) { l = x; b = 0.0; seen = true }
+        else {
+          sumErr += math.abs(x - (l + b))
+          naiveErr += math.abs(x - prev)
+          nf += 1L
+          val l0 = l
+          l = alpha * x + (1.0 - alpha) * (l + b)
+          b = beta * (l - l0) + (1.0 - beta) * b
+        }
+        prev = x
+      }
+      i += 1
+    }
+    require(seen, s"$prettyName: no non-null elements")
+    // Seq[Any], NOT Seq(...): mixed Long/Double literals unify to
+    // Seq[Double] by numeric widening, silently boxing nf as a Double
+    InternalRow.fromSeq(Seq[Any](nf, sumErr, naiveErr))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("holtBacktest", this,
+      classOf[HoltBacktest].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions (requires a session built
   * with GraftExtensions — `graft.core.Session.builder` wires it in).
   */
@@ -1791,6 +1887,13 @@ object Fns {
     * recursive-CTE replay with the same `(1.0 - alpha)` spelling. */
   def holt(values: Column, alpha: Double, beta: Double): Column =
     call_function("graft_holt", dbl(values),
+      org.apache.spark.sql.functions.lit(alpha),
+      org.apache.spark.sql.functions.lit(beta))
+
+  /** Walk-forward one-step Holt backtest (see HoltBacktest): exact
+    * error sums struct(n_forecasts, sum_abs_err, naive_abs_err). */
+  def holtBacktest(values: Column, alpha: Double, beta: Double): Column =
+    call_function("graft_holt_backtest", dbl(values),
       org.apache.spark.sql.functions.lit(alpha),
       org.apache.spark.sql.functions.lit(beta))
 

@@ -140,6 +140,43 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** q245's body — walk-forward one-step Holt backtest per user (see
+    * [[graft.functions.HoltBacktest]]): MAE of the standing l+b
+    * forecast vs the naive carry-forward, and the skill ratio
+    * 1 − Σ|err|/Σ|naive err| (positive = Holt beats "tomorrow equals
+    * today"; NULL when the naive error is zero — a constant series has
+    * nothing to beat). The fold returns EXACT error sums; the two
+    * divisions are the only float block, 4-dp rounded. Same collect
+    * shape as q226 — per-user arrays bounded by the stream contract.
+    */
+  def holtBacktestReport(events: DataFrame, alpha: Double,
+      beta: Double): DataFrame = {
+    val seq = sort_array(collect_list(
+      struct(col("ts"), col("event_id"), col("value"))))
+    events
+      .groupBy(col("user_id"))
+      .agg(seq.as("seq"))
+      .select(col("user_id"),
+        graft.functions.Fns.holtBacktest(
+          transform(col("seq"), x => x.getField("value")), alpha, beta)
+          .as("bt"))
+      .filter(col("bt.n_forecasts") >= 1)
+      // NO rounding: both engines run the identical fold order, so the
+      // raw doubles are bit-equal — rounding would INTRODUCE the
+      // cross-engine boundary risk (Spark rounds via the shortest
+      // decimal string, DuckDB arithmetically; an error sum landing on
+      // an exact .xxxx5 splits them — observed on the testdata).
+      .select(col("user_id"),
+        col("bt.n_forecasts").as("n_forecasts"),
+        (col("bt.sum_abs_err") / col("bt.n_forecasts")).as("mae"),
+        (col("bt.naive_abs_err") / col("bt.n_forecasts")).as("naive_mae"),
+        when(col("bt.naive_abs_err") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            col("bt.sum_abs_err") / col("bt.naive_abs_err"))
+          .as("skill"))
+      .orderBy(col("user_id"))
+  }
+
   /** q210's closed form on any (user_id, ts, value) frame — exposed so
     * TrendSpec can plant exactly-linear and zero-variance streams. */
   def userTrend(events: DataFrame): DataFrame = {
@@ -2763,6 +2800,47 @@ object Advanced {
                      ROUND(h.l + h.b, 4) AS forecast
               FROM h JOIN n ON n.user_id = h.user_id
                            AND h.rn = n.n_events
+              ORDER BY h.user_id""")),
+
+    // Walk-forward Holt backtest (see [[holtBacktestReport]]): does the
+    // q226 forecast beat naive carry-forward? Same fold, same
+    // (1.0 - alpha) spelling, error sums carried through the
+    // recursive-CTE replay.
+    Q("q245_holt_backtest",
+      (s, d) => holtBacktestReport(t(s, d, "events"),
+        alpha = 0.3, beta = 0.2),
+      Some("""WITH RECURSIVE e AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn
+                FROM events),
+              n AS (SELECT user_id, COUNT(*) AS n_events
+                    FROM e GROUP BY 1),
+              h AS (
+                SELECT user_id, rn, value AS l, CAST(0 AS DOUBLE) AS b,
+                       CAST(0 AS DOUBLE) AS serr,
+                       CAST(0 AS DOUBLE) AS nerr,
+                       value AS prev, CAST(0 AS BIGINT) AS nf
+                FROM e WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.rn,
+                       0.3*e.value + (1.0 - 0.3)*(h.l + h.b),
+                       0.2*((0.3*e.value + (1.0 - 0.3)*(h.l + h.b)) - h.l)
+                         + (1.0 - 0.2)*h.b,
+                       h.serr + ABS(e.value - (h.l + h.b)),
+                       h.nerr + ABS(e.value - h.prev),
+                       e.value, h.nf + 1
+                FROM h JOIN e
+                  ON e.user_id = h.user_id AND e.rn = h.rn + 1)
+              SELECT h.user_id, h.nf AS n_forecasts,
+                     h.serr / h.nf AS mae,
+                     h.nerr / h.nf AS naive_mae,
+                     CASE WHEN h.nerr = 0 THEN NULL
+                          ELSE 1.0 - h.serr / h.nerr END
+                       AS skill
+              FROM h JOIN n ON n.user_id = h.user_id
+                           AND h.rn = n.n_events
+              WHERE h.nf >= 1
               ORDER BY h.user_id"""))
   )
 }

@@ -380,6 +380,35 @@ class FnsSpec extends AnyFunSuite with TestSpark {
     assert(e2.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("native holt backtest: hand-computed errors, null skip, " +
+      "single element yields zero forecasts, naive sum independent") {
+    import spark.implicits._
+    def bt(xs: Seq[java.lang.Double]): (Long, Double, Double) = {
+      val r = Seq(Tuple1(xs)).toDF("xs")
+        .select(Fns.holtBacktest(col("xs"), 0.3, 0.2).as("b"))
+        .collect().head.getStruct(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    // xs = [1, 2, 4]: forecast_2 = 1 (err 1), after update l = 0.3*2 +
+    // 0.7*1, b = 0.2*(l-1); forecast_3 = l+b, naive errs = 1 + 2
+    val l2 = 0.3 * 2 + (1.0 - 0.3) * 1.0
+    val b2 = 0.2 * (l2 - 1.0) + (1.0 - 0.2) * 0.0
+    val (nf, serr, nerr) = bt(Seq(1.0, 2.0, 4.0))
+    assert(nf == 2L)
+    assert(serr == 1.0 + math.abs(4.0 - (l2 + b2)))
+    assert(nerr == 3.0)
+    // nulls neither score nor update (HoltFold's skip rule)
+    assert(bt(Seq(1.0, null, 2.0, null, 4.0)) == ((nf, serr, nerr)))
+    // a single observation has nothing to forecast
+    assert(bt(Seq(7.0)) == ((0L, 0.0, 0.0)))
+    // wrong element type fails at analysis, not execution
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_holt_backtest(array('a'), 0.3d, 0.2d)")
+        .collect()
+    }
+    assert(e.getMessage.contains("array<DOUBLE>"))
+  }
+
   test("native nfc: composed == decomposed, NFC-only (ligature survives), " +
       "ASCII fast-path identity, null passthrough") {
     import spark.implicits._
