@@ -2592,6 +2592,80 @@ object Advanced {
                        / (SELECT COUNT(*) FROM conv), 4) AS share
               FROM credits ORDER BY 1""")),
 
+    // DIFFERENCE-IN-DIFFERENCES readout — the third leg of the
+    // experimentation pack (q242 effect, q243 variance reduction, this
+    // one PRE-EXISTING-BIAS correction): each arm's post-minus-pre
+    // per-user conversion-count change, differenced across arms, so a
+    // baseline imbalance the z-test would misread as an effect
+    // subtracts out (parallel-trends assumption stated). Same per-user
+    // pre/post frame and ":ab" arms as q243; four exact DECIMAL sums
+    // + counts, one float block, no rounding hazards beyond the
+    // terminal 6-dp.
+    Q("q246_did",
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val bnd = "2024-01-16"
+        val per = t(s, d, "events").groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "purchase" &&
+              col("ts") < lit(bnd), 1).otherwise(0)).cast(dec).as("x"),
+            sum(when(col("event_type") === "purchase" &&
+              col("ts") >= lit(bnd), 1).otherwise(0)).cast(dec).as("y"))
+          .select(col("x"), col("y"),
+            pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+              lit(":ab"))), 1, 8), 16, 10).cast("long"), lit(2)).as("arm"))
+        val g = per.agg(
+          sum(when(col("arm") === 0, 1).otherwise(0)).cast(dec).as("na"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0)).as("sxa"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0)).as("sya"),
+          sum(when(col("arm") === 1, 1).otherwise(0)).cast(dec).as("nb"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0)).as("sxb"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0)).as("syb"))
+        def m(s0: String, n: String) =
+          col(s0).cast("double") / col(n).cast("double")
+        g.select(
+          col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          round(m("sya", "na") - m("sxa", "na"), 6).as("delta_a"),
+          round(m("syb", "nb") - m("sxb", "nb"), 6).as("delta_b"),
+          round((m("syb", "nb") - m("sxb", "nb")) -
+            (m("sya", "na") - m("sxa", "na")), 6).as("did"))
+      },
+      Some("""WITH per AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                         AND ts < TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS HUGEINT) AS y,
+                       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':ab'), 1, 8) AS BIGINT) % 2 AS arm
+                FROM events GROUP BY user_id),
+              g AS (
+                SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS na,
+                       SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+                       SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+                       CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS nb,
+                       SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+                       SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb
+                FROM per)
+              SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                     ROUND(CAST(sya AS DOUBLE)/CAST(na AS DOUBLE)
+                       - CAST(sxa AS DOUBLE)/CAST(na AS DOUBLE), 6)
+                       AS delta_a,
+                     ROUND(CAST(syb AS DOUBLE)/CAST(nb AS DOUBLE)
+                       - CAST(sxb AS DOUBLE)/CAST(nb AS DOUBLE), 6)
+                       AS delta_b,
+                     ROUND((CAST(syb AS DOUBLE)/CAST(nb AS DOUBLE)
+                       - CAST(sxb AS DOUBLE)/CAST(nb AS DOUBLE))
+                       - (CAST(sya AS DOUBLE)/CAST(na AS DOUBLE)
+                       - CAST(sxa AS DOUBLE)/CAST(na AS DOUBLE)), 6)
+                       AS did
+              FROM g""")),
+
     // CUPED variance-reduced experiment readout (see [[cuped]]):
     // exact DECIMAL moment sums, one float block, 6-dp rounding.
     Q("q243_cuped",
