@@ -1,0 +1,472 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Statistical estimators a 100 TB curation/analytics engine needs
+  * beyond point aggregates: a mergeable KMV distinct-count sketch
+  * (the first HASH-CHECKED sketch in the registry — the Datasketches
+  * HLL routes are accuracy-bounded only, this one is md5-addressed so
+  * DuckDB replays every bit), a Kaplan-Meier survival curve with
+  * right-censoring, a delete-one-block jackknife confidence interval
+  * for the experimentation pack's lift estimate, and a closed-form
+  * two-feature OLS fit via Cramer's rule on exact integer moments.
+  *
+  * Shared float discipline (the q195/q210 house rules): every
+  * corpus-sized accumulation is an exact integer (Spark DECIMAL(38,0),
+  * oracle HUGEINT); doubles appear in ONE terminal block per query and
+  * round at 4-6 dp; where a float fold is unavoidable (the KM log-sum)
+  * it runs over a SUMMARY-sized ordered frame, so both engines fold
+  * the same few dozen terms in the same order and the terminal
+  * rounding absorbs libm ulp skew (the q178 precedent).
+  */
+object Stats {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  private val Dec = "decimal(38,0)"
+
+  /** md5-addressed 32-bit uniform hash of `c` under domain-separating
+    * salt `salt` — the q59/q152/q242 addressing rule, so the oracle
+    * derives identical integers. Range [0, 2^32). */
+  private def h32(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic experiment arm (0/1) of a user id — q242's rule. */
+  private def arm(u: Column): Column = pmod(h32(u, ":ab"), lit(2))
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) of
+    * `keyCol` per `grpCol`: keep the k smallest distinct 32-bit md5
+    * hashes; if more than k distinct hashes exist the estimate is
+    * (k-1) / U(k) with U(k) = kth-smallest-hash / 2^32, else the
+    * sketch is exact. Min-k sets merge associatively (min-k of a union
+    * = min-k of the merged min-k sets), which is what makes this a
+    * fixed-size, map-side-mergeable distinct counter at any scale —
+    * and unlike HLL every bit is deterministic integer arithmetic, so
+    * the estimate itself is oracle-checkable.
+    *
+    * Scale shape: ONE distinct projection on (grp, key) (map-side
+    * combined — the shuffle carries distinct pairs, never raw rows),
+    * hashes computed map-side after the collapse; the min-k selection
+    * is `row_number <= k`, which [[graft.plans.TopKRewrite]] plans as
+    * the bounded-heap TopKPerKey — at most k rows per (partition, grp)
+    * ride the final exchange, never the distinct-key-sized set.
+    * Returns (grp, n_exact, n_hashes, est, rel_err); n_exact is the
+    * report's verification column (the production sketch path would
+    * skip it).
+    */
+  def kmvReport(df: DataFrame, grpCol: Column, keyCol: Column,
+      k: Int): DataFrame = {
+    val dk = df.select(grpCol.as("grp"), keyCol.as("kid")).distinct()
+      .select(col("grp"), col("kid"), h32(col("kid"), ":kmv").as("h"))
+    val st = dk.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_exact"), countDistinct(col("h")).as("nh"))
+    val mins = dk.select(col("grp"), col("h")).distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("grp")).agg(max(col("h")).as("hk"))
+    val raw = when(col("nh") > k,
+      lit((k - 1).toDouble) * lit(4294967296.0) / col("hk").cast("double"))
+      .otherwise(col("nh").cast("double"))
+    st.join(mins, Seq("grp"))
+      .select(col("grp"), col("n_exact").cast("long").as("n_exact"),
+        col("nh").cast("long").as("n_hashes"),
+        round(raw, 4).as("est"),
+        round(abs(raw - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 4).as("rel_err"))
+      .orderBy(col("grp"))
+  }
+
+  /** Kaplan-Meier survival curve of time-to-first-purchase (in whole
+    * days since each user's first event), right-censored at the
+    * stream's last observed timestamp for users who never purchase.
+    * Standard KM conventions: at a time with both deaths and censored
+    * exits, the censored are still at risk (removed after); S(t) =
+    * prod over death times t_j <= t of (1 - d_j / n_j); one output row
+    * per death time.
+    *
+    * Scale shape: the only corpus-sized work is ONE user-keyed
+    * aggregate (first event ts + first purchase ts per user); the
+    * (day, deaths, censored) grid is bounded by the observation span
+    * in days, so the ordered unpartitioned window and the log-sum fold
+    * both run over a SUMMARY-sized frame (the q193 exemption). The
+    * survival product is exp(running sum of ln(1 - d/n)) — the one
+    * float block — with n_j = d_j forced to exact 0 (no ln(0)).
+    */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    val secs = unix_timestamp(col("ts"))
+    val per = events.groupBy(col("user_id")).agg(
+      min(secs).as("f"),
+      min(when(col("event_type") === "purchase", secs)).as("p"))
+    val mx = events.agg(max(secs).as("mx"))
+    val pu = per.crossJoin(broadcast(mx)).select(
+      when(col("p").isNotNull, floor((col("p") - col("f")) / lit(86400.0)))
+        .otherwise(floor((col("mx") - col("f")) / lit(86400.0)))
+        .cast("long").as("day"),
+      when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+    val grid = pu.groupBy(col("day")).agg(
+      sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val nTot = pu.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+    val cum = grid.crossJoin(broadcast(nTot))
+      .withColumn("removed", coalesce(
+        sum(col("d") + col("c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("n") - col("removed"))
+      .withColumn("lnf", when(col("d") < col("n_risk"),
+        log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))))
+      .withColumn("zf", max(when(col("d") === col("n_risk"), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cln", sum(col("lnf"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.filter(col("d") > 0)
+      .select(col("day"), col("n_risk").cast("long").as("n_risk"),
+        col("d").cast("long").as("n_events"),
+        col("c").cast("long").as("n_censored"),
+        when(col("zf") === 1, lit(0.0))
+          .otherwise(round(exp(coalesce(col("cln"), lit(0.0))), 6)).as("surv"))
+      .orderBy(col("day"))
+  }
+
+  /** Delete-one-block jackknife CI for the A/B lift in mean per-user
+    * purchase count (the q242 arms): users hash into B blocks
+    * (md5 ":jk" addressing, independent of the ":ab" arm hash); for
+    * each block, the lift recomputed WITHOUT that block's users gives
+    * a leave-one-out estimate theta_(-b); the jackknife variance
+    * (B-1)/B * sum (theta_(-b) - mean)^2 yields a normal-theory 95%
+    * CI that is assumption-light about the per-user distribution
+    * (Efron 1981). Requires B << users per arm (every leave-one-out
+    * denominator stays positive).
+    *
+    * Float discipline: per-(arm, block) counts and sums are exact
+    * DECIMAL; each theta_(-b) is ONE double expression over those
+    * integers, immediately re-gridded to an exact e9 integer (the
+    * q210 rule applied to pseudo-values), so the variance comes from
+    * exact integer moments — no order-dependent float accumulation.
+    * Scale shape: one user-keyed aggregate, then a 2B-cell aggregate;
+    * the leave-one-out table is B rows (block scaffold keeps empty
+    * blocks, whose theta_(-b) degenerates to the full estimate).
+    */
+  def jackknifeLift(events: DataFrame, spark: SparkSession,
+      blocks: Int): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+        .cast(Dec).as("y"))
+      .select(col("y"), arm(col("user_id")).as("a"),
+        pmod(h32(col("user_id"), ":jk"), lit(blocks)).as("b"))
+    val cell = per.groupBy(col("b")).agg(
+      sum(when(col("a") === 0, 1).otherwise(0)).cast(Dec).as("na_b"),
+      sum(when(col("a") === 0, col("y")).otherwise(0)).as("sa_b"),
+      sum(when(col("a") === 1, 1).otherwise(0)).cast(Dec).as("nb_b"),
+      sum(when(col("a") === 1, col("y")).otherwise(0)).as("sb_b"))
+    val scaffold = spark.range(blocks).select(col("id").as("b"))
+    val full = scaffold.join(broadcast(cell), Seq("b"), "left")
+      .na.fill(0, Seq("na_b", "sa_b", "nb_b", "sb_b"))
+    val tot = full.agg(
+      sum(col("na_b")).as("na"), sum(col("sa_b")).as("sa"),
+      sum(col("nb_b")).as("nb"), sum(col("sb_b")).as("sb"))
+    def dd(c: String) = col(c).cast("double")
+    val loo = full.crossJoin(broadcast(tot)).select(
+      ((dd("sb") - dd("sb_b")) / (dd("nb") - dd("nb_b"))
+        - (dd("sa") - dd("sa_b")) / (dd("na") - dd("na_b"))).as("th"))
+      .select(round(col("th") * 1e9).cast(Dec).as("z"))
+    val zm = loo.agg(count(lit(1)).as("nb2"), sum(col("z")).as("sz"),
+      sum(col("z") * col("z")).as("sz2"))
+    zm.crossJoin(broadcast(tot)).select(
+      (dd("sb") / dd("nb") - dd("sa") / dd("na")).as("th"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      col("nb2").cast("long").as("n_blocks"),
+      dd("sz").as("szd"), dd("sz2").as("sz2d"),
+      col("nb2").cast("double").as("bd"))
+      .select(col("n_a"), col("n_b"), col("n_blocks"),
+        round(col("th"), 6).as("theta"),
+        sqrt(greatest(lit(0.0), (col("bd") - 1) / col("bd")
+          * (col("sz2d") - col("szd") * col("szd") / col("bd")) / 1e18))
+          .as("se_raw"), col("th"))
+      .select(col("n_a"), col("n_b"), col("n_blocks"), col("theta"),
+        round(col("se_raw"), 6).as("se"),
+        round(col("th") - lit(1.959964) * col("se_raw"), 6).as("lo"),
+        round(col("th") + lit(1.959964) * col("se_raw"), 6).as("hi"))
+  }
+
+  /** Closed-form two-feature OLS via Cramer's rule: fit
+    * y = b0 + b1*x1 + b2*x2 from the nine exact integer moment sums
+    * (n, Sx1, Sx2, Sx1x1, Sx1x2, Sx2x2, Sy, Sx1y, Sx2y, Syy). All
+    * features must be integer-valued (the q195 grid rule); every
+    * cross-product fits a long before the DECIMAL accumulation, the
+    * 3x3 solve and R^2 are one terminal double block over the nine
+    * integers — both engines evaluate the identical expression tree
+    * on identical integers, so the doubles agree bit-for-bit.
+    *
+    * Scale shape: ONE map-side-combined global aggregate; nothing
+    * downstream exceeds one row. This is the normal-equations route —
+    * exact for p=2 and embarrassingly scalable, where an iterative
+    * fit (q110's logistic SGD) pays a pass per epoch.
+    */
+  def ols2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    val base = df.select(y.cast("long").as("y"), x1.cast("long").as("x1"),
+      x2.cast("long").as("x2"))
+      .filter(col("y").isNotNull && col("x1").isNotNull && col("x2").isNotNull)
+    val m = base.agg(
+      count(lit(1)).cast(Dec).as("n"),
+      sum(col("x1")).cast(Dec).as("sx1"), sum(col("x2")).cast(Dec).as("sx2"),
+      sum(col("x1") * col("x1")).cast(Dec).as("s11"),
+      sum(col("x1") * col("x2")).cast(Dec).as("s12"),
+      sum(col("x2") * col("x2")).cast(Dec).as("s22"),
+      sum(col("y")).cast(Dec).as("sy"),
+      sum(col("x1") * col("y")).cast(Dec).as("s1y"),
+      sum(col("x2") * col("y")).cast(Dec).as("s2y"),
+      sum(col("y") * col("y")).cast(Dec).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val co = m.select(col("n").cast("long").as("n_rows"),
+      d("n").as("a11"), d("sx1").as("a12"), d("sx2").as("a13"),
+      d("s11").as("a22"), d("s12").as("a23"), d("s22").as("a33"),
+      d("sy").as("by"), d("s1y").as("b1y"), d("s2y").as("b2y"),
+      d("syy").as("syy"))
+      .withColumn("m1", col("a22") * col("a33") - col("a23") * col("a23"))
+      .withColumn("m2", col("a12") * col("a33") - col("a23") * col("a13"))
+      .withColumn("m3", col("a12") * col("a23") - col("a22") * col("a13"))
+      .withColumn("det", col("a11") * col("m1") - col("a12") * col("m2")
+        + col("a13") * col("m3"))
+      .withColumn("b0", (col("by") * col("m1")
+        - col("a12") * (col("b1y") * col("a33") - col("a23") * col("b2y"))
+        + col("a13") * (col("b1y") * col("a23") - col("a22") * col("b2y")))
+        / col("det"))
+      .withColumn("b1", (col("a11") * (col("b1y") * col("a33")
+          - col("a23") * col("b2y"))
+        - col("by") * col("m2")
+        + col("a13") * (col("a12") * col("b2y") - col("b1y") * col("a13")))
+        / col("det"))
+      .withColumn("b2", (col("a11") * (col("a22") * col("b2y")
+          - col("b1y") * col("a23"))
+        - col("a12") * (col("a12") * col("b2y") - col("b1y") * col("a13"))
+        + col("by") * col("m3"))
+        / col("det"))
+      .withColumn("rss", col("syy") - (col("b0") * col("by")
+        + col("b1") * col("b1y") + col("b2") * col("b2y")))
+      .withColumn("tss", col("syy") - col("by") * col("by") / col("a11"))
+    co.select(col("n_rows"),
+      round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+      round(col("b2"), 6).as("b2"),
+      round(lit(1.0) - col("rss") / col("tss"), 6).as("r2"))
+  }
+
+  def defs: Seq[Q] = Seq(
+
+    // KMV DISTINCT SKETCH REPORT — estimated vs exact distinct
+    // l_orderkey per l_returnflag at k=64 (expected ~1/sqrt(62) ~ 13%
+    // relative error). The first sketch whose ESTIMATE is
+    // hash-checked: md5 addressing makes every minimum identical in
+    // DuckDB, so the oracle replays the full sketch, not just bounds.
+    Q("q247_kmv_distinct",
+      (s, d) => kmvReport(t(s, d, "lineitem"), col("l_returnflag"),
+        col("l_orderkey"), 64),
+      Some("""WITH dk AS (
+                SELECT DISTINCT l_returnflag AS grp, l_orderkey AS kid
+                FROM lineitem),
+              hs AS (
+                SELECT grp, kid,
+                       CAST('0x' || SUBSTR(MD5(CAST(kid AS VARCHAR)
+                         || ':kmv'), 1, 8) AS BIGINT) AS h
+                FROM dk),
+              st AS (SELECT grp, COUNT(*) AS n_exact,
+                            COUNT(DISTINCT h) AS nh
+                     FROM hs GROUP BY 1),
+              dh AS (SELECT DISTINCT grp, h FROM hs),
+              rk AS (SELECT grp, h,
+                            ROW_NUMBER() OVER (PARTITION BY grp
+                              ORDER BY h) AS rn
+                     FROM dh),
+              mk AS (SELECT grp, MAX(h) AS hk FROM rk
+                     WHERE rn <= 64 GROUP BY 1),
+              es AS (
+                SELECT st.grp, st.n_exact, st.nh,
+                       CASE WHEN st.nh > 64
+                            THEN 63.0 * 4294967296.0 / mk.hk
+                            ELSE CAST(st.nh AS DOUBLE) END AS raw
+                FROM st JOIN mk USING (grp))
+              SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+                     CAST(nh AS BIGINT) AS n_hashes,
+                     ROUND(raw, 4) AS est,
+                     ROUND(ABS(raw - n_exact) / n_exact, 4) AS rel_err
+              FROM es ORDER BY grp""")),
+
+    // KAPLAN-MEIER SURVIVAL — time-to-first-purchase with
+    // right-censoring at the last observed timestamp. One row per
+    // death day: at-risk count, deaths, censored exits, S(t).
+    Q("q248_kaplan_meier",
+      (s, d) => kaplanMeier(t(s, d, "events")),
+      Some("""WITH per AS (
+                SELECT user_id,
+                       MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS f,
+                       MIN(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS p
+                FROM events GROUP BY 1),
+              mx AS (SELECT MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS mx
+                     FROM events),
+              pu AS (
+                SELECT CASE WHEN p IS NOT NULL
+                         THEN CAST(FLOOR((p - f) / 86400.0) AS BIGINT)
+                         ELSE CAST(FLOOR((mx - f) / 86400.0) AS BIGINT)
+                       END AS day,
+                       CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+                FROM per CROSS JOIN mx),
+              grid AS (
+                SELECT day, CAST(SUM(ev) AS BIGINT) AS d,
+                       CAST(SUM(1 - ev) AS BIGINT) AS c
+                FROM pu GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n FROM pu),
+              cum AS (
+                SELECT day, d, c,
+                       n.n - COALESCE(SUM(d + c) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+                FROM grid CROSS JOIN n),
+              sv AS (
+                SELECT day, d, c, n_risk,
+                       SUM(CASE WHEN d < n_risk
+                         THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                         END) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS cln,
+                       MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                         OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                         AS zf
+                FROM cum)
+              SELECT day, CAST(n_risk AS BIGINT) AS n_risk,
+                     d AS n_events, c AS n_censored,
+                     CASE WHEN zf = 1 THEN 0.0
+                          ELSE ROUND(EXP(COALESCE(cln, 0.0)), 6)
+                     END AS surv
+              FROM sv WHERE d > 0 ORDER BY day""")),
+
+    // BLOCK-JACKKNIFE CI — delete-one-block (B=32, md5 ":jk" blocks)
+    // jackknife variance of the q242-arms lift in mean per-user
+    // purchase count; 95% normal-theory interval.
+    Q("q249_jackknife",
+      (s, d) => jackknifeLift(t(s, d, "events"), s, 32),
+      Some("""WITH per AS (
+                SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS HUGEINT) AS y,
+                       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':ab'), 1, 8) AS BIGINT) % 2 AS a,
+                       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':jk'), 1, 8) AS BIGINT) % 32 AS b
+                FROM events GROUP BY user_id),
+              cell AS (
+                SELECT b,
+                       CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS na_b,
+                       SUM(CASE WHEN a = 0 THEN y ELSE 0 END) AS sa_b,
+                       CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS nb_b,
+                       SUM(CASE WHEN a = 1 THEN y ELSE 0 END) AS sb_b
+                FROM per GROUP BY b),
+              fl AS (
+                SELECT r.b, COALESCE(na_b, 0) AS na_b,
+                       COALESCE(sa_b, 0) AS sa_b,
+                       COALESCE(nb_b, 0) AS nb_b,
+                       COALESCE(sb_b, 0) AS sb_b
+                FROM range(0, 32) r(b) LEFT JOIN cell ON cell.b = r.b),
+              tot AS (
+                SELECT SUM(na_b) AS na, SUM(sa_b) AS sa,
+                       SUM(nb_b) AS nb, SUM(sb_b) AS sb
+                FROM fl),
+              loo AS (
+                SELECT CAST(ROUND(
+                         ((CAST(sb AS DOUBLE) - CAST(sb_b AS DOUBLE))
+                           / (CAST(nb AS DOUBLE) - CAST(nb_b AS DOUBLE))
+                         - (CAST(sa AS DOUBLE) - CAST(sa_b AS DOUBLE))
+                           / (CAST(na AS DOUBLE) - CAST(na_b AS DOUBLE)))
+                         * 1e9) AS HUGEINT) AS z
+                FROM fl CROSS JOIN tot),
+              zm AS (
+                SELECT COUNT(*) AS nb2, SUM(z) AS sz, SUM(z * z) AS sz2
+                FROM loo),
+              fin AS (
+                SELECT CAST(na AS BIGINT) AS n_a,
+                       CAST(nb AS BIGINT) AS n_b,
+                       CAST(nb2 AS BIGINT) AS n_blocks,
+                       CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                         - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS th,
+                       SQRT(GREATEST(0.0,
+                         (CAST(nb2 AS DOUBLE) - 1) / CAST(nb2 AS DOUBLE)
+                         * (CAST(sz2 AS DOUBLE)
+                           - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                             / CAST(nb2 AS DOUBLE)) / 1e18)) AS se_raw
+                FROM zm CROSS JOIN tot)
+              SELECT n_a, n_b, n_blocks, ROUND(th, 6) AS theta,
+                     ROUND(se_raw, 6) AS se,
+                     ROUND(th - 1.959964 * se_raw, 6) AS lo,
+                     ROUND(th + 1.959964 * se_raw, 6) AS hi
+              FROM fin""")),
+
+    // CLOSED-FORM 2-FEATURE OLS — predict a document's stored n_chars
+    // from its space count and digit count: the quality-model fit a
+    // curation pipeline runs to spot documents whose declared length
+    // disagrees with their content shape. Exact integer moments, one
+    // Cramer solve, R^2.
+    Q("q250_ols2",
+      (s, d) => ols2(t(s, d, "documents"), col("n_chars"),
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")),
+        length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", ""))),
+      Some("""WITH base AS (
+                SELECT CAST(n_chars AS BIGINT) AS y,
+                       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                         AS BIGINT) AS x1,
+                       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                         '[0-9]', '', 'g')) AS BIGINT) AS x2
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+              m AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x1) AS HUGEINT) AS sx1,
+                       CAST(SUM(x2) AS HUGEINT) AS sx2,
+                       CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+                       CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+                       CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+                       CAST(SUM(x2 * y) AS HUGEINT) AS s2y,
+                       CAST(SUM(y * y) AS HUGEINT) AS syy
+                FROM base),
+              co AS (
+                SELECT CAST(n AS BIGINT) AS n_rows,
+                       CAST(n AS DOUBLE) AS a11, CAST(sx1 AS DOUBLE) AS a12,
+                       CAST(sx2 AS DOUBLE) AS a13, CAST(s11 AS DOUBLE) AS a22,
+                       CAST(s12 AS DOUBLE) AS a23, CAST(s22 AS DOUBLE) AS a33,
+                       CAST(sy AS DOUBLE) AS by, CAST(s1y AS DOUBLE) AS b1y,
+                       CAST(s2y AS DOUBLE) AS b2y, CAST(syy AS DOUBLE) AS syy
+                FROM m),
+              k1 AS (
+                SELECT *, a22 * a33 - a23 * a23 AS m1,
+                       a12 * a33 - a23 * a13 AS m2,
+                       a12 * a23 - a22 * a13 AS m3
+                FROM co),
+              k2 AS (
+                SELECT *, a11 * m1 - a12 * m2 + a13 * m3 AS det FROM k1),
+              k3 AS (
+                SELECT *,
+                       (by * m1 - a12 * (b1y * a33 - a23 * b2y)
+                         + a13 * (b1y * a23 - a22 * b2y)) / det AS b0,
+                       (a11 * (b1y * a33 - a23 * b2y) - by * m2
+                         + a13 * (a12 * b2y - b1y * a13)) / det AS b1,
+                       (a11 * (a22 * b2y - b1y * a23)
+                         - a12 * (a12 * b2y - b1y * a13)
+                         + by * m3) / det AS b2
+                FROM k2),
+              k4 AS (
+                SELECT *, syy - (b0 * by + b1 * b1y + b2 * b2y) AS rss,
+                       syy - by * by / a11 AS tss
+                FROM k3)
+              SELECT n_rows, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+                     ROUND(b2, 6) AS b2,
+                     ROUND(1.0 - rss / tss, 6) AS r2
+              FROM k4""")))
+}

@@ -1,0 +1,201 @@
+package graft
+
+import java.security.MessageDigest
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Stats
+
+/** Planted-data semantics for the Stats module: KMV sketch exact/
+  * estimate regimes and duplication invariance, Kaplan-Meier survival
+  * conventions (censored-at-death-time still at risk, all-die -> 0,
+  * censor at last observed ts), jackknife degenerate and
+  * independently-recomputed cases, and the exact closed-form OLS fit.
+  */
+class StatsSpec extends AnyFunSuite with TestSpark {
+
+  import spark.implicits._
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t, u, e) =>
+        Row(id, ts(t), u, e) }),
+      evSchema)
+
+  // The same md5 32-bit addressing the engine and the oracle use.
+  private def h32(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // ---- KMV --------------------------------------------------------
+
+  test("kmv: exact below k, estimated above k, within 3/sqrt(k)") {
+    val df = (0 until 2000).map(i => ("big", i.toLong)) ++
+      (0 until 10).map(i => ("small", 100000L + i))
+    val out = Stats.kmvReport(df.toDF("g", "k"), col("g"), col("k"), 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nS, nhS, estS, errS) = out("small")
+    assert(nS == 10 && nhS == 10 && estS == 10.0 && errS == 0.0)
+    val (nB, _, estB, errB) = out("big")
+    assert(nB == 2000)
+    // KMV standard error is ~1/sqrt(k-2); 3 sigma at k=64 is ~38%
+    assert(errB < 0.38, s"KMV error $errB (est $estB) beyond 3 sigma")
+  }
+
+  test("kmv: estimate is invariant to input duplication") {
+    val once = (0 until 500).map(i => ("g", i.toLong))
+    val five = (0 until 5).flatMap(_ => once)
+    val a = Stats.kmvReport(once.toDF("g", "k"), col("g"), col("k"), 64)
+      .collect().head
+    val b = Stats.kmvReport(five.toDF("g", "k"), col("g"), col("k"), 64)
+      .collect().head
+    assert(a == b)
+  }
+
+  test("kmv: the min-k selection plans as bounded-heap TopKPerKey") {
+    val q = graft.queries.Registry.queries("q247_kmv_distinct")(
+      spark, "/root/testdata/sf0.001")
+    assert(q.collect().nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerKeyFinal"), s"no TopKPerKey in plan:\n$plan")
+    assert(plan.contains("TopKPerKeyPartial"), s"no partial phase:\n$plan")
+  }
+
+  // ---- Kaplan-Meier ----------------------------------------------
+
+  test("kaplan-meier: hand-checked curve, censored-at-death still at risk") {
+    // u1 dies day 0; u2 dies day 2; u4 dies day 3 (and defines the
+    // stream max); u3 never purchases -> censored at day 3 alongside
+    // u4's death. N=4:
+    //   day 0: n=4 d=1        S = 3/4            = 0.75
+    //   day 2: n=3 d=1        S = 0.75 * 2/3     = 0.5
+    //   day 3: n=2 d=1 c=1    S = 0.5 * 1/2      = 0.25  (c at risk)
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 05:00:00", 1L, "purchase"),
+      (3L, "2024-01-01 00:00:00", 2L, "view"),
+      (4L, "2024-01-03 01:00:00", 2L, "purchase"),
+      (5L, "2024-01-01 00:00:00", 3L, "view"),
+      (6L, "2024-01-01 00:00:00", 4L, "view"),
+      (7L, "2024-01-04 00:00:00", 4L, "purchase"))
+    val out = Stats.kaplanMeier(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 1L, 0L, 0.75),
+      (2L, 3L, 1L, 0L, 0.5),
+      (3L, 2L, 1L, 1L, 0.25)))
+  }
+
+  test("kaplan-meier: survival hits exact 0 when the last at-risk die") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-02 00:00:00", 1L, "purchase"),
+      (3L, "2024-01-01 00:00:00", 2L, "view"),
+      (4L, "2024-01-02 00:00:00", 2L, "purchase"))
+    val out = Stats.kaplanMeier(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+      == ((1L, 2L, 2L, 0.0)))
+  }
+
+  // ---- Jackknife --------------------------------------------------
+
+  test("jackknife: identical users give zero variance and a point CI") {
+    // every user has exactly 2 purchases -> both arm means are 2,
+    // every leave-one-out estimate is 0 -> se = 0, lo = hi = theta = 0
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u * 10, "2024-01-01 10:00:00", u, "purchase"),
+        (u * 10 + 1, "2024-01-02 10:00:00", u, "purchase"))
+    }
+    val out = Stats.jackknifeLift(events(rows: _*), spark, 32).collect().head
+    assert(out.getAs[Long]("n_blocks") == 32L)
+    assert(out.getAs[Double]("theta") == 0.0)
+    assert(out.getAs[Double]("se") == 0.0)
+    assert(out.getAs[Double]("lo") == 0.0)
+    assert(out.getAs[Double]("hi") == 0.0)
+  }
+
+  test("jackknife: matches an independent Scala recomputation") {
+    // users with differing purchase counts; recompute theta and se
+    // from first principles with the same md5 addressing and the same
+    // e9 pseudo-value grid
+    val rows = (1L to 60L).flatMap { u =>
+      (0 until (u % 7).toInt).map(i =>
+        (u * 100 + i, "2024-01-01 10:00:00", u, "purchase"))
+    } ++ (1L to 60L).map(u => (u * 100 + 90, "2024-01-01 09:00:00", u, "view"))
+    val out = Stats.jackknifeLift(events(rows: _*), spark, 32).collect().head
+
+    val users = (1L to 60L).map { u =>
+      val y = (u % 7).toInt
+      val a = h32(s"$u:ab") % 2
+      val b = h32(s"$u:jk") % 32
+      (u, y, a, b)
+    }
+    def stats(f: ((Long, Int, Long, Long)) => Boolean) = {
+      val s = users.filter(f)
+      (s.size.toLong, s.map(_._2.toLong).sum)
+    }
+    val (na, sa) = stats(_._3 == 0)
+    val (nb, sb) = stats(_._3 == 1)
+    val theta = sb.toDouble / nb - sa.toDouble / na
+    val zs = (0L until 32L).map { blk =>
+      val (nab, sab) = stats(u => u._3 == 0 && u._4 == blk)
+      val (nbb, sbb) = stats(u => u._3 == 1 && u._4 == blk)
+      val th = (sb - sbb).toDouble / (nb - nbb) -
+        (sa - sab).toDouble / (na - nab)
+      math.round(th * 1e9)
+    }
+    val szd = zs.map(BigInt(_)).sum.toDouble
+    val sz2d = zs.map(z => BigInt(z) * BigInt(z)).sum.toDouble
+    val se = math.sqrt(math.max(0.0,
+      31.0 / 32.0 * (sz2d - szd * szd / 32.0) / 1e18))
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Long]("n_a") == na && out.getAs[Long]("n_b") == nb)
+    assert(out.getAs[Double]("theta") == r6(theta))
+    assert(out.getAs[Double]("se") == r6(se))
+    assert(out.getAs[Double]("lo") == r6(theta - 1.959964 * se))
+    assert(out.getAs[Double]("hi") == r6(theta + 1.959964 * se))
+  }
+
+  // ---- OLS --------------------------------------------------------
+
+  test("ols2: recovers an exact linear relation with r2 = 1") {
+    val pts = Seq((1L, 1L), (2L, 1L), (1L, 2L), (3L, 5L), (4L, 2L),
+      (7L, 3L), (2L, 6L))
+      .map { case (x1, x2) => (3 + 2 * x1 + 5 * x2, x1, x2) }
+    val out = Stats.ols2(pts.toDF("y", "x1", "x2"),
+      col("y"), col("x1"), col("x2")).collect().head
+    assert(out.getAs[Long]("n_rows") == 7L)
+    assert(out.getAs[Double]("b0") == 3.0)
+    assert(out.getAs[Double]("b1") == 2.0)
+    assert(out.getAs[Double]("b2") == 5.0)
+    assert(out.getAs[Double]("r2") == 1.0)
+  }
+
+  test("ols2: rows with NULL features are dropped before the moments") {
+    val df = Seq((10L, 1L, 1L), (20L, 2L, 3L), (30L, 3L, 2L),
+      (40L, 4L, 7L)).toDF("y", "x1", "x2")
+      .union(Seq((99L, 1L, 1L)).toDF("y", "x1", "x2")
+        .select(col("y"), lit(null).cast("long").as("x1"), col("x2")))
+    val out = Stats.ols2(df, col("y"), col("x1"), col("x2"))
+      .collect().head
+    assert(out.getAs[Long]("n_rows") == 4L)
+  }
+}
