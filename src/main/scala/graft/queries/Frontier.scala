@@ -950,7 +950,7 @@ object Frontier {
           s"THEN ($rank - 1) DIV (n DIV 5 + 1) + 1 " +
           s"ELSE (n % 5) + ($rank - 1 - (n % 5) * (n DIV 5 + 1)) " +
           s"DIV (n DIV 5) + 1 END")
-        ranked
+        val grid = ranked
           .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
           .select((lit(6) - nt("r_rank")).cast("int").as("r_score"),
             nt("f_rank").cast("int").as("f_score"),
@@ -958,6 +958,17 @@ object Frontier {
           .groupBy(col("r_score"), col("f_score"), col("m_score"))
           .agg(count(lit(1)).as("n_customers"))
           .orderBy(col("r_score"), col("f_score"), col("m_score"))
+        // land the ≤125-cell grid on a reliable checkpoint, then
+        // RELEASE the localCheckpoint blocks — the q177 zero
+        // persisted-RDD-delta discipline (Bench fails leaks loud)
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(java.nio.file.Files
+            .createTempDirectory("graft-rfm-ckpt").toString)
+        val result = grid.checkpoint(eager = true)
+        graft.llm.Dedup.checkpointRdd(per)
+          .foreach(_.unpersist(blocking = false))
+        result
       },
       Some("""WITH per AS (
                 SELECT o_custkey AS cid, MAX(o_orderdate) AS last_o,
@@ -1021,6 +1032,242 @@ object Frontier {
                   ON g.event_type = c.event_type AND g.rn = c.rn + 1)
               SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
                      CAST(s AS BIGINT) AS cusum, s > sum_t AS alarm
-              FROM c ORDER BY event_type, day"""))
+              FROM c ORDER BY event_type, day""")),
+
+    // TPC-H Q2 shape — min-cost supplier per part: for every part of
+    // one brand, the supplier(s) selling it at that part's minimum
+    // price. The classic correlated-scalar-MIN decorrelation shape,
+    // written the scale-correct way: ONE per-part min aggregate
+    // joined back (what Catalyst decorrelates the subquery into),
+    // never a per-row re-scan. Price rides the integer-cent grid so
+    // "equals the min" is an exact comparison, not a float boundary;
+    // the brand dimension (~1/25 of parts) broadcasts into the fact
+    // scan, and DISTINCT collapses repeat (part, supplier) lines
+    // before the supplier dimension join.
+    Q("q251_tpch_q2",
+      (s, d) => {
+        val bp = t(s, d, "part").filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey"))
+        val li = t(s, d, "lineitem")
+          .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val mn = li.groupBy(col("l_partkey")).agg(min(col("cents")).as("mn"))
+        li.join(mn, Seq("l_partkey")).filter(col("cents") === col("mn"))
+          .select(col("l_partkey"), col("l_suppkey"), col("mn")).distinct()
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"), col("s_name"),
+            round(col("mn") / 100.0, 2).as("price"))
+          .orderBy(col("p_partkey"), col("s_name"))
+      },
+      Some("""WITH li AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#1')
+              SELECT DISTINCT li.l_partkey AS p_partkey, s_name,
+                     ROUND(cents / 100.0, 2) AS price
+              FROM li JOIN supplier ON s_suppkey = li.l_suppkey
+              WHERE cents = (SELECT MIN(cents) FROM li l2
+                             WHERE l2.l_partkey = li.l_partkey)
+              ORDER BY p_partkey, s_name""")),
+
+    // TPC-H Q11 shape — important stock: parts whose total line value
+    // exceeds 1/1000 of the global total. The HAVING-against-a-global-
+    // scalar shape with the q216 exact-integer gate: membership
+    // compares v * 1000 > total in DECIMAL cents cross-multiplied —
+    // a float fraction threshold puts parts sitting on the boundary
+    // at the mercy of representation. One map-side-combined per-part
+    // aggregate; the 1-row total broadcasts.
+    Q("q252_tpch_q11",
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("cents").cast("decimal(38,0)")).as("v"))
+        val tot = per.agg(sum(col("v")).as("tot"))
+        per.crossJoin(broadcast(tot))
+          .filter(col("v") * 1000 > col("tot"))
+          .select(col("l_partkey").as("p_partkey"),
+            round(col("v").cast("double") / 100, 2).as("value"))
+          .orderBy(col("value").desc, col("p_partkey"))
+      },
+      Some("""WITH per AS (
+                SELECT l_partkey,
+                       SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS HUGEINT)) AS v
+                FROM lineitem GROUP BY 1),
+              tot AS (SELECT SUM(v) AS tot FROM per)
+              SELECT l_partkey AS p_partkey,
+                     ROUND(CAST(v AS DOUBLE) / 100, 2) AS value
+              FROM per CROSS JOIN tot
+              WHERE v * 1000 > tot
+              ORDER BY value DESC, p_partkey""")),
+
+    // TPC-H Q20 shape — concentrated suppliers: suppliers who shipped
+    // more than 30% of some part's total quantity, with how many such
+    // parts each has. The nested correlated-threshold semi-join chain,
+    // re-expressed as two stacked aggregates over ONE (supp, part)
+    // exchange: the per-part total is a second aggregate OVER THE
+    // (supp, part) PARTIALS (summary-sized), not a second scan of the
+    // fact table; the 30% gate is exact integers cross-multiplied
+    // (10*sq > 3*tq — quantities are integer-valued by contract).
+    Q("q253_tpch_q20",
+      (s, d) => {
+        val sp = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_partkey"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("q").cast("decimal(38,0)")).as("sq"))
+        val pt = sp.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
+        sp.join(pt, Seq("l_partkey"))
+          .filter(col("sq") * 10 > col("tq") * 3)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("n_parts"))
+          .orderBy(col("s_name"))
+      },
+      Some("""WITH sp AS (
+                SELECT l_suppkey, l_partkey,
+                       SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sq
+                FROM lineitem GROUP BY 1, 2),
+              pt AS (SELECT l_partkey, SUM(sq) AS tq FROM sp GROUP BY 1)
+              SELECT s_name, COUNT(*) AS n_parts
+              FROM sp JOIN pt USING (l_partkey)
+              JOIN supplier ON s_suppkey = l_suppkey
+              WHERE sq * 10 > tq * 3
+              GROUP BY s_name
+              ORDER BY s_name""")),
+
+    // TPC-H Q9 shape — product-type profit by nation and year:
+    // discounted revenue of lines for one part family, attributed to
+    // the supplier's nation and the order year. Per-line amount lands
+    // on the integer-cent grid BEFORE aggregation (ROUND of the same
+    // double product in both engines), then sums exactly in DECIMAL.
+    // The part family (LIKE filter, broadcast) prunes the fact scan
+    // first; supplier->nation are broadcast dims; the one genuine
+    // fact-fact shuffle is lineitem-orders on the order key, which
+    // AQE sizes at runtime.
+    Q("q254_tpch_q9",
+      (s, d) => {
+        val pr = t(s, d, "part").filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"))
+        val li = t(s, d, "lineitem")
+          .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100).cast("long").as("amt"))
+        val sn = li
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+        sn.join(t(s, d, "orders")
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(round(sum(col("amt").cast("decimal(38,0)")).cast("double")
+            / 100, 2).as("profit"))
+          .select(col("n_name").as("nation"), col("o_year"), col("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+                     EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                     ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice
+                       * (1.0 - l_discount) * 100) AS BIGINT) AS HUGEINT))
+                       AS DOUBLE) / 100, 2) AS profit
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE p_name LIKE '%red%'
+              GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+              ORDER BY nation, o_year DESC""")),
+
+    // TPC-H Q6 — forecasting revenue change: the pure scan-aggregate.
+    // One year of shipments, a discount band, a quantity cap; revenue
+    // = sum(extendedprice * discount). The whole query is a single
+    // map-side-combined global aggregate behind three pushable
+    // predicates — shipdate range, discount band, quantity cap all
+    // reach the parquet scan as PushedFilters, so at 100 TB the scan
+    // reads only row groups whose min/max straddle the year. Per-line
+    // revenue lands on the integer-cent grid (ROUND of the identical
+    // double product in both engines) and accumulates in DECIMAL;
+    // nothing downstream of the scan exceeds one row. Completes the
+    // 22/22 TPC-H shape coverage together with q256.
+    Q("q255_tpch_q6",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+          .select(round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long").as("cents"))
+          .agg(round(sum(col("cents").cast("decimal(38,0)")).cast("double")
+            / 100, 2).as("revenue"),
+            count(lit(1)).as("n_lines")),
+      Some("""SELECT ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice
+                       * l_discount * 100) AS BIGINT) AS HUGEINT))
+                       AS DOUBLE) / 100, 2) AS revenue,
+                     COUNT(*) AS n_lines
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24""")),
+
+    // TPC-H Q12 shape — shipping-priority audit: for each of two
+    // "ship classes" (l_returnflag A/R standing in for the reference
+    // schema's l_shipmode, which this star lacks), how many LATE lines
+    // (shipped > 60 days after the order date) belong to
+    // critical-priority orders vs the rest, over one shipment year.
+    // The one genuine fact-fact shuffle is lineitem⋈orders on the
+    // order key — both sides pre-projected to the join key + one
+    // column, the lineitem side pre-filtered by the pushable
+    // shipdate/flag predicates, AQE sizing the exchange at runtime;
+    // the late gate is exact integer day arithmetic (datediff), and
+    // the conditional counts are one map-side-combined aggregate over
+    // a 2-value dimension.
+    Q("q256_tpch_q12",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_returnflag").isin("A", "R"))
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_shipdate"))
+        li.join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              1L).otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              0L).otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+                     CAST(SUM(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                       AS BIGINT) AS high_line_count,
+                     CAST(SUM(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                       AS BIGINT) AS low_line_count
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+                AND l_returnflag IN ('A', 'R')
+                AND DATE_DIFF('day', o_orderdate, l_shipdate) > 60
+              GROUP BY l_returnflag
+              ORDER BY l_returnflag"""))
   )
 }

@@ -408,4 +408,90 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "NOT IN fell back to the nested-loop join")
   }
+
+  test("q251 (Q2 shape): an exact price tie at the per-part min keeps " +
+      "BOTH suppliers; off-brand parts and repeat lines are excluded") {
+    import spark.implicits._
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#1"), (3L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val lineitem = Seq(
+      // part 1: s1 and s2 tie at 5.00 (exact cents), s3 loses at 5.01
+      (1L, 1L, 5.00), (1L, 2L, 5.00), (1L, 3L, 5.01),
+      // s1 sells part 1 at the min TWICE -> DISTINCT keeps one row
+      (1L, 1L, 5.00),
+      // part 2: only s3
+      (2L, 3L, 9.99),
+      // part 3 is Brand#2 -> never appears even at a lower price
+      (3L, 1L, 0.01)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val d = plantedDir("part" -> part, "lineitem" -> lineitem,
+      "supplier" -> supplier)
+    val out = graft.queries.Registry.queries("q251_tpch_q2")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq ==
+      Seq((1L, "s1", 5.0), (1L, "s2", 5.0), (2L, "s3", 9.99)))
+  }
+
+  test("q252 (Q11 shape): the 1/1000 gate is strict and exact — a part " +
+      "sitting exactly ON the boundary is excluded, one cent over is in") {
+    import spark.implicits._
+    // total = 1000.00 = 100000 cents. part 1 holds exactly 100 cents
+    // (= total/1000, excluded by strict >); part 2 holds 101 cents
+    // (included); part 3 holds the rest.
+    val lineitem = Seq(
+      (1L, 1.00), (2L, 1.01), (3L, 997.99)
+    ).toDF("l_partkey", "l_extendedprice")
+    val d = plantedDir("lineitem" -> lineitem)
+    val out = graft.queries.Registry.queries("q252_tpch_q11")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((3L, 997.99), (2L, 1.01)))
+  }
+
+  test("q253 (Q20 shape): the 30% quantity gate is strict exact " +
+      "integers — exactly 30% is out, just over is in; parts count " +
+      "per supplier across their multi-line per-part totals") {
+    import spark.implicits._
+    val lineitem = Seq(
+      // part 1, total 10: s1 has 3 (exactly 30% -> out), s2 has 7 (in)
+      (1L, 1L, 3.0), (2L, 1L, 7.0),
+      // part 2, total 10: s1 has 4 split over two lines (2+2 -> in)
+      (1L, 2L, 2.0), (1L, 2L, 2.0), (2L, 2L, 6.0)
+    ).toDF("l_suppkey", "l_partkey", "l_quantity")
+    val supplier = Seq((1L, "s1"), (2L, "s2")).toDF("s_suppkey", "s_name")
+    val d = plantedDir("lineitem" -> lineitem, "supplier" -> supplier)
+    val out = graft.queries.Registry.queries("q253_tpch_q20")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // s1: part 2 only (exactly-30% on part 1 excluded); s2: both parts
+    assert(out.toSeq == Seq(("s1", 1L), ("s2", 2L)))
+  }
+
+  test("q254 (Q9 shape): profit lands on the cent grid per line before " +
+      "the DECIMAL sum; non-matching part names are pruned; attribution " +
+      "follows the SUPPLIER's nation and the ORDER year") {
+    import spark.implicits._
+    val part = Seq((1L, "large red box"), (2L, "plain blue cap"))
+      .toDF("p_partkey", "p_name")
+    val lineitem = Seq(
+      // order 10, part 1, s1: 100.00 at 10% -> 90.00
+      (10L, 1L, 1L, 100.0, 0.10),
+      // order 11, part 1, s2: 33.33 at 0% -> 33.33 (different year)
+      (11L, 1L, 2L, 33.33, 0.00),
+      // order 10, part 2 (no 'red') -> pruned even on the same order
+      (10L, 2L, 1L, 999.0, 0.00)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey",
+      "l_extendedprice", "l_discount")
+    val supplier = Seq((1L, 100L), (2L, 200L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((100L, "PERU"), (200L, "JAPAN"))
+      .toDF("n_nationkey", "n_name")
+    val orders = Seq((10L, ts("1995-06-01")), (11L, ts("1996-06-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val d = plantedDir("part" -> part, "lineitem" -> lineitem,
+      "supplier" -> supplier, "nation" -> nation, "orders" -> orders)
+    val out = graft.queries.Registry.queries("q254_tpch_q9")(spark, d)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("JAPAN", 1996, 33.33), ("PERU", 1995, 90.0)))
+  }
 }
