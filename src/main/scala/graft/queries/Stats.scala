@@ -257,6 +257,197 @@ object Stats {
       round(lit(1.0) - col("rss") / col("tss"), 6).as("r2"))
   }
 
+  /** Two-sided normal tail probability 2*(1-Phi(|z|)) as a closed-form
+    * elementary expression: p = erfc(|z|/sqrt(2)) via the
+    * Abramowitz-Stegun 7.1.26 polynomial (|abs error| <= 1.5e-7, far
+    * below the 1e-9 decision grid both engines share). Elementary ops
+    * only (one exp), written in the IDENTICAL Horner association the
+    * oracles mirror, so both engines produce the same double from the
+    * same exact-integer z inputs.
+    */
+  private def pTwoSided(z: Column): Column = {
+    val x = abs(z) * lit(0.7071067811865476)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    ((((lit(1.061405429) * tt - lit(1.453152027)) * tt
+      + lit(1.421413741)) * tt - lit(0.284496736)) * tt
+      + lit(0.254829592)) * tt * exp(-x * x)
+  }
+
+  /** Benjamini-Hochberg step-up FDR across the per-event-type A/B
+    * conversion tests: for every event type, a pooled two-proportion
+    * z-test of "did arm 1 users convert to this event type more often
+    * than arm 0" (q242 arms), then the BH procedure at alpha=0.05
+    * across the m simultaneous tests — rank p ascending, K = max{k :
+    * p_k <= k*alpha/m}, reject ranks <= K. The multiple-comparisons
+    * guard every metrics dashboard needs once it watches more than one
+    * metric per experiment.
+    *
+    * Float discipline: conversion counts are exact integers from TWO
+    * distinct-collapsed aggregates (users; user-type pairs); z and p
+    * are one double block each (identical expression trees both
+    * engines); the BH membership gate re-grids p to an exact e9
+    * integer (the q210 rule) and compares cross-multiplied longs
+    * (p9 * m <= k * alpha*1e9) — no float comparison gates a row.
+    * Scale shape: corpus-sized work is the two distinct aggregates
+    * (map-side combined); everything after is |event types| rows, so
+    * the rank/threshold windows ride the q193 summary exemption; the
+    * 1-row user-arm totals broadcast.
+    */
+  def bhFdr(events: DataFrame): DataFrame = {
+    val users = events.select(col("user_id")).distinct()
+      .select(arm(col("user_id")).as("a"))
+    val tot = users.agg(
+      sum(when(col("a") === 0, 1).otherwise(0)).cast(Dec).as("na"),
+      sum(when(col("a") === 1, 1).otherwise(0)).cast(Dec).as("nb"))
+    val conv = events.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), arm(col("user_id")).as("a"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("a") === 0, 1).otherwise(0)).cast(Dec).as("xa"),
+        sum(when(col("a") === 1, 1).otherwise(0)).cast(Dec).as("xb"))
+    def dd(c: String) = col(c).cast("double")
+    val tested = conv.crossJoin(broadcast(tot))
+      .withColumn("pp",
+        (dd("xa") + dd("xb")) / (dd("na") + dd("nb")))
+      .withColumn("se", sqrt(col("pp") * (lit(1.0) - col("pp"))
+        * (lit(1.0) / dd("na") + lit(1.0) / dd("nb"))))
+      .withColumn("z", when(col("se") > 0,
+        (dd("xb") / dd("nb") - dd("xa") / dd("na")) / col("se"))
+        .otherwise(lit(0.0)))
+      .withColumn("pv", when(col("se") > 0, pTwoSided(col("z")))
+        .otherwise(lit(1.0)))
+      .withColumn("p9", round(col("pv") * 1e9).cast("long"))
+    val m = Window.partitionBy()
+    val byP = Window.orderBy(col("p9"), col("event_type"))
+    val ranked = tested
+      .withColumn("mm", count(lit(1)).over(m))
+      .withColumn("k", row_number().over(byP))
+      .withColumn("ok", col("p9") * col("mm") <= col("k") * lit(50000000L))
+      .withColumn("kmax", max(when(col("ok"), col("k")).otherwise(0L))
+        .over(m))
+    ranked.select(col("event_type"),
+      col("xa").cast("long").as("x_a"), col("xb").cast("long").as("x_b"),
+      round(col("z"), 4).as("z"), round(col("pv"), 6).as("p_value"),
+      col("k").cast("long").as("rank"),
+      (col("k") <= col("kmax")).as("significant"))
+      .orderBy(col("rank"))
+  }
+
+  /** Always-valid sequential A/B monitor (mixture SPRT, Johari et al.
+    * 2017): the day-by-day purchase-conversion readout a team watches
+    * DURING an experiment without inflating false positives by
+    * peeking. Per calendar day: cumulative users and converters per
+    * q242 arm (a user enters at their first event day, converts at
+    * their first purchase day), the mixture likelihood ratio ln Lambda
+    * under tau^2 = 0.01 mixture variance and pooled-Bernoulli V_n, and
+    * the always-valid p-value p_n = min(1, exp(-max_{n'<=n} ln
+    * Lambda_{n'})) — monotone by construction, so "rejected" can never
+    * un-reject on a later day.
+    *
+    * Scale shape: ONE user-keyed aggregate is the only corpus-sized
+    * work; the day grid is bounded by the observation span, so the
+    * cumulative/running-max windows ride the q193 summary exemption.
+    * Float discipline: cumulative counts are exact integers; ln Lambda
+    * is one double block per day (ln form — the raw Lambda would
+    * overflow at strong effects); the rejection gate re-grids the
+    * p-value to the exact e9 integer before comparing (q210 rule).
+    */
+  def msprt(events: DataFrame): DataFrame = {
+    val secs = unix_timestamp(col("ts"))
+    val per = events.groupBy(col("user_id")).agg(
+      floor(min(secs) / 86400L).as("fd"),
+      floor(min(when(col("event_type") === "purchase", secs)) / 86400L)
+        .as("pd"))
+      .select(col("fd"), col("pd"), arm(col("user_id")).as("a"))
+    val du = per.groupBy(col("fd").as("day"), col("a"))
+      .agg(count(lit(1)).cast(Dec).as("du"))
+    val dc = per.filter(col("pd").isNotNull)
+      .groupBy(col("pd").as("day"), col("a"))
+      .agg(count(lit(1)).cast(Dec).as("dc"))
+    val inc = du.join(dc, Seq("day", "a"), "full")
+      .na.fill(0, Seq("du", "dc"))
+      .groupBy(col("day")).agg(
+        sum(when(col("a") === 0, col("du")).otherwise(0)).as("dua"),
+        sum(when(col("a") === 1, col("du")).otherwise(0)).as("dub"),
+        sum(when(col("a") === 0, col("dc")).otherwise(0)).as("dca"),
+        sum(when(col("a") === 1, col("dc")).otherwise(0)).as("dcb"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = inc
+      .withColumn("na", sum(col("dua")).over(w))
+      .withColumn("nb", sum(col("dub")).over(w))
+      .withColumn("xa", sum(col("dca")).over(w))
+      .withColumn("xb", sum(col("dcb")).over(w))
+    def dd(c: String) = col(c).cast("double")
+    val tau2 = lit(0.01)
+    val scored = cum
+      .withColumn("pp", when(col("na") > 0 && col("nb") > 0,
+        (dd("xa") + dd("xb")) / (dd("na") + dd("nb"))))
+      .withColumn("vv", col("pp") * (lit(1.0) - col("pp"))
+        * (lit(1.0) / dd("na") + lit(1.0) / dd("nb")))
+      .withColumn("dl", dd("xb") / dd("nb") - dd("xa") / dd("na"))
+      .withColumn("lnl", when(col("vv") > 0,
+        lit(0.5) * log(col("vv") / (col("vv") + tau2))
+          + col("dl") * col("dl") * tau2
+          / (lit(2.0) * col("vv") * (col("vv") + tau2)))
+        .otherwise(lit(0.0)))
+      .withColumn("mx", max(col("lnl")).over(w))
+      .withColumn("pav", least(lit(1.0), exp(-col("mx"))))
+      .withColumn("p9", round(col("pav") * 1e9).cast("long"))
+    scored.select(col("day").cast("long").as("day"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      col("xa").cast("long").as("x_a"), col("xb").cast("long").as("x_b"),
+      round(col("lnl"), 4).as("llr"),
+      round(col("pav"), 6).as("p_avs"),
+      (col("p9") <= lit(50000000L)).as("rejected"))
+      .orderBy(col("day"))
+  }
+
+  /** Pre-experiment power readout per event type: from the observed
+    * per-user count distribution (exact integer moments over the SAME
+    * distinct-user denominator every type shares — absent users count
+    * zero, contributing nothing to the sums but everything to n), the
+    * minimum detectable effect at 80% power / 5% two-sided alpha under
+    * the q242 arm split, absolute and relative, plus the users-per-arm
+    * needed to detect a 2% relative lift. The sizing table a team
+    * consults BEFORE launching the q242/q243 experiments.
+    *
+    * Scale shape: one (type, user)-keyed aggregate plus one distinct
+    * user-arm aggregate (both map-side combined); everything after is
+    * |event types| rows against a broadcast 1-row total. Float
+    * discipline: moments are exact DECIMAL; mean/variance/MDE is one
+    * terminal double block; n_per_arm ceils to an exact long.
+    */
+  def powerMde(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val mom = per.groupBy(col("event_type")).agg(
+      sum(col("c")).cast(Dec).as("s1"),
+      sum(col("c") * col("c")).cast(Dec).as("s2"))
+    val users = events.select(col("user_id")).distinct()
+      .select(arm(col("user_id")).as("a"))
+    val tot = users.agg(count(lit(1)).cast(Dec).as("n"),
+      sum(when(col("a") === 0, 1).otherwise(0)).cast(Dec).as("na"),
+      sum(when(col("a") === 1, 1).otherwise(0)).cast(Dec).as("nb"))
+    def dd(c: String) = col(c).cast("double")
+    val zsum = lit(2.801585) // z_{0.025} + z_{0.20}: 1.959964 + 0.841621
+    mom.crossJoin(broadcast(tot))
+      .withColumn("mean", dd("s1") / dd("n"))
+      .withColumn("vr", when(col("n") > 1,
+        (dd("s2") - dd("s1") * dd("s1") / dd("n")) / (dd("n") - lit(1.0))))
+      .withColumn("mde", zsum * sqrt(col("vr")
+        * (lit(1.0) / dd("na") + lit(1.0) / dd("nb"))))
+      .withColumn("nreq", when(col("mean") > 0,
+        ceil(lit(2.0) * col("vr") * zsum * zsum
+          / (lit(0.02) * col("mean") * lit(0.02) * col("mean")))))
+      .select(col("event_type"), col("n").cast("long").as("n_users"),
+        round(col("mean"), 6).as("mean"),
+        round(sqrt(col("vr")), 6).as("sd"),
+        round(col("mde"), 6).as("mde_abs"),
+        round(col("mde") / col("mean"), 6).as("mde_rel"),
+        col("nreq").cast("long").as("n_per_arm_2pct"))
+      .orderBy(col("event_type"))
+  }
+
   def defs: Seq[Q] = Seq(
 
     // KMV DISTINCT SKETCH REPORT — estimated vs exact distinct
@@ -468,5 +659,201 @@ object Stats {
               SELECT n_rows, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
                      ROUND(b2, 6) AS b2,
                      ROUND(1.0 - rss / tss, 6) AS r2
-              FROM k4""")))
+              FROM k4""")),
+
+    // BENJAMINI-HOCHBERG FDR — per-event-type A/B conversion z-tests
+    // under the q242 arms, then the BH step-up at alpha=0.05 across
+    // the m simultaneous tests. p-values via the shared closed-form
+    // normal tail (A&S 7.1.26); the step-up gate compares e9-regridded
+    // integers cross-multiplied (q210 rule).
+    Q("q257_bh_fdr",
+      (s, d) => bhFdr(t(s, d, "events")),
+      Some("""WITH ua AS (
+                SELECT CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                  || ':ab'), 1, 8) AS BIGINT) % 2 AS a
+                FROM (SELECT DISTINCT user_id FROM events)),
+              tot AS (
+                SELECT CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS na,
+                       CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS nb
+                FROM ua),
+              cv AS (
+                SELECT event_type,
+                       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':ab'), 1, 8) AS BIGINT) % 2 AS a
+                FROM (SELECT DISTINCT event_type, user_id FROM events)),
+              conv AS (
+                SELECT event_type,
+                       CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS xa,
+                       CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS xb
+                FROM cv GROUP BY 1),
+              t1 AS (
+                SELECT event_type, xa, xb,
+                       CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                       CAST(xa AS DOUBLE) AS xad, CAST(xb AS DOUBLE) AS xbd,
+                       (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+                         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pp
+                FROM conv CROSS JOIN tot),
+              t2 AS (
+                SELECT *, SQRT(pp * (1.0 - pp)
+                  * (1.0 / nad + 1.0 / nbd)) AS se
+                FROM t1),
+              t3 AS (
+                SELECT *, CASE WHEN se > 0
+                  THEN (xbd / nbd - xad / nad) / se ELSE 0.0 END AS z
+                FROM t2),
+              t4 AS (SELECT *, ABS(z) * 0.7071067811865476 AS x FROM t3),
+              t5 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM t4),
+              t6 AS (
+                SELECT *, CASE WHEN se > 0 THEN
+                  ((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+                    * t - 0.284496736) * t + 0.254829592) * t
+                    * EXP(-x * x)
+                  ELSE 1.0 END AS pv
+                FROM t5),
+              t7 AS (
+                SELECT *, CAST(ROUND(pv * 1e9) AS BIGINT) AS p9 FROM t6),
+              rk AS (
+                SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS mm,
+                       CAST(ROW_NUMBER() OVER (ORDER BY p9, event_type)
+                         AS BIGINT) AS k
+                FROM t7),
+              km AS (
+                SELECT *, MAX(CASE WHEN p9 * mm <= k * 50000000
+                  THEN k ELSE 0 END) OVER () AS kmax
+                FROM rk)
+              SELECT event_type, CAST(xa AS BIGINT) AS x_a,
+                     CAST(xb AS BIGINT) AS x_b,
+                     ROUND(z, 4) AS z, ROUND(pv, 6) AS p_value,
+                     k AS rank, k <= kmax AS significant
+              FROM km ORDER BY rank""")),
+
+    // ALWAYS-VALID SEQUENTIAL MONITOR — day-by-day mSPRT on purchase
+    // conversion under the q242 arms (tau^2 = 0.01): cumulative
+    // users/converters per arm, ln of the mixture likelihood ratio,
+    // always-valid p (monotone running max), rejection at alpha=0.05
+    // on the e9 integer grid.
+    Q("q258_msprt",
+      (s, d) => msprt(t(s, d, "events")),
+      Some("""WITH per AS (
+                SELECT user_id,
+                       CAST(FLOOR(MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+                         / 86400.0) AS BIGINT) AS fd,
+                       CAST(FLOOR(MIN(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END)
+                         / 86400.0) AS BIGINT) AS pd
+                FROM events GROUP BY 1),
+              pa AS (
+                SELECT fd, pd,
+                       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                         || ':ab'), 1, 8) AS BIGINT) % 2 AS a
+                FROM per),
+              du AS (
+                SELECT fd AS day, a, CAST(COUNT(*) AS HUGEINT) AS du
+                FROM pa GROUP BY 1, 2),
+              dc AS (
+                SELECT pd AS day, a, CAST(COUNT(*) AS HUGEINT) AS dc
+                FROM pa WHERE pd IS NOT NULL GROUP BY 1, 2),
+              inc0 AS (
+                SELECT day, a, COALESCE(du, 0) AS du, COALESCE(dc, 0) AS dc
+                FROM du FULL JOIN dc USING (day, a)),
+              inc AS (
+                SELECT day,
+                       SUM(CASE WHEN a = 0 THEN du ELSE 0 END) AS dua,
+                       SUM(CASE WHEN a = 1 THEN du ELSE 0 END) AS dub,
+                       SUM(CASE WHEN a = 0 THEN dc ELSE 0 END) AS dca,
+                       SUM(CASE WHEN a = 1 THEN dc ELSE 0 END) AS dcb
+                FROM inc0 GROUP BY 1),
+              cum AS (
+                SELECT day,
+                       SUM(dua) OVER w AS na, SUM(dub) OVER w AS nb,
+                       SUM(dca) OVER w AS xa, SUM(dcb) OVER w AS xb
+                FROM inc
+                WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+              s1 AS (
+                SELECT *, CAST(na AS DOUBLE) AS nad,
+                       CAST(nb AS DOUBLE) AS nbd,
+                       CAST(xa AS DOUBLE) AS xad,
+                       CAST(xb AS DOUBLE) AS xbd,
+                       CASE WHEN na > 0 AND nb > 0 THEN
+                         (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+                           / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                       END AS pp
+                FROM cum),
+              s2 AS (
+                SELECT *, pp * (1.0 - pp)
+                         * (1.0 / nad + 1.0 / nbd) AS vv,
+                       xbd / nbd - xad / nad AS dl
+                FROM s1),
+              s3 AS (
+                SELECT *, CASE WHEN vv > 0 THEN
+                         0.5 * LN(vv / (vv + 0.01))
+                         + dl * dl * 0.01
+                           / (2.0 * vv * (vv + 0.01))
+                       ELSE 0.0 END AS lnl
+                FROM s2),
+              s4 AS (
+                SELECT *, MAX(lnl) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS mx
+                FROM s3),
+              s5 AS (SELECT *, LEAST(1.0, EXP(-mx)) AS pav FROM s4)
+              SELECT CAST(day AS BIGINT) AS day,
+                     CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                     CAST(xa AS BIGINT) AS x_a, CAST(xb AS BIGINT) AS x_b,
+                     ROUND(lnl, 4) AS llr, ROUND(pav, 6) AS p_avs,
+                     CAST(ROUND(pav * 1e9) AS BIGINT) <= 50000000
+                       AS rejected
+              FROM s5 ORDER BY day""")),
+
+    // POWER / MDE SIZING — per event type, the minimum detectable
+    // effect at 80% power / 5% alpha from exact per-user count
+    // moments, plus users-per-arm to detect a 2% relative lift.
+    Q("q259_power_mde",
+      (s, d) => powerMde(t(s, d, "events")),
+      Some("""WITH per AS (
+                SELECT event_type, user_id, COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+              mom AS (
+                SELECT event_type, CAST(SUM(c) AS HUGEINT) AS s1,
+                       CAST(SUM(c * c) AS HUGEINT) AS s2
+                FROM per GROUP BY 1),
+              ua AS (
+                SELECT CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                  || ':ab'), 1, 8) AS BIGINT) % 2 AS a
+                FROM (SELECT DISTINCT user_id FROM events)),
+              tot AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS na,
+                       CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS nb
+                FROM ua),
+              j AS (
+                SELECT event_type, n,
+                       CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                       CAST(n AS DOUBLE) AS nd, CAST(na AS DOUBLE) AS nad,
+                       CAST(nb AS DOUBLE) AS nbd
+                FROM mom CROSS JOIN tot),
+              k1 AS (
+                SELECT *, s1d / nd AS mean,
+                       CASE WHEN n > 1 THEN
+                         (s2d - s1d * s1d / nd) / (nd - 1.0)
+                       END AS vr
+                FROM j),
+              k2 AS (
+                SELECT *, 2.801585 * SQRT(vr
+                  * (1.0 / nad + 1.0 / nbd)) AS mde
+                FROM k1)
+              SELECT event_type, CAST(n AS BIGINT) AS n_users,
+                     ROUND(mean, 6) AS mean, ROUND(SQRT(vr), 6) AS sd,
+                     ROUND(mde, 6) AS mde_abs,
+                     ROUND(mde / mean, 6) AS mde_rel,
+                     CAST(CASE WHEN mean > 0 THEN
+                       CEIL(2.0 * vr * 2.801585 * 2.801585
+                         / (0.02 * mean * 0.02 * mean)) END AS BIGINT)
+                       AS n_per_arm_2pct
+              FROM k2 ORDER BY event_type""")))
 }

@@ -198,4 +198,166 @@ class StatsSpec extends AnyFunSuite with TestSpark {
       .collect().head
     assert(out.getAs[Long]("n_rows") == 4L)
   }
+
+  // ---- BH-FDR / mSPRT / power -------------------------------------
+
+  /** First `n` user ids landing in arm `a` under the ":ab" hash. */
+  private def armUsers(a: Long, n: Int): Seq[Long] =
+    (1L to 10000L).filter(u => h32(s"$u:ab") % 2 == a).take(n)
+
+  test("bhFdr: a one-sided planted effect is significant, balanced " +
+      "and everyone-converts types are not; p-values ordered by rank") {
+    val a0 = armUsers(0, 10)
+    val a1 = armUsers(1, 10)
+    val rows =
+      // every user has a 'base' event (everyone converts -> se=0, p=1)
+      (a0 ++ a1).zipWithIndex.map { case (u, i) =>
+        (i.toLong, "2024-01-01 10:00:00", u, "base") } ++
+      // only arm-1 users emit 'hot' (pa=0, pb=1 -> |z| = sqrt(20)/1..)
+      a1.zipWithIndex.map { case (u, i) =>
+        (1000L + i, "2024-01-01 11:00:00", u, "hot") } ++
+      // 'meh' is perfectly balanced: 5 users of each arm -> z = 0
+      (a0.take(5) ++ a1.take(5)).zipWithIndex.map { case (u, i) =>
+        (2000L + i, "2024-01-01 12:00:00", u, "meh") }
+    val out = Stats.bhFdr(events(rows: _*)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val (hxa, hxb, hp, hk, hs) = out("hot")
+    assert(hxa == 0L && hxb == 10L && hs && hk == 1L,
+      s"hot should be rank-1 significant: ${out("hot")}")
+    assert(hp < 0.001)
+    // pa == pb -> z = 0 -> p rounds to 1.0; neither survives BH
+    assert(out("meh")._3 == 1.0 && !out("meh")._5)
+    // everyone converts -> se = 0 -> declared null result, p = 1
+    assert(out("base")._3 == 1.0 && !out("base")._5)
+  }
+
+  test("bhFdr: z, p, and the step-up cut match an independent " +
+      "recomputation on three planted strengths") {
+    // three planted strengths: strong, medium, null; recompute the
+    // whole table from first principles with the same A&S polynomial
+    val a0 = armUsers(0, 20)
+    val a1 = armUsers(1, 20)
+    var eid = 0L
+    def ev(u: Long, t: String): (Long, String, Long, String) = {
+      eid += 1; (eid, "2024-01-01 10:00:00", u, t)
+    }
+    val rows =
+      (a0 ++ a1).map(ev(_, "base")) ++
+      a1.map(ev(_, "strong")) ++                       // 0/20 vs 20/20
+      (a0.take(3) ++ a1.take(12)).map(ev(_, "med")) ++ // 3/20 vs 12/20
+      (a0.take(8) ++ a1.take(9)).map(ev(_, "nul"))     // 8/20 vs 9/20
+    val out = Stats.bhFdr(events(rows: _*)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    // independent recomputation
+    def pv(xa: Long, xb: Long, na: Long, nb: Long): (Double, Double) = {
+      val pp = (xa + xb).toDouble / (na + nb)
+      val se = math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+      if (se == 0) (0.0, 1.0) else {
+        val z = (xb.toDouble / nb - xa.toDouble / na) / se
+        val x = math.abs(z) * 0.7071067811865476
+        val t = 1.0 / (1.0 + 0.3275911 * x)
+        val p = ((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+          * t - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+        (z, p)
+      }
+    }
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map("base" -> pv(20, 20, 20, 20), "strong" -> pv(0, 20, 20, 20),
+      "med" -> pv(3, 12, 20, 20), "nul" -> pv(8, 9, 20, 20))
+    exp.foreach { case (k, (z, p)) =>
+      assert(out(k)._1 == r(z, 4), s"$k z: ${out(k)._1} vs $z")
+      assert(out(k)._2 == r(p, 6), s"$k p: ${out(k)._2} vs $p")
+    }
+    // BH at alpha=.05, m=4: strong (k=1) and med (k=2) reject, the
+    // rest don't; med's own threshold is 2*.05/4=.025 and its p ~.003
+    assert(out("strong")._4 && out("med")._4)
+    assert(!out("nul")._4 && !out("base")._4)
+  }
+
+  test("msprt: cumulative entry/conversion bookkeeping is exact; the " +
+      "always-valid p is monotone and matches the closed form") {
+    val a0 = armUsers(0, 2)
+    val a1 = armUsers(1, 2)
+    // day 0 (epoch day 19723 = 2024-01-01): everyone enters, no sales;
+    // day 1: both arm-1 users purchase
+    val rows =
+      (a0 ++ a1).zipWithIndex.map { case (u, i) =>
+        (i.toLong, "2024-01-01 10:00:00", u, "view") } ++
+      a1.zipWithIndex.map { case (u, i) =>
+        (100L + i, "2024-01-02 10:00:00", u, "purchase") }
+    val out = Stats.msprt(events(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6), r.getBoolean(7)))
+    assert(out.length == 2)
+    val d0 = out(0); val d1 = out(1)
+    assert(d1._1 == d0._1 + 1)
+    assert((d0._2, d0._3, d0._4, d0._5) == ((2L, 2L, 0L, 0L)))
+    assert(d0._6 == 1.0 && !d0._7) // no conversions -> no evidence
+    assert((d1._2, d1._3, d1._4, d1._5) == ((2L, 2L, 0L, 2L)))
+    // closed form at na=nb=2, xa=0, xb=2: pp=.5, V=.25, dl=1
+    val vv = 0.25; val lnl = 0.5 * math.log(vv / (vv + 0.01)) +
+      1.0 * 0.01 / (2.0 * vv * (vv + 0.01))
+    val expP = BigDecimal(math.min(1.0, math.exp(-lnl)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1._6 == expP, s"${d1._6} vs $expP")
+    assert(d1._6 <= d0._6)
+  }
+
+  test("msprt: a strong persistent effect rejects and stays rejected") {
+    val a0 = armUsers(0, 40)
+    val a1 = armUsers(1, 40)
+    // everyone enters day 0; arm-1 users purchase spread over days 1-4
+    val rows =
+      (a0 ++ a1).zipWithIndex.map { case (u, i) =>
+        (i.toLong, "2024-01-01 00:30:00", u, "view") } ++
+      a1.zipWithIndex.map { case (u, i) =>
+        val day = 2 + (i % 4)
+        (1000L + i, f"2024-01-0$day%d 12:00:00", u, "purchase") }
+    val out = Stats.msprt(events(rows: _*)).collect()
+      .map(r => (r.getDouble(6), r.getBoolean(7)))
+    // p never increases
+    out.sliding(2).foreach { case Array(a, b) => assert(b._1 <= a._1) }
+    assert(out.last._2, s"expected rejection by the final day: ${out.toSeq}")
+    // once rejected, every later day stays rejected
+    val firstRej = out.indexWhere(_._2)
+    assert(out.drop(firstRej).forall(_._2))
+  }
+
+  test("powerMde: exact moments on a hand-built distribution; absent " +
+      "users count zero through the shared denominator") {
+    val a0 = armUsers(0, 2)
+    val a1 = armUsers(1, 2)
+    val us = a0 ++ a1 // 4 users, na = nb = 2
+    // type x: counts 1,1,3,3 -> mean 2, var 4/3; type y: one user has
+    // 2 events, the other three have none -> s1=2, s2=4
+    var eid = 0L
+    def ev(u: Long, t: String): (Long, String, Long, String) = {
+      eid += 1; (eid, "2024-01-01 10:00:00", u, t)
+    }
+    val rows = Seq(ev(us(0), "x"), ev(us(1), "x")) ++
+      (1 to 3).map(_ => ev(us(2), "x")) ++ (1 to 3).map(_ => ev(us(3), "x")) ++
+      (1 to 2).map(_ => ev(us(0), "y"))
+    val out = Stats.powerMde(events(rows: _*)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val zs = 2.801585
+    val x = out("x")
+    assert(x.getAs[Long]("n_users") == 4L)
+    assert(x.getAs[Double]("mean") == 2.0)
+    val varX = 4.0 / 3.0
+    assert(x.getAs[Double]("sd") == r6(math.sqrt(varX)))
+    val mdeX = zs * math.sqrt(varX * (0.5 + 0.5))
+    assert(x.getAs[Double]("mde_abs") == r6(mdeX))
+    assert(x.getAs[Double]("mde_rel") == r6(mdeX / 2.0))
+    assert(x.getAs[Long]("n_per_arm_2pct") ==
+      math.ceil(2.0 * varX * zs * zs / (0.02 * 2.0 * 0.02 * 2.0)).toLong)
+    val y = out("y")
+    // s1=2, s2=4, n=4 -> mean .5, var (4 - 1)/3 = 1
+    assert(y.getAs[Double]("mean") == 0.5)
+    assert(y.getAs[Double]("sd") == 1.0)
+  }
 }
