@@ -606,7 +606,89 @@ object TextOps {
       .select(col("doc_id"), round(col("logprob_raw"), 4).as("logprob"))
   }
 
+  /** Next-fit sequence packing — the training-export step that
+    * concatenates documents into fixed-capacity token sequences (every
+    * pretraining pipeline packs; unpacked batches waste the tail of
+    * each sequence as padding). Docs hash into `shards` (md5 ":pack"
+    * addressing), and within each shard, in doc_id order, next-fit
+    * assigns bins: a doc that would overflow the current bin's
+    * `capacity` opens a new bin (a doc longer than `capacity` sits
+    * alone in its own oversized bin). The assignment is a pure
+    * function of (shard, doc_id order) — reproducible on any cluster
+    * layout or executor count.
+    *
+    * Scale shape: token counts are map-side; the ONE exchange is the
+    * shard repartition (the same exchange a shard export already
+    * pays); the capacity-reset fold is inherently sequential per
+    * shard, not window-expressible (the bin index depends on every
+    * predecessor through a non-associative reset), so it runs as a
+    * sort-within-partition + streaming mapPartitions with O(1) state —
+    * the sanctioned per-partition-imperative case, never a collect or
+    * a per-shard materialized list. Shard count bounds the sequential
+    * chain length exactly as it bounds export file sizes.
+    */
+  def packSequences(docsDf: DataFrame, shards: Int,
+      capacity: Long): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val sized = docsDf.select(col("doc_id").cast("long").as("doc_id"),
+      pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":pack"))), 1, 8), 16, 10).cast("long"), lit(shards))
+        .cast("int").as("shard"),
+      when(col("text").isNull || trim(col("text")) === "", 0L)
+        .otherwise(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    sized.repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        var curShard = -1
+        var fill = 0L
+        var bin = 0L
+        it.map { case (id, sh, n) =>
+          if (sh != curShard) { curShard = sh; bin = 0L; fill = n }
+          else if (fill + n > capacity) { bin += 1L; fill = n }
+          else fill += n
+          (id, sh, n, bin)
+        }
+      }.toDF("doc_id", "shard", "n_tokens", "bin")
+  }
+
   def defs: Seq[Q] = Seq(
+    // SEQUENCE PACKING — per-doc (shard, bin) assignment under
+    // next-fit at capacity 512 whitespace tokens, 8 shards. The
+    // oracle replays the sequential fold as a per-shard recursive
+    // CTE, so every bin boundary is hash-checked.
+    Q("q260_sequence_packing",
+      (s, d) => packSequences(docs(s, d), 8, 512)
+        .orderBy(col("shard"), col("doc_id")),
+      Some("""WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                         || ':pack'), 1, 8) AS BIGINT) % 8 AS shard,
+                       CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                            ELSE LEN(regexp_split_to_array(
+                              TRIM(LOWER(text)), '\s+')) END AS n_tokens
+                FROM documents),
+              ord AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                  ORDER BY doc_id) AS rn
+                FROM toks),
+              pack AS (
+                SELECT doc_id, shard, n_tokens, rn,
+                       CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+                       CASE WHEN p.fill + o.n_tokens > 512
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.fill + o.n_tokens > 512
+                            THEN o.n_tokens ELSE p.fill + o.n_tokens END
+                FROM pack p JOIN ord o
+                  ON o.shard = p.shard AND o.rn = p.rn + 1)
+              SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     bin
+              FROM pack ORDER BY shard, doc_id""")),
+
     // Q25 [E] per-language corpus stats (SURVEY §2B).
     Q("q25_text_stats",
       (s, d) =>

@@ -370,4 +370,58 @@ class TextOpsSpec extends AnyFunSuite with TestSpark {
       .collect().map(_.getLong(0))
     assert(tied.toSeq == Seq(3L, 5L))
   }
+
+  // ---- packSequences (q260) ----------------------------------------
+
+  /** text with exactly n whitespace tokens */
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  test("packSequences: next-fit bin boundaries, oversized doc sits " +
+      "alone, empty text counts zero tokens") {
+    // shards=1 -> one shard, packing order = doc_id order
+    val docs = docsOf(1L -> words(3), 2L -> words(2), 3L -> words(1),
+      4L -> words(7), 5L -> words(2), 6L -> words(4), 7L -> "")
+    val out = TextOps.packSequences(docs, shards = 1, capacity = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // fills: 3 | 3+2=5 | overflow->bin1 fill1 | 1+7>5 -> bin2 (7 alone,
+    // oversized) | bin3 fill2 | 2+4>5 -> bin4 | 4+0=4 stays bin4
+    assert(out.toSeq == Seq((1L, 3L, 0L), (2L, 2L, 0L), (3L, 1L, 1L),
+      (4L, 7L, 2L), (5L, 2L, 3L), (6L, 4L, 4L), (7L, 0L, 4L)))
+  }
+
+  test("packSequences: equals a per-shard reference next-fit on a " +
+      "pseudo-random corpus; bins restart at zero per shard") {
+    val n = 60
+    val sizes = (1 to n).map(i => (i * 37 % 11) + 1) // 1..11 tokens
+    val docs = docsOf((1 to n).map(i => i.toLong -> words(sizes(i - 1))): _*)
+    val shards = 3
+    val cap = 16L
+    val out = TextOps.packSequences(docs, shards, cap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    // reference: group by the same md5 shard, doc_id order, fold
+    def shardOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:pack".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % shards).toInt
+    }
+    val expect = (1 to n).map(i => (i.toLong, shardOf(i.toLong),
+      sizes(i - 1).toLong)).groupBy(_._2).flatMap { case (sh, ds) =>
+      var fill = 0L; var bin = -1L
+      ds.sortBy(_._1).map { case (id, _, tk) =>
+        if (bin < 0 || fill + tk > cap) { bin += 1; fill = tk }
+        else fill += tk
+        id -> ((sh, tk, bin))
+      }
+    }.toMap
+    assert(out == expect)
+    // every shard has a bin 0 and bins are contiguous from 0
+    (0 until shards).foreach { sh =>
+      val bins = out.values.filter(_._1 == sh).map(_._3).toSeq.sorted
+      assert(bins.distinct == (0L to bins.max).toSeq,
+        s"shard $sh bins not contiguous: $bins")
+    }
+  }
 }
