@@ -304,6 +304,37 @@ object Main {
             .map(_.stripPrefix("batch=").toLong).max
           spark.read.parquet(s"$outDir/readouts/batch=$latest").show()
 
+        case "pack" :: in :: outDir :: rest if rest.length <= 2 =>
+          val shards = rest.headOption.map(_.toInt).getOrElse(8)
+          val cap = rest.drop(1).headOption.map(_.toLong).getOrElse(512L)
+          val asg = graft.llm.TextOps.packSequences(
+            spark.read.parquet(in), shards, cap)
+          asg.write.mode("overwrite")
+            .option("compression", graft.etl.Writers.DefaultCompression)
+            .parquet(outDir)
+          import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
+          val st = spark.read.parquet(outDir)
+            .groupBy(col("shard"))
+            .agg(countDistinct(col("bin")).as("bins"),
+              count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+          val r = st.agg(sum(col("bins")), sum(col("docs")),
+            sum(col("tokens"))).head
+          println(s"packed docs=${r.getLong(1)} bins=${r.getLong(0)} " +
+            s"tokens=${r.getLong(2)} capacity=$cap shards=$shards " +
+            s"fill=${"%.3f".format(r.getLong(2).toDouble /
+              (r.getLong(0) * cap))} dir=$outDir")
+
+        case "pack-stream" :: landingDir :: outDir :: rest
+            if rest.length <= 2 =>
+          val shards = rest.headOption.map(_.toInt).getOrElse(8)
+          val cap = rest.drop(1).headOption.map(_.toLong).getOrElse(512L)
+          graft.streaming.StreamingPack
+            .start(spark, landingDir, outDir, shards, cap)
+            .awaitTermination()
+          val n = spark.read.parquet(s"$outDir/assignments").count()
+          println(s"pack-stream landing=$landingDir out=$outDir " +
+            s"assigned=$n shards=$shards capacity=$cap")
+
         case "zorder" :: in :: c1 :: c2 :: out :: Nil =>
           graft.etl.Writers.zorderParquet(
             spark.read.parquet(in), c1, c2, out)
@@ -722,6 +753,8 @@ object Main {
         |  trend <landingDir> <outDir> <alpha> <idleMs> [watermarkDelay]
         |  cusum <landingDir> <baselineParquet> <outDir> <idleMs> [watermarkDelay]
         |  ab <landingDir> <outDir> [conversionEventType]
+        |  pack <docsParquet> <outDir> [shards] [capacity]
+        |  pack-stream <landingDir> <outDir> [shards] [capacity]
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]
