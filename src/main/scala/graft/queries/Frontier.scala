@@ -1190,6 +1190,107 @@ object Frontier {
               GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
               ORDER BY nation, o_year DESC""")),
 
+    // SEASONAL DECOMPOSITION — classical seasonal-means decomposition
+    // of the daily event-count series per type: trend = centered 7-day
+    // moving average, seasonal = per-day-of-week mean of the detrended
+    // series, residual = observed - trend - seasonal. The time-series
+    // readout behind "is Tuesday always like this, or is something
+    // drifting" — CUSUM's (q223) explanatory sibling.
+    //
+    // Exact-arithmetic shape (the q195/q210 discipline): counts are
+    // integers; the centered MA stays an INTEGER 7-row frame sum, and
+    // the detrended value is d = 7*x - trend_sum — exact integers all
+    // the way through the per-(type, dow) seasonal aggregate; doubles
+    // appear only in the terminal /7 divisions, identically associated
+    // in both engines. Day-of-week is epoch-day mod 7 (calendar-
+    // function-free, engine-neutral). Scale shape: ONE corpus-sized
+    // (type, day) count aggregate; the dense grid, the ordered frame
+    // windows, and the dow join are all |types|x|days| summary work
+    // (the q193 exemption); edges without a full 7-frame emit NULL
+    // trend/residual rather than a biased average.
+    Q("q261_seasonal_decompose",
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .select(col("event_type"),
+            to_date(expr("CAST(ts AS TIMESTAMP)")).as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x"))
+        val types = counts.select(col("event_type")).distinct()
+        val days = counts.select(col("day")).distinct()
+        val grid = types.crossJoin(days)
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("x"), lit(0L)).as("x"),
+            pmod(datediff(col("day"), lit("1970-01-01").cast("date")),
+              lit(7)).cast("int").as("dow"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("day")).rowsBetween(-3, 3)
+        val framed = grid
+          .withColumn("tsum", sum(col("x")).over(w))
+          .withColumn("fn", count(lit(1)).over(w))
+          .withColumn("dd", when(col("fn") === 7,
+            lit(7L) * col("x") - col("tsum")))
+        val seas = framed.filter(col("dd").isNotNull)
+          .groupBy(col("event_type"), col("dow"))
+          .agg(sum(col("dd")).cast("decimal(38,0)").as("snum"),
+            count(lit(1)).as("sden"))
+        framed.join(seas, Seq("event_type", "dow"), "left")
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("x"),
+            round(when(col("fn") === 7,
+              col("tsum").cast("double") / 7.0), 4).as("trend"),
+            round(col("snum").cast("double")
+              / (lit(7.0) * col("sden").cast("double")), 4).as("seasonal"),
+            round(when(col("dd").isNotNull,
+              col("dd").cast("double") / 7.0
+                - col("snum").cast("double")
+                  / (lit(7.0) * col("sden").cast("double"))), 4)
+              .as("residual"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH counts AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2),
+              grid AS (
+                SELECT t.event_type, dy.day, COALESCE(c.x, 0) AS x,
+                       CAST((dy.day - DATE '1970-01-01') % 7 AS INT)
+                         AS dow
+                FROM (SELECT DISTINCT event_type FROM counts) t
+                CROSS JOIN (SELECT DISTINCT day FROM counts) dy
+                LEFT JOIN counts c
+                  ON c.event_type = t.event_type AND c.day = dy.day),
+              framed AS (
+                SELECT *,
+                       SUM(x) OVER w AS tsum,
+                       COUNT(*) OVER w AS fn
+                FROM grid
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              dd AS (
+                SELECT *, CASE WHEN fn = 7 THEN 7 * x - tsum END AS dd
+                FROM framed),
+              seas AS (
+                SELECT event_type, dow,
+                       CAST(SUM(dd) AS HUGEINT) AS snum,
+                       COUNT(*) AS sden
+                FROM dd WHERE dd IS NOT NULL GROUP BY 1, 2)
+              SELECT d.event_type, STRFTIME(d.day, '%Y-%m-%d') AS day,
+                     d.x,
+                     ROUND(CASE WHEN fn = 7
+                       THEN CAST(tsum AS DOUBLE) / 7.0 END, 4) AS trend,
+                     ROUND(CAST(snum AS DOUBLE)
+                       / (7.0 * CAST(sden AS DOUBLE)), 4) AS seasonal,
+                     ROUND(CASE WHEN dd IS NOT NULL
+                       THEN CAST(dd AS DOUBLE) / 7.0
+                         - CAST(snum AS DOUBLE)
+                           / (7.0 * CAST(sden AS DOUBLE)) END, 4)
+                       AS residual
+              FROM dd d LEFT JOIN seas
+                ON seas.event_type = d.event_type AND seas.dow = d.dow
+              ORDER BY d.event_type, day""")),
+
     // TPC-H Q6 — forecasting revenue change: the pure scan-aggregate.
     // One year of shipments, a discount band, a quantity cap; revenue
     // = sum(extendedprice * discount). The whole query is a single

@@ -467,6 +467,67 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     assert(out.toSeq == Seq(("s1", 1L), ("s2", 2L)))
   }
 
+  test("q261 seasonal decomposition: a purely additive weekly pattern " +
+      "recovers EXACTLY — constant trend, the planted dow effects as " +
+      "seasonal, zero residual; edges without a full frame emit NULL") {
+    import spark.implicits._
+    // x(day) = 10 + p(dow), p sums to 0 over the week -> the centered
+    // 7-day MA is exactly 10, seasonal is exactly p, residual exactly 0
+    val p = Map(0 -> 0, 1 -> 1, 2 -> 2, 3 -> 3, 4 -> -1, 5 -> -2, 6 -> -3)
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    var eid = 0L
+    val evs = (0 until 21).flatMap { i =>
+      val day = d0.plusDays(i)
+      val dow = (day.toEpochDay % 7).toInt
+      (0 until (10 + p(dow))).map { _ =>
+        eid += 1
+        (eid, Timestamp.valueOf(s"$day 10:00:00"), eid, "e")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val dir = plantedDir("events" -> evs)
+    val out = graft.queries.Registry
+      .queries("q261_seasonal_decompose")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(out.length == 21)
+    out.zipWithIndex.foreach { case ((dayS, x, trend, seasonal, resid), i) =>
+      val day = d0.plusDays(i)
+      val dow = (day.toEpochDay % 7).toInt
+      assert(dayS == day.toString && x == 10L + p(dow))
+      assert(seasonal == p(dow).toDouble, s"$dayS seasonal")
+      if (i < 3 || i >= 18) assert(trend.isEmpty && resid.isEmpty,
+        s"$dayS edge should be NULL")
+      else {
+        assert(trend.contains(10.0), s"$dayS trend $trend")
+        assert(resid.contains(0.0), s"$dayS resid $resid")
+      }
+    }
+  }
+
+  test("q255 (Q6): all three predicates reach the parquet scan as " +
+      "PushedFilters; q256 (Q12 shape) never falls back to a " +
+      "nested-loop join") {
+    val p255 = graft.queries.Registry.queries("q255_tpch_q6")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val pushed = p255.linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c),
+        s"predicate on $c not pushed to the scan:\n$p255")
+    }
+    // the scan-side projection must be pruned to the referenced columns
+    assert(!p255.contains("l_comment") && !p255.contains("l_tax"))
+    val p256 = graft.queries.Registry.queries("q256_tpch_q12")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p256.contains("BroadcastNestedLoopJoin") &&
+      !p256.contains("CartesianProduct"),
+      s"Q12 shape fell off the hash-join path:\n$p256")
+  }
+
   test("q254 (Q9 shape): profit lands on the cent grid per line before " +
       "the DECIMAL sum; non-matching part names are pruned; attribution " +
       "follows the SUPPLIER's nation and the ORDER year") {
