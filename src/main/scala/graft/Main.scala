@@ -324,6 +324,30 @@ object Main {
             s"fill=${"%.3f".format(r.getLong(2).toDouble /
               (r.getLong(0) * cap))} dir=$outDir")
 
+        case "vtable" :: "append" :: in :: dir :: Nil =>
+          val v = graft.etl.Versioned
+            .commitAppend(spark.read.parquet(in), dir)
+          println(s"vtable $dir committed v$v (append)")
+        case "vtable" :: "replace" :: in :: dir :: Nil =>
+          val v = graft.etl.Versioned
+            .commitReplace(spark.read.parquet(in), dir)
+          println(s"vtable $dir committed v$v (replace)")
+        case "vtable" :: "read" :: dir :: rest if rest.length <= 1 =>
+          val v = rest.headOption.map(_.toLong).getOrElse(-1L)
+          val df = graft.etl.Versioned.read(spark, dir, v)
+          println(s"vtable $dir v=${if (v < 0) "latest" else v} " +
+            s"rows=${df.count()}")
+          df.show(20, truncate = false)
+        case "vtable" :: "log" :: dir :: Nil =>
+          graft.etl.Versioned.log(spark, dir).foreach { case (v, n) =>
+            println(s"v$v data_dirs=$n")
+          }
+        case "vtable" :: "vacuum" :: dir :: keep :: Nil =>
+          val (dv, dd) = graft.etl.Versioned
+            .vacuum(spark, dir, keep.toInt)
+          println(s"vtable $dir vacuumed: versions_dropped=$dv " +
+            s"data_dirs_deleted=$dd kept=$keep")
+
         case "pack-stream" :: landingDir :: outDir :: rest
             if rest.length <= 2 =>
           val shards = rest.headOption.map(_.toInt).getOrElse(8)
@@ -755,6 +779,9 @@ object Main {
         |  ab <landingDir> <outDir> [conversionEventType]
         |  pack <docsParquet> <outDir> [shards] [capacity]
         |  pack-stream <landingDir> <outDir> [shards] [capacity]
+        |  vtable append|replace <parquet> <tableDir>
+        |  vtable read <tableDir> [version] | vtable log <tableDir>
+        |  vtable vacuum <tableDir> <keepVersions>
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]

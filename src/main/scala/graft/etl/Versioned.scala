@@ -1,0 +1,168 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned (time-travel) parquet table — the manifest-swap
+  * core of a lakehouse table format (Iceberg/Delta's snapshot model,
+  * re-expressed on nothing but parquet files and two atomic renames),
+  * for pipelines that need "read the table AS OF the version my
+  * training run started from" while writers keep appending.
+  *
+  * Layout under `dir`:
+  *   data/<commit-uuid>/part-*.parquet   immutable data files
+  *   _versions/vNNNNNNNN.txt             manifest: one data subdir per line
+  *   _latest                             pointer file: current version id
+  *
+  * Commit protocol (single writer — the streaming-upsert contract):
+  *   1. write the new data subdir (invisible to readers: nothing
+  *      references it),
+  *   2. write manifest v(N+1) to a temp name, rename into _versions
+  *      (atomic on a real filesystem; readers resolving by _latest
+  *      still see vN),
+  *   3. rename-swap the _latest pointer.
+  * A crash at ANY point leaves the table readable at vN: steps 1-2
+  * leave orphans that [[vacuum]] reclaims, never a torn table. Readers
+  * never list `data/` — they read exactly the subdirs their manifest
+  * names, so concurrent commits and un-vacuumed orphans are invisible.
+  *
+  * Append commits reference the previous manifest's subdirs PLUS the
+  * new one — at 100 TB an append costs only its delta (no rewrite, no
+  * copy); replace commits reference only the new subdir (the full-
+  * refresh form). [[vacuum]] deletes data subdirs referenced by NO
+  * kept manifest and drops the pruned manifests — retention is the
+  * caller's knob, exactly like a lakehouse VACUUM.
+  */
+object Versioned {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def vname(v: Long): String = f"v$v%08d.txt"
+
+  private def readSmall(spark: SparkSession, p: Path): String = {
+    val f = fs(spark, p.toString)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def writeAtomic(spark: SparkSession, target: Path,
+      content: String): Unit = {
+    val f = fs(spark, target.toString)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // rename-swap: HDFS/posix rename won't clobber an existing file on
+    // all filesystems — delete the old pointer first; the window is
+    // closed by retrying readers (latestVersion falls back to the max
+    // manifest id when the pointer is mid-swap)
+    if (f.exists(target)) f.delete(target, false)
+    require(f.rename(tmp, target), s"atomic rename failed: $tmp -> $target")
+  }
+
+  /** Current version id: the _latest pointer, falling back to the max
+    * manifest id when the pointer is missing or mid-swap (a crash
+    * between manifest rename and pointer swap leaves the new manifest
+    * in place but unpointed — both reads are correct, the fallback is
+    * simply the newest durable state). Returns -1 on an empty table.
+    */
+  def latestVersion(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val ptr = new Path(dir, "_latest")
+    val fromPtr =
+      if (f.exists(ptr))
+        scala.util.Try(readSmall(spark, ptr).toLong).toOption
+      else None
+    fromPtr.getOrElse {
+      val vd = new Path(dir, "_versions")
+      if (!f.exists(vd)) -1L
+      else f.listStatus(vd).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+        .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+        .foldLeft(-1L)(math.max)
+    }
+  }
+
+  private def manifestDirs(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = {
+    val p = new Path(new Path(dir, "_versions"), vname(v))
+    require(fs(spark, dir).exists(p), s"no version $v at $dir")
+    readSmall(spark, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def commit(df: DataFrame, dir: String,
+      keepPrevious: Boolean): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val prev = latestVersion(spark, dir)
+    val next = prev + 1
+    val sub = s"c-${java.util.UUID.randomUUID()}"
+    df.write.mode("errorifexists")
+      .option("compression", Writers.DefaultCompression)
+      .parquet(new Path(new Path(dir, "data"), sub).toString)
+    val prevDirs =
+      if (keepPrevious && prev >= 0) manifestDirs(spark, dir, prev)
+      else Seq.empty
+    val manifest = (prevDirs :+ sub).mkString("\n")
+    val vdir = new Path(dir, "_versions")
+    if (!f.exists(vdir)) f.mkdirs(vdir)
+    writeAtomic(spark, new Path(vdir, vname(next)), manifest)
+    writeAtomic(spark, new Path(dir, "_latest"), next.toString)
+    next
+  }
+
+  /** Append `df` as a new version (previous versions' files are
+    * referenced, never rewritten). Returns the new version id. */
+  def commitAppend(df: DataFrame, dir: String): Long =
+    commit(df, dir, keepPrevious = true)
+
+  /** Replace the table contents with `df` as a new version (old
+    * versions stay readable until vacuumed). */
+  def commitReplace(df: DataFrame, dir: String): Long =
+    commit(df, dir, keepPrevious = false)
+
+  /** Read the table at `version` (negative = latest). Readers touch
+    * only the subdirs the manifest names — never a data/ listing. */
+  def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    require(v >= 0, s"empty versioned table at $dir")
+    val dirs = manifestDirs(spark, dir, v)
+      .map(sub => new Path(new Path(dir, "data"), sub).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** (version, n_data_dirs) log, oldest first. */
+  def log(spark: SparkSession, dir: String): Seq[(Long, Int)] = {
+    val f = fs(spark, dir)
+    val vd = new Path(dir, "_versions")
+    if (!f.exists(vd)) Seq.empty
+    else f.listStatus(vd).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+      .sorted.map(v => v -> manifestDirs(spark, dir, v).size).toSeq
+  }
+
+  /** Keep the newest `keep` versions: delete older manifests, then
+    * every data subdir no kept manifest references (which also
+    * reclaims orphans from crashed commits). Returns (versions
+    * dropped, data dirs deleted). Runs under the single-writer
+    * contract — like compact, not concurrent with a commit. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int): (Int, Int) = {
+    require(keep >= 1, "must keep at least the latest version")
+    val f = fs(spark, dir)
+    val versions = log(spark, dir).map(_._1)
+    val (drop, hold) = versions.splitAt(math.max(0, versions.size - keep))
+    val keptDirs = hold.flatMap(manifestDirs(spark, dir, _)).toSet
+    drop.foreach(v =>
+      f.delete(new Path(new Path(dir, "_versions"), vname(v)), false))
+    val dataDir = new Path(dir, "data")
+    val gone =
+      if (!f.exists(dataDir)) 0
+      else f.listStatus(dataDir).map(_.getPath)
+        .filter(p => !keptDirs.contains(p.getName))
+        .map { p => f.delete(p, true); 1 }.sum
+    (drop.size, gone)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Versioned
+
+/** Versioned-table semantics: append vs replace commits, time-travel
+  * reads, the latest-pointer fallback after a mid-commit crash, orphan
+  * reclamation, and vacuum retention.
+  */
+class VersionedSpec extends AnyFunSuite with TestSpark {
+
+  import spark.implicits._
+
+  private def dirOf(): String = java.nio.file.Files
+    .createTempDirectory("graft-vtable").toString
+
+  private def rows(dir: String, v: Long = -1L): Set[Long] =
+    Versioned.read(spark, dir, v).collect().map(_.getLong(0)).toSet
+
+  test("append commits accumulate, replace resets, every old version " +
+      "stays readable (time travel)") {
+    val dir = dirOf()
+    assert(Versioned.latestVersion(spark, dir) == -1L)
+    val v0 = Versioned.commitAppend(Seq(1L, 2L).toDF("id"), dir)
+    val v1 = Versioned.commitAppend(Seq(3L).toDF("id"), dir)
+    val v2 = Versioned.commitReplace(Seq(9L).toDF("id"), dir)
+    assert((v0, v1, v2) == ((0L, 1L, 2L)))
+    assert(rows(dir, 0) == Set(1L, 2L))
+    assert(rows(dir, 1) == Set(1L, 2L, 3L))
+    assert(rows(dir, 2) == Set(9L))
+    assert(rows(dir) == Set(9L)) // latest
+    assert(Versioned.log(spark, dir).map(_._2) == Seq(1, 2, 1))
+  }
+
+  test("crash states: unreferenced data dir is invisible; manifest " +
+      "without pointer swap reads as the new version (fallback); " +
+      "vacuum reclaims orphans") {
+    val dir = dirOf()
+    Versioned.commitAppend(Seq(1L).toDF("id"), dir)
+    // crash point 1: data written, no manifest -> readers see v0 only
+    Seq(99L).toDF("id").write
+      .parquet(s"$dir/data/c-orphan-${java.util.UUID.randomUUID()}")
+    assert(rows(dir) == Set(1L))
+    assert(Versioned.latestVersion(spark, dir) == 0L)
+    // crash point 2: manifest v1 written but _latest still says 0 ->
+    // fallback resolves the newest DURABLE manifest
+    val sub = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.startsWith("c-")).sorted.head
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_versions", "v00000001.txt"), sub)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_latest"))
+    assert(Versioned.latestVersion(spark, dir) == 1L)
+    assert(rows(dir) == Set(1L)) // v1 references the same subdir
+    // a new commit heals the pointer and the orphan stays invisible
+    Versioned.commitAppend(Seq(2L).toDF("id"), dir)
+    assert(rows(dir) == Set(1L, 2L))
+    // vacuum(keep=1) drops old manifests AND the orphan dir
+    val (dropped, deleted) = Versioned.vacuum(spark, dir, keep = 1)
+    assert(dropped == 2 && deleted >= 1, s"($dropped, $deleted)")
+    assert(rows(dir) == Set(1L, 2L)) // latest untouched
+    // the orphan is gone from disk
+    val left = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(!left.exists(_.contains("orphan")), left.toSeq.toString)
+  }
+
+  test("vacuum keeps the newest k versions readable and makes older " +
+      "reads fail loudly") {
+    val dir = dirOf()
+    (1L to 4L).foreach(i => Versioned.commitAppend(Seq(i).toDF("id"), dir))
+    Versioned.vacuum(spark, dir, keep = 2)
+    assert(Versioned.log(spark, dir).map(_._1) == Seq(2L, 3L))
+    assert(rows(dir, 3) == Set(1L, 2L, 3L, 4L))
+    assert(rows(dir, 2) == Set(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException](rows(dir, 0))
+    assert(e.getMessage.contains("no version"))
+  }
+}
