@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Geo/trajectory operators — the domain family an AIS-scale position
+  * pipeline needs (the reference ingests NOAA AIS vessel-traffic
+  * archives; its notebooks stop at relational preprocessing, so these
+  * are extensions in the SURVEY §2 "pipeline needs" sense): grid-cell
+  * density, per-vessel track legs with impossible-speed audit, and
+  * banded proximity-pair detection (the spatial sibling of LSH
+  * banding).
+  *
+  * Positions: the testdata carries no coordinates, so each event gets
+  * a DETERMINISTIC md5-derived position (the q59/q152/q242 addressing
+  * rule — both engines derive identical integers): a per-user base
+  * point in a 0.5°x0.5° operating box plus a per-event jitter of
+  * ±0.005° (~±550 m), i.e. a vessel loitering near its base — enough
+  * structure for legs and encounters to be non-degenerate while every
+  * bit stays oracle-replayable.
+  *
+  * Float discipline (the q195/q210 rules): positions are EXACT INTEGER
+  * microdegrees end-to-end — grid cells are integer division, leg
+  * gates are cross-multiplied integers; the haversine is the ONE
+  * terminal double block (identical expression tree both engines) and
+  * every emitted distance re-grids to whole meters, which absorbs
+  * libm ulp skew (the q178 precedent).
+  */
+object Geo {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  private val Dec = "decimal(38,0)"
+
+  /** md5 32-bit uniform of `c` under salt (the q242 addressing rule). */
+  private def h32(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic position in integer MICRODEGREES: per-user base in
+    * [0, 0.5e6) µdeg on each axis, per-event jitter in [-5000, 5000).
+    */
+  def positioned(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("ts"),
+      (pmod(h32(col("user_id"), ":blat"), lit(500000L))
+        + pmod(h32(col("event_id"), ":jlat"), lit(10000L)) - 5000L)
+        .as("lat_e6"),
+      (pmod(h32(col("user_id"), ":blon"), lit(500000L))
+        + pmod(h32(col("event_id"), ":jlon"), lit(10000L)) - 5000L)
+        .as("lon_e6"))
+
+  /** Haversine meters between two integer-µdeg points — the one
+    * double block; callers re-grid the result to whole meters. */
+  def haversineM(lat1: Column, lon1: Column, lat2: Column,
+      lon2: Column): Column = {
+    // deg->rad on the µdeg grid: 1e-6 * pi/180
+    val k = lit(1.7453292519943295e-8)
+    val dphi = (lat2 - lat1).cast("double") * k
+    val dlam = (lon2 - lon1).cast("double") * k
+    val p1 = lat1.cast("double") * k
+    val p2 = lat2.cast("double") * k
+    val h = sin(dphi / 2) * sin(dphi / 2) +
+      cos(p1) * cos(p2) * sin(dlam / 2) * sin(dlam / 2)
+    lit(2.0 * 6371000.0) * asin(sqrt(h))
+  }
+
+  /** Grid-cell density: 0.01° (10,000 µdeg) cells, positions per cell
+    * + distinct vessels, top-20 hot cells. The pre-aggregation any
+    * heat-map / traffic-lane readout runs; one map-side-combined
+    * aggregate, integer cells, TakeOrdered finish. */
+  def cellDensity(events: DataFrame, top: Int = 20): DataFrame =
+    positioned(events)
+      .select((col("lat_e6") + 5000L).divide(10000L).cast("long")
+          .as("cell_y"),
+        (col("lon_e6") + 5000L).divide(10000L).cast("long").as("cell_x"),
+        col("user_id"))
+      .groupBy(col("cell_y"), col("cell_x"))
+      .agg(count(lit(1)).as("n_positions"),
+        countDistinct(col("user_id")).as("n_vessels"))
+      .orderBy(col("n_positions").desc, col("cell_y"), col("cell_x"))
+      .limit(top)
+
+  /** Per-vessel track report: consecutive-event legs (ordered by ts,
+    * event_id within user), leg length in whole meters, and the
+    * impossible-speed audit — a leg faster than `vmaxMps` is a
+    * position error (the classic AIS data-quality gate). Per-user
+    * totals: legs, EXACT integer total meters (each leg re-gridded to
+    * whole meters BEFORE the sum — no order-dependent float
+    * accumulation), impossible count. The window partitions on
+    * user_id — bounded by the per-user stream (q43/q150 contract). */
+  def trackReport(events: DataFrame, vmaxMps: Long = 20L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val legs = positioned(events)
+      .withColumn("plat", lag(col("lat_e6"), 1).over(w))
+      .withColumn("plon", lag(col("lon_e6"), 1).over(w))
+      .withColumn("dt_s", unix_timestamp(col("ts"))
+        - lag(unix_timestamp(col("ts")), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .select(col("user_id"), col("dt_s"),
+        round(haversineM(col("plat"), col("plon"),
+          col("lat_e6"), col("lon_e6"))).cast("long").as("leg_m"))
+      // impossible = meters > vmax * seconds, exact integers
+      // cross-multiplied; a zero-dt repeat fix with any movement is
+      // impossible by definition
+      .withColumn("bad",
+        when(col("leg_m") > lit(vmaxMps) * greatest(col("dt_s"), lit(0L)),
+          1L).otherwise(0L))
+    legs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_legs"),
+        sum(col("leg_m").cast(Dec)).cast("long").as("total_m"),
+        sum(col("bad")).as("n_impossible"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Proximity pairs — vessels within `radiusM` of each other in the
+    * same hour: the spatial-banding shape (LSH's geo sibling). One
+    * representative position per (vessel, hour) (min event_id — the
+    * deterministic pick), each LEFT point replicated to its 3x3 cell
+    * neighborhood, equi-join on (hour, cell), u1 < u2, then the exact
+    * haversine verify on the integer-meter grid. Replicated matches
+    * collapse via DISTINCT before the pair aggregate.
+    *
+    * Cell sizing is the knee: the 3x3 neighborhood is COMPLETE for
+    * any pair within the radius iff one cell edge >= the radius (the
+    * same guarantee banding gives Jaccard), and the within-cell pair
+    * space grows QUADRATICALLY with cell occupancy — so the cell is
+    * the SMALLEST complete one: 5,000 µdeg ≈ 556 m >= the 500 m
+    * default radius (measured at 10x users: the 0.01° cell peaked a
+    * 1.2 GB task on the hot-cell join; this cell quarters the per-cell
+    * population, ~16x less pair work — SCALE.md r16). Near-equator
+    * contract: lon cells shrink by cos(lat); at real latitudes size
+    * cells by radius / cos(maxLat). Hot cells (ports) remain the q184
+    * skew caveat. Returns (u1, u2, n_hours, min_m). */
+  def proximityPairs(events: DataFrame, radiusM: Long = 500L): DataFrame = {
+    require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    val pts = positioned(events)
+      .withColumn("hour", floor(unix_timestamp(col("ts")) / 3600L))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("hour"))
+        .orderBy(col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour"), col("lat_e6"), col("lon_e6"),
+        (col("lat_e6") + 5000L).divide(5000L).cast("long").as("cy"),
+        (col("lon_e6") + 5000L).divide(5000L).cast("long").as("cx"))
+    val left = pts
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("user_id").as("u1"), col("hour"),
+        col("lat_e6").as("la1"), col("lon_e6").as("lo1"),
+        (col("cy") + col("dy")).as("cy"), (col("cx") + col("dx")).as("cx"))
+    val hits = left.join(pts
+        .select(col("user_id").as("u2"), col("hour"),
+          col("lat_e6").as("la2"), col("lon_e6").as("lo2"),
+          col("cy"), col("cx")),
+        Seq("hour", "cy", "cx"))
+      .filter(col("u1") < col("u2"))
+      .select(col("u1"), col("u2"), col("hour"),
+        round(haversineM(col("la1"), col("lo1"),
+          col("la2"), col("lo2"))).cast("long").as("m"))
+      .filter(col("m") <= radiusM)
+      .distinct()
+    hits.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
+      .orderBy(col("u1"), col("u2"))
+  }
+
+  // Shared oracle fragment: the position derivation in DuckDB.
+  private val PosSql =
+    """SELECT event_id, user_id, ts,
+      |       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+      |         || ':blat'), 1, 8) AS BIGINT) % 500000
+      |       + CAST('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)
+      |         || ':jlat'), 1, 8) AS BIGINT) % 10000 - 5000 AS lat_e6,
+      |       CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
+      |         || ':blon'), 1, 8) AS BIGINT) % 500000
+      |       + CAST('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)
+      |         || ':jlon'), 1, 8) AS BIGINT) % 10000 - 5000 AS lon_e6
+      |FROM events""".stripMargin
+
+  private val HavSql =
+    """2.0 * 6371000.0 * ASIN(SQRT(
+      |  SIN((la2 - la1) * 1.7453292519943295e-8 / 2)
+      |    * SIN((la2 - la1) * 1.7453292519943295e-8 / 2)
+      |  + COS(la1 * 1.7453292519943295e-8)
+      |    * COS(la2 * 1.7453292519943295e-8)
+      |    * SIN((lo2 - lo1) * 1.7453292519943295e-8 / 2)
+      |    * SIN((lo2 - lo1) * 1.7453292519943295e-8 / 2)))""".stripMargin
+
+  def defs: Seq[Q] = Seq(
+
+    // GRID DENSITY — top-20 hottest 0.01° cells by position count.
+    Q("q262_geo_density",
+      (s, d) => cellDensity(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              cells AS (
+                SELECT (lat_e6 + 5000) // 10000 AS cell_y,
+                       (lon_e6 + 5000) // 10000 AS cell_x, user_id
+                FROM pos)
+              SELECT cell_y, cell_x,
+                     CAST(COUNT(*) AS BIGINT) AS n_positions,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels
+              FROM cells GROUP BY 1, 2
+              ORDER BY n_positions DESC, cell_y, cell_x
+              LIMIT 20""")),
+
+    // TRACK LEGS + IMPOSSIBLE-SPEED AUDIT — per vessel: legs, exact
+    // integer total meters, legs faster than 20 m/s.
+    Q("q263_track_report",
+      (s, d) => trackReport(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS dt_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              lm AS (
+                SELECT user_id, dt_s,
+                       CAST(ROUND($HavSql) AS BIGINT) AS leg_m
+                FROM legs WHERE la1 IS NOT NULL),
+              flagged AS (
+                SELECT user_id, leg_m,
+                       CASE WHEN leg_m > 20 * GREATEST(dt_s, 0)
+                            THEN 1 ELSE 0 END AS bad
+                FROM lm)
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
+                     CAST(SUM(CAST(leg_m AS HUGEINT)) AS BIGINT)
+                       AS total_m,
+                     CAST(SUM(bad) AS BIGINT) AS n_impossible
+              FROM flagged GROUP BY 1 ORDER BY user_id""")),
+
+    // PROXIMITY PAIRS — vessels within 500 m in the same hour via the
+    // 3x3 cell-neighborhood band join + exact haversine verify.
+    Q("q264_proximity_pairs",
+      (s, d) => proximityPairs(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              pts AS (
+                SELECT user_id, hour, lat_e6, lon_e6,
+                       (lat_e6 + 5000) // 5000 AS cy,
+                       (lon_e6 + 5000) // 5000 AS cx
+                FROM (
+                  SELECT *,
+                         CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           AS hour,
+                         ROW_NUMBER() OVER (PARTITION BY user_id,
+                           CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           ORDER BY event_id) AS rn
+                  FROM pos) x
+                WHERE rn = 1),
+              lft AS (
+                SELECT user_id AS u1, hour, lat_e6 AS la1,
+                       lon_e6 AS lo1, cy + dy.dy AS cy, cx + dx.dx AS cx
+                FROM pts
+                CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+                CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)),
+              hits AS (
+                SELECT DISTINCT u1, u2, hour, m FROM (
+                  SELECT l.u1, r.user_id AS u2, l.hour,
+                         CAST(ROUND(2.0 * 6371000.0 * ASIN(SQRT(
+                           SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           * SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           + COS(l.la1 * 1.7453292519943295e-8)
+                             * COS(r.lat_e6 * 1.7453292519943295e-8)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2))))
+                           AS BIGINT) AS m
+                  FROM lft l JOIN pts r
+                    ON r.hour = l.hour AND r.cy = l.cy AND r.cx = l.cx
+                  WHERE l.u1 < r.user_id) p
+                WHERE m <= 500)
+              SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     MIN(m) AS min_m
+              FROM hits GROUP BY 1, 2 ORDER BY u1, u2""")))
+}

@@ -23,7 +23,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.defs ++ Advanced.defs ++ Sessionize.defs ++
-      ScaleWindows.defs ++ Frontier.defs ++ Stats.defs ++
+      ScaleWindows.defs ++ Frontier.defs ++ Stats.defs ++ Geo.defs ++
       TextOps.defs ++ Dedup.defs ++
       Similarity.defs ++ Multimodal.defs ++ Curation.defs ++ Pq.defs ++
       QualityClassifier.defs ++ Pca.defs ++ Fuzzy.defs

@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Geo
+
+/** Geo family semantics: haversine on a known equator distance, the
+  * track report and proximity pairs against independent brute-force
+  * recomputations (the banded join must find EXACTLY the pairs the
+  * all-pairs scan finds — the spatial-banding completeness claim), and
+  * cell-density bookkeeping.
+  */
+class GeoSpec extends AnyFunSuite with TestSpark {
+
+  import spark.implicits._
+
+  private def h32(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** The engine's position derivation, recomputed independently. */
+  private def pos(eventId: Long, userId: Long): (Long, Long) = (
+    h32(s"$userId:blat") % 500000 + h32(s"$eventId:jlat") % 10000 - 5000,
+    h32(s"$userId:blon") % 500000 + h32(s"$eventId:jlon") % 10000 - 5000)
+
+  private def hav(la1: Long, lo1: Long, la2: Long, lo2: Long): Double = {
+    val k = 1.7453292519943295e-8
+    val h = math.sin((la2 - la1) * k / 2) * math.sin((la2 - la1) * k / 2) +
+      math.cos(la1 * k) * math.cos(la2 * k) *
+        math.sin((lo2 - lo1) * k / 2) * math.sin((lo2 - lo1) * k / 2)
+    2.0 * 6371000.0 * math.asin(math.sqrt(h))
+  }
+
+  private def ts(sec: Long): Timestamp =
+    new Timestamp(1700000000000L + sec * 1000)
+
+  private def events(rows: (Long, Long, Long)*) = // (event_id, user_id, sec)
+    rows.map { case (e, u, s) => (e, u, ts(s), "ping") }
+      .toDF("event_id", "user_id", "ts", "event_type")
+
+  test("haversineM: two equator points 0.01 degrees apart are ~1112 m; " +
+      "zero distance for identical points") {
+    val df = Seq((0L, 0L, 0L, 10000L), (5L, 7L, 5L, 7L))
+      .toDF("la1", "lo1", "la2", "lo2")
+      .select(round(Geo.haversineM(col("la1"), col("lo1"),
+        col("la2"), col("lo2"))).cast("long").as("m"))
+      .collect().map(_.getLong(0))
+    assert(df.toSeq == Seq(1112L, 0L))
+  }
+
+  test("trackReport == independent per-user fold: leg meters, exact " +
+      "total, impossible-speed flags (incl. the zero-dt repeat fix)") {
+    // user 1: three legs 60 s apart (jitter-scale moves, all possible);
+    // user 2: two events with the SAME timestamp -> dt 0, any movement
+    // is impossible; user 3: single event -> no legs, absent
+    val evs = events((101L, 1L, 0L), (102L, 1L, 60L), (103L, 1L, 120L),
+      (104L, 1L, 180L), (201L, 2L, 0L), (202L, 2L, 0L), (301L, 3L, 0L))
+    val out = Geo.trackReport(evs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    def expect(uid: Long, evIds: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val legs = evIds.sliding(2).collect {
+        case Seq((e1, t1), (e2, t2)) =>
+          val (a1, o1) = pos(e1, uid); val (a2, o2) = pos(e2, uid)
+          val m = math.round(hav(a1, o1, a2, o2))
+          (m, t2 - t1)
+      }.toSeq
+      (legs.size.toLong, legs.map(_._1).sum,
+        legs.count { case (m, dt) => m > 20L * math.max(dt, 0L) }.toLong)
+    }
+    assert(out(1L) == expect(1L,
+      Seq((101L, 0L), (102L, 60L), (103L, 120L), (104L, 180L))))
+    assert(out(2L) == expect(2L, Seq((201L, 0L), (202L, 0L))))
+    // the zero-dt pair moved (md5 jitter is nonzero) -> impossible
+    assert(out(2L)._3 == 1L, s"zero-dt moving fix must flag: ${out(2L)}")
+    assert(!out.contains(3L))
+  }
+
+  test("proximityPairs == brute-force all-pairs within the radius " +
+      "(banding completeness); pairs straddling a cell border are " +
+      "still found; n_hours accumulates") {
+    // enough users that some bases land within 500 m of each other;
+    // two hours of pings per user
+    val users = (1L to 120L)
+    val evs = events(users.flatMap(u =>
+      Seq((u * 10, u, 0L), (u * 10 + 1, u, 3600L))): _*)
+    val out = Geo.proximityPairs(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // brute force: rep point per (user, hour) = min event_id = the
+    // first ping; all pairs, exact haversine, integer-meter gate
+    val byHour = Seq(0L, 1L).map { h =>
+      h -> users.map { u =>
+        val eid = u * 10 + h
+        val (la, lo) = pos(eid, u)
+        (u, la, lo)
+      }
+    }
+    val brute = collection.mutable.Map
+      .empty[(Long, Long), List[Long]].withDefaultValue(Nil)
+    byHour.foreach { case (_, pts) =>
+      for {
+        (u1, a1, o1) <- pts; (u2, a2, o2) <- pts if u1 < u2
+        m = math.round(hav(a1, o1, a2, o2)) if m <= 500L
+      } brute((u1, u2)) ::= m
+    }
+    val expect = brute.map { case (k, ms) =>
+      k -> ((ms.size.toLong, ms.min)) }.toMap
+    assert(expect.nonEmpty, "planted population produced no pairs — " +
+      "grow the user count")
+    assert(out == expect,
+      s"banded=${out.size} brute=${expect.size}; " +
+        s"missing=${expect.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- expect.keySet}")
+  }
+
+  test("proximityPairs plans as an equi-join on (hour, cell) — never " +
+      "a nested-loop/cartesian") {
+    val plan = graft.queries.Registry.queries("q264_proximity_pairs")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"proximity join fell off the equi-join path:\n$plan")
+  }
+
+  test("cellDensity: counts and distinct vessels recompute; ordering " +
+      "is (count desc, cell)") {
+    val evs = events((1L to 200L).map(e => (e, e % 40 + 1, e)): _*)
+    val out = Geo.cellDensity(evs, top = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cells = (1L to 200L).map { e =>
+      val u = e % 40 + 1
+      val (la, lo) = pos(e, u)
+      ((la + 5000) / 10000, (lo + 5000) / 10000, u)
+    }
+    val agg = cells.groupBy(c => (c._1, c._2)).map { case ((cy, cx), g) =>
+      (cy, cx, g.size.toLong, g.map(_._3).distinct.size.toLong)
+    }.toSeq.sortBy(t => (-t._3, t._1, t._2)).take(20)
+    assert(out.toSeq == agg)
+  }
+}
