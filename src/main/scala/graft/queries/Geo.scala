@@ -170,6 +170,48 @@ object Geo {
       .orderBy(col("u1"), col("u2"))
   }
 
+  /** Stop (dwell) detection — the port-call readout: a STOP is a
+    * maximal run of consecutive stationary legs (leg <= `maxLegM`
+    * meters), kept when its dwell reaches `minDwellS` seconds. The
+    * gaps-and-islands shape (q103's runs) on top of q263's legs: run
+    * id = running count of MOVING legs (exact integer window over the
+    * per-user stream — the q43/q150 bounded contract), one aggregate
+    * per (user, run), every duration an exact integer-second sum.
+    * Returns (user_id, stop_start, stop_end, n_fixes, dwell_s),
+    * timestamps rendered as strings (the engine-neutral hashing rule).
+    */
+  def stopReport(events: DataFrame, maxLegM: Long = 50L,
+      minDwellS: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val legs = positioned(events)
+      .withColumn("plat", lag(col("lat_e6"), 1).over(w))
+      .withColumn("plon", lag(col("lon_e6"), 1).over(w))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .select(col("user_id"), col("event_id"), col("pts"), col("ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("pts"))).as("dt_s"),
+        round(haversineM(col("plat"), col("plon"),
+          col("lat_e6"), col("lon_e6"))).cast("long").as("leg_m"))
+      .withColumn("moving", when(col("leg_m") > maxLegM, 1L).otherwise(0L))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    legs
+      .withColumn("run", sum(col("moving")).over(w2))
+      .filter(col("moving") === 0)
+      .groupBy(col("user_id"), col("run"))
+      .agg(date_format(min(col("pts")), "yyyy-MM-dd HH:mm:ss")
+          .as("stop_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stop_end"),
+        (count(lit(1)) + 1).as("n_fixes"),
+        sum(col("dt_s")).cast("long").as("dwell_s"))
+      .filter(col("dwell_s") >= minDwellS)
+      .select(col("user_id"), col("stop_start"), col("stop_end"),
+        col("n_fixes"), col("dwell_s"))
+      .orderBy(col("user_id"), col("stop_start"))
+  }
+
   // Shared oracle fragment: the position derivation in DuckDB.
   private val PosSql =
     """SELECT event_id, user_id, ts,
@@ -285,5 +327,45 @@ object Geo {
                 WHERE m <= 500)
               SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_hours,
                      MIN(m) AS min_m
-              FROM hits GROUP BY 1, 2 ORDER BY u1, u2""")))
+              FROM hits GROUP BY 1, 2 ORDER BY u1, u2""")),
+
+    // STOP / DWELL DETECTION — maximal runs of consecutive stationary
+    // legs (<= 200 m) with dwell >= 1800 s: the port-call readout.
+    Q("q265_stop_report",
+      (s, d) => stopReport(t(s, d, "events"), 200L, 1800L),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id, event_id, ts,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(ts) OVER w AS pts,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS dt_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              lm AS (
+                SELECT user_id, event_id, ts, pts, dt_s,
+                       CAST(ROUND($HavSql) AS BIGINT) AS leg_m
+                FROM legs WHERE la1 IS NOT NULL),
+              fl AS (
+                SELECT *, CASE WHEN leg_m > 200 THEN 1 ELSE 0 END
+                       AS moving
+                FROM lm),
+              rn AS (
+                SELECT *, SUM(moving) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+                FROM fl)
+              SELECT user_id,
+                     STRFTIME(MIN(pts), '%Y-%m-%d %H:%M:%S')
+                       AS stop_start,
+                     STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS stop_end,
+                     CAST(COUNT(*) + 1 AS BIGINT) AS n_fixes,
+                     CAST(SUM(dt_s) AS BIGINT) AS dwell_s
+              FROM rn WHERE moving = 0
+              GROUP BY user_id, run
+              HAVING SUM(dt_s) >= 1800
+              ORDER BY user_id, stop_start""")))
 }

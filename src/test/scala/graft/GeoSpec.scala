@@ -128,6 +128,56 @@ class GeoSpec extends AnyFunSuite with TestSpark {
       s"proximity join fell off the equi-join path:\n$plan")
   }
 
+  test("stopReport: everything-stationary collapses to one stop per " +
+      "user; everything-moving yields none; a moderate threshold " +
+      "matches an independent islands fold") {
+    val evs = events(
+      (11L, 1L, 0L), (12L, 1L, 1000L), (13L, 1L, 2500L), (14L, 1L, 4000L),
+      (21L, 2L, 0L), (22L, 2L, 900L))
+    // every leg stationary -> one stop per user spanning the stream
+    val all = Geo.stopReport(evs, maxLegM = 1000000000L, minDwellS = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(all.length == 2)
+    assert(all(0)._1 == 1L && all(0)._4 == 4L && all(0)._5 == 4000L)
+    assert(all(1)._1 == 2L && all(1)._4 == 2L && all(1)._5 == 900L)
+    // every leg moving -> no stops
+    assert(Geo.stopReport(evs, maxLegM = -1L, minDwellS = 0L).count() == 0)
+    // moderate threshold == independent gaps-and-islands recomputation
+    val users = (1L to 30L)
+    val evs2 = events(users.flatMap(u =>
+      (0L to 6L).map(i => (u * 100 + i, u, i * 600))): _*)
+    val out = Geo.stopReport(evs2, maxLegM = 300L, minDwellS = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).toSet
+    val expect = users.flatMap { u =>
+      val fixes = (0L to 6L).map { i =>
+        val (la, lo) = pos(u * 100 + i, u)
+        (i * 600, la, lo)
+      }
+      val legs = fixes.sliding(2).map { case Seq((t1, a1, o1), (t2, a2, o2)) =>
+        (t1, t2, math.round(hav(a1, o1, a2, o2)), t2 - t1)
+      }.toSeq
+      // islands over stationary legs
+      var run = 0L
+      val tagged = legs.map { case (t1, t2, m, dt) =>
+        val moving = m > 300L
+        if (moving) run += 1
+        (run, moving, t1, t2, dt)
+      }
+      tagged.filter(!_._2).groupBy(_._1).values.map { g =>
+        (u, g.map(_._3).min, g.size.toLong + 1, g.map(_._5).sum)
+      }
+    }.map { case (u, startSec, nf, dw) =>
+      val t = ts(startSec).toLocalDateTime
+      val pad = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+      (u, t.format(pad), nf, dw)
+    }.toSet
+    assert(out == expect,
+      s"missing=${expect -- out} extra=${out -- expect}")
+  }
+
   test("cellDensity: counts and distinct vessels recompute; ordering " +
       "is (count desc, cell)") {
     val evs = events((1L to 200L).map(e => (e, e % 40 + 1, e)): _*)
