@@ -130,9 +130,11 @@ object Geo {
     * same guarantee banding gives Jaccard), and the within-cell pair
     * space grows QUADRATICALLY with cell occupancy — so the cell is
     * the SMALLEST complete one: 5,000 µdeg ≈ 556 m >= the 500 m
-    * default radius (measured at 10x users: the 0.01° cell peaked a
-    * 1.2 GB task on the hot-cell join; this cell quarters the per-cell
-    * population, ~16x less pair work — SCALE.md r16). Near-equator
+    * default radius — total candidate pairs scale as points²/cells,
+    * so halving the cell edge cuts verify work ~4x (SCALE.md r16 (o);
+    * the 10x-users peak task is the REPLICATED-POINT sort buffer,
+    * sized by the shuffle-partition knob, not the pair space —
+    * measured there under both cell sizes). Near-equator
     * contract: lon cells shrink by cos(lat); at real latitudes size
     * cells by radius / cos(maxLat). Hot cells (ports) remain the q184
     * skew caveat. Returns (u1, u2, n_hours, min_m). */
