@@ -324,6 +324,14 @@ object Main {
             s"fill=${"%.3f".format(r.getLong(2).toDouble /
               (r.getLong(0) * cap))} dir=$outDir")
 
+        case "geo-stream" :: landingDir :: outDir :: rest
+            if rest.length <= 1 =>
+          graft.streaming.StreamingGeo.start(spark, landingDir, outDir,
+            rest.headOption.map(_.toLong).getOrElse(500L))
+            .awaitTermination()
+          val n = spark.read.parquet(s"$outDir/alerts").count()
+          println(s"geo-stream landing=$landingDir out=$outDir alerts=$n")
+
         case "vtable" :: "append" :: in :: dir :: Nil =>
           val v = graft.etl.Versioned
             .commitAppend(spark.read.parquet(in), dir)
@@ -782,6 +790,7 @@ object Main {
         |  vtable append|replace <parquet> <tableDir>
         |  vtable read <tableDir> [version] | vtable log <tableDir>
         |  vtable vacuum <tableDir> <keepVersions>
+        |  geo-stream <landingDir> <outDir> [radiusM]
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]

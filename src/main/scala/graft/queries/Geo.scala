@@ -214,6 +214,59 @@ object Geo {
       .orderBy(col("user_id"), col("stop_start"))
   }
 
+  /** Origin-destination flow matrix — trips between consecutive STOPS
+    * (q265's islands) per vessel, aggregated to 0.01° cell pairs: the
+    * traffic-flow readout (q160's transition matrix in space). Each
+    * stop's representative point is its FIRST fix (min (ts, event_id)
+    * — deterministic); a trip is (stop k -> stop k+1) under the
+    * per-user ordered frame; the matrix is one integer-cell aggregate
+    * over |stops| rows. All the corpus-sized work is q265's leg
+    * window; everything after rides the stop summary.
+    */
+  def odMatrix(events: DataFrame, maxLegM: Long = 200L,
+      minDwellS: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val legs = positioned(events)
+      .withColumn("plat", lag(col("lat_e6"), 1).over(w))
+      .withColumn("plon", lag(col("lon_e6"), 1).over(w))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("peid", lag(col("event_id"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("pts"), col("peid"), col("plat"), col("plon"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("pts"))).as("dt_s"),
+        round(haversineM(col("plat"), col("plon"),
+          col("lat_e6"), col("lon_e6"))).cast("long").as("leg_m"))
+      .withColumn("moving", when(col("leg_m") > maxLegM, 1L).otherwise(0L))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = legs.withColumn("run", sum(col("moving")).over(w2))
+      .filter(col("moving") === 0)
+    val wr = Window.partitionBy(col("user_id"), col("run"))
+      .orderBy(col("pts"), col("peid"))
+    val stops = runs
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("dw", sum(col("dt_s")).over(
+        Window.partitionBy(col("user_id"), col("run"))))
+      .filter(col("rn") === 1 && col("dw") >= minDwellS)
+      .select(col("user_id"), col("pts").as("sts"), col("peid"),
+        (col("plat") + 5000L).divide(10000L).cast("long").as("cy"),
+        (col("plon") + 5000L).divide(10000L).cast("long").as("cx"))
+    val ws = Window.partitionBy(col("user_id"))
+      .orderBy(col("sts"), col("peid"))
+    stops
+      .withColumn("fcy", lag(col("cy"), 1).over(ws))
+      .withColumn("fcx", lag(col("cx"), 1).over(ws))
+      .filter(col("fcy").isNotNull)
+      .groupBy(col("fcy").as("from_cy"), col("fcx").as("from_cx"),
+        col("cy").as("to_cy"), col("cx").as("to_cx"))
+      .agg(count(lit(1)).as("n_trips"))
+      .orderBy(col("n_trips").desc, col("from_cy"), col("from_cx"),
+        col("to_cy"), col("to_cx"))
+  }
+
   // Shared oracle fragment: the position derivation in DuckDB.
   private val PosSql =
     """SELECT event_id, user_id, ts,
@@ -369,5 +422,57 @@ object Geo {
               FROM rn WHERE moving = 0
               GROUP BY user_id, run
               HAVING SUM(dt_s) >= 1800
-              ORDER BY user_id, stop_start""")))
+              ORDER BY user_id, stop_start""")),
+
+    // OD FLOW MATRIX — trips between consecutive stops, aggregated to
+    // 0.01° cell pairs (q160's transition matrix in space).
+    Q("q266_od_matrix",
+      (s, d) => odMatrix(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id, event_id, ts,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(ts) OVER w AS pts,
+                       LAG(event_id) OVER w AS peid,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS dt_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              lm AS (
+                SELECT user_id, event_id, ts, pts, peid, la1, lo1, dt_s,
+                       CAST(ROUND($HavSql) AS BIGINT) AS leg_m
+                FROM legs WHERE la1 IS NOT NULL),
+              fl AS (
+                SELECT *, CASE WHEN leg_m > 200 THEN 1 ELSE 0 END
+                       AS moving
+                FROM lm),
+              rn AS (
+                SELECT *, SUM(moving) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+                FROM fl),
+              st AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run
+                         ORDER BY pts, peid) AS rn2,
+                       SUM(dt_s) OVER (PARTITION BY user_id, run) AS dw
+                FROM rn WHERE moving = 0),
+              stops AS (
+                SELECT user_id, pts AS sts, peid,
+                       (la1 + 5000) // 10000 AS cy,
+                       (lo1 + 5000) // 10000 AS cx
+                FROM st WHERE rn2 = 1 AND dw >= 1800),
+              trips AS (
+                SELECT LAG(cy) OVER ws AS fcy, LAG(cx) OVER ws AS fcx,
+                       cy, cx
+                FROM stops
+                WINDOW ws AS (PARTITION BY user_id ORDER BY sts, peid))
+              SELECT fcy AS from_cy, fcx AS from_cx,
+                     cy AS to_cy, cx AS to_cx,
+                     CAST(COUNT(*) AS BIGINT) AS n_trips
+              FROM trips WHERE fcy IS NOT NULL
+              GROUP BY 1, 2, 3, 4
+              ORDER BY n_trips DESC, from_cy, from_cx, to_cy, to_cx""")))
 }
