@@ -332,14 +332,21 @@ object Main {
           val n = spark.read.parquet(s"$outDir/alerts").count()
           println(s"geo-stream landing=$landingDir out=$outDir alerts=$n")
 
-        case "vtable" :: "append" :: in :: dir :: Nil =>
+        case "vtable" :: "append" :: in :: dir :: statsCols =>
           val v = graft.etl.Versioned
-            .commitAppend(spark.read.parquet(in), dir)
-          println(s"vtable $dir committed v$v (append)")
-        case "vtable" :: "replace" :: in :: dir :: Nil =>
+            .commitAppend(spark.read.parquet(in), dir, statsCols)
+          println(s"vtable $dir committed v$v (append, " +
+            s"stats=${statsCols.mkString(",")})")
+        case "vtable" :: "replace" :: in :: dir :: statsCols =>
           val v = graft.etl.Versioned
-            .commitReplace(spark.read.parquet(in), dir)
+            .commitReplace(spark.read.parquet(in), dir, statsCols)
           println(s"vtable $dir committed v$v (replace)")
+        case "vtable" :: "read-pruned" :: dir :: c :: lo :: hi :: Nil =>
+          val (df, kept, skipped) = graft.etl.Versioned
+            .readPruned(spark, dir, c, lo.toLong, hi.toLong)
+          println(s"vtable $dir pruned read $c in [$lo, $hi]: " +
+            s"rows=${df.count()} subdirs_read=$kept " +
+            s"subdirs_skipped=$skipped")
         case "vtable" :: "read" :: dir :: rest if rest.length <= 1 =>
           val v = rest.headOption.map(_.toLong).getOrElse(-1L)
           val df = graft.etl.Versioned.read(spark, dir, v)
@@ -787,8 +794,9 @@ object Main {
         |  ab <landingDir> <outDir> [conversionEventType]
         |  pack <docsParquet> <outDir> [shards] [capacity]
         |  pack-stream <landingDir> <outDir> [shards] [capacity]
-        |  vtable append|replace <parquet> <tableDir>
+        |  vtable append|replace <parquet> <tableDir> [statsCol...]
         |  vtable read <tableDir> [version] | vtable log <tableDir>
+        |  vtable read-pruned <tableDir> <col> <lo> <hi>
         |  vtable vacuum <tableDir> <keepVersions>
         |  geo-stream <landingDir> <outDir> [radiusM]
         |  zorder <inParquet> <col1> <col2> <outDir>

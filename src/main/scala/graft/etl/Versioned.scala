@@ -85,15 +85,40 @@ object Versioned {
     }
   }
 
-  private def manifestDirs(spark: SparkSession, dir: String,
-      v: Long): Seq[String] = {
-    val p = new Path(new Path(dir, "_versions"), vname(v))
-    require(fs(spark, dir).exists(p), s"no version $v at $dir")
-    readSmall(spark, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  /** One manifest line: the data subdir plus its (immutable) per-
+    * column long min/max stats — a data subdir's stats are computed
+    * once at its commit and copied verbatim into every later manifest
+    * that references it, exactly like the data. */
+  final case class Entry(sub: String, stats: Map[String, (Long, Long)])
+
+  private def parseLine(line: String): Entry = {
+    val parts = line.split("\t")
+    val stats = parts.drop(1).flatMap { s =>
+      s.split(":") match {
+        case Array(c, lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+        case _                => None
+      }
+    }.toMap
+    Entry(parts.head, stats)
   }
 
-  private def commit(df: DataFrame, dir: String,
-      keepPrevious: Boolean): Long = {
+  private def renderLine(e: Entry): String =
+    (e.sub +: e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"$c:$lo:$hi" }).mkString("\t")
+
+  private def manifestEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[Entry] = {
+    val p = new Path(new Path(dir, "_versions"), vname(v))
+    require(fs(spark, dir).exists(p), s"no version $v at $dir")
+    readSmall(spark, p).split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(parseLine).toSeq
+  }
+
+  private def manifestDirs(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = manifestEntries(spark, dir, v).map(_.sub)
+
+  private def commit(df: DataFrame, dir: String, keepPrevious: Boolean,
+      statsCols: Seq[String]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
@@ -102,10 +127,30 @@ object Versioned {
     df.write.mode("errorifexists")
       .option("compression", Writers.DefaultCompression)
       .parquet(new Path(new Path(dir, "data"), sub).toString)
-    val prevDirs =
-      if (keepPrevious && prev >= 0) manifestDirs(spark, dir, prev)
+    // per-column long min/max for the NEW subdir only — one aggregate
+    // over the delta (prior subdirs keep their committed stats)
+    val stats: Map[String, (Long, Long)] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col(c).cast("long")),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(c).cast("long"))))
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+            case (Some(lo), Some(hi)) =>
+              Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+            case _ => None // all-NULL column: no stats, never pruned
+          }
+        }.toMap
+      }
+    val prevEntries =
+      if (keepPrevious && prev >= 0) manifestEntries(spark, dir, prev)
       else Seq.empty
-    val manifest = (prevDirs :+ sub).mkString("\n")
+    val manifest = (prevEntries :+ Entry(sub, stats))
+      .map(renderLine).mkString("\n")
     val vdir = new Path(dir, "_versions")
     if (!f.exists(vdir)) f.mkdirs(vdir)
     writeAtomic(spark, new Path(vdir, vname(next)), manifest)
@@ -114,14 +159,18 @@ object Versioned {
   }
 
   /** Append `df` as a new version (previous versions' files are
-    * referenced, never rewritten). Returns the new version id. */
-  def commitAppend(df: DataFrame, dir: String): Long =
-    commit(df, dir, keepPrevious = true)
+    * referenced, never rewritten). `statsCols` names long-castable
+    * columns whose min/max land in the manifest for [[readPruned]]'s
+    * subdir skipping. Returns the new version id. */
+  def commitAppend(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Seq.empty): Long =
+    commit(df, dir, keepPrevious = true, statsCols)
 
   /** Replace the table contents with `df` as a new version (old
     * versions stay readable until vacuumed). */
-  def commitReplace(df: DataFrame, dir: String): Long =
-    commit(df, dir, keepPrevious = false)
+  def commitReplace(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Seq.empty): Long =
+    commit(df, dir, keepPrevious = false, statsCols)
 
   /** Read the table at `version` (negative = latest). Readers touch
     * only the subdirs the manifest names — never a data/ listing. */
@@ -131,6 +180,37 @@ object Versioned {
     val dirs = manifestDirs(spark, dir, v)
       .map(sub => new Path(new Path(dir, "data"), sub).toString)
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Manifest-level data skipping: read only the subdirs whose
+    * committed [min, max] for `col` intersects [lo, hi] — the
+    * lakehouse skip a flat parquet dir cannot do (parquet row-group
+    * stats prune WITHIN a file; this prunes whole commits before any
+    * footer is opened). Subdirs without stats for `col` are always
+    * read (never an incorrect skip), and the predicate is re-applied
+    * to the surviving rows, so the result is exactly
+    * `read(...).filter(lo <= col <= hi)` regardless of stats
+    * coverage. Returns (pruned DataFrame, subdirs read, subdirs
+    * skipped). */
+  def readPruned(spark: SparkSession, dir: String, colName: String,
+      lo: Long, hi: Long, version: Long = -1L): (DataFrame, Int, Int) = {
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    require(v >= 0, s"empty versioned table at $dir")
+    val entries = manifestEntries(spark, dir, v)
+    val (keep, skip) = entries.partition { e =>
+      e.stats.get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    val c = org.apache.spark.sql.functions.col(colName)
+    val df =
+      if (keep.isEmpty)
+        read(spark, dir, v).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(keep.map(e =>
+          new Path(new Path(dir, "data"), e.sub).toString): _*)
+        .filter(c.cast("long") >= lo && c.cast("long") <= hi)
+    (df, keep.size, skip.size)
   }
 
   /** (version, n_data_dirs) log, oldest first. */

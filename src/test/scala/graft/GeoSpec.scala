@@ -178,6 +178,43 @@ class GeoSpec extends AnyFunSuite with TestSpark {
       s"missing=${expect -- out} extra=${out -- expect}")
   }
 
+  test("odMatrix == independent stops-then-trips recomputation; " +
+      "single-stop users contribute no trips") {
+    val users = (1L to 40L)
+    val evs = events(users.flatMap(u =>
+      (0L to 7L).map(i => (u * 100 + i, u, i * 600))): _*)
+    val out = Geo.odMatrix(evs, maxLegM = 300L, minDwellS = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    val expect = users.flatMap { u =>
+      val fixes = (0L to 7L).map { i =>
+        val eid = u * 100 + i
+        val (la, lo) = pos(eid, u)
+        (i * 600, eid, la, lo)
+      }
+      val legs = fixes.sliding(2).map {
+        case Seq((t1, e1, a1, o1), (t2, e2, a2, o2)) =>
+          (t1, e1, a1, o1, math.round(hav(a1, o1, a2, o2)) > 300L)
+      }.toSeq
+      var run = 0L
+      val tagged = legs.map { case (t1, e1, a1, o1, moving) =>
+        if (moving) run += 1
+        (run, moving, t1, e1, a1, o1)
+      }
+      // stop representative = first leg's START fix (min (pts, peid))
+      val stops = tagged.filter(!_._2).groupBy(_._1).values.toSeq
+        .map(g => g.minBy(x => (x._3, x._4)))
+        .sortBy(x => (x._3, x._4))
+        .map(x => ((x._5 + 5000) / 10000, (x._6 + 5000) / 10000))
+      stops.sliding(2).collect { case Seq((fy, fx), (ty, tx)) =>
+        (fy, fx, ty, tx) }.toSeq
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(expect.values.sum > 0, "planted population produced no trips")
+    assert(out == expect,
+      s"missing=${expect.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- expect.keySet}")
+  }
+
   test("cellDensity: counts and distinct vessels recompute; ordering " +
       "is (count desc, cell)") {
     val evs = events((1L to 200L).map(e => (e, e % 40 + 1, e)): _*)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.Versioned
@@ -62,6 +63,32 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     // the orphan is gone from disk
     val left = new java.io.File(s"$dir/data").listFiles().map(_.getName)
     assert(!left.exists(_.contains("orphan")), left.toSeq.toString)
+  }
+
+  test("readPruned skips whole commits by manifest stats, never skips " +
+      "a stats-less commit, and equals the filtered full read") {
+    val dir = dirOf()
+    Versioned.commitAppend((1L to 100L).toDF("id"), dir, Seq("id"))
+    Versioned.commitAppend((1000L to 1100L).toDF("id"), dir, Seq("id"))
+    // a legacy commit WITHOUT stats — must always be read
+    Versioned.commitAppend(Seq(55L).toDF("id"), dir)
+    val (df, kept, skipped) =
+      Versioned.readPruned(spark, dir, "id", 40L, 60L)
+    assert(kept == 2 && skipped == 1, s"($kept, $skipped)")
+    val got = df.collect().map(_.getLong(0)).toSet
+    val full = Versioned.read(spark, dir)
+      .filter(col("id") >= 40L && col("id") <= 60L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == full && got == ((40L to 60L).toSet + 55L))
+    // the pruned scan's input files span exactly the 2 kept subdirs —
+    // the skipped commit's files are never listed, let alone read
+    val subdirsTouched = df.inputFiles
+      .map(f => f.split("/data/")(1).split("/")(0)).toSet
+    assert(subdirsTouched.size == 2, subdirsTouched.toString)
+    // a range hitting nothing still reads the stats-less commit only
+    val (df2, kept2, skipped2) =
+      Versioned.readPruned(spark, dir, "id", 5000L, 6000L)
+    assert(kept2 == 1 && skipped2 == 2 && df2.count() == 0)
   }
 
   test("vacuum keeps the newest k versions readable and makes older " +
