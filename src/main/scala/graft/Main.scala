@@ -357,6 +357,13 @@ object Main {
           graft.etl.Versioned.log(spark, dir).foreach { case (v, n) =>
             println(s"v$v data_dirs=$n")
           }
+        case "vtable-stream" :: landingDir :: tableDir :: sample :: stats =>
+          graft.streaming.StreamingVtable.start(spark, landingDir,
+            spark.read.parquet(sample).schema, tableDir, stats)
+            .awaitTermination()
+          val vs = graft.etl.Versioned.log(spark, tableDir)
+          println(s"vtable-stream landing=$landingDir table=$tableDir " +
+            s"versions=${vs.size} latest=${vs.lastOption.map(_._1).getOrElse(-1L)}")
         case "vtable" :: "vacuum" :: dir :: keep :: Nil =>
           val (dv, dd) = graft.etl.Versioned
             .vacuum(spark, dir, keep.toInt)
@@ -798,6 +805,7 @@ object Main {
         |  vtable read <tableDir> [version] | vtable log <tableDir>
         |  vtable read-pruned <tableDir> <col> <lo> <hi>
         |  vtable vacuum <tableDir> <keepVersions>
+        |  vtable-stream <landingDir> <tableDir> <schemaSampleParquet> [statsCol...]
         |  geo-stream <landingDir> <outDir> [radiusM]
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]

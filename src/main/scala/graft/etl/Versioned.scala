@@ -118,11 +118,11 @@ object Versioned {
       v: Long): Seq[String] = manifestEntries(spark, dir, v).map(_.sub)
 
   private def commit(df: DataFrame, dir: String, keepPrevious: Boolean,
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String], explicit: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val prev = latestVersion(spark, dir)
-    val next = prev + 1
+    val next = explicit.getOrElse(prev + 1)
     val sub = s"c-${java.util.UUID.randomUUID()}"
     df.write.mode("errorifexists")
       .option("compression", Writers.DefaultCompression)
@@ -171,6 +171,36 @@ object Versioned {
   def commitReplace(df: DataFrame, dir: String,
       statsCols: Seq[String] = Seq.empty): Long =
     commit(df, dir, keepPrevious = false, statsCols)
+
+  /** Idempotent append at an EXPLICIT version id — the streaming-sink
+    * form: a Structured Streaming micro-batch commits at its batch id,
+    * and the manifest rename is the commit point, so a crash-replayed
+    * batch sees its manifest already durable and becomes a no-op
+    * (returns false; the pointer is healed if the crash hit between
+    * manifest and pointer swap). A replay that crashed BEFORE the
+    * manifest landed leaves only an orphan data subdir (vacuum
+    * reclaims it) and recommits cleanly. Single writer, monotone
+    * version ids (both are the micro-batch contract). */
+  def commitAppendAt(df: DataFrame, dir: String, version: Long,
+      statsCols: Seq[String] = Seq.empty): Boolean = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val vdir = new Path(dir, "_versions")
+    val manifest = new Path(vdir, vname(version))
+    if (f.exists(manifest)) {
+      // already committed (replay): heal the pointer if it lags
+      if (latestVersion(spark, dir) < version)
+        writeAtomic(spark, new Path(dir, "_latest"), version.toString)
+      false
+    } else {
+      val prev = latestVersion(spark, dir)
+      require(prev < version,
+        s"version $version is not ahead of the table's v$prev")
+      commit(df, dir, keepPrevious = true, statsCols,
+        explicit = Some(version))
+      true
+    }
+  }
 
   /** Read the table at `version` (negative = latest). Readers touch
     * only the subdirs the manifest names — never a data/ listing. */

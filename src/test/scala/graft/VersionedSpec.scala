@@ -91,6 +91,53 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     assert(kept2 == 1 && skipped2 == 2 && df2.count() == 0)
   }
 
+  test("commitAppendAt is idempotent at its version id and heals a " +
+      "lagging pointer; streaming waves become exactly-once versions") {
+    val dir = dirOf()
+    assert(Versioned.commitAppendAt(Seq(1L).toDF("id"), dir, 0L, Seq("id")))
+    assert(Versioned.commitAppendAt(Seq(2L).toDF("id"), dir, 2L, Seq("id")))
+    // replay of batch 2: manifest durable -> no-op, no new data
+    assert(!Versioned.commitAppendAt(Seq(99L).toDF("id"), dir, 2L))
+    assert(rows(dir) == Set(1L, 2L))
+    assert(Versioned.log(spark, dir).map(_._1) == Seq(0L, 2L))
+    // crash between manifest and pointer: pointer deleted, replay heals
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_latest"))
+    assert(!Versioned.commitAppendAt(Seq(99L).toDF("id"), dir, 2L))
+    assert(Versioned.latestVersion(spark, dir) == 2L)
+    // a NEW commit at a stale id (no durable manifest, behind latest)
+    // fails loudly instead of rewriting history
+    val e = intercept[IllegalArgumentException](
+      Versioned.commitAppendAt(Seq(3L).toDF("id"), dir, 1L))
+    assert(e.getMessage.contains("not ahead"))
+
+    // the streaming sink: two waves -> v0 and v1, re-drain no-ops
+    import graft.streaming.StreamingVtable
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-vt-in").toString
+    val tdir = dirOf()
+    def land(name: String, ids: Seq[Long]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-vt-wave").toString
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    val schema = Seq(1L).toDF("id").schema
+    def drain(): Unit = StreamingVtable
+      .start(spark, landing, schema, tdir, Seq("id")).awaitTermination()
+    land("w1.parquet", Seq(10L, 20L)); drain()
+    land("w2.parquet", Seq(30L)); drain()
+    drain() // nothing new
+    assert(Versioned.log(spark, tdir).map(_._1) == Seq(0L, 1L))
+    assert(rows(tdir) == Set(10L, 20L, 30L))
+    assert(rows(tdir, 0L) == Set(10L, 20L)) // time travel under ingest
+    // stats landed: a pruned read skips the wave that can't match
+    val (_, kept, skipped) = Versioned.readPruned(spark, tdir, "id", 25L, 35L)
+    assert(kept == 1 && skipped == 1)
+  }
+
   test("vacuum keeps the newest k versions readable and makes older " +
       "reads fail loudly") {
     val dir = dirOf()
