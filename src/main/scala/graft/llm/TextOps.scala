@@ -689,6 +689,54 @@ object TextOps {
                      bin
               FROM pack ORDER BY shard, doc_id""")),
 
+    // PACKING DATA CARD — per-shard bins/docs/tokens and the fill
+    // rate of the q260 export: the waste number a training run reads
+    // before deciding capacity. Fill is ONE double over exact integer
+    // sums (tokens / (bins * capacity)).
+    Q("q267_packing_stats",
+      (s, d) => packSequences(docs(s, d), 8, 512)
+        .groupBy(col("shard"))
+        .agg(countDistinct(col("bin")).as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("shard"), col("n_bins"), col("n_docs"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double")
+            / (col("n_bins").cast("double") * 512.0), 4).as("fill"))
+        .orderBy(col("shard")),
+      Some("""WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                         || ':pack'), 1, 8) AS BIGINT) % 8 AS shard,
+                       CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                            ELSE LEN(regexp_split_to_array(
+                              TRIM(LOWER(text)), '\s+')) END AS n_tokens
+                FROM documents),
+              ord AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                  ORDER BY doc_id) AS rn
+                FROM toks),
+              pack AS (
+                SELECT doc_id, shard, n_tokens, rn,
+                       CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+                       CASE WHEN p.fill + o.n_tokens > 512
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.fill + o.n_tokens > 512
+                            THEN o.n_tokens ELSE p.fill + o.n_tokens END
+                FROM pack p JOIN ord o
+                  ON o.shard = p.shard AND o.rn = p.rn + 1)
+              SELECT shard, CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CAST(n_tokens AS HUGEINT)) AS BIGINT)
+                       AS n_tokens,
+                     ROUND(CAST(SUM(CAST(n_tokens AS HUGEINT)) AS DOUBLE)
+                       / (CAST(COUNT(DISTINCT bin) AS DOUBLE) * 512.0), 4)
+                       AS fill
+              FROM pack GROUP BY shard ORDER BY shard""")),
+
     // Q25 [E] per-language corpus stats (SURVEY §2B).
     Q("q25_text_stats",
       (s, d) =>
