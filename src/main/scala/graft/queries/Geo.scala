@@ -138,10 +138,12 @@ object Geo {
     * contract: lon cells shrink by cos(lat); at real latitudes size
     * cells by radius / cos(maxLat). Hot cells (ports) remain the q184
     * skew caveat. Returns (u1, u2, n_hours, min_m). */
-  def proximityPairs(events: DataFrame, radiusM: Long = 500L): DataFrame = {
-    require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
-      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
-    val pts = positioned(events)
+  /** One representative position per (vessel, hour) with the
+    * 5,000-µdeg band cells — the SHARED derivation of the batch
+    * proximity join (q264) and its streaming form ([[graft.streaming.
+    * StreamingGeo]]); one definition so the two can never drift. */
+  def bandedPoints(events: DataFrame): DataFrame =
+    positioned(events)
       .withColumn("hour", floor(unix_timestamp(col("ts")) / 3600L))
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("user_id"), col("hour"))
@@ -150,6 +152,11 @@ object Geo {
       .select(col("user_id"), col("hour"), col("lat_e6"), col("lon_e6"),
         (col("lat_e6") + 5000L).divide(5000L).cast("long").as("cy"),
         (col("lon_e6") + 5000L).divide(5000L).cast("long").as("cx"))
+
+  def proximityPairs(events: DataFrame, radiusM: Long = 500L): DataFrame = {
+    require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    val pts = bandedPoints(events)
     val left = pts
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))

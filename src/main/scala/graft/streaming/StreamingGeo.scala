@@ -37,18 +37,10 @@ object StreamingGeo {
   final case class GeoEv(event_id: Long, user_id: Long, ts: Timestamp)
 
   /** One representative point per (vessel, hour) with band cells —
-    * the q264 derivation on a batch. */
+    * THE q264 derivation ([[Geo.bandedPoints]]), shared so the batch
+    * and streaming joins can never drift. */
   private def points(batch: DataFrame): DataFrame =
-    Geo.positioned(batch)
-      .withColumn("hour", floor(unix_timestamp(col("ts")) / 3600L))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("hour"))
-          .orderBy(col("event_id"))))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("hour"), col("lat_e6"), col("lon_e6"),
-        (col("lat_e6") + 5000L).divide(5000L).cast("long").as("cy"),
-        (col("lon_e6") + 5000L).divide(5000L).cast("long").as("cx"))
+    Geo.bandedPoints(batch)
 
   def start(spark: SparkSession, landingDir: String, outDir: String,
       radiusM: Long = 500L,
