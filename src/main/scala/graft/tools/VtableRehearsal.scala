@@ -38,6 +38,34 @@ object VtableRehearsal {
     val n = timed("read_latest")(
       Versioned.read(spark, dir).count())
     println(s"[vtable] rows=$n versions=${Versioned.log(spark, dir).size}")
+
+    // Data-skipping demo: the base re-committed as 5 key-banded
+    // commits with l_orderkey stats; a one-band predicate then reads
+    // 1 subdir via the manifest vs filtering the full scan.
+    import org.apache.spark.sql.functions.col
+    val dir2 = s"$dir-banded"
+    fs.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    val keyMax = b.agg(org.apache.spark.sql.functions
+      .max(col("l_orderkey"))).head.getLong(0)
+    val band = keyMax / 5 + 1
+    (0 until 5).foreach { i =>
+      Versioned.commitAppend(
+        b.filter(col("l_orderkey") >= i * band
+          && col("l_orderkey") < (i + 1) * band),
+        dir2, Seq("l_orderkey"))
+    }
+    val lo = 2L * band
+    val hi = 3L * band - 1
+    val nf = timed("filter_full_scan")(
+      Versioned.read(spark, dir2)
+        .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .count())
+    val (pdf, kept, skipped) =
+      Versioned.readPruned(spark, dir2, "l_orderkey", lo, hi)
+    val np = timed("read_pruned")(pdf.count())
+    println(s"[vtable] pruned rows=$np (full-filter rows=$nf) " +
+      s"subdirs_read=$kept subdirs_skipped=$skipped " +
+      s"agree=${np == nf}")
     spark.stop()
   }
 }
