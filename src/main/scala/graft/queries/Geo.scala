@@ -391,6 +391,93 @@ object Geo {
                      MIN(m) AS min_m
               FROM hits GROUP BY 1, 2 ORDER BY u1, u2""")),
 
+    // DWELL HEATMAP — total stopped seconds per 0.01° cell (each
+    // q265 stop attributed to its representative fix's cell): the
+    // "where do vessels actually sit" anchorage readout, one integer
+    // aggregate over the stop summary.
+    Q("q268_dwell_heatmap",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val legs = positioned(t(s, d, "events"))
+          .withColumn("plat", lag(col("lat_e6"), 1).over(w))
+          .withColumn("plon", lag(col("lon_e6"), 1).over(w))
+          .withColumn("pts", lag(col("ts"), 1).over(w))
+          .withColumn("peid", lag(col("event_id"), 1).over(w))
+          .filter(col("plat").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("pts"), col("peid"), col("plat"), col("plon"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
+              .as("dt_s"),
+            round(haversineM(col("plat"), col("plon"),
+              col("lat_e6"), col("lon_e6"))).cast("long").as("leg_m"))
+          .withColumn("moving",
+            when(col("leg_m") > 200L, 1L).otherwise(0L))
+        val w2 = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runs = legs.withColumn("run", sum(col("moving")).over(w2))
+          .filter(col("moving") === 0)
+        val wr = Window.partitionBy(col("user_id"), col("run"))
+          .orderBy(col("pts"), col("peid"))
+        runs
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("dw", sum(col("dt_s")).over(
+            Window.partitionBy(col("user_id"), col("run"))))
+          .filter(col("rn") === 1 && col("dw") >= 1800L)
+          .select((col("plat") + 5000L).divide(10000L).cast("long")
+              .as("cell_y"),
+            (col("plon") + 5000L).divide(10000L).cast("long").as("cell_x"),
+            col("dw"))
+          .groupBy(col("cell_y"), col("cell_x"))
+          .agg(count(lit(1)).as("n_stops"),
+            sum(col("dw").cast("decimal(38,0)")).cast("long")
+              .as("dwell_s"))
+          .orderBy(col("dwell_s").desc, col("cell_y"), col("cell_x"))
+          .limit(20)
+      },
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id, event_id, ts,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(ts) OVER w AS pts,
+                       LAG(event_id) OVER w AS peid,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS dt_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              lm AS (
+                SELECT user_id, event_id, ts, pts, peid, la1, lo1, dt_s,
+                       CAST(ROUND($HavSql) AS BIGINT) AS leg_m
+                FROM legs WHERE la1 IS NOT NULL),
+              fl AS (
+                SELECT *, CASE WHEN leg_m > 200 THEN 1 ELSE 0 END
+                       AS moving
+                FROM lm),
+              rn AS (
+                SELECT *, SUM(moving) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+                FROM fl),
+              st AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run
+                         ORDER BY pts, peid) AS rn2,
+                       SUM(dt_s) OVER (PARTITION BY user_id, run) AS dw
+                FROM rn WHERE moving = 0),
+              stops AS (
+                SELECT (la1 + 5000) // 10000 AS cell_y,
+                       (lo1 + 5000) // 10000 AS cell_x, dw
+                FROM st WHERE rn2 = 1 AND dw >= 1800)
+              SELECT cell_y, cell_x,
+                     CAST(COUNT(*) AS BIGINT) AS n_stops,
+                     CAST(SUM(CAST(dw AS HUGEINT)) AS BIGINT) AS dwell_s
+              FROM stops GROUP BY 1, 2
+              ORDER BY dwell_s DESC, cell_y, cell_x
+              LIMIT 20""")),
+
     // STOP / DWELL DETECTION — maximal runs of consecutive stationary
     // legs (<= 200 m) with dwell >= 1800 s: the port-call readout.
     Q("q265_stop_report",
