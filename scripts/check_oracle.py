@@ -1,9 +1,20 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's t2 correctness gate.
+"""Local mirror of the driver's t2 correctness gate — STRICTER than
+the driver, on purpose.
 
 Runs each oracle_sql.json query in DuckDB over the same sf dir and
 compares against the engine's parquet dumps: row count, schema (column
 names), and a value hash with columns sorted by name.
+
+r16 lesson: the original renderer formatted floats with "%.10g", which
+collapses 78.0 (a DuckDB HUGEINT surfacing as float64 in pandas) and
+78 (a Spark BIGINT) to the same token — exactly the divergence that
+shipped three driver-red rows in r15 (q218/q242/q244: bare SUM(int)
+in the oracle's outermost SELECT). The renderer now uses full-precision
+repr and does NOT collapse integral floats into ints, so an engine/
+oracle dtype mismatch or a last-ULP double difference fails HERE
+before it can fail at the driver. A query that passes this gate passes
+any weaker renderer.
 
 Usage: python3 scripts/check_oracle.py <sfDir> <outDir>
 """
@@ -17,15 +28,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for hashing: render everything as strings with
-    # fixed float formatting
+    # strict rendering: ints as ints, floats at full repr precision
+    # ("78" != "78.0" — the r15 HUGEINT hazard), NaN/None both NULL
+    # (inside a float64 column pandas cannot distinguish them on
+    # EITHER side, so the collapse is symmetric and lossless)
     def render(v):
         if v is None:
             return "NULL"
         if isinstance(v, float):
             if pd.isna(v):
                 return "NULL"
-            return f"{v:.10g}"
+            return repr(float(v))
         if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
             return "NULL"
         return str(v)

@@ -393,11 +393,14 @@ object Advanced {
     * engine, any run, any subset assigns identically, which is what
     * makes an experiment re-readable), success = ≥1 `conversion`
     * event, and the two-proportion z-test runs on EXACT integer
-    * counts with one float expression at the end (the q53/q220
-    * discipline). Two exchanges total: the per-user any-conversion
-    * aggregate and the 4-counter global fold. Significance gates on
-    * the 4-dp-rounded z so the boolean can't sit on a ULP edge
-    * across engines.
+    * counts. Two exchanges total: the per-user any-conversion
+    * aggregate and the 4-counter global fold. Every hashed output is
+    * an INTEGER (the q210/q257 discipline — r15's `ROUND(double, n)`
+    * emission was the one cross-engine-unstable operation in the
+    * repo and shipped a driver-red row): rates as exact half-up e6
+    * micros by integer division, z on the e9 grid, and the
+    * significance boolean derived from the e9 integer alone so both
+    * engines gate on the identical value.
     */
   def abTest(events: DataFrame, conversion: String): DataFrame = {
     val per = events.groupBy(col("user_id"))
@@ -419,18 +422,41 @@ object Advanced {
   /** The q242 readout from a 1-row (n_a, n_b, conv_a, conv_b) counts
     * frame — shared with the always-on monitor
     * ([[graft.streaming.StreamingAb]]), so a streaming alert
-    * reproduces verbatim from the same counts. */
+    * reproduces verbatim from the same counts.
+    *
+    * Output discipline (r16): `rate_a_e6`/`rate_b_e6` are EXACT
+    * half-up micros by long division — no float touches them.
+    * `z_e9` is the one float block (identical association in the
+    * oracle SQL), regridded to an e9 long; a degenerate design
+    * (empty arm, or pooled rate 0/1 ⇒ se = 0) yields z_e9 = 0
+    * rather than a NaN whose rendering is engine-specific (the
+    * r15 sf0.01 red: every user converted, so pool = 1).
+    * `significant` compares the e9 INTEGER against 1_960_000_000
+    * (the q210 rule) — no second rounding, no double in the gate,
+    * and z exactly 1.96 on the grid is NOT significant in both
+    * engines by the same strict inequality. */
   def zFromCounts(counts: DataFrame): DataFrame = {
-    val pa = col("conv_a").cast("double") / col("n_a")
-    val pb = col("conv_b").cast("double") / col("n_b")
-    val pool = (col("conv_a") + col("conv_b")).cast("double") /
-      (col("n_a") + col("n_b"))
-    val z = round((pa - pb) /
-      sqrt(pool * (lit(1.0) - pool) *
-        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+    val zE9 = expr(
+      """CASE WHEN n_a > 0 AND n_b > 0
+           AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+         THEN CAST(ROUND(
+           ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / SQRT((CAST(conv_a + conv_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE))))
+           * 1e9) AS BIGINT)
+         ELSE 0L END""")
     counts.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
-      z.as("z"), (abs(z) > 1.96).as("significant"))
+      expr("COALESCE((2000000 * conv_a + n_a) DIV NULLIF(2 * n_a, 0), 0)")
+        .as("rate_a_e6"),
+      expr("COALESCE((2000000 * conv_b + n_b) DIV NULLIF(2 * n_b, 0), 0)")
+        .as("rate_b_e6"),
+      zE9.as("z_e9"),
+      (abs(zE9) > lit(1960000000L)).as("significant"))
   }
 
   /** q243's body — CUPED variance reduction (Deng et al. 2013) over
@@ -2727,10 +2753,15 @@ object Advanced {
     // alarming at the 0.001 level (chi2 > 10.828, 1 dof) — SRM checks
     // run strict because a true mismatch is a PLUMBING bug, not noise.
     // Exact integer counts; chi2 = (n_a - n_b)^2 / (n_a + n_b) for the
-    // equal-split design (algebraic collapse of the two-cell formula),
-    // ONE float division, 4-dp rounded. One exchange: the per-user
-    // distinct before arm counting (assignment is per UNIT, so event
-    // volume per user must not weight the ratio).
+    // equal-split design (algebraic collapse of the two-cell formula).
+    // NO float anywhere (r16): the alarm gates on the cross-multiplied
+    // integer inequality d^2 * 1000 > 10828 * n (exactly chi2 > 10.828
+    // — the 0.001 critical value is a 3-dp literal, so the comparison
+    // is exact in integers), and chi2 is emitted as half-up micros by
+    // integer division. DECIMAL(38,0)/HUGEINT intermediates keep
+    // d^2 * 2e6 exact to ~1e15-user corpora. One exchange: the
+    // per-user distinct before arm counting (assignment is per UNIT,
+    // so event volume per user must not weight the ratio).
     Q("q244_srm",
       (s, d) => {
         val arms = t(s, d, "events")
@@ -2741,29 +2772,45 @@ object Advanced {
           .agg(
             sum(when(col("arm") === 0, 1).otherwise(0)).as("n_a"),
             sum(when(col("arm") === 1, 1).otherwise(0)).as("n_b"))
-        val d2 = (col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
-        val chi2 = round(d2.cast("double") /
-          (col("n_a") + col("n_b")).cast("double"), 4)
-        arms.select(col("n_a"), col("n_b"), chi2.as("chi2"),
-          (chi2 > 10.828).as("srm_detected"))
+        arms.select(col("n_a"), col("n_b"),
+          expr("""CAST(COALESCE(
+              (2000000 * CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)
+                + (n_a + n_b))
+              DIV NULLIF(2 * CAST(n_a + n_b AS DECIMAL(38,0)), 0), 0)
+            AS BIGINT)""").as("chi2_e6"),
+          expr("""CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) * 1000
+            > 10828 * CAST(n_a + n_b AS DECIMAL(38,0))""")
+            .as("srm_detected"))
       },
       Some("""WITH arms AS (
                 SELECT CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)
                          || ':ab'), 1, 8) AS BIGINT) % 2 AS arm
                 FROM (SELECT DISTINCT user_id FROM events)),
               c AS (
-                SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
-                       SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+                SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b
                 FROM arms)
               SELECT n_a, n_b,
-                     ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
-                       / (n_a + n_b), 4) AS chi2,
-                     ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
-                       / (n_a + n_b), 4) > 10.828 AS srm_detected
+                     CAST(COALESCE(
+                         (2000000 * CAST(n_a - n_b AS HUGEINT)
+                            * (n_a - n_b) + (n_a + n_b))
+                         // NULLIF(2 * CAST(n_a + n_b AS HUGEINT), 0), 0)
+                       AS BIGINT) AS chi2_e6,
+                     CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000
+                       > 10828 * CAST(n_a + n_b AS HUGEINT)
+                       AS srm_detected
               FROM c""")),
 
     // Deterministic A/B readout (see [[abTest]]): md5-bucket arms,
-    // exact-count two-proportion z-test, 4-dp-gated significance.
+    // exact-count two-proportion z-test. All hashed columns are
+    // INTEGERS or a boolean derived from one — exact e6 micro rates
+    // by integer division, the z statistic e9-regridded, significance
+    // gated on the e9 long (q210 rule); the r15 ROUND(double, n)
+    // emission was driver-red because ROUND-of-double is the one
+    // engine-version-unstable operation (and the sf0.01 design is
+    // degenerate: pool = 1 made z NaN, whose rendering diverges).
     Q("q242_ab_test",
       (s, d) => abTest(t(s, d, "events"), conversion = "purchase"),
       Some("""WITH per AS (
@@ -2774,28 +2821,40 @@ object Advanced {
                          || ':ab'), 1, 8) AS BIGINT) % 2 AS arm
                 FROM events GROUP BY user_id),
               c AS (
-                SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
-                       SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
-                       SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
-                         AS conv_a,
-                       SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
-                         AS conv_b
+                SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                       CAST(SUM(CASE WHEN arm = 0 THEN converted
+                         ELSE 0 END) AS BIGINT) AS conv_a,
+                       CAST(SUM(CASE WHEN arm = 1 THEN converted
+                         ELSE 0 END) AS BIGINT) AS conv_b
                 FROM per),
-              s AS (
-                SELECT n_a, n_b, conv_a, conv_b,
-                       CAST(conv_a AS DOUBLE) / n_a AS pa,
-                       CAST(conv_b AS DOUBLE) / n_b AS pb,
-                       CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
-                         AS pool
+              z AS (
+                SELECT *,
+                       CASE WHEN n_a > 0 AND n_b > 0
+                         AND conv_a + conv_b > 0
+                         AND conv_a + conv_b < n_a + n_b
+                       THEN CAST(ROUND(
+                         ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(conv_b AS DOUBLE)
+                             / CAST(n_b AS DOUBLE))
+                          / SQRT((CAST(conv_a + conv_b AS DOUBLE)
+                                  / CAST(n_a + n_b AS DOUBLE))
+                                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                   / CAST(n_a + n_b AS DOUBLE))
+                                 * (1.0 / CAST(n_a AS DOUBLE)
+                                    + 1.0 / CAST(n_b AS DOUBLE))))
+                         * 1e9) AS BIGINT)
+                       ELSE 0 END AS z_e9
                 FROM c)
               SELECT n_a, n_b, conv_a, conv_b,
-                     ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
-                     ROUND((pa - pb) / SQRT(pool * (1 - pool) *
-                       (1.0 / n_a + 1.0 / n_b)), 4) AS z,
-                     ABS(ROUND((pa - pb) / SQRT(pool * (1 - pool) *
-                       (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96
-                       AS significant
-              FROM s""")),
+                     CAST(COALESCE((2000000 * conv_a + n_a)
+                       // NULLIF(2 * n_a, 0), 0) AS BIGINT) AS rate_a_e6,
+                     CAST(COALESCE((2000000 * conv_b + n_b)
+                       // NULLIF(2 * n_b, 0), 0) AS BIGINT) AS rate_b_e6,
+                     z_e9, ABS(z_e9) > 1960000000 AS significant
+              FROM z""")),
 
     // Point-in-time SCD2 lookup join (see [[statePitJoin]]): every
     // purchase joined to the state run (from the other events'

@@ -392,22 +392,27 @@ object Frontier {
     // quartile) grid. The windows partition by o_custkey (corpus-many
     // parallel partitions, never a global sort); the ORDER BY includes
     // the unique orderkey so rank has no peer groups and all three
-    // functions are deterministic; the fractional ranks aggregate as
-    // exact integer micros (a double SUM's fold order is not
-    // reproducible — the q58 discipline).
+    // functions are deterministic. With no peers, percent_rank is the
+    // exact rational (rn-1)/(n-1) and cume_dist is rn/n, so the micro
+    // grids come from INTEGER arithmetic — half-up of a/b is
+    // (2e6*a + b) DIV (2*b) — never from ROUND of a double product
+    // (r15's `ROUND(1e6 * percent_rank())` was driver-red: the one
+    // cross-engine-unstable operation), and the sums stay exact longs
+    // (the q58 discipline).
     Q("q218_rank_family",
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wp = Window.partitionBy(col("o_custkey"))
         t(s, d, "orders")
           .select(col("o_orderpriority"),
             ntile(4).over(w).as("quartile"),
-            expr("CAST(ROUND(1e6 * percent_rank() OVER " +
-              "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, " +
-              "o_orderkey)) AS BIGINT)").as("pr6"),
-            expr("CAST(ROUND(1e6 * cume_dist() OVER " +
-              "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, " +
-              "o_orderkey)) AS BIGINT)").as("cd6"))
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(wp).as("n"))
+          .select(col("o_orderpriority"), col("quartile"),
+            expr("COALESCE((2000000 * (rn - 1) + (n - 1)) " +
+              "DIV NULLIF(2 * (n - 1), 0), 0)").as("pr6"),
+            expr("(2000000 * rn + n) DIV (2 * n)").as("cd6"))
           .groupBy(col("o_orderpriority"), col("quartile"))
           .agg(count(lit(1)).as("n_orders"),
             sum(col("pr6")).as("sum_pr6"),
@@ -417,16 +422,22 @@ object Frontier {
       Some("""WITH r AS (
                 SELECT o_orderpriority,
                        NTILE(4) OVER w AS quartile,
-                       CAST(ROUND(1e6 * PERCENT_RANK() OVER w) AS BIGINT)
-                         AS pr6,
-                       CAST(ROUND(1e6 * CUME_DIST() OVER w) AS BIGINT)
-                         AS cd6
+                       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                       CAST(COUNT(*) OVER
+                         (PARTITION BY o_custkey) AS BIGINT) AS n
                 FROM orders
                 WINDOW w AS (PARTITION BY o_custkey
-                             ORDER BY o_totalprice DESC, o_orderkey))
+                             ORDER BY o_totalprice DESC, o_orderkey)),
+              m AS (
+                SELECT o_orderpriority, quartile,
+                       COALESCE((2000000 * (rn - 1) + (n - 1))
+                         // NULLIF(2 * (n - 1), 0), 0) AS pr6,
+                       (2000000 * rn + n) // (2 * n) AS cd6
+                FROM r)
               SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
-                     SUM(pr6) AS sum_pr6, SUM(cd6) AS sum_cd6
-              FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+                     CAST(SUM(pr6) AS BIGINT) AS sum_pr6,
+                     CAST(SUM(cd6) AS BIGINT) AS sum_cd6
+              FROM m GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Exact 7-day rolling distinct users per observed day (see
     // [[rollingDistinctUsers]] for the explode-vs-range-join shape).

@@ -243,11 +243,31 @@ class TrendSpec extends AnyFunSuite with TestSpark {
       ((na, nb, ca, cb)))
     val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
     val pool = (ca + cb).toDouble / (na + nb)
-    val z = BigDecimal((pa - pb) / math.sqrt(pool * (1 - pool) *
-      (1.0 / na + 1.0 / nb)))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(r.getDouble(6) == z)
-    assert(r.getBoolean(7) == (math.abs(z) > 1.96))
+    // integer-exact half-up micro rates (no float in the engine path)
+    def microRate(c: Long, n: Long): Long = (2000000L * c + n) / (2 * n)
+    assert((r.getLong(4), r.getLong(5)) ==
+      ((microRate(ca, na), microRate(cb, nb))))
+    val zE9 = BigDecimal((pa - pb) / math.sqrt(pool * (1 - pool) *
+      (1.0 / na + 1.0 / nb)) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(r.getLong(6) == zE9)
+    assert(r.getBoolean(7) == (math.abs(zE9) > 1960000000L))
+  }
+
+  test("ab test: a degenerate design (all users convert, pool = 1) " +
+      "reads out z_e9 = 0 and not-significant — never a NaN") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val rows = (1L to 12L).map { u =>
+      Row(u, ts("2024-01-01 00:00:01"), u, "purchase") }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), evSchema)
+    val r = Advanced.abTest(df, "purchase").collect().head
+    assert(r.getLong(2) == r.getLong(0) && r.getLong(3) == r.getLong(1))
+    assert((r.getLong(4), r.getLong(5)) == ((1000000L, 1000000L)))
+    assert(r.getLong(6) == 0L && !r.getBoolean(7),
+      s"degenerate readout must be exact zeros: $r")
   }
 
   test("cuped: perfect covariate erases the effect (theta 1, rho2 1), " +
