@@ -299,10 +299,14 @@ object Main {
           val q = graft.streaming.StreamingAb.start(spark, landingDir,
             outDir, rest.headOption.getOrElse("purchase"))
           q.awaitTermination()
-          val latest = new java.io.File(s"$outDir/readouts").listFiles()
-            .map(_.getName).filter(_.startsWith("batch="))
-            .map(_.stripPrefix("batch=").toLong).max
-          spark.read.parquet(s"$outDir/readouts/batch=$latest").show()
+          val batches = Option(
+              new java.io.File(s"$outDir/readouts").listFiles())
+            .getOrElse(Array.empty).map(_.getName)
+            .filter(_.startsWith("batch="))
+            .map(_.stripPrefix("batch=").toLong)
+          if (batches.isEmpty) println(s"ab out=$outDir: no readouts yet")
+          else spark.read
+            .parquet(s"$outDir/readouts/batch=${batches.max}").show()
 
         case "pack" :: in :: outDir :: rest if rest.length <= 2 =>
           val shards = rest.headOption.map(_.toInt).getOrElse(8)

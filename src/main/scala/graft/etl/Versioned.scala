@@ -14,17 +14,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _versions/vNNNNNNNN.txt             manifest: one data subdir per line
   *   _latest                             pointer file: current version id
   *
-  * Commit protocol (single writer — the streaming-upsert contract):
+  * Commit protocol:
   *   1. write the new data subdir (invisible to readers: nothing
   *      references it),
   *   2. write manifest v(N+1) to a temp name, rename into _versions
-  *      (atomic on a real filesystem; readers resolving by _latest
-  *      still see vN),
-  *   3. rename-swap the _latest pointer.
+  *      with CREATE-EXCLUSIVE semantics (refuse an existing target) —
+  *      the rename is both the atomicity point AND the commit lock:
+  *      a second writer racing the same v(N+1) loses the rename,
+  *      re-reads the winner's manifest, and retries at v(N+2), so
+  *      concurrent commits serialize and neither's data is dropped,
+  *   3. rename-swap the _latest pointer (a listing shortcut only —
+  *      [[latestVersion]] takes the max of pointer and manifests, so
+  *      an out-of-order pointer swap cannot move the table backwards).
   * A crash at ANY point leaves the table readable at vN: steps 1-2
   * leave orphans that [[vacuum]] reclaims, never a torn table. Readers
   * never list `data/` — they read exactly the subdirs their manifest
   * names, so concurrent commits and un-vacuumed orphans are invisible.
+  * EXPLICIT-id commits ([[commitAppendAt]], the streaming sink) stay
+  * single-writer by contract: losing the v(id) race there fails
+  * loudly instead of retrying.
   *
   * Append commits reference the previous manifest's subdirs PLUS the
   * new one — at 100 TB an append costs only its delta (no rewrite, no
@@ -62,27 +70,28 @@ object Versioned {
     require(f.rename(tmp, target), s"atomic rename failed: $tmp -> $target")
   }
 
-  /** Current version id: the _latest pointer, falling back to the max
-    * manifest id when the pointer is missing or mid-swap (a crash
-    * between manifest rename and pointer swap leaves the new manifest
-    * in place but unpointed — both reads are correct, the fallback is
-    * simply the newest durable state). Returns -1 on an empty table.
-    */
+  /** Current version id: the MAX of the _latest pointer and the
+    * newest manifest id. The manifests are the source of truth — a
+    * crash between manifest rename and pointer swap, or two concurrent
+    * committers whose pointer swaps land out of order, can leave the
+    * pointer one behind; taking the max makes both harmless (the
+    * pointer is only a listing shortcut, never authoritative).
+    * Returns -1 on an empty table. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
     val ptr = new Path(dir, "_latest")
     val fromPtr =
       if (f.exists(ptr))
-        scala.util.Try(readSmall(spark, ptr).toLong).toOption
-      else None
-    fromPtr.getOrElse {
-      val vd = new Path(dir, "_versions")
+        scala.util.Try(readSmall(spark, ptr).toLong).getOrElse(-1L)
+      else -1L
+    val vd = new Path(dir, "_versions")
+    val fromManifests =
       if (!f.exists(vd)) -1L
       else f.listStatus(vd).map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".txt"))
         .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
         .foldLeft(-1L)(math.max)
-    }
+    math.max(fromPtr, fromManifests)
   }
 
   /** One manifest line: the data subdir plus its (immutable) per-
@@ -117,27 +126,66 @@ object Versioned {
   private def manifestDirs(spark: SparkSession, dir: String,
       v: Long): Seq[String] = manifestEntries(spark, dir, v).map(_.sub)
 
+  /** Create-exclusive manifest write: temp file + a publish that
+    * REFUSES an existing target — the commit lock. On HDFS/object
+    * stores the publish is `rename`, which by API contract does not
+    * clobber an existing destination; on the local filesystem (whose
+    * POSIX rename silently overwrites) it is `link(2)` via
+    * Files.createLink — atomic O_EXCL semantics, no check-then-act
+    * window. Returns false when a concurrent writer already committed
+    * this version id. */
+  private def writeExclusive(spark: SparkSession, target: Path,
+      content: String): Boolean = {
+    val f = fs(spark, target.toString)
+    if (f.exists(target)) false
+    else {
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val scheme = Option(f.getUri).map(_.getScheme).orNull
+      val ok =
+        if (scheme == null || scheme == "file")
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        else !f.exists(target) && f.rename(tmp, target)
+      // link leaves the source in place; rename leaves it on failure
+      if (f.exists(tmp)) f.delete(tmp, false)
+      ok
+    }
+  }
+
   private def commit(df: DataFrame, dir: String, keepPrevious: Boolean,
       statsCols: Seq[String], explicit: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
-    val prev = latestVersion(spark, dir)
-    val next = explicit.getOrElse(prev + 1)
     val sub = s"c-${java.util.UUID.randomUUID()}"
+    val subPath = new Path(new Path(dir, "data"), sub)
     df.write.mode("errorifexists")
       .option("compression", Writers.DefaultCompression)
-      .parquet(new Path(new Path(dir, "data"), sub).toString)
-    // per-column long min/max for the NEW subdir only — one aggregate
-    // over the delta (prior subdirs keep their committed stats)
+      .parquet(subPath.toString)
+    // per-column long min/max for the NEW subdir only (prior subdirs
+    // keep their committed stats) — computed from the JUST-WRITTEN
+    // files, not df's lineage: the manifest must describe the bytes on
+    // disk even when df is non-deterministic (rand, a source that
+    // changed between actions), or readPruned could skip a subdir that
+    // holds matches; it also runs the input plan exactly once.
     val stats: Map[String, (Long, Long)] =
       if (statsCols.isEmpty) Map.empty
       else {
+        val written = spark.read.parquet(subPath.toString)
         val aggs = statsCols.flatMap(c => Seq(
           org.apache.spark.sql.functions.min(
             org.apache.spark.sql.functions.col(c).cast("long")),
           org.apache.spark.sql.functions.max(
             org.apache.spark.sql.functions.col(c).cast("long"))))
-        val r = df.agg(aggs.head, aggs.tail: _*).head
+        val r = written.agg(aggs.head, aggs.tail: _*).head
         statsCols.zipWithIndex.flatMap { case (c, i) =>
           (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
             case (Some(lo), Some(hi)) =>
@@ -146,16 +194,33 @@ object Versioned {
           }
         }.toMap
       }
-    val prevEntries =
-      if (keepPrevious && prev >= 0) manifestEntries(spark, dir, prev)
-      else Seq.empty
-    val manifest = (prevEntries :+ Entry(sub, stats))
-      .map(renderLine).mkString("\n")
     val vdir = new Path(dir, "_versions")
     if (!f.exists(vdir)) f.mkdirs(vdir)
-    writeAtomic(spark, new Path(vdir, vname(next)), manifest)
-    writeAtomic(spark, new Path(dir, "_latest"), next.toString)
-    next
+    // the manifest rename is the COMMIT LOCK: a racing writer loses
+    // the exclusive write, re-reads the winner's manifest (so the
+    // winner's subdirs join its own on an append), and retries at the
+    // next id — neither writer's data is ever silently dropped. An
+    // EXPLICIT id (the streaming exactly-once contract) never retries:
+    // losing that race is a contract violation and fails loudly.
+    var committed = -1L
+    while (committed < 0) {
+      val prev = latestVersion(spark, dir)
+      val next = explicit.getOrElse(prev + 1)
+      require(prev < next,
+        s"version $next is not ahead of the table's v$prev")
+      val prevEntries =
+        if (keepPrevious && prev >= 0) manifestEntries(spark, dir, prev)
+        else Seq.empty
+      val manifest = (prevEntries :+ Entry(sub, stats))
+        .map(renderLine).mkString("\n")
+      if (writeExclusive(spark, new Path(vdir, vname(next)), manifest))
+        committed = next
+      else if (explicit.isDefined)
+        sys.error(s"concurrent commit: version $next already exists " +
+          s"at $dir (single-writer contract violated)")
+    }
+    writeAtomic(spark, new Path(dir, "_latest"), committed.toString)
+    committed
   }
 
   /** Append `df` as a new version (previous versions' files are

@@ -719,9 +719,19 @@ object Curation {
     * consume this column. NFC is the only custom step — casefold and
     * collapse stay in Spark's own codegen'd `lower`/`regexp_replace`
     * so Catalyst folds and pushes them independently. Map-only.
+    *
+    * The collapse uses the EXPLICIT class [[CanonWs]] rather than
+    * `\s`: Java's `\s` matches U+000B (vertical tab) while RE2's (the
+    * oracle's) does not, so the two engines' canonical forms would
+    * silently diverge on \x0B-bearing text — the committed corpus is
+    * already canonical and can't catch it (FnsSpec plants the case).
     */
+  /** Whitespace class shared verbatim by the Spark and DuckDB
+    * canonicalization ladders — Java and RE2 read it identically. */
+  val CanonWs = "[ \\t\\n\\x0B\\f\\r]+"
+
   def canonicalColumn(text: Column): Column =
-    trim(regexp_replace(lower(graft.functions.Fns.nfc(text)), "\\s+", " "))
+    trim(regexp_replace(lower(graft.functions.Fns.nfc(text)), CanonWs, " "))
 
   def defs: Seq[Q] = Seq(
     // Text canonicalization (see [[canonicalColumn]]): per doc, the
@@ -738,9 +748,9 @@ object Curation {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
                      MD5(TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(text)),
-                       '\s+', ' ', 'g'))) AS canon_md5,
+                       '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS canon_md5,
                      text <> TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(text)),
-                       '\s+', ' ', 'g')) AS changed
+                       '[ \t\n\x0B\f\r]+', ' ', 'g')) AS changed
               FROM documents ORDER BY doc_id""")),
 
     // Train/test DECONTAMINATION: count test-split docs whose normalized

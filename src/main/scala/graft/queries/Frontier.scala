@@ -101,9 +101,9 @@ object Frontier {
         explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
       .join(broadcast(days), Seq("w"), "left_semi")
       .groupBy(col("w"))
-      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .agg(countDistinct(col("user_id")).as(s"users_${windowDays}d"))
       .select(date_format(col("w"), "yyyy-MM-dd").as("day"),
-        col("users_7d"))
+        col(s"users_${windowDays}d"))
       .orderBy(col("day"))
   }
 
@@ -541,7 +541,7 @@ object Frontier {
       (s, d) => {
         val ev = t(s, d, "events")
         val dau = rollingDistinctUsers(ev, 1)
-          .withColumnRenamed("users_7d", "dau")
+          .withColumnRenamed("users_1d", "dau")
         val wau = rollingDistinctUsers(ev, 7)
           .withColumnRenamed("users_7d", "wau")
         dau.join(wau, Seq("day"))

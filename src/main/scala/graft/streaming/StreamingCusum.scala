@@ -22,10 +22,19 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigge
   * Stragglers into a finalized day and replays (at-or-before the
   * (ts, event_id) watermark) are no-ops; the late-data-correct
   * statistic is what the batch q223 recompute is for. Event-time idle
-  * timeout finalizes the open day (closed_by = "idle") and REMOVES the
-  * state — bounded by the ACTIVE type population, though |types| is
-  * usually bounded by contract anyway. State is one 5-field struct per
-  * type.
+  * timeout finalizes the open day (closed_by = "idle") and leaves a
+  * compact TOMBSTONE (dayCount = 0: the closed day plus the post-close
+  * statistic) in place of the open state, so a type returning after an
+  * idle gap resumes from the closed day with every quiet day in
+  * between zero-folded — the stream stays consistent with the batch
+  * q223 recompute across evictions instead of silently restarting at
+  * S = 0. State stays one 5-field struct per type, bounded by the
+  * BASELINE type population (the baseline gate already drops unknown
+  * types). The one divergence the tombstone cannot heal: an event
+  * arriving back INTO the idle-closed day (possible only when idleMs
+  * is shorter than a day) is dropped, since the day's row is already
+  * emitted — pick idleMs of at least one day to make idle closes
+  * final only after the day can no longer receive on-time events.
   *
   * Types absent from the baseline are DROPPED (documented contract —
   * an unknown type has no target to drift from; extend the baseline
@@ -67,9 +76,22 @@ object StreamingCusum {
       if (s == null)
         s = CusumState(day, 1L, 0L, t, e.event_id)
       else if (t > s.lastMs || (t == s.lastMs && e.event_id > s.lastId)) {
+        if (s.dayCount == 0L) {
+          // idle tombstone: s.day was finalized by the timeout (its row
+          // is already emitted) and s.s is the post-close statistic. A
+          // LATER day resumes with the quiet days zero-folded — the
+          // batch dense-grid rule; an arrival back into the closed day
+          // is dropped (see the Scaladoc idleMs contract).
+          if (day > s.day) {
+            var cusum = s.s
+            var d = s.day + 1
+            while (d < day) { cusum = close(d, 0L, cusum); d += 1 }
+            s = CusumState(day, 1L, cusum, t, e.event_id)
+          }
+        }
         // day is a monotone function of ts, so t > lastMs implies
         // day >= s.day — an applied event never lands in a closed day
-        if (day == s.day)
+        else if (day == s.day)
           s = CusumState(day, s.dayCount + 1, s.s, t, e.event_id)
         else {
           var cusum = close(s.day, s.dayCount, s.s)
@@ -101,9 +123,16 @@ object StreamingCusum {
             case Some(base) =>
               if (state.hasTimedOut) {
                 val st = state.get
-                state.remove()
                 val next = math.max(0L,
                   st.s + base.n_days * st.dayCount - base.sum_t)
+                // keep a compact tombstone (dayCount = 0) instead of
+                // removing: a returning type resumes from the closed
+                // day with the quiet days zero-folded (see fold), so
+                // the stream matches the batch recompute across idle
+                // gaps. No new timeout: the tombstone is final state
+                // until the type speaks again, bounded by |baseline|.
+                state.update(CusumState(st.day, 0L, next,
+                  st.lastMs, st.lastId))
                 Iterator.single(CusumOut(tpe, dayStr(st.day), st.dayCount,
                   next, next > base.sum_t, "idle"))
               } else {

@@ -448,4 +448,20 @@ class FnsSpec extends AnyFunSuite with TestSpark {
       .collect().map(_.getString(0)).toSet
     assert(out == Set("the café menu"))
   }
+
+  test("canonicalColumn collapses U+000B (vertical tab) — the char " +
+      "where Java \\s and RE2 \\s disagree — on BOTH engines' ladders") {
+    import spark.implicits._
+    // Java's \s matches \x0B, RE2's does not: the ladder pins an
+    // explicit class (Curation.CanonWs) so Spark and the DuckDB oracle
+    // agree on \x0B-bearing text; the committed corpus is already
+    // canonical and can't exercise this.
+    val vt = '\u000B'.toString
+    val out = Seq("a" + vt + "b", "a " + vt + " b").toDF("text")
+      .select(graft.llm.Curation.canonicalColumn(col("text")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("a b"))
+    // the shared class itself names \x0B explicitly
+    assert(graft.llm.Curation.CanonWs.contains("\\x0B"))
+  }
 }

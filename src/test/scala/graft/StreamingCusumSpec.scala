@@ -64,21 +64,25 @@ class StreamingCusumSpec extends AnyFunSuite with TestSpark {
   }
 
   test("idle timeout finalizes the open day with closed_by=idle and " +
-      "removes state (fresh statistic after)") {
+      "leaves a tombstone: a returning type resumes with the quiet " +
+      "days zero-folded, matching the batch recompute") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    // slow decay (mean 2/3 per day) so the statistic SURVIVES the idle
+    // gap — a fresh restart after eviction would visibly diverge
+    val slowBase = Map("b" -> CusumBase("b", sum_t = 2L, n_days = 3L))
     val stream = MemoryStream[CusumEv]
     val query = StreamingCusum.alarms(
-        stream.toDS().withWatermark("ts", "0 seconds"), base,
+        stream.toDS().withWatermark("ts", "0 seconds"), slowBase,
         idleMs = 12L * 3600 * 1000) // half a day
       .writeStream.format("memory").queryName("cusum_evict")
       .outputMode("append").start()
 
     // day 1: 4 events, then the watermark jumps past day 1 + idle
     stream.addData(
-      CusumEv("a", ts(1, 1), 1L), CusumEv("a", ts(1, 2), 2L),
-      CusumEv("a", ts(1, 3), 3L), CusumEv("a", ts(1, 4), 4L))
+      CusumEv("b", ts(1, 1), 1L), CusumEv("b", ts(1, 2), 2L),
+      CusumEv("b", ts(1, 3), 3L), CusumEv("b", ts(1, 4), 4L))
     query.processAllAvailable()
     stream.addData(CusumEv("zzz", ts(5, 0), 99L)) // advances watermark only
     query.processAllAvailable()
@@ -87,17 +91,25 @@ class StreamingCusumSpec extends AnyFunSuite with TestSpark {
       .map(r => (r.getString(1),
         (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5))))
       .toMap
-    // day 1 finalized by idle: x=4 -> S = 3*4-6 = 6, alarm 6 > 6 FALSE
-    assert(rows == Map("2024-01-01" -> ((4L, 6L, false, "idle"))))
+    // day 1 finalized by idle: x=4 -> S = 3*4-2 = 10, alarm 10 > 2
+    assert(rows == Map("2024-01-01" -> ((4L, 10L, true, "idle"))))
 
-    // state was removed: a later event starts a FRESH statistic
-    stream.addData(CusumEv("a", ts(6, 1), 100L),
-      CusumEv("a", ts(7, 1), 101L))
+    // tombstone resume: day-6 arrival zero-folds quiet days 2-5
+    // (10 -> 8 -> 6 -> 4 -> 2), day-7 rollover closes day 6 from the
+    // DECAYED statistic: S = max(0, 2 + 3*1 - 2) = 3 (a fresh restart
+    // would have read 1 — the divergence the tombstone exists to kill)
+    stream.addData(CusumEv("b", ts(6, 1), 100L),
+      CusumEv("b", ts(7, 1), 101L))
     query.processAllAvailable()
     val after = spark.table("cusum_evict").collect()
-      .map(r => r.getString(1) -> r.getLong(3)).toMap
-    // day 6 closed by day-7 rollover: S restarts at max(0, 3*1-6) = 0
-    assert(after("2024-01-06") == 0L)
+      .map(r => (r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5))))
+      .toMap
+    assert(after("2024-01-02") == ((0L, 8L, true, null)))
+    assert(after("2024-01-03") == ((0L, 6L, true, null)))
+    assert(after("2024-01-04") == ((0L, 4L, true, null)))
+    assert(after("2024-01-05") == ((0L, 2L, false, null)))
+    assert(after("2024-01-06") == ((1L, 3L, true, null)))
     query.stop()
   }
 

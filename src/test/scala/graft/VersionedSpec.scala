@@ -138,6 +138,38 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     assert(kept == 1 && skipped == 1)
   }
 
+  test("interleaved concurrent commits serialize on the manifest lock: " +
+      "distinct versions, both writers' rows survive, no silent loss") {
+    val dir = dirOf()
+    Versioned.commitReplace(Seq(0L).toDF("id"), dir)
+    // two writers, 6 appends each, barrier-released to maximize
+    // overlap: without the create-exclusive manifest lock a loser's
+    // clobber at v(N+1) silently drops the winner's subdir from every
+    // later lineage
+    val perWriter = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        barrier.await()
+        (1 to perWriter).foreach { i =>
+          versions.add(Versioned.commitAppend(
+            Seq(w * 100L + i).toDF("id"), dir))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val vs = versions.asScala.toSeq
+    // every commit won a UNIQUE version id (the lock serialized them)
+    assert(vs.size == 2 * perWriter && vs.distinct.size == vs.size)
+    assert(Versioned.latestVersion(spark, dir) == perWriter * 2L)
+    // the final lineage holds EVERY writer's every row — nothing lost
+    val want = Set(0L) ++
+      (1 to perWriter).flatMap(i => Seq(i.toLong, 100L + i)).toSet
+    assert(rows(dir) == want)
+  }
+
   test("vacuum keeps the newest k versions readable and makes older " +
       "reads fail loudly") {
     val dir = dirOf()
