@@ -20,15 +20,48 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    Session.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      Session.tune(s)
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
+
+    // Accretion-vs-environment diagnostic (VERDICT r15 #4): with
+    // SPARK_GRAFT_BENCH_RECYCLE=N the session (and its codegen/catalog/
+    // broadcast state) is torn down and rebuilt every N timed queries.
+    // OFF by default — the official number stays the long-lived-session
+    // behavior. If a suite-wide slowdown flattens under recycling, the
+    // cause is in-JVM accretion; if it persists, the box itself drifted.
+    val recycleEvery = sys.env.get("SPARK_GRAFT_BENCH_RECYCLE")
+      .map(_.toInt).getOrElse(0)
+    var sinceRecycle = 0
+    def maybeRecycle(): Unit = if (recycleEvery > 0) {
+      sinceRecycle += 1
+      if (sinceRecycle >= recycleEvery) {
+        sinceRecycle = 0
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = build()
+      }
+    }
+
+    /** Cumulative stop-the-world GC seconds across all collectors —
+      * per-pass deltas land in the artifact so a growing GC share
+      * (accretion) is distinguishable from uniform box slowness. */
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
@@ -98,11 +131,22 @@ object Bench {
     var failed = List.empty[String]
     val samples = collection.mutable.Map
       .empty[String, List[(Double, Boolean)]].withDefaultValue(Nil)
-    for (_ <- 1 to passes; name <- names) {
-      val t0 = System.nanoTime()
-      val ok = runOnce(name)
-      val sec = (System.nanoTime() - t0) / 1e9
-      samples(name) ::= (sec, ok)
+    // Per-pass wall + GC telemetry (VERDICT r15 #4): pass totals that
+    // grow monotonically WITHIN one JVM point at accretion; flat passes
+    // under a slow total point at the environment.
+    val passSec = Array.fill(passes)(0.0)
+    val passGc = Array.fill(passes)(0.0)
+    for (p <- 1 to passes) {
+      val pt0 = System.nanoTime(); val pg0 = gcSec()
+      for (name <- names) {
+        val t0 = System.nanoTime()
+        val ok = runOnce(name)
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) ::= (sec, ok)
+        maybeRecycle()
+      }
+      passSec(p - 1) = (System.nanoTime() - pt0) / 1e9
+      passGc(p - 1) = gcSec() - pg0
     }
     // Per-query MEDIAN (comparable with earlier rounds) and MIN (the
     // honest steady-state statistic: box contention is strictly additive
@@ -130,8 +174,10 @@ object Bench {
     val leaks = leaked.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = times.map(_._2._1).sum
     val totalMin = times.map(_._2._2).sum
+    val passSecJson = passSec.map(s => f"$s%.2f").mkString("[", ",", "]")
+    val passGcJson = passGc.map(s => f"$s%.2f").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"leaked":$leaks,"hygiene":$hygiene,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"leaked":$leaks,"hygiene":$hygiene,"recycle":$recycleEvery,"pass_sec":$passSecJson,"pass_gc_sec":$passGcJson,"sf":"$sfDir"}"""
     // Compact total-only line (<= 200 bytes): the r6 official artifact
     // recorded parsed:null because the 79-entry per-query line outgrew
     // the driver's stdout tail window. Print the full line FIRST, then

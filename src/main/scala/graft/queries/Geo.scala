@@ -136,8 +136,11 @@ object Geo {
     * sized by the shuffle-partition knob, not the pair space —
     * measured there under both cell sizes). Near-equator
     * contract: lon cells shrink by cos(lat); at real latitudes size
-    * cells by radius / cos(maxLat). Hot cells (ports) remain the q184
-    * skew caveat. Returns (u1, u2, n_hours, min_m). */
+    * cells by radius / cos(maxLat). Hot cells (ports) are handled by
+    * [[bandedPairs]]' occupancy-aware salting — a mega-port cell-hour
+    * spreads over saltBuckets tasks instead of one quadratic
+    * straggler (measured: GeoSkewRehearsal / SCALE.md r17).
+    * Returns (u1, u2, n_hours, min_m). */
   /** One representative position per (vessel, hour) with the
     * 5,000-µdeg band cells — the SHARED derivation of the batch
     * proximity join (q264) and its streaming form ([[graft.streaming.
@@ -153,30 +156,116 @@ object Geo {
         (col("lat_e6") + 5000L).divide(5000L).cast("long").as("cy"),
         (col("lon_e6") + 5000L).divide(5000L).cast("long").as("cx"))
 
-  def proximityPairs(events: DataFrame, radiusM: Long = 500L): DataFrame = {
-    require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
-      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
-    val pts = bandedPoints(events)
-    val left = pts
+  /** Banded pair candidates with the exact haversine verify — the ONE
+    * join both the batch q264 and [[graft.streaming.StreamingGeo]]
+    * run: `probe` points replicated to their 3x3 cell neighborhood,
+    * equi-joined against `index` points on (hour, cell), every
+    * candidate verified on the integer-meter grid.
+    *
+    * HOT-CELL (port) mitigation, occupancy-aware salting: index cells
+    * holding more than `hotOccupancy` points get their points spread
+    * over `saltBuckets` deterministic salt lanes (xxhash64 of the
+    * vessel id — the salt never reaches the output, so no oracle
+    * replayability constraint) and the probe side replicated across
+    * the lanes for those cells only. The PAIR SET is identical —
+    * every (probe, index) pair still meets in exactly one lane — but
+    * a mega-cell-hour's occ² verify runs as `saltBuckets` tasks of
+    * occ²/saltBuckets instead of one quadratic straggler, which is
+    * the q184 skew class this join is otherwise exposed to at AIS
+    * port density. Cold cells pay one broadcast-hash probe against
+    * the (bounded, <= points/hotOccupancy rows) hot-cell list and
+    * keep salt 0. Measured (GeoSkewRehearsal, SCALE.md r17): output
+    * identical at every regime; <= 7% overhead at a 2,000-occupancy
+    * port, ~0% at the production shape; at local reach the wall cost
+    * is the legitimately quadratic pair OUTPUT (shuffle-balanced on
+    * the pair hash by distinct/aggregate), while the lanes are the
+    * cluster-scale insurance for the cores >> heavy-cell-hours
+    * regime local[32] cannot exhibit.
+    */
+  private[graft] def bandedPairs(probe: DataFrame, index: DataFrame,
+      radiusM: Long, hotOccupancy: Long = 1024L,
+      saltBuckets: Int = 16): DataFrame = {
+    val hot = index.groupBy(col("hour"), col("cy"), col("cx"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > hotOccupancy)
+      .select(col("hour"), col("cy"), col("cx"), lit(true).as("__hot"))
+    val right = index.join(broadcast(hot), Seq("hour", "cy", "cx"), "left")
+      .select(col("user_id").as("u2"), col("hour"),
+        col("lat_e6").as("la2"), col("lon_e6").as("lo2"),
+        col("cy"), col("cx"),
+        when(col("__hot"),
+          pmod(xxhash64(col("user_id")), lit(saltBuckets.toLong)))
+          .otherwise(0L).as("salt"))
+    val probe9 = probe
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("user_id").as("u1"), col("hour"),
         col("lat_e6").as("la1"), col("lon_e6").as("lo1"),
         (col("cy") + col("dy")).as("cy"), (col("cx") + col("dx")).as("cx"))
-    val hits = left.join(pts
-        .select(col("user_id").as("u2"), col("hour"),
-          col("lat_e6").as("la2"), col("lon_e6").as("lo2"),
-          col("cy"), col("cx")),
-        Seq("hour", "cy", "cx"))
-      .filter(col("u1") < col("u2"))
+      .join(broadcast(hot), Seq("hour", "cy", "cx"), "left")
+      .withColumn("salt", explode(
+        when(col("__hot"), sequence(lit(0L), lit(saltBuckets - 1L)))
+          .otherwise(array(lit(0L)))))
+      .drop("__hot")
+    probe9.join(right, Seq("hour", "cy", "cx", "salt"))
       .select(col("u1"), col("u2"), col("hour"),
         round(haversineM(col("la1"), col("lo1"),
           col("la2"), col("lo2"))).cast("long").as("m"))
       .filter(col("m") <= radiusM)
+  }
+
+  def proximityPairs(events: DataFrame, radiusM: Long = 500L,
+      hotOccupancy: Long = 1024L, saltBuckets: Int = 16): DataFrame = {
+    require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    val pts = bandedPoints(events)
+    val hits = bandedPairs(pts, pts, radiusM, hotOccupancy, saltBuckets)
+      .filter(col("u1") < col("u2"))
       .distinct()
     hits.groupBy(col("u1"), col("u2"))
       .agg(count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
       .orderBy(col("u1"), col("u2"))
+  }
+
+  /** Co-travel episodes — vessel pairs within `radiusM` in at least
+    * `minHours` encounter-hours whose successive encounters are at
+    * most `maxGapHours` apart: the "moving together" signal (escort,
+    * convoy, transshipment rendezvous) a bare pair count (q264)
+    * dilutes, because scattered one-off encounters and a sustained
+    * joint passage read the same there. The gap tolerance is the
+    * session knob (q43's rule, in hours): AIS-style streams ping
+    * sparsely, so strict consecutive-hour chaining (maxGapHours = 1)
+    * is one setting, not the definition. Gaps-and-islands on the
+    * banded pair-hours: break where the gap exceeds the tolerance,
+    * run = running break count, one aggregate per (pair, run). The
+    * corpus-sized work is exactly q264's band join; the island window
+    * partitions by PAIR (corpus-parallel, bounded by the pair's
+    * encounter-hour stream — the q43/q150 contract). Returns (u1, u2,
+    * start_hour, end_hour, n_hours, min_m), episodes ordered within
+    * pair. */
+  def coTravel(events: DataFrame, radiusM: Long = 500L,
+      minHours: Long = 2L, maxGapHours: Long = 168L): DataFrame = {
+    require(radiusM * 9 <= 5000L,
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    val pts = bandedPoints(events)
+    val hits = bandedPairs(pts, pts, radiusM)
+      .filter(col("u1") < col("u2"))
+      .distinct()
+    val w = Window.partitionBy(col("u1"), col("u2")).orderBy(col("hour"))
+    hits
+      .withColumn("brk",
+        when(col("hour") - lag(col("hour"), 1).over(w) > maxGapHours, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("u1"), col("u2"), col("run"))
+      .agg(min(col("hour")).as("start_hour"),
+        max(col("hour")).as("end_hour"),
+        count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
+      .filter(col("n_hours") >= minHours)
+      .select(col("u1"), col("u2"), col("start_hour"), col("end_hour"),
+        col("n_hours"), col("min_m"))
+      .orderBy(col("u1"), col("u2"), col("start_hour"))
   }
 
   /** Stop (dwell) detection — the port-call readout: a STOP is a
@@ -568,5 +657,71 @@ object Geo {
                      CAST(COUNT(*) AS BIGINT) AS n_trips
               FROM trips WHERE fcy IS NOT NULL
               GROUP BY 1, 2, 3, 4
-              ORDER BY n_trips DESC, from_cy, from_cx, to_cy, to_cx""")))
+              ORDER BY n_trips DESC, from_cy, from_cx, to_cy, to_cx""")),
+
+    // CO-TRAVEL episodes (see [[coTravel]]): q264's pair-hours run
+    // through gap-tolerant gaps-and-islands — pairs within 500 m in
+    // >= 2 encounters no more than a week apart, one row per episode.
+    // The convoy/escort/rendezvous signal a scattered count dilutes.
+    Q("q269_co_travel",
+      (s, d) => coTravel(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              pts AS (
+                SELECT user_id, hour, lat_e6, lon_e6,
+                       (lat_e6 + 5000) // 5000 AS cy,
+                       (lon_e6 + 5000) // 5000 AS cx
+                FROM (
+                  SELECT *,
+                         CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           AS hour,
+                         ROW_NUMBER() OVER (PARTITION BY user_id,
+                           CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           ORDER BY event_id) AS rn
+                  FROM pos) x
+                WHERE rn = 1),
+              lft AS (
+                SELECT user_id AS u1, hour, lat_e6 AS la1,
+                       lon_e6 AS lo1, cy + dy.dy AS cy, cx + dx.dx AS cx
+                FROM pts
+                CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+                CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)),
+              hits AS (
+                SELECT DISTINCT u1, u2, hour, m FROM (
+                  SELECT l.u1, r.user_id AS u2, l.hour,
+                         CAST(ROUND(2.0 * 6371000.0 * ASIN(SQRT(
+                           SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           * SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           + COS(l.la1 * 1.7453292519943295e-8)
+                             * COS(r.lat_e6 * 1.7453292519943295e-8)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2))))
+                           AS BIGINT) AS m
+                  FROM lft l JOIN pts r
+                    ON r.hour = l.hour AND r.cy = l.cy AND r.cx = l.cx
+                  WHERE l.u1 < r.user_id) p
+                WHERE m <= 500),
+              lagged AS (
+                SELECT u1, u2, hour, m,
+                       LAG(hour) OVER (PARTITION BY u1, u2
+                         ORDER BY hour) AS prev
+                FROM hits),
+              runs AS (
+                SELECT u1, u2, hour, m,
+                       SUM(CASE WHEN prev IS NOT NULL
+                                 AND hour - prev > 168
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY u1, u2 ORDER BY hour
+                               ROWS UNBOUNDED PRECEDING) AS run
+                FROM lagged)
+              SELECT u1, u2, MIN(hour) AS start_hour,
+                     MAX(hour) AS end_hour,
+                     CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     MIN(m) AS min_m
+              FROM runs GROUP BY u1, u2, run
+              HAVING COUNT(*) >= 2
+              ORDER BY u1, u2, start_hour""")))
 }

@@ -29,8 +29,10 @@ import graft.queries.Geo
   * Per-batch cost: the batch's points (one representative per
   * (vessel, hour), the q264 pick) against the index partitions via the
   * same 3x3 smallest-complete-cell band join — proportional to batch
-  * x index-cell occupancy, never index². Hot cells are the q184
-  * caveat, exactly as in the batch form.
+  * x index-cell occupancy, never index². Hot (port) cells ride
+  * [[Geo.bandedPairs]]' occupancy-aware salting, exactly as in the
+  * batch form — one mega-cell-hour spreads over salt lanes instead of
+  * one quadratic straggler task.
   */
 object StreamingGeo {
 
@@ -61,23 +63,14 @@ object StreamingGeo {
         if (fs.exists(new Path(indexDir))) {
           val earlier = spark.read.parquet(indexDir)
             .filter(col("batch") < bid)
-          val probe = pts
-            .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-            .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-            .select(col("user_id").as("u_new"), col("hour"),
-              col("lat_e6").as("la1"), col("lon_e6").as("lo1"),
-              (col("cy") + col("dy")).as("cy"),
-              (col("cx") + col("dx")).as("cx"))
-          probe.join(earlier
-              .select(col("user_id").as("u_old"), col("hour"),
-                col("lat_e6").as("la2"), col("lon_e6").as("lo2"),
-                col("cy"), col("cx")),
-              Seq("hour", "cy", "cx"))
-            .filter(col("u_new") =!= col("u_old"))
-            .select(col("u_new"), col("u_old"), col("hour"),
-              round(Geo.haversineM(col("la1"), col("lo1"),
-                col("la2"), col("lo2"))).cast("long").as("m"))
-            .filter(col("m") <= radiusM)
+          // THE q264 band join ([[Geo.bandedPairs]]): 3x3 probe
+          // replication, exact verify, and the occupancy-salted
+          // hot-cell path — the port mega-cell spreads over salt
+          // lanes here exactly as in the batch form
+          Geo.bandedPairs(pts, earlier, radiusM)
+            .filter(col("u1") =!= col("u2"))
+            .select(col("u1").as("u_new"), col("u2").as("u_old"),
+              col("hour"), col("m"))
             .distinct()
             .write.mode("overwrite")
             .option("compression", Writers.DefaultCompression)

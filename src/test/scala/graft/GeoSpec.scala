@@ -119,6 +119,82 @@ class GeoSpec extends AnyFunSuite with TestSpark {
         s"extra=${out.keySet -- expect.keySet}")
   }
 
+  test("coTravel == brute-force pair-hours run through an independent " +
+      "islands fold: gaps over the tolerance split episodes, " +
+      "within-tolerance gaps chain, lone encounters drop") {
+    // hours 0,1,2 and 4 (hour 3 missing): at maxGapHours=1 a pair
+    // within radius in all four hours yields episode [0,2] and the
+    // lone hour 4 drops (minHours=2); at the default week tolerance
+    // the same pair chains into ONE 4-encounter episode
+    val users = (1L to 120L)
+    val hours = Seq(0L, 1L, 2L, 4L)
+    val evs = events(users.flatMap(u =>
+      hours.map(h => (u * 10 + h, u, h * 3600L))): _*)
+    val out = Geo.coTravel(evs, maxGapHours = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // brute force: per hour, all pairs within 500 m of the hour's rep
+    // points; then islands per pair over encounter hours
+    val baseHour = 1700000000L / 3600  // ts(0) epoch-seconds / 3600
+    val pairHours = collection.mutable.Map
+      .empty[(Long, Long), List[(Long, Long)]].withDefaultValue(Nil)
+    hours.foreach { h =>
+      val pts = users.map { u => val eid = u * 10 + h
+        val (la, lo) = pos(eid, u); (u, la, lo) }
+      for {
+        (u1, a1, o1) <- pts; (u2, a2, o2) <- pts if u1 < u2
+        m = math.round(hav(a1, o1, a2, o2)) if m <= 500L
+      } pairHours((u1, u2)) ::= (baseHour + h, m)
+    }
+    val expect = pairHours.flatMap { case ((u1, u2), hm) =>
+      val sorted = hm.sortBy(_._1)
+      // islands: run id = hour - index over the sorted encounter hours
+      sorted.zipWithIndex.groupBy { case ((h, _), i) => h - i }.values
+        .map { grp =>
+          val hs = grp.map(_._1._1); val ms = grp.map(_._1._2)
+          (u1, u2, hs.min) -> ((hs.max, hs.size.toLong, ms.min))
+        }
+        .filter(_._2._2 >= 2L)
+    }.toMap
+    assert(expect.nonEmpty, "planted population produced no episodes")
+    // the planted gap must have split at least one pair's episodes
+    assert(expect.exists(_._2._2 == 3L),
+      "no 3-hour episode — the hour-3 gap case is vacuous")
+    assert(out == expect,
+      s"episodes=${out.size} brute=${expect.size}; " +
+        s"missing=${expect.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- expect.keySet}")
+    // default week tolerance: the hour-3 gap is within tolerance, so
+    // every pair with >= 2 encounter hours chains into ONE episode
+    val dflt = Geo.coTravel(evs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+    val multi = pairHours.filter(_._2.size >= 2)
+    assert(dflt.length == multi.size)
+    assert(dflt.toMap == multi.map { case (k, hm) =>
+      k -> hm.size.toLong }.toMap)
+  }
+
+  test("hot-cell salting engaged everywhere (hotOccupancy=0) returns " +
+      "EXACTLY the unsalted pairs — the lanes repartition the verify, " +
+      "never the pair set") {
+    val users = (1L to 120L)
+    val evs = events(users.flatMap(u =>
+      Seq((u * 10, u, 0L), (u * 10 + 1, u, 3600L))): _*)
+    def pairs(hot: Long, buckets: Int) =
+      Geo.proximityPairs(evs, 500L, hotOccupancy = hot,
+          saltBuckets = buckets).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    val unsalted = pairs(Long.MaxValue, 16) // no cell ever hot
+    assert(unsalted.nonEmpty)
+    // every cell hot, several lane widths: identical output
+    assert(pairs(0L, 4) == unsalted)
+    assert(pairs(0L, 16) == unsalted)
+    // default engagement threshold on this small population: no-op
+    assert(pairs(1024L, 16) == unsalted)
+  }
+
   test("proximityPairs plans as an equi-join on (hour, cell) — never " +
       "a nested-loop/cartesian") {
     val plan = graft.queries.Registry.queries("q264_proximity_pairs")(
