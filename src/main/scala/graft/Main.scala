@@ -368,6 +368,12 @@ object Main {
           val vs = graft.etl.Versioned.log(spark, tableDir)
           println(s"vtable-stream landing=$landingDir table=$tableDir " +
             s"versions=${vs.size} latest=${vs.lastOption.map(_._1).getOrElse(-1L)}")
+        case "vtable" :: "compact" :: dir :: statsCols =>
+          val before = graft.etl.Versioned.log(spark, dir)
+            .lastOption.map(_._2).getOrElse(0)
+          val v = graft.etl.Versioned.compact(spark, dir, statsCols)
+          println(s"vtable $dir compacted: v$v " +
+            s"data_dirs $before -> 1")
         case "vtable" :: "vacuum" :: dir :: keep :: Nil =>
           val (dv, dd) = graft.etl.Versioned
             .vacuum(spark, dir, keep.toInt)
@@ -808,6 +814,7 @@ object Main {
         |  vtable append|replace <parquet> <tableDir> [statsCol...]
         |  vtable read <tableDir> [version] | vtable log <tableDir>
         |  vtable read-pruned <tableDir> <col> <lo> <hi>
+        |  vtable compact <tableDir> [statsCol...]
         |  vtable vacuum <tableDir> <keepVersions>
         |  vtable-stream <landingDir> <tableDir> <schemaSampleParquet> [statsCol...]
         |  geo-stream <landingDir> <outDir> [radiusM]

@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under `dir`:
   *   data/<commit-uuid>/part-*.parquet   immutable data files
-  *   _versions/vNNNNNNNN.txt             manifest: one data subdir per line
+  *   _versions/vNNNNNNNN.txt             manifest: a `#schema` header
+  *                                       (the snapshot's schema as
+  *                                       JSON — additive evolution,
+  *                                       no footer merging on read)
+  *                                       plus one data subdir per line
   *   _latest                             pointer file: current version id
   *
   * Commit protocol:
@@ -115,13 +119,32 @@ object Versioned {
     (e.sub +: e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
       s"$c:$lo:$hi" }).mkString("\t")
 
-  private def manifestEntries(spark: SparkSession, dir: String,
-      v: Long): Seq[Entry] = {
+  private def manifestText(spark: SparkSession, dir: String,
+      v: Long): String = {
     val p = new Path(new Path(dir, "_versions"), vname(v))
     require(fs(spark, dir).exists(p), s"no version $v at $dir")
-    readSmall(spark, p).split("\n").map(_.trim).filter(_.nonEmpty)
-      .map(parseLine).toSeq
+    readSmall(spark, p)
   }
+
+  private def manifestEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[Entry] =
+    manifestText(spark, dir, v).split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parseLine).toSeq
+
+  /** The snapshot schema committed into the manifest's `#schema` line
+    * (absent on manifests written before schema lines existed). The
+    * schema rides the MANIFEST, not the parquet footers, so reading a
+    * many-commit table costs zero footer merging and an old subdir
+    * missing a later-added column reads as NULL (the parquet reader
+    * fills requested-but-absent columns). */
+  private[etl] def manifestSchema(spark: SparkSession, dir: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestText(spark, dir, v).split("\n").map(_.trim)
+      .find(_.startsWith("#schema\t"))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#schema\t"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   private def manifestDirs(spark: SparkSession, dir: String,
       v: Long): Seq[String] = manifestEntries(spark, dir, v).map(_.sub)
@@ -211,8 +234,35 @@ object Versioned {
       val prevEntries =
         if (keepPrevious && prev >= 0) manifestEntries(spark, dir, prev)
         else Seq.empty
-      val manifest = (prevEntries :+ Entry(sub, stats))
-        .map(renderLine).mkString("\n")
+      // snapshot schema for the manifest header: ADDITIVE evolution —
+      // an append keeps every previous field (old subdirs still hold
+      // it) and adds the new frame's new fields; a same-name dataType
+      // conflict fails loudly (rewriting types needs a replace).
+      // Everything is marked nullable: a subdir written before a
+      // column existed reads it as NULL.
+      val prevSchema =
+        if (keepPrevious && prev >= 0) manifestSchema(spark, dir, prev)
+        else None
+      val schema = prevSchema match {
+        case Some(ps) =>
+          df.schema.foreach { f =>
+            ps.find(_.name == f.name).foreach { pf =>
+              require(pf.dataType == f.dataType,
+                s"schema conflict on '${f.name}': table has " +
+                  s"${pf.dataType}, commit has ${f.dataType}")
+            }
+          }
+          val have = ps.fieldNames.toSet
+          org.apache.spark.sql.types.StructType(
+            ps.fields ++ df.schema.fields.filterNot(f => have(f.name)))
+        case None => df.schema
+      }
+      val nullable = org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(nullable = true)))
+      val manifest =
+        (s"#schema\t${nullable.json}" +:
+          (prevEntries :+ Entry(sub, stats)).map(renderLine))
+          .mkString("\n")
       if (writeExclusive(spark, new Path(vdir, vname(next)), manifest))
         committed = next
       else if (explicit.isDefined)
@@ -268,14 +318,33 @@ object Versioned {
   }
 
   /** Read the table at `version` (negative = latest). Readers touch
-    * only the subdirs the manifest names — never a data/ listing. */
+    * only the subdirs the manifest names — never a data/ listing —
+    * and take the SNAPSHOT SCHEMA from the manifest (no footer
+    * merging; subdirs predating a later-added column read it as
+    * NULL — additive schema evolution, each retained version keeping
+    * ITS OWN schema for time travel). */
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, dir) else version
     require(v >= 0, s"empty versioned table at $dir")
     val dirs = manifestDirs(spark, dir, v)
       .map(sub => new Path(new Path(dir, "data"), sub).toString)
-    spark.read.parquet(dirs: _*)
+    manifestSchema(spark, dir, v) match {
+      case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
+      case None         => spark.read.parquet(dirs: _*)
+    }
   }
+
+  /** Rewrite the CURRENT snapshot as one consolidated data subdir,
+    * committed as a new version — the table-level small-files compact
+    * (a long-lived append table accretes one subdir per commit; this
+    * folds them without losing time travel: older versions stay
+    * readable until [[vacuum]]). Cost is one full snapshot
+    * read+write — O(table), the price every lakehouse compact pays —
+    * so run it on the cadence the subdir count demands, not per
+    * commit. Returns the new version id. */
+  def compact(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Seq.empty): Long =
+    commitReplace(read(spark, dir), dir, statsCols)
 
   /** Manifest-level data skipping: read only the subdirs whose
     * committed [min, max] for `col` intersects [lo, hi] — the
@@ -302,9 +371,15 @@ object Versioned {
     val df =
       if (keep.isEmpty)
         read(spark, dir, v).filter(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(keep.map(e =>
-          new Path(new Path(dir, "data"), e.sub).toString): _*)
-        .filter(c.cast("long") >= lo && c.cast("long") <= hi)
+      else {
+        val base = manifestSchema(spark, dir, v) match {
+          case Some(schema) => spark.read.schema(schema)
+          case None         => spark.read
+        }
+        base.parquet(keep.map(e =>
+            new Path(new Path(dir, "data"), e.sub).toString): _*)
+          .filter(c.cast("long") >= lo && c.cast("long") <= hi)
+      }
     (df, keep.size, skip.size)
   }
 

@@ -1380,6 +1380,85 @@ object Frontier {
                 AND l_returnflag IN ('A', 'R')
                 AND DATE_DIFF('day', o_orderdate, l_shipdate) > 60
               GROUP BY l_returnflag
-              ORDER BY l_returnflag"""))
+              ORDER BY l_returnflag""")),
+
+    // MARKET-BASKET association rules (see [[marketBasket]]): part
+    // pairs co-purchased in >= minSupport orders, ranked by
+    // exact-integer e6 lift — the co-occurrence readout behind "also
+    // bought" recommenders and cross-sell audits.
+    Q("q270_market_basket",
+      (s, d) => marketBasket(t(s, d, "lineitem")),
+      Some("""WITH op AS (
+                SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                FROM lineitem),
+              n AS (
+                SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+                FROM op),
+              pn AS (
+                SELECT part, CAST(COUNT(*) AS BIGINT) AS np
+                FROM op GROUP BY 1),
+              pairs AS (
+                SELECT a.part AS part_a, b.part AS part_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM op a JOIN op b
+                  ON a.okey = b.okey AND a.part < b.part
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2)
+              SELECT part_a, part_b, na.np AS n_a, nb.np AS n_b, n_ab,
+                     CAST((2 * 1000000 * CAST(n_ab AS HUGEINT)
+                             * (SELECT n_orders FROM n)
+                           + CAST(na.np AS HUGEINT) * nb.np)
+                          // (2 * CAST(na.np AS HUGEINT) * nb.np)
+                       AS BIGINT) AS lift_e6
+              FROM pairs
+              JOIN pn na ON na.part = part_a
+              JOIN pn nb ON nb.part = part_b
+              ORDER BY lift_e6 DESC, part_a, part_b
+              LIMIT 50"""))
   )
+
+  /** Market-basket association rules over order lines: for part pairs
+    * co-occurring in at least `minSupport` orders, the exact-integer
+    * e6-grid lift n_ab·N / (n_a·n_b) (HALF-UP by the cross-multiplied
+    * (2·num + den) DIV (2·den) rule — the q210/q257 discipline: no
+    * ROUND-of-double anywhere in the hashed output), top-`topK` by
+    * (lift, pair) under a TOTAL order.
+    *
+    * 100 TB shape: the pair space is Σ_orders |basket|² — baskets are
+    * BOUNDED by contract (carts, not corpora), so it grows linearly
+    * with orders. One shuffle on the order key feeds the self-join
+    * (both sides the same exchange — Catalyst reuses it), the pair
+    * aggregate is map-side-combined on (part_a, part_b), the per-part
+    * order counts ride a summary-sized join, and the global order
+    * count is a broadcast 1-row artifact. minSupport prunes the pair
+    * tail BEFORE the lift join; TakeOrdered finishes the top-k.
+    */
+  def marketBasket(lineitem: DataFrame, minSupport: Long = 2L,
+      topK: Int = 50): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val total = op.agg(countDistinct(col("okey")).as("n_orders"))
+    val pn = op.groupBy(col("part")).agg(count(lit(1)).as("np"))
+    val pairs = op.as("a")
+      .join(op.as("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(pn.select(col("part").as("part_a"), col("np").as("n_a")),
+        Seq("part_a"))
+      .join(pn.select(col("part").as("part_b"), col("np").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        expr("""CAST((2 * 1000000 * CAST(n_ab AS DECIMAL(38,0)) * n_orders
+                 + CAST(n_a AS DECIMAL(38,0)) * n_b)
+                DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b)
+                AS BIGINT)""").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
 }

@@ -855,5 +855,128 @@ object Stats {
                        CEIL(2.0 * vr * 2.801585 * 2.801585
                          / (0.02 * mean * 0.02 * mean)) END AS BIGINT)
                        AS n_per_arm_2pct
-              FROM k2 ORDER BY event_type""")))
+              FROM k2 ORDER BY event_type""")),
+
+    // KMV SET-OPERATION sketches (see [[kmvOverlap]]): per
+    // return-flag pair, union/intersection/Jaccard ESTIMATES of the
+    // ORDER sets from the k smallest md5 hashes of the union — the
+    // mergeable-audience-overlap readout (q247's distinct sketch
+    // extended to set algebra), every emitted number an exact integer
+    // by the half-up cross-multiplied DIV rule. Return-flag order
+    // sets overlap PARTIALLY and their unions dwarf k, so both the
+    // estimator branch and nontrivial Jaccards are exercised (the
+    // event-type user sets are fully overlapping at sf0.01 — a
+    // vacuous calibration).
+    Q("q271_kmv_overlap",
+      (s, d) => kmvOverlap(t(s, d, "lineitem"), col("l_returnflag"),
+        col("l_orderkey"), k = 256),
+      Some("""WITH uh AS (
+                SELECT DISTINCT t, CAST('0x' || SUBSTR(MD5(
+                         CAST(kid AS VARCHAR) || ':kmv'), 1, 8)
+                         AS BIGINT) AS h
+                FROM (SELECT DISTINCT l_returnflag AS t,
+                             l_orderkey AS kid
+                      FROM lineitem)),
+              tp AS (SELECT DISTINCT t FROM uh),
+              prs AS (SELECT a.t AS ta, b.t AS tb
+                      FROM tp a JOIN tp b ON a.t < b.t),
+              un AS (
+                SELECT p.ta, p.tb, u.h,
+                       MAX(CASE WHEN u.t = p.ta THEN 1 ELSE 0 END)
+                         AS in_a,
+                       MAX(CASE WHEN u.t = p.tb THEN 1 ELSE 0 END)
+                         AS in_b
+                FROM prs p JOIN uh u ON u.t IN (p.ta, p.tb)
+                GROUP BY 1, 2, 3),
+              ex AS (
+                SELECT ta, tb,
+                       CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_hash,
+                       CAST(COUNT(*) AS BIGINT) AS n_union_hash
+                FROM un GROUP BY 1, 2),
+              rk AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb
+                         ORDER BY h) AS rn
+                FROM un),
+              km AS (
+                SELECT ta, tb, MAX(h) AS hk,
+                       CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+                       CAST(COUNT(*) AS BIGINT) AS k_used
+                FROM rk WHERE rn <= 256 GROUP BY 1, 2),
+              est AS (
+                SELECT km.ta, km.tb, km.k_used, km.n_both,
+                       ex.n_union_hash, ex.n_inter_hash,
+                       CASE WHEN ex.n_union_hash > 256
+                            THEN (2 * 255 * 4294967296 + hk)
+                                 // (2 * hk)
+                            ELSE ex.n_union_hash END AS est_union
+                FROM km JOIN ex USING (ta, tb))
+              SELECT ta AS type_a, tb AS type_b, k_used, n_both,
+                     n_union_hash, n_inter_hash, est_union,
+                     (2 * 1000000 * n_both + k_used) // (2 * k_used)
+                       AS jacc_e6,
+                     (2 * n_both * est_union + k_used) // (2 * k_used)
+                       AS est_inter
+              FROM est ORDER BY type_a, type_b""")))
+
+  /** KMV set-operation sketches over per-group distinct-key sets:
+    * for every group pair, the k smallest md5 hashes of the pair's
+    * UNION carry enough to estimate union size ((k−1)·2³² / h_k),
+    * Jaccard (the fraction of the k minima present in both sets — the
+    * standard KMV intersection estimator), and intersection size
+    * (Jaccard × est_union). md5-derived hashes keep the sketch
+    * oracle-replayable (the q247 convention), and every emitted value
+    * is an exact INTEGER via the half-up cross-multiplied DIV rule —
+    * no ROUND-of-double in the hashed output. Exact hash-level
+    * union/intersection counts ride along so the estimates' error is
+    * inspectable without a second query.
+    *
+    * Scale shape: ONE distinct on (type, user) is the corpus-sized
+    * work; each distinct hash is then replicated to the ≤|groups|−1
+    * pairs its group joins (groups are a bounded vocabulary, the pair
+    * frame is a broadcast artifact), one map-side-combined aggregate
+    * per (pair, hash), and the k-min rank runs per pair — |pairs|
+    * parallel sorts of per-pair union sizes (q247's per-group k-min
+    * shape). At 100 TB the sketches would be persisted per source and
+    * MERGED (k-min sets union mergeably); this query is the
+    * calibration form that proves the estimator.
+    */
+  def kmvOverlap(df: DataFrame, grpCol: Column, keyCol: Column,
+      k: Int = 256): DataFrame = {
+    val uh = df.select(grpCol.as("t"), keyCol.as("kid"))
+      .distinct()
+      .select(col("t"), h32(col("kid"), ":kmv").as("h"))
+      .distinct()
+    val tp = uh.select(col("t")).distinct()
+    val prs = tp.select(col("t").as("ta"))
+      .join(tp.select(col("t").as("tb")), col("ta") < col("tb"))
+    val un = uh
+      .join(broadcast(prs),
+        col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(when(col("t") === col("ta"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("t") === col("tb"), 1L).otherwise(0L)).as("in_b"))
+    val ex = un.groupBy(col("ta"), col("tb"))
+      .agg(sum(col("in_a") * col("in_b")).as("n_inter_hash"),
+        count(lit(1)).as("n_union_hash"))
+    val w = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val km = un.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(max(col("h")).as("hk"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        count(lit(1)).as("k_used"))
+    km.join(ex, Seq("ta", "tb"))
+      .withColumn("est_union",
+        when(col("n_union_hash") > k,
+          expr(s"(2 * ${k - 1} * 4294967296 + hk) div (2 * hk)"))
+          .otherwise(col("n_union_hash")))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("k_used"), col("n_both"), col("n_union_hash"),
+        col("n_inter_hash"), col("est_union"),
+        expr("(2 * 1000000 * n_both + k_used) div (2 * k_used)")
+          .as("jacc_e6"),
+        expr("(2 * n_both * est_union + k_used) div (2 * k_used)")
+          .as("est_inter"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

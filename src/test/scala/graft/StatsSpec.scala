@@ -77,6 +77,40 @@ class StatsSpec extends AnyFunSuite with TestSpark {
 
   // ---- Kaplan-Meier ----------------------------------------------
 
+  test("kmvOverlap: exact path below k reads the true hash-level " +
+      "overlap; estimator path lands within 3 sigma; duplication-" +
+      "invariant") {
+    import spark.implicits._
+    // groups A (keys 0..99), B (50..149): |A∩B| = 50, |A∪B| = 150
+    val small = ((0 until 100).map(i => ("A", i.toLong)) ++
+      (50 until 150).map(i => ("B", i.toLong))).toDF("g", "k")
+    val ex = Stats.kmvOverlap(small, col("g"), col("k"), k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val r = ex(("A", "B"))
+    // union 150 < k: the k-min set IS the union — everything exact
+    assert(r.getAs[Long]("n_union_hash") == 150L)
+    assert(r.getAs[Long]("n_inter_hash") == 50L)
+    assert(r.getAs[Long]("est_union") == 150L)
+    assert(r.getAs[Long]("n_both") == 50L)
+    // jacc = 50/150 -> e6 half-up = 333333
+    assert(r.getAs[Long]("jacc_e6") == 333333L)
+    assert(r.getAs[Long]("est_inter") == 50L)
+    // estimator path: 6000-key union, half shared, k = 256
+    val big = ((0 until 4000).map(i => ("A", i.toLong)) ++
+      (2000 until 6000).map(i => ("B", i.toLong))).toDF("g", "k")
+    val eb = Stats.kmvOverlap(big, col("g"), col("k"), k = 256)
+      .collect().head
+    val estU = eb.getAs[Long]("est_union").toDouble
+    val jac = eb.getAs[Long]("jacc_e6").toDouble / 1e6
+    // true union 6000, true jaccard 2000/6000; 3/sqrt(254) ~ 19%
+    assert(math.abs(estU - 6000.0) / 6000.0 < 0.19, s"est_union $estU")
+    assert(math.abs(jac - 1.0 / 3.0) < 0.19, s"jaccard $jac")
+    // sketches see SETS: feeding every row five times changes nothing
+    val dup = big.union(big).union(big).union(big).union(big)
+    assert(Stats.kmvOverlap(dup, col("g"), col("k"), k = 256)
+      .collect().head.toSeq == eb.toSeq)
+  }
+
   test("kaplan-meier: hand-checked curve, censored-at-death still at risk") {
     // u1 dies day 0; u2 dies day 2; u4 dies day 3 (and defines the
     // stream max); u3 never purchases -> censored at day 3 alongside

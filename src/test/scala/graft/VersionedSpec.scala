@@ -170,6 +170,43 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     assert(rows(dir) == want)
   }
 
+  test("additive schema evolution: a wider append reads old subdirs " +
+      "as NULL in the new column; each retained version keeps ITS " +
+      "OWN schema; a type conflict fails loudly") {
+    val dir = dirOf()
+    Versioned.commitAppend(Seq(1L, 2L).toDF("id"), dir)
+    // append a frame with a NEW column
+    Versioned.commitAppend(
+      Seq((3L, "x")).toDF("id", "tag"), dir)
+    val latest = Versioned.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(latest == Map(1L -> None, 2L -> None, 3L -> Some("x")))
+    // time travel: v0's schema has no tag column at all
+    assert(Versioned.read(spark, dir, 0).columns.toSeq == Seq("id"))
+    // dropping a column on append keeps it (old subdirs still hold it)
+    Versioned.commitAppend(Seq(4L).toDF("id"), dir)
+    val v2 = Versioned.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(v2 == Map(1L -> None, 2L -> None, 3L -> Some("x"), 4L -> None))
+    // same-name dataType conflict is refused, not silently coerced
+    val e = intercept[IllegalArgumentException](
+      Versioned.commitAppend(Seq((5L, 9L)).toDF("id", "tag"), dir))
+    assert(e.getMessage.contains("schema conflict"))
+  }
+
+  test("compact folds the snapshot into one data subdir as a new " +
+      "version; rows identical, time travel intact until vacuum") {
+    val dir = dirOf()
+    (1L to 4L).foreach(i => Versioned.commitAppend(Seq(i).toDF("id"), dir))
+    assert(Versioned.log(spark, dir).last == ((3L, 4)))
+    val v = Versioned.compact(spark, dir)
+    assert(v == 4L)
+    assert(Versioned.log(spark, dir).last == ((4L, 1))) // ONE subdir
+    assert(rows(dir) == Set(1L, 2L, 3L, 4L))
+    assert(rows(dir, 3) == Set(1L, 2L, 3L, 4L)) // pre-compact snapshot
+    assert(rows(dir, 1) == Set(1L, 2L))
+  }
+
   test("vacuum keeps the newest k versions readable and makes older " +
       "reads fail loudly") {
     val dir = dirOf()
