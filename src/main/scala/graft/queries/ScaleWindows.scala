@@ -75,6 +75,42 @@ object ScaleWindows {
                           ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS DOUBLE) AS running
-              FROM orders ORDER BY o_orderkey LIMIT 100"""))
+              FROM orders ORDER BY o_orderkey LIMIT 100""")),
+
+    // HOPPING (sliding) event-time windows via Spark's NATIVE
+    // window() generator — 2-hour windows sliding every hour, so each
+    // event lands in exactly two windows (the overlap smooths the
+    // tumbling grid's edge artifacts; the traffic-trend readout).
+    // Epoch-aligned starts make the oracle a 2-way explode on the
+    // hour grid; counts are map-side-combined per (window, ...) and
+    // only observed windows emit — identical to the explode plan the
+    // rolling-distinct family (q219) uses, but through the built-in
+    // generator Spark codegens. Window starts render as tz-free
+    // strings (the engine-neutral hashing rule).
+    Q("q272_hopping_windows",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        ev.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("w_start"),
+            col("n_events"), col("n_users"))
+          .orderBy(col("w_start"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t
+                FROM events),
+              wins AS (
+                SELECT user_id, ((t // 3600) - k.k) * 3600 AS ws
+                FROM ev CROSS JOIN (VALUES (0), (1)) k(k))
+              SELECT STRFTIME(TIMESTAMP '1970-01-01'
+                       + ws * INTERVAL 1 SECOND,
+                       '%Y-%m-%d %H:%M:%S') AS w_start,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM wins GROUP BY ws ORDER BY w_start"""))
   )
 }
