@@ -59,19 +59,28 @@ object Versioned {
     finally in.close()
   }
 
-  private def writeAtomic(spark: SparkSession, target: Path,
+  /** Best-effort pointer swap. The _latest pointer is ONLY a listing
+    * shortcut — [[latestVersion]] takes max(pointer, manifests) — so a
+    * swap that loses to a concurrent committer (delete/rename
+    * interleavings on no-clobber filesystems) must NOT fail the
+    * already-durable commit: a failed caller would re-append the same
+    * frame as a duplicate version. Failures clean their temp and
+    * return; the next successful commit heals the pointer. */
+  private def writePointer(spark: SparkSession, target: Path,
       content: String): Unit = {
     val f = fs(spark, target.toString)
     val tmp = new Path(target.getParent,
       s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    // rename-swap: HDFS/posix rename won't clobber an existing file on
-    // all filesystems — delete the old pointer first; the window is
-    // closed by retrying readers (latestVersion falls back to the max
-    // manifest id when the pointer is mid-swap)
-    if (f.exists(target)) f.delete(target, false)
-    require(f.rename(tmp, target), s"atomic rename failed: $tmp -> $target")
+    try {
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (f.exists(target)) f.delete(target, false)
+      f.rename(tmp, target)
+    } catch {
+      case _: java.io.IOException => // stale/absent pointer is harmless
+    } finally {
+      scala.util.Try(if (f.exists(tmp)) f.delete(tmp, false))
+    }
   }
 
   /** Current version id: the MAX of the _latest pointer and the
@@ -180,6 +189,13 @@ object Versioned {
         else !f.exists(target) && f.rename(tmp, target)
       // link leaves the source in place; rename leaves it on failure
       if (f.exists(tmp)) f.delete(tmp, false)
+      // false must mean LOST RACE (the target exists), or the caller's
+      // retry loop would spin forever re-attempting a publish the
+      // filesystem keeps refusing (permissions, quota, transient
+      // object-store error). Fail that mode loudly instead.
+      if (!ok && !f.exists(target))
+        sys.error(s"manifest publish failed with no winner at $target " +
+          "— filesystem refused the rename (not a lost commit race)")
       ok
     }
   }
@@ -241,7 +257,13 @@ object Versioned {
       // Everything is marked nullable: a subdir written before a
       // column existed reads it as NULL.
       val prevSchema =
-        if (keepPrevious && prev >= 0) manifestSchema(spark, dir, prev)
+        if (keepPrevious && prev >= 0)
+          manifestSchema(spark, dir, prev)
+            // legacy manifest (pre-#schema): derive the previous
+            // snapshot's schema from its files ONCE — ignoring it
+            // would narrow the table to df.schema (silently dropping
+            // prior columns) and skip the type-conflict check
+            .orElse(Some(read(spark, dir, prev).schema))
         else None
       val schema = prevSchema match {
         case Some(ps) =>
@@ -266,10 +288,11 @@ object Versioned {
       if (writeExclusive(spark, new Path(vdir, vname(next)), manifest))
         committed = next
       else if (explicit.isDefined)
-        sys.error(s"concurrent commit: version $next already exists " +
-          s"at $dir (single-writer contract violated)")
+        sys.error(s"concurrent commit: version $next already exists at " +
+          s"$dir — explicit-id commits (streaming sink, compact) refuse " +
+          "to retry; re-run against the new latest")
     }
-    writeAtomic(spark, new Path(dir, "_latest"), committed.toString)
+    writePointer(spark, new Path(dir, "_latest"), committed.toString)
     committed
   }
 
@@ -305,7 +328,7 @@ object Versioned {
     if (f.exists(manifest)) {
       // already committed (replay): heal the pointer if it lags
       if (latestVersion(spark, dir) < version)
-        writeAtomic(spark, new Path(dir, "_latest"), version.toString)
+        writePointer(spark, new Path(dir, "_latest"), version.toString)
       false
     } else {
       val prev = latestVersion(spark, dir)
@@ -341,10 +364,21 @@ object Versioned {
     * readable until [[vacuum]]). Cost is one full snapshot
     * read+write — O(table), the price every lakehouse compact pays —
     * so run it on the cadence the subdir count demands, not per
-    * commit. Returns the new version id. */
+    * commit.
+    *
+    * Commits at EXACTLY read-version + 1: a concurrent commit landing
+    * mid-compact makes the exclusive write fail LOUDLY (retry the
+    * compact), because a replace-retry here would silently replay the
+    * stale pre-append snapshot and drop the racer's rows — compaction
+    * is maintenance and must never supersede data. Returns the new
+    * version id. */
   def compact(spark: SparkSession, dir: String,
-      statsCols: Seq[String] = Seq.empty): Long =
-    commitReplace(read(spark, dir), dir, statsCols)
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val v = latestVersion(spark, dir)
+    require(v >= 0, s"empty versioned table at $dir")
+    commit(read(spark, dir, v), dir, keepPrevious = false, statsCols,
+      explicit = Some(v + 1))
+  }
 
   /** Manifest-level data skipping: read only the subdirs whose
     * committed [min, max] for `col` intersects [lo, hi] — the

@@ -184,10 +184,17 @@ object Geo {
     */
   private[graft] def bandedPairs(probe: DataFrame, index: DataFrame,
       radiusM: Long, hotOccupancy: Long = 1024L,
-      saltBuckets: Int = 16): DataFrame = {
-    val hot = index.groupBy(col("hour"), col("cy"), col("cx"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > hotOccupancy)
+      saltBuckets: Int = 16,
+      hotCells: Option[DataFrame] = None): DataFrame = {
+    // hot-cell source: a caller-maintained (hour, cy, cx) summary when
+    // available (StreamingGeo keeps per-batch occupancy partitions so a
+    // micro-batch never re-scans the whole index just to find ports);
+    // otherwise derived from `index` here — in the batch queries that
+    // aggregate rides the same window exchange the join reuses.
+    val hot = hotCells
+      .getOrElse(index.groupBy(col("hour"), col("cy"), col("cx"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > hotOccupancy))
       .select(col("hour"), col("cy"), col("cx"), lit(true).as("__hot"))
     val right = index.join(broadcast(hot), Seq("hour", "cy", "cx"), "left")
       .select(col("user_id").as("u2"), col("hour"),

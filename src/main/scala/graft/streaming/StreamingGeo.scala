@@ -32,7 +32,10 @@ import graft.queries.Geo
   * x index-cell occupancy, never index². Hot (port) cells ride
   * [[Geo.bandedPairs]]' occupancy-aware salting, exactly as in the
   * batch form — one mega-cell-hour spreads over salt lanes instead of
-  * one quadratic straggler task.
+  * one quadratic straggler task; hotness comes from INCREMENTAL
+  * per-batch occupancy summaries (`occ/batch=<id>`, cell-grid-sized,
+  * replay-idempotent) so finding ports costs a KB-scale summary read
+  * per micro-batch, never a second full index scan.
   */
 object StreamingGeo {
 
@@ -46,7 +49,8 @@ object StreamingGeo {
 
   def start(spark: SparkSession, landingDir: String, outDir: String,
       radiusM: Long = 500L,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      hotOccupancy: Long = 1024L, saltBuckets: Int = 16): StreamingQuery = {
     require(radiusM * 9 <= 5000L,
       s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
     val evs = spark.readStream
@@ -59,15 +63,29 @@ object StreamingGeo {
         val fs = new Path(outDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val indexDir = s"$outDir/index"
+        val occDir = s"$outDir/occ"
         val pts = points(batch)
         if (fs.exists(new Path(indexDir))) {
           val earlier = spark.read.parquet(indexDir)
             .filter(col("batch") < bid)
+          // hot (port) cells from the INCREMENTAL per-batch occupancy
+          // summaries — cell-grid-sized reads, so finding ports never
+          // re-scans the whole position index each micro-batch
+          val hot =
+            if (fs.exists(new Path(occDir)))
+              Some(spark.read.parquet(occDir)
+                .filter(col("batch") < bid)
+                .groupBy(col("hour"), col("cy"), col("cx"))
+                .agg(sum(col("n")).as("occ"))
+                .filter(col("occ") > hotOccupancy)
+                .select(col("hour"), col("cy"), col("cx")))
+            else None
           // THE q264 band join ([[Geo.bandedPairs]]): 3x3 probe
           // replication, exact verify, and the occupancy-salted
           // hot-cell path — the port mega-cell spreads over salt
           // lanes here exactly as in the batch form
-          Geo.bandedPairs(pts, earlier, radiusM)
+          Geo.bandedPairs(pts, earlier, radiusM, hotOccupancy,
+              saltBuckets, hot)
             .filter(col("u1") =!= col("u2"))
             .select(col("u1").as("u_new"), col("u2").as("u_old"),
               col("hour"), col("m"))
@@ -84,6 +102,13 @@ object StreamingGeo {
             .write.mode("overwrite")
             .option("compression", Writers.DefaultCompression)
             .parquet(s"$outDir/alerts/batch=$bid")
+        // per-batch occupancy summary beside the index (batch=<id>
+        // overwrite, replay-idempotent like everything else here)
+        pts.groupBy(col("hour"), col("cy"), col("cx"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$occDir/batch=$bid")
         pts.write.mode("overwrite")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$indexDir/batch=$bid")

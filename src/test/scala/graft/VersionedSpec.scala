@@ -194,6 +194,72 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     assert(e.getMessage.contains("schema conflict"))
   }
 
+  test("appending to a LEGACY table (manifest without a #schema " +
+      "header) derives the previous schema from its files — prior " +
+      "columns survive and type conflicts still refuse") {
+    val dir = dirOf()
+    Versioned.commitAppend(Seq((1L, "x")).toDF("id", "tag"), dir)
+    // simulate a pre-#schema manifest: strip the header line
+    val vpath = java.nio.file.Paths.get(dir, "_versions", "v00000000.txt")
+    val legacy = java.nio.file.Files.readString(vpath).linesIterator
+      .filterNot(_.startsWith("#")).mkString("\n")
+    java.nio.file.Files.writeString(vpath, legacy)
+    // a NARROWER append must not drop 'tag' from the snapshot
+    Versioned.commitAppend(Seq(2L).toDF("id"), dir)
+    val out = Versioned.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("x"), 2L -> None))
+    // and a type conflict against the legacy columns still refuses
+    val dir2 = dirOf()
+    Versioned.commitAppend(Seq((1L, "x")).toDF("id", "tag"), dir2)
+    val v2 = java.nio.file.Paths.get(dir2, "_versions", "v00000000.txt")
+    java.nio.file.Files.writeString(v2,
+      java.nio.file.Files.readString(v2).linesIterator
+        .filterNot(_.startsWith("#")).mkString("\n"))
+    val e = intercept[IllegalArgumentException](
+      Versioned.commitAppend(Seq((2L, 9L)).toDF("id", "tag"), dir2))
+    assert(e.getMessage.contains("schema conflict"))
+  }
+
+  test("compact racing an append never silently drops the append's " +
+      "rows: compact commits at EXACTLY read-version+1, so losing the " +
+      "race fails loudly (and every appended row survives)") {
+    val dir = dirOf()
+    Versioned.commitAppend(Seq(0L).toDF("id"), dir)
+    val appended = collection.mutable.Set(0L)
+    var compactFailures = 0
+    (1 to 5).foreach { i =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      var compactErr: Throwable = null
+      val tCompact = new Thread(() => {
+        barrier.await()
+        try Versioned.compact(spark, dir)
+        catch { case e: Throwable => compactErr = e }
+      })
+      val tAppend = new Thread(() => {
+        barrier.await()
+        Versioned.commitAppend(Seq(100L + i).toDF("id"), dir)
+      })
+      tCompact.start(); tAppend.start()
+      tCompact.join(); tAppend.join()
+      appended += (100L + i)
+      if (compactErr != null) {
+        compactFailures += 1
+        // the ONLY acceptable compact failure is the loud explicit-id
+        // refusal — anything else is a real bug
+        val m = Option(compactErr.getMessage).getOrElse("")
+        assert(m.contains("concurrent commit") || m.contains("not ahead"),
+          s"unexpected compact failure: $compactErr")
+      }
+      // the invariant the explicit id exists to protect: no append's
+      // rows ever vanish, win or lose
+      assert(rows(dir) == appended.toSet,
+        s"round $i lost rows: ${appended.toSet -- rows(dir)}")
+    }
+    // informational: races that made compact refuse (either outcome ok)
+    info(s"compact loud refusals under race: $compactFailures of 5")
+  }
+
   test("compact folds the snapshot into one data subdir as a new " +
       "version; rows identical, time travel intact until vacuum") {
     val dir = dirOf()
