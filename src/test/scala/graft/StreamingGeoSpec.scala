@@ -89,5 +89,44 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
     val batches = new java.io.File(s"$out/alerts").listFiles()
       .map(_.getName).filter(_.startsWith("batch=")).sorted
     assert(batches.length == 2, batches.toSeq.toString)
+    // the incremental occupancy summaries landed per batch
+    val occ = new java.io.File(s"$out/occ").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(occ.length == 2, occ.toSeq.toString)
+  }
+
+  test("hot-cell salting engaged everywhere (hotOccupancy=0, lanes " +
+      "from the occ summaries) alerts EXACTLY the unsalted pairs") {
+    import spark.implicits._
+    def run(outDir: String, hot: Long): Set[(Long, Long, Long, Long)] = {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft-geo-in2").toString
+      def land(name: String, evs: Seq[GeoEv]): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-geo-wave2").toString
+        evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(landing, name))
+      }
+      land("w1.parquet", (1L to 150L).map(u => GeoEv(u * 10, u, ts(60))))
+      StreamingGeo.start(spark, landing, outDir,
+        hotOccupancy = hot).awaitTermination()
+      land("w2.parquet",
+        (151L to 300L).map(u => GeoEv(u * 10, u, ts(120))))
+      StreamingGeo.start(spark, landing, outDir,
+        hotOccupancy = hot).awaitTermination()
+      spark.read.parquet(s"$outDir/alerts").collect()
+        .map(r => (r.getAs[Long]("u_new"), r.getAs[Long]("u_old"),
+          r.getAs[Long]("hour"), r.getAs[Long]("m"))).toSet
+    }
+    val plain = run(java.nio.file.Files
+      .createTempDirectory("graft-geo-o1").toString, Long.MaxValue)
+    val salted = run(java.nio.file.Files
+      .createTempDirectory("graft-geo-o2").toString, 0L)
+    assert(plain.nonEmpty)
+    assert(salted == plain,
+      s"missing=${plain -- salted} extra=${salted -- plain}")
   }
 }
