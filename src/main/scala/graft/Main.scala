@@ -368,6 +368,33 @@ object Main {
           val vs = graft.etl.Versioned.log(spark, tableDir)
           println(s"vtable-stream landing=$landingDir table=$tableDir " +
             s"versions=${vs.size} latest=${vs.lastOption.map(_._1).getOrElse(-1L)}")
+        // One-command AIS/trajectory report pack — the geo sibling of
+        // `diagnose`: every geo readout over one events dir, each
+        // landed as parquet, with a one-line ops summary.
+        case "geo" :: sfDir :: outDir :: Nil =>
+          import org.apache.spark.sql.functions.{col, sum => fsum}
+          val reports = Seq("q262_geo_density", "q263_track_report",
+            "q264_proximity_pairs", "q265_stop_report", "q266_od_matrix",
+            "q268_dwell_heatmap", "q269_co_travel")
+          reports.foreach { n =>
+            SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$n")
+          }
+          val tracks = spark.read.parquet(s"$outDir/q263_track_report")
+          val nVessels = tracks.count()
+          val nImpossible = tracks
+            .agg(fsum(col("n_impossible"))).head.getLong(0)
+          val nStops = spark.read
+            .parquet(s"$outDir/q265_stop_report").count()
+          val nPairs = spark.read
+            .parquet(s"$outDir/q264_proximity_pairs").count()
+          val nEpisodes = spark.read
+            .parquet(s"$outDir/q269_co_travel").count()
+          println(s"geo: ${reports.size} reports -> $outDir " +
+            s"(vessels=$nVessels impossible_legs=$nImpossible " +
+            s"stops=$nStops proximity_pairs=$nPairs " +
+            s"co_travel_episodes=$nEpisodes)")
+
         case "vtable" :: "compact" :: dir :: statsCols =>
           val before = graft.etl.Versioned.log(spark, dir)
             .lastOption.map(_._2).getOrElse(0)
@@ -813,6 +840,7 @@ object Main {
         |  pack-stream <landingDir> <outDir> [shards] [capacity]
         |  vtable append|replace <parquet> <tableDir> [statsCol...]
         |  vtable read <tableDir> [version] | vtable log <tableDir>
+        |  geo <sfDir> <outDir>
         |  vtable read-pruned <tableDir> <col> <lo> <hi>
         |  vtable compact <tableDir> [statsCol...]
         |  vtable vacuum <tableDir> <keepVersions>

@@ -85,6 +85,31 @@ class FrontierSpec extends AnyFunSuite with TestSpark {
     assert(sky(df) == Set(1L))
   }
 
+  // ---- marketBasket ---------------------------------------------------
+
+  test("market basket: hand-computed lift on a 3-order corpus; repeat " +
+      "lines collapse; sub-support pairs drop; ordering is total") {
+    import spark.implicits._
+    // orders: 1:{A,B} 2:{A,B} 3:{A,C} (A listed twice in order 3 —
+    // the distinct must collapse it); N=3, n_A=3, n_B=2, n_C=1
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 10L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.queries.Frontier.marketBasket(li).collect()
+    // only (10,20) reaches minSupport=2: lift = 2*3/(3*2) = 1 -> 1e6
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((10L, 20L, 3L, 2L, 2L, 1000000L)))
+    // lower the support gate: (10,30) appears with lift 3/(3*1)=1
+    val all = graft.queries.Frontier.marketBasket(li, minSupport = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5))
+      .toMap
+    assert(all((10L, 30L)) == 1000000L)
+    // (20,30) never co-occur -> absent even at support 1
+    assert(!all.contains((20L, 30L)))
+  }
+
   // ---- rollingDistinctUsers -----------------------------------------
 
   private val evSchema = StructType(Seq(
