@@ -189,8 +189,9 @@ object Geo {
     // hot-cell source: a caller-maintained (hour, cy, cx) summary when
     // available (StreamingGeo keeps per-batch occupancy partitions so a
     // micro-batch never re-scans the whole index just to find ports);
-    // otherwise derived from `index` here — in the batch queries that
-    // aggregate rides the same window exchange the join reuses.
+    // otherwise derived from `index` here — the batch callers
+    // localCheckpoint their points first, so this aggregate reads the
+    // materialized frame, not a replayed scan+window.
     val hot = hotCells
       .getOrElse(index.groupBy(col("hour"), col("cy"), col("cx"))
         .agg(count(lit(1)).as("occ"))
@@ -225,13 +226,20 @@ object Geo {
       hotOccupancy: Long = 1024L, saltBuckets: Int = 16): DataFrame = {
     require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
       s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
-    val pts = bandedPoints(events)
+    // the windowed representative points run ONCE (localCheckpoint,
+    // the q177/q241 pattern): bandedPairs reads them THREE times (hot
+    // aggregate, probe, index) and would otherwise replay the scan +
+    // per-vessel window per consumer; the frame is one row per
+    // vessel-hour — smaller than the events it derives from
+    val pts = bandedPoints(events).localCheckpoint()
     val hits = bandedPairs(pts, pts, radiusM, hotOccupancy, saltBuckets)
       .filter(col("u1") < col("u2"))
       .distinct()
-    hits.groupBy(col("u1"), col("u2"))
-      .agg(count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
-      .orderBy(col("u1"), col("u2"))
+    graft.core.Ckpt.releaseAfter(
+      hits.groupBy(col("u1"), col("u2"))
+        .agg(count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
+        .orderBy(col("u1"), col("u2")),
+      pts)
   }
 
   /** Co-travel episodes — vessel pairs within `radiusM` in at least
@@ -254,25 +262,28 @@ object Geo {
       minHours: Long = 2L, maxGapHours: Long = 168L): DataFrame = {
     require(radiusM * 9 <= 5000L,
       s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
-    val pts = bandedPoints(events)
+    // same localCheckpoint-once rationale as [[proximityPairs]]
+    val pts = bandedPoints(events).localCheckpoint()
     val hits = bandedPairs(pts, pts, radiusM)
       .filter(col("u1") < col("u2"))
       .distinct()
     val w = Window.partitionBy(col("u1"), col("u2")).orderBy(col("hour"))
-    hits
-      .withColumn("brk",
-        when(col("hour") - lag(col("hour"), 1).over(w) > maxGapHours, 1L)
-          .otherwise(0L))
-      .withColumn("run", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("u1"), col("u2"), col("run"))
-      .agg(min(col("hour")).as("start_hour"),
-        max(col("hour")).as("end_hour"),
-        count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
-      .filter(col("n_hours") >= minHours)
-      .select(col("u1"), col("u2"), col("start_hour"), col("end_hour"),
-        col("n_hours"), col("min_m"))
-      .orderBy(col("u1"), col("u2"), col("start_hour"))
+    graft.core.Ckpt.releaseAfter(
+      hits
+        .withColumn("brk",
+          when(col("hour") - lag(col("hour"), 1).over(w) > maxGapHours,
+            1L).otherwise(0L))
+        .withColumn("run", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("u1"), col("u2"), col("run"))
+        .agg(min(col("hour")).as("start_hour"),
+          max(col("hour")).as("end_hour"),
+          count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
+        .filter(col("n_hours") >= minHours)
+        .select(col("u1"), col("u2"), col("start_hour"), col("end_hour"),
+          col("n_hours"), col("min_m"))
+        .orderBy(col("u1"), col("u2"), col("start_hour")),
+      pts)
   }
 
   /** Stop (dwell) detection — the port-call readout: a STOP is a

@@ -195,13 +195,36 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(pairs(1024L, 16) == unsalted)
   }
 
-  test("proximityPairs plans as an equi-join on (hour, cell) — never " +
-      "a nested-loop/cartesian") {
-    val plan = graft.queries.Registry.queries("q264_proximity_pairs")(
-      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+  test("the band join plans as an equi-join on (hour, cell, salt) — " +
+      "never a nested-loop/cartesian (pinned on bandedPairs itself: " +
+      "the registry query returns a checkpoint scan, whose plan would " +
+      "pass vacuously)") {
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val pts = Geo.bandedPoints(ev)
+    val plan = Geo.bandedPairs(pts, pts, 500L)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"proximity join fell off the equi-join path:\n$plan")
+    // and the checkpointed registry form still executes with rows>=0
+    assert(graft.queries.Registry.queries("q264_proximity_pairs")(
+      spark, "/root/testdata/sf0.001").count() >= 0)
+  }
+
+  test("checkpoint-release accounting: the localCheckpoint-backed " +
+      "queries (q264/q269/q270/q271) leave ZERO persisted-RDD delta") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    Seq("q264_proximity_pairs", "q269_co_travel", "q270_market_basket",
+      "q271_kmv_overlap").foreach { n =>
+      graft.queries.Registry.queries(n)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty,
+      s"localCheckpoint blocks leaked: $leaked — Ckpt.releaseAfter " +
+        "must drop them (the Bench leak gate fails these loud)")
   }
 
   test("stopReport: everything-stationary collapses to one stop per " +
