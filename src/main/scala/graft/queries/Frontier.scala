@@ -1435,15 +1435,16 @@ object Frontier {
     */
   def marketBasket(lineitem: DataFrame, minSupport: Long = 2L,
       topK: Int = 50): DataFrame = {
-    // one (order, part) distinct, localCheckpointed ONCE (the q177/
-    // q241 pattern): five consumers read it — self-join a/b, the
-    // per-part counts behind n_a and n_b, and the global order count
-    // — and without the checkpoint each re-runs the scan AND the
-    // distinct exchange (the q270 plan showed five full subtrees)
+    // five consumers replay this distinct (self-join a/b, the counts
+    // behind n_a/n_b, the global order count). A localCheckpoint was
+    // MEASURED SLOWER at the rel 10x rehearsal (10.2 -> 17.5 s
+    // despite a third less shuffle): materializing the corpus-sized
+    // frame as deserialized blocks costs more than replaying the
+    // codegen'd scan+distinct, so the replays stay (SCALE.md r17,
+    // negative result).
     val op = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
-      .localCheckpoint()
     val total = op.agg(countDistinct(col("okey")).as("n_orders"))
     val pn = op.groupBy(col("part")).agg(count(lit(1)).as("np"))
     val pairs = op.as("a")
@@ -1452,21 +1453,19 @@ object Frontier {
       .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    graft.core.Ckpt.releaseAfter(
-      pairs
-        .join(pn.select(col("part").as("part_a"), col("np").as("n_a")),
-          Seq("part_a"))
-        .join(pn.select(col("part").as("part_b"), col("np").as("n_b")),
-          Seq("part_b"))
-        .crossJoin(broadcast(total))
-        .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"),
-          col("n_ab"),
-          expr("""CAST((2 * 1000000 * CAST(n_ab AS DECIMAL(38,0)) * n_orders
-                   + CAST(n_a AS DECIMAL(38,0)) * n_b)
-                  DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b)
-                  AS BIGINT)""").as("lift_e6"))
-        .orderBy(col("lift_e6").desc, col("part_a"), col("part_b"))
-        .limit(topK),
-      op)
+    pairs
+      .join(pn.select(col("part").as("part_a"), col("np").as("n_a")),
+        Seq("part_a"))
+      .join(pn.select(col("part").as("part_b"), col("np").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        expr("""CAST((2 * 1000000 * CAST(n_ab AS DECIMAL(38,0)) * n_orders
+                 + CAST(n_a AS DECIMAL(38,0)) * n_b)
+                DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b)
+                AS BIGINT)""").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("part_a"), col("part_b"))
+      .limit(topK)
   }
 }

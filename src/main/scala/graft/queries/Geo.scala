@@ -189,9 +189,9 @@ object Geo {
     // hot-cell source: a caller-maintained (hour, cy, cx) summary when
     // available (StreamingGeo keeps per-batch occupancy partitions so a
     // micro-batch never re-scans the whole index just to find ports);
-    // otherwise derived from `index` here — the batch callers
-    // localCheckpoint their points first, so this aggregate reads the
-    // materialized frame, not a replayed scan+window.
+    // otherwise derived from `index` here — one more replay of the
+    // points subtree, which measured CHEAPER than materializing it
+    // (SCALE.md r17 negative result).
     val hot = hotCells
       .getOrElse(index.groupBy(col("hour"), col("cy"), col("cx"))
         .agg(count(lit(1)).as("occ"))
@@ -226,20 +226,20 @@ object Geo {
       hotOccupancy: Long = 1024L, saltBuckets: Int = 16): DataFrame = {
     require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
       s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
-    // the windowed representative points run ONCE (localCheckpoint,
-    // the q177/q241 pattern): bandedPairs reads them THREE times (hot
-    // aggregate, probe, index) and would otherwise replay the scan +
-    // per-vessel window per consumer; the frame is one row per
-    // vessel-hour — smaller than the events it derives from
-    val pts = bandedPoints(events).localCheckpoint()
+    // bandedPairs reads the windowed points three times (hot
+    // aggregate, probe, index). A localCheckpoint here was MEASURED
+    // SLOWER at the 10x users rehearsal (15.1 -> 20.9 s despite
+    // halving shuffle bytes): materializing the corpus-sized frame as
+    // deserialized blocks costs more than replaying the codegen'd
+    // scan+window, so the replays stay (SCALE.md r17, negative
+    // result).
+    val pts = bandedPoints(events)
     val hits = bandedPairs(pts, pts, radiusM, hotOccupancy, saltBuckets)
       .filter(col("u1") < col("u2"))
       .distinct()
-    graft.core.Ckpt.releaseAfter(
-      hits.groupBy(col("u1"), col("u2"))
-        .agg(count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
-        .orderBy(col("u1"), col("u2")),
-      pts)
+    hits.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
+      .orderBy(col("u1"), col("u2"))
   }
 
   /** Co-travel episodes — vessel pairs within `radiusM` in at least
@@ -262,28 +262,26 @@ object Geo {
       minHours: Long = 2L, maxGapHours: Long = 168L): DataFrame = {
     require(radiusM * 9 <= 5000L,
       s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
-    // same localCheckpoint-once rationale as [[proximityPairs]]
-    val pts = bandedPoints(events).localCheckpoint()
+    // no localCheckpoint: measured slower, see [[proximityPairs]]
+    val pts = bandedPoints(events)
     val hits = bandedPairs(pts, pts, radiusM)
       .filter(col("u1") < col("u2"))
       .distinct()
     val w = Window.partitionBy(col("u1"), col("u2")).orderBy(col("hour"))
-    graft.core.Ckpt.releaseAfter(
-      hits
-        .withColumn("brk",
-          when(col("hour") - lag(col("hour"), 1).over(w) > maxGapHours,
-            1L).otherwise(0L))
-        .withColumn("run", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("u1"), col("u2"), col("run"))
-        .agg(min(col("hour")).as("start_hour"),
-          max(col("hour")).as("end_hour"),
-          count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
-        .filter(col("n_hours") >= minHours)
-        .select(col("u1"), col("u2"), col("start_hour"), col("end_hour"),
-          col("n_hours"), col("min_m"))
-        .orderBy(col("u1"), col("u2"), col("start_hour")),
-      pts)
+    hits
+      .withColumn("brk",
+        when(col("hour") - lag(col("hour"), 1).over(w) > maxGapHours, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("u1"), col("u2"), col("run"))
+      .agg(min(col("hour")).as("start_hour"),
+        max(col("hour")).as("end_hour"),
+        count(lit(1)).as("n_hours"), min(col("m")).as("min_m"))
+      .filter(col("n_hours") >= minHours)
+      .select(col("u1"), col("u2"), col("start_hour"), col("end_hour"),
+        col("n_hours"), col("min_m"))
+      .orderBy(col("u1"), col("u2"), col("start_hour"))
   }
 
   /** Stop (dwell) detection — the port-call readout: a STOP is a

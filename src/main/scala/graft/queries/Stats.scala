@@ -942,27 +942,24 @@ object Stats {
     */
   def kmvOverlap(df: DataFrame, grpCol: Column, keyCol: Column,
       k: Int = 256): DataFrame = {
-    // the corpus distinct runs ONCE (q177/q241 localCheckpoint
-    // pattern) — without it the three downstream consumers (the two
-    // group-list sides and the pair-tag join) each replay the scan
-    // and the distinct exchange
+    // three consumers replay this distinct (the two group-list sides
+    // and the pair-tag join). A localCheckpoint here was MEASURED
+    // SLOWER at the rel 10x rehearsal (5.4 -> 13.4 s despite halving
+    // shuffle bytes) — deserialized materialization loses to the
+    // codegen'd replay (SCALE.md r17, negative result).
     val uh = df.select(grpCol.as("t"), keyCol.as("kid"))
       .distinct()
       .select(col("t"), h32(col("kid"), ":kmv").as("h"))
       .distinct()
-      .localCheckpoint()
     val tp = uh.select(col("t")).distinct()
     val prs = tp.select(col("t").as("ta"))
       .join(tp.select(col("t").as("tb")), col("ta") < col("tb"))
-    // ... and the pair-tagged union frame feeds BOTH the exact totals
-    // and the k-min sketch — one more checkpoint, two readers
     val un = uh
       .join(broadcast(prs),
         col("t") === col("ta") || col("t") === col("tb"))
       .groupBy(col("ta"), col("tb"), col("h"))
       .agg(max(when(col("t") === col("ta"), 1L).otherwise(0L)).as("in_a"),
         max(when(col("t") === col("tb"), 1L).otherwise(0L)).as("in_b"))
-      .localCheckpoint()
     val ex = un.groupBy(col("ta"), col("tb"))
       .agg(sum(col("in_a") * col("in_b")).as("n_inter_hash"),
         count(lit(1)).as("n_union_hash"))
@@ -973,20 +970,18 @@ object Stats {
       .agg(max(col("h")).as("hk"),
         sum(col("in_a") * col("in_b")).as("n_both"),
         count(lit(1)).as("k_used"))
-    graft.core.Ckpt.releaseAfter(
-      km.join(ex, Seq("ta", "tb"))
-        .withColumn("est_union",
-          when(col("n_union_hash") > k,
-            expr(s"(2 * ${k - 1} * 4294967296 + hk) div (2 * hk)"))
-            .otherwise(col("n_union_hash")))
-        .select(col("ta").as("type_a"), col("tb").as("type_b"),
-          col("k_used"), col("n_both"), col("n_union_hash"),
-          col("n_inter_hash"), col("est_union"),
-          expr("(2 * 1000000 * n_both + k_used) div (2 * k_used)")
-            .as("jacc_e6"),
-          expr("(2 * n_both * est_union + k_used) div (2 * k_used)")
-            .as("est_inter"))
-        .orderBy(col("type_a"), col("type_b")),
-      uh, un)
+    km.join(ex, Seq("ta", "tb"))
+      .withColumn("est_union",
+        when(col("n_union_hash") > k,
+          expr(s"(2 * ${k - 1} * 4294967296 + hk) div (2 * hk)"))
+          .otherwise(col("n_union_hash")))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("k_used"), col("n_both"), col("n_union_hash"),
+        col("n_inter_hash"), col("est_union"),
+        expr("(2 * 1000000 * n_both + k_used) div (2 * k_used)")
+          .as("jacc_e6"),
+        expr("(2 * n_both * est_union + k_used) div (2 * k_used)")
+          .as("est_inter"))
+      .orderBy(col("type_a"), col("type_b"))
   }
 }

@@ -196,9 +196,8 @@ class GeoSpec extends AnyFunSuite with TestSpark {
   }
 
   test("the band join plans as an equi-join on (hour, cell, salt) — " +
-      "never a nested-loop/cartesian (pinned on bandedPairs itself: " +
-      "the registry query returns a checkpoint scan, whose plan would " +
-      "pass vacuously)") {
+      "never a nested-loop/cartesian (pinned on bandedPairs itself, " +
+      "so the pin survives any caller-side materialization)") {
     val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
       "events")
     val pts = Geo.bandedPoints(ev)
@@ -212,8 +211,8 @@ class GeoSpec extends AnyFunSuite with TestSpark {
       spark, "/root/testdata/sf0.001").count() >= 0)
   }
 
-  test("checkpoint-release accounting: the localCheckpoint-backed " +
-      "queries (q264/q269/q270/q271) leave ZERO persisted-RDD delta") {
+  test("leak accounting: the r17 queries (q264/q269/q270/q271) leave " +
+      "ZERO persisted-RDD delta (the Bench leak gate fails these loud)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     Seq("q264_proximity_pairs", "q269_co_travel", "q270_market_basket",
@@ -222,9 +221,7 @@ class GeoSpec extends AnyFunSuite with TestSpark {
         .write.format("noop").mode("overwrite").save()
     }
     val leaked = sc.getPersistentRDDs.keySet.toSet -- before
-    assert(leaked.isEmpty,
-      s"localCheckpoint blocks leaked: $leaked — Ckpt.releaseAfter " +
-        "must drop them (the Bench leak gate fails these loud)")
+    assert(leaked.isEmpty, s"persisted blocks leaked: $leaked")
   }
 
   test("stopReport: everything-stationary collapses to one stop per " +
