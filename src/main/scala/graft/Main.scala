@@ -382,8 +382,11 @@ object Main {
           }
           val tracks = spark.read.parquet(s"$outDir/q263_track_report")
           val nVessels = tracks.count()
-          val nImpossible = tracks
-            .agg(fsum(col("n_impossible"))).head.getLong(0)
+          // sum over an empty report is NULL — coalesce, don't throw
+          // after every report already landed on disk
+          val nImpossible = Option(tracks
+            .agg(fsum(col("n_impossible"))).head.get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           val nStops = spark.read
             .parquet(s"$outDir/q265_stop_report").count()
           val nPairs = spark.read

@@ -158,6 +158,19 @@ object Versioned {
   private def manifestDirs(spark: SparkSession, dir: String,
       v: Long): Seq[String] = manifestEntries(spark, dir, v).map(_.sub)
 
+  /** The manifest's `#writer` header: WHICH writer committed this
+    * version (`append` / `replace` / `compact` /
+    * `stream-batch=<id>`). Replay detection for streaming commits
+    * keys on THIS, not on the version id — a compact interleaved
+    * with a stream shifts ids, and an id-based replay check would
+    * silently drop the batch that lands on a compact-consumed id.
+    * Absent on manifests written before writer markers existed. */
+  private[etl] def writerMarker(spark: SparkSession, dir: String,
+      v: Long): Option[String] =
+    manifestText(spark, dir, v).split("\n").map(_.trim)
+      .find(_.startsWith("#writer\t"))
+      .map(_.stripPrefix("#writer\t"))
+
   /** Create-exclusive manifest write: temp file + a publish that
     * REFUSES an existing target — the commit lock. On HDFS/object
     * stores the publish is `rename`, which by API contract does not
@@ -201,7 +214,8 @@ object Versioned {
   }
 
   private def commit(df: DataFrame, dir: String, keepPrevious: Boolean,
-      statsCols: Seq[String], explicit: Option[Long] = None): Long = {
+      statsCols: Seq[String], explicit: Option[Long] = None,
+      marker: String = "append"): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val sub = s"c-${java.util.UUID.randomUUID()}"
@@ -282,7 +296,7 @@ object Versioned {
       val nullable = org.apache.spark.sql.types.StructType(
         schema.fields.map(_.copy(nullable = true)))
       val manifest =
-        (s"#schema\t${nullable.json}" +:
+        (Seq(s"#schema\t${nullable.json}", s"#writer\t$marker") ++
           (prevEntries :+ Entry(sub, stats)).map(renderLine))
           .mkString("\n")
       if (writeExclusive(spark, new Path(vdir, vname(next)), manifest))
@@ -302,40 +316,68 @@ object Versioned {
     * subdir skipping. Returns the new version id. */
   def commitAppend(df: DataFrame, dir: String,
       statsCols: Seq[String] = Seq.empty): Long =
-    commit(df, dir, keepPrevious = true, statsCols)
+    commit(df, dir, keepPrevious = true, statsCols, marker = "append")
 
   /** Replace the table contents with `df` as a new version (old
     * versions stay readable until vacuumed). */
   def commitReplace(df: DataFrame, dir: String,
       statsCols: Seq[String] = Seq.empty): Long =
-    commit(df, dir, keepPrevious = false, statsCols)
+    commit(df, dir, keepPrevious = false, statsCols, marker = "replace")
 
-  /** Idempotent append at an EXPLICIT version id — the streaming-sink
-    * form: a Structured Streaming micro-batch commits at its batch id,
-    * and the manifest rename is the commit point, so a crash-replayed
-    * batch sees its manifest already durable and becomes a no-op
-    * (returns false; the pointer is healed if the crash hit between
-    * manifest and pointer swap). A replay that crashed BEFORE the
-    * manifest landed leaves only an orphan data subdir (vacuum
-    * reclaims it) and recommits cleanly. Single writer, monotone
-    * version ids (both are the micro-batch contract). */
+  /** Idempotent append for a Structured Streaming micro-batch,
+    * identified by its BATCH id. The manifest rename is the commit
+    * point; the manifest records `#writer stream-batch=<id>`, and
+    * replay detection keys on that MARKER, not on the version id:
+    * maintenance commits (compact, a manual append) interleaved with
+    * the stream consume version ids, so the batch's version is
+    * `max(batchId, latest+1)` — always >= batchId, which bounds the
+    * replay scan to manifests [batchId, latest]. A crash-replayed
+    * batch finds its marker durable and becomes a no-op (returns
+    * false; the pointer is healed if the crash hit between manifest
+    * and pointer swap); a batch whose id was consumed by a compact
+    * commits at the next free id instead of being silently dropped.
+    * A replay that crashed BEFORE the manifest landed leaves only an
+    * orphan data subdir (vacuum reclaims it) and recommits cleanly.
+    * Single stream writer, monotone batch ids (the micro-batch
+    * contract). */
   def commitAppendAt(df: DataFrame, dir: String, version: Long,
       statsCols: Seq[String] = Seq.empty): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val vdir = new Path(dir, "_versions")
-    val manifest = new Path(vdir, vname(version))
-    if (f.exists(manifest)) {
-      // already committed (replay): heal the pointer if it lags
-      if (latestVersion(spark, dir) < version)
-        writePointer(spark, new Path(dir, "_latest"), version.toString)
+    val marker = s"stream-batch=$version"
+    val latest = latestVersion(spark, dir)
+    var replayed = false
+    var newestBatch = -1L // newest committed stream batch id >= version
+    (version to latest).foreach { v =>
+      if (f.exists(new Path(vdir, vname(v))))
+        writerMarker(spark, dir, v) match {
+          case Some(m) if m == marker => replayed = true
+          case Some(m) if m.startsWith("stream-batch=") =>
+            newestBatch = math.max(newestBatch,
+              m.stripPrefix("stream-batch=").toLong)
+          case Some(_) => // maintenance commit: consumed the id only
+          case None =>
+            // pre-marker layout: the version id WAS the batch id
+            if (v == version) replayed = true
+            else newestBatch = math.max(newestBatch, v)
+        }
+    }
+    if (replayed) {
+      // already committed: heal the pointer if a crash left it behind
+      if (latest >= 0) writePointer(spark, new Path(dir, "_latest"),
+        latest.toString)
       false
     } else {
-      val prev = latestVersion(spark, dir)
-      require(prev < version,
-        s"version $version is not ahead of the table's v$prev")
+      // a NON-replay batch behind an already-committed batch is not
+      // maintenance interleaving — it is out-of-order history rewrite
+      // (checkpoint corruption, two streams on one table): fail loudly
+      require(newestBatch < version,
+        s"batch $version is not ahead of the table's newest committed " +
+          s"stream batch $newestBatch at $dir — out-of-order non-replay " +
+          "commit refused (single stream writer, monotone batch ids)")
       commit(df, dir, keepPrevious = true, statsCols,
-        explicit = Some(version))
+        explicit = Some(math.max(version, latest + 1)), marker = marker)
       true
     }
   }
@@ -370,14 +412,18 @@ object Versioned {
     * mid-compact makes the exclusive write fail LOUDLY (retry the
     * compact), because a replace-retry here would silently replay the
     * stale pre-append snapshot and drop the racer's rows — compaction
-    * is maintenance and must never supersede data. Returns the new
-    * version id. */
+    * is maintenance and must never supersede data. Safe to run against
+    * a [[graft.streaming.StreamingVtable]]-ingested table: the compact
+    * consumes a version id, but the stream's replay detection keys on
+    * its `#writer stream-batch=<id>` marker, so the next micro-batch
+    * lands at the next free id instead of being mistaken for a replay.
+    * Returns the new version id. */
   def compact(spark: SparkSession, dir: String,
       statsCols: Seq[String] = Seq.empty): Long = {
     val v = latestVersion(spark, dir)
     require(v >= 0, s"empty versioned table at $dir")
     commit(read(spark, dir, v), dir, keepPrevious = false, statsCols,
-      explicit = Some(v + 1))
+      explicit = Some(v + 1), marker = "compact")
   }
 
   /** Manifest-level data skipping: read only the subdirs whose

@@ -111,7 +111,15 @@ object StreamingCusum {
   def alarms(ds: Dataset[CusumEv], baseline: Map[String, CusumBase],
       idleMs: Long): Dataset[CusumOut] = {
     import ds.sparkSession.implicits._
-    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
+    // The idle tombstone closes the open day when the timeout fires;
+    // events for that day arriving later are replay-dropped by the
+    // fold. An idleMs below one day therefore MEANS silent event
+    // loss — machine-check the documented contract instead of
+    // trusting the doc.
+    require(idleMs >= MsPerDay,
+      s"idleMs must be at least one day ($MsPerDay ms) — the idle " +
+        s"tombstone closes the open day, so a shorter timeout silently " +
+        s"drops events that arrive back into it; got $idleMs")
     require(baseline.nonEmpty, "empty CUSUM baseline")
     ds.groupByKey(_.event_type)
       .flatMapGroupsWithState[CusumState, CusumOut](

@@ -75,7 +75,10 @@ class StreamingCusumSpec extends AnyFunSuite with TestSpark {
     val stream = MemoryStream[CusumEv]
     val query = StreamingCusum.alarms(
         stream.toDS().withWatermark("ts", "0 seconds"), slowBase,
-        idleMs = 12L * 3600 * 1000) // half a day
+        // exactly the one-day contract minimum (alarms() rejects less:
+        // a shorter timeout would silently drop events arriving back
+        // into the idle-closed day); the day-5 watermark still fires it
+        idleMs = 24L * 3600 * 1000)
       .writeStream.format("memory").queryName("cusum_evict")
       .outputMode("append").start()
 
@@ -131,5 +134,18 @@ class StreamingCusumSpec extends AnyFunSuite with TestSpark {
       .map(r => r.getString(1) -> r.getLong(3)).toMap
     // day 1 (x=3): S = 3*3-6 = 3; day 2 still open
     assert(rows == Map("2024-01-01" -> 3L))
+  }
+
+  test("a sub-day idleMs is rejected up front — the documented " +
+      "tombstone contract is machine-checked, not silent event loss") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[CusumEv]
+    val e = intercept[IllegalArgumentException] {
+      StreamingCusum.alarms(
+        stream.toDS().withWatermark("ts", "0 seconds"), base,
+        idleMs = 12L * 3600 * 1000)
+    }
+    assert(e.getMessage.contains("at least one day"))
   }
 }

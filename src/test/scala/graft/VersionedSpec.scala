@@ -273,6 +273,28 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     assert(rows(dir, 1) == Set(1L, 2L))
   }
 
+  test("compact interleaved with a streaming writer: the batch whose " +
+      "id the compact consumed still lands (marker-based replay " +
+      "detection), its replay no-ops, out-of-order stays loud") {
+    val dir = dirOf()
+    // the stream's first two micro-batches
+    assert(Versioned.commitAppendAt(Seq(1L).toDF("id"), dir, 0L))
+    assert(Versioned.commitAppendAt(Seq(2L).toDF("id"), dir, 1L))
+    // maintenance compact consumes version id 2 — the NEXT batch id
+    assert(Versioned.compact(spark, dir) == 2L)
+    // batch 2 arrives: an id-based replay check would silently drop
+    // it; the marker scan sees v2 is a compact and commits at v3
+    assert(Versioned.commitAppendAt(Seq(3L).toDF("id"), dir, 2L))
+    assert(rows(dir) == Set(1L, 2L, 3L))
+    assert(Versioned.log(spark, dir).map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // crash-replay of batch 2 finds its marker at v3 -> exactly-once
+    assert(!Versioned.commitAppendAt(Seq(99L).toDF("id"), dir, 2L))
+    assert(rows(dir) == Set(1L, 2L, 3L))
+    // replay of a pre-compact batch (marker at v1) also no-ops
+    assert(!Versioned.commitAppendAt(Seq(97L).toDF("id"), dir, 1L))
+    assert(rows(dir) == Set(1L, 2L, 3L))
+  }
+
   test("vacuum keeps the newest k versions readable and makes older " +
       "reads fail loudly") {
     val dir = dirOf()
