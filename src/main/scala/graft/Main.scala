@@ -207,6 +207,32 @@ object Main {
           graft.streaming.StreamingSketch.estimate(spark, dir, toks)
             .show(toks.length, truncate = false)
 
+        // persisted mergeable KMV sketches (q247/q271's production
+        // shape): build once per source, merge sketch-only, answer any
+        // group-pair overlap from sketches alone — never a corpus
+        // re-scan
+        case "kmv" :: "build" :: in :: grp :: key :: dir :: rest
+            if rest.length <= 1 =>
+          import org.apache.spark.sql.functions.col
+          val k = rest.headOption.map(_.toInt).getOrElse(256)
+          graft.etl.KmvStore.build(spark.read.parquet(in),
+            col(grp), col(key), dir, k)
+          val n = spark.read.parquet(s"$dir/sketch")
+            .select(col("t")).distinct().count()
+          println(s"kmv build dir=$dir groups=$n k=$k")
+        case "kmv" :: "merge" :: a :: b :: out :: Nil =>
+          graft.etl.KmvStore.merge(spark, a, b, out)
+          import org.apache.spark.sql.functions.col
+          val n = spark.read.parquet(s"$out/sketch")
+            .select(col("t")).distinct().count()
+          println(s"kmv merge $a + $b -> $out groups=$n")
+        case "kmv" :: "estimate" :: dir :: Nil =>
+          graft.etl.KmvStore.estimate(spark, dir)
+            .show(1000, truncate = false)
+        case "kmv" :: "query" :: dir :: Nil =>
+          graft.etl.KmvStore.overlap(spark, dir)
+            .show(1000, truncate = false)
+
         // two-dimensional Z-order clustering for min/max data skipping
         // latest-wins merge of a delta into a parquet table (SCD1)
         case "upsert" :: tableDir :: deltaParquet :: versionCol :: keys
@@ -336,6 +362,20 @@ object Main {
           val n = spark.read.parquet(s"$outDir/alerts").count()
           println(s"geo-stream landing=$landingDir out=$outDir alerts=$n")
 
+        // q269's always-on form: incremental co-travel episodes with
+        // convoy alerts at the minHours-reaching micro-batch
+        case "geo-episodes" :: landingDir :: outDir :: rest
+            if rest.length <= 3 =>
+          graft.streaming.StreamingGeo.startEpisodes(spark, landingDir,
+            outDir, rest.headOption.map(_.toLong).getOrElse(500L),
+            rest.lift(1).map(_.toLong).getOrElse(2L),
+            rest.lift(2).map(_.toLong).getOrElse(168L))
+            .awaitTermination()
+          val nc = spark.read.parquet(s"$outDir/closed").count()
+          val na = spark.read.parquet(s"$outDir/alerts").count()
+          println(s"geo-episodes landing=$landingDir out=$outDir " +
+            s"closed=$nc alerts=$na")
+
         case "vtable" :: "append" :: in :: dir :: statsCols =>
           val v = graft.etl.Versioned
             .commitAppend(spark.read.parquet(in), dir, statsCols)
@@ -393,10 +433,21 @@ object Main {
             .parquet(s"$outDir/q264_proximity_pairs").count()
           val nEpisodes = spark.read
             .parquet(s"$outDir/q269_co_travel").count()
+          // the poison-cell audit: cells the band join EXCLUDED from
+          // pairing (occupancy above the cap) — loud, never silent
+          graft.queries.Geo
+            .poisonCells(graft.core.Tables.load(spark, sfDir, "events"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/poison_cells")
+          val nPoison = spark.read.parquet(s"$outDir/poison_cells").count()
+          if (nPoison > 0)
+            println(s"geo: WARNING $nPoison cell-hour(s) above the " +
+              s"occupancy cap were EXCLUDED from proximity pairing — " +
+              s"see $outDir/poison_cells (upstream data bug)")
           println(s"geo: ${reports.size} reports -> $outDir " +
             s"(vessels=$nVessels impossible_legs=$nImpossible " +
             s"stops=$nStops proximity_pairs=$nPairs " +
-            s"co_travel_episodes=$nEpisodes)")
+            s"co_travel_episodes=$nEpisodes poison_cells=$nPoison)")
 
         case "vtable" :: "compact" :: dir :: statsCols =>
           val before = graft.etl.Versioned.log(spark, dir)
@@ -849,6 +900,11 @@ object Main {
         |  vtable vacuum <tableDir> <keepVersions>
         |  vtable-stream <landingDir> <tableDir> <schemaSampleParquet> [statsCol...]
         |  geo-stream <landingDir> <outDir> [radiusM]
+        |  geo-episodes <landingDir> <outDir> [radiusM [minHours [maxGapHours]]]
+        |  kmv build <inParquet> <grpCol> <keyCol> <dir> [k]
+        |  kmv merge <dirA> <dirB> <outDir>
+        |  kmv estimate <dir>
+        |  kmv query <dir>
         |  zorder <inParquet> <col1> <col2> <outDir>
         |  range <inParquet> <keyCol> <tiebreakCol> <outDir> [files]
         |  diagnose <sfDir> <reportDir> [<pairsTable> <clustersTable>]

@@ -185,19 +185,32 @@ object Geo {
   private[graft] def bandedPairs(probe: DataFrame, index: DataFrame,
       radiusM: Long, hotOccupancy: Long = 1024L,
       saltBuckets: Int = 16,
-      hotCells: Option[DataFrame] = None): DataFrame = {
-    // hot-cell source: a caller-maintained (hour, cy, cx) summary when
-    // available (StreamingGeo keeps per-batch occupancy partitions so a
-    // micro-batch never re-scans the whole index just to find ports);
-    // otherwise derived from `index` here — one more replay of the
-    // points subtree, which measured CHEAPER than materializing it
-    // (SCALE.md r17 negative result).
+      hotCells: Option[DataFrame] = None,
+      maxCellOccupancy: Long = DefaultMaxCellOccupancy): DataFrame = {
+    // POISON-CELL guard (the q184 cap-and-report convention): a cell-
+    // hour whose occupancy exceeds maxCellOccupancy is a data bug
+    // (e.g. every malformed row at (0,0)) whose occ^2 pair OUTPUT no
+    // salting can bound — its points are EXCLUDED from pairing on both
+    // sides here and REPORTED by [[poisonCells]] (audit, don't
+    // explode).
+    // hot-cell source: a caller-maintained (hour, cy, cx, occ) summary
+    // when available (StreamingGeo keeps per-batch occupancy partitions
+    // so a micro-batch never re-scans the whole index just to find
+    // ports); otherwise derived from `index` here — one more replay of
+    // the points subtree, which measured CHEAPER than materializing it
+    // (SCALE.md r17 negative result). ONE bounded broadcast list —
+    // cells above EITHER threshold, hot/poison flagged independently —
+    // serves both the salt lanes and the poison drop (a caller-supplied
+    // summary must be filtered the same way; StreamingGeo is).
     val hot = hotCells
       .getOrElse(index.groupBy(col("hour"), col("cy"), col("cx"))
         .agg(count(lit(1)).as("occ"))
-        .filter(col("occ") > hotOccupancy))
-      .select(col("hour"), col("cy"), col("cx"), lit(true).as("__hot"))
+        .filter(col("occ") > math.min(hotOccupancy, maxCellOccupancy)))
+      .select(col("hour"), col("cy"), col("cx"),
+        (col("occ") > hotOccupancy).as("__hot"),
+        (col("occ") > maxCellOccupancy).as("__poison"))
     val right = index.join(broadcast(hot), Seq("hour", "cy", "cx"), "left")
+      .filter(!coalesce(col("__poison"), lit(false)))
       .select(col("user_id").as("u2"), col("hour"),
         col("lat_e6").as("la2"), col("lon_e6").as("lo2"),
         col("cy"), col("cx"),
@@ -205,16 +218,23 @@ object Geo {
           pmod(xxhash64(col("user_id")), lit(saltBuckets.toLong)))
           .otherwise(0L).as("salt"))
     val probe9 = probe
+      // poison drop on the HOME cell, before neighborhood replication
+      .join(broadcast(hot.filter(col("__poison"))
+        .select(col("hour"), col("cy"), col("cx"))),
+        Seq("hour", "cy", "cx"), "left_anti")
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("user_id").as("u1"), col("hour"),
         col("lat_e6").as("la1"), col("lon_e6").as("lo1"),
         (col("cy") + col("dy")).as("cy"), (col("cx") + col("dx")).as("cx"))
       .join(broadcast(hot), Seq("hour", "cy", "cx"), "left")
+      // a poison neighbor cell has an empty index side: probe it on
+      // one lane instead of fanning saltBuckets lanes into nothing
       .withColumn("salt", explode(
-        when(col("__hot"), sequence(lit(0L), lit(saltBuckets - 1L)))
+        when(col("__hot") && !col("__poison"),
+          sequence(lit(0L), lit(saltBuckets - 1L)))
           .otherwise(array(lit(0L)))))
-      .drop("__hot")
+      .drop("__hot", "__poison")
     probe9.join(right, Seq("hour", "cy", "cx", "salt"))
       .select(col("u1"), col("u2"), col("hour"),
         round(haversineM(col("la1"), col("lo1"),
@@ -222,8 +242,29 @@ object Geo {
       .filter(col("m") <= radiusM)
   }
 
+  /** Far above any physically plausible port density (a 556 m cell
+    * holding 65k distinct vessels in one hour is a data bug, not a
+    * port — measured regimes top out ~2,000, SCALE.md r17) yet a hard
+    * bound on the band join's occ² pair output. */
+  val DefaultMaxCellOccupancy: Long = 65536L
+
+  /** The poison-cell AUDIT — (hour, cy, cx, occ) for every cell-hour
+    * whose occupancy exceeds `maxCellOccupancy`: exactly the cells
+    * [[bandedPairs]] excludes from pairing. Empty on healthy data;
+    * any row here is an upstream data bug (the q184
+    * audit-don't-explode convention — report the skew, never let it
+    * OOM the join). */
+  def poisonCells(events: DataFrame,
+      maxCellOccupancy: Long = DefaultMaxCellOccupancy): DataFrame =
+    bandedPoints(events)
+      .groupBy(col("hour"), col("cy"), col("cx"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxCellOccupancy)
+      .orderBy(col("occ").desc, col("hour"), col("cy"), col("cx"))
+
   def proximityPairs(events: DataFrame, radiusM: Long = 500L,
-      hotOccupancy: Long = 1024L, saltBuckets: Int = 16): DataFrame = {
+      hotOccupancy: Long = 1024L, saltBuckets: Int = 16,
+      maxCellOccupancy: Long = DefaultMaxCellOccupancy): DataFrame = {
     require(radiusM * 9 <= 5000L, // 5000 µdeg ≈ 556 m; radius ≤ 555 m
       s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
     // bandedPairs reads the windowed points three times (hot
@@ -234,7 +275,8 @@ object Geo {
     // scan+window, so the replays stay (SCALE.md r17, negative
     // result).
     val pts = bandedPoints(events)
-    val hits = bandedPairs(pts, pts, radiusM, hotOccupancy, saltBuckets)
+    val hits = bandedPairs(pts, pts, radiusM, hotOccupancy, saltBuckets,
+        maxCellOccupancy = maxCellOccupancy)
       .filter(col("u1") < col("u2"))
       .distinct()
     hits.groupBy(col("u1"), col("u2"))
@@ -284,59 +326,16 @@ object Geo {
       .orderBy(col("u1"), col("u2"), col("start_hour"))
   }
 
-  /** Stop (dwell) detection — the port-call readout: a STOP is a
-    * maximal run of consecutive stationary legs (leg <= `maxLegM`
-    * meters), kept when its dwell reaches `minDwellS` seconds. The
-    * gaps-and-islands shape (q103's runs) on top of q263's legs: run
-    * id = running count of MOVING legs (exact integer window over the
-    * per-user stream — the q43/q150 bounded contract), one aggregate
-    * per (user, run), every duration an exact integer-second sum.
-    * Returns (user_id, stop_start, stop_end, n_fixes, dwell_s),
-    * timestamps rendered as strings (the engine-neutral hashing rule).
+  /** The SHARED stationary-run derivation under the whole stop family
+    * (q265 stop report, q266 OD matrix, q268 dwell heatmap, q273 zone
+    * attribution — one definition so the consumers can never drift):
+    * per-user consecutive-fix legs (the q263 window), each flagged
+    * moving (leg > `maxLegM` meters), run id = running count of moving
+    * legs (gaps-and-islands, exact integer window over the per-user
+    * stream — the q43/q150 bounded contract). Rows: (user_id,
+    * event_id, ts, pts, peid, plat, plon, dt_s, leg_m, moving, run).
     */
-  def stopReport(events: DataFrame, maxLegM: Long = 50L,
-      minDwellS: Long = 1800L): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val legs = positioned(events)
-      .withColumn("plat", lag(col("lat_e6"), 1).over(w))
-      .withColumn("plon", lag(col("lon_e6"), 1).over(w))
-      .withColumn("pts", lag(col("ts"), 1).over(w))
-      .filter(col("plat").isNotNull)
-      .select(col("user_id"), col("event_id"), col("pts"), col("ts"),
-        (unix_timestamp(col("ts")) - unix_timestamp(col("pts"))).as("dt_s"),
-        round(haversineM(col("plat"), col("plon"),
-          col("lat_e6"), col("lon_e6"))).cast("long").as("leg_m"))
-      .withColumn("moving", when(col("leg_m") > maxLegM, 1L).otherwise(0L))
-    val w2 = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    legs
-      .withColumn("run", sum(col("moving")).over(w2))
-      .filter(col("moving") === 0)
-      .groupBy(col("user_id"), col("run"))
-      .agg(date_format(min(col("pts")), "yyyy-MM-dd HH:mm:ss")
-          .as("stop_start"),
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stop_end"),
-        (count(lit(1)) + 1).as("n_fixes"),
-        sum(col("dt_s")).cast("long").as("dwell_s"))
-      .filter(col("dwell_s") >= minDwellS)
-      .select(col("user_id"), col("stop_start"), col("stop_end"),
-        col("n_fixes"), col("dwell_s"))
-      .orderBy(col("user_id"), col("stop_start"))
-  }
-
-  /** Origin-destination flow matrix — trips between consecutive STOPS
-    * (q265's islands) per vessel, aggregated to 0.01° cell pairs: the
-    * traffic-flow readout (q160's transition matrix in space). Each
-    * stop's representative point is its FIRST fix (min (ts, event_id)
-    * — deterministic); a trip is (stop k -> stop k+1) under the
-    * per-user ordered frame; the matrix is one integer-cell aggregate
-    * over |stops| rows. All the corpus-sized work is q265's leg
-    * window; everything after rides the stop summary.
-    */
-  def odMatrix(events: DataFrame, maxLegM: Long = 200L,
-      minDwellS: Long = 1800L): DataFrame = {
+  private def stationaryRuns(events: DataFrame, maxLegM: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val legs = positioned(events)
@@ -354,16 +353,63 @@ object Geo {
     val w2 = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val runs = legs.withColumn("run", sum(col("moving")).over(w2))
-      .filter(col("moving") === 0)
+    legs.withColumn("run", sum(col("moving")).over(w2))
+  }
+
+  /** One row per qualifying STOP with its representative FIRST fix
+    * (min (pts, peid) — the odMatrix/q268 convention): (user_id, run,
+    * plat, plon, sts, peid, dw). */
+  private def stopReps(events: DataFrame, maxLegM: Long,
+      minDwellS: Long): DataFrame = {
+    val runs = stationaryRuns(events, maxLegM).filter(col("moving") === 0)
     val wr = Window.partitionBy(col("user_id"), col("run"))
       .orderBy(col("pts"), col("peid"))
-    val stops = runs
+    runs
       .withColumn("rn", row_number().over(wr))
       .withColumn("dw", sum(col("dt_s")).over(
         Window.partitionBy(col("user_id"), col("run"))))
       .filter(col("rn") === 1 && col("dw") >= minDwellS)
-      .select(col("user_id"), col("pts").as("sts"), col("peid"),
+      .select(col("user_id"), col("run"), col("plat"), col("plon"),
+        col("pts").as("sts"), col("peid"), col("dw"))
+  }
+
+  /** Stop (dwell) detection — the port-call readout: a STOP is a
+    * maximal run of consecutive stationary legs (leg <= `maxLegM`
+    * meters), kept when its dwell reaches `minDwellS` seconds. The
+    * gaps-and-islands shape (q103's runs) on top of q263's legs
+    * ([[stationaryRuns]]), one aggregate per (user, run), every
+    * duration an exact integer-second sum.
+    * Returns (user_id, stop_start, stop_end, n_fixes, dwell_s),
+    * timestamps rendered as strings (the engine-neutral hashing rule).
+    */
+  def stopReport(events: DataFrame, maxLegM: Long = 50L,
+      minDwellS: Long = 1800L): DataFrame =
+    stationaryRuns(events, maxLegM)
+      .filter(col("moving") === 0)
+      .groupBy(col("user_id"), col("run"))
+      .agg(date_format(min(col("pts")), "yyyy-MM-dd HH:mm:ss")
+          .as("stop_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stop_end"),
+        (count(lit(1)) + 1).as("n_fixes"),
+        sum(col("dt_s")).cast("long").as("dwell_s"))
+      .filter(col("dwell_s") >= minDwellS)
+      .select(col("user_id"), col("stop_start"), col("stop_end"),
+        col("n_fixes"), col("dwell_s"))
+      .orderBy(col("user_id"), col("stop_start"))
+
+  /** Origin-destination flow matrix — trips between consecutive STOPS
+    * (q265's islands) per vessel, aggregated to 0.01° cell pairs: the
+    * traffic-flow readout (q160's transition matrix in space). Each
+    * stop's representative point is its FIRST fix (min (ts, event_id)
+    * — deterministic); a trip is (stop k -> stop k+1) under the
+    * per-user ordered frame; the matrix is one integer-cell aggregate
+    * over |stops| rows. All the corpus-sized work is q265's leg
+    * window; everything after rides the stop summary.
+    */
+  def odMatrix(events: DataFrame, maxLegM: Long = 200L,
+      minDwellS: Long = 1800L): DataFrame = {
+    val stops = stopReps(events, maxLegM, minDwellS)
+      .select(col("user_id"), col("sts"), col("peid"),
         (col("plat") + 5000L).divide(10000L).cast("long").as("cy"),
         (col("plon") + 5000L).divide(10000L).cast("long").as("cx"))
     val ws = Window.partitionBy(col("user_id"))
@@ -377,6 +423,161 @@ object Geo {
       .agg(count(lit(1)).as("n_trips"))
       .orderBy(col("n_trips").desc, col("from_cy"), col("from_cx"),
         col("to_cy"), col("to_cx"))
+  }
+
+  /** Bounded ZONE registry — the geofence table (port basins,
+    * anchorages, exclusion zones). Each zone is an ordered polygon of
+    * (lon_e6, lat_e6) integer-µdeg vertices over the synthetic
+    * operating box; at 100 TB this is exactly the broadcastable
+    * dim-table shape (a few thousand zones x a few dozen vertices —
+    * KBs against a corpus-sized point side). Literal constants so the
+    * engine and the oracle derive the SAME edge table. */
+  val Zones: Seq[(Long, String, Seq[(Long, Long)])] = Seq(
+    (1L, "nw_harbor",
+      Seq((0L, 300000L), (210000L, 330000L), (190000L, 505000L),
+        (-5000L, 480000L))),
+    (2L, "center_triangle",
+      Seq((150000L, 150000L), (350000L, 180000L), (240000L, 380000L))),
+    (3L, "se_basin",
+      Seq((300000L, -5000L), (505000L, 20000L), (480000L, 230000L),
+        (320000L, 200000L))),
+    (4L, "inner_pentagon",
+      Seq((50000L, 50000L), (120000L, 40000L), (140000L, 110000L),
+        (90000L, 160000L), (30000L, 120000L))))
+
+  /** Zones unrolled to directed edges (zone_id, zone_name, x1, y1,
+    * x2, y2) — the broadcast side of the point-in-polygon join. */
+  private def zoneEdges(spark: SparkSession,
+      zones: Seq[(Long, String, Seq[(Long, Long)])]): DataFrame = {
+    import spark.implicits._
+    zones.flatMap { case (id, name, vs) =>
+      (vs :+ vs.head).sliding(2).collect {
+        case Seq((x1, y1), (x2, y2)) => (id, name, x1, y1, x2, y2)
+      }
+    }.toDF("zone_id", "zone_name", "x1", "y1", "x2", "y2")
+  }
+
+  /** The same edge table as a DuckDB VALUES list — generated from
+    * [[Zones]] so the two engines can never drift. */
+  private def zoneEdgesSql: String =
+    Zones.flatMap { case (id, name, vs) =>
+      (vs :+ vs.head).sliding(2).collect {
+        case Seq((x1, y1), (x2, y2)) =>
+          s"($id, '$name', $x1, $y1, $x2, $y2)"
+      }
+    }.mkString(", ")
+
+  /** Point-in-polygon against the bounded zone table — EXACT integer
+    * crossing-number (ray cast toward -x): edge (x1,y1)->(x2,y2)
+    * crosses the horizontal ray of (px,py) iff it straddles py under
+    * the strict-above rule ((y1 > py) != (y2 > py)) and px lies
+    * STRICTLY left of the edge's x at height py, compared
+    * cross-multiplied so no division (and no float) ever happens.
+    * Pinned boundary convention (GeoSpec): a point on a LEFT or
+    * BOTTOM edge — and the bottom-left vertex — is INSIDE; on a
+    * RIGHT or TOP edge, OUTSIDE: the half-open rule that makes a
+    * zone tiling PARTITION points (no double counting, no orphan on
+    * shared borders).
+    *
+    * Returns the carried `keyCols` + (zone_id, zone_name), one row
+    * per CONTAINING zone (points in no zone drop; overlapping zones
+    * emit one row each). 100 TB shape: the edge table broadcasts;
+    * crossing flags are map-side; the only shuffle is the parity
+    * groupBy on the carried key — and when `points` is already a
+    * bounded summary (q273's stops) the whole test is a footnote
+    * next to the corpus scan. */
+  def zonesFor(points: DataFrame, lonCol: String, latCol: String,
+      keyCols: Seq[String],
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
+    val px = col(lonCol); val py = col(latCol)
+    val num = (col("x2") - col("x1")) * (py - col("y1")) -
+      (px - col("x1")) * (col("y2") - col("y1"))
+    val crossing = when(((col("y1") > py) =!= (col("y2") > py)) &&
+      when(col("y2") > col("y1"), num > 0).otherwise(num < 0), 1L)
+      .otherwise(0L)
+    points
+      .crossJoin(broadcast(zoneEdges(points.sparkSession, zones)))
+      .withColumn("__cr", crossing)
+      .groupBy(keyCols.map(col) :+ col("zone_id") :+ col("zone_name"): _*)
+      .agg(sum(col("__cr")).as("__ncr"))
+      .filter(pmod(col("__ncr"), lit(2L)) === 1)
+      .drop("__ncr")
+  }
+
+  /** Zone-attributed port calls — q265's stops point-in-polygon
+    * joined against the zone table ([[zonesFor]]): per zone, stop
+    * count, distinct vessels, exact total dwell seconds; stops inside
+    * no zone roll up under (-1, 'open_sea') so the readout is total
+    * (an overlapping-zone stop counts once per containing zone, by
+    * contract). The corpus-sized work is the shared leg window
+    * ([[stationaryRuns]]); the polygon test rides the bounded stop
+    * summary against a broadcast edge table — no corpus-side shuffle
+    * is added. The "which BASIN was the call in" readout the
+    * reference's AIS domain wants from stop detection. */
+  def zoneStops(events: DataFrame, maxLegM: Long = 200L,
+      minDwellS: Long = 1800L): DataFrame = {
+    val reps = stopReps(events, maxLegM, minDwellS)
+      .select(col("user_id"), col("run"), col("plat"), col("plon"),
+        col("dw"))
+    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"))
+    reps.join(inz, Seq("user_id", "run"), "left")
+      .select(coalesce(col("zone_id"), lit(-1L)).as("zone_id"),
+        coalesce(col("zone_name"), lit("open_sea")).as("zone_name"),
+        col("user_id"), col("dw"))
+      .groupBy(col("zone_id"), col("zone_name"))
+      .agg(count(lit(1)).as("n_stops"),
+        countDistinct(col("user_id")).as("n_vessels"),
+        sum(col("dw").cast(Dec)).cast("long").as("dwell_s"))
+      .orderBy(col("zone_id"), col("zone_name"))
+  }
+
+  /** Trajectory resampling — each vessel's sparse pings interpolated
+    * onto the regular `stepS`-second grid: for every consecutive-fix
+    * leg at most `maxGapS` seconds long, emit the grid instants in
+    * the half-open (t1, t2] with positions LINEARLY interpolated in
+    * exact integer µdeg — the half-up cross-multiplied rule
+    * (HalfUpProps' pinned algebra), sign-split so every operand stays
+    * nonnegative. Legs longer than `maxGapS` interpolate NOTHING (a
+    * data gap is a gap, not a line), and the half-open interval makes
+    * every grid instant belong to exactly one leg, so a resampled
+    * track never double-emits. This is the uniform-sampling prep any
+    * density/exposure/encounter readout needs before comparing
+    * vessels with different ping cadences (the per-vessel window is
+    * the q43/q150 bounded contract; the explode fan-out is bounded by
+    * maxGapS/stepS per leg). Returns (user_id, t_grid, lat_e6,
+    * lon_e6), epoch-second grid instants. */
+  def trackInterpolate(events: DataFrame, stepS: Long = 600L,
+      maxGapS: Long = 21600L): DataFrame = {
+    require(stepS > 0 && maxGapS >= stepS,
+      s"need 0 < stepS <= maxGapS, got stepS=$stepS maxGapS=$maxGapS")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val legs = positioned(events)
+      .withColumn("plat", lag(col("lat_e6"), 1).over(w))
+      .withColumn("plon", lag(col("lon_e6"), 1).over(w))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .select(col("user_id"),
+        unix_timestamp(col("pts")).as("t1"),
+        unix_timestamp(col("ts")).as("t2"),
+        col("plat").as("la1"), col("plon").as("lo1"),
+        col("lat_e6").as("la2"), col("lon_e6").as("lo2"))
+      .filter(col("t2") > col("t1") && col("t2") - col("t1") <= maxGapS)
+      .withColumn("gs", col("t1") - pmod(col("t1"), lit(stepS)) + stepS)
+      .withColumn("ge", col("t2") - pmod(col("t2"), lit(stepS)))
+      .filter(col("gs") <= col("ge"))
+    def interp(lo: String, hi: String): Column =
+      when(col(hi) >= col(lo),
+        col(lo) + expr(s"(2 * ($hi - $lo) * (g - t1) + (t2 - t1)) " +
+          "div (2 * (t2 - t1))"))
+        .otherwise(col(lo) - expr(
+          s"(2 * ($lo - $hi) * (g - t1) + (t2 - t1)) div (2 * (t2 - t1))"))
+    legs
+      .withColumn("g", explode(sequence(col("gs"), col("ge"), lit(stepS))))
+      .select(col("user_id"), col("g").as("t_grid"),
+        interp("la1", "la2").as("lat_e6"),
+        interp("lo1", "lo2").as("lon_e6"))
+      .orderBy(col("user_id"), col("t_grid"))
   }
 
   // Shared oracle fragment: the position derivation in DuckDB.
@@ -501,35 +702,8 @@ object Geo {
     // "where do vessels actually sit" anchorage readout, one integer
     // aggregate over the stop summary.
     Q("q268_dwell_heatmap",
-      (s, d) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val legs = positioned(t(s, d, "events"))
-          .withColumn("plat", lag(col("lat_e6"), 1).over(w))
-          .withColumn("plon", lag(col("lon_e6"), 1).over(w))
-          .withColumn("pts", lag(col("ts"), 1).over(w))
-          .withColumn("peid", lag(col("event_id"), 1).over(w))
-          .filter(col("plat").isNotNull)
-          .select(col("user_id"), col("event_id"), col("ts"),
-            col("pts"), col("peid"), col("plat"), col("plon"),
-            (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
-              .as("dt_s"),
-            round(haversineM(col("plat"), col("plon"),
-              col("lat_e6"), col("lon_e6"))).cast("long").as("leg_m"))
-          .withColumn("moving",
-            when(col("leg_m") > 200L, 1L).otherwise(0L))
-        val w2 = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val runs = legs.withColumn("run", sum(col("moving")).over(w2))
-          .filter(col("moving") === 0)
-        val wr = Window.partitionBy(col("user_id"), col("run"))
-          .orderBy(col("pts"), col("peid"))
-        runs
-          .withColumn("rn", row_number().over(wr))
-          .withColumn("dw", sum(col("dt_s")).over(
-            Window.partitionBy(col("user_id"), col("run"))))
-          .filter(col("rn") === 1 && col("dw") >= 1800L)
+      (s, d) =>
+        stopReps(t(s, d, "events"), 200L, 1800L)
           .select((col("plat") + 5000L).divide(10000L).cast("long")
               .as("cell_y"),
             (col("plon") + 5000L).divide(10000L).cast("long").as("cell_x"),
@@ -539,8 +713,7 @@ object Geo {
             sum(col("dw").cast("decimal(38,0)")).cast("long")
               .as("dwell_s"))
           .orderBy(col("dwell_s").desc, col("cell_y"), col("cell_x"))
-          .limit(20)
-      },
+          .limit(20),
       Some(s"""WITH pos AS ($PosSql),
               legs AS (
                 SELECT user_id, event_id, ts,
@@ -739,5 +912,118 @@ object Geo {
                      MIN(m) AS min_m
               FROM runs GROUP BY u1, u2, run
               HAVING COUNT(*) >= 2
-              ORDER BY u1, u2, start_hour""")))
+              ORDER BY u1, u2, start_hour""")),
+
+    // ZONE-ATTRIBUTED PORT CALLS — q265's stops point-in-polygon
+    // joined (exact integer ray cast, left/bottom-edge-in convention)
+    // against the bounded broadcast zone table; open-sea bucket keeps
+    // the readout total.
+    Q("q273_zone_stops",
+      (s, d) => zoneStops(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id, event_id, ts,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(ts) OVER w AS pts,
+                       LAG(event_id) OVER w AS peid,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS dt_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              lm AS (
+                SELECT user_id, event_id, ts, pts, peid, la1, lo1, dt_s,
+                       CAST(ROUND($HavSql) AS BIGINT) AS leg_m
+                FROM legs WHERE la1 IS NOT NULL),
+              fl AS (
+                SELECT *, CASE WHEN leg_m > 200 THEN 1 ELSE 0 END
+                       AS moving
+                FROM lm),
+              rn AS (
+                SELECT *, SUM(moving) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+                FROM fl),
+              st AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run
+                         ORDER BY pts, peid) AS rn2,
+                       SUM(dt_s) OVER (PARTITION BY user_id, run) AS dw
+                FROM rn WHERE moving = 0),
+              stops AS (
+                SELECT user_id, run, la1, lo1, dw
+                FROM st WHERE rn2 = 1 AND dw >= 1800),
+              edges(zone_id, zone_name, x1, y1, x2, y2) AS (
+                VALUES $zoneEdgesSql),
+              par AS (
+                SELECT s.user_id, s.run, e.zone_id, e.zone_name,
+                       SUM(CASE WHEN (e.y1 > s.la1) <> (e.y2 > s.la1)
+                                 AND ((e.y2 > e.y1
+                                       AND (e.x2 - e.x1) * (s.la1 - e.y1)
+                                         - (s.lo1 - e.x1) * (e.y2 - e.y1)
+                                         > 0)
+                                   OR (e.y2 < e.y1
+                                       AND (e.x2 - e.x1) * (s.la1 - e.y1)
+                                         - (s.lo1 - e.x1) * (e.y2 - e.y1)
+                                         < 0))
+                                THEN 1 ELSE 0 END) AS ncr
+                FROM stops s CROSS JOIN edges e
+                GROUP BY 1, 2, 3, 4),
+              inside AS (
+                SELECT user_id, run, zone_id, zone_name
+                FROM par WHERE ncr % 2 = 1),
+              attributed AS (
+                SELECT s.user_id, s.dw,
+                       CAST(COALESCE(i.zone_id, -1) AS BIGINT) AS zone_id,
+                       COALESCE(i.zone_name, 'open_sea') AS zone_name
+                FROM stops s LEFT JOIN inside i
+                  ON i.user_id = s.user_id AND i.run = s.run)
+              SELECT zone_id, zone_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_stops,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels,
+                     CAST(SUM(CAST(dw AS HUGEINT)) AS BIGINT) AS dwell_s
+              FROM attributed GROUP BY 1, 2
+              ORDER BY zone_id, zone_name""")),
+
+    // TRACK RESAMPLING — sparse pings onto the 600 s grid by bounded
+    // (<= 6 h) exact-integer linear interpolation; half-open (t1, t2]
+    // so every grid instant is emitted exactly once.
+    Q("q274_track_interp",
+      (s, d) => trackInterpolate(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS t1,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t2
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              el AS (
+                SELECT *, t1 - (t1 % 600) + 600 AS gs,
+                       t2 - (t2 % 600) AS ge
+                FROM legs
+                WHERE la1 IS NOT NULL AND t2 > t1 AND t2 - t1 <= 21600),
+              grid AS (
+                SELECT user_id, la1, lo1, la2, lo2, t1, t2,
+                       UNNEST(GENERATE_SERIES(gs, ge, 600)) AS g
+                FROM el WHERE gs <= ge)
+              SELECT user_id, g AS t_grid,
+                     CAST(CASE WHEN la2 >= la1
+                       THEN la1 + (2 * (la2 - la1) * (g - t1) + (t2 - t1))
+                                  // (2 * (t2 - t1))
+                       ELSE la1 - (2 * (la1 - la2) * (g - t1) + (t2 - t1))
+                                  // (2 * (t2 - t1))
+                       END AS BIGINT) AS lat_e6,
+                     CAST(CASE WHEN lo2 >= lo1
+                       THEN lo1 + (2 * (lo2 - lo1) * (g - t1) + (t2 - t1))
+                                  // (2 * (t2 - t1))
+                       ELSE lo1 - (2 * (lo1 - lo2) * (g - t1) + (t2 - t1))
+                                  // (2 * (t2 - t1))
+                       END AS BIGINT) AS lon_e6
+              FROM grid
+              ORDER BY user_id, t_grid""")))
 }

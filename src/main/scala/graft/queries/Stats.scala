@@ -40,6 +40,11 @@ object Stats {
   /** Deterministic experiment arm (0/1) of a user id — q242's rule. */
   private def arm(u: Column): Column = pmod(h32(u, ":ab"), lit(2))
 
+  /** THE ":kmv" member hash — shared with [[graft.etl.KmvStore]] so a
+    * persisted sketch and the q247/q271 calibration queries can never
+    * hash the same key differently. */
+  private[graft] def kmvHash(c: Column): Column = h32(c, ":kmv")
+
   /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) of
     * `keyCol` per `grpCol`: keep the k smallest distinct 32-bit md5
     * hashes; if more than k distinct hashes exist the estimate is

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -41,6 +41,20 @@ object StreamingGeo {
 
   final case class GeoEv(event_id: Long, user_id: Long, ts: Timestamp)
 
+  /** One OPEN co-travel episode — the per-pair state of
+    * [[startEpisodes]] (q269's always-on form), snapshotted to
+    * parquet each micro-batch. */
+  final case class EpState(u1: Long, u2: Long, start_hour: Long,
+      end_hour: Long, n_hours: Long, min_m: Long, alerted: Boolean)
+
+  /** [[startEpisodes]]'s per-pair fold output — `kind` routes rows to
+    * the closed-episode log ("closed"), the convoy-alert log
+    * ("alert", fired the moment an episode reaches minHours), or the
+    * next open-state snapshot ("open"). */
+  final case class EpOut(kind: String, u1: Long, u2: Long,
+      start_hour: Long, end_hour: Long, n_hours: Long, min_m: Long,
+      alerted: Boolean)
+
   /** One representative point per (vessel, hour) with band cells —
     * THE q264 derivation ([[Geo.bandedPoints]]), shared so the batch
     * and streaming joins can never drift. */
@@ -50,7 +64,8 @@ object StreamingGeo {
   def start(spark: SparkSession, landingDir: String, outDir: String,
       radiusM: Long = 500L,
       trigger: Trigger = Trigger.AvailableNow(),
-      hotOccupancy: Long = 1024L, saltBuckets: Int = 16): StreamingQuery = {
+      hotOccupancy: Long = 1024L, saltBuckets: Int = 16,
+      maxCellOccupancy: Long = Geo.DefaultMaxCellOccupancy): StreamingQuery = {
     require(radiusM * 9 <= 5000L,
       s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
     val evs = spark.readStream
@@ -77,15 +92,15 @@ object StreamingGeo {
                 .filter(col("batch") < bid)
                 .groupBy(col("hour"), col("cy"), col("cx"))
                 .agg(sum(col("n")).as("occ"))
-                .filter(col("occ") > hotOccupancy)
-                .select(col("hour"), col("cy"), col("cx")))
+                .filter(col("occ") >
+                  math.min(hotOccupancy, maxCellOccupancy)))
             else None
           // THE q264 band join ([[Geo.bandedPairs]]): 3x3 probe
           // replication, exact verify, and the occupancy-salted
           // hot-cell path — the port mega-cell spreads over salt
           // lanes here exactly as in the batch form
           Geo.bandedPairs(pts, earlier, radiusM, hotOccupancy,
-              saltBuckets, hot)
+              saltBuckets, hot, maxCellOccupancy)
             .filter(col("u1") =!= col("u2"))
             .select(col("u1").as("u_new"), col("u2").as("u_old"),
               col("hour"), col("m"))
@@ -104,6 +119,177 @@ object StreamingGeo {
             .parquet(s"$outDir/alerts/batch=$bid")
         // per-batch occupancy summary beside the index (batch=<id>
         // overwrite, replay-idempotent like everything else here)
+        pts.groupBy(col("hour"), col("cy"), col("cx"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$occDir/batch=$bid")
+        pts.write.mode("overwrite")
+          .option("compression", Writers.DefaultCompression)
+          .parquet(s"$indexDir/batch=$bid")
+        ()
+      }
+      .start()
+  }
+
+  /** Always-on CO-TRAVEL EPISODES — q269's streaming form: the convoy
+    * alert fires the moment a pair's episode reaches `minHours`
+    * encounter-hours, not at the nightly batch recompute.
+    *
+    * Per micro-batch: the batch's points pair against the persisted
+    * index PLUS themselves through THE q269 band join
+    * ([[graft.queries.Geo.bandedPairs]] — every pair-hour with at
+    * least one new endpoint, found exactly once), then each pair's
+    * new hours fold into its OPEN episode by q269's gaps-and-islands
+    * rule (gap > `maxGapHours` closes and restarts). State is a
+    * parquet SNAPSHOT per batch (`open/batch=<id>`, overwrite —
+    * replay-idempotent exactly like the index partitions; a replayed
+    * batch reads the snapshot from BEFORE itself and reproduces its
+    * own outputs bit for bit). Outputs: `closed/batch=<id>` (episodes
+    * that ended, >= minHours only — q269's emission rule) and
+    * `alerts/batch=<id>` (one row per episode at the moment it first
+    * reaches minHours).
+    *
+    * Contracts: arrival-order processing per pair (an hour at-or-
+    * before the open episode's end drops — the StateTracker rule;
+    * late-data-correct episodes are the batch q269's job), and
+    * DETERMINISTIC eviction: once the stream's observed hour
+    * high-water passes a pair's end_hour by more than maxGapHours, NO
+    * in-order hour can ever extend that episode, so it closes (kept
+    * iff >= minHours) and its state drops — open state is bounded by
+    * the ACTIVE pair population, not every pair ever seen.
+    * stream(closed ++ open >= minHours) == batch q269 on the landed
+    * prefix (pinned in StreamingGeoSpec, incl. after a full replay).
+    */
+  def startEpisodes(spark: SparkSession, landingDir: String,
+      outDir: String, radiusM: Long = 500L, minHours: Long = 2L,
+      maxGapHours: Long = 168L,
+      trigger: Trigger = Trigger.AvailableNow(),
+      hotOccupancy: Long = 1024L, saltBuckets: Int = 16,
+      maxCellOccupancy: Long = Geo.DefaultMaxCellOccupancy): StreamingQuery = {
+    require(radiusM * 9 <= 5000L,
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    require(minHours >= 1L && maxGapHours >= 1L,
+      s"need minHours/maxGapHours >= 1, got $minHours/$maxGapHours")
+    import spark.implicits._
+    val evs = spark.readStream
+      .schema(Encoders.product[GeoEv].schema)
+      .parquet(landingDir)
+    evs.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val fs = new Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val indexDir = s"$outDir/index"
+        val occDir = s"$outDir/occ"
+        val pts = points(batch)
+        val ptCols = Seq("user_id", "hour", "lat_e6", "lon_e6", "cy", "cx")
+          .map(col)
+        // index side: every earlier batch's points PLUS this batch's
+        // own (new-new pairs are this stream's job too — unlike the
+        // alert stream, the episode fold needs EVERY pair-hour)
+        val idxAll =
+          if (fs.exists(new Path(indexDir)))
+            spark.read.parquet(indexDir).filter(col("batch") < bid)
+              .select(ptCols: _*).unionByName(pts.select(ptCols: _*))
+          else pts.select(ptCols: _*)
+        val hot =
+          if (fs.exists(new Path(occDir)))
+            Some(spark.read.parquet(occDir)
+              .filter(col("batch") < bid)
+              .groupBy(col("hour"), col("cy"), col("cx"))
+              .agg(sum(col("n")).as("occ"))
+              .filter(col("occ") >
+                math.min(hotOccupancy, maxCellOccupancy)))
+          else None
+        // NOTE the hot summary covers the INDEX batches only (the
+        // batch's own points are one increment behind) — lane salting
+        // is a performance knob, never a correctness one, so the
+        // one-batch lag is harmless
+        val ph = Geo.bandedPairs(pts, idxAll, radiusM, hotOccupancy,
+            saltBuckets, hot, maxCellOccupancy)
+          .filter(col("u1") =!= col("u2"))
+          .select(least(col("u1"), col("u2")).as("u1"),
+            greatest(col("u1"), col("u2")).as("u2"),
+            col("hour"), col("m"))
+          .groupBy(col("u1"), col("u2"), col("hour"))
+          .agg(min(col("m")).as("m"))
+        // the observed-hour high-water drives deterministic eviction —
+        // from the POINTS (one tiny aggregate), not a band-join replay
+        val hwm = Option(pts.agg(max(col("hour"))).head.get(0))
+          .map(_.asInstanceOf[Long])
+        // open-episode snapshot from BEFORE this batch (max id < bid)
+        val openDir = new Path(s"$outDir/open")
+        val prevId =
+          if (fs.exists(openDir))
+            fs.listStatus(openDir).map(_.getPath.getName)
+              .filter(_.startsWith("batch="))
+              .map(_.stripPrefix("batch=").toLong)
+              .filter(_ < bid).sorted.lastOption
+          else None
+        val open: Dataset[EpState] = prevId match {
+          case Some(p) => spark.read
+            .parquet(s"$outDir/open/batch=$p").as[EpState]
+          case None => spark.emptyDataset[EpState]
+        }
+        val folded = open.groupByKey(s => (s.u1, s.u2))
+          .cogroup(ph.select(col("u1"), col("u2"), col("hour"), col("m"))
+            .as[(Long, Long, Long, Long)]
+            .groupByKey(r => (r._1, r._2))) {
+            case ((u1, u2), states, hours) =>
+              val out = Seq.newBuilder[EpOut]
+              var st = states.toSeq.headOption.orNull
+              def close(): Unit = {
+                if (st.n_hours >= minHours)
+                  out += EpOut("closed", u1, u2, st.start_hour,
+                    st.end_hour, st.n_hours, st.min_m, st.alerted)
+                st = null
+              }
+              hours.toSeq.sortBy(_._3).foreach { case (_, _, h, m) =>
+                if (st != null && h <= st.end_hour) {
+                  // at-or-before the open end: replay/straggler no-op
+                } else {
+                  if (st != null && h - st.end_hour > maxGapHours) close()
+                  st =
+                    if (st == null) EpState(u1, u2, h, h, 1L, m, false)
+                    else st.copy(end_hour = h, n_hours = st.n_hours + 1L,
+                      min_m = math.min(st.min_m, m))
+                  if (st.n_hours >= minHours && !st.alerted) {
+                    st = st.copy(alerted = true)
+                    out += EpOut("alert", u1, u2, st.start_hour, h,
+                      st.n_hours, st.min_m, true)
+                  }
+                }
+              }
+              // deterministic eviction: nothing in-order can extend
+              if (st != null && hwm.exists(_ - st.end_hour > maxGapHours))
+                close()
+              if (st != null)
+                out += EpOut("open", u1, u2, st.start_hour, st.end_hour,
+                  st.n_hours, st.min_m, st.alerted)
+              out.result().iterator
+          }
+        // one computation, three routed sinks: cache the fold (sized
+        // by the ACTIVE pair population, evicted past maxGapHours —
+        // never collected to the driver) instead of replaying the
+        // band join per sink, then release before the batch ends
+        val routed = folded.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          def land(kind: String, dir: String): Unit =
+            routed.filter(_.kind == kind)
+              .select(col("u1"), col("u2"), col("start_hour"),
+                col("end_hour"), col("n_hours"), col("min_m"),
+                col("alerted"))
+              .write.mode("overwrite")
+              .option("compression", Writers.DefaultCompression)
+              .parquet(s"$outDir/$dir/batch=$bid")
+          land("closed", "closed")
+          land("alert", "alerts")
+          land("open", "open")
+        } finally { routed.unpersist(); () }
+        // per-batch occupancy + index append, the start() layout
         pts.groupBy(col("hour"), col("cy"), col("cx"))
           .agg(count(lit(1)).as("n"))
           .write.mode("overwrite")

@@ -36,7 +36,49 @@ object GeoSkewRehearsal {
     conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long")
 
+  /** `runMain graft.tools.GeoSkewRehearsal poison [n] [cap]` — the
+    * POISON-CELL regime the md5 miner cannot produce (it is a data
+    * bug, not a port): `n` distinct vessels all at one coordinate in
+    * one hour, i.e. an occ² pair space of n² that no salting bounds
+    * (10^10 candidate pairs at the default n=100k — an OOM/never on
+    * this heap). With `maxCellOccupancy = cap` the mega-cell is
+    * EXCLUDED and REPORTED and the run completes in seconds; the
+    * background fleet's pairs still emit. Evidence row for SCALE.md.
+    */
+  private def poisonMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val cap = args.drop(1).headOption.map(_.toLong).getOrElse(4096L)
+    val spark = Session.local()
+    spark.sparkContext.setLogLevel("WARN")
+    // the bug shape: every malformed row at (0,0); background spread
+    val mega = spark.range(1L, n + 1L).toDF("user_id")
+      .select(col("user_id"), lit(0L).as("hour"),
+        lit(0L).as("lat_e6"), lit(0L).as("lon_e6"))
+    // background in co-located buddy pairs (ids 2k/2k+1 share a
+    // position) so the capped run provably still pairs SURVIVORS
+    val bg = spark.range(1000000L, 1002000L).toDF("user_id")
+      .select(col("user_id"), lit(0L).as("hour"),
+        pmod(expr("user_id div 2") * 7919L, lit(500000L)).as("lat_e6"),
+        pmod(expr("user_id div 2") * 104729L, lit(500000L)).as("lon_e6"))
+    val pts = mega.unionByName(bg)
+      .withColumn("cy", (col("lat_e6") + 5000L).divide(5000L).cast("long"))
+      .withColumn("cx", (col("lon_e6") + 5000L).divide(5000L).cast("long"))
+      .cache()
+    val nPts = pts.count()
+    val occ = pts.groupBy(col("hour"), col("cy"), col("cx"))
+      .agg(count(lit(1)).as("occ"))
+    val nPoison = occ.filter(col("occ") > cap).count()
+    val t0 = System.nanoTime()
+    val pairs = Geo.bandedPairs(pts, pts, 500L,
+        maxCellOccupancy = cap)
+      .filter(col("u1") < col("u2")).distinct().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""[scale] {"tool":"geoskew","path":"poison-capped","mega_occ":$n,"points":$nPts,"cap":$cap,"poison_cells_reported":$nPoison,"surviving_pairs":$pairs,"sec":$sec%.2f,"uncapped_pair_space":${n.toLong * n}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("poison")) return poisonMain(args.drop(1))
     val ports = args.headOption.map(_.toInt).getOrElse(1)
     val portVessels = args.drop(1).headOption.map(_.toInt).getOrElse(4000)
     val hours = args.drop(2).headOption.map(_.toInt).getOrElse(4)

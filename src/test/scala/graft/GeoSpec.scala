@@ -195,6 +195,45 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(pairs(1024L, 16) == unsalted)
   }
 
+  test("poison-cell cap: cells above maxCellOccupancy are excluded " +
+      "from pairing and reported by poisonCells; the default cap is " +
+      "a no-op on plausible data") {
+    val users = (1L to 400L)
+    val evs = events(users.map(u => (u * 10, u, 0L)): _*)
+    val hour = 1700000000L / 3600
+    // independent occupancy per 5,000-µdeg band cell (single hour)
+    val ptsLocal = users.map { u =>
+      val (la, lo) = pos(u * 10, u)
+      (u, la, lo, (la + 5000) / 5000, (lo + 5000) / 5000)
+    }
+    val occ = ptsLocal.groupBy(p => (p._4, p._5))
+      .view.mapValues(_.size.toLong).toMap
+    val occMax = occ.values.max
+    assert(occMax >= 2, "no colliding cell — grow the population")
+    val thr = occMax - 1 // every max-occupancy cell is poison
+    val poison = occ.filter(_._2 > thr).keySet
+    // the audit reports exactly the over-cap cells with their occupancy
+    val rep = Geo.poisonCells(evs, thr).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(rep == poison.map(c => c -> occ(c)).toMap)
+    assert(Geo.poisonCells(evs).collect().isEmpty, // default: healthy
+      "default cap flagged a plausible cell")
+    def brute(pts: Seq[(Long, Long, Long, Long, Long)]) = (for {
+      (u1, a1, o1, _, _) <- pts; (u2, a2, o2, _, _) <- pts if u1 < u2
+      m = math.round(hav(a1, o1, a2, o2)) if m <= 500L
+    } yield (u1, u2) -> ((1L, m))).toMap
+    def engine(cap: Long) =
+      Geo.proximityPairs(evs, 500L, maxCellOccupancy = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    // capped == brute force over the SURVIVING points only
+    val kept = ptsLocal.filterNot(p => poison((p._4, p._5)))
+    assert(kept.size < ptsLocal.size) // the cap really dropped points
+    assert(engine(thr) == brute(kept))
+    // default cap: nothing excluded, the full pair set
+    assert(engine(Geo.DefaultMaxCellOccupancy) == brute(ptsLocal))
+  }
+
   test("the band join plans as an equi-join on (hour, cell, salt) — " +
       "never a nested-loop/cartesian (pinned on bandedPairs itself, " +
       "so the pin survives any caller-side materialization)") {
@@ -309,6 +348,67 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(out == expect,
       s"missing=${expect.keySet -- out.keySet} " +
         s"extra=${out.keySet -- expect.keySet}")
+  }
+
+  test("zonesFor pins the ray-cast boundary convention: left/bottom " +
+      "edges and the bottom-left vertex are INSIDE, right/top edges " +
+      "and the other vertices OUTSIDE; interior in, exterior out") {
+    // unit square in (lon=x, lat=y), CCW
+    val square = Seq((9L, "sq",
+      Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))))
+    val pts = Seq(
+      ("center", 5L, 5L), ("outside", 15L, 5L), ("far", -3L, -3L),
+      ("left_edge", 0L, 5L), ("bottom_edge", 5L, 0L),
+      ("right_edge", 10L, 5L), ("top_edge", 5L, 10L),
+      ("bl_vertex", 0L, 0L), ("br_vertex", 10L, 0L),
+      ("tl_vertex", 0L, 10L), ("tr_vertex", 10L, 10L))
+      .toDF("tag", "px", "py")
+    val in = Geo.zonesFor(pts, "px", "py", Seq("tag"), square)
+      .collect().map(_.getString(0)).toSet
+    assert(in == Set("center", "left_edge", "bottom_edge", "bl_vertex"))
+    // a triangle with slanted edges: interior/exterior still exact
+    val tri = Seq((7L, "tri", Seq((0L, 0L), (8L, 0L), (0L, 8L))))
+    val tpts = Seq(("in", 2L, 2L), ("hyp_out", 5L, 5L), ("hyp_on", 4L, 4L),
+      ("out", 9L, 1L)).toDF("tag", "px", "py")
+    val tin = Geo.zonesFor(tpts, "px", "py", Seq("tag"), tri)
+      .collect().map(_.getString(0)).toSet
+    // the hypotenuse runs top-right: ON it is OUT (the half-open rule)
+    assert(tin == Set("in"))
+    // overlapping zones: one row per containing zone
+    val two = square ++ Seq((8L, "big",
+      Seq((-5L, -5L), (20L, -5L), (20L, 20L), (-5L, 20L))))
+    val both = Geo.zonesFor(Seq(("c", 5L, 5L)).toDF("tag", "px", "py"),
+      "px", "py", Seq("tag"), two)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(both == Set(9L, 8L))
+  }
+
+  test("trackInterpolate: grid instants exactly in (t1, t2], legs " +
+      "over maxGap interpolate NOTHING, positions are the half-up " +
+      "exact integers") {
+    // leg A: 1800 s (3 grid instants incl. the on-grid endpoint if it
+    // lands); leg B: 38,200 s gap > 6 h -> nothing; leg C: 500 s
+    val evs = events((11L, 1L, 0L), (12L, 1L, 1800L),
+      (13L, 1L, 40000L), (14L, 1L, 40500L))
+    val out = Geo.trackInterpolate(evs).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    def hu(lo: Long, hi: Long, num: Long, den: Long): Long =
+      if (hi >= lo) lo + (2 * (hi - lo) * num + den) / (2 * den)
+      else lo - (2 * (lo - hi) * num + den) / (2 * den)
+    val base = 1700000000L
+    val expect = (for {
+      (e1, t1s, e2, t2s) <- Seq((11L, 0L, 12L, 1800L),
+        (13L, 40000L, 14L, 40500L))
+      t1 = base + t1s; t2 = base + t2s
+      gs = t1 - t1 % 600 + 600; ge = t2 - t2 % 600
+      g <- gs to ge by 600
+      (la1, lo1) = pos(e1, 1L); (la2, lo2) = pos(e2, 1L)
+    } yield g -> ((hu(la1, la2, g - t1, t2 - t1),
+      hu(lo1, lo2, g - t1, t2 - t1)))).toMap
+    assert(expect.size >= 3, s"vacuous plant: ${expect.size} instants")
+    assert(out == expect)
+    // nothing interpolated across the 38,200 s gap
+    assert(!out.keys.exists(g => g > base + 1800 && g <= base + 40000))
   }
 
   test("cellDensity: counts and distinct vessels recompute; ordering " +

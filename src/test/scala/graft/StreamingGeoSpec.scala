@@ -129,4 +129,85 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
     assert(salted == plain,
       s"missing=${plain -- salted} extra=${salted -- plain}")
   }
+
+  test("startEpisodes: incremental closed+open episodes == the batch " +
+      "q269 on the landed prefix; convoy alerts fire at the " +
+      "minHours-reaching batch; gap splits + eviction; one-shot " +
+      "replay of the full landing set converges to the same state") {
+    import spark.implicits._
+    val users = (1L to 150L)
+    // per-wave distinct event ids so the (vessel, hour) representative
+    // never straddles batches
+    def wave(k: Long, hour: Long): Seq[GeoEv] =
+      users.map(u => GeoEv(u * 10 + k, u, ts(60 + hour * 3600)))
+    val waves = Seq(wave(0L, 0L), wave(1L, 1L), wave(2L, 5L))
+
+    def run(split: Boolean): (String,
+        Set[(Long, Long, Long, Long, Long, Long)],
+        Set[(Long, Long, Long)]) = {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft-ep-in").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ep-out").toString
+      def land(name: String, evs: Seq[GeoEv]): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ep-wave").toString
+        evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(landing, name))
+      }
+      def drain(): Unit = StreamingGeo.startEpisodes(spark, landing, out,
+        500L, minHours = 2L, maxGapHours = 2L).awaitTermination()
+      if (split) waves.zipWithIndex.foreach { case (w, i) =>
+        land(s"w$i.parquet", w); drain()
+      } else { waves.zipWithIndex.foreach { case (w, i) =>
+        land(s"w$i.parquet", w) }; drain() }
+      val openId = new java.io.File(s"$out/open").listFiles()
+        .map(_.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).max
+      def eps(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("u1"), r.getAs[Long]("u2"),
+          r.getAs[Long]("start_hour"), r.getAs[Long]("end_hour"),
+          r.getAs[Long]("n_hours"), r.getAs[Long]("min_m"))).toSet
+      val closed = eps(spark.read.parquet(s"$out/closed"))
+      val open = eps(spark.read.parquet(s"$out/open/batch=$openId")
+        .filter(org.apache.spark.sql.functions
+          .col("n_hours") >= 2L))
+      val alerts = spark.read.parquet(s"$out/alerts").collect()
+        .map(r => (r.getAs[Long]("u1"), r.getAs[Long]("u2"),
+          r.getAs[Long]("end_hour"))).toSet
+      (out, closed ++ open, alerts)
+    }
+
+    val (out, streamEps, alerts) = run(split = true)
+    // batch reference on the full landed set
+    val all = waves.flatten
+      .map(e => (e.event_id, e.user_id, e.ts))
+      .toDF("event_id", "user_id", "ts")
+    val batchEps = graft.queries.Geo
+      .coTravel(all, 500L, minHours = 2L, maxGapHours = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(batchEps.nonEmpty, "planted population produced no episodes")
+    assert(streamEps == batchEps,
+      s"missing=${batchEps -- streamEps} extra=${streamEps -- batchEps}")
+    // the hour-5 wave is 4 > maxGapHours past hour 1: every open
+    // episode was gap-split or evicted-closed, none stays open >= 2
+    val openId = new java.io.File(s"$out/open").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    val openRows = spark.read.parquet(s"$out/open/batch=$openId")
+    assert(openRows.filter(org.apache.spark.sql.functions
+      .col("n_hours") >= 2L).count() == 0)
+    assert(openRows.count() > 0, "hour-5 singles should be open")
+    // alerts: one per episode, at the batch where n_hours reached 2 —
+    // i.e. exactly the >= 2-hour episodes, alerted at their 2nd hour
+    assert(alerts == batchEps.map(e => (e._1, e._2, e._4)))
+    // one-shot replay: all three waves in ONE batch -> same episodes
+    val (_, oneShot, oneAlerts) = run(split = false)
+    assert(oneShot == batchEps)
+    assert(oneAlerts == alerts)
+  }
 }
