@@ -531,6 +531,54 @@ object Geo {
       .orderBy(col("zone_id"), col("zone_name"))
   }
 
+  /** Zone-level transition matrix — q266's OD flow lifted from cells
+    * to ZONES: trips between consecutive stops counted per
+    * (from_zone -> to_zone), the "traffic between basins" readout.
+    * A stop inside multiple (overlapping) zones attributes to its
+    * LOWEST zone_id (deterministic tie rule); stops outside every
+    * zone flow through the (-1, 'open_sea') bucket so transit via
+    * unzoned water still shows. All corpus-sized work is the shared
+    * leg window; transitions ride the |stops| summary. */
+  def zoneTransitions(events: DataFrame, maxLegM: Long = 200L,
+      minDwellS: Long = 1800L): DataFrame = {
+    val reps = stopReps(events, maxLegM, minDwellS)
+      .select(col("user_id"), col("run"), col("plat"), col("plon"),
+        col("sts"), col("peid"))
+    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"))
+      .groupBy(col("user_id"), col("run"))
+      .agg(min(col("zone_id")).as("zone_id"))
+    val zs = reps.join(inz, Seq("user_id", "run"), "left")
+      .select(col("user_id"), col("sts"), col("peid"),
+        coalesce(col("zone_id"), lit(-1L)).as("zid"))
+    val ws = Window.partitionBy(col("user_id"))
+      .orderBy(col("sts"), col("peid"))
+    zs
+      .withColumn("fzid", lag(col("zid"), 1).over(ws))
+      .filter(col("fzid").isNotNull)
+      .groupBy(col("fzid").as("from_zone_id"), col("zid").as("to_zone_id"))
+      .agg(count(lit(1)).as("n_trips"))
+      .orderBy(col("n_trips").desc, col("from_zone_id"), col("to_zone_id"))
+  }
+
+  /** Uniform-sampled density — [[cellDensity]]'s readout over the
+    * RESAMPLED track ([[trackInterpolate]]'s regular grid) instead of
+    * raw pings: a vessel pinging 10× as often no longer weighs 10× in
+    * the heat map, so the density reads EXPOSURE (vessel-minutes),
+    * not reporting cadence — the sampling-bias kill the interpolation
+    * operator exists to feed. */
+  def resampledDensity(events: DataFrame, stepS: Long = 600L,
+      maxGapS: Long = 21600L, top: Int = 20): DataFrame =
+    trackInterpolate(events, stepS, maxGapS)
+      .select((col("lat_e6") + 5000L).divide(10000L).cast("long")
+          .as("cell_y"),
+        (col("lon_e6") + 5000L).divide(10000L).cast("long").as("cell_x"),
+        col("user_id"))
+      .groupBy(col("cell_y"), col("cell_x"))
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct(col("user_id")).as("n_vessels"))
+      .orderBy(col("n_samples").desc, col("cell_y"), col("cell_x"))
+      .limit(top)
+
   /** Trajectory resampling — each vessel's sparse pings interpolated
     * onto the regular `stepS`-second grid: for every consecutive-fix
     * leg at most `maxGapS` seconds long, emit the grid instants in
@@ -1025,5 +1073,128 @@ object Geo {
                                   // (2 * (t2 - t1))
                        END AS BIGINT) AS lon_e6
               FROM grid
-              ORDER BY user_id, t_grid""")))
+              ORDER BY user_id, t_grid""")),
+
+    // ZONE TRANSITION MATRIX — q266's OD flow at ZONE level (lowest
+    // zone_id wins on overlap; open-sea bucket -1 keeps transit
+    // through unzoned water visible).
+    Q("q275_zone_transitions",
+      (s, d) => zoneTransitions(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id, event_id, ts,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(ts) OVER w AS pts,
+                       LAG(event_id) OVER w AS peid,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS dt_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              lm AS (
+                SELECT user_id, event_id, ts, pts, peid, la1, lo1, dt_s,
+                       CAST(ROUND($HavSql) AS BIGINT) AS leg_m
+                FROM legs WHERE la1 IS NOT NULL),
+              fl AS (
+                SELECT *, CASE WHEN leg_m > 200 THEN 1 ELSE 0 END
+                       AS moving
+                FROM lm),
+              rn AS (
+                SELECT *, SUM(moving) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+                FROM fl),
+              st AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run
+                         ORDER BY pts, peid) AS rn2,
+                       SUM(dt_s) OVER (PARTITION BY user_id, run) AS dw
+                FROM rn WHERE moving = 0),
+              stops AS (
+                SELECT user_id, run, la1, lo1, pts AS sts, peid
+                FROM st WHERE rn2 = 1 AND dw >= 1800),
+              edges(zone_id, zone_name, x1, y1, x2, y2) AS (
+                VALUES $zoneEdgesSql),
+              par AS (
+                SELECT s.user_id, s.run, e.zone_id,
+                       SUM(CASE WHEN (e.y1 > s.la1) <> (e.y2 > s.la1)
+                                 AND ((e.y2 > e.y1
+                                       AND (e.x2 - e.x1) * (s.la1 - e.y1)
+                                         - (s.lo1 - e.x1) * (e.y2 - e.y1)
+                                         > 0)
+                                   OR (e.y2 < e.y1
+                                       AND (e.x2 - e.x1) * (s.la1 - e.y1)
+                                         - (s.lo1 - e.x1) * (e.y2 - e.y1)
+                                         < 0))
+                                THEN 1 ELSE 0 END) AS ncr
+                FROM stops s CROSS JOIN edges e
+                GROUP BY 1, 2, 3),
+              zmin AS (
+                SELECT user_id, run, MIN(zone_id) AS zid
+                FROM par WHERE ncr % 2 = 1 GROUP BY 1, 2),
+              zs AS (
+                SELECT s.user_id, s.sts, s.peid,
+                       CAST(COALESCE(z.zid, -1) AS BIGINT) AS zid
+                FROM stops s LEFT JOIN zmin z
+                  ON z.user_id = s.user_id AND z.run = s.run),
+              tr AS (
+                SELECT LAG(zid) OVER (PARTITION BY user_id
+                         ORDER BY sts, peid) AS fzid, zid
+                FROM zs)
+              SELECT fzid AS from_zone_id, zid AS to_zone_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_trips
+              FROM tr WHERE fzid IS NOT NULL
+              GROUP BY 1, 2
+              ORDER BY n_trips DESC, from_zone_id, to_zone_id""")),
+
+    // UNIFORM-SAMPLED DENSITY — q262 over the q274 resampled grid:
+    // density as EXPOSURE (vessel-minutes), not reporting cadence.
+    Q("q276_resampled_density",
+      (s, d) => resampledDensity(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS t1,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t2
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              el AS (
+                SELECT *, t1 - (t1 % 600) + 600 AS gs,
+                       t2 - (t2 % 600) AS ge
+                FROM legs
+                WHERE la1 IS NOT NULL AND t2 > t1 AND t2 - t1 <= 21600),
+              grid AS (
+                SELECT user_id, la1, lo1, la2, lo2, t1, t2,
+                       UNNEST(GENERATE_SERIES(gs, ge, 600)) AS g
+                FROM el WHERE gs <= ge),
+              samp AS (
+                SELECT user_id,
+                       CAST(CASE WHEN la2 >= la1
+                         THEN la1 + (2 * (la2 - la1) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         ELSE la1 - (2 * (la1 - la2) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         END AS BIGINT) AS lat_e6,
+                       CAST(CASE WHEN lo2 >= lo1
+                         THEN lo1 + (2 * (lo2 - lo1) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         ELSE lo1 - (2 * (lo1 - lo2) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         END AS BIGINT) AS lon_e6
+                FROM grid),
+              cells AS (
+                SELECT (lat_e6 + 5000) // 10000 AS cell_y,
+                       (lon_e6 + 5000) // 10000 AS cell_x, user_id
+                FROM samp)
+              SELECT cell_y, cell_x,
+                     CAST(COUNT(*) AS BIGINT) AS n_samples,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels
+              FROM cells GROUP BY 1, 2
+              ORDER BY n_samples DESC, cell_y, cell_x
+              LIMIT 20""")))
 }

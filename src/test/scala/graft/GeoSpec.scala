@@ -411,6 +411,101 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(!out.keys.exists(g => g > base + 1800 && g <= base + 40000))
   }
 
+  private def inZone(px: Long, py: Long, vs: Seq[(Long, Long)]): Boolean = {
+    var cnt = 0
+    (vs :+ vs.head).sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        if ((y1 > py) != (y2 > py)) {
+          val num = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+          if (if (y2 > y1) num > 0 else num < 0) cnt += 1
+        }
+      case _ => ()
+    }
+    cnt % 2 == 1
+  }
+
+  test("zoneTransitions == independent stops-zones-lag recomputation " +
+      "(local ray cast over the same Zones registry, lowest-id tie " +
+      "rule, open-sea flows kept)") {
+    val users = (1L to 40L)
+    val evs = events(users.flatMap(u =>
+      (0L to 7L).map(i => (u * 100 + i, u, i * 600))): _*)
+    val out = Geo.zoneTransitions(evs, maxLegM = 300L, minDwellS = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = users.flatMap { u =>
+      val fixes = (0L to 7L).map { i =>
+        val eid = u * 100 + i
+        val (la, lo) = pos(eid, u)
+        (i * 600, eid, la, lo)
+      }
+      val legs = fixes.sliding(2).map {
+        case Seq((t1, e1, a1, o1), (t2, e2, a2, o2)) =>
+          (t1, e1, a1, o1, math.round(hav(a1, o1, a2, o2)) > 300L)
+      }.toSeq
+      var run = 0L
+      val tagged = legs.map { case (t1, e1, a1, o1, moving) =>
+        if (moving) run += 1
+        (run, moving, t1, e1, a1, o1)
+      }
+      val zids = tagged.filter(!_._2).groupBy(_._1).values.toSeq
+        .map(g => g.minBy(x => (x._3, x._4)))
+        .sortBy(x => (x._3, x._4))
+        .map { x =>
+          val las = x._5; val lo = x._6
+          Geo.Zones.filter(z => inZone(lo, las, z._3)).map(_._1)
+            .minOption.getOrElse(-1L)
+        }
+      zids.sliding(2).collect { case Seq(f, t0) => (f, t0) }.toSeq
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(expect.values.sum > 0, "planted population produced no trips")
+    assert(expect.keys.exists(_._1 >= 0) || expect.keys.exists(_._2 >= 0),
+      "no zoned endpoint — zones never exercised")
+    assert(out == expect,
+      s"missing=${expect.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- expect.keySet}")
+  }
+
+  test("resampledDensity == independent interpolation + cell counts " +
+      "(cadence-equalized: the readout is exposure, not ping rate)") {
+    val users = (1L to 30L)
+    // irregular cadences: user u pings every (u % 3 + 1) * 400 s
+    val evs = events(users.flatMap { u =>
+      val step = (u % 3 + 1) * 400
+      (0L to 6L).map(i => (u * 100 + i, u, i * step))
+    }: _*)
+    val out = Geo.resampledDensity(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def hu(lo: Long, hi: Long, num: Long, den: Long): Long =
+      if (hi >= lo) lo + (2 * (hi - lo) * num + den) / (2 * den)
+      else lo - (2 * (lo - hi) * num + den) / (2 * den)
+    val base = 1700000000L
+    val samples = users.flatMap { u =>
+      val step = (u % 3 + 1) * 400
+      val fixes = (0L to 6L).map { i =>
+        val eid = u * 100 + i
+        val (la, lo) = pos(eid, u)
+        (base + i * step, la, lo)
+      }
+      fixes.sliding(2).flatMap { case Seq((t1, a1, o1), (t2, a2, o2)) =>
+        val gs = t1 - t1 % 600 + 600; val ge = t2 - t2 % 600
+        (gs to ge by 600).map(g =>
+          (u, hu(a1, a2, g - t1, t2 - t1), hu(o1, o2, g - t1, t2 - t1)))
+      }
+    }
+    val expect = samples
+      .map { case (u, la, lo) => ((la + 5000) / 10000, (lo + 5000) / 10000, u) }
+      .groupBy(c => (c._1, c._2))
+      .map { case ((cy, cx), g) =>
+        (cy, cx, g.size.toLong, g.map(_._3).distinct.size.toLong) }
+      .toSeq
+      .sortBy(t => (-t._3, t._1, t._2))
+      .take(20)
+    assert(expect.nonEmpty && out.length == expect.length)
+    assert(out.toSeq == expect, s"got=${out.toSeq.take(5)} " +
+      s"want=${expect.take(5)}")
+  }
+
   test("cellDensity: counts and distinct vessels recompute; ordering " +
       "is (count desc, cell)") {
     val evs = events((1L to 200L).map(e => (e, e % 40 + 1, e)): _*)
