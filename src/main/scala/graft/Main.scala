@@ -362,6 +362,14 @@ object Main {
           val n = spark.read.parquet(s"$outDir/alerts").count()
           println(s"geo-stream landing=$landingDir out=$outDir alerts=$n")
 
+        // q277's always-on form: geofence-breach visit intervals
+        case "geo-visits" :: landingDir :: outDir :: Nil =>
+          graft.streaming.StreamingGeo
+            .startZoneVisits(spark, landingDir, outDir)
+            .awaitTermination()
+          val n = spark.read.parquet(s"$outDir/visits").count()
+          println(s"geo-visits landing=$landingDir out=$outDir visits=$n")
+
         // q269's always-on form: incremental co-travel episodes with
         // convoy alerts at the minHours-reaching micro-batch
         case "geo-episodes" :: landingDir :: outDir :: rest
@@ -901,6 +909,7 @@ object Main {
         |  vtable-stream <landingDir> <tableDir> <schemaSampleParquet> [statsCol...]
         |  geo-stream <landingDir> <outDir> [radiusM]
         |  geo-episodes <landingDir> <outDir> [radiusM [minHours [maxGapHours]]]
+        |  geo-visits <landingDir> <outDir>
         |  kmv build <inParquet> <grpCol> <keyCol> <dir> [k]
         |  kmv merge <dirA> <dirB> <outDir>
         |  kmv estimate <dir>

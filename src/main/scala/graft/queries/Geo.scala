@@ -531,6 +531,78 @@ object Geo {
       .orderBy(col("zone_id"), col("zone_name"))
   }
 
+  /** The zone test as ONE codegen'd PROJECTION — for per-ping (hot
+    * path) attribution where even a broadcast join is overkill: the
+    * zone registry is a literal constant, so each zone's crossing
+    * parity compiles to a branch-free integer expression and the
+    * attribution is `coalesce(when(in_1, 1) ... , -1)` — lowest
+    * zone_id wins (the q275 tie rule), zero shuffle, zero join,
+    * inside whole-stage codegen. Same exact integer ray cast and
+    * boundary convention as [[zonesFor]]. */
+  private[graft] def zoneIdExpr(px: Column, py: Column,
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): Column = {
+    def parity(vs: Seq[(Long, Long)]): Column =
+      pmod((vs :+ vs.head).sliding(2).collect {
+        case Seq((x1, y1), (x2, y2)) if y1 != y2 =>
+          val straddle = (lit(y1) > py) =!= (lit(y2) > py)
+          val num = lit(x2 - x1) * (py - lit(y1)) -
+            (px - lit(x1)) * lit(y2 - y1)
+          when(straddle && (if (y2 > y1) num > 0 else num < 0), 1L)
+            .otherwise(0L)
+      }.reduce(_ + _), lit(2L)) === 1
+    coalesce(zones.sortBy(_._1).map { case (id, _, vs) =>
+      when(parity(vs), lit(id)) } :+ lit(-1L): _*)
+  }
+
+  /** [[zoneIdExpr]]'s DuckDB rendering, generated from the same
+    * [[Zones]] constant — engines cannot drift. `px`/`py` are SQL
+    * expressions for lon/lat in µdeg. */
+  private def zoneIdSql(px: String, py: String): String = {
+    def parity(vs: Seq[(Long, Long)]): String =
+      "(" + (vs :+ vs.head).sliding(2).collect {
+        case Seq((x1, y1), (x2, y2)) if y1 != y2 =>
+          val cmp = if (y2 > y1) ">" else "<"
+          s"CASE WHEN ($y1 > $py) <> ($y2 > $py) AND " +
+            s"(${x2 - x1}) * ($py - $y1) - ($px - $x1) * (${y2 - y1}) " +
+            s"$cmp 0 THEN 1 ELSE 0 END"
+      }.mkString(" + ") + ") % 2 = 1"
+    "CASE " + Zones.sortBy(_._1).map { case (id, _, vs) =>
+      s"WHEN ${parity(vs)} THEN $id" }.mkString(" ") + " ELSE -1 END"
+  }
+
+  /** Zone VISITS — the geofence-breach readout ("vessel entered the
+    * exclusion zone at T, left at T'"): every fix attributed to its
+    * zone by the codegen'd [[zoneIdExpr]] (zero join), then
+    * gaps-and-islands runs of consecutive same-zone fixes per vessel;
+    * one row per IN-ZONE run with observed enter/exit fixes and the
+    * fix count. Open-sea runs separate visits (leaving a zone ends
+    * the visit) but do not emit. The per-vessel window is the
+    * q43/q150 bounded contract; everything before it is a pure
+    * projection. Returns (user_id, zone_id, enter_ts, exit_ts,
+    * n_fixes), strings for hashing. */
+  def zoneVisits(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pts = positioned(events)
+      .withColumn("zid", zoneIdExpr(col("lon_e6"), col("lat_e6")))
+      .withColumn("chg",
+        when(lag(col("zid"), 1).over(w).isNull ||
+          lag(col("zid"), 1).over(w) =!= col("zid"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    pts
+      .filter(col("zid") =!= -1L)
+      .groupBy(col("user_id"), col("run"), col("zid").as("zone_id"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("enter_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("exit_ts"),
+        count(lit(1)).as("n_fixes"))
+      .select(col("user_id"), col("zone_id"), col("enter_ts"),
+        col("exit_ts"), col("n_fixes"))
+      .orderBy(col("user_id"), col("enter_ts"), col("exit_ts"),
+        col("zone_id"), col("n_fixes"))
+  }
+
   /** Zone-level transition matrix — q266's OD flow lifted from cells
     * to ZONES: trips between consecutive stops counted per
     * (from_zone -> to_zone), the "traffic between basins" readout.
@@ -1196,5 +1268,34 @@ object Geo {
                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels
               FROM cells GROUP BY 1, 2
               ORDER BY n_samples DESC, cell_y, cell_x
-              LIMIT 20""")))
+              LIMIT 20""")),
+
+    // ZONE VISITS — geofence-breach intervals: runs of consecutive
+    // same-zone fixes per vessel via the codegen'd zone projection
+    // (zero join), one row per in-zone run.
+    Q("q277_zone_visits",
+      (s, d) => zoneVisits(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              zp AS (
+                SELECT user_id, event_id, ts,
+                       ${zoneIdSql("lon_e6", "lat_e6")} AS zid
+                FROM pos),
+              ch AS (
+                SELECT *, CASE WHEN LAG(zid) OVER w IS NULL
+                               OR LAG(zid) OVER w <> zid
+                               THEN 1 ELSE 0 END AS chg
+                FROM zp
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              rn AS (
+                SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+                FROM ch)
+              SELECT user_id, CAST(zid AS BIGINT) AS zone_id,
+                     STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS enter_ts,
+                     STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS exit_ts,
+                     CAST(COUNT(*) AS BIGINT) AS n_fixes
+              FROM rn WHERE zid <> -1
+              GROUP BY user_id, run, zid
+              ORDER BY user_id, enter_ts, exit_ts, zone_id, n_fixes""")))
 }

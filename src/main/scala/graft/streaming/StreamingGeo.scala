@@ -55,6 +55,81 @@ object StreamingGeo {
       start_hour: Long, end_hour: Long, n_hours: Long, min_m: Long,
       alerted: Boolean)
 
+  /** [[startZoneVisits]]'s typed input: one fix with its codegen'd
+    * zone attribution. */
+  final case class ZoneEv(user_id: Long, event_id: Long, ts: Timestamp,
+      zid: Long)
+  /** Per-vessel open-visit state: current zone (may be -1 = open
+    * sea — leaving a zone must CLOSE the visit), enter instant, last
+    * applied (ts, event_id) idempotency watermark, fix count. */
+  final case class ZoneState(zid: Long, enterMs: Long, lastMs: Long,
+      lastId: Long, n: Long)
+  final case class ZoneVisit(user_id: Long, zone_id: Long,
+      enter_ts: Timestamp, exit_ts: Timestamp, n_fixes: Long)
+
+  /** Always-on GEOFENCE-BREACH monitor — q277's streaming form: each
+    * fix is zone-attributed by the codegen'd projection (zero join,
+    * zero broadcast — the zone registry compiles into the plan), and
+    * a per-vessel typed state collapses consecutive same-zone fixes
+    * into visits ACROSS micro-batches; the visit row ("entered
+    * nw_harbor 02:10, left 05:40, 14 fixes") lands the moment the
+    * vessel's next fix is in a DIFFERENT zone (or open sea) — the
+    * batch q277 minus only each vessel's open tail, which by
+    * definition has no exit yet (pinned in StreamingGeoSpec).
+    *
+    * The StateTracker discipline: arrival-order processing under the
+    * (ts, event_id) idempotency watermark (replays and out-of-order
+    * stragglers no-op; the late-data-correct history is the batch
+    * q277 recompute), ~40 bytes of state per vessel ever seen —
+    * bounded-fleet contract (see StateTracker.runsEvicting for the
+    * event-time-eviction variant when the population is unbounded).
+    */
+  def startZoneVisits(spark: SparkSession, landingDir: String,
+      outDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val evs = spark.readStream
+      .schema(Encoders.product[GeoEv].schema)
+      .parquet(landingDir)
+    val zoned = Geo.positioned(evs)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Geo.zoneIdExpr(col("lon_e6"), col("lat_e6")).as("zid"))
+      .as[ZoneEv]
+    zoned.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZoneState, ZoneVisit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, fixes: Iterator[ZoneEv], state) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[ZoneVisit]
+          fixes.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (st == null)
+              st = ZoneState(e.zid, t, t, e.event_id, 1L)
+            else if (t > st.lastMs ||
+                (t == st.lastMs && e.event_id > st.lastId)) {
+              if (e.zid == st.zid)
+                st = st.copy(lastMs = t, lastId = e.event_id, n = st.n + 1)
+              else {
+                if (st.zid != -1L)
+                  out += ZoneVisit(uid, st.zid, new Timestamp(st.enterMs),
+                    new Timestamp(st.lastMs), st.n)
+                st = ZoneState(e.zid, t, t, e.event_id, 1L)
+              }
+            } // else: replay/straggler — no-op by the rule
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode("append")
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", s"$outDir/visits")
+      .start()
+  }
+
   /** One representative point per (vessel, hour) with band cells —
     * THE q264 derivation ([[Geo.bandedPoints]]), shared so the batch
     * and streaming joins can never drift. */

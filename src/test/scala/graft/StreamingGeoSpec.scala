@@ -210,4 +210,78 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
     assert(oneShot == batchEps)
     assert(oneAlerts == alerts)
   }
+
+  private def inZone(px: Long, py: Long, vs: Seq[(Long, Long)]): Boolean = {
+    var cnt = 0
+    (vs :+ vs.head).sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        if ((y1 > py) != (y2 > py)) {
+          val num = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+          if (if (y2 > y1) num > 0 else num < 0) cnt += 1
+        }
+      case _ => ()
+    }
+    cnt % 2 == 1
+  }
+
+  test("startZoneVisits: cross-batch visit closes == an independent " +
+      "zone-fold over the full landing set (batch q277 minus open " +
+      "tails); re-drain emits nothing new") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-zv-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-zv-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-zv-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit = StreamingGeo
+      .startZoneVisits(spark, landing, out).awaitTermination()
+    val users = (1L to 300L)
+    // 2 waves x 2 fixes per user, strictly increasing event time
+    land("w1.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10, u, ts(0)), GeoEv(u * 10 + 1, u, ts(600)))))
+    drain()
+    land("w2.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10 + 2, u, ts(1200)), GeoEv(u * 10 + 3, u, ts(1800)))))
+    drain()
+    val got = spark.read.parquet(s"$out/visits").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("zone_id"),
+        r.getAs[Timestamp]("enter_ts").getTime,
+        r.getAs[Timestamp]("exit_ts").getTime,
+        r.getAs[Long]("n_fixes"))).toSet
+    // independent fold: zone per fix via the local ray cast over the
+    // SAME registry, closed visits only (open tails never emit)
+    val expect = users.flatMap { u =>
+      val zids = (0L to 3L).map { i =>
+        val (la, lo) = pos(u * 10 + i, u)
+        graft.queries.Geo.Zones
+          .filter(z => inZone(lo, la, z._3)).map(_._1)
+          .minOption.getOrElse(-1L)
+      }
+      val times = (0L to 3L).map(i => 1700000000000L + i * 600000L)
+      val runs = collection.mutable.Buffer
+        .empty[(Long, Long, Long, Long)] // zid, enter, last, n
+      zids.zip(times).foreach { case (z, t) =>
+        if (runs.nonEmpty && runs.last._1 == z) {
+          val l = runs.last
+          runs(runs.size - 1) = (l._1, l._2, t, l._4 + 1)
+        } else runs += ((z, t, t, 1L))
+      }
+      runs.dropRight(1).filter(_._1 != -1L)
+        .map { case (z, e, l, n) => (u, z, e, l, n) }
+    }.toSet
+    assert(expect.nonEmpty, "no closed in-zone visit — population vacuous")
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+    // no new files -> no new emission
+    drain()
+    assert(spark.read.parquet(s"$out/visits").count() == got.size)
+  }
 }
