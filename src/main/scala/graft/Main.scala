@@ -423,7 +423,9 @@ object Main {
           import org.apache.spark.sql.functions.{col, sum => fsum}
           val reports = Seq("q262_geo_density", "q263_track_report",
             "q264_proximity_pairs", "q265_stop_report", "q266_od_matrix",
-            "q268_dwell_heatmap", "q269_co_travel")
+            "q268_dwell_heatmap", "q269_co_travel", "q273_zone_stops",
+            "q274_track_interp", "q275_zone_transitions",
+            "q276_resampled_density", "q277_zone_visits")
           reports.foreach { n =>
             SparkEntry.queries(n)(spark, sfDir).coalesce(1)
               .write.mode("overwrite").parquet(s"$outDir/$n")
@@ -441,6 +443,8 @@ object Main {
             .parquet(s"$outDir/q264_proximity_pairs").count()
           val nEpisodes = spark.read
             .parquet(s"$outDir/q269_co_travel").count()
+          val nVisits = spark.read
+            .parquet(s"$outDir/q277_zone_visits").count()
           // the poison-cell audit: cells the band join EXCLUDED from
           // pairing (occupancy above the cap) — loud, never silent
           graft.queries.Geo
@@ -455,7 +459,8 @@ object Main {
           println(s"geo: ${reports.size} reports -> $outDir " +
             s"(vessels=$nVessels impossible_legs=$nImpossible " +
             s"stops=$nStops proximity_pairs=$nPairs " +
-            s"co_travel_episodes=$nEpisodes poison_cells=$nPoison)")
+            s"co_travel_episodes=$nEpisodes zone_visits=$nVisits " +
+            s"poison_cells=$nPoison)")
 
         case "vtable" :: "compact" :: dir :: statsCols =>
           val before = graft.etl.Versioned.log(spark, dir)
