@@ -250,6 +250,16 @@ class GeoSpec extends AnyFunSuite with TestSpark {
       spark, "/root/testdata/sf0.001").count() >= 0)
   }
 
+  test("q277's zone attribution compiles into the PROJECTION: the " +
+      "visits plan contains NO join of any kind — the literal zone " +
+      "registry costs zero shuffle and zero broadcast per fix") {
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val plan = Geo.zoneVisits(ev).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"zone attribution fell off the projection path:\n$plan")
+  }
+
   test("leak accounting: the r17 queries (q264/q269/q270/q271) leave " +
       "ZERO persisted-RDD delta (the Bench leak gate fails these loud)") {
     val sc = spark.sparkContext
