@@ -362,6 +362,17 @@ object Main {
           val n = spark.read.parquet(s"$outDir/alerts").count()
           println(s"geo-stream landing=$landingDir out=$outDir alerts=$n")
 
+        // q274's always-on form: trajectory resampling onto the grid
+        case "geo-resample" :: landingDir :: outDir :: rest
+            if rest.length <= 2 =>
+          graft.streaming.StreamingGeo.startResample(spark, landingDir,
+            outDir, rest.headOption.map(_.toLong).getOrElse(600L),
+            rest.lift(1).map(_.toLong).getOrElse(21600L))
+            .awaitTermination()
+          val n = spark.read.parquet(s"$outDir/grid").count()
+          println(s"geo-resample landing=$landingDir out=$outDir " +
+            s"grid_fixes=$n")
+
         // q277's always-on form: geofence-breach visit intervals
         case "geo-visits" :: landingDir :: outDir :: Nil =>
           graft.streaming.StreamingGeo
@@ -915,6 +926,7 @@ object Main {
         |  geo-stream <landingDir> <outDir> [radiusM]
         |  geo-episodes <landingDir> <outDir> [radiusM [minHours [maxGapHours]]]
         |  geo-visits <landingDir> <outDir>
+        |  geo-resample <landingDir> <outDir> [stepS [maxGapS]]
         |  kmv build <inParquet> <grpCol> <keyCol> <dir> [k]
         |  kmv merge <dirA> <dirB> <outDir>
         |  kmv estimate <dir>

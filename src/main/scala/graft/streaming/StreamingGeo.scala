@@ -130,6 +130,80 @@ object StreamingGeo {
       .start()
   }
 
+  /** [[startResample]]'s typed input: one positioned fix. */
+  final case class PosEv(user_id: Long, event_id: Long, ts: Timestamp,
+      lat_e6: Long, lon_e6: Long)
+  /** Per-vessel resample state: the LAST fix (epoch seconds + id
+    * idempotency watermark + position) — 32 bytes, one per vessel. */
+  final case class FixState(lastT: Long, lastId: Long, la: Long, lo: Long)
+  final case class GridFix(user_id: Long, t_grid: Long, lat_e6: Long,
+      lon_e6: Long)
+
+  /** Always-on trajectory RESAMPLING — q274's streaming form: as each
+    * fix arrives, the leg from the vessel's PREVIOUS fix (carried in
+    * 32 bytes of typed state, so legs straddling micro-batch
+    * boundaries interpolate exactly like intra-batch ones) emits its
+    * grid instants in the half-open (t1, t2] with the same half-up
+    * exact-integer interpolation as the batch operator. Every leg is
+    * complete the moment its later fix arrives, so — uniquely among
+    * the streaming siblings — the stream's cumulative output equals
+    * the batch q274 on the landed prefix EXACTLY, no open-tail
+    * asymmetry (pinned in StreamingGeoSpec). Legs over `maxGapS`
+    * emit nothing (a data gap is a gap). Arrival-order contract under
+    * the (ts, event_id) watermark, the StateTracker rule. */
+  def startResample(spark: SparkSession, landingDir: String,
+      outDir: String, stepS: Long = 600L, maxGapS: Long = 21600L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(stepS > 0 && maxGapS >= stepS,
+      s"need 0 < stepS <= maxGapS, got stepS=$stepS maxGapS=$maxGapS")
+    import spark.implicits._
+    val evs = spark.readStream
+      .schema(Encoders.product[GeoEv].schema)
+      .parquet(landingDir)
+    def hup(lo: Long, hi: Long, num: Long, den: Long): Long =
+      if (hi >= lo) lo + (2 * (hi - lo) * num + den) / (2 * den)
+      else lo - (2 * (lo - hi) * num + den) / (2 * den)
+    Geo.positioned(evs).as[PosEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FixState, GridFix](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, fixes: Iterator[PosEv], state) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[GridFix]
+          fixes.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = Math.floorDiv(e.ts.getTime, 1000L) // = unix_timestamp
+            if (st == null)
+              st = FixState(t, e.event_id, e.lat_e6, e.lon_e6)
+            else if (t > st.lastT ||
+                (t == st.lastT && e.event_id > st.lastId)) {
+              val dt = t - st.lastT
+              if (dt > 0 && dt <= maxGapS) {
+                val gs = st.lastT - st.lastT % stepS + stepS
+                val ge = t - t % stepS
+                var g = gs
+                while (g <= ge) {
+                  out += GridFix(uid, g,
+                    hup(st.la, e.lat_e6, g - st.lastT, dt),
+                    hup(st.lo, e.lon_e6, g - st.lastT, dt))
+                  g += stepS
+                }
+              }
+              st = FixState(t, e.event_id, e.lat_e6, e.lon_e6)
+            } // else: replay/straggler — no-op by the rule
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode("append")
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", s"$outDir/grid")
+      .start()
+  }
+
   /** One representative point per (vessel, hour) with band cells —
     * THE q264 derivation ([[Geo.bandedPoints]]), shared so the batch
     * and streaming joins can never drift. */

@@ -284,4 +284,55 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
     drain()
     assert(spark.read.parquet(s"$out/visits").count() == got.size)
   }
+
+  test("startResample: cumulative stream output == batch q274 " +
+      "EXACTLY on the landed prefix — cross-batch legs interpolate " +
+      "through the carried state, gaps emit nothing") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-rs-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-rs-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rs-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit = StreamingGeo
+      .startResample(spark, landing, out).awaitTermination()
+    val users = (1L to 60L)
+    // wave 1 ends at t=1800; wave 2 starts at t=3000 -> the
+    // 1800->3000 leg STRADDLES the batch boundary; user 7 then gaps
+    // 30,000 s (> 6 h) -> that leg must emit nothing
+    land("w1.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10, u, ts(0)), GeoEv(u * 10 + 1, u, ts(1800)))))
+    drain()
+    land("w2.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10 + 2, u, ts(3000)), GeoEv(u * 10 + 3, u, ts(33600)))))
+    drain()
+    val got = spark.read.parquet(s"$out/grid").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t_grid"),
+        r.getAs[Long]("lat_e6"), r.getAs[Long]("lon_e6"))).toSet
+    val all = users.flatMap(u => Seq(
+        (u * 10, u, ts(0)), (u * 10 + 1, u, ts(1800)),
+        (u * 10 + 2, u, ts(3000)), (u * 10 + 3, u, ts(33600))))
+      .toDF("event_id", "user_id", "ts")
+    val batch = graft.queries.Geo.trackInterpolate(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    // the straddling leg really emitted (an instant in (1800, 3000])
+    assert(got.exists(g => g._2 > 1700000000L + 1800 &&
+      g._2 <= 1700000000L + 3000),
+      "no cross-batch leg instants — the straddle case is vacuous")
+    // the 30,000 s gap leg emitted nothing
+    assert(!got.exists(g => g._2 > 1700000000L + 3600 &&
+      g._2 <= 1700000000L + 33600))
+    assert(got == batch,
+      s"missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+  }
 }
