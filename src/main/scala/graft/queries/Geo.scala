@@ -603,6 +603,42 @@ object Geo {
         col("zone_id"), col("n_fixes"))
   }
 
+  /** FLEET (flotilla) detection — connected components over the
+    * co-travel graph: vessels chained by shared episodes (q269's
+    * gap-tolerant islands; `minHours` is the edge-strength knob, and
+    * the default 1 makes every verified encounter an edge — fleet
+    * detection wants the association graph, not only the sustained
+    * passages). Components via the dedup family's large/small-star
+    * CC ([[graft.llm.Dedup.connectedComponentsStar]] — O(log n)
+    * rounds on ANY graph shape; a proximity graph CHAINS along
+    * shipping lanes, so min-label propagation's diameter-rounds
+    * budget is the wrong tool here — it overran at the 10× rehearsal,
+    * exactly the high-diameter case its own error message names);
+    * pair-graph-sized, never corpus-sized. Per fleet: member count,
+    * edge count, episode count, exact total pair-hours. fleet_id is
+    * the component's minimum vessel id (deterministic). */
+  def fleets(events: DataFrame, radiusM: Long = 500L,
+      minHours: Long = 1L, maxGapHours: Long = 168L): DataFrame = {
+    val eps = coTravel(events, radiusM, minHours, maxGapHours)
+    val prs = eps.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(col("n_hours").cast(Dec)).cast("long").as("hours"))
+    val comps = graft.llm.Dedup.connectedComponentsStar(
+      prs.select(col("u1").as("d1"), col("u2").as("d2")))
+    val members = comps.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_vessels"))
+    val pairAgg = prs
+      .join(comps.select(col("node").as("u1"), col("comp")), Seq("u1"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_episodes")).as("n_episodes"),
+        sum(col("hours").cast(Dec)).cast("long").as("pair_hours"))
+    members.join(pairAgg, Seq("comp"))
+      .select(col("comp").as("fleet_id"), col("n_vessels"),
+        col("n_pairs"), col("n_episodes"), col("pair_hours"))
+      .orderBy(col("n_vessels").desc, col("fleet_id"))
+  }
+
   /** Zone-level transition matrix — q266's OD flow lifted from cells
     * to ZONES: trips between consecutive stops counted per
     * (from_zone -> to_zone), the "traffic between basins" readout.
@@ -1297,5 +1333,98 @@ object Geo {
                      CAST(COUNT(*) AS BIGINT) AS n_fixes
               FROM rn WHERE zid <> -1
               GROUP BY user_id, run, zid
-              ORDER BY user_id, enter_ts, exit_ts, zone_id, n_fixes""")))
+              ORDER BY user_id, enter_ts, exit_ts, zone_id, n_fixes""")),
+
+    // FLEET DETECTION — connected components over the co-travel graph
+    // (minHours=1: every verified encounter is an edge), per-fleet
+    // membership/edge/episode/pair-hour totals; recursive-CTE CC
+    // oracle (the q56/q74 convention on the geo pair graph).
+    Q("q278_fleets",
+      (s, d) => fleets(t(s, d, "events")),
+      Some(s"""WITH RECURSIVE pos AS ($PosSql),
+              pts AS (
+                SELECT user_id, hour, lat_e6, lon_e6,
+                       (lat_e6 + 5000) // 5000 AS cy,
+                       (lon_e6 + 5000) // 5000 AS cx
+                FROM (
+                  SELECT *,
+                         CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           AS hour,
+                         ROW_NUMBER() OVER (PARTITION BY user_id,
+                           CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           ORDER BY event_id) AS rn
+                  FROM pos) x
+                WHERE rn = 1),
+              lft AS (
+                SELECT user_id AS u1, hour, lat_e6 AS la1,
+                       lon_e6 AS lo1, cy + dy.dy AS cy, cx + dx.dx AS cx
+                FROM pts
+                CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+                CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)),
+              hits AS (
+                SELECT DISTINCT u1, u2, hour, m FROM (
+                  SELECT l.u1, r.user_id AS u2, l.hour,
+                         CAST(ROUND(2.0 * 6371000.0 * ASIN(SQRT(
+                           SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           * SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           + COS(l.la1 * 1.7453292519943295e-8)
+                             * COS(r.lat_e6 * 1.7453292519943295e-8)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2))))
+                           AS BIGINT) AS m
+                  FROM lft l JOIN pts r
+                    ON r.hour = l.hour AND r.cy = l.cy AND r.cx = l.cx
+                  WHERE l.u1 < r.user_id) p
+                WHERE m <= 500),
+              lagged AS (
+                SELECT u1, u2, hour,
+                       LAG(hour) OVER (PARTITION BY u1, u2
+                         ORDER BY hour) AS prev
+                FROM hits),
+              runs AS (
+                SELECT u1, u2, hour,
+                       SUM(CASE WHEN prev IS NOT NULL
+                                 AND hour - prev > 168
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY u1, u2 ORDER BY hour
+                               ROWS UNBOUNDED PRECEDING) AS run
+                FROM lagged),
+              ep AS (
+                SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_hours
+                FROM runs GROUP BY u1, u2, run),
+              prs AS (
+                SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_episodes,
+                       CAST(SUM(CAST(n_hours AS HUGEINT)) AS BIGINT)
+                         AS hours
+                FROM ep GROUP BY 1, 2),
+              edges AS (
+                SELECT u1 AS src, u2 AS dst FROM prs
+                UNION ALL SELECT u2, u1 FROM prs),
+              reach AS (
+                SELECT src AS node, src AS label FROM edges
+                UNION
+                SELECT e.dst, r.label
+                FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (
+                SELECT node, MIN(label) AS comp FROM reach GROUP BY 1),
+              mem AS (
+                SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_vessels
+                FROM comp GROUP BY 1),
+              pa AS (
+                SELECT c.comp,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(CAST(p.n_episodes AS HUGEINT)) AS BIGINT)
+                         AS n_episodes,
+                       CAST(SUM(CAST(p.hours AS HUGEINT)) AS BIGINT)
+                         AS pair_hours
+                FROM prs p JOIN comp c ON c.node = p.u1
+                GROUP BY 1)
+              SELECT mem.comp AS fleet_id, mem.n_vessels, pa.n_pairs,
+                     pa.n_episodes, pa.pair_hours
+              FROM mem JOIN pa ON pa.comp = mem.comp
+              ORDER BY mem.n_vessels DESC, fleet_id""")))
 }

@@ -516,6 +516,53 @@ class GeoSpec extends AnyFunSuite with TestSpark {
       s"want=${expect.take(5)}")
   }
 
+  test("fleets == local union-find over the brute-force encounter " +
+      "graph: membership, edge/episode counts, exact pair-hours") {
+    val users = (1L to 300L)
+    val evs = events(users.flatMap(u =>
+      Seq((u * 10, u, 0L), (u * 10 + 1, u, 3600L))): _*)
+    val out = Geo.fleets(evs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // brute-force pair-hours (the q264 construction), minHours=1 and
+    // the week tolerance -> one episode per pair, hours = |encounters|
+    val byHour = Seq(0L, 1L).map { h =>
+      users.map { u =>
+        val (la, lo) = pos(u * 10 + h, u)
+        (u, la, lo)
+      }
+    }
+    val pairHours = collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    byHour.foreach { pts =>
+      for {
+        (u1, a1, o1) <- pts; (u2, a2, o2) <- pts if u1 < u2
+        if math.round(hav(a1, o1, a2, o2)) <= 500L
+      } pairHours((u1, u2)) += 1L
+    }
+    assert(pairHours.nonEmpty, "no encounters — grow the population")
+    // local union-find
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairHours.keys.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = pairHours.keys.flatMap(k => Seq(k._1, k._2)).toSet
+      .groupBy(find)
+    val expect = comps.map { case (root, mem) =>
+      val prs = pairHours.filter(p => find(p._1._1) == root)
+      root -> ((mem.size.toLong, prs.size.toLong, prs.size.toLong,
+        prs.values.sum))
+    }
+    assert(out == expect,
+      s"missing=${expect.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- expect.keySet}")
+  }
+
   test("cellDensity: counts and distinct vessels recompute; ordering " +
       "is (count desc, cell)") {
     val evs = events((1L to 200L).map(e => (e, e % 40 + 1, e)): _*)
