@@ -220,6 +220,13 @@ object Main {
           val n = spark.read.parquet(s"$dir/sketch")
             .select(col("t")).distinct().count()
           println(s"kmv build dir=$dir groups=$n k=$k")
+        case "kmv" :: "append" :: in :: grp :: key :: dir :: Nil =>
+          import org.apache.spark.sql.functions.col
+          graft.etl.KmvStore.append(spark.read.parquet(in),
+            col(grp), col(key), dir)
+          val n = spark.read.parquet(s"$dir/sketch")
+            .select(col("t")).distinct().count()
+          println(s"kmv append dir=$dir groups=$n")
         case "kmv" :: "merge" :: a :: b :: out :: Nil =>
           graft.etl.KmvStore.merge(spark, a, b, out)
           import org.apache.spark.sql.functions.col
@@ -381,6 +388,17 @@ object Main {
           val n = spark.read.parquet(s"$outDir/visits").count()
           println(s"geo-visits landing=$landingDir out=$outDir visits=$n")
 
+        // retention for the streaming geo monitors' persisted position
+        // index: drop index/occ batch partitions whose newest hour is
+        // more than the horizon behind the observed high-water (run
+        // while the stream is down, like any table maintenance)
+        case "geo-retain" :: outDir :: horizon :: Nil =>
+          val dropped = graft.streaming.StreamingGeo
+            .retainIndex(spark, outDir, horizon.toLong)
+          println(s"geo-retain out=$outDir horizon_hours=$horizon " +
+            s"dropped_batches=${dropped.size}" +
+            (if (dropped.nonEmpty) s" (${dropped.mkString(",")})" else ""))
+
         // q269's always-on form: incremental co-travel episodes with
         // convoy alerts at the minHours-reaching micro-batch
         case "geo-episodes" :: landingDir :: outDir :: rest
@@ -430,15 +448,38 @@ object Main {
         // One-command AIS/trajectory report pack — the geo sibling of
         // `diagnose`: every geo readout over one events dir, each
         // landed as parquet, with a one-line ops summary.
-        case "geo" :: sfDir :: outDir :: Nil =>
+        // `--zones <file>`: run the zone-parameterized reports against
+        // a loadZones registry (JSON lines or parquet) instead of the
+        // compile-time literal — real geofences arrive as data
+        case "geo" :: sfDir :: outDir :: rest
+            if rest.isEmpty ||
+              (rest.length == 2 && rest.head == "--zones") =>
           import org.apache.spark.sql.functions.{col, sum => fsum}
+          val zones = rest.lift(1)
+            .map(p => graft.queries.Geo.loadZones(spark, p))
+            .getOrElse(graft.queries.Geo.Zones)
+          val ev = graft.core.Tables.load(spark, sfDir, "events")
+          val zoned: Map[String, () => org.apache.spark.sql.DataFrame] =
+            Map(
+              "q273_zone_stops" ->
+                (() => graft.queries.Geo.zoneStops(ev, zones = zones)),
+              "q275_zone_transitions" ->
+                (() => graft.queries.Geo.zoneTransitions(ev,
+                  zones = zones)),
+              "q277_zone_visits" ->
+                (() => graft.queries.Geo.zoneVisits(ev, zones)),
+              "q279_episode_zones" ->
+                (() => graft.queries.Geo.episodeZones(ev, zones = zones)))
           val reports = Seq("q262_geo_density", "q263_track_report",
             "q264_proximity_pairs", "q265_stop_report", "q266_od_matrix",
             "q268_dwell_heatmap", "q269_co_travel", "q273_zone_stops",
             "q274_track_interp", "q275_zone_transitions",
-            "q276_resampled_density", "q277_zone_visits")
+            "q276_resampled_density", "q277_zone_visits",
+            "q279_episode_zones")
           reports.foreach { n =>
-            SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+            zoned.get(n).map(_())
+              .getOrElse(SparkEntry.queries(n)(spark, sfDir))
+              .coalesce(1)
               .write.mode("overwrite").parquet(s"$outDir/$n")
           }
           val tracks = spark.read.parquet(s"$outDir/q263_track_report")
@@ -918,7 +959,7 @@ object Main {
         |  pack-stream <landingDir> <outDir> [shards] [capacity]
         |  vtable append|replace <parquet> <tableDir> [statsCol...]
         |  vtable read <tableDir> [version] | vtable log <tableDir>
-        |  geo <sfDir> <outDir>
+        |  geo <sfDir> <outDir> [--zones <zoneFile>]
         |  vtable read-pruned <tableDir> <col> <lo> <hi>
         |  vtable compact <tableDir> [statsCol...]
         |  vtable vacuum <tableDir> <keepVersions>
@@ -926,8 +967,10 @@ object Main {
         |  geo-stream <landingDir> <outDir> [radiusM]
         |  geo-episodes <landingDir> <outDir> [radiusM [minHours [maxGapHours]]]
         |  geo-visits <landingDir> <outDir>
+        |  geo-retain <geoOutDir> <horizonHours>
         |  geo-resample <landingDir> <outDir> [stepS [maxGapS]]
         |  kmv build <inParquet> <grpCol> <keyCol> <dir> [k]
+        |  kmv append <inParquet> <grpCol> <keyCol> <dir>
         |  kmv merge <dirA> <dirB> <outDir>
         |  kmv estimate <dir>
         |  kmv query <dir>

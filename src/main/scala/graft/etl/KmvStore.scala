@@ -66,6 +66,42 @@ object KmvStore {
     writeOut(Seq(k.toLong).toDF("k"), metaDir(dir))
   }
 
+  /** Per-group INCREMENTAL append — the lakehouse convention every
+    * other persisted store here follows (PairStore, IvfStore, the
+    * `sketch` CLI): sketch the NEW slice in one slice-sized pass and
+    * fold it into the stored sketch via the min-k closure, so
+    * `append(build(A), B) == build(A ∪ B)` BIT FOR BIT (pinned in
+    * KmvStoreSpec) — a daily drop updates the store at the cost of
+    * the drop, never a corpus rebuild. The merged sketch lands beside
+    * the live one and swaps in with two renames (read-then-overwrite
+    * of the same path would race the lazy scan). */
+  def append(df: DataFrame, grpCol: Column, keyCol: Column,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    val k = readK(spark, dir)
+    val slice = df.select(grpCol.as("t"), keyCol.as("kid"))
+      .distinct()
+      .select(col("t"), graft.queries.Stats.kmvHash(col("kid")).as("h"))
+      .distinct()
+    val un = spark.read.parquet(sketchDir(dir))
+      .unionByName(slice)
+      .distinct()
+    val w = Window.partitionBy(col("t")).orderBy(col("h"))
+    val tmp = s"$dir/sketch_tmp-${java.util.UUID.randomUUID()}"
+    writeOut(un.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("t"), col("h")), tmp)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(sketchDir(dir))
+    val old = new Path(s"$dir/sketch_old-${java.util.UUID.randomUUID()}")
+    require(fs.rename(live, old), s"could not set aside $live")
+    require(fs.rename(new Path(tmp), live),
+      s"could not promote $tmp to $live")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Sketch-only merge — NEVER re-scans a corpus: union the stored
     * min-k sets, collapse duplicate hashes (the same key hashes
     * identically in every source), keep the k smallest per group.

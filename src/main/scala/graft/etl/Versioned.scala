@@ -339,7 +339,28 @@ object Versioned {
     * A replay that crashed BEFORE the manifest landed leaves only an
     * orphan data subdir (vacuum reclaims it) and recommits cleanly.
     * Single stream writer, monotone batch ids (the micro-batch
-    * contract). */
+    * contract).
+    *
+    * The replay scan walks manifests from LATEST downward and STOPS at
+    * the first stream-batch marker whose id is <= this batch: batch
+    * ids are monotone in commit order (single writer), so that marker
+    * decides — equal = replay, smaller = genuinely new (and a larger
+    * NEWEST marker over a non-replay is an out-of-order rewrite,
+    * refused loudly). The normal path — committing the next batch, or
+    * crash-replaying the newest — therefore reads O(commits since the
+    * last stream batch), typically ONE manifest, not O(every
+    * maintenance commit the table ever took), which on an object store
+    * would grow each micro-batch's exists+read RPC count without bound
+    * over a long-lived stream; only a replay of an OLDER batch walks
+    * deeper, down to that batch's own marker.
+    *
+    * Pre-marker LEGACY tables (manifests with no `#writer` header,
+    * where the version id WAS the batch id) are honored ONLY when the
+    * table holds no marker manifests at all — on a marker-aware table a
+    * markerless manifest is a plain pre-marker append, and treating an
+    * id collision with it as "already committed" would silently drop a
+    * fresh stream's batch (new checkpoint restarting at 0 against a
+    * legacy table); that collision fails loudly instead. */
   def commitAppendAt(df: DataFrame, dir: String, version: Long,
       statsCols: Seq[String] = Seq.empty): Boolean = {
     val spark = df.sparkSession
@@ -348,21 +369,47 @@ object Versioned {
     val marker = s"stream-batch=$version"
     val latest = latestVersion(spark, dir)
     var replayed = false
-    var newestBatch = -1L // newest committed stream batch id >= version
-    (version to latest).foreach { v =>
+    var newestBatch = -1L // newest committed stream batch id (1st found)
+    var sawMarked = false // any marker-era manifest seen in the scan
+    var legacyAtId = false // markerless manifest at exactly v==version
+    var legacyNewest = -1L // newest markerless id treated as a batch id
+    // downward scan, stopping at the first stream marker whose batch
+    // id is <= this batch: monotone batch ids make that decisive
+    // (== replay, < genuinely-new), so the NORMAL path reads exactly
+    // the manifests since the last stream batch; markers ABOVE the
+    // batch id only occur on an old-batch replay, where the scan
+    // keeps walking down to that batch's own marker
+    var v = latest
+    var stop = false
+    while (v >= 0 && !stop) {
       if (f.exists(new Path(vdir, vname(v))))
         writerMarker(spark, dir, v) match {
-          case Some(m) if m == marker => replayed = true
           case Some(m) if m.startsWith("stream-batch=") =>
-            newestBatch = math.max(newestBatch,
-              m.stripPrefix("stream-batch=").toLong)
-          case Some(_) => // maintenance commit: consumed the id only
+            val b = m.stripPrefix("stream-batch=").toLong
+            if (newestBatch < 0) newestBatch = b // the table's newest
+            sawMarked = true
+            if (b == version) { replayed = true; stop = true }
+            else if (b < version) stop = true
+          case Some(_) => sawMarked = true // maintenance: consumed an id
           case None =>
-            // pre-marker layout: the version id WAS the batch id
-            if (v == version) replayed = true
-            else newestBatch = math.max(newestBatch, v)
+            if (v == version) legacyAtId = true
+            else if (v > version) legacyNewest = math.max(legacyNewest, v)
         }
+      v -= 1
     }
+    if (!replayed && newestBatch < 0 && legacyAtId) {
+      // no stream marker anywhere the scan reached: pre-marker layout
+      // applies only on a TRUE legacy table (no marker manifests at
+      // all); a markerless id collision on a marker-aware table is a
+      // foreign commit, never replay evidence
+      require(!sawMarked,
+        s"batch $version collides with a markerless (pre-#writer) " +
+          s"manifest v$version at $dir, but the table also holds " +
+          "marker-era commits — cannot distinguish a legacy replay " +
+          "from a foreign append; refusing to silently drop the batch")
+      replayed = true
+    } else if (newestBatch < 0 && !sawMarked)
+      newestBatch = legacyNewest // pure legacy: version id was batch id
     if (replayed) {
       // already committed: heal the pointer if a crash left it behind
       if (latest >= 0) writePointer(spark, new Path(dir, "_latest"),

@@ -186,7 +186,8 @@ object Geo {
       radiusM: Long, hotOccupancy: Long = 1024L,
       saltBuckets: Int = 16,
       hotCells: Option[DataFrame] = None,
-      maxCellOccupancy: Long = DefaultMaxCellOccupancy): DataFrame = {
+      maxCellOccupancy: Long = DefaultMaxCellOccupancy,
+      carryProbePos: Boolean = false): DataFrame = {
     // POISON-CELL guard (the q184 cap-and-report convention): a cell-
     // hour whose occupancy exceeds maxCellOccupancy is a data bug
     // (e.g. every malformed row at (0,0)) whose occ^2 pair OUTPUT no
@@ -235,10 +236,16 @@ object Geo {
           sequence(lit(0L), lit(saltBuckets - 1L)))
           .otherwise(array(lit(0L)))))
       .drop("__hot", "__poison")
+    // carryProbePos adds the probe's OWN position to the output —
+    // functionally dependent on (u1, hour) (one representative per
+    // vessel-hour), so it never changes a pair set, only rides along
+    // for downstream zone attribution (q279)
+    val outCols = Seq(col("u1"), col("u2"), col("hour"),
+      round(haversineM(col("la1"), col("lo1"),
+        col("la2"), col("lo2"))).cast("long").as("m")) ++
+      (if (carryProbePos) Seq(col("la1"), col("lo1")) else Nil)
     probe9.join(right, Seq("hour", "cy", "cx", "salt"))
-      .select(col("u1"), col("u2"), col("hour"),
-        round(haversineM(col("la1"), col("lo1"),
-          col("la2"), col("lo2"))).cast("long").as("m"))
+      .select(outCols: _*)
       .filter(col("m") <= radiusM)
   }
 
@@ -445,6 +452,55 @@ object Geo {
       Seq((50000L, 50000L), (120000L, 40000L), (140000L, 110000L),
         (90000L, 160000L), (30000L, 120000L))))
 
+  /** Config-driven zone registry — real geofences arrive as DATA, not
+    * compile-time constants: load (zone_id, zone_name, vertices) from
+    * a JSON-lines file (`{"zone_id":1,"zone_name":"nw_harbor",
+    * "vertices":[[lon_e6,lat_e6],...]}`) or a parquet table of the
+    * same shape, validated and collected to the driver — the zone
+    * table is the bounded broadcast-dim contract ([[Zones]]'s
+    * Scaladoc), so a driver-side Seq IS its production form; every
+    * consumer ([[zonesFor]], [[zoneIdExpr]], [[zoneStops]],
+    * [[zoneVisits]], [[zoneTransitions]], the streaming
+    * zone-visit monitor) takes the loaded registry through its
+    * `zones` parameter and compiles the SAME plan as with the
+    * literal (GeoSpec pins file-loaded == literal on q273/q277).
+    * [[Zones]] stays as the oracle fixture. */
+  def loadZones(spark: SparkSession,
+      path: String): Seq[(Long, String, Seq[(Long, Long)])] = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("zone_id", LongType),
+      StructField("zone_name", StringType),
+      StructField("vertices", ArrayType(ArrayType(LongType)))))
+    val df =
+      if (path.endsWith(".json") || path.endsWith(".jsonl"))
+        spark.read.schema(schema).json(path)
+      else
+        spark.read.parquet(path)
+          .select(col("zone_id").cast("long"),
+            col("zone_name").cast("string"),
+            col("vertices").cast("array<array<long>>"))
+    val zs = df.collect().map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"zone file $path: every row needs zone_id, zone_name, vertices")
+      val vs = r.getSeq[scala.collection.Seq[Long]](2).map { v =>
+        require(v != null && v.length == 2,
+          s"zone file $path: each vertex must be [lon_e6, lat_e6]")
+        (v(0), v(1))
+      }.toSeq
+      (r.getLong(0), r.getString(1), vs)
+    }.sortBy(_._1).toSeq
+    require(zs.nonEmpty, s"zone file $path holds no zones")
+    zs.foreach { case (id, name, vs) =>
+      require(id >= 0, s"zone $name: zone_id must be >= 0 (-1 is open sea)")
+      require(vs.size >= 3, s"zone $id '$name': a polygon needs >= 3 " +
+        s"vertices, got ${vs.size}")
+    }
+    require(zs.map(_._1).distinct.size == zs.size,
+      s"zone file $path: duplicate zone_id")
+    zs
+  }
+
   /** Zones unrolled to directed edges (zone_id, zone_name, x1, y1,
     * x2, y2) — the broadcast side of the point-in-polygon join. */
   private def zoneEdges(spark: SparkSession,
@@ -515,11 +571,12 @@ object Geo {
     * is added. The "which BASIN was the call in" readout the
     * reference's AIS domain wants from stop detection. */
   def zoneStops(events: DataFrame, maxLegM: Long = 200L,
-      minDwellS: Long = 1800L): DataFrame = {
+      minDwellS: Long = 1800L,
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
     val reps = stopReps(events, maxLegM, minDwellS)
       .select(col("user_id"), col("run"), col("plat"), col("plon"),
         col("dw"))
-    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"))
+    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"), zones)
     reps.join(inz, Seq("user_id", "run"), "left")
       .select(coalesce(col("zone_id"), lit(-1L)).as("zone_id"),
         coalesce(col("zone_name"), lit("open_sea")).as("zone_name"),
@@ -570,6 +627,12 @@ object Geo {
       s"WHEN ${parity(vs)} THEN $id" }.mkString(" ") + " ELSE -1 END"
   }
 
+  /** zone_id -> zone_name as DuckDB SQL, generated from [[Zones]]. */
+  private def zoneNameSql(zid: String): String =
+    "CASE " + Zones.sortBy(_._1).map { case (id, nm, _) =>
+      s"WHEN $zid = $id THEN '$nm'" }.mkString(" ") +
+      " ELSE 'open_sea' END"
+
   /** Zone VISITS — the geofence-breach readout ("vessel entered the
     * exclusion zone at T, left at T'"): every fix attributed to its
     * zone by the codegen'd [[zoneIdExpr]] (zero join), then
@@ -580,11 +643,12 @@ object Geo {
     * q43/q150 bounded contract; everything before it is a pure
     * projection. Returns (user_id, zone_id, enter_ts, exit_ts,
     * n_fixes), strings for hashing. */
-  def zoneVisits(events: DataFrame): DataFrame = {
+  def zoneVisits(events: DataFrame,
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val pts = positioned(events)
-      .withColumn("zid", zoneIdExpr(col("lon_e6"), col("lat_e6")))
+      .withColumn("zid", zoneIdExpr(col("lon_e6"), col("lat_e6"), zones))
       .withColumn("chg",
         when(lag(col("zid"), 1).over(w).isNull ||
           lag(col("zid"), 1).over(w) =!= col("zid"), 1L).otherwise(0L))
@@ -639,6 +703,54 @@ object Geo {
       .orderBy(col("n_vessels").desc, col("fleet_id"))
   }
 
+  /** Zone-attributed co-travel — the WHERE to q269/q278's WHO: each
+    * qualifying episode's encounter-hours land in the zone containing
+    * the pair's representative position (the SMALLER vessel's
+    * per-hour representative — deterministic, and functionally
+    * dependent on (u1, hour), so carrying it through the band join
+    * never changes a pair set), attributed by the codegen'd
+    * [[zoneIdExpr]] projection (lowest zone_id on overlap, -1 =
+    * open_sea keeps the readout total). Per zone: encounter-hours,
+    * distinct pairs, distinct episodes, closest approach — the
+    * analyst's "rendezvous in se_basin, 14 pair-hours" line. All
+    * corpus-sized work is exactly q269's band join; the zone test is
+    * a branch-free projection over the pair-hour summary, zero added
+    * shuffle beyond the per-zone aggregate. Returns (zone_id,
+    * zone_name, n_hours, n_pairs, n_episodes, min_m). */
+  def episodeZones(events: DataFrame, radiusM: Long = 500L,
+      minHours: Long = 2L, maxGapHours: Long = 168L,
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
+    require(radiusM * 9 <= 5000L,
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    val pts = bandedPoints(events)
+    val hits = bandedPairs(pts, pts, radiusM, carryProbePos = true)
+      .filter(col("u1") < col("u2"))
+      .select(col("u1"), col("u2"), col("hour"), col("m"),
+        col("la1"), col("lo1"))
+      .distinct()
+    val w = Window.partitionBy(col("u1"), col("u2")).orderBy(col("hour"))
+    val runs = hits
+      .withColumn("brk",
+        when(col("hour") - lag(col("hour"), 1).over(w) > maxGapHours, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ep_hours", count(lit(1)).over(
+        Window.partitionBy(col("u1"), col("u2"), col("run"))))
+      .filter(col("ep_hours") >= minHours)
+    val zname = coalesce(zones.sortBy(_._1).map { case (id, nm, _) =>
+      when(col("zone_id") === id, lit(nm)) } :+ lit("open_sea"): _*)
+    runs
+      .withColumn("zone_id", zoneIdExpr(col("lo1"), col("la1"), zones))
+      .withColumn("zone_name", zname)
+      .groupBy(col("zone_id"), col("zone_name"))
+      .agg(count(lit(1)).as("n_hours"),
+        countDistinct(col("u1"), col("u2")).as("n_pairs"),
+        countDistinct(col("u1"), col("u2"), col("run")).as("n_episodes"),
+        min(col("m")).as("min_m"))
+      .orderBy(col("zone_id"))
+  }
+
   /** Zone-level transition matrix — q266's OD flow lifted from cells
     * to ZONES: trips between consecutive stops counted per
     * (from_zone -> to_zone), the "traffic between basins" readout.
@@ -648,11 +760,12 @@ object Geo {
     * unzoned water still shows. All corpus-sized work is the shared
     * leg window; transitions ride the |stops| summary. */
   def zoneTransitions(events: DataFrame, maxLegM: Long = 200L,
-      minDwellS: Long = 1800L): DataFrame = {
+      minDwellS: Long = 1800L,
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
     val reps = stopReps(events, maxLegM, minDwellS)
       .select(col("user_id"), col("run"), col("plat"), col("plon"),
         col("sts"), col("peid"))
-    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"))
+    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"), zones)
       .groupBy(col("user_id"), col("run"))
       .agg(min(col("zone_id")).as("zone_id"))
     val zs = reps.join(inz, Seq("user_id", "run"), "left")
@@ -808,6 +921,11 @@ object Geo {
 
     // PROXIMITY PAIRS — vessels within 500 m in the same hour via the
     // 3x3 cell-neighborhood band join + exact haversine verify.
+    // ORACLE SCOPE (here and q269/q278/q279): the SQL does not model
+    // the engine's maxCellOccupancy poison exclusion — the two agree
+    // iff poisonCells(events) is EMPTY, which GeoSpec asserts for the
+    // oracle datasets; a future mega-cell dataset fails that audit
+    // loudly instead of surfacing as a mysterious hash mismatch.
     Q("q264_proximity_pairs",
       (s, d) => proximityPairs(t(s, d, "events")),
       Some(s"""WITH pos AS ($PosSql),
@@ -1426,5 +1544,82 @@ object Geo {
               SELECT mem.comp AS fleet_id, mem.n_vessels, pa.n_pairs,
                      pa.n_episodes, pa.pair_hours
               FROM mem JOIN pa ON pa.comp = mem.comp
-              ORDER BY mem.n_vessels DESC, fleet_id""")))
+              ORDER BY mem.n_vessels DESC, fleet_id""")),
+
+    // EPISODE ZONES — q269's co-travel attributed to WHERE: each
+    // qualifying episode's encounter-hours land in the zone of the
+    // smaller vessel's representative point (codegen'd ray cast,
+    // lowest zone_id on overlap, -1 open_sea). Per zone: hours,
+    // distinct pairs, distinct episodes, closest approach.
+    Q("q279_episode_zones",
+      (s, d) => episodeZones(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              pts AS (
+                SELECT user_id, hour, lat_e6, lon_e6,
+                       (lat_e6 + 5000) // 5000 AS cy,
+                       (lon_e6 + 5000) // 5000 AS cx
+                FROM (
+                  SELECT *,
+                         CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           AS hour,
+                         ROW_NUMBER() OVER (PARTITION BY user_id,
+                           CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           ORDER BY event_id) AS rn
+                  FROM pos) x
+                WHERE rn = 1),
+              lft AS (
+                SELECT user_id AS u1, hour, lat_e6 AS la1,
+                       lon_e6 AS lo1, cy + dy.dy AS cy, cx + dx.dx AS cx
+                FROM pts
+                CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+                CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)),
+              hits AS (
+                SELECT DISTINCT u1, u2, hour, m, la1, lo1 FROM (
+                  SELECT l.u1, r.user_id AS u2, l.hour, l.la1, l.lo1,
+                         CAST(ROUND(2.0 * 6371000.0 * ASIN(SQRT(
+                           SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           * SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           + COS(l.la1 * 1.7453292519943295e-8)
+                             * COS(r.lat_e6 * 1.7453292519943295e-8)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2))))
+                           AS BIGINT) AS m
+                  FROM lft l JOIN pts r
+                    ON r.hour = l.hour AND r.cy = l.cy AND r.cx = l.cx
+                  WHERE l.u1 < r.user_id) p
+                WHERE m <= 500),
+              lagged AS (
+                SELECT u1, u2, hour, m, la1, lo1,
+                       LAG(hour) OVER (PARTITION BY u1, u2
+                         ORDER BY hour) AS prev
+                FROM hits),
+              runs AS (
+                SELECT u1, u2, hour, m, la1, lo1,
+                       SUM(CASE WHEN prev IS NOT NULL
+                                 AND hour - prev > 168
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY u1, u2 ORDER BY hour
+                               ROWS UNBOUNDED PRECEDING) AS run
+                FROM lagged),
+              qual AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY u1, u2, run)
+                       AS ep_hours
+                FROM runs),
+              zoned AS (
+                SELECT u1, u2, run, m,
+                       ${zoneIdSql("lo1", "la1")} AS zid
+                FROM qual WHERE ep_hours >= 2)
+              SELECT CAST(zid AS BIGINT) AS zone_id,
+                     ${zoneNameSql("zid")} AS zone_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     CAST(COUNT(DISTINCT (u1, u2)) AS BIGINT) AS n_pairs,
+                     CAST(COUNT(DISTINCT (u1, u2, run)) AS BIGINT)
+                       AS n_episodes,
+                     MIN(m) AS min_m
+              FROM zoned GROUP BY 1, 2
+              ORDER BY zone_id""")))
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -86,14 +86,18 @@ object StreamingGeo {
     */
   def startZoneVisits(spark: SparkSession, landingDir: String,
       outDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Geo.Zones)
+      : StreamingQuery = {
     import spark.implicits._
     val evs = spark.readStream
       .schema(Encoders.product[GeoEv].schema)
       .parquet(landingDir)
+    // the registry (literal or [[Geo.loadZones]]-loaded) compiles into
+    // the projection at query START — still zero join, zero broadcast
     val zoned = Geo.positioned(evs)
       .select(col("user_id"), col("event_id"), col("ts"),
-        Geo.zoneIdExpr(col("lon_e6"), col("lat_e6")).as("zid"))
+        Geo.zoneIdExpr(col("lon_e6"), col("lat_e6"), zones).as("zid"))
       .as[ZoneEv]
     zoned.groupByKey(_.user_id)
       .flatMapGroupsWithState[ZoneState, ZoneVisit](
@@ -229,21 +233,43 @@ object StreamingGeo {
         val indexDir = s"$outDir/index"
         val occDir = s"$outDir/occ"
         val pts = points(batch)
+        // the batch's hour span: pairing matches EQUAL hours only, so
+        // index rows outside [min_hour, max_hour] cannot join — one
+        // tiny aggregate (the hwm pattern) bounds every index/occ read
+        // to the batch's span instead of the whole landed history,
+        // keeping per-batch cost O(batch hour span), not O(stream age)
+        val spanRow = pts.agg(min(col("hour")), max(col("hour"))).head
+        val span: Option[(Long, Long)] =
+          if (spanRow.isNullAt(0)) None
+          else Some((spanRow.getLong(0), spanRow.getLong(1)))
+        def inSpan(c: Column): Column = span match {
+          case Some((lo, hi)) => c.between(lo, hi)
+          case None           => lit(false)
+        }
+        // the batch's own per-cell occupancy — reused for the occ
+        // write below AND unioned into the hot/poison summary, so a
+        // poison (over-cap) cell formed ENTIRELY within this batch is
+        // excluded immediately, not one batch late (the cap is the
+        // OOM guard, which must see the current batch's points)
+        val occBatch = pts.groupBy(col("hour"), col("cy"), col("cx"))
+          .agg(count(lit(1)).as("n"))
         if (fs.exists(new Path(indexDir))) {
           val earlier = spark.read.parquet(indexDir)
-            .filter(col("batch") < bid)
+            .filter(col("batch") < bid && inSpan(col("hour")))
           // hot (port) cells from the INCREMENTAL per-batch occupancy
           // summaries — cell-grid-sized reads, so finding ports never
           // re-scans the whole position index each micro-batch
-          val hot =
+          val prevOcc =
             if (fs.exists(new Path(occDir)))
-              Some(spark.read.parquet(occDir)
-                .filter(col("batch") < bid)
-                .groupBy(col("hour"), col("cy"), col("cx"))
-                .agg(sum(col("n")).as("occ"))
-                .filter(col("occ") >
-                  math.min(hotOccupancy, maxCellOccupancy)))
-            else None
+              spark.read.parquet(occDir)
+                .filter(col("batch") < bid && inSpan(col("hour")))
+                .select(col("hour"), col("cy"), col("cx"), col("n"))
+            else occBatch.limit(0)
+          val hot = Some(prevOcc.unionByName(occBatch)
+            .groupBy(col("hour"), col("cy"), col("cx"))
+            .agg(sum(col("n")).as("occ"))
+            .filter(col("occ") >
+              math.min(hotOccupancy, maxCellOccupancy)))
           // THE q264 band join ([[Geo.bandedPairs]]): 3x3 probe
           // replication, exact verify, and the occupancy-salted
           // hot-cell path — the port mega-cell spreads over salt
@@ -268,12 +294,15 @@ object StreamingGeo {
             .parquet(s"$outDir/alerts/batch=$bid")
         // per-batch occupancy summary beside the index (batch=<id>
         // overwrite, replay-idempotent like everything else here)
-        pts.groupBy(col("hour"), col("cy"), col("cx"))
-          .agg(count(lit(1)).as("n"))
-          .write.mode("overwrite")
+        occBatch.write.mode("overwrite")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$occDir/batch=$bid")
-        pts.write.mode("overwrite")
+        // hour-clustered index files: range-partition + sort by hour
+        // so each parquet file covers a narrow hour band and the
+        // span-bounded reads above prune whole files by footer stats
+        pts.repartitionByRange(col("hour"))
+          .sortWithinPartitions(col("hour"))
+          .write.mode("overwrite")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$indexDir/batch=$bid")
         ()
@@ -308,7 +337,16 @@ object StreamingGeo {
     * iff >= minHours) and its state drops — open state is bounded by
     * the ACTIVE pair population, not every pair ever seen.
     * stream(closed ++ open >= minHours) == batch q269 on the landed
-    * prefix (pinned in StreamingGeoSpec, incl. after a full replay).
+    * prefix (pinned in StreamingGeoSpec, incl. after a full replay)
+    * — PROVIDED no (vessel, hour)'s fixes straddle micro-batches:
+    * [[points]] picks each batch's own representative (min event_id
+    * WITHIN the batch), so a straddling hour can contribute a
+    * different representative than the global batch recompute and
+    * pair-hours/min_m may diverge even with fully in-order arrival.
+    * This is an in-order caveat, not a late-data one — feed the
+    * stream on (vessel, hour)-aligned boundaries (the natural landing
+    * cadence for hourly AIS drops) or accept the batch q269 recompute
+    * as the authoritative history, its standing role here.
     */
   def startEpisodes(spark: SparkSession, landingDir: String,
       outDir: String, radiusM: Long = 500L, minHours: Long = 2L,
@@ -335,27 +373,46 @@ object StreamingGeo {
         val pts = points(batch)
         val ptCols = Seq("user_id", "hour", "lat_e6", "lon_e6", "cy", "cx")
           .map(col)
+        // batch hour span (one tiny aggregate): pairing matches EQUAL
+        // hours only, so index/occ rows outside the span cannot join —
+        // every persisted read below is bounded to the span, keeping
+        // per-batch cost O(batch hour span) instead of O(stream age);
+        // max doubles as the eviction high-water
+        val spanRow = pts.agg(min(col("hour")), max(col("hour"))).head
+        val span: Option[(Long, Long)] =
+          if (spanRow.isNullAt(0)) None
+          else Some((spanRow.getLong(0), spanRow.getLong(1)))
+        def inSpan(c: Column): Column = span match {
+          case Some((lo, hi)) => c.between(lo, hi)
+          case None           => lit(false)
+        }
         // index side: every earlier batch's points PLUS this batch's
         // own (new-new pairs are this stream's job too — unlike the
         // alert stream, the episode fold needs EVERY pair-hour)
         val idxAll =
           if (fs.exists(new Path(indexDir)))
-            spark.read.parquet(indexDir).filter(col("batch") < bid)
+            spark.read.parquet(indexDir)
+              .filter(col("batch") < bid && inSpan(col("hour")))
               .select(ptCols: _*).unionByName(pts.select(ptCols: _*))
           else pts.select(ptCols: _*)
-        val hot =
+        // batch's own occupancy — reused for the occ write below and
+        // unioned into the hot/poison summary so the over-cap guard
+        // (output-affecting: it is the OOM bound) sees a poison cell
+        // the moment it forms, including one formed entirely within
+        // this batch; hotness (salting) gains the same freshness free
+        val occBatch = pts.groupBy(col("hour"), col("cy"), col("cx"))
+          .agg(count(lit(1)).as("n"))
+        val prevOcc =
           if (fs.exists(new Path(occDir)))
-            Some(spark.read.parquet(occDir)
-              .filter(col("batch") < bid)
-              .groupBy(col("hour"), col("cy"), col("cx"))
-              .agg(sum(col("n")).as("occ"))
-              .filter(col("occ") >
-                math.min(hotOccupancy, maxCellOccupancy)))
-          else None
-        // NOTE the hot summary covers the INDEX batches only (the
-        // batch's own points are one increment behind) — lane salting
-        // is a performance knob, never a correctness one, so the
-        // one-batch lag is harmless
+            spark.read.parquet(occDir)
+              .filter(col("batch") < bid && inSpan(col("hour")))
+              .select(col("hour"), col("cy"), col("cx"), col("n"))
+          else occBatch.limit(0)
+        val hot = Some(prevOcc.unionByName(occBatch)
+          .groupBy(col("hour"), col("cy"), col("cx"))
+          .agg(sum(col("n")).as("occ"))
+          .filter(col("occ") >
+            math.min(hotOccupancy, maxCellOccupancy)))
         val ph = Geo.bandedPairs(pts, idxAll, radiusM, hotOccupancy,
             saltBuckets, hot, maxCellOccupancy)
           .filter(col("u1") =!= col("u2"))
@@ -365,9 +422,8 @@ object StreamingGeo {
           .groupBy(col("u1"), col("u2"), col("hour"))
           .agg(min(col("m")).as("m"))
         // the observed-hour high-water drives deterministic eviction —
-        // from the POINTS (one tiny aggregate), not a band-join replay
-        val hwm = Option(pts.agg(max(col("hour"))).head.get(0))
-          .map(_.asInstanceOf[Long])
+        // the span aggregate's max, no extra pass
+        val hwm: Option[Long] = span.map(_._2)
         // open-episode snapshot from BEFORE this batch (max id < bid)
         val openDir = new Path(s"$outDir/open")
         val prevId =
@@ -439,16 +495,56 @@ object StreamingGeo {
           land("open", "open")
         } finally { routed.unpersist(); () }
         // per-batch occupancy + index append, the start() layout
-        pts.groupBy(col("hour"), col("cy"), col("cx"))
-          .agg(count(lit(1)).as("n"))
-          .write.mode("overwrite")
+        occBatch.write.mode("overwrite")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$occDir/batch=$bid")
-        pts.write.mode("overwrite")
+        pts.repartitionByRange(col("hour"))
+          .sortWithinPartitions(col("hour"))
+          .write.mode("overwrite")
           .option("compression", Writers.DefaultCompression)
           .parquet(s"$indexDir/batch=$bid")
         ()
       }
       .start()
+  }
+
+  /** Retention for the persisted position index — the compaction the
+    * always-on monitors need so the table under them stops growing
+    * without bound: drop every `index/batch=<id>` (and its
+    * `occ/batch=<id>` sibling) whose NEWEST hour has fallen more than
+    * `horizonHours` behind the stream's observed hour high-water.
+    *
+    * Safety contract: the monitors' per-batch reads are bounded to the
+    * batch's own hour span, so a dropped partition can only be missed
+    * by a batch whose span still reaches back past the horizon — i.e.
+    * data arriving later than `horizonHours` after its event hour.
+    * Size the horizon to the late-data window you accept (for
+    * [[startEpisodes]], at least `maxGapHours` so an episode that is
+    * still extendable can always find its pairs); later-than-horizon
+    * stragglers are the batch recompute's job, the same escape hatch
+    * as everywhere else in this family. Decisions read ONLY the
+    * cell-grid-sized occ summaries, never the index itself. Returns
+    * the dropped batch ids. */
+  def retainIndex(spark: SparkSession, outDir: String,
+      horizonHours: Long): Seq[Long] = {
+    require(horizonHours >= 1L, s"need horizonHours >= 1, got $horizonHours")
+    val occDir = s"$outDir/occ"
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(occDir))) return Seq.empty
+    val byBatch = spark.read.parquet(occDir)
+      // the batch= partition column infers as int — cast, don't assume
+      .groupBy(col("batch").cast("long").as("b"))
+      .agg(max(col("hour")).cast("long").as("max_hour"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    if (byBatch.isEmpty) return Seq.empty
+    val hwm = byBatch.map(_._2).max
+    val drop = byBatch.filter(_._2 < hwm - horizonHours).map(_._1)
+      .sorted.toSeq
+    drop.foreach { b =>
+      fs.delete(new Path(s"$outDir/index/batch=$b"), true)
+      fs.delete(new Path(s"$occDir/batch=$b"), true)
+    }
+    drop
   }
 }

@@ -49,7 +49,11 @@ object KmvRehearsal {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft-kmvrehm-$step").toString
       val (_, tMerge) = sec(KmvStore.merge(spark, dir, dir2, out))
-      println(f"""[scale] {"tool":"kmv","rows":$rows,"groups":$groups,"build_sec":${tBuild}%.2f,"build2_sec":${tB2}%.2f,"merge_sec":${tMerge}%.2f,"query_sec":${tQuery}%.2f,"pairs":$nPairs}""")
+      // incremental append of a FIXED-SIZE daily drop into the grown
+      // store: wall must track the SLICE, not the built corpus
+      val (_, tAppend) = sec(KmvStore.append(corpus(baseRows, 13L),
+        col("t"), col("kid"), dir))
+      println(f"""[scale] {"tool":"kmv","rows":$rows,"groups":$groups,"build_sec":${tBuild}%.2f,"build2_sec":${tB2}%.2f,"merge_sec":${tMerge}%.2f,"append_sec":${tAppend}%.2f,"query_sec":${tQuery}%.2f,"pairs":$nPairs}""")
     }
     spark.stop()
   }

@@ -578,4 +578,130 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     }.toSeq.sortBy(t => (-t._3, t._1, t._2)).take(20)
     assert(out.toSeq == agg)
   }
+
+  test("episodeZones == independent pair-hours + islands + local ray " +
+      "cast: each qualifying episode-hour lands in the smaller " +
+      "vessel's zone (lowest id on overlap, -1 open sea), per-zone " +
+      "hours/pairs/episodes/min_m recompute exactly") {
+    // 300 users: encounter-hours spread over zones 1/2/3 AND open sea
+    val users = (1L to 300L)
+    val hours = Seq(0L, 1L, 2L, 4L)
+    val evs = events(users.flatMap(u =>
+      hours.map(h => (u * 10 + h, u, h * 3600L))): _*)
+    val baseHour = 1700000000L / 3600
+    // brute pair-hours with u1's rep position (the smaller vessel)
+    val pairHours = collection.mutable.Map
+      .empty[(Long, Long), List[(Long, Long, Long, Long)]]
+      .withDefaultValue(Nil) // (hour, m, la1, lo1)
+    hours.foreach { h =>
+      val pts = users.map { u => val eid = u * 10 + h
+        val (la, lo) = pos(eid, u); (u, la, lo) }
+      for {
+        (u1, a1, o1) <- pts; (u2, a2, o2) <- pts if u1 < u2
+        m = math.round(hav(a1, o1, a2, o2)) if m <= 500L
+      } pairHours((u1, u2)) ::= (baseHour + h, m, a1, o1)
+    }
+    def brute(minHours: Long, maxGap: Long) = {
+      val rows = pairHours.toSeq.flatMap { case ((u1, u2), hmRaw) =>
+        val hm = hmRaw.sortBy(_._1)
+        var run = 0L; var prev = Long.MinValue
+        val tagged = hm.map { case (h, m, la, lo) =>
+          if (prev != Long.MinValue && h - prev > maxGap) run += 1
+          prev = h
+          (h, m, la, lo, run)
+        }
+        val sizes = tagged.groupBy(_._5).view.mapValues(_.size).toMap
+        tagged.filter(t => sizes(t._5) >= minHours).map {
+          case (_, m, la, lo, r) =>
+            val zid = Geo.Zones.sortBy(_._1)
+              .find(z => inZone(lo, la, z._3)).map(_._1).getOrElse(-1L)
+            (zid, (u1, u2), r, m)
+        }
+      }
+      rows.groupBy(_._1).map { case (zid, rs) =>
+        zid -> ((rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+          rs.map(t => (t._2, t._3)).distinct.size.toLong,
+          rs.map(_._4).min))
+      }
+    }
+    def engine(minHours: Long, maxGap: Long) =
+      Geo.episodeZones(evs, 500L, minHours, maxGap).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    val expectDflt = brute(2L, 168L)
+    assert(expectDflt.nonEmpty, "no episode-hours — the plant is vacuous")
+    assert(expectDflt.keySet.size >= 2,
+      "all encounter-hours in one zone — attribution untested")
+    assert(engine(2L, 168L) == expectDflt)
+    // gap=1 splits at hour 3, minHours=1 keeps the singletons:
+    // episodes multiply and every hour still lands in its zone
+    val expectSplit = brute(1L, 1L)
+    assert(expectSplit.values.map(_._3).sum >
+      expectDflt.values.map(_._3).sum, "split plant vacuous")
+    assert(engine(1L, 1L) == expectSplit)
+    // zone names ride the ids (engine side)
+    val names = Geo.episodeZones(evs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    names.foreach { case (id, nm) =>
+      val exp = Geo.Zones.find(_._1 == id).map(_._2).getOrElse("open_sea")
+      assert(nm == exp, s"zone $id named $nm, want $exp")
+    }
+  }
+
+  test("loadZones: a JSON-lines (and parquet) registry loads, " +
+      "validates, and drives q273/q277 to the EXACT literal-registry " +
+      "results; malformed registries fail loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zones").toString
+    // the literal registry, serialized as the documented JSON shape
+    val json = Geo.Zones.map { case (id, nm, vs) =>
+      s"""{"zone_id":$id,"zone_name":"$nm","vertices":[${
+        vs.map(v => s"[${v._1},${v._2}]").mkString(",")}]}"""
+    }
+    val jf = s"$dir/zones.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(jf),
+      json.mkString("\n").getBytes("UTF-8"))
+    val loaded = Geo.loadZones(spark, jf)
+    assert(loaded == Geo.Zones.sortBy(_._1))
+    // parquet route: same rows, same registry
+    val pf = s"$dir/zones_pq"
+    Geo.Zones.map { case (id, nm, vs) =>
+      (id, nm, vs.map(v => Seq(v._1, v._2))) }
+      .toDF("zone_id", "zone_name", "vertices")
+      .write.mode("overwrite").parquet(pf)
+    assert(Geo.loadZones(spark, pf) == Geo.Zones.sortBy(_._1))
+    // file-loaded registry == literal on the zone queries
+    val evs = events((1L to 80L).flatMap(u =>
+      Seq((u * 10, u, 0L), (u * 10 + 1, u, 600L),
+        (u * 10 + 2, u, 4000L))): _*)
+    assert(Geo.zoneStops(evs, zones = loaded).collect().toSeq ==
+      Geo.zoneStops(evs).collect().toSeq)
+    assert(Geo.zoneVisits(evs, loaded).collect().toSeq ==
+      Geo.zoneVisits(evs).collect().toSeq)
+    // malformed: a 2-vertex polygon, then a duplicate id
+    val bad = s"$dir/bad.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      """{"zone_id":1,"zone_name":"x","vertices":[[0,0],[1,1]]}"""
+        .getBytes("UTF-8"))
+    assertThrows[IllegalArgumentException](Geo.loadZones(spark, bad))
+    val dup = s"$dir/dup.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dup),
+      (json :+ json.head).mkString("\n").getBytes("UTF-8"))
+    assertThrows[IllegalArgumentException](Geo.loadZones(spark, dup))
+  }
+
+  test("oracle-scope guard: the pairing oracles (q264/q269/q278/q279) " +
+      "do not model the poison-cell cap, so the oracle datasets MUST " +
+      "be poison-free — any future mega-cell fails HERE as an audit " +
+      "hit, not as a mysterious hash mismatch") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val p = Geo.poisonCells(
+        graft.core.Tables.load(spark, sf, "events")).collect()
+      assert(p.isEmpty,
+        s"$sf holds ${p.length} over-cap cell-hour(s): the pairing " +
+          "oracles diverge from the engine on poisoned data — " +
+          "regenerate the dataset or exclude it from hash checks")
+    }
+  }
 }

@@ -106,6 +106,29 @@ class KmvStoreSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("append: folding a new slice into the stored sketch == a full " +
+      "rebuild over the unioned corpus, bit for bit (the closure, " +
+      "incrementally); new groups pass through; k is preserved") {
+    val (da, du) = (dirOf(), dirOf())
+    KmvStore.build(corpusA, col("t"), col("kid"), da, k = 8)
+    // slice: overlaps x, extends it, and introduces a NEW group z
+    val slice = corpusB.unionByName(
+      (1 to 30).map(i => ("z", s"w$i")).toDF("t", "kid"))
+    KmvStore.append(slice, col("t"), col("kid"), da)
+    KmvStore.build(corpusA.unionByName(slice),
+      col("t"), col("kid"), du, k = 8)
+    assert(sketch(da) == sketch(du))
+    assert(KmvStore.readK(spark, da) == 8)
+    // idempotent-shaped: appending the same slice again changes
+    // nothing (min-k of a superset union is unchanged)
+    KmvStore.append(slice, col("t"), col("kid"), da)
+    assert(sketch(da) == sketch(du))
+    // no set-aside/tmp litter after the swap
+    val litter = new java.io.File(da).listFiles().map(_.getName)
+      .filter(n => n.startsWith("sketch_tmp") || n.startsWith("sketch_old"))
+    assert(litter.isEmpty, litter.mkString(","))
+  }
+
   test("merge refuses mismatched k — a silent mixed-k merge would " +
       "corrupt every estimate") {
     val (da, db) = (dirOf(), dirOf())

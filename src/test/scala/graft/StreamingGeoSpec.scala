@@ -285,6 +285,136 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
     assert(spark.read.parquet(s"$out/visits").count() == got.size)
   }
 
+  test("hour-bounded index reads: a multi-hour batch still pairs " +
+      "against the earlier index (alerts unchanged under the bound); " +
+      "retainIndex drops partitions past the horizon and the stream " +
+      "keeps draining against what remains") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-hb-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-hb-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-hb-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit =
+      StreamingGeo.start(spark, landing, out).awaitTermination()
+    def alerts(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$out/alerts").collect()
+        .map(r => (r.getAs[Long]("u_new"), r.getAs[Long]("u_old"),
+          r.getAs[Long]("hour"), r.getAs[Long]("m"))).toSet
+    val w1u = (1L to 150L); val w2u = (151L to 300L)
+    // wave 1: hour 0 only; wave 2 SPANS hours 0 and 1 — the bounded
+    // read [0, 1] must still cover the hour-0 index rows
+    land("w1.parquet", w1u.map(u => GeoEv(u * 10, u, ts(60))))
+    drain()
+    land("w2.parquet", w2u.flatMap(u => Seq(
+      GeoEv(u * 10, u, ts(120)), GeoEv(u * 10 + 1, u, ts(3720)))))
+    drain()
+    val hourOf = (1700000000L + 60) / 3600
+    val expect = (for {
+      (un, (la1, lo1)) <- w2u.map(u => (u, pos(u * 10, u)))
+      (uo, (la2, lo2)) <- w1u.map(u => (u, pos(u * 10, u)))
+      m = math.round(hav(la1, lo1, la2, lo2)) if m <= 500L
+    } yield (un, uo, hourOf, m)).toSet
+    assert(expect.nonEmpty, "planted population produced no encounters")
+    assert(alerts() == expect,
+      s"missing=${expect -- alerts()} extra=${alerts() -- expect}")
+    // wave 3: hour 200 — span-bounded index read finds nothing there
+    land("w3.parquet", w1u.map(u => GeoEv(u * 10 + 7, u,
+      ts(200L * 3600 + 60))))
+    drain()
+    assert(alerts() == expect, "an empty-span batch must not alert")
+    // retention: hwm=200, horizon=100 -> batches 0 and 1 (max hours
+    // 0 and 1) drop; batch 2 (hour 200) stays
+    val dropped = StreamingGeo.retainIndex(spark, out, 100L)
+    assert(dropped == Seq(0L, 1L), dropped.toString)
+    assert(!new java.io.File(s"$out/index/batch=0").exists())
+    assert(!new java.io.File(s"$out/occ/batch=1").exists())
+    assert(new java.io.File(s"$out/index/batch=2").exists())
+    // the stream keeps pairing against the surviving index
+    land("w4.parquet", w2u.map(u => GeoEv(u * 10 + 8, u,
+      ts(200L * 3600 + 120))))
+    drain()
+    val h200 = (1700000000L + 200L * 3600 + 60) / 3600
+    val expect200 = (for {
+      (un, (la1, lo1)) <- w2u.map(u => (u, pos(u * 10 + 8, u)))
+      (uo, (la2, lo2)) <- w1u.map(u => (u, pos(u * 10 + 7, u)))
+      m = math.round(hav(la1, lo1, la2, lo2)) if m <= 500L
+    } yield (un, uo, h200, m)).toSet
+    assert(expect200.nonEmpty, "post-retention population vacuous")
+    assert(alerts() == expect ++ expect200,
+      s"missing=${(expect ++ expect200) -- alerts()}")
+  }
+
+  test("poison cell formed ENTIRELY within one micro-batch is " +
+      "excluded that same batch: the hot/occupancy summary includes " +
+      "the batch's own occupancy, so the OOM guard never lags") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-pc-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-pc-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pc-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    // wave 1 (users 1-60, hour 0) seeds the occ store under the cap;
+    // wave 2 (users 101-500, hour 1) forms its over-cap cells with NO
+    // prior occupancy at hour 1 — a lagged summary would miss them
+    val w1u = (1L to 60L); val w2u = (101L to 500L)
+    def drain(): Unit = StreamingGeo.startEpisodes(spark, landing, out,
+      500L, minHours = 1L, maxGapHours = 168L,
+      maxCellOccupancy = 1L).awaitTermination()
+    land("w1.parquet", w1u.map(u => GeoEv(u * 10, u, ts(60))))
+    drain()
+    land("w2.parquet", w2u.map(u => GeoEv(u * 10 + 1, u, ts(3720))))
+    drain()
+    // local occupancy at hour 1: cells with > 1 vessel are poison
+    val pts2 = w2u.map { u =>
+      val (la, lo) = pos(u * 10 + 1, u)
+      (u, la, lo, (la + 5000) / 5000, (lo + 5000) / 5000)
+    }
+    val poison = pts2.groupBy(p => (p._4, p._5))
+      .filter(_._2.size > 1).keySet
+    val surv = pts2.filterNot(p => poison((p._4, p._5)))
+    def brute(pts: Seq[(Long, Long, Long, Long, Long)], h: Long) = (for {
+      (u1, a1, o1, _, _) <- pts; (u2, a2, o2, _, _) <- pts if u1 < u2
+      m = math.round(hav(a1, o1, a2, o2)) if m <= 500L
+    } yield (u1, u2, h, h, 1L, m)).toSet
+    val h0 = (1700000000L + 60) / 3600; val h1 = h0 + 1
+    val allPairs2 = brute(pts2, h1)
+    val survPairs2 = brute(surv, h1)
+    assert(allPairs2 != survPairs2,
+      "no sub-500m pair inside a poison cell — the plant is vacuous")
+    val pts1 = w1u.map { u =>
+      val (la, lo) = pos(u * 10, u)
+      (u, la, lo, (la + 5000) / 5000, (lo + 5000) / 5000)
+    }
+    val expect = brute(pts1, h0) ++ survPairs2
+    val openId = new java.io.File(s"$out/open").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    val got = (spark.read.parquet(s"$out/open/batch=$openId").collect()
+      ++ spark.read.parquet(s"$out/closed").collect())
+      .map(r => (r.getAs[Long]("u1"), r.getAs[Long]("u2"),
+        r.getAs[Long]("start_hour"), r.getAs[Long]("end_hour"),
+        r.getAs[Long]("n_hours"), r.getAs[Long]("min_m"))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
   test("startResample: cumulative stream output == batch q274 " +
       "EXACTLY on the landed prefix — cross-batch legs interpolate " +
       "through the carried state, gaps emit nothing") {

@@ -295,6 +295,48 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     assert(rows(dir) == Set(1L, 2L, 3L))
   }
 
+  test("a fresh stream (batch ids restarting at 0) against a table " +
+      "whose markerless v0 was a PLAIN append fails loudly when the " +
+      "table is marker-aware — never a silent batch drop; a PURE " +
+      "legacy stream table still honors id-as-batch replay") {
+    import org.apache.spark.sql.functions.col
+    def stripMarkers(dir: String, v: Long): Unit = {
+      val p = java.nio.file.Paths.get(dir, "_versions",
+        f"v$v%08d.txt")
+      java.nio.file.Files.writeString(p,
+        java.nio.file.Files.readString(p).linesIterator
+          .filterNot(_.startsWith("#writer")).mkString("\n"))
+    }
+    // marker-aware table: markerless v0 (pre-marker plain append) +
+    // a marker-era maintenance append at v1
+    val dir = dirOf()
+    Versioned.commitAppend(Seq(1L).toDF("id"), dir)
+    stripMarkers(dir, 0L)
+    Versioned.commitAppend(Seq(2L).toDF("id"), dir)
+    val e = intercept[RuntimeException](
+      Versioned.commitAppendAt(Seq(3L).toDF("id"), dir, 0L))
+    assert(e.getMessage.contains("markerless"),
+      s"wrong failure: ${e.getMessage}")
+    assert(rows(dir) == Set(1L, 2L)) // nothing dropped, nothing landed
+    // PURE legacy table (no marker anywhere): version id WAS the
+    // batch id — replay at an existing id no-ops, the next id lands
+    val leg = dirOf()
+    Versioned.commitAppendAt(Seq(1L).toDF("id"), leg, 0L)
+    Versioned.commitAppendAt(Seq(2L).toDF("id"), leg, 1L)
+    stripMarkers(leg, 0L); stripMarkers(leg, 1L)
+    assert(!Versioned.commitAppendAt(Seq(99L).toDF("id"), leg, 1L))
+    assert(Versioned.commitAppendAt(Seq(3L).toDF("id"), leg, 2L))
+    assert(rows(leg) == Set(1L, 2L, 3L))
+    // sanity: the scan never relies on reading manifests below the
+    // decisive marker — a replay of the NEWEST batch stays one read
+    val f = dirOf()
+    (0L to 3L).foreach(i =>
+      assert(Versioned.commitAppendAt(Seq(i).toDF("id"), f, i)))
+    assert(!Versioned.commitAppendAt(Seq(99L).toDF("id"), f, 3L))
+    assert(Versioned.read(spark, f).select(col("id")).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("vacuum keeps the newest k versions readable and makes older " +
       "reads fail loudly") {
     val dir = dirOf()
