@@ -469,13 +469,15 @@ object Main {
               "q277_zone_visits" ->
                 (() => graft.queries.Geo.zoneVisits(ev, zones)),
               "q279_episode_zones" ->
-                (() => graft.queries.Geo.episodeZones(ev, zones = zones)))
+                (() => graft.queries.Geo.episodeZones(ev, zones = zones)),
+              "q281_zone_exposure" ->
+                (() => graft.queries.Geo.zoneExposure(ev, zones = zones)))
           val reports = Seq("q262_geo_density", "q263_track_report",
             "q264_proximity_pairs", "q265_stop_report", "q266_od_matrix",
             "q268_dwell_heatmap", "q269_co_travel", "q273_zone_stops",
             "q274_track_interp", "q275_zone_transitions",
             "q276_resampled_density", "q277_zone_visits",
-            "q279_episode_zones")
+            "q279_episode_zones", "q280_dark_gaps", "q281_zone_exposure")
           reports.foreach { n =>
             zoned.get(n).map(_())
               .getOrElse(SparkEntry.queries(n)(spark, sfDir))

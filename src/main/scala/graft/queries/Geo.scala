@@ -849,6 +849,73 @@ object Geo {
       .orderBy(col("user_id"), col("t_grid"))
   }
 
+  /** DARK-GAP (transponder-off) detection — the AIS compliance
+    * audit: per vessel, every reporting gap of at least `minGapS`
+    * seconds between consecutive fixes, with the distance covered
+    * while dark and the implied average speed. A long gap plus a
+    * large displacement is the "dark voyage" signal (fishing in a
+    * closed area, transshipment at sea); a long gap with near-zero
+    * displacement is usually just a moored vessel. One per-user
+    * window over the corpus (the q43/q150 bounded contract), output
+    * |gaps|-sized. Exact integers: meters from the shared re-gridded
+    * haversine, speed in mm/s by the half-up cross-multiplied rule —
+    * no terminal float ever hashes. Returns (user_id, gap_start,
+    * gap_end, gap_s, leg_m, speed_mmps), ordered (user, gap_start).
+    */
+  def darkGaps(events: DataFrame, minGapS: Long = 21600L): DataFrame = {
+    require(minGapS >= 1L, s"need minGapS >= 1, got $minGapS")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    positioned(events)
+      .withColumn("plat", lag(col("lat_e6"), 1).over(w))
+      .withColumn("plon", lag(col("lon_e6"), 1).over(w))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .select(col("user_id"),
+        col("pts"), col("ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
+          .as("gap_s"),
+        round(haversineM(col("plat"), col("plon"),
+          col("lat_e6"), col("lon_e6"))).cast("long").as("leg_m"))
+      .filter(col("gap_s") >= minGapS)
+      .select(col("user_id"),
+        date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+        col("gap_s"), col("leg_m"),
+        // mm/s, half-up cross-multiplied (HalfUpProps' algebra)
+        expr("(2 * 1000 * leg_m + gap_s) div (2 * gap_s)")
+          .as("speed_mmps"))
+      // full-column order: same-second gaps stay deterministic
+      .orderBy(col("user_id"), col("gap_start"), col("gap_end"),
+        col("gap_s"), col("leg_m"), col("speed_mmps"))
+  }
+
+  /** Zone EXPOSURE — vessel-time per zone, measured on the RESAMPLED
+    * track: each q274 grid instant ([[trackInterpolate]]) represents
+    * `stepS` seconds of presence and is zone-attributed by the
+    * codegen'd projection, so the readout is actual time-in-zone
+    * (the regulator's "how long was the fleet inside the exclusion
+    * zone"), immune to reporting-cadence bias — the q276 rationale
+    * applied to geofences. Per zone: grid samples, distinct vessels,
+    * exact exposure seconds (samples × step; -1 open_sea keeps the
+    * total). Corpus-sized work is the q274 leg window + bounded
+    * explode; the zone test and aggregate ride the grid. */
+  def zoneExposure(events: DataFrame, stepS: Long = 600L,
+      maxGapS: Long = 21600L,
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
+    val zname = coalesce(zones.sortBy(_._1).map { case (id, nm, _) =>
+      when(col("zone_id") === id, lit(nm)) } :+ lit("open_sea"): _*)
+    trackInterpolate(events, stepS, maxGapS)
+      .withColumn("zone_id", zoneIdExpr(col("lon_e6"), col("lat_e6"),
+        zones))
+      .withColumn("zone_name", zname)
+      .groupBy(col("zone_id"), col("zone_name"))
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct(col("user_id")).as("n_vessels"),
+        (count(lit(1)) * stepS).as("exposure_s"))
+      .orderBy(col("zone_id"))
+  }
+
   // Shared oracle fragment: the position derivation in DuckDB.
   private val PosSql =
     """SELECT event_id, user_id, ts,
@@ -1620,6 +1687,93 @@ object Geo {
                      CAST(COUNT(DISTINCT (u1, u2, run)) AS BIGINT)
                        AS n_episodes,
                      MIN(m) AS min_m
+              FROM zoned GROUP BY 1, 2
+              ORDER BY zone_id""")),
+
+    // DARK GAPS — AIS transponder-off audit: reporting gaps >= 6 h
+    // per vessel with dark-leg distance and implied speed (mm/s,
+    // half-up integer) — long gap + large displacement = the dark-
+    // voyage signal; long gap + no displacement = a moored vessel.
+    Q("q280_dark_gaps",
+      (s, d) => darkGaps(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(ts) OVER w AS pts, ts,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS gap_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              gaps AS (
+                SELECT user_id,
+                       STRFTIME(pts, '%Y-%m-%d %H:%M:%S') AS gap_start,
+                       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+                       gap_s,
+                       CAST(ROUND($HavSql) AS BIGINT) AS leg_m
+                FROM legs
+                WHERE la1 IS NOT NULL AND gap_s >= 21600)
+              SELECT user_id, gap_start, gap_end, gap_s, leg_m,
+                     (2 * 1000 * leg_m + gap_s) // (2 * gap_s)
+                       AS speed_mmps
+              FROM gaps
+              ORDER BY user_id, gap_start, gap_end, gap_s, leg_m,
+                       speed_mmps""")),
+
+    // ZONE EXPOSURE — time-in-zone on the q274 resampled grid: each
+    // 600 s grid instant zone-attributed by the codegen'd ray cast;
+    // per zone, samples / distinct vessels / exact exposure seconds.
+    Q("q281_zone_exposure",
+      (s, d) => zoneExposure(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id,
+                       LAG(lat_e6) OVER w AS la1,
+                       LAG(lon_e6) OVER w AS lo1,
+                       lat_e6 AS la2, lon_e6 AS lo2,
+                       LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS t1,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t2
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              el AS (
+                SELECT *, t1 - (t1 % 600) + 600 AS gs,
+                       t2 - (t2 % 600) AS ge
+                FROM legs
+                WHERE la1 IS NOT NULL AND t2 > t1 AND t2 - t1 <= 21600),
+              grid AS (
+                SELECT user_id, la1, lo1, la2, lo2, t1, t2,
+                       UNNEST(GENERATE_SERIES(gs, ge, 600)) AS g
+                FROM el WHERE gs <= ge),
+              samp AS (
+                SELECT user_id,
+                       CAST(CASE WHEN la2 >= la1
+                         THEN la1 + (2 * (la2 - la1) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         ELSE la1 - (2 * (la1 - la2) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         END AS BIGINT) AS lat_e6,
+                       CAST(CASE WHEN lo2 >= lo1
+                         THEN lo1 + (2 * (lo2 - lo1) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         ELSE lo1 - (2 * (lo1 - lo2) * (g - t1)
+                                     + (t2 - t1)) // (2 * (t2 - t1))
+                         END AS BIGINT) AS lon_e6
+                FROM grid),
+              zoned AS (
+                SELECT user_id,
+                       ${zoneIdSql("lon_e6", "lat_e6")} AS zid
+                FROM samp)
+              SELECT CAST(zid AS BIGINT) AS zone_id,
+                     ${zoneNameSql("zid")} AS zone_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_samples,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS n_vessels,
+                     CAST(COUNT(*) * 600 AS BIGINT) AS exposure_s
               FROM zoned GROUP BY 1, 2
               ORDER BY zone_id""")))
 }

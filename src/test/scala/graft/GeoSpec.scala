@@ -691,6 +691,68 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assertThrows[IllegalArgumentException](Geo.loadZones(spark, dup))
   }
 
+  test("darkGaps == independent per-user fold: only gaps >= minGapS " +
+      "emit, dark-leg meters are the shared re-gridded haversine, " +
+      "speed is the half-up integer mm/s") {
+    // user 1: 1800 s (quiet), 28,200 s (DARK), 600 s (quiet);
+    // user 2: one 50,000 s gap (DARK); user 3: single fix (no legs)
+    val evs = events((11L, 1L, 0L), (12L, 1L, 1800L), (13L, 1L, 30000L),
+      (14L, 1L, 30600L), (21L, 2L, 0L), (22L, 2L, 50000L), (31L, 3L, 0L))
+    val out = Geo.darkGaps(evs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def render(sec: Long): String = fmt.format(ts(sec))
+    def gap(uid: Long, e1: Long, t1: Long, e2: Long, t2: Long) = {
+      val (a1, o1) = pos(e1, uid); val (a2, o2) = pos(e2, uid)
+      val m = math.round(hav(a1, o1, a2, o2))
+      val s = t2 - t1
+      (uid, render(t1), render(t2), s, m, (2 * 1000 * m + s) / (2 * s))
+    }
+    val expect = Seq(gap(1L, 12L, 1800L, 13L, 30000L),
+      gap(2L, 21L, 0L, 22L, 50000L))
+    assert(out == expect, s"got=$out want=$expect")
+    // threshold knob: every one of the 4 legs is a gap at minGapS=1
+    assert(Geo.darkGaps(evs, minGapS = 1L).count() == 4L)
+  }
+
+  test("zoneExposure == independent interpolation + local ray cast: " +
+      "each grid instant carries stepS seconds into its zone, " +
+      "exposure sums exactly, open sea keeps the total") {
+    val users = (1L to 300L)
+    val evs = events(users.flatMap(u =>
+      Seq((u * 10, u, 0L), (u * 10 + 1, u, 1800L))): _*)
+    val out = Geo.zoneExposure(evs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def hu(lo: Long, hi: Long, num: Long, den: Long): Long =
+      if (hi >= lo) lo + (2 * (hi - lo) * num + den) / (2 * den)
+      else lo - (2 * (lo - hi) * num + den) / (2 * den)
+    val base = 1700000000L
+    val samples = users.flatMap { u =>
+      val (la1, lo1) = pos(u * 10, u); val (la2, lo2) = pos(u * 10 + 1, u)
+      val (t1, t2) = (base, base + 1800)
+      val gs = t1 - t1 % 600 + 600; val ge = t2 - t2 % 600
+      (gs to ge by 600).map { g =>
+        (u, hu(la1, la2, g - t1, t2 - t1), hu(lo1, lo2, g - t1, t2 - t1))
+      }
+    }
+    val expect = samples.groupBy { case (_, la, lo) =>
+      Geo.Zones.sortBy(_._1).find(z => inZone(lo, la, z._3))
+        .map(z => (z._1, z._2)).getOrElse((-1L, "open_sea"))
+    }.map { case (k, g) =>
+      k -> ((g.size.toLong, g.map(_._1).distinct.size.toLong,
+        g.size.toLong * 600L))
+    }
+    assert(expect.keySet.size >= 2, "single-zone plant — vacuous")
+    assert(out == expect,
+      s"missing=${expect.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- expect.keySet}")
+    // total exposure == total grid instants x step, zones partition it
+    assert(out.values.map(_._3).sum == samples.size.toLong * 600L)
+  }
+
   test("oracle-scope guard: the pairing oracles (q264/q269/q278/q279) " +
       "do not model the poison-cell cap, so the oracle datasets MUST " +
       "be poison-free — any future mega-cell fails HERE as an audit " +
