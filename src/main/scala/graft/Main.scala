@@ -388,6 +388,16 @@ object Main {
           val n = spark.read.parquet(s"$outDir/visits").count()
           println(s"geo-visits landing=$landingDir out=$outDir visits=$n")
 
+        // q280's always-on form: dark-gap (transponder-off) alerts at
+        // the reappearance fix
+        case "geo-dark" :: landingDir :: outDir :: rest
+            if rest.length <= 1 =>
+          graft.streaming.StreamingGeo.startDarkGaps(spark, landingDir,
+            outDir, rest.headOption.map(_.toLong).getOrElse(21600L))
+            .awaitTermination()
+          val n = spark.read.parquet(s"$outDir/gaps").count()
+          println(s"geo-dark landing=$landingDir out=$outDir gaps=$n")
+
         // retention for the streaming geo monitors' persisted position
         // index: drop index/occ batch partitions whose newest hour is
         // more than the horizon behind the observed high-water (run
@@ -969,6 +979,7 @@ object Main {
         |  geo-stream <landingDir> <outDir> [radiusM]
         |  geo-episodes <landingDir> <outDir> [radiusM [minHours [maxGapHours]]]
         |  geo-visits <landingDir> <outDir>
+        |  geo-dark <landingDir> <outDir> [minGapS]
         |  geo-retain <geoOutDir> <horizonHours>
         |  geo-resample <landingDir> <outDir> [stepS [maxGapS]]
         |  kmv build <inParquet> <grpCol> <keyCol> <dir> [k]

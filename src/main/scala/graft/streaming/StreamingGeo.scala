@@ -208,6 +208,67 @@ object StreamingGeo {
       .start()
   }
 
+  /** [[startDarkGaps]]'s per-vessel state: the LAST fix's epoch
+    * seconds + event id (idempotency watermark) — 16 bytes. */
+  final case class GapState(lastT: Long, lastId: Long)
+  final case class DarkGap(user_id: Long, gap_start: Timestamp,
+      gap_end: Timestamp, gap_s: Long)
+
+  /** Always-on DARK-GAP monitor — q280's streaming form: the
+    * compliance alert fires the moment a vessel REAPPEARS after at
+    * least `minGapS` seconds of silence (a true "went dark" alert —
+    * before the next fix arrives there is nothing to measure, so
+    * reappearance IS the earliest sound instant). Each vessel carries
+    * 16 bytes of typed state (last fix time + id watermark); a gap is
+    * complete the moment its later fix arrives, so — like
+    * [[startResample]], and for the same reason — the stream's
+    * cumulative output equals the batch q280's (user, gap_start,
+    * gap_end, gap_s) on the landed prefix EXACTLY, no open-tail
+    * asymmetry (pinned in StreamingGeoSpec). Distance/speed
+    * enrichment stays the batch q280's job (state stays position-free
+    * at 16 B; join the alert to q280 for the dark-leg displacement).
+    * Arrival-order contract under the (ts, event_id) watermark, the
+    * StateTracker rule. */
+  def startDarkGaps(spark: SparkSession, landingDir: String,
+      outDir: String, minGapS: Long = 21600L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(minGapS >= 1L, s"need minGapS >= 1, got $minGapS")
+    import spark.implicits._
+    val evs = spark.readStream
+      .schema(Encoders.product[GeoEv].schema)
+      .parquet(landingDir)
+    evs.select(col("user_id"), col("event_id"), col("ts"))
+      .as[GeoEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, DarkGap](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, fixes: Iterator[GeoEv], state) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[DarkGap]
+          fixes.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = Math.floorDiv(e.ts.getTime, 1000L)
+            if (st == null) st = GapState(t, e.event_id)
+            else if (t > st.lastT ||
+                (t == st.lastT && e.event_id > st.lastId)) {
+              if (t - st.lastT >= minGapS)
+                out += DarkGap(uid, new Timestamp(st.lastT * 1000L),
+                  new Timestamp(t * 1000L), t - st.lastT)
+              st = GapState(t, e.event_id)
+            } // else: replay/straggler — no-op by the rule
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode("append")
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", s"$outDir/gaps")
+      .start()
+  }
+
   /** One representative point per (vessel, hour) with band cells —
     * THE q264 derivation ([[Geo.bandedPoints]]), shared so the batch
     * and streaming joins can never drift. */

@@ -415,6 +415,62 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("startDarkGaps: cumulative stream output == batch q280 EXACTLY " +
+      "on the landed prefix — gaps straddling micro-batches alert at " +
+      "the reappearance fix, quiet legs stay silent, re-drain adds " +
+      "nothing") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-dg-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dg-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-dg-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit = StreamingGeo
+      .startDarkGaps(spark, landing, out).awaitTermination()
+    val users = (1L to 80L)
+    // wave 1 ends t=1800; wave 2 reappears at t=30000 — the DARK gap
+    // (28,200 s >= 6 h) STRADDLES the batch boundary; the quiet
+    // 1800 s and 600 s legs must stay silent
+    land("w1.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10, u, ts(0)), GeoEv(u * 10 + 1, u, ts(1800)))))
+    drain()
+    assert(spark.read.parquet(s"$out/gaps").count() == 0L,
+      "quiet legs must not alert")
+    land("w2.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10 + 2, u, ts(30000)), GeoEv(u * 10 + 3, u, ts(30600)))))
+    drain()
+    val fmt = (t: Timestamp) => {
+      val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC")); f.format(t)
+    }
+    val got = spark.read.parquet(s"$out/gaps").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        fmt(r.getAs[Timestamp]("gap_start")),
+        fmt(r.getAs[Timestamp]("gap_end")),
+        r.getAs[Long]("gap_s"))).toSet
+    val all = users.flatMap(u => Seq(
+        (u * 10, u, ts(0)), (u * 10 + 1, u, ts(1800)),
+        (u * 10 + 2, u, ts(30000)), (u * 10 + 3, u, ts(30600))))
+      .toDF("event_id", "user_id", "ts")
+    val batch = graft.queries.Geo.darkGaps(all).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(batch.size == users.size.toLong, "one dark gap per vessel")
+    assert(got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+    // re-drain with nothing new: no duplicates
+    drain()
+    assert(spark.read.parquet(s"$out/gaps").count() == batch.size.toLong)
+  }
+
   test("startResample: cumulative stream output == batch q274 " +
       "EXACTLY on the landed prefix — cross-batch legs interpolate " +
       "through the carried state, gaps emit nothing") {
