@@ -487,7 +487,8 @@ object Main {
             "q268_dwell_heatmap", "q269_co_travel", "q273_zone_stops",
             "q274_track_interp", "q275_zone_transitions",
             "q276_resampled_density", "q277_zone_visits",
-            "q279_episode_zones", "q280_dark_gaps", "q281_zone_exposure")
+            "q279_episode_zones", "q280_dark_gaps", "q281_zone_exposure",
+            "q282_encounter_heatmap")
           reports.foreach { n =>
             zoned.get(n).map(_())
               .getOrElse(SparkEntry.queries(n)(spark, sfDir))

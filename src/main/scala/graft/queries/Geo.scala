@@ -849,6 +849,39 @@ object Geo {
       .orderBy(col("user_id"), col("t_grid"))
   }
 
+  /** Encounter HEATMAP — WHERE the q264 proximity encounters happen:
+    * every verified pair-hour attributed to the 0.01° cell of the
+    * smaller vessel's representative point (the q279 carry — a
+    * functionally-dependent column, pair set untouched), per cell:
+    * pair-hours, distinct pairs, closest approach.
+    * The transshipment-hotspot readout — q262 counts PRESENCE, this
+    * counts MEETINGS, and the two diverge exactly where vessels
+    * cluster without interacting (a lane) vs meet (an anchorage).
+    * Corpus-sized work is exactly q264's band join; the cell
+    * aggregate rides the pair-hour summary. Top-`top` cells by
+    * pair-hours (deterministic tie order). */
+  def encounterHeatmap(events: DataFrame, radiusM: Long = 500L,
+      top: Int = 20): DataFrame = {
+    require(radiusM * 9 <= 5000L,
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    val pts = bandedPoints(events)
+    val hits = bandedPairs(pts, pts, radiusM, carryProbePos = true)
+      .filter(col("u1") < col("u2"))
+      .select(col("u1"), col("u2"), col("hour"), col("m"),
+        col("la1"), col("lo1"))
+      .distinct()
+    hits
+      .select(col("u1"), col("u2"), col("m"),
+        (col("la1") + 5000L).divide(10000L).cast("long").as("cell_y"),
+        (col("lo1") + 5000L).divide(10000L).cast("long").as("cell_x"))
+      .groupBy(col("cell_y"), col("cell_x"))
+      .agg(count(lit(1)).as("n_pair_hours"),
+        countDistinct(col("u1"), col("u2")).as("n_pairs"),
+        min(col("m")).as("min_m"))
+      .orderBy(col("n_pair_hours").desc, col("cell_y"), col("cell_x"))
+      .limit(top)
+  }
+
   /** DARK-GAP (transponder-off) detection — the AIS compliance
     * audit: per vessel, every reporting gap of at least `minGapS`
     * seconds between consecutive fixes, with the distance covered
@@ -1689,6 +1722,64 @@ object Geo {
                      MIN(m) AS min_m
               FROM zoned GROUP BY 1, 2
               ORDER BY zone_id""")),
+
+    // ENCOUNTER HEATMAP — where the meetings happen: q264 pair-hours
+    // per 0.01° cell of the smaller vessel's representative point;
+    // presence (q262) vs meetings (this) separates lanes from
+    // anchorages.
+    Q("q282_encounter_heatmap",
+      (s, d) => encounterHeatmap(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              pts AS (
+                SELECT user_id, hour, lat_e6, lon_e6,
+                       (lat_e6 + 5000) // 5000 AS cy,
+                       (lon_e6 + 5000) // 5000 AS cx
+                FROM (
+                  SELECT *,
+                         CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           AS hour,
+                         ROW_NUMBER() OVER (PARTITION BY user_id,
+                           CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           ORDER BY event_id) AS rn
+                  FROM pos) x
+                WHERE rn = 1),
+              lft AS (
+                SELECT user_id AS u1, hour, lat_e6 AS la1,
+                       lon_e6 AS lo1, cy + dy.dy AS cy, cx + dx.dx AS cx
+                FROM pts
+                CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+                CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)),
+              hits AS (
+                SELECT DISTINCT u1, u2, hour, m, la1, lo1 FROM (
+                  SELECT l.u1, r.user_id AS u2, l.hour, l.la1, l.lo1,
+                         CAST(ROUND(2.0 * 6371000.0 * ASIN(SQRT(
+                           SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           * SIN((r.lat_e6 - l.la1)
+                             * 1.7453292519943295e-8 / 2)
+                           + COS(l.la1 * 1.7453292519943295e-8)
+                             * COS(r.lat_e6 * 1.7453292519943295e-8)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2)
+                             * SIN((r.lon_e6 - l.lo1)
+                               * 1.7453292519943295e-8 / 2))))
+                           AS BIGINT) AS m
+                  FROM lft l JOIN pts r
+                    ON r.hour = l.hour AND r.cy = l.cy AND r.cx = l.cx
+                  WHERE l.u1 < r.user_id) p
+                WHERE m <= 500),
+              cells AS (
+                SELECT u1, u2, m,
+                       (la1 + 5000) // 10000 AS cell_y,
+                       (lo1 + 5000) // 10000 AS cell_x
+                FROM hits)
+              SELECT cell_y, cell_x,
+                     CAST(COUNT(*) AS BIGINT) AS n_pair_hours,
+                     CAST(COUNT(DISTINCT (u1, u2)) AS BIGINT) AS n_pairs,
+                     MIN(m) AS min_m
+              FROM cells GROUP BY 1, 2
+              ORDER BY n_pair_hours DESC, cell_y, cell_x
+              LIMIT 20""")),
 
     // DARK GAPS — AIS transponder-off audit: reporting gaps >= 6 h
     // per vessel with dark-leg distance and implied speed (mm/s,

@@ -691,6 +691,32 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assertThrows[IllegalArgumentException](Geo.loadZones(spark, dup))
   }
 
+  test("encounterHeatmap == independent pair-hours + cell fold: each " +
+      "verified pair-hour lands in the smaller vessel's 0.01-degree " +
+      "cell; counts/pairs/min_m and the top-20 order recompute") {
+    val users = (1L to 300L)
+    val hours = Seq(0L, 1L, 2L)
+    val evs = events(users.flatMap(u =>
+      hours.map(h => (u * 10 + h, u, h * 3600L))): _*)
+    val out = Geo.encounterHeatmap(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val rows = hours.flatMap { h =>
+      val pts = users.map { u => val eid = u * 10 + h
+        val (la, lo) = pos(eid, u); (u, la, lo) }
+      for {
+        (u1, a1, o1) <- pts; (u2, a2, o2) <- pts if u1 < u2
+        m = math.round(hav(a1, o1, a2, o2)) if m <= 500L
+      } yield ((a1 + 5000) / 10000, (o1 + 5000) / 10000, u1, u2, m)
+    }
+    val expect = rows.groupBy(r => (r._1, r._2)).map { case ((cy, cx), g) =>
+      (cy, cx, g.size.toLong,
+        g.map(r => (r._3, r._4)).distinct.size.toLong, g.map(_._5).min)
+    }.toSeq.sortBy(t => (-t._3, t._1, t._2)).take(20)
+    assert(expect.nonEmpty, "no encounters — plant vacuous")
+    assert(out == expect, s"got=${out.take(3)} want=${expect.take(3)}")
+  }
+
   test("darkGaps == independent per-user fold: only gaps >= minGapS " +
       "emit, dark-leg meters are the shared re-gridded haversine, " +
       "speed is the half-up integer mm/s") {
