@@ -227,6 +227,9 @@ object StreamingGeo {
     * asymmetry (pinned in StreamingGeoSpec). Distance/speed
     * enrichment stays the batch q280's job (state stays position-free
     * at 16 B; join the alert to q280 for the dark-leg displacement).
+    * Gap endpoints are reconstructed from floor-second state, which
+    * matches the batch q280's second-granular string render exactly
+    * (sub-second fixes floor to their second in both forms).
     * Arrival-order contract under the (ts, event_id) watermark, the
     * StateTracker rule. */
   def startDarkGaps(spark: SparkSession, landingDir: String,
@@ -584,14 +587,34 @@ object StreamingGeo {
     * still extendable can always find its pairs); later-than-horizon
     * stragglers are the batch recompute's job, the same escape hatch
     * as everywhere else in this family. Decisions read ONLY the
-    * cell-grid-sized occ summaries, never the index itself. Returns
-    * the dropped batch ids. */
+    * cell-grid-sized occ summaries, never the index itself.
+    *
+    * [[startEpisodes]]' per-batch OPEN-STATE snapshots
+    * (`open/batch=<id>`) are also pruned — a micro-batch reads only
+    * the newest snapshot before itself, and a crash replay reaches at
+    * most one batch back, so all but the newest `keepOpenSnapshots`
+    * are dead weight that would otherwise accrete one full state copy
+    * per batch forever. The closed/alerts OUTPUT logs are never
+    * touched (they are the product, not state). Maintenance op under
+    * the single-writer contract: run while the stream is down, like
+    * compact/vacuum. Returns the dropped index batch ids. */
   def retainIndex(spark: SparkSession, outDir: String,
-      horizonHours: Long): Seq[Long] = {
+      horizonHours: Long, keepOpenSnapshots: Int = 4): Seq[Long] = {
     require(horizonHours >= 1L, s"need horizonHours >= 1, got $horizonHours")
+    require(keepOpenSnapshots >= 2,
+      s"need keepOpenSnapshots >= 2 (newest + crash-replay fallback), " +
+        s"got $keepOpenSnapshots")
     val occDir = s"$outDir/occ"
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // open-state snapshot pruning (episodes tables only)
+    val openDir = new Path(s"$outDir/open")
+    if (fs.exists(openDir))
+      fs.listStatus(openDir).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .sorted.dropRight(keepOpenSnapshots)
+        .foreach(b => fs.delete(new Path(s"$outDir/open/batch=$b"), true))
     if (!fs.exists(new Path(occDir))) return Seq.empty
     val byBatch = spark.read.parquet(occDir)
       // the batch= partition column infers as int — cast, don't assume

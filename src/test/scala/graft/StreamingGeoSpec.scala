@@ -415,6 +415,61 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("retainIndex prunes open-state snapshots to the newest K " +
+      "(closed/alerts logs untouched) and the episode stream " +
+      "continues correctly after pruning") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-op-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-op-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-op-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit = StreamingGeo.startEpisodes(spark, landing, out,
+      500L, minHours = 2L, maxGapHours = 168L).awaitTermination()
+    val users = (1L to 100L)
+    def wave(k: Long, hour: Long): Seq[GeoEv] =
+      users.map(u => GeoEv(u * 10 + k, u, ts(60 + hour * 3600)))
+    (0 to 2).foreach { i => land(s"w$i.parquet", wave(i.toLong,
+      i.toLong)); drain() }
+    def openBatches(): Seq[Long] = new java.io.File(s"$out/open")
+      .listFiles().map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted.toSeq
+    assert(openBatches() == Seq(0L, 1L, 2L))
+    // huge horizon: no index batch is past it — only snapshots prune
+    val dropped = StreamingGeo.retainIndex(spark, out, 100000L,
+      keepOpenSnapshots = 2)
+    assert(dropped.isEmpty)
+    assert(openBatches() == Seq(1L, 2L))
+    // the stream keeps folding correctly against the kept snapshot
+    land("w3.parquet", wave(3L, 3L)); drain()
+    val openId = openBatches().max
+    val got = (spark.read.parquet(s"$out/open/batch=$openId")
+      .filter(org.apache.spark.sql.functions.col("n_hours") >= 2L)
+      .collect()
+      ++ spark.read.parquet(s"$out/closed").collect())
+      .map(r => (r.getAs[Long]("u1"), r.getAs[Long]("u2"),
+        r.getAs[Long]("start_hour"), r.getAs[Long]("end_hour"),
+        r.getAs[Long]("n_hours"), r.getAs[Long]("min_m"))).toSet
+    val all = (0L to 3L).flatMap(i => wave(i, i))
+      .map(e => (e.event_id, e.user_id, e.ts))
+      .toDF("event_id", "user_id", "ts")
+    val batch = graft.queries.Geo
+      .coTravel(all, 500L, minHours = 2L, maxGapHours = 168L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(batch.nonEmpty)
+    assert(got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("startDarkGaps: cumulative stream output == batch q280 EXACTLY " +
       "on the landed prefix — gaps straddling micro-batches alert at " +
       "the reappearance fix, quiet legs stay silent, re-drain adds " +
