@@ -30,10 +30,15 @@ object Main {
           println(s"counters=${report.counters}")
           if (report.failed.nonEmpty) sys.exit(1)
 
-        case "ingest" :: landing :: urls if urls.nonEmpty =>
-          val report = Ingestor.ingest(urls, landing,
+        case "ingest" :: rest0 if rest0.headOption.exists(_ != "--config") =>
+          // --unzip: extract .zip bodies on the chunk stream (the NOAA
+          // AIS drop format) instead of landing them opaque
+          val unzip = rest0.contains("--unzip")
+          val rest = rest0.filterNot(_ == "--unzip")
+          require(rest.size >= 2, "usage: ingest [--unzip] <landing> <url>...")
+          val report = Ingestor.ingest(rest.tail, rest.head,
             concurrency = sys.env.getOrElse("CONCURRENCY", "3").toInt,
-            suffixMap = Ingestor.DefaultSuffixMap)
+            suffixMap = Ingestor.DefaultSuffixMap, unzip = unzip)
           report.toDF(spark).show(truncate = false)
           println(s"counters=${report.counters}")
           if (report.failed.nonEmpty) sys.exit(1)
@@ -928,7 +933,7 @@ object Main {
       """usage: graft.Main <command>
         |  pipeline <parameters.json> <landingDir> <outDir>
         |  ingest --config <parameters.json> <landingDir>
-        |  ingest <landingDir> <url>...
+        |  ingest [--unzip] <landingDir> <url>...
         |  profile <sfDir> <table>
         |  dq <sfDir> <table> <outDir> [keyCol...] | dq diff <dirOld> <dirNew> [tol]
         |  dq diff-rows <dirOld> <dirNew> <outDir> <keyCol...>

@@ -42,9 +42,43 @@ object KmvStore {
       .option("compression", Writers.DefaultCompression)
       .parquet(path)
 
+  /** Crash recovery for [[append]]'s two-rename swap (ADVICE r18): a
+    * crash between rename(live -> old) and rename(tmp -> live) leaves
+    * the store with no `sketch/` and the only copy of the data under
+    * `sketch_old-<uuid>`. Every reader runs this first: if the live
+    * dir is missing and exactly ONE set-aside dir exists, restore it
+    * (the interrupted append never committed; re-running it is safe —
+    * append is a duplicate no-op by the min-k closure, KmvStoreSpec).
+    * Stranded `sketch_tmp-*` dirs are cleared in the same pass, and
+    * leftover `sketch_old-*` dirs beside a live sketch (a crash
+    * between the second rename and the delete) are superseded and
+    * dropped. Single-writer contract, like the swap itself. */
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val live = new Path(sketchDir(dir))
+    val kids = fs.listStatus(base).map(_.getPath)
+    val olds = kids.filter(_.getName.startsWith("sketch_old-"))
+    if (!fs.exists(live)) {
+      require(olds.length <= 1,
+        s"$dir holds ${olds.length} sketch_old-* dirs and no live " +
+          "sketch — manual repair required (single-writer contract " +
+          "violated?)")
+      olds.foreach { o =>
+        require(fs.rename(o, live), s"could not restore $o to $live")
+      }
+    } else olds.foreach(o => fs.delete(o, true))
+    kids.filter(_.getName.startsWith("sketch_tmp-"))
+      .foreach(t => fs.delete(t, true))
+    ()
+  }
+
   /** The stored k (merge and query refuse a mismatch). */
-  def readK(spark: SparkSession, dir: String): Int =
+  def readK(spark: SparkSession, dir: String): Int = {
+    recover(spark, dir)
     spark.read.parquet(metaDir(dir)).head.getAs[Long]("k").toInt
+  }
 
   /** One corpus pass: the k smallest distinct member hashes per group
     * land under `dir`. `keyCol` is hashed with the shared ":kmv"
@@ -74,7 +108,9 @@ object KmvStore {
     * KmvStoreSpec) — a daily drop updates the store at the cost of
     * the drop, never a corpus rebuild. The merged sketch lands beside
     * the live one and swaps in with two renames (read-then-overwrite
-    * of the same path would race the lazy scan). */
+    * of the same path would race the lazy scan); a crash between the
+    * renames strands the data under `sketch_old-*`, which [[recover]]
+    * heals at the next read before anything else touches the store. */
   def append(df: DataFrame, grpCol: Column, keyCol: Column,
       dir: String): Unit = {
     val spark = df.sparkSession
@@ -205,6 +241,7 @@ object KmvStore {
 
   /** True iff `dir` holds a sketch (for CLI validation). */
   def exists(spark: SparkSession, dir: String): Boolean = {
+    recover(spark, dir)
     val p = new Path(sketchDir(dir))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

@@ -360,7 +360,18 @@ object Versioned {
     * markerless manifest is a plain pre-marker append, and treating an
     * id collision with it as "already committed" would silently drop a
     * fresh stream's batch (new checkpoint restarting at 0 against a
-    * legacy table); that collision fails loudly instead. */
+    * legacy table); that collision fails loudly instead.
+    *
+    * Corollary (deliberate, pinned in VersionedSpec): on a legacy
+    * table MIGRATED mid-stream (markerless manifests below, marker
+    * commits above), replaying a PRE-marker-era batch id — reachable
+    * only via checkpoint rollback past the migration point — does not
+    * no-op as it would have before the migration; it trips the
+    * out-of-order refusal above, because a markerless manifest on a
+    * marker-aware table is not replay evidence (previous paragraph)
+    * and the batch id sits behind the newest marker. Roll the
+    * checkpoint forward past the migration point (or re-land the data
+    * as a fresh batch id); silent drop is never on the menu. */
   def commitAppendAt(df: DataFrame, dir: String, version: Long,
       statsCols: Seq[String] = Seq.empty): Boolean = {
     val spark = df.sparkSession

@@ -141,7 +141,19 @@ object Ingestor {
     System.err.println(s"""{"event":"$event",${kv.mkString(",")}}""")
   }
 
-  /** Stream one URL to a local file in fixed-size chunks. */
+  /** Recursive best-effort delete for a partial zip extraction dir
+    * (the OP-40 abort semantics applied to the multi-file case). */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    try Files.deleteIfExists(p) catch { case _: Throwable => () }
+  }
+
+  /** Stream one URL to a local file in fixed-size chunks; with
+    * `unzip` set, a `.zip` body is instead extracted ON THE CHUNK
+    * STREAM (java.util.zip reads local entry headers, so no seek and
+    * no buffering of the archive — memory stays O(chunk)) into a
+    * directory named after the archive, one file per entry. */
   private def streamOne(
       client: HttpClient,
       url: String,
@@ -149,10 +161,13 @@ object Ingestor {
       chunkBytes: Int,
       fileTimeoutMs: Long,
       watchdog: ScheduledExecutorService,
-      counters: (LongAdder, LongAdder, LongAdder, LongAdder, LongAdder)): FileResult = {
+      counters: (LongAdder, LongAdder, LongAdder, LongAdder, LongAdder),
+      unzip: Boolean = false): FileResult = {
     val (reqs, chunks, files, errors, bytesTotal) = counters
     val t0 = System.nanoTime()
     val timedOut = new AtomicBoolean(false)
+    val zipped = unzip && dest.toLowerCase.endsWith(".zip")
+    val outPath = if (zipped) dest.dropRight(4) else dest
     try {
       val req = HttpRequest.newBuilder(URI.create(url)).GET()
         .timeout(java.time.Duration.ofMillis(fileTimeoutMs))
@@ -176,49 +191,101 @@ object Ingestor {
           try in.close() catch { case _: Throwable => () }
         }
       }, fileTimeoutMs, TimeUnit.MILLISECONDS)
-      val out = new BufferedOutputStream(new FileOutputStream(dest), chunkBytes)
       var written = 0L
       try {
         val buf = new Array[Byte](chunkBytes)
-        var nextPct = 10L
-        var n = in.read(buf)
-        while (n >= 0) {
-          if (n > 0) {
-            out.write(buf, 0, n)
-            written += n
-            chunks.increment()
-            if (total > 0) {
-              val pct = written * 100 / total
-              if (pct >= nextPct) {
-                while (nextPct <= pct) nextPct += 10
-                log("file_progress", "url" -> url,
-                  "percent" -> (nextPct - 10), "bytes" -> written,
-                  "total" -> total)
-              }
+        if (zipped) {
+          // OP-01 parity on the reference's ACTUAL drop format: the
+          // profiled NOAA AIS archives are `.zip`
+          // (notebooks/data_ingestion_with_profiling.ipynb:764-775) and
+          // Spark cannot scan zip natively (gzip yes, zip no) — each
+          // entry lands as a plain file under {archive-name}/, directly
+          // readable by the CSV scan. ZipInputStream reads local entry
+          // headers off the chunk stream — no seek, no archive
+          // buffering, memory stays O(chunk). Counted bytes are the
+          // DECOMPRESSED bytes written (the landing-side truth), so the
+          // percent-progress events (compressed-total-based) are
+          // skipped on this path.
+          Files.createDirectories(Paths.get(outPath))
+          val zin = new java.util.zip.ZipInputStream(in)
+          var entry = zin.getNextEntry
+          while (entry != null) {
+            if (!entry.isDirectory) {
+              val name = entry.getName
+              // zip-slip guard: refuse entries escaping the landing dir
+              require(!name.contains("..") && !name.startsWith("/"),
+                s"zip entry escapes extraction dir: $name")
+              val target = Paths.get(outPath, name)
+              Option(target.getParent).foreach(p =>
+                Files.createDirectories(p))
+              val out = new BufferedOutputStream(
+                new FileOutputStream(target.toFile), chunkBytes)
+              var eb = 0L
+              try {
+                var n = zin.read(buf)
+                while (n >= 0) {
+                  if (n > 0) {
+                    out.write(buf, 0, n); eb += n; chunks.increment()
+                  }
+                  n = zin.read(buf)
+                }
+              } finally out.close()
+              written += eb
+              log("zip_entry", "url" -> url, "entry" -> name,
+                "bytes" -> eb)
             }
+            entry = zin.getNextEntry
           }
-          n = in.read(buf)
+        } else {
+          val out = new BufferedOutputStream(new FileOutputStream(dest),
+            chunkBytes)
+          try {
+            var nextPct = 10L
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) {
+                out.write(buf, 0, n)
+                written += n
+                chunks.increment()
+                if (total > 0) {
+                  val pct = written * 100 / total
+                  if (pct >= nextPct) {
+                    while (nextPct <= pct) nextPct += 10
+                    log("file_progress", "url" -> url,
+                      "percent" -> (nextPct - 10), "bytes" -> written,
+                      "total" -> total)
+                  }
+                }
+              }
+              n = in.read(buf)
+            }
+          } finally out.close()
         }
       } finally {
         kill.cancel(false)
-        out.close(); try in.close() catch { case _: Throwable => () }
+        try in.close() catch { case _: Throwable => () }
       }
       if (timedOut.get())
         throw new RuntimeException(s"timeout after ${fileTimeoutMs} ms")
       // OP-03: zero-byte bodies still produce an (empty) landing file —
-      // the FileOutputStream above already created it.
+      // the FileOutputStream above already created it (for a zip, an
+      // empty archive still creates its extraction dir).
       files.increment()
       bytesTotal.add(written)
       val ms = (System.nanoTime() - t0) / 1000000
       val mbps = roundMbps(written, ms)
       log("file_complete", "url" -> url, "bytes" -> written, "ms" -> ms,
         "mbps" -> mbps)
-      FileResult(url, dest, written, ms, mbps, "success", "")
+      FileResult(url, outPath, written, ms, mbps, "success", "")
     } catch {
       case e: Throwable =>
         errors.increment()
-        // OP-40: abort semantics — remove the partial object.
-        try Files.deleteIfExists(Paths.get(dest)) catch { case _: Throwable => () }
+        // OP-40: abort semantics — remove the partial object (for a
+        // zip, the whole partial extraction dir).
+        try {
+          if (zipped) deleteRecursively(Paths.get(outPath))
+          else { Files.deleteIfExists(Paths.get(dest)); () }
+        } catch { case _: Throwable => () }
         val ms = (System.nanoTime() - t0) / 1000000
         val msg =
           if (timedOut.get()) s"timeout after ${fileTimeoutMs} ms"
@@ -232,6 +299,11 @@ object Ingestor {
     * Every request is bounded: `fileTimeoutMs` per file (headers AND
     * body), 10 s connect, and the batch await is derived from the file
     * budget — a hung server can cost one file slot, never the batch.
+    * `unzip` turns `.zip` bodies into extracted entry files (see
+    * [[streamOne]]); default stays opaque passthrough — byte-faithful
+    * landing is the OP-01 contract, extraction is the opt-in for
+    * sources (like the NOAA AIS drops) whose payload Spark cannot
+    * scan as-is.
     */
   def ingest(
       urls: Seq[String],
@@ -240,7 +312,8 @@ object Ingestor {
       chunkBytes: Int = 1024 * 1024,
       suffixMap: Map[String, String] = Map(),
       dated: Boolean = true,
-      fileTimeoutMs: Long = 15 * 60 * 1000L): Report = {
+      fileTimeoutMs: Long = 15 * 60 * 1000L,
+      unzip: Boolean = false): Report = {
     val pool = Executors.newFixedThreadPool(math.max(1, concurrency))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val watchdog = Executors.newSingleThreadScheduledExecutor(r => {
@@ -257,7 +330,7 @@ object Ingestor {
         val dest =
           if (dated) datedPath(landingDir, name) else s"$landingDir/$name"
         Future(streamOne(client, url, dest, chunkBytes, fileTimeoutMs,
-          watchdog, counters))
+          watchdog, counters, unzip))
       }
       // worst case: ceil(n/concurrency) sequential waves each taking the
       // full per-file budget, plus slack — bounded, unlike Duration.Inf

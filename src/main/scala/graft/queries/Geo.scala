@@ -187,7 +187,8 @@ object Geo {
       saltBuckets: Int = 16,
       hotCells: Option[DataFrame] = None,
       maxCellOccupancy: Long = DefaultMaxCellOccupancy,
-      carryProbePos: Boolean = false): DataFrame = {
+      carryProbePos: Boolean = false,
+      carryProbeCols: Seq[String] = Nil): DataFrame = {
     // POISON-CELL guard (the q184 cap-and-report convention): a cell-
     // hour whose occupancy exceeds maxCellOccupancy is a data bug
     // (e.g. every malformed row at (0,0)) whose occ^2 pair OUTPUT no
@@ -225,9 +226,11 @@ object Geo {
         Seq("hour", "cy", "cx"), "left_anti")
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("user_id").as("u1"), col("hour"),
+      .select(Seq(col("user_id").as("u1"), col("hour"),
         col("lat_e6").as("la1"), col("lon_e6").as("lo1"),
-        (col("cy") + col("dy")).as("cy"), (col("cx") + col("dx")).as("cx"))
+        (col("cy") + col("dy")).as("cy"),
+        (col("cx") + col("dx")).as("cx")) ++
+        carryProbeCols.map(col): _*)
       .join(broadcast(hot), Seq("hour", "cy", "cx"), "left")
       // a poison neighbor cell has an empty index side: probe it on
       // one lane instead of fanning saltBuckets lanes into nothing
@@ -239,11 +242,13 @@ object Geo {
     // carryProbePos adds the probe's OWN position to the output —
     // functionally dependent on (u1, hour) (one representative per
     // vessel-hour), so it never changes a pair set, only rides along
-    // for downstream zone attribution (q279)
+    // for downstream zone attribution (q279); carryProbeCols rides
+    // arbitrary probe payload the same way (q283 carries gap identity)
     val outCols = Seq(col("u1"), col("u2"), col("hour"),
       round(haversineM(col("la1"), col("lo1"),
         col("la2"), col("lo2"))).cast("long").as("m")) ++
-      (if (carryProbePos) Seq(col("la1"), col("lo1")) else Nil)
+      (if (carryProbePos) Seq(col("la1"), col("lo1")) else Nil) ++
+      carryProbeCols.map(col)
     probe9.join(right, Seq("hour", "cy", "cx", "salt"))
       .select(outCols: _*)
       .filter(col("m") <= radiusM)
@@ -483,10 +488,15 @@ object Geo {
     val zs = df.collect().map { r =>
       require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
         s"zone file $path: every row needs zone_id, zone_name, vertices")
-      val vs = r.getSeq[scala.collection.Seq[Long]](2).map { v =>
-        require(v != null && v.length == 2,
-          s"zone file $path: each vertex must be [lon_e6, lat_e6]")
-        (v(0), v(1))
+      val vs = r.getSeq[scala.collection.Seq[Any]](2).map { v =>
+        // element nullability checked on the BOXED values: a JSON
+        // vertex like [null, 5] would otherwise unbox null to 0L and
+        // load a silently corrupt polygon (ADVICE r18)
+        require(v != null && v.length == 2 &&
+          v(0) != null && v(1) != null,
+          s"zone file $path: each vertex must be [lon_e6, lat_e6], " +
+            "both non-null")
+        (v(0).asInstanceOf[Long], v(1).asInstanceOf[Long])
       }.toSeq
       (r.getLong(0), r.getString(1), vs)
     }.sortBy(_._1).toSeq
@@ -923,6 +933,87 @@ object Geo {
         col("gap_s"), col("leg_m"), col("speed_mmps"))
   }
 
+  /** DARK RENDEZVOUS — the analyst's next question after [[darkGaps]]
+    * (q280 says WHO went dark and how far they moved; the domain
+    * signal for transshipment is a dark gap whose ENDPOINTS are near
+    * another vessel): for every q280 gap, find vessels within
+    * `radiusM` of the gap's start or end fix in that fix's hour — the
+    * "went dark right next to X, reappeared next to Y" meetup audit.
+    * Pure composition of two judged components: the q280 gap
+    * derivation produces the (tiny) endpoint probe set, which rides
+    * THE q264 band join ([[bandedPairs]], endpoint fixes probing the
+    * per-(vessel, hour) representative index — hour-representative
+    * proximity, q264's convention) with the gap identity carried
+    * through as probe payload (functionally inert: it never changes a
+    * pair set). Zone attribution is the codegen'd [[zoneIdExpr]]
+    * projection on the ENDPOINT fix, applied on the |2·gaps|-sized
+    * probe frame before the join — zero added corpus work.
+    *
+    * Per (gap, nearby vessel): how many endpoints were near (1 or 2),
+    * the closest approach, and the zone of the closest endpoint
+    * (tie → the start endpoint, deterministic). 100 TB shape: corpus
+    * work is one per-user window (q280) + the band join with a
+    * gap-endpoint-sized probe side; everything after is |hits|-sized.
+    * `minGapS` >= 3600 keeps the two endpoint hours distinct, so each
+    * endpoint contributes at most one hit per nearby vessel. Returns
+    * (user_id, gap_start, gap_end, gap_s, nearby, n_ends, zone_id,
+    * zone_name, min_m), ordered. */
+  def darkRendezvous(events: DataFrame, minGapS: Long = 21600L,
+      radiusM: Long = 500L,
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
+    require(minGapS >= 3600L,
+      s"need minGapS >= 3600 (distinct endpoint hours), got $minGapS")
+    require(radiusM * 9 <= 5000L,
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = positioned(events)
+      .withColumn("plat", lag(col("lat_e6"), 1).over(w))
+      .withColumn("plon", lag(col("lon_e6"), 1).over(w))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
+      .filter(col("gap_s") >= minGapS)
+      .select(col("user_id"),
+        date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+        col("gap_s"),
+        floor(unix_timestamp(col("pts")) / 3600L).as("h1"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h2"),
+        col("plat").as("sla"), col("plon").as("slo"),
+        col("lat_e6").as("ela"), col("lon_e6").as("elo"))
+    def endp(ep: Long, hc: String, lac: String, loc: String): DataFrame =
+      gaps.select(col("user_id"), col("gap_start"), col("gap_end"),
+        col("gap_s"), lit(ep).as("ep"), col(hc).as("hour"),
+        col(lac).as("lat_e6"), col(loc).as("lon_e6"))
+    val eps = endp(0L, "h1", "sla", "slo")
+      .unionByName(endp(1L, "h2", "ela", "elo"))
+      .withColumn("cy", (col("lat_e6") + 5000L).divide(5000L).cast("long"))
+      .withColumn("cx", (col("lon_e6") + 5000L).divide(5000L).cast("long"))
+      .withColumn("zid", zoneIdExpr(col("lon_e6"), col("lat_e6"), zones))
+    val hits = bandedPairs(eps, bandedPoints(events), radiusM,
+        carryProbeCols = Seq("gap_start", "gap_end", "gap_s", "ep", "zid"))
+      .filter(col("u1") =!= col("u2"))
+    val zname = coalesce(zones.sortBy(_._1).map { case (id, nm, _) =>
+      when(col("zone_id") === id, lit(nm)) } :+ lit("open_sea"): _*)
+    hits
+      .groupBy(col("u1").as("user_id"), col("gap_start"), col("gap_end"),
+        col("gap_s"), col("u2").as("nearby"))
+      // argmin on the lexicographic struct: closest approach wins, a
+      // distance tie goes to the start endpoint (ep 0 < 1)
+      .agg(count(lit(1)).as("n_ends"),
+        min(struct(col("m"), col("ep"), col("zid"))).as("__am"))
+      .withColumn("zone_id", col("__am").getField("zid"))
+      .withColumn("zone_name", zname)
+      .select(col("user_id"), col("gap_start"), col("gap_end"),
+        col("gap_s"), col("nearby"), col("n_ends"), col("zone_id"),
+        col("zone_name"), col("__am").getField("m").as("min_m"))
+      .orderBy(col("user_id"), col("gap_start"), col("gap_end"),
+        col("nearby"), col("gap_s"), col("n_ends"), col("zone_id"),
+        col("min_m"))
+  }
+
   /** Zone EXPOSURE — vessel-time per zone, measured on the RESAMPLED
     * track: each q274 grid instant ([[trackInterpolate]]) represents
     * `stepS` seconds of presence and is zone-attributed by the
@@ -1021,7 +1112,7 @@ object Geo {
 
     // PROXIMITY PAIRS — vessels within 500 m in the same hour via the
     // 3x3 cell-neighborhood band join + exact haversine verify.
-    // ORACLE SCOPE (here and q269/q278/q279): the SQL does not model
+    // ORACLE SCOPE (here and q269/q278/q279/q283): the SQL does not model
     // the engine's maxCellOccupancy poison exclusion — the two agree
     // iff poisonCells(events) is EMPTY, which GeoSpec asserts for the
     // oracle datasets; a future mega-cell dataset fails that audit
@@ -1814,6 +1905,102 @@ object Geo {
               FROM gaps
               ORDER BY user_id, gap_start, gap_end, gap_s, leg_m,
                        speed_mmps""")),
+
+    // DARK RENDEZVOUS — q280's gap endpoints probing THE q264 band
+    // join: vessels near where a dark gap started or ended, zone-
+    // attributed at the closest endpoint. The transshipment-meetup
+    // audit ("went dark next to X, reappeared next to Y").
+    Q("q283_dark_rendezvous",
+      (s, d) => darkRendezvous(t(s, d, "events")),
+      Some(s"""WITH pos AS ($PosSql),
+              legs AS (
+                SELECT user_id,
+                       LAG(lat_e6) OVER w AS sla,
+                       LAG(lon_e6) OVER w AS slo,
+                       lat_e6 AS ela, lon_e6 AS elo,
+                       LAG(ts) OVER w AS pts, ts,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w
+                         AS gap_s
+                FROM pos
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts, event_id)),
+              gaps AS (
+                SELECT user_id,
+                       STRFTIME(pts, '%Y-%m-%d %H:%M:%S') AS gap_start,
+                       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+                       gap_s,
+                       CAST(FLOOR(FLOOR(EPOCH(pts)) / 3600) AS BIGINT)
+                         AS h1,
+                       CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                         AS h2,
+                       sla, slo, ela, elo
+                FROM legs
+                WHERE sla IS NOT NULL AND gap_s >= 21600),
+              eps AS (
+                SELECT user_id, gap_start, gap_end, gap_s, 0 AS ep,
+                       h1 AS hour, sla AS la1, slo AS lo1,
+                       ${zoneIdSql("slo", "sla")} AS zid
+                FROM gaps
+                UNION ALL
+                SELECT user_id, gap_start, gap_end, gap_s, 1 AS ep,
+                       h2 AS hour, ela AS la1, elo AS lo1,
+                       ${zoneIdSql("elo", "ela")} AS zid
+                FROM gaps),
+              pts AS (
+                SELECT user_id, hour, lat_e6, lon_e6,
+                       (lat_e6 + 5000) // 5000 AS cy,
+                       (lon_e6 + 5000) // 5000 AS cx
+                FROM (
+                  SELECT *,
+                         CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           AS hour,
+                         ROW_NUMBER() OVER (PARTITION BY user_id,
+                           CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT)
+                           ORDER BY event_id) AS rn
+                  FROM pos) x
+                WHERE rn = 1),
+              lft AS (
+                SELECT user_id AS u1, gap_start, gap_end, gap_s, ep,
+                       zid, hour, la1, lo1,
+                       (la1 + 5000) // 5000 + dy.dy AS cy,
+                       (lo1 + 5000) // 5000 + dx.dx AS cx
+                FROM eps
+                CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+                CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)),
+              raw AS (
+                SELECT l.u1, l.gap_start, l.gap_end, l.gap_s, l.ep,
+                       l.zid, r.user_id AS u2, l.la1, l.lo1,
+                       r.lat_e6 AS la2, r.lon_e6 AS lo2
+                FROM lft l JOIN pts r
+                  ON r.hour = l.hour AND r.cy = l.cy AND r.cx = l.cx
+                WHERE r.user_id <> l.u1),
+              hh AS (
+                SELECT * FROM (
+                  SELECT u1, gap_start, gap_end, gap_s, ep, zid, u2,
+                         CAST(ROUND($HavSql) AS BIGINT) AS m
+                  FROM raw) p
+                WHERE m <= 500),
+              agg AS (
+                SELECT u1, gap_start, gap_end, gap_s, u2,
+                       CAST(COUNT(*) AS BIGINT) AS n_ends,
+                       MIN(m) AS min_m
+                FROM hh GROUP BY 1, 2, 3, 4, 5),
+              best AS (
+                SELECT u1, gap_start, gap_end, gap_s, u2, zid,
+                       ROW_NUMBER() OVER (PARTITION BY u1, gap_start,
+                         gap_end, gap_s, u2 ORDER BY m, ep) AS rn
+                FROM hh)
+              SELECT a.u1 AS user_id, a.gap_start, a.gap_end, a.gap_s,
+                     a.u2 AS nearby, a.n_ends,
+                     CAST(b.zid AS BIGINT) AS zone_id,
+                     ${zoneNameSql("b.zid")} AS zone_name, a.min_m
+              FROM agg a JOIN best b
+                ON a.u1 = b.u1 AND a.gap_start = b.gap_start
+                AND a.gap_end = b.gap_end AND a.gap_s = b.gap_s
+                AND a.u2 = b.u2 AND b.rn = 1
+              ORDER BY user_id, a.gap_start, a.gap_end, nearby,
+                       a.gap_s, n_ends, zone_id, min_m""")),
 
     // ZONE EXPOSURE — time-in-zone on the q274 resampled grid: each
     // 600 s grid instant zone-attributed by the codegen'd ray cast;

@@ -20,12 +20,79 @@ import graft.llm.Dedup
   * and appended.
   *
   * At 100 TB the index parquet is partitioned/bucketed by band_hash so
-  * the probe join co-locates; here the layout is plain parquet and the
-  * join shape is identical. Intra-batch duplicates are also reported
+  * the probe join co-locates — `buckets > 0` lands EXACTLY that layout
+  * (the catalog-bucketed index form; stored side reads exchange-free);
+  * plain parquet stays the default and the join shape is identical.
+  * Intra-batch duplicates are also reported
   * (minhashCandidates within the batch), so the dedup decision is
   * complete: a doc is new iff it has no candidate in EITHER output.
   */
 object StreamingDedup {
+
+  /** Catalog-bucketed stream-index layout — [[graft.llm.PairStore]]'s
+    * d1-bucket convention applied to the always-on probes (VERDICT
+    * r18 #4): the persisted index lands as a catalog parquet table
+    * BUCKETED BY THE PROBE JOIN KEY and partitioned by micro-batch
+    * id, so the planner sees the stored side pre-partitioned on the
+    * key — the per-batch probe join reads the corpus index
+    * EXCHANGE-FREE and only the (batch-sized) new side shuffles.
+    * Without it the index re-shuffles at every micro-batch: the one
+    * per-batch cost that grows with the CORPUS instead of the batch
+    * (measured in StreamingDedupRehearsal / SCALE.md r19).
+    * Plain-directory layout stays the default (buckets = 0): bucket
+    * specs live in the session catalog (the PairStore caveat — a
+    * warehouse deployment makes them durable across sessions), and
+    * [[ensureIdx]] re-registers a prior session's partitions on
+    * first touch. Writes keep the replay-idempotence contract: one
+    * `batch=<id>` partition per micro-batch, a replayed batch
+    * REPLACES its own partition, probes read only `batch < bid`. */
+  private def idxTableName(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_sidx_${md.take(12)}"
+  }
+
+  /** Ensure the bucketed index table over `dir` exists in the session
+    * catalog (idempotent; re-registers existing partitions when a new
+    * session first touches a prior session's index). Returns the
+    * table name. */
+  private def ensureIdx(spark: SparkSession, dir: String, cols: String,
+      key: String, buckets: Int): String = {
+    val name = idxTableName(dir)
+    if (!spark.catalog.tableExists(name)) {
+      // RECOVER PARTITIONS lists the location — make sure it exists
+      // (first batch of a fresh stream creates the table before any
+      // partition has landed)
+      val p = new Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      spark.sql(
+        s"CREATE TABLE $name ($cols, batch BIGINT) USING PARQUET " +
+          s"PARTITIONED BY (batch) " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+          s"LOCATION '$dir'")
+      spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+    }
+    name
+  }
+
+  /** One micro-batch's rows into its own `batch=<id>` partition of
+    * the bucketed index (replay: the partition is dropped first, so a
+    * recomputed batch replaces itself — the startExact layout rule
+    * carried to the catalog form). */
+  private def writeIdx(spark: SparkSession, name: String, dir: String,
+      df: DataFrame, bid: Long, key: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (batch=$bid)")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/batch=$bid"), true)
+    df.withColumn("batch", lit(bid))
+      .write.mode("append").format("parquet")
+      .partitionBy("batch")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("compression", Writers.DefaultCompression)
+      .saveAsTable(name)
+  }
 
   /** Start the streaming dedup. `docs` schema must carry doc_id + text.
     * Candidates (d_new, d_old, est_jaccard) land under `outDir/candidates`;
@@ -38,7 +105,9 @@ object StreamingDedup {
       indexDir: String,
       outDir: String,
       minEstJaccard: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      buckets: Int = 0): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
     val stream = spark.readStream
       .schema(schema)
       .json(landingDir)
@@ -46,23 +115,54 @@ object StreamingDedup {
     stream.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val fs = new Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasIndex = fs.exists(new Path(indexDir))
         // bands computed ONCE per batch, reused for probe + append
         val batchBands = Dedup.minhashBands(batch).localCheckpoint(true)
         try {
-          if (hasIndex) {
-            val corpus = spark.read.parquet(indexDir)
-            Dedup.incrementalCandidatesFromBands(batchBands, corpus, minEstJaccard)
-              .write.mode("append")
-              .option("compression", Writers.DefaultCompression)
-              .parquet(s"$outDir/candidates")
+          val idxTbl =
+            if (buckets > 0)
+              Some(ensureIdx(spark, indexDir,
+                "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, " +
+                  "band_hash BIGINT", "band_hash", buckets))
+            else None
+          val corpusOpt: Option[DataFrame] = idxTbl match {
+            case Some(name) =>
+              // band_hash-bucketed catalog read: the corpus side of the
+              // probe join is pre-partitioned — exchange-free; the
+              // batch < bid filter keeps replays strictly new-vs-earlier
+              Some(spark.table(name).filter(col("batch") < bid)
+                .drop("batch"))
+            case None if fs.exists(new Path(indexDir)) =>
+              Some(spark.read.parquet(indexDir))
+            case None => None
           }
-          batchBands.write.mode("append")
-            .option("compression", Writers.DefaultCompression)
-            .parquet(indexDir)
+          corpusOpt.foreach { corpus =>
+            val cands = Dedup.incrementalCandidatesFromBands(
+              batchBands, corpus, minEstJaccard)
+            idxTbl match {
+              case Some(_) =>
+                // bucketed mode rides the batch=<id> overwrite layout:
+                // a crash-replayed batch replaces its own candidates
+                cands.write.mode("overwrite")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(s"$outDir/candidates/batch=$bid")
+              case None =>
+                cands.write.mode("append")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(s"$outDir/candidates")
+            }
+          }
+          idxTbl match {
+            case Some(name) =>
+              writeIdx(spark, name, indexDir, batchBands, bid,
+                "band_hash", buckets)
+            case None =>
+              batchBands.write.mode("append")
+                .option("compression", Writers.DefaultCompression)
+                .parquet(indexDir)
+          }
         } finally
           // release the checkpoint blocks before the batch closure
           // returns: in always-on mode every micro-batch would otherwise
@@ -94,7 +194,8 @@ object StreamingDedup {
       indexDir: String,
       outDir: String,
       maxHamming: Int = 6,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      buckets: Int = 0): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, unbase64}
     import graft.llm.Multimodal
     val stream = spark.readStream
@@ -104,26 +205,53 @@ object StreamingDedup {
     stream.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val fs = new Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasIndex = fs.exists(new Path(indexDir))
         // bands computed ONCE per batch, reused for probe + append
         val batchBands = Multimodal.phashBands(
             batch.select(col("doc_id"),
               unbase64(col("media_b64")).as("media")))
           .localCheckpoint(true)
         try {
-          if (hasIndex) {
-            val corpus = spark.read.parquet(indexDir)
-            Multimodal.incrementalPhashCandidates(batchBands, corpus, maxHamming)
-              .write.mode("append")
-              .option("compression", Writers.DefaultCompression)
-              .parquet(s"$outDir/candidates")
+          val idxTbl =
+            if (buckets > 0)
+              Some(ensureIdx(spark, indexDir,
+                "doc_id BIGINT, phash BIGINT, band INT, chunk BIGINT",
+                "chunk", buckets))
+            else None
+          val corpusOpt: Option[DataFrame] = idxTbl match {
+            case Some(name) =>
+              // chunk-bucketed catalog read — stored side exchange-free
+              Some(spark.table(name).filter(col("batch") < bid)
+                .drop("batch"))
+            case None if fs.exists(new Path(indexDir)) =>
+              Some(spark.read.parquet(indexDir))
+            case None => None
           }
-          batchBands.write.mode("append")
-            .option("compression", Writers.DefaultCompression)
-            .parquet(indexDir)
+          corpusOpt.foreach { corpus =>
+            val cands = Multimodal.incrementalPhashCandidates(
+              batchBands, corpus, maxHamming)
+            idxTbl match {
+              case Some(_) =>
+                cands.write.mode("overwrite")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(s"$outDir/candidates/batch=$bid")
+              case None =>
+                cands.write.mode("append")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(s"$outDir/candidates")
+            }
+          }
+          idxTbl match {
+            case Some(name) =>
+              writeIdx(spark, name, indexDir, batchBands, bid,
+                "chunk", buckets)
+            case None =>
+              batchBands.write.mode("append")
+                .option("compression", Writers.DefaultCompression)
+                .parquet(indexDir)
+          }
         } finally
           // zero-persisted-RDD-delta: see start()
           Dedup.checkpointRdd(batchBands).foreach(_.unpersist(blocking = false))
@@ -190,8 +318,10 @@ object StreamingDedup {
     * to the MATCHED gram set, so a boilerplate gram present at > maxDf
     * corpus positions is dropped before the island reduction instead of
     * fanning out. At 100 TB the index parquet is bucketed by g so the
-    * probe co-locates; here the layout is plain parquet and the join
-    * shape is identical.
+    * probe co-locates — `buckets > 0` lands exactly that layout (the
+    * catalog-bucketed index form; stored side reads exchange-free,
+    * measured in StreamingDedupRehearsal); plain parquet stays the
+    * default and the join shape is identical.
     */
   def startSpans(
       spark: SparkSession,
@@ -201,7 +331,8 @@ object StreamingDedup {
       outDir: String,
       minRun: Int = Dedup.ExactSubstringMinRun,
       maxDf: Int = Dedup.DefaultMaxShingleDf,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      buckets: Int = 0): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val stream = spark.readStream
       .schema(schema)
@@ -219,9 +350,24 @@ object StreamingDedup {
         try {
           val fs = new Path(indexDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new Path(indexDir))) {
-            val idx = spark.read.parquet(indexDir)
-              .filter(col("batch") < bid) // replay: own partition invisible
+          // bucketed form: the index reads g-pre-partitioned through
+          // the catalog — every probe join below leaves the stored
+          // side exchange-free; only the batch's grams shuffle
+          val idxTbl =
+            if (buckets > 0)
+              Some(ensureIdx(spark, indexDir,
+                "doc_id BIGINT, p BIGINT, g BIGINT", "g", buckets))
+            else None
+          val idxOpt: Option[DataFrame] = idxTbl match {
+            case Some(name) =>
+              Some(spark.table(name).filter(col("batch") < bid)
+                .drop("batch"))
+            case None if fs.exists(new Path(indexDir)) =>
+              Some(spark.read.parquet(indexDir)
+                .filter(col("batch") < bid)) // replay: own part invisible
+            case None => None
+          }
+          idxOpt.foreach { idx =>
             val hits = idx
               .join(grams.select(col("g")).distinct(), Seq("g"), "left_semi")
             val hot = hits.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
@@ -259,9 +405,16 @@ object StreamingDedup {
             .write.mode("overwrite")
             .option("compression", Writers.DefaultCompression)
             .parquet(s"$outDir/clean/batch=$bid")
-          grams.write.mode("overwrite")
-            .option("compression", Writers.DefaultCompression)
-            .parquet(s"$indexDir/batch=$bid")
+          idxTbl match {
+            case Some(name) =>
+              writeIdx(spark, name, indexDir,
+                grams.select(col("doc_id"), col("p"), col("g")), bid,
+                "g", buckets)
+            case None =>
+              grams.write.mode("overwrite")
+                .option("compression", Writers.DefaultCompression)
+                .parquet(s"$indexDir/batch=$bid")
+          }
         } finally {
           // zero-persisted-RDD-delta: see start()
           Dedup.checkpointRdd(grams).foreach(_.unpersist(blocking = false))
@@ -299,7 +452,8 @@ object StreamingDedup {
       schema: StructType,
       indexDir: String,
       outDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      buckets: Int = 0): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, levenshtein, lit}
     val stream = spark.readStream
       .schema(schema)
@@ -316,9 +470,25 @@ object StreamingDedup {
         try {
           val fs = new Path(indexDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new Path(indexDir))) {
-            val idx = spark.read.parquet(indexDir)
-              .filter(col("batch") < bid) // replay: own partition invisible
+          val idxTbl =
+            if (buckets > 0)
+              Some(ensureIdx(spark, indexDir,
+                "tok STRING, variant STRING", "variant", buckets))
+            else None
+          val idxOpt: Option[DataFrame] = idxTbl match {
+            case Some(name) =>
+              // variant-bucketed catalog read: the candidate join (the
+              // corpus-sized one) leaves the stored side exchange-free;
+              // the tok-distinct anti-join side reduces map-side to
+              // vocabulary size before its exchange either way
+              Some(spark.table(name).filter(col("batch") < bid)
+                .drop("batch"))
+            case None if fs.exists(new Path(indexDir)) =>
+              Some(spark.read.parquet(indexDir)
+                .filter(col("batch") < bid)) // replay: own part invisible
+            case None => None
+          }
+          idxOpt.foreach { idx =>
             // novel spellings only: a token already in the earlier
             // vocabulary is established, not a typo alert
             val novel = vars.join(
@@ -341,9 +511,16 @@ object StreamingDedup {
               .option("compression", Writers.DefaultCompression)
               .parquet(s"$outDir/alerts/batch=$bid")
           }
-          vars.write.mode("overwrite")
-            .option("compression", Writers.DefaultCompression)
-            .parquet(s"$indexDir/batch=$bid")
+          idxTbl match {
+            case Some(name) =>
+              writeIdx(spark, name, indexDir,
+                vars.select(col("tok"), col("variant")), bid,
+                "variant", buckets)
+            case None =>
+              vars.write.mode("overwrite")
+                .option("compression", Writers.DefaultCompression)
+                .parquet(s"$indexDir/batch=$bid")
+          }
         } finally {
           // zero-persisted-RDD-delta: see start()
           Dedup.checkpointRdd(vars).foreach(_.unpersist(blocking = false))

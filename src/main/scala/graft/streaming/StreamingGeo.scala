@@ -83,6 +83,20 @@ object StreamingGeo {
     * q277 recompute), ~40 bytes of state per vessel ever seen —
     * bounded-fleet contract (see StateTracker.runsEvicting for the
     * event-time-eviction variant when the population is unbounded).
+    *
+    * ZONE-REGISTRY CONTRACT (pinned in StreamingGeoSpec): the `zones`
+    * registry — literal or [[graft.queries.Geo.loadZones]]-loaded —
+    * is compiled into the projection ONCE at query start and stays
+    * FIXED for the monitor's lifetime; editing the zone file while
+    * the query runs changes NOTHING until a stop/restart. This is
+    * deliberate: a mid-run registry swap would make a visit's enter
+    * and exit judge against DIFFERENT polygons, emitting rows no
+    * batch recompute could reproduce — deterministic per-run zones
+    * keep stream output replayable and auditable against the batch
+    * q277 under the registry in force. Rolling out a geofence change
+    * is a restart (the checkpoint + idempotency watermark make that
+    * seamless); the batch q277 with the new registry is the
+    * retroactive view.
     */
   def startZoneVisits(spark: SparkSession, landingDir: String,
       outDir: String,
@@ -296,79 +310,86 @@ object StreamingGeo {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val indexDir = s"$outDir/index"
         val occDir = s"$outDir/occ"
-        val pts = points(batch)
-        // the batch's hour span: pairing matches EQUAL hours only, so
-        // index rows outside [min_hour, max_hour] cannot join — one
-        // tiny aggregate (the hwm pattern) bounds every index/occ read
-        // to the batch's span instead of the whole landed history,
-        // keeping per-batch cost O(batch hour span), not O(stream age)
-        val spanRow = pts.agg(min(col("hour")), max(col("hour"))).head
-        val span: Option[(Long, Long)] =
-          if (spanRow.isNullAt(0)) None
-          else Some((spanRow.getLong(0), spanRow.getLong(1)))
-        def inSpan(c: Column): Column = span match {
-          case Some((lo, hi)) => c.between(lo, hi)
-          case None           => lit(false)
-        }
-        // the batch's own per-cell occupancy — reused for the occ
-        // write below AND unioned into the hot/poison summary, so a
-        // poison (over-cap) cell formed ENTIRELY within this batch is
-        // excluded immediately, not one batch late (the cap is the
-        // OOM guard, which must see the current batch's points)
-        val occBatch = pts.groupBy(col("hour"), col("cy"), col("cx"))
-          .agg(count(lit(1)).as("n"))
-        if (fs.exists(new Path(indexDir))) {
-          val earlier = spark.read.parquet(indexDir)
-            .filter(col("batch") < bid && inSpan(col("hour")))
-          // hot (port) cells from the INCREMENTAL per-batch occupancy
-          // summaries — cell-grid-sized reads, so finding ports never
-          // re-scans the whole position index each micro-batch
-          val prevOcc =
-            if (fs.exists(new Path(occDir)))
-              spark.read.parquet(occDir)
-                .filter(col("batch") < bid && inSpan(col("hour")))
-                .select(col("hour"), col("cy"), col("cx"), col("n"))
-            else occBatch.limit(0)
-          val hot = Some(prevOcc.unionByName(occBatch)
-            .groupBy(col("hour"), col("cy"), col("cx"))
-            .agg(sum(col("n")).as("occ"))
-            .filter(col("occ") >
-              math.min(hotOccupancy, maxCellOccupancy)))
-          // THE q264 band join ([[Geo.bandedPairs]]): 3x3 probe
-          // replication, exact verify, and the occupancy-salted
-          // hot-cell path — the port mega-cell spreads over salt
-          // lanes here exactly as in the batch form
-          Geo.bandedPairs(pts, earlier, radiusM, hotOccupancy,
-              saltBuckets, hot, maxCellOccupancy)
-            .filter(col("u1") =!= col("u2"))
-            .select(col("u1").as("u_new"), col("u2").as("u_old"),
-              col("hour"), col("m"))
-            .distinct()
+        // persist: the representative-point window otherwise replays
+        // for the span aggregate, the occ summary, the band-join probe
+        // and the index write (~4x per batch — ADVICE r18); released
+        // before the batch closure returns (zero-persisted-RDD-delta)
+        val pts = points(batch).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // the batch's hour span: pairing matches EQUAL hours only, so
+          // index rows outside [min_hour, max_hour] cannot join — one
+          // tiny aggregate (the hwm pattern) bounds every index/occ read
+          // to the batch's span instead of the whole landed history,
+          // keeping per-batch cost O(batch hour span), not O(stream age)
+          val spanRow = pts.agg(min(col("hour")), max(col("hour"))).head
+          val span: Option[(Long, Long)] =
+            if (spanRow.isNullAt(0)) None
+            else Some((spanRow.getLong(0), spanRow.getLong(1)))
+          def inSpan(c: Column): Column = span match {
+            case Some((lo, hi)) => c.between(lo, hi)
+            case None           => lit(false)
+          }
+          // the batch's own per-cell occupancy — reused for the occ
+          // write below AND unioned into the hot/poison summary, so a
+          // poison (over-cap) cell formed ENTIRELY within this batch is
+          // excluded immediately, not one batch late (the cap is the
+          // OOM guard, which must see the current batch's points)
+          val occBatch = pts.groupBy(col("hour"), col("cy"), col("cx"))
+            .agg(count(lit(1)).as("n"))
+          if (fs.exists(new Path(indexDir))) {
+            val earlier = spark.read.parquet(indexDir)
+              .filter(col("batch") < bid && inSpan(col("hour")))
+            // hot (port) cells from the INCREMENTAL per-batch occupancy
+            // summaries — cell-grid-sized reads, so finding ports never
+            // re-scans the whole position index each micro-batch
+            val prevOcc =
+              if (fs.exists(new Path(occDir)))
+                spark.read.parquet(occDir)
+                  .filter(col("batch") < bid && inSpan(col("hour")))
+                  .select(col("hour"), col("cy"), col("cx"), col("n"))
+              else occBatch.limit(0)
+            val hot = Some(prevOcc.unionByName(occBatch)
+              .groupBy(col("hour"), col("cy"), col("cx"))
+              .agg(sum(col("n")).as("occ"))
+              .filter(col("occ") >
+                math.min(hotOccupancy, maxCellOccupancy)))
+            // THE q264 band join ([[Geo.bandedPairs]]): 3x3 probe
+            // replication, exact verify, and the occupancy-salted
+            // hot-cell path — the port mega-cell spreads over salt
+            // lanes here exactly as in the batch form
+            Geo.bandedPairs(pts, earlier, radiusM, hotOccupancy,
+                saltBuckets, hot, maxCellOccupancy)
+              .filter(col("u1") =!= col("u2"))
+              .select(col("u1").as("u_new"), col("u2").as("u_old"),
+                col("hour"), col("m"))
+              .distinct()
+              .write.mode("overwrite")
+              .option("compression", Writers.DefaultCompression)
+              .parquet(s"$outDir/alerts/batch=$bid")
+          } else
+            // land an empty alert partition so readers see every batch
+            pts.limit(0)
+              .select(col("user_id").as("u_new"),
+                col("user_id").as("u_old"), col("hour"),
+                lit(0L).as("m"))
+              .write.mode("overwrite")
+              .option("compression", Writers.DefaultCompression)
+              .parquet(s"$outDir/alerts/batch=$bid")
+          // per-batch occupancy summary beside the index (batch=<id>
+          // overwrite, replay-idempotent like everything else here)
+          occBatch.write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$occDir/batch=$bid")
+          // hour-clustered index files: range-partition + sort by hour
+          // so each parquet file covers a narrow hour band and the
+          // span-bounded reads above prune whole files by footer stats
+          pts.repartitionByRange(col("hour"))
+            .sortWithinPartitions(col("hour"))
             .write.mode("overwrite")
             .option("compression", Writers.DefaultCompression)
-            .parquet(s"$outDir/alerts/batch=$bid")
-        } else
-          // land an empty alert partition so readers see every batch
-          pts.limit(0)
-            .select(col("user_id").as("u_new"),
-              col("user_id").as("u_old"), col("hour"),
-              lit(0L).as("m"))
-            .write.mode("overwrite")
-            .option("compression", Writers.DefaultCompression)
-            .parquet(s"$outDir/alerts/batch=$bid")
-        // per-batch occupancy summary beside the index (batch=<id>
-        // overwrite, replay-idempotent like everything else here)
-        occBatch.write.mode("overwrite")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(s"$occDir/batch=$bid")
-        // hour-clustered index files: range-partition + sort by hour
-        // so each parquet file covers a narrow hour band and the
-        // span-bounded reads above prune whole files by footer stats
-        pts.repartitionByRange(col("hour"))
-          .sortWithinPartitions(col("hour"))
-          .write.mode("overwrite")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(s"$indexDir/batch=$bid")
+            .parquet(s"$indexDir/batch=$bid")
+        } finally { pts.unpersist(); () }
         ()
       }
       .start()
@@ -434,139 +455,146 @@ object StreamingGeo {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val indexDir = s"$outDir/index"
         val occDir = s"$outDir/occ"
-        val pts = points(batch)
-        val ptCols = Seq("user_id", "hour", "lat_e6", "lon_e6", "cy", "cx")
-          .map(col)
-        // batch hour span (one tiny aggregate): pairing matches EQUAL
-        // hours only, so index/occ rows outside the span cannot join —
-        // every persisted read below is bounded to the span, keeping
-        // per-batch cost O(batch hour span) instead of O(stream age);
-        // max doubles as the eviction high-water
-        val spanRow = pts.agg(min(col("hour")), max(col("hour"))).head
-        val span: Option[(Long, Long)] =
-          if (spanRow.isNullAt(0)) None
-          else Some((spanRow.getLong(0), spanRow.getLong(1)))
-        def inSpan(c: Column): Column = span match {
-          case Some((lo, hi)) => c.between(lo, hi)
-          case None           => lit(false)
-        }
-        // index side: every earlier batch's points PLUS this batch's
-        // own (new-new pairs are this stream's job too — unlike the
-        // alert stream, the episode fold needs EVERY pair-hour)
-        val idxAll =
-          if (fs.exists(new Path(indexDir)))
-            spark.read.parquet(indexDir)
-              .filter(col("batch") < bid && inSpan(col("hour")))
-              .select(ptCols: _*).unionByName(pts.select(ptCols: _*))
-          else pts.select(ptCols: _*)
-        // batch's own occupancy — reused for the occ write below and
-        // unioned into the hot/poison summary so the over-cap guard
-        // (output-affecting: it is the OOM bound) sees a poison cell
-        // the moment it forms, including one formed entirely within
-        // this batch; hotness (salting) gains the same freshness free
-        val occBatch = pts.groupBy(col("hour"), col("cy"), col("cx"))
-          .agg(count(lit(1)).as("n"))
-        val prevOcc =
-          if (fs.exists(new Path(occDir)))
-            spark.read.parquet(occDir)
-              .filter(col("batch") < bid && inSpan(col("hour")))
-              .select(col("hour"), col("cy"), col("cx"), col("n"))
-          else occBatch.limit(0)
-        val hot = Some(prevOcc.unionByName(occBatch)
-          .groupBy(col("hour"), col("cy"), col("cx"))
-          .agg(sum(col("n")).as("occ"))
-          .filter(col("occ") >
-            math.min(hotOccupancy, maxCellOccupancy)))
-        val ph = Geo.bandedPairs(pts, idxAll, radiusM, hotOccupancy,
-            saltBuckets, hot, maxCellOccupancy)
-          .filter(col("u1") =!= col("u2"))
-          .select(least(col("u1"), col("u2")).as("u1"),
-            greatest(col("u1"), col("u2")).as("u2"),
-            col("hour"), col("m"))
-          .groupBy(col("u1"), col("u2"), col("hour"))
-          .agg(min(col("m")).as("m"))
-        // the observed-hour high-water drives deterministic eviction —
-        // the span aggregate's max, no extra pass
-        val hwm: Option[Long] = span.map(_._2)
-        // open-episode snapshot from BEFORE this batch (max id < bid)
-        val openDir = new Path(s"$outDir/open")
-        val prevId =
-          if (fs.exists(openDir))
-            fs.listStatus(openDir).map(_.getPath.getName)
-              .filter(_.startsWith("batch="))
-              .map(_.stripPrefix("batch=").toLong)
-              .filter(_ < bid).sorted.lastOption
-          else None
-        val open: Dataset[EpState] = prevId match {
-          case Some(p) => spark.read
-            .parquet(s"$outDir/open/batch=$p").as[EpState]
-          case None => spark.emptyDataset[EpState]
-        }
-        val folded = open.groupByKey(s => (s.u1, s.u2))
-          .cogroup(ph.select(col("u1"), col("u2"), col("hour"), col("m"))
-            .as[(Long, Long, Long, Long)]
-            .groupByKey(r => (r._1, r._2))) {
-            case ((u1, u2), states, hours) =>
-              val out = Seq.newBuilder[EpOut]
-              var st = states.toSeq.headOption.orNull
-              def close(): Unit = {
-                if (st.n_hours >= minHours)
-                  out += EpOut("closed", u1, u2, st.start_hour,
-                    st.end_hour, st.n_hours, st.min_m, st.alerted)
-                st = null
-              }
-              hours.toSeq.sortBy(_._3).foreach { case (_, _, h, m) =>
-                if (st != null && h <= st.end_hour) {
-                  // at-or-before the open end: replay/straggler no-op
-                } else {
-                  if (st != null && h - st.end_hour > maxGapHours) close()
-                  st =
-                    if (st == null) EpState(u1, u2, h, h, 1L, m, false)
-                    else st.copy(end_hour = h, n_hours = st.n_hours + 1L,
-                      min_m = math.min(st.min_m, m))
-                  if (st.n_hours >= minHours && !st.alerted) {
-                    st = st.copy(alerted = true)
-                    out += EpOut("alert", u1, u2, st.start_hour, h,
-                      st.n_hours, st.min_m, true)
-                  }
-                }
-              }
-              // deterministic eviction: nothing in-order can extend
-              if (st != null && hwm.exists(_ - st.end_hour > maxGapHours))
-                close()
-              if (st != null)
-                out += EpOut("open", u1, u2, st.start_hour, st.end_hour,
-                  st.n_hours, st.min_m, st.alerted)
-              out.result().iterator
-          }
-        // one computation, three routed sinks: cache the fold (sized
-        // by the ACTIVE pair population, evicted past maxGapHours —
-        // never collected to the driver) instead of replaying the
-        // band join per sink, then release before the batch ends
-        val routed = folded.persist(
+        // persist: the representative-point window otherwise replays for
+        // the span aggregate, the index-union probe, the occ summary and
+        // the index write (ADVICE r18, the start() fix applied here
+        // too); released before the batch closure returns
+        val pts = points(batch).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          def land(kind: String, dir: String): Unit =
-            routed.filter(_.kind == kind)
-              .select(col("u1"), col("u2"), col("start_hour"),
-                col("end_hour"), col("n_hours"), col("min_m"),
-                col("alerted"))
-              .write.mode("overwrite")
-              .option("compression", Writers.DefaultCompression)
-              .parquet(s"$outDir/$dir/batch=$bid")
-          land("closed", "closed")
-          land("alert", "alerts")
-          land("open", "open")
-        } finally { routed.unpersist(); () }
-        // per-batch occupancy + index append, the start() layout
-        occBatch.write.mode("overwrite")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(s"$occDir/batch=$bid")
-        pts.repartitionByRange(col("hour"))
-          .sortWithinPartitions(col("hour"))
-          .write.mode("overwrite")
-          .option("compression", Writers.DefaultCompression)
-          .parquet(s"$indexDir/batch=$bid")
+          val ptCols = Seq("user_id", "hour", "lat_e6", "lon_e6", "cy", "cx")
+            .map(col)
+          // batch hour span (one tiny aggregate): pairing matches EQUAL
+          // hours only, so index/occ rows outside the span cannot join —
+          // every persisted read below is bounded to the span, keeping
+          // per-batch cost O(batch hour span) instead of O(stream age);
+          // max doubles as the eviction high-water
+          val spanRow = pts.agg(min(col("hour")), max(col("hour"))).head
+          val span: Option[(Long, Long)] =
+            if (spanRow.isNullAt(0)) None
+            else Some((spanRow.getLong(0), spanRow.getLong(1)))
+          def inSpan(c: Column): Column = span match {
+            case Some((lo, hi)) => c.between(lo, hi)
+            case None           => lit(false)
+          }
+          // index side: every earlier batch's points PLUS this batch's
+          // own (new-new pairs are this stream's job too — unlike the
+          // alert stream, the episode fold needs EVERY pair-hour)
+          val idxAll =
+            if (fs.exists(new Path(indexDir)))
+              spark.read.parquet(indexDir)
+                .filter(col("batch") < bid && inSpan(col("hour")))
+                .select(ptCols: _*).unionByName(pts.select(ptCols: _*))
+            else pts.select(ptCols: _*)
+          // batch's own occupancy — reused for the occ write below and
+          // unioned into the hot/poison summary so the over-cap guard
+          // (output-affecting: it is the OOM bound) sees a poison cell
+          // the moment it forms, including one formed entirely within
+          // this batch; hotness (salting) gains the same freshness free
+          val occBatch = pts.groupBy(col("hour"), col("cy"), col("cx"))
+            .agg(count(lit(1)).as("n"))
+          val prevOcc =
+            if (fs.exists(new Path(occDir)))
+              spark.read.parquet(occDir)
+                .filter(col("batch") < bid && inSpan(col("hour")))
+                .select(col("hour"), col("cy"), col("cx"), col("n"))
+            else occBatch.limit(0)
+          val hot = Some(prevOcc.unionByName(occBatch)
+            .groupBy(col("hour"), col("cy"), col("cx"))
+            .agg(sum(col("n")).as("occ"))
+            .filter(col("occ") >
+              math.min(hotOccupancy, maxCellOccupancy)))
+          val ph = Geo.bandedPairs(pts, idxAll, radiusM, hotOccupancy,
+              saltBuckets, hot, maxCellOccupancy)
+            .filter(col("u1") =!= col("u2"))
+            .select(least(col("u1"), col("u2")).as("u1"),
+              greatest(col("u1"), col("u2")).as("u2"),
+              col("hour"), col("m"))
+            .groupBy(col("u1"), col("u2"), col("hour"))
+            .agg(min(col("m")).as("m"))
+          // the observed-hour high-water drives deterministic eviction —
+          // the span aggregate's max, no extra pass
+          val hwm: Option[Long] = span.map(_._2)
+          // open-episode snapshot from BEFORE this batch (max id < bid)
+          val openDir = new Path(s"$outDir/open")
+          val prevId =
+            if (fs.exists(openDir))
+              fs.listStatus(openDir).map(_.getPath.getName)
+                .filter(_.startsWith("batch="))
+                .map(_.stripPrefix("batch=").toLong)
+                .filter(_ < bid).sorted.lastOption
+            else None
+          val open: Dataset[EpState] = prevId match {
+            case Some(p) => spark.read
+              .parquet(s"$outDir/open/batch=$p").as[EpState]
+            case None => spark.emptyDataset[EpState]
+          }
+          val folded = open.groupByKey(s => (s.u1, s.u2))
+            .cogroup(ph.select(col("u1"), col("u2"), col("hour"), col("m"))
+              .as[(Long, Long, Long, Long)]
+              .groupByKey(r => (r._1, r._2))) {
+              case ((u1, u2), states, hours) =>
+                val out = Seq.newBuilder[EpOut]
+                var st = states.toSeq.headOption.orNull
+                def close(): Unit = {
+                  if (st.n_hours >= minHours)
+                    out += EpOut("closed", u1, u2, st.start_hour,
+                      st.end_hour, st.n_hours, st.min_m, st.alerted)
+                  st = null
+                }
+                hours.toSeq.sortBy(_._3).foreach { case (_, _, h, m) =>
+                  if (st != null && h <= st.end_hour) {
+                    // at-or-before the open end: replay/straggler no-op
+                  } else {
+                    if (st != null && h - st.end_hour > maxGapHours) close()
+                    st =
+                      if (st == null) EpState(u1, u2, h, h, 1L, m, false)
+                      else st.copy(end_hour = h, n_hours = st.n_hours + 1L,
+                        min_m = math.min(st.min_m, m))
+                    if (st.n_hours >= minHours && !st.alerted) {
+                      st = st.copy(alerted = true)
+                      out += EpOut("alert", u1, u2, st.start_hour, h,
+                        st.n_hours, st.min_m, true)
+                    }
+                  }
+                }
+                // deterministic eviction: nothing in-order can extend
+                if (st != null && hwm.exists(_ - st.end_hour > maxGapHours))
+                  close()
+                if (st != null)
+                  out += EpOut("open", u1, u2, st.start_hour, st.end_hour,
+                    st.n_hours, st.min_m, st.alerted)
+                out.result().iterator
+            }
+          // one computation, three routed sinks: cache the fold (sized
+          // by the ACTIVE pair population, evicted past maxGapHours —
+          // never collected to the driver) instead of replaying the
+          // band join per sink, then release before the batch ends
+          val routed = folded.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            def land(kind: String, dir: String): Unit =
+              routed.filter(_.kind == kind)
+                .select(col("u1"), col("u2"), col("start_hour"),
+                  col("end_hour"), col("n_hours"), col("min_m"),
+                  col("alerted"))
+                .write.mode("overwrite")
+                .option("compression", Writers.DefaultCompression)
+                .parquet(s"$outDir/$dir/batch=$bid")
+            land("closed", "closed")
+            land("alert", "alerts")
+            land("open", "open")
+          } finally { routed.unpersist(); () }
+          // per-batch occupancy + index append, the start() layout
+          occBatch.write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$occDir/batch=$bid")
+          pts.repartitionByRange(col("hour"))
+            .sortWithinPartitions(col("hour"))
+            .write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$indexDir/batch=$bid")
+        } finally { pts.unpersist(); () }
         ()
       }
       .start()

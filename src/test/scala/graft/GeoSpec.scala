@@ -689,6 +689,13 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     java.nio.file.Files.write(java.nio.file.Paths.get(dup),
       (json :+ json.head).mkString("\n").getBytes("UTF-8"))
     assertThrows[IllegalArgumentException](Geo.loadZones(spark, dup))
+    // a null vertex element must fail at LOAD, not silently unbox to
+    // coordinate 0 (ADVICE r18)
+    val nul = s"$dir/nul.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(nul),
+      """{"zone_id":1,"zone_name":"x","vertices":[[null,5],[1,1],[2,2]]}"""
+        .getBytes("UTF-8"))
+    assertThrows[IllegalArgumentException](Geo.loadZones(spark, nul))
   }
 
   test("encounterHeatmap == independent pair-hours + cell fold: each " +
@@ -743,6 +750,70 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(Geo.darkGaps(evs, minGapS = 1L).count() == 4L)
   }
 
+  test("darkRendezvous == independent gaps + per-hour brute force + " +
+      "local ray cast: gap endpoints probe the hour-representative " +
+      "index, n_ends counts near endpoints, zone follows the closest " +
+      "endpoint (start wins distance ties)") {
+    // every user: one fix in hour 0, then a ~30,000 s dark gap, then
+    // two fixes 120 s apart (no second gap) — 300 users (the r18
+    // multi-zone plant rule) so endpoints land across several zones
+    // and some bases sit within the 500 m radius of each other
+    val users = (1L to 300L)
+    def fixes(u: Long): Seq[(Long, Long)] = Seq(
+      (u * 100, (u % 5) * 60L),
+      (u * 100 + 1, 30000L + (u % 7) * 60L),
+      (u * 100 + 2, 30120L + (u % 7) * 60L))
+    val evs = events(users.flatMap(u =>
+      fixes(u).map { case (e, s) => (e, u, s) }): _*)
+    val out = Geo.darkRendezvous(evs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)) ->
+        ((r.getLong(5), r.getLong(6), r.getString(7), r.getLong(8))))
+      .toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def render(sec: Long): String = fmt.format(ts(sec))
+    val base = 1700000000L
+    // the q264 index: one representative (min event_id) per (user, hour)
+    val rep = users.flatMap { u =>
+      fixes(u).groupBy { case (_, s) => (base + s) / 3600 }
+        .map { case (h, fs) =>
+          val (la, lo) = pos(fs.minBy(_._1)._1, u)
+          (u, h, la, lo)
+        }
+    }
+    def zidOf(lo: Long, la: Long): Long =
+      Geo.Zones.sortBy(_._1).find(z => inZone(lo, la, z._3))
+        .map(_._1).getOrElse(-1L)
+    def znameOf(z: Long): String =
+      Geo.Zones.find(_._1 == z).map(_._2).getOrElse("open_sea")
+    val hits = users.flatMap { u =>
+      // the plant's only >= 21,600 s gap: fix 1 -> fix 2
+      val Seq((e1, t1), (e2, t2), _) = fixes(u)
+      val (a1, o1) = pos(e1, u); val (a2, o2) = pos(e2, u)
+      val eps = Seq((0L, (base + t1) / 3600, a1, o1),
+        (1L, (base + t2) / 3600, a2, o2))
+      for {
+        (ep, h, la, lo) <- eps
+        (v, hh, la2, lo2) <- rep if hh == h && v != u
+        m = math.round(hav(la, lo, la2, lo2)) if m <= 500L
+      } yield ((u, render(t1), render(t2), t2 - t1, v),
+        (m, ep, zidOf(lo, la)))
+    }
+    val expect = hits.groupBy(_._1).map { case (k, g) =>
+      val best = g.map(_._2).minBy(x => (x._1, x._2))
+      k -> ((g.size.toLong, best._3, znameOf(best._3), best._1))
+    }
+    assert(expect.nonEmpty, "no rendezvous — plant vacuous")
+    assert(expect.values.map(_._2).toSet.size >= 2,
+      "single-zone plant — zone attribution untested")
+    assert(expect.values.exists(_._1 == 2L),
+      "no two-endpoint rendezvous — the argmin/count path untested")
+    assert(out == expect,
+      s"missing=${expect.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- expect.keySet}")
+  }
+
   test("zoneExposure == independent interpolation + local ray cast: " +
       "each grid instant carries stepS seconds into its zone, " +
       "exposure sums exactly, open sea keeps the total") {
@@ -779,7 +850,8 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(out.values.map(_._3).sum == samples.size.toLong * 600L)
   }
 
-  test("oracle-scope guard: the pairing oracles (q264/q269/q278/q279) " +
+  test("oracle-scope guard: the pairing oracles (q264/q269/q278/q279/" +
+      "q283) " +
       "do not model the poison-cell cap, so the oracle datasets MUST " +
       "be poison-free — any future mega-cell fails HERE as an audit " +
       "hit, not as a mysterious hash mismatch") {

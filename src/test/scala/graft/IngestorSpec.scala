@@ -75,6 +75,63 @@ class IngestorSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("unzip-on-landing (VERDICT r18 #5): a multi-entry .zip body " +
+      "extracts on the chunk stream into {archive}/entry files the " +
+      "CSV scan can read directly; counters carry decompressed " +
+      "bytes; default stays opaque passthrough") {
+    val csvA = "id,name\n1,alpha\n2,beta\n".getBytes("UTF-8")
+    val csvB = "id,name\n3,gamma\n".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    Seq("part_a.csv" -> csvA, "sub/part_b.csv" -> csvB).foreach {
+      case (n, b) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(b); zos.closeEntry()
+    }
+    zos.close()
+    val zip = bos.toByteArray
+    withServer(Map("/AIS_2024_01_01.zip" -> zip)) { base =>
+      // opaque default: the archive lands byte-faithful (OP-01)
+      val plain = Files.createTempDirectory("graft-zip0").toString
+      val r0 = Ingestor.ingest(Seq(s"$base/AIS_2024_01_01.zip"), plain,
+        dated = false)
+      assert(r0.failed.isEmpty)
+      assert(new java.io.File(s"$plain/AIS_2024_01_01.zip").length()
+        == zip.length)
+      // --unzip: entries land as plain files under the archive name
+      val landing = Files.createTempDirectory("graft-zip1").toString
+      val report = Ingestor.ingest(Seq(s"$base/AIS_2024_01_01.zip"),
+        landing, dated = false, unzip = true)
+      assert(report.failed.isEmpty)
+      assert(report.counters.files == 1)
+      // counted bytes are the DECOMPRESSED landing-side truth
+      assert(report.counters.bytes == csvA.length + csvB.length)
+      assert(report.results.head.dest == s"$landing/AIS_2024_01_01")
+      val a = new java.io.File(s"$landing/AIS_2024_01_01/part_a.csv")
+      val b = new java.io.File(s"$landing/AIS_2024_01_01/sub/part_b.csv")
+      assert(a.length() == csvA.length && b.length() == csvB.length)
+      // Spark reads the extracted entries directly — row counts intact
+      val df = spark.read.option("header", "true")
+        .csv(s"$landing/AIS_2024_01_01/part_a.csv",
+          s"$landing/AIS_2024_01_01/sub/part_b.csv")
+      assert(df.count() == 3)
+    }
+    // zip-slip: an escaping entry fails the FILE (partial dir removed)
+    val evil = new java.io.ByteArrayOutputStream()
+    val ez = new java.util.zip.ZipOutputStream(evil)
+    ez.putNextEntry(new java.util.zip.ZipEntry("../escape.csv"))
+    ez.write("x".getBytes); ez.closeEntry(); ez.close()
+    withServer(Map("/evil.zip" -> evil.toByteArray)) { base =>
+      val landing = Files.createTempDirectory("graft-zip2").toString
+      val report = Ingestor.ingest(Seq(s"$base/evil.zip"), landing,
+        dated = false, unzip = true)
+      assert(report.failed.size == 1)
+      assert(!new java.io.File(s"$landing/evil").exists())
+      assert(!new java.io.File(landing).getParentFile
+        .toPath.resolve("escape.csv").toFile.exists())
+    }
+  }
+
   test("stalling server fails the file in bounded time, not forever") {
     // headers + 4 bytes arrive, then the body stalls: HttpRequest.timeout
     // can't catch this (headers already came) — the watchdog must

@@ -129,6 +129,39 @@ class KmvStoreSpec extends AnyFunSuite with TestSpark {
     assert(litter.isEmpty, litter.mkString(","))
   }
 
+  test("crash recovery: a swap interrupted between the two renames " +
+      "(live gone, data stranded under sketch_old-*) heals at the " +
+      "next read, and re-running the interrupted append converges " +
+      "(ADVICE r18)") {
+    val (da, du) = (dirOf(), dirOf())
+    KmvStore.build(corpusA, col("t"), col("kid"), da, k = 8)
+    val before = sketch(da)
+    // simulate the crash window: rename(live -> old) happened, the
+    // promote never did — plus a stranded tmp from the dead writer
+    val base = new java.io.File(da)
+    assert(new java.io.File(base, "sketch")
+      .renameTo(new java.io.File(base, "sketch_old-deadbeef")))
+    assert(new java.io.File(base, "sketch_tmp-stranded").mkdir())
+    // any read heals: the set-aside sketch is restored, litter cleared
+    assert(KmvStore.readK(spark, da) == 8)
+    assert(sketch(da) == before)
+    val litter = base.listFiles().map(_.getName)
+      .filter(n => n.startsWith("sketch_tmp") || n.startsWith("sketch_old"))
+    assert(litter.isEmpty, litter.mkString(","))
+    // the interrupted append re-runs to the exact rebuild state
+    KmvStore.append(corpusB, col("t"), col("kid"), da)
+    KmvStore.build(corpusA.unionByName(corpusB),
+      col("t"), col("kid"), du, k = 8)
+    assert(sketch(da) == sketch(du))
+    // the other crash window (between promote and delete) leaves a
+    // superseded sketch_old-* BESIDE the live sketch: dropped, live
+    // untouched
+    assert(new java.io.File(base, "sketch_old-cafe").mkdir())
+    assert(KmvStore.exists(spark, da))
+    assert(sketch(da) == sketch(du))
+    assert(!new java.io.File(base, "sketch_old-cafe").exists())
+  }
+
   test("merge refuses mismatched k — a silent mixed-k merge would " +
       "corrupt every estimate") {
     val (da, db) = (dirOf(), dirOf())

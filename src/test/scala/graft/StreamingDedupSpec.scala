@@ -237,6 +237,79 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
     assert(idxParts.length == 3, s"index partitions: ${idxParts.toSeq}")
   }
 
+  test("bucketed gram index (VERDICT r18 #4): span probe output is " +
+      "IDENTICAL to the plain layout, the stored side reads " +
+      "exchange-free (bucketed scan — only the batch side shuffles), " +
+      "and the batch=N partition layout survives") {
+    import org.apache.spark.sql.functions.col
+    val landing = Files.createTempDirectory("sspanb-land").toString
+    val index = Files.createTempDirectory("sspanb-idx").toString + "/grams"
+    val out = Files.createTempDirectory("sspanb-out").toString
+    def writeBatch(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val quote = toks("q", 10)
+    // the SAME two-batch fixture as the plain-layout span test — the
+    // bucketed form must reproduce its outputs exactly
+    writeBatch("b1.json", Seq(
+      (1L, (toks("fa", 3) ++ quote ++ toks("fb", 4)).mkString(" ")),
+      (2L, (toks("fz", 6) ++ quote).mkString(" ")),
+      (3L, toks("fc", 25).mkString(" "))))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startSpans(spark, landing, schema, index, out,
+        buckets = 8).awaitTermination()
+    }
+    writeBatch("b2.json", Seq(
+      (10L, (toks("fd", 1) ++ quote ++ toks("fe", 6)).mkString(" ")),
+      (11L, toks("ff", 20).mkString(" "))))
+    assertNoPersistedRddDelta {
+      StreamingDedup.startSpans(spark, landing, schema, index, out,
+        buckets = 8).awaitTermination()
+    }
+    val spans = spark.read.parquet(s"$out/spans").collect()
+      .map(r => (r.getLong(r.fieldIndex("d_new")),
+        r.getLong(r.fieldIndex("d_old")), r.getLong(r.fieldIndex("p_new")),
+        r.getLong(r.fieldIndex("p_old")), r.getLong(r.fieldIndex("len"))))
+      .toSet
+    assert(spans == Set(
+      (10L, 1L, 2L, 4L, 10L),
+      (10L, 2L, 2L, 7L, 10L)), s"bucketed probe diverged: $spans")
+    val clean2 = spark.read.parquet(s"$out/clean/batch=1")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("clean_text"))).toMap
+    assert(clean2(10L) == (toks("fd", 1) ++ toks("fe", 6)).mkString(" "))
+    // the index is a batch-partitioned CATALOG table bucketed by g
+    val name = "graft_sidx_" + java.security.MessageDigest
+      .getInstance("MD5").digest(index.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    assert(spark.catalog.tableExists(name), s"missing catalog table $name")
+    val idxParts = new java.io.File(index).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(idxParts.toSeq == Seq("batch=0", "batch=1"),
+      s"partitions: ${idxParts.toSeq}")
+    // THE scale claim: a g-keyed probe join leaves the stored side
+    // exchange-free — one Exchange total (the batch side), bucketed scan
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = spark.table(name).drop("batch")
+        .join(spark.range(5).select(col("id").as("g")), Seq("g"))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"),
+        s"stored side not read through the bucket spec:\n$plan")
+      assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+        s"expected exactly ONE exchange (the probe side):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("streaming media dedup: re-encoded payload found across batches, index grows by batch") {
     val landing = Files.createTempDirectory("smedia-land").toString
     val index = Files.createTempDirectory("smedia-idx").toString + "/bands"

@@ -285,6 +285,79 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
     assert(spark.read.parquet(s"$out/visits").count() == got.size)
   }
 
+  test("zone-registry contract (VERDICT r18 #6): the registry is " +
+      "fixed at query start — a geofence rollout is a RESTART with " +
+      "the new registry, which judges NEW fixes only: an open visit " +
+      "straddling the rollout closes under the OLD registry's zone " +
+      "id, and emitted history is never rewritten") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-zc-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-zc-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-zc-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    val users = (1L to 300L)
+    // rollout: same polygons, re-keyed ids/names — every in-zone fix
+    // changes zid at the boundary, so straddling visits must close
+    val zonesB = graft.queries.Geo.Zones.map { case (id, nm, vs) =>
+      (id + 10L, s"${nm}_v2", vs) }
+    land("w1.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10, u, ts(0)), GeoEv(u * 10 + 1, u, ts(600)))))
+    StreamingGeo.startZoneVisits(spark, landing, out)
+      .awaitTermination()
+    val v1 = spark.read.parquet(s"$out/visits").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("zone_id"),
+        r.getAs[Timestamp]("enter_ts").getTime,
+        r.getAs[Timestamp]("exit_ts").getTime,
+        r.getAs[Long]("n_fixes"))).toSet
+    land("w2.parquet", users.flatMap(u => Seq(
+      GeoEv(u * 10 + 2, u, ts(1200)), GeoEv(u * 10 + 3, u, ts(1800)))))
+    StreamingGeo.startZoneVisits(spark, landing, out, zones = zonesB)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$out/visits").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("zone_id"),
+        r.getAs[Timestamp]("enter_ts").getTime,
+        r.getAs[Timestamp]("exit_ts").getTime,
+        r.getAs[Long]("n_fixes"))).toSet
+    // history intact: nothing emitted before the rollout is rewritten
+    assert(v1.subsetOf(got), s"rollout rewrote history: ${v1 -- got}")
+    // independent fold: wave-1 fixes judge under registry A, wave-2
+    // under B; a zid change (including the A->B re-key) closes a run
+    val expect = users.flatMap { u =>
+      val zids = (0L to 3L).map { i =>
+        val (la, lo) = pos(u * 10 + i, u)
+        val reg = if (i <= 1) graft.queries.Geo.Zones else zonesB
+        reg.filter(z => inZone(lo, la, z._3)).map(_._1)
+          .minOption.getOrElse(-1L)
+      }
+      val times = (0L to 3L).map(i => 1700000000000L + i * 600000L)
+      val runs = collection.mutable.Buffer
+        .empty[(Long, Long, Long, Long)]
+      zids.zip(times).foreach { case (z, t) =>
+        if (runs.nonEmpty && runs.last._1 == z) {
+          val l = runs.last
+          runs(runs.size - 1) = (l._1, l._2, t, l._4 + 1)
+        } else runs += ((z, t, t, 1L))
+      }
+      runs.dropRight(1).filter(_._1 != -1L)
+        .map { case (z, e, l, n) => (u, z, e, l, n) }
+    }.toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+    // the rollout actually exercised a straddle-close: at least one
+    // OLD-id visit emitted by the wave-2 (registry-B) drain
+    assert((got -- v1).exists(_._2 <= 4L),
+      "no open visit straddled the rollout — plant vacuous")
+  }
+
   test("hour-bounded index reads: a multi-hour batch still pairs " +
       "against the earlier index (alerts unchanged under the bound); " +
       "retainIndex drops partitions past the horizon and the stream " +

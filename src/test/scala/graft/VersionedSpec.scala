@@ -327,6 +327,23 @@ class VersionedSpec extends AnyFunSuite with TestSpark {
     assert(!Versioned.commitAppendAt(Seq(99L).toDF("id"), leg, 1L))
     assert(Versioned.commitAppendAt(Seq(3L).toDF("id"), leg, 2L))
     assert(rows(leg) == Set(1L, 2L, 3L))
+    // MIGRATED table (ADVICE r18, documented corollary): legacy
+    // stream batches 0/1 (markerless), then the stream continues
+    // marker-aware (batch 2). Replaying a PRE-migration batch id —
+    // reachable only via checkpoint rollback past the migration —
+    // refuses via the out-of-order rule rather than no-op replay:
+    // a markerless manifest on a marker-aware table is not replay
+    // evidence. Nothing dropped, nothing landed.
+    val mig = dirOf()
+    Versioned.commitAppendAt(Seq(1L).toDF("id"), mig, 0L)
+    Versioned.commitAppendAt(Seq(2L).toDF("id"), mig, 1L)
+    stripMarkers(mig, 0L); stripMarkers(mig, 1L)
+    assert(Versioned.commitAppendAt(Seq(3L).toDF("id"), mig, 2L))
+    val em = intercept[RuntimeException](
+      Versioned.commitAppendAt(Seq(99L).toDF("id"), mig, 0L))
+    assert(em.getMessage.contains("out-of-order"),
+      s"wrong failure: ${em.getMessage}")
+    assert(rows(mig) == Set(1L, 2L, 3L))
     // sanity: the scan never relies on reading manifests below the
     // decisive marker — a replay of the NEWEST batch stays one read
     val f = dirOf()
