@@ -249,7 +249,18 @@ object Geo {
         col("la2"), col("lo2"))).cast("long").as("m")) ++
       (if (carryProbePos) Seq(col("la1"), col("lo1")) else Nil) ++
       carryProbeCols.map(col)
-    probe9.join(right, Seq("hour", "cy", "cx", "salt"))
+    // shuffle_hash with the build on the INDEX side: sort-merge here
+    // sorted the 9x-replicated probe side per task — a buffer that
+    // grew LINEARLY with fleet size at fixed shuffle partitions
+    // (measured r19: 1.33 GB at users 10x -> 3.39 GB at 30x, the
+    // whole encounter family's envelope). The hash build is the
+    // UN-replicated index side (one row per vessel-hour, /partitions)
+    // and the replicated probe side now STREAMS — peak task drops to
+    // the build map and stays bounded by |vessel-hours|/partitions,
+    // the quantity the shuffle-partition knob scales with the cluster
+    // (salt lanes + the poison cap already bound per-KEY concentration,
+    // so no single build partition is occupancy-skewed).
+    probe9.join(right.hint("shuffle_hash"), Seq("hour", "cy", "cx", "salt"))
       .select(outCols: _*)
       .filter(col("m") <= radiusM)
   }

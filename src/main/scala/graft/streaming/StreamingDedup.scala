@@ -45,7 +45,15 @@ object StreamingDedup {
     * [[ensureIdx]] re-registers a prior session's partitions on
     * first touch. Writes keep the replay-idempotence contract: one
     * `batch=<id>` partition per micro-batch, a replayed batch
-    * REPLACES its own partition, probes read only `batch < bid`. */
+    * REPLACES its own partition, probes read only `batch < bid`.
+    *
+    * BUCKET COUNT RULE: pick buckets == spark.sql.shuffle.partitions
+    * (32 here — the PairStore.NumBuckets convention). With FEWER
+    * buckets than the session's partitions the planner anchors the
+    * join's co-partitioning at the larger count and re-shuffles the
+    * stored side anyway (verified in DiagBucketedProbe: 8 buckets
+    * under a 32-partition session → `Exchange hashpartitioning(g, 32)`
+    * ABOVE the bucketed scan; 32 buckets → no stored-side exchange). */
   private def idxTableName(dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -74,6 +82,28 @@ object StreamingDedup {
     }
     name
   }
+
+  /** Run `body` with bucketed scans FORCED on (scoped, restored
+    * after): Spark's DisableUnnecessaryBucketedScan heuristic
+    * silently falls back to a plain scan — "Bucketed: false (disabled
+    * by query planner)" — when it judges the extra parallelism of a
+    * full shuffle worth more than the avoided exchange (e.g.
+    * numBuckets < shuffle partitions), which re-introduces EXACTLY
+    * the corpus-index shuffle this layout exists to remove (measured:
+    * per-batch shuffle-write tracked the corpus with the heuristic
+    * on, flat with it off — StreamingDedupRehearsal / SCALE.md r19).
+    * The micro-batch is the right scope: the probe is the only reader
+    * here, and the stored side's reduced parallelism (numBuckets
+    * tasks) is the documented bucketed-join trade. */
+  private def withBucketedScan[A](spark: SparkSession, on: Boolean)(
+      body: => A): A =
+    if (!on) body
+    else {
+      val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try body finally spark.conf.set(k, prev)
+    }
 
   /** One micro-batch's rows into its own `batch=<id>` partition of
     * the bucketed index (replay: the partition is dropped first, so a
@@ -120,56 +150,58 @@ object StreamingDedup {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // bands computed ONCE per batch, reused for probe + append
         val batchBands = Dedup.minhashBands(batch).localCheckpoint(true)
-        try {
-          val idxTbl =
-            if (buckets > 0)
-              Some(ensureIdx(spark, indexDir,
-                "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, " +
-                  "band_hash BIGINT", "band_hash", buckets))
-            else None
-          val corpusOpt: Option[DataFrame] = idxTbl match {
-            case Some(name) =>
-              // band_hash-bucketed catalog read: the corpus side of the
-              // probe join is pre-partitioned — exchange-free; the
-              // batch < bid filter keeps replays strictly new-vs-earlier
-              Some(spark.table(name).filter(col("batch") < bid)
-                .drop("batch"))
-            case None if fs.exists(new Path(indexDir)) =>
-              Some(spark.read.parquet(indexDir))
-            case None => None
-          }
-          corpusOpt.foreach { corpus =>
-            val cands = Dedup.incrementalCandidatesFromBands(
-              batchBands, corpus, minEstJaccard)
-            idxTbl match {
-              case Some(_) =>
-                // bucketed mode rides the batch=<id> overwrite layout:
-                // a crash-replayed batch replaces its own candidates
-                cands.write.mode("overwrite")
-                  .option("compression", Writers.DefaultCompression)
-                  .parquet(s"$outDir/candidates/batch=$bid")
-              case None =>
-                cands.write.mode("append")
-                  .option("compression", Writers.DefaultCompression)
-                  .parquet(s"$outDir/candidates")
+        withBucketedScan(spark, buckets > 0) {
+          try {
+            val idxTbl =
+              if (buckets > 0)
+                Some(ensureIdx(spark, indexDir,
+                  "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, " +
+                    "band_hash BIGINT", "band_hash", buckets))
+              else None
+            val corpusOpt: Option[DataFrame] = idxTbl match {
+              case Some(name) =>
+                // band_hash-bucketed catalog read: the corpus side of the
+                // probe join is pre-partitioned — exchange-free; the
+                // batch < bid filter keeps replays strictly new-vs-earlier
+                Some(spark.table(name).filter(col("batch") < bid)
+                  .drop("batch"))
+              case None if fs.exists(new Path(indexDir)) =>
+                Some(spark.read.parquet(indexDir))
+              case None => None
             }
-          }
-          idxTbl match {
-            case Some(name) =>
-              writeIdx(spark, name, indexDir, batchBands, bid,
-                "band_hash", buckets)
-            case None =>
-              batchBands.write.mode("append")
-                .option("compression", Writers.DefaultCompression)
-                .parquet(indexDir)
-          }
-        } finally
-          // release the checkpoint blocks before the batch closure
-          // returns: in always-on mode every micro-batch would otherwise
-          // pin one RDD's blocks forever — the exact persisted-RDD leak
-          // class that degraded ~100 downstream queries 35% in r9
-          // (zero-persisted-RDD-delta discipline, StreamingDedupSpec pin)
-          Dedup.checkpointRdd(batchBands).foreach(_.unpersist(blocking = false))
+            corpusOpt.foreach { corpus =>
+              val cands = Dedup.incrementalCandidatesFromBands(
+                batchBands, corpus, minEstJaccard)
+              idxTbl match {
+                case Some(_) =>
+                  // bucketed mode rides the batch=<id> overwrite layout:
+                  // a crash-replayed batch replaces its own candidates
+                  cands.write.mode("overwrite")
+                    .option("compression", Writers.DefaultCompression)
+                    .parquet(s"$outDir/candidates/batch=$bid")
+                case None =>
+                  cands.write.mode("append")
+                    .option("compression", Writers.DefaultCompression)
+                    .parquet(s"$outDir/candidates")
+              }
+            }
+            idxTbl match {
+              case Some(name) =>
+                writeIdx(spark, name, indexDir, batchBands, bid,
+                  "band_hash", buckets)
+              case None =>
+                batchBands.write.mode("append")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(indexDir)
+            }
+          } finally
+            // release the checkpoint blocks before the batch closure
+            // returns: in always-on mode every micro-batch would otherwise
+            // pin one RDD's blocks forever — the exact persisted-RDD leak
+            // class that degraded ~100 downstream queries 35% in r9
+            // (zero-persisted-RDD-delta discipline, StreamingDedupSpec pin)
+            Dedup.checkpointRdd(batchBands).foreach(_.unpersist(blocking = false))
+        }
       }
       .start()
   }
@@ -213,48 +245,50 @@ object StreamingDedup {
             batch.select(col("doc_id"),
               unbase64(col("media_b64")).as("media")))
           .localCheckpoint(true)
-        try {
-          val idxTbl =
-            if (buckets > 0)
-              Some(ensureIdx(spark, indexDir,
-                "doc_id BIGINT, phash BIGINT, band INT, chunk BIGINT",
-                "chunk", buckets))
-            else None
-          val corpusOpt: Option[DataFrame] = idxTbl match {
-            case Some(name) =>
-              // chunk-bucketed catalog read — stored side exchange-free
-              Some(spark.table(name).filter(col("batch") < bid)
-                .drop("batch"))
-            case None if fs.exists(new Path(indexDir)) =>
-              Some(spark.read.parquet(indexDir))
-            case None => None
-          }
-          corpusOpt.foreach { corpus =>
-            val cands = Multimodal.incrementalPhashCandidates(
-              batchBands, corpus, maxHamming)
-            idxTbl match {
-              case Some(_) =>
-                cands.write.mode("overwrite")
-                  .option("compression", Writers.DefaultCompression)
-                  .parquet(s"$outDir/candidates/batch=$bid")
-              case None =>
-                cands.write.mode("append")
-                  .option("compression", Writers.DefaultCompression)
-                  .parquet(s"$outDir/candidates")
+        withBucketedScan(spark, buckets > 0) {
+          try {
+            val idxTbl =
+              if (buckets > 0)
+                Some(ensureIdx(spark, indexDir,
+                  "doc_id BIGINT, phash BIGINT, band INT, chunk BIGINT",
+                  "chunk", buckets))
+              else None
+            val corpusOpt: Option[DataFrame] = idxTbl match {
+              case Some(name) =>
+                // chunk-bucketed catalog read — stored side exchange-free
+                Some(spark.table(name).filter(col("batch") < bid)
+                  .drop("batch"))
+              case None if fs.exists(new Path(indexDir)) =>
+                Some(spark.read.parquet(indexDir))
+              case None => None
             }
-          }
-          idxTbl match {
-            case Some(name) =>
-              writeIdx(spark, name, indexDir, batchBands, bid,
-                "chunk", buckets)
-            case None =>
-              batchBands.write.mode("append")
-                .option("compression", Writers.DefaultCompression)
-                .parquet(indexDir)
-          }
-        } finally
-          // zero-persisted-RDD-delta: see start()
-          Dedup.checkpointRdd(batchBands).foreach(_.unpersist(blocking = false))
+            corpusOpt.foreach { corpus =>
+              val cands = Multimodal.incrementalPhashCandidates(
+                batchBands, corpus, maxHamming)
+              idxTbl match {
+                case Some(_) =>
+                  cands.write.mode("overwrite")
+                    .option("compression", Writers.DefaultCompression)
+                    .parquet(s"$outDir/candidates/batch=$bid")
+                case None =>
+                  cands.write.mode("append")
+                    .option("compression", Writers.DefaultCompression)
+                    .parquet(s"$outDir/candidates")
+              }
+            }
+            idxTbl match {
+              case Some(name) =>
+                writeIdx(spark, name, indexDir, batchBands, bid,
+                  "chunk", buckets)
+              case None =>
+                batchBands.write.mode("append")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(indexDir)
+            }
+          } finally
+            // zero-persisted-RDD-delta: see start()
+            Dedup.checkpointRdd(batchBands).foreach(_.unpersist(blocking = false))
+        }
       }
       .start()
   }
@@ -347,79 +381,81 @@ object StreamingDedup {
         val grams = Dedup.positionalGrams(docsB, minRun)
           .localCheckpoint(true)
         var spans: DataFrame = null
-        try {
-          val fs = new Path(indexDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // bucketed form: the index reads g-pre-partitioned through
-          // the catalog — every probe join below leaves the stored
-          // side exchange-free; only the batch's grams shuffle
-          val idxTbl =
-            if (buckets > 0)
-              Some(ensureIdx(spark, indexDir,
-                "doc_id BIGINT, p BIGINT, g BIGINT", "g", buckets))
-            else None
-          val idxOpt: Option[DataFrame] = idxTbl match {
-            case Some(name) =>
-              Some(spark.table(name).filter(col("batch") < bid)
-                .drop("batch"))
-            case None if fs.exists(new Path(indexDir)) =>
-              Some(spark.read.parquet(indexDir)
-                .filter(col("batch") < bid)) // replay: own part invisible
-            case None => None
-          }
-          idxOpt.foreach { idx =>
-            val hits = idx
-              .join(grams.select(col("g")).distinct(), Seq("g"), "left_semi")
-            val hot = hits.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
-              .filter(col("dfc") > maxDf)
-              .select(col("g"))
-            val m = grams
-              .select(col("doc_id").as("d1"), col("p").as("p1"), col("g"))
-              .join(hot, Seq("g"), "left_anti")
-              .join(hits.select(col("doc_id").as("d2"), col("p").as("p2"),
-                col("g")), Seq("g"))
-              // a doc_id re-ingested in a later batch would self-match
-              // on diagonal 0 and silently EMPTY its own clean output
-              // (ADVICE r12) — the probe contract is new-vs-earlier
-              .filter(col("d1") =!= col("d2"))
-              .select(col("d1"), col("d2"), col("p1"), col("p2"))
-            // reused by the span write AND the clean derivation
-            spans = Dedup.diagonalIslands(m, minRun).localCheckpoint(true)
-            spans
-              .select(col("d1").as("d_new"), col("d2").as("d_old"),
-                col("p1").as("p_new"), col("p2").as("p_old"), col("len"))
+        withBucketedScan(spark, buckets > 0) {
+          try {
+            val fs = new Path(indexDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // bucketed form: the index reads g-pre-partitioned through
+            // the catalog — every probe join below leaves the stored
+            // side exchange-free; only the batch's grams shuffle
+            val idxTbl =
+              if (buckets > 0)
+                Some(ensureIdx(spark, indexDir,
+                  "doc_id BIGINT, p BIGINT, g BIGINT", "g", buckets))
+              else None
+            val idxOpt: Option[DataFrame] = idxTbl match {
+              case Some(name) =>
+                Some(spark.table(name).filter(col("batch") < bid)
+                  .drop("batch"))
+              case None if fs.exists(new Path(indexDir)) =>
+                Some(spark.read.parquet(indexDir)
+                  .filter(col("batch") < bid)) // replay: own part invisible
+              case None => None
+            }
+            idxOpt.foreach { idx =>
+              val hits = idx
+                .join(grams.select(col("g")).distinct(), Seq("g"), "left_semi")
+              val hot = hits.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+                .filter(col("dfc") > maxDf)
+                .select(col("g"))
+              val m = grams
+                .select(col("doc_id").as("d1"), col("p").as("p1"), col("g"))
+                .join(hot, Seq("g"), "left_anti")
+                .join(hits.select(col("doc_id").as("d2"), col("p").as("p2"),
+                  col("g")), Seq("g"))
+                // a doc_id re-ingested in a later batch would self-match
+                // on diagonal 0 and silently EMPTY its own clean output
+                // (ADVICE r12) — the probe contract is new-vs-earlier
+                .filter(col("d1") =!= col("d2"))
+                .select(col("d1"), col("d2"), col("p1"), col("p2"))
+              // reused by the span write AND the clean derivation
+              spans = Dedup.diagonalIslands(m, minRun).localCheckpoint(true)
+              spans
+                .select(col("d1").as("d_new"), col("d2").as("d_old"),
+                  col("p1").as("p_new"), col("p2").as("p_old"), col("len"))
+                .write.mode("overwrite")
+                .option("compression", Writers.DefaultCompression)
+                .parquet(s"$outDir/spans/batch=$bid")
+            }
+            // span-cut output: the new doc's copy of every matched run is
+            // the duplicate (the corpus came first — keep-first by
+            // arrival); with no prior index the batch passes through
+            val cov =
+              if (spans != null)
+                spans.select(col("d1").as("doc_id"), col("p1").as("s"),
+                  (col("p1") + col("len") - 1).as("e"))
+              else docsB.select(col("doc_id"), lit(1L).as("s"), lit(0L).as("e"))
+                .limit(0)
+            Dedup.cutIntervals(docsB, cov)
               .write.mode("overwrite")
               .option("compression", Writers.DefaultCompression)
-              .parquet(s"$outDir/spans/batch=$bid")
-          }
-          // span-cut output: the new doc's copy of every matched run is
-          // the duplicate (the corpus came first — keep-first by
-          // arrival); with no prior index the batch passes through
-          val cov =
+              .parquet(s"$outDir/clean/batch=$bid")
+            idxTbl match {
+              case Some(name) =>
+                writeIdx(spark, name, indexDir,
+                  grams.select(col("doc_id"), col("p"), col("g")), bid,
+                  "g", buckets)
+              case None =>
+                grams.write.mode("overwrite")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(s"$indexDir/batch=$bid")
+            }
+          } finally {
+            // zero-persisted-RDD-delta: see start()
+            Dedup.checkpointRdd(grams).foreach(_.unpersist(blocking = false))
             if (spans != null)
-              spans.select(col("d1").as("doc_id"), col("p1").as("s"),
-                (col("p1") + col("len") - 1).as("e"))
-            else docsB.select(col("doc_id"), lit(1L).as("s"), lit(0L).as("e"))
-              .limit(0)
-          Dedup.cutIntervals(docsB, cov)
-            .write.mode("overwrite")
-            .option("compression", Writers.DefaultCompression)
-            .parquet(s"$outDir/clean/batch=$bid")
-          idxTbl match {
-            case Some(name) =>
-              writeIdx(spark, name, indexDir,
-                grams.select(col("doc_id"), col("p"), col("g")), bid,
-                "g", buckets)
-            case None =>
-              grams.write.mode("overwrite")
-                .option("compression", Writers.DefaultCompression)
-                .parquet(s"$indexDir/batch=$bid")
+              Dedup.checkpointRdd(spans).foreach(_.unpersist(blocking = false))
           }
-        } finally {
-          // zero-persisted-RDD-delta: see start()
-          Dedup.checkpointRdd(grams).foreach(_.unpersist(blocking = false))
-          if (spans != null)
-            Dedup.checkpointRdd(spans).foreach(_.unpersist(blocking = false))
         }
       }
       .start()
@@ -467,63 +503,65 @@ object StreamingDedup {
         // variants computed ONCE per batch, reused for probe + append
         val vars = graft.llm.Fuzzy.deletionVariants(vocabB)
           .localCheckpoint(true)
-        try {
-          val fs = new Path(indexDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val idxTbl =
-            if (buckets > 0)
-              Some(ensureIdx(spark, indexDir,
-                "tok STRING, variant STRING", "variant", buckets))
-            else None
-          val idxOpt: Option[DataFrame] = idxTbl match {
-            case Some(name) =>
-              // variant-bucketed catalog read: the candidate join (the
-              // corpus-sized one) leaves the stored side exchange-free;
-              // the tok-distinct anti-join side reduces map-side to
-              // vocabulary size before its exchange either way
-              Some(spark.table(name).filter(col("batch") < bid)
-                .drop("batch"))
-            case None if fs.exists(new Path(indexDir)) =>
-              Some(spark.read.parquet(indexDir)
-                .filter(col("batch") < bid)) // replay: own part invisible
-            case None => None
-          }
-          idxOpt.foreach { idx =>
-            // novel spellings only: a token already in the earlier
-            // vocabulary is established, not a typo alert
-            val novel = vars.join(
-              idx.select(col("tok")).distinct(), Seq("tok"), "left_anti")
-            val cands = novel.as("n")
-              .join(idx.select(col("tok").as("tok_known"), col("variant"))
-                .distinct(), Seq("variant"))
-              .select(col("tok").as("tok_new"), col("tok_known"))
-              .distinct()
-            cands
-              .withColumn("dist",
-                levenshtein(col("tok_new"), col("tok_known")).cast("long"))
-              .filter(col("dist") > 0 &&
-                col("dist") <= graft.llm.Fuzzy.MaxDist)
-              .join(vocabB.select(col("tok").as("tok_new"),
-                col("c").as("c_new")), Seq("tok_new"))
-              .select(col("tok_new"), col("tok_known"), col("dist"),
-                col("c_new"))
-              .write.mode("overwrite")
-              .option("compression", Writers.DefaultCompression)
-              .parquet(s"$outDir/alerts/batch=$bid")
-          }
-          idxTbl match {
-            case Some(name) =>
-              writeIdx(spark, name, indexDir,
-                vars.select(col("tok"), col("variant")), bid,
-                "variant", buckets)
-            case None =>
-              vars.write.mode("overwrite")
+        withBucketedScan(spark, buckets > 0) {
+          try {
+            val fs = new Path(indexDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val idxTbl =
+              if (buckets > 0)
+                Some(ensureIdx(spark, indexDir,
+                  "tok STRING, variant STRING", "variant", buckets))
+              else None
+            val idxOpt: Option[DataFrame] = idxTbl match {
+              case Some(name) =>
+                // variant-bucketed catalog read: the candidate join (the
+                // corpus-sized one) leaves the stored side exchange-free;
+                // the tok-distinct anti-join side reduces map-side to
+                // vocabulary size before its exchange either way
+                Some(spark.table(name).filter(col("batch") < bid)
+                  .drop("batch"))
+              case None if fs.exists(new Path(indexDir)) =>
+                Some(spark.read.parquet(indexDir)
+                  .filter(col("batch") < bid)) // replay: own part invisible
+              case None => None
+            }
+            idxOpt.foreach { idx =>
+              // novel spellings only: a token already in the earlier
+              // vocabulary is established, not a typo alert
+              val novel = vars.join(
+                idx.select(col("tok")).distinct(), Seq("tok"), "left_anti")
+              val cands = novel.as("n")
+                .join(idx.select(col("tok").as("tok_known"), col("variant"))
+                  .distinct(), Seq("variant"))
+                .select(col("tok").as("tok_new"), col("tok_known"))
+                .distinct()
+              cands
+                .withColumn("dist",
+                  levenshtein(col("tok_new"), col("tok_known")).cast("long"))
+                .filter(col("dist") > 0 &&
+                  col("dist") <= graft.llm.Fuzzy.MaxDist)
+                .join(vocabB.select(col("tok").as("tok_new"),
+                  col("c").as("c_new")), Seq("tok_new"))
+                .select(col("tok_new"), col("tok_known"), col("dist"),
+                  col("c_new"))
+                .write.mode("overwrite")
                 .option("compression", Writers.DefaultCompression)
-                .parquet(s"$indexDir/batch=$bid")
+                .parquet(s"$outDir/alerts/batch=$bid")
+            }
+            idxTbl match {
+              case Some(name) =>
+                writeIdx(spark, name, indexDir,
+                  vars.select(col("tok"), col("variant")), bid,
+                  "variant", buckets)
+              case None =>
+                vars.write.mode("overwrite")
+                  .option("compression", Writers.DefaultCompression)
+                  .parquet(s"$indexDir/batch=$bid")
+            }
+          } finally {
+            // zero-persisted-RDD-delta: see start()
+            Dedup.checkpointRdd(vars).foreach(_.unpersist(blocking = false))
           }
-        } finally {
-          // zero-persisted-RDD-delta: see start()
-          Dedup.checkpointRdd(vars).foreach(_.unpersist(blocking = false))
         }
       }
       .start()

@@ -36,7 +36,7 @@ object StreamingDedupRehearsal {
   def main(args: Array[String]): Unit = {
     val waves = args.headOption.map(_.toInt).getOrElse(10)
     val docs = args.drop(1).headOption.map(_.toInt).getOrElse(400)
-    val buckets = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val buckets = args.drop(2).headOption.map(_.toInt).getOrElse(32)
     val spark: SparkSession = Session.local()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -45,16 +45,22 @@ object StreamingDedupRehearsal {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val rng = new scala.util.Random(17)
     val vocab = (0 until 4000).map(i => s"w$i")
-    // every wave quotes a fixed passage so probes yield real spans
-    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
-    def text(quoted: Boolean): String = {
+    // CONSTANT per-wave match load: wave w plants passage P_w in 20
+    // carrier docs and quotes P_{w-1} in 20 quoting docs — each wave's
+    // span output is exactly 20x20 pairs regardless of corpus age, so
+    // any shuffle-write growth isolates the INDEX side of the probe
+    // (the quantity under test), not growing output
+    def passage(w: Int): Seq[String] = (1 to 12).map(i => s"p${w}x$i")
+    def text(w: Int, d: Int): String = {
       val body = Seq.fill(80)(vocab(rng.nextInt(vocab.size)))
-      (if (quoted) body.take(30) ++ quote.split(' ') ++ body.drop(30)
-       else body).mkString(" ")
+      val ins =
+        if (d < 20) passage(w)                      // carrier of P_w
+        else if (w > 0 && d < 40) passage(w - 1)    // quotes P_{w-1}
+        else Nil
+      (body.take(30) ++ ins ++ body.drop(30)).mkString(" ")
     }
     val waveDocs: Seq[Seq[(Long, String)]] = (0 until waves).map { w =>
-      (0 until docs).map(d =>
-        (w * 100000L + d, text(quoted = d % 20 == 0)))
+      (0 until docs).map(d => (w * 100000L + d, text(w, d)))
     }
 
     val shuffleWrite = new LongAdder

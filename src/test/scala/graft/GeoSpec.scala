@@ -245,6 +245,13 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"proximity join fell off the equi-join path:\n$plan")
+    // r19 envelope fix: the band join is a SHUFFLED HASH join with the
+    // build on the un-replicated index side — sort-merge sorted the
+    // 9x-replicated probe side per task, a buffer growing linearly
+    // with fleet size (SCALE.md r19: 3.39 GB at users 30x, vs ~50 MB
+    // hash-build after)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"band join fell back off the shuffled-hash path:\n$plan")
     // and the checkpointed registry form still executes with rows>=0
     assert(graft.queries.Registry.queries("q264_proximity_pairs")(
       spark, "/root/testdata/sf0.001").count() >= 0)

@@ -260,14 +260,14 @@ class StreamingDedupSpec extends AnyFunSuite with TestSpark {
       (3L, toks("fc", 25).mkString(" "))))
     assertNoPersistedRddDelta {
       StreamingDedup.startSpans(spark, landing, schema, index, out,
-        buckets = 8).awaitTermination()
+        buckets = 32).awaitTermination()
     }
     writeBatch("b2.json", Seq(
       (10L, (toks("fd", 1) ++ quote ++ toks("fe", 6)).mkString(" ")),
       (11L, toks("ff", 20).mkString(" "))))
     assertNoPersistedRddDelta {
       StreamingDedup.startSpans(spark, landing, schema, index, out,
-        buckets = 8).awaitTermination()
+        buckets = 32).awaitTermination()
     }
     val spans = spark.read.parquet(s"$out/spans").collect()
       .map(r => (r.getLong(r.fieldIndex("d_new")),
