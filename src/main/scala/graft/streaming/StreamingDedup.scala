@@ -108,15 +108,22 @@ object StreamingDedup {
   /** One micro-batch's rows into its own `batch=<id>` partition of
     * the bucketed index (replay: the partition is dropped first, so a
     * recomputed batch replaces itself — the startExact layout rule
-    * carried to the catalog form). */
+    * carried to the catalog form). The pre-write repartition uses the
+    * SAME murmur3-pmod hash as the bucket-id assignment, so each task
+    * holds exactly one bucket's rows and the partition lands as ONE
+    * file per bucket — without it every task can write every bucket
+    * (tasks × buckets small files per batch, and a long-lived stream's
+    * scan cost is driven by file count). Cost: one batch-sized
+    * exchange per write, constant per the flat-probe contract. */
   private def writeIdx(spark: SparkSession, name: String, dir: String,
       df: DataFrame, bid: Long, key: String, buckets: Int): Unit = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (batch=$bid)")
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$dir/batch=$bid"), true)
-    df.withColumn("batch", lit(bid))
+    df.repartition(buckets, col(key))
+      .withColumn("batch", lit(bid))
       .write.mode("append").format("parquet")
       .partitionBy("batch")
       .bucketBy(buckets, key).sortBy(key)
