@@ -403,6 +403,20 @@ object Main {
           val n = spark.read.parquet(s"$outDir/gaps").count()
           println(s"geo-dark landing=$landingDir out=$outDir gaps=$n")
 
+        // q283's always-on form: the transshipment alert ("went dark
+        // next to X, reappeared next to Y") at the reappearance batch
+        case "geo-rendezvous" :: landingDir :: outDir :: rest
+            if rest.length <= 2 =>
+          graft.streaming.StreamingGeo.startDarkRendezvous(spark,
+            landingDir, outDir,
+            minGapS = rest.headOption.map(_.toLong).getOrElse(21600L),
+            radiusM = rest.drop(1).headOption.map(_.toLong)
+              .getOrElse(500L))
+            .awaitTermination()
+          val n = spark.read.parquet(s"$outDir/alerts").count()
+          println(
+            s"geo-rendezvous landing=$landingDir out=$outDir alerts=$n")
+
         // retention for the streaming geo monitors' persisted position
         // index: drop index/occ batch partitions whose newest hour is
         // more than the horizon behind the observed high-water (run
@@ -986,6 +1000,7 @@ object Main {
         |  geo-episodes <landingDir> <outDir> [radiusM [minHours [maxGapHours]]]
         |  geo-visits <landingDir> <outDir>
         |  geo-dark <landingDir> <outDir> [minGapS]
+        |  geo-rendezvous <landingDir> <outDir> [minGapS] [radiusM]
         |  geo-retain <geoOutDir> <horizonHours>
         |  geo-resample <landingDir> <outDir> [stepS [maxGapS]]
         |  kmv build <inParquet> <grpCol> <keyCol> <dir> [k]

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -291,6 +292,202 @@ object StreamingGeo {
     * and streaming joins can never drift. */
   private def points(batch: DataFrame): DataFrame =
     Geo.bandedPoints(batch)
+
+  /** Always-on DARK RENDEZVOUS monitor — q283's streaming form: the
+    * transshipment alert ("went dark next to X, reappeared next to
+    * Y") fires at the micro-batch where the vessel REAPPEARS, not at
+    * the nightly batch recompute. Composition of two judged streaming
+    * pieces: gap completion from a per-vessel last-fix SNAPSHOT (the
+    * [[startEpisodes]] open-state pattern — fleet-sized parquet per
+    * batch, replay reads the snapshot from before itself), and the
+    * endpoint proximity probe through THE q264 band join against the
+    * same persisted (hour, cell) position index the other monitors
+    * keep ([[Geo.bandedPairs]], gap identity + endpoint zone carried
+    * as inert probe payload — exactly the batch q283's shape).
+    *
+    * Per batch: new gaps = consecutive-fix pairs of (previous last
+    * fix ∪ batch fixes) at least `minGapS` apart whose LATER fix is
+    * in this batch (intra-batch gaps included); their endpoints probe
+    * the index bounded to the ENDPOINT hour span (a gap-start hour
+    * reaches back up to the gap's length — size the retention horizon
+    * to the longest gap you want endpoint-paired; [[retainIndex]]
+    * prunes `last/` snapshots alongside `open/`). Alerts land under
+    * `alerts/batch=<id>` in the batch q283's exact output shape;
+    * index/occ partitions follow the [[start]] layout, so one outDir
+    * can serve this monitor and retention together.
+    *
+    * Contracts (the startEpisodes rules): arrival-order processing
+    * (the late-data-correct history is the batch q283), hour-aligned
+    * landing for exact stream == batch equality (each (vessel, hour)'s
+    * fixes within one batch — the per-batch representative caveat);
+    * under those, cumulative alerts == `Geo.darkRendezvous` on the
+    * landed prefix EXACTLY — gaps close on the reappearance fix, so
+    * there is no open-tail asymmetry (pinned in StreamingGeoSpec). */
+  def startDarkRendezvous(spark: SparkSession, landingDir: String,
+      outDir: String, minGapS: Long = 21600L, radiusM: Long = 500L,
+      trigger: Trigger = Trigger.AvailableNow(),
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Geo.Zones,
+      hotOccupancy: Long = 1024L, saltBuckets: Int = 16,
+      maxCellOccupancy: Long = Geo.DefaultMaxCellOccupancy): StreamingQuery = {
+    require(minGapS >= 3600L,
+      s"need minGapS >= 3600 (distinct endpoint hours), got $minGapS")
+    require(radiusM * 9 <= 5000L,
+      s"radiusM=$radiusM exceeds the 5,000-µdeg cell's completeness bound")
+    import spark.implicits._
+    val evs = spark.readStream
+      .schema(Encoders.product[GeoEv].schema)
+      .parquet(landingDir)
+    evs.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val fs = new Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val indexDir = s"$outDir/index"
+        val occDir = s"$outDir/occ"
+        val ptCols = Seq("user_id", "hour", "lat_e6", "lon_e6", "cy", "cx")
+          .map(col)
+        val pts = points(batch).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // previous per-vessel last-fix snapshot (newest id < bid —
+          // a crash-replayed batch reads the state from BEFORE itself
+          // and reproduces its own outputs, the open/ pattern)
+          val lastDir = new Path(s"$outDir/last")
+          val prevId =
+            if (fs.exists(lastDir))
+              fs.listStatus(lastDir).map(_.getPath.getName)
+                .filter(_.startsWith("batch="))
+                .map(_.stripPrefix("batch=").toLong)
+                .filter(_ < bid).sorted.lastOption
+            else None
+          val prev: DataFrame = prevId match {
+            case Some(p) => spark.read.parquet(s"$outDir/last/batch=$p")
+            case None => Seq.empty[(Long, Long, Long, Long, Long)]
+              .toDF("user_id", "t", "event_id", "lat_e6", "lon_e6")
+          }
+          // gap detection over (previous last fix ∪ batch fixes) —
+          // the RAW fix sequence (q283 gaps are fix-level, not
+          // hour-representative); new gaps end at a batch fix
+          val bFix = Geo.positioned(batch)
+            .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+              col("event_id"), col("lat_e6"), col("lon_e6"))
+          val uni = prev
+            .select(col("user_id"), col("t"), col("event_id"),
+              col("lat_e6"), col("lon_e6"))
+            .withColumn("from_state", lit(true))
+            .unionByName(bFix.withColumn("from_state", lit(false)))
+          val wu = Window.partitionBy(col("user_id"))
+            .orderBy(col("t"), col("event_id"))
+          val gaps = uni
+            .withColumn("pt", lag(col("t"), 1).over(wu))
+            .withColumn("pla", lag(col("lat_e6"), 1).over(wu))
+            .withColumn("plo", lag(col("lon_e6"), 1).over(wu))
+            .filter(col("pt").isNotNull && !col("from_state") &&
+              col("t") - col("pt") >= minGapS)
+            .select(col("user_id"),
+              date_format(timestamp_seconds(col("pt")),
+                "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+              date_format(timestamp_seconds(col("t")),
+                "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+              (col("t") - col("pt")).as("gap_s"),
+              floor(col("pt") / 3600L).as("h1"),
+              floor(col("t") / 3600L).as("h2"),
+              col("pla").as("sla"), col("plo").as("slo"),
+              col("lat_e6").as("ela"), col("lon_e6").as("elo"))
+          def endp(ep: Long, hc: String, lac: String,
+              loc: String): DataFrame =
+            gaps.select(col("user_id"), col("gap_start"), col("gap_end"),
+              col("gap_s"), lit(ep).as("ep"), col(hc).as("hour"),
+              col(lac).as("lat_e6"), col(loc).as("lon_e6"))
+          val eps = endp(0L, "h1", "sla", "slo")
+            .unionByName(endp(1L, "h2", "ela", "elo"))
+            .withColumn("cy",
+              (col("lat_e6") + 5000L).divide(5000L).cast("long"))
+            .withColumn("cx",
+              (col("lon_e6") + 5000L).divide(5000L).cast("long"))
+            .withColumn("zid",
+              Geo.zoneIdExpr(col("lon_e6"), col("lat_e6"), zones))
+          // index reads bounded to the ENDPOINT hour span (pairing
+          // matches equal hours only); gap-start hours reach back, so
+          // the span covers [oldest gap start, newest batch hour]
+          val spanRow = eps.agg(min(col("hour")), max(col("hour"))).head
+          val span: Option[(Long, Long)] =
+            if (spanRow.isNullAt(0)) None
+            else Some((spanRow.getLong(0), spanRow.getLong(1)))
+          def inSpan(c: Column): Column = span match {
+            case Some((lo, hi)) => c.between(lo, hi)
+            case None           => lit(false)
+          }
+          val occBatch = pts.groupBy(col("hour"), col("cy"), col("cx"))
+            .agg(count(lit(1)).as("n"))
+          val earlier =
+            if (fs.exists(new Path(indexDir)))
+              spark.read.parquet(indexDir)
+                .filter(col("batch") < bid && inSpan(col("hour")))
+                .select(ptCols: _*)
+            else pts.select(ptCols: _*).limit(0)
+          // the batch's own reps join too: a reappearance hour's other
+          // vessels usually land in the SAME batch (hour-aligned feed)
+          val idxAll = earlier.unionByName(pts.select(ptCols: _*))
+          val prevOcc =
+            if (fs.exists(new Path(occDir)))
+              spark.read.parquet(occDir)
+                .filter(col("batch") < bid && inSpan(col("hour")))
+                .select(col("hour"), col("cy"), col("cx"), col("n"))
+            else occBatch.limit(0)
+          val hot = Some(prevOcc.unionByName(occBatch)
+            .groupBy(col("hour"), col("cy"), col("cx"))
+            .agg(sum(col("n")).as("occ"))
+            .filter(col("occ") >
+              math.min(hotOccupancy, maxCellOccupancy)))
+          val hits = Geo.bandedPairs(eps, idxAll, radiusM, hotOccupancy,
+              saltBuckets, hot, maxCellOccupancy,
+              carryProbeCols =
+                Seq("gap_start", "gap_end", "gap_s", "ep", "zid"))
+            .filter(col("u1") =!= col("u2"))
+          val zname = coalesce(zones.sortBy(_._1).map { case (id, nm, _) =>
+            when(col("zone_id") === id, lit(nm)) } :+
+            lit("open_sea"): _*)
+          hits
+            .groupBy(col("u1").as("user_id"), col("gap_start"),
+              col("gap_end"), col("gap_s"), col("u2").as("nearby"))
+            .agg(count(lit(1)).as("n_ends"),
+              min(struct(col("m"), col("ep"), col("zid"))).as("__am"))
+            .withColumn("zone_id", col("__am").getField("zid"))
+            .withColumn("zone_name", zname)
+            .select(col("user_id"), col("gap_start"), col("gap_end"),
+              col("gap_s"), col("nearby"), col("n_ends"),
+              col("zone_id"), col("zone_name"),
+              col("__am").getField("m").as("min_m"))
+            .write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$outDir/alerts/batch=$bid")
+          // occ + index partitions, the start() layout (retention-
+          // compatible); then the merged last-fix snapshot
+          occBatch.write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$occDir/batch=$bid")
+          pts.repartitionByRange(col("hour"))
+            .sortWithinPartitions(col("hour"))
+            .write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$indexDir/batch=$bid")
+          uni
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("t").desc, col("event_id").desc)))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("t"), col("event_id"),
+              col("lat_e6"), col("lon_e6"))
+            .write.mode("overwrite")
+            .option("compression", Writers.DefaultCompression)
+            .parquet(s"$outDir/last/batch=$bid")
+        } finally { pts.unpersist(); () }
+        ()
+      }
+      .start()
+  }
 
   def start(spark: SparkSession, landingDir: String, outDir: String,
       radiusM: Long = 500L,
@@ -618,11 +815,12 @@ object StreamingGeo {
     * cell-grid-sized occ summaries, never the index itself.
     *
     * [[startEpisodes]]' per-batch OPEN-STATE snapshots
-    * (`open/batch=<id>`) are also pruned — a micro-batch reads only
-    * the newest snapshot before itself, and a crash replay reaches at
-    * most one batch back, so all but the newest `keepOpenSnapshots`
-    * are dead weight that would otherwise accrete one full state copy
-    * per batch forever. The closed/alerts OUTPUT logs are never
+    * (`open/batch=<id>`) and [[startDarkRendezvous]]' last-fix
+    * snapshots (`last/batch=<id>`) are also pruned — a micro-batch
+    * reads only the newest snapshot before itself, and a crash replay
+    * reaches at most one batch back, so all but the newest
+    * `keepOpenSnapshots` are dead weight that would otherwise accrete
+    * one full state copy per batch forever. The closed/alerts OUTPUT logs are never
     * touched (they are the product, not state). Maintenance op under
     * the single-writer contract: run while the stream is down, like
     * compact/vacuum. Returns the dropped index batch ids. */
@@ -635,14 +833,19 @@ object StreamingGeo {
     val occDir = s"$outDir/occ"
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // open-state snapshot pruning (episodes tables only)
-    val openDir = new Path(s"$outDir/open")
-    if (fs.exists(openDir))
-      fs.listStatus(openDir).map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-        .sorted.dropRight(keepOpenSnapshots)
-        .foreach(b => fs.delete(new Path(s"$outDir/open/batch=$b"), true))
+    // state-snapshot pruning: episodes' open/ and dark-rendezvous'
+    // last/ both follow the newest-snapshot-read rule, so all but the
+    // newest keepOpenSnapshots are dead weight
+    Seq("open", "last").foreach { sub =>
+      val d = new Path(s"$outDir/$sub")
+      if (fs.exists(d))
+        fs.listStatus(d).map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .sorted.dropRight(keepOpenSnapshots)
+          .foreach(b =>
+            fs.delete(new Path(s"$outDir/$sub/batch=$b"), true))
+    }
     if (!fs.exists(new Path(occDir))) return Seq.empty
     val byBatch = spark.read.parquet(occDir)
       // the batch= partition column infers as int — cast, don't assume

@@ -599,6 +599,64 @@ class StreamingGeoSpec extends AnyFunSuite with TestSpark {
     assert(spark.read.parquet(s"$out/gaps").count() == batch.size.toLong)
   }
 
+  test("startDarkRendezvous: cumulative alerts == batch q283 EXACTLY " +
+      "on the landed prefix (hour-aligned waves) — the meetup alert " +
+      "fires at the reappearance batch, intra-batch gaps included, " +
+      "re-drain adds nothing") {
+    import spark.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-dr-in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dr-out").toString
+    def land(name: String, evs: Seq[GeoEv]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-dr-wave").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, name))
+    }
+    def drain(): Unit = StreamingGeo
+      .startDarkRendezvous(spark, landing, out).awaitTermination()
+    // the q283 GeoSpec plant, split on the hour boundary: wave 1 =
+    // every vessel's hour-0 fix; wave 2 = the hour-8 reappearances
+    // (each vessel's ~30,000 s dark gap COMPLETES here) plus vessel
+    // 1007 whose ENTIRE gap sits inside wave 2 (intra-batch case —
+    // id picked so its hour-8 fix lands 271 m from vessel 210's rep,
+    // python-precomputed per the planted-fixture rule)
+    val users = (1L to 300L)
+    val w1 = users.map(u => GeoEv(u * 100, u, ts((u % 5) * 60)))
+    val w2 = users.flatMap(u => Seq(
+      GeoEv(u * 100 + 1, u, ts(30000 + (u % 7) * 60)),
+      GeoEv(u * 100 + 2, u, ts(30120 + (u % 7) * 60)))) ++ Seq(
+      GeoEv(100001L, 1007L, ts(30000)), GeoEv(100002L, 1007L, ts(61000)))
+    land("w1.parquet", w1)
+    drain()
+    assert(spark.read.parquet(s"$out/alerts").count() == 0L,
+      "no gap has completed yet — wave 1 must not alert")
+    land("w2.parquet", w2)
+    drain()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("gap_start"),
+        r.getAs[String]("gap_end"), r.getAs[Long]("gap_s"),
+        r.getAs[Long]("nearby"), r.getAs[Long]("n_ends"),
+        r.getAs[Long]("zone_id"), r.getAs[String]("zone_name"),
+        r.getAs[Long]("min_m"))).toSet
+    val got = rows(spark.read.parquet(s"$out/alerts"))
+    val all = (w1 ++ w2).map(e => (e.event_id, e.user_id, e.ts))
+      .toDF("event_id", "user_id", "ts")
+    val batch = rows(graft.queries.Geo.darkRendezvous(all))
+    assert(batch.nonEmpty, "plant produced no rendezvous — vacuous")
+    assert(batch.exists(t => t._1 == 1007L || t._5 == 1007L),
+      "the intra-batch vessel never participated — plant vacuous")
+    assert(got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+    // re-drain with nothing new: partitions overwrite, nothing doubles
+    drain()
+    assert(rows(spark.read.parquet(s"$out/alerts")) == batch)
+  }
+
   test("startResample: cumulative stream output == batch q274 " +
       "EXACTLY on the landed prefix — cross-batch legs interpolate " +
       "through the carried state, gaps emit nothing") {
