@@ -18,7 +18,14 @@ import graft.streaming.StreamingGeo.GeoEv
   * the maintenance path keeps the table itself bounded too.
   *
   * Usage: runMain graft.tools.StreamingGeoRehearsal
-  *          [users] [waves] [horizonHours]
+  *          [users] [waves] [horizonHours] [mode]
+  *
+  * mode `rendezvous` drives [[StreamingGeo.startDarkRendezvous]]
+  * instead: waves land two hours apart with minGapS one hour, so
+  * EVERY wave completes one dark gap per vessel (constant alert
+  * load) while the landed history grows — per-batch wall must stay
+  * FLAT because the endpoint-span index reads are hour-bounded (the
+  * same contract as the proximity monitor's batch-span reads).
   */
 object StreamingGeoRehearsal {
 
@@ -29,6 +36,7 @@ object StreamingGeoRehearsal {
     val users = args.headOption.map(_.toLong).getOrElse(2000L)
     val waves = args.drop(1).headOption.map(_.toInt).getOrElse(12)
     val horizon = args.drop(2).headOption.map(_.toLong).getOrElse(3L)
+    val mode = args.drop(3).headOption.getOrElse("prox")
     val spark: SparkSession = Session.local()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -38,11 +46,14 @@ object StreamingGeoRehearsal {
     val out = java.nio.file.Files
       .createTempDirectory("graft-sgeo-out").toString
 
+    // rendezvous mode: waves 2 h apart so every wave closes one
+    // >= 1 h gap per vessel — constant alert load, growing history
+    val stepS = if (mode == "rendezvous") 7200L else 3600L
     def land(w: Int): Unit = {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft-sgeo-w$w").toString
       (1L to users).map(u =>
-          GeoEv(u * 1000 + w, u, ts(60 + w * 3600L)))
+          GeoEv(u * 1000 + w, u, ts(60 + w * stepS)))
         .toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -56,22 +67,30 @@ object StreamingGeoRehearsal {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    def drain(): Unit =
+      (if (mode == "rendezvous")
+        StreamingGeo.startDarkRendezvous(spark, landing, out,
+          minGapS = 3600L)
+      else StreamingGeo.start(spark, landing, out)).awaitTermination()
+
     (0 until waves).foreach { w =>
       land(w)
-      val (_, t) = sec(
-        StreamingGeo.start(spark, landing, out).awaitTermination())
+      val (_, t) = sec(drain())
       val idxBatches = Option(new java.io.File(s"$out/index")
         .listFiles()).map(_.count(_.getName.startsWith("batch=")))
         .getOrElse(0)
-      println(f"""[scale] {"tool":"streaming_geo","wave":$w,"users":$users,"batch_sec":$t%.2f,"index_batches":$idxBatches}""")
+      val alerts =
+        if (mode == "rendezvous")
+          spark.read.parquet(s"$out/alerts").count()
+        else -1L
+      println(f"""[scale] {"tool":"streaming_geo","mode":"$mode","wave":$w,"users":$users,"batch_sec":$t%.2f,"index_batches":$idxBatches,"alerts":$alerts}""")
     }
     // retention: drop partitions past the pairing horizon, then one
     // more wave against the bounded table
     val (dropped, tRet) = sec(
       StreamingGeo.retainIndex(spark, out, horizon))
     land(waves)
-    val (_, tPost) = sec(
-      StreamingGeo.start(spark, landing, out).awaitTermination())
+    val (_, tPost) = sec(drain())
     println(f"""[scale] {"tool":"streaming_geo","retain_dropped":${dropped.size},"retain_sec":$tRet%.2f,"post_retention_batch_sec":$tPost%.2f,"horizon_hours":$horizon}""")
     spark.stop()
   }
