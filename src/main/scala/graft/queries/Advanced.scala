@@ -1955,13 +1955,17 @@ object Advanced {
         val cum = local.join(offs, Seq("g", "blk"))
           .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
         val n = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
-        val lo = cum.join(n, Seq("g"))
-          .filter(col("cum") * 100 >= col("n"))
-          .groupBy(col("g")).agg(min(col("v")).as("lo"))
-        val hi = cum.join(n, Seq("g"))
-          .filter(col("cum") * 100 >= col("n") * 99)
-          .groupBy(col("g")).agg(min(col("v")).as("hi"))
-        base.join(lo, Seq("g")).join(hi, Seq("g"))
+        // r20: BOTH percentile bounds from ONE conditional aggregate
+        // over the cumulative grid — min(v WHERE cum ≥ p·n) per bound —
+        // instead of two filter→groupBy branches that each replayed the
+        // cum⋈n subtree and needed a second join downstream (same
+        // integers: min over the null-padded conditional ≡ min over the
+        // filtered rows).
+        val bounds = cum.join(n, Seq("g"))
+          .groupBy(col("g")).agg(
+            min(when(col("cum") * 100 >= col("n"), col("v"))).as("lo"),
+            min(when(col("cum") * 100 >= col("n") * 99, col("v"))).as("hi"))
+        base.join(bounds, Seq("g"))
           .select(col("g"), col("v"), col("lo"), col("hi"),
             least(greatest(col("v"), col("lo")), col("hi")).as("w"))
           .groupBy(col("g"))

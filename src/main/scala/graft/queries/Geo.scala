@@ -705,9 +705,23 @@ object Geo {
   def fleets(events: DataFrame, radiusM: Long = 500L,
       minHours: Long = 1L, maxGapHours: Long = 168L): DataFrame = {
     val eps = coTravel(events, radiusM, minHours, maxGapHours)
+    // r20: materialize the pair summary ONCE — it feeds BOTH the CC
+    // edge list and the per-fleet aggregate below, and as a lazy frame
+    // the second consumer REPLAYED the whole band-join + islands
+    // pipeline (the query's only corpus-sized work) at the final
+    // action. The q241/q177 discipline: localCheckpoint for the
+    // call's duration, result lands on a reliable checkpoint, blocks
+    // released before returning (zero persisted-RDD delta — Bench
+    // fails leaks loud).
+    val spark = events.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft-fleet-ckpt").toString)
     val prs = eps.groupBy(col("u1"), col("u2"))
       .agg(count(lit(1)).as("n_episodes"),
         sum(col("n_hours").cast(Dec)).cast("long").as("hours"))
+      .localCheckpoint(true)
     val comps = graft.llm.Dedup.connectedComponentsStar(
       prs.select(col("u1").as("d1"), col("u2").as("d2")))
     val members = comps.groupBy(col("comp"))
@@ -718,10 +732,14 @@ object Geo {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("n_episodes")).as("n_episodes"),
         sum(col("hours").cast(Dec)).cast("long").as("pair_hours"))
-    members.join(pairAgg, Seq("comp"))
+    val grid = members.join(pairAgg, Seq("comp"))
       .select(col("comp").as("fleet_id"), col("n_vessels"),
         col("n_pairs"), col("n_episodes"), col("pair_hours"))
-      .orderBy(col("n_vessels").desc, col("fleet_id"))
+      // fleet-grid-sized: materialize before releasing prs' blocks
+      .checkpoint(eager = true)
+    graft.llm.Dedup.checkpointRdd(prs)
+      .foreach(_.unpersist(blocking = false))
+    grid.orderBy(col("n_vessels").desc, col("fleet_id"))
   }
 
   /** Zone-attributed co-travel — the WHERE to q269/q278's WHO: each
@@ -994,12 +1012,21 @@ object Geo {
         floor(unix_timestamp(col("ts")) / 3600L).as("h2"),
         col("plat").as("sla"), col("plon").as("slo"),
         col("lat_e6").as("ela"), col("lon_e6").as("elo"))
-    def endp(ep: Long, hc: String, lac: String, loc: String): DataFrame =
-      gaps.select(col("user_id"), col("gap_start"), col("gap_end"),
-        col("gap_s"), lit(ep).as("ep"), col(hc).as("hour"),
-        col(lac).as("lat_e6"), col(loc).as("lon_e6"))
-    val eps = endp(0L, "h1", "sla", "slo")
-      .unionByName(endp(1L, "h2", "ela", "elo"))
+    // r20: BOTH endpoints from ONE explode of a two-struct array —
+    // the earlier union-of-two-selections form evaluated the `gaps`
+    // subtree (the corpus scan + per-vessel window) once per side
+    // (2 Exchanges + 2 Windows in the before plan); same rows, one
+    // corpus pass.
+    val eps = gaps
+      .select(col("user_id"), col("gap_start"), col("gap_end"),
+        col("gap_s"), explode(array(
+          struct(lit(0L).as("ep"), col("h1").as("hour"),
+            col("sla").as("lat_e6"), col("slo").as("lon_e6")),
+          struct(lit(1L).as("ep"), col("h2").as("hour"),
+            col("ela").as("lat_e6"), col("elo").as("lon_e6")))).as("e"))
+      .select(col("user_id"), col("gap_start"), col("gap_end"),
+        col("gap_s"), col("e.ep").as("ep"), col("e.hour").as("hour"),
+        col("e.lat_e6").as("lat_e6"), col("e.lon_e6").as("lon_e6"))
       .withColumn("cy", (col("lat_e6") + 5000L).divide(5000L).cast("long"))
       .withColumn("cx", (col("lon_e6") + 5000L).divide(5000L).cast("long"))
       .withColumn("zid", zoneIdExpr(col("lon_e6"), col("lat_e6"), zones))
