@@ -63,6 +63,15 @@ object Session {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // r20: mirror builder()'s broadcast threshold so externally-created
+    // sessions (the driver's Verify/Bench contract) plan the same joins
+    // as the engine's own sessions — at the 10 MB default they were
+    // planning sort-merge joins the builder sessions broadcast. The
+    // value is size-adaptive by construction (estimates grow with the
+    // data, so nothing near-64 MB broadcasts at cluster scale that
+    // wouldn't on the 128 GiB local box), not a local[32] tune.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
     spark
   }
 
