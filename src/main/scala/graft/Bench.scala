@@ -178,16 +178,42 @@ object Bench {
     val passGcJson = passGc.map(s => f"$s%.2f").mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${qmap(_._1)},"queries_min":${qmap(_._2)},"total_min":${f"$totalMin%.3f"},"failed":$fails,"leaked":$leaks,"hygiene":$hygiene,"recycle":$recycleEvery,"pass_sec":$passSecJson,"pass_gc_sec":$passGcJson,"sf":"$sfDir"}"""
-    // Compact total-only line (<= 200 bytes): the r6 official artifact
-    // recorded parsed:null because the 79-entry per-query line outgrew
-    // the driver's stdout tail window. Print the full line FIRST, then
-    // this short line LAST so any tail window ends on one complete,
-    // parseable JSON line. Only a failure COUNT here — the unbounded
-    // failed list would regrow this line past the tail window exactly
-    // when the build is broken and the artifact matters most; the full
-    // list stays in the full line and target/bench.json.
-    val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"total_min":${f"$totalMin%.3f"},"nq":${names.size},"nfailed":${failed.size},"sf":"$sfDir"}"""
+    // Compact line: the r6 official artifact recorded parsed:null
+    // because the 79-entry per-query line outgrew the driver's stdout
+    // tail window (measured from BENCH_r20.json: the window keeps the
+    // LAST 2000 chars, and sbt's trailing "[success]" line costs ~80 of
+    // them). Print the full line FIRST, then this line LAST so any tail
+    // window ends on one complete, parseable JSON line. Only a failure
+    // COUNT here — the unbounded failed list would regrow this line
+    // past the tail window exactly when the build is broken and the
+    // artifact matters most; the full list stays in the full line and
+    // target/bench.json.
+    //
+    // r21 (VERDICT r20 #2/#7): the driver's PERF artifact was per-query
+    // BLIND — parsed.queries was {}, so a one-window phantom regression
+    // (r20's q197 "14.9 s") was indistinguishable from a real one. A
+    // keyed 286-entry map cannot fit 2000 chars even with short keys
+    // (and qNNN prefixes are not unique: q19/q22), so the compact line
+    // carries:
+    //   - "qmin": the per-query MIN seconds as a bare ARRAY in sorted
+    //     query-name order (the same order as the full line's maps and
+    //     CORRECTNESS_rN.json's keys — zip to recover the mapping),
+    //     2 decimals, ~1.6 KB for 286 queries. Degrades to 1 decimal,
+    //     then to [] (full line still has everything), if a pathological
+    //     value set would push the line past the window.
+    //   - "noisy": true when the per-pass walls spread by >1.3x
+    //     (max/min) — the artifact's own credibility flag: a noisy
+    //     window poisons medians 3-6x (r18/r19/r20 all documented it).
+    // "queries" stays {} so the driver's existing parse is unchanged.
+    val noisy = passSec.max > passSec.min * 1.3
+    def qminArr(dec: Int): String =
+      times.map(t => String.format(s"%.${dec}f", Double.box(t._2._2)))
+        .mkString("[", ",", "]")
+    def compactWith(qmin: String): String =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"qmin":$qmin,"noisy":$noisy,"total_min":${f"$totalMin%.3f"},"nq":${names.size},"nfailed":${failed.size},"sf":"$sfDir"}"""
+    val compact = Seq(qminArr(2), qminArr(1), "[]")
+      .map(compactWith).find(_.length <= 1880)
+      .getOrElse(compactWith("[]"))
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
     // Committed per-query history (VERDICT r11 #6): target/bench.json is

@@ -883,10 +883,7 @@ object Dedup {
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
     val result = triangleCountsOn(p).checkpoint(eager = true)
     checkpointRdd(p).foreach(_.unpersist(blocking = false))
@@ -903,10 +900,7 @@ object Dedup {
     */
   def clusteringCoefficients(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
     val deg = p.select(col("d1").as("doc_id"))
       .unionAll(p.select(col("d2").as("doc_id")))
@@ -975,10 +969,7 @@ object Dedup {
     */
   def degreeAssortativity(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
     val e = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
@@ -1014,10 +1005,7 @@ object Dedup {
     */
   def kCore(pairs: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-tri-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     def degrees(e: DataFrame): DataFrame = e
       .select(col("d1").as("n")).unionAll(e.select(col("d2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -1094,14 +1082,11 @@ object Dedup {
       damping: Double = PageRankDamping,
       tol: Double = 1e-9): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
     // final result moves to a RELIABLE checkpoint (the
     // connectedComponents discipline) so every in-memory block this call
     // pins can be released deterministically before returning — the r9
     // bench regression traced to exactly these blocks outliving the call
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("cd"))
@@ -1161,14 +1146,11 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
     // the final result moves to a RELIABLE checkpoint (files, readable
     // cluster-wide through the checkpoint dir) so every in-memory round
     // block can be released deterministically before returning; deploys
     // point this at shared storage, local runs get a temp dir
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     val edges = pairs
       .select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -1251,10 +1233,7 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     // directed-down canonical edges (u > v), deduped
     var edges = pairs
       .select(greatest(col("d1"), col("d2")).as("u"),
@@ -1576,27 +1555,52 @@ object Dedup {
     val need = floor((col("n").cast("long") * bp + lit(9999L)) / lit(10000.0))
       .cast("long")
     val ranked = sh.join(dfs, Seq("s"))
-      .select(col("doc_id"), col("n"), col("s"),
+      .select(col("doc_id"), col("n"), col("s"), col("df"),
         row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("s"))).as("rk"))
+    // r21 (VERDICT r20 #1 — cut the candidate volume, guide §2/§3):
+    //  - df >= 2: a df-1 shingle matches nothing in the self-join, and
+    //    prefixes are BIASED toward df-1 rows (they index each doc's
+    //    rarest shingles), so dropping them shrinks the join input
+    //    without touching the candidate set;
+    //  - the PPJoin positional filter (Xiao et al., WWW 2008): a match
+    //    at ranks (rka, rkb) bounds the true overlap by
+    //    least(rka, rkb) + least(na - rka, nb - rkb) — shared shingles
+    //    before the match at most min(rka, rkb) - 1 (same global order
+    //    on both sides), at/after it at most min(na-rka, nb-rkb) + 1.
+    //    J >= t needs inter*(10000+bp) >= bp*(na+nb), which the bound
+    //    must then also satisfy; a true pair passes at EVERY shared
+    //    prefix shingle, so pruning candidates that fail loses nothing.
     val prefix = ranked
-      .filter(col("rk") <= col("n") - need + 1)
-      .select(col("doc_id"), col("n"), col("s"))
+      .filter(col("rk") <= col("n") - need + 1 && col("df") >= 2)
+      .select(col("doc_id"), col("n"), col("s"), col("rk"))
+    val overlapUb =
+      least(col("a.rk"), col("b.rk")).cast("long") +
+        least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n").cast("long") * bp <= col("b.n").cast("long") * 10000L &&
-          col("b.n").cast("long") * bp <= col("a.n").cast("long") * 10000L)
+          col("b.n").cast("long") * bp <= col("a.n").cast("long") * 10000L &&
+          overlapUb * (10000L + bp) >=
+            lit(bp.toLong) * (col("a.n").cast("long") + col("b.n")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
-    val postings = sized.select(col("doc_id"), explode(col("hs")).as("s"))
+    // r21: verification as two candidate-sized array joins + one
+    // codegen'd array_intersect instead of exploding d1's postings
+    // (doc-length fan-out per candidate) through a shuffle join and a
+    // pair-keyed count aggregate (guide §2.3: shuffle candidate rows,
+    // not candidate x doc-length rows). shingleHashes dedupes, so
+    // |array_intersect| IS the exact set intersection.
     val inter = cand
-      .join(postings.as("pa"), col("d1") === col("pa.doc_id"))
-      .join(postings.as("pb"),
-        col("d2") === col("pb.doc_id") && col("pa.s") === col("pb.s"))
-      .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sized.select(col("doc_id").as("d1"), col("hs").as("h1")),
+        Seq("d1"))
+      .join(sized.select(col("doc_id").as("d2"), col("hs").as("h2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("na"), col("nb"),
+        size(array_intersect(col("h1"), col("h2"))).cast("long")
+          .as("inter"))
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter"))
     inter

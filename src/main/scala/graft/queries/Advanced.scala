@@ -1954,7 +1954,12 @@ object Advanced {
             coalesce(sum(col("bs")).over(wOff), lit(0L)).as("off"))
         val cum = local.join(offs, Seq("g", "blk"))
           .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
-        val n = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        // r21 (VERDICT r20 #4): n per flag from the GRID (Σ cnt — the
+        // same integer by construction), not a second count over base:
+        // the old base.groupBy(g) shuffled the corpus a second time
+        // where the grid aggregate is value-grid-sized and its exchange
+        // is already paid.
+        val n = grid.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
         // r20: BOTH percentile bounds from ONE conditional aggregate
         // over the cumulative grid — min(v WHERE cum ≥ p·n) per bound —
         // instead of two filter→groupBy branches that each replayed the

@@ -972,10 +972,7 @@ object Frontier {
         // land the ≤125-cell grid on a reliable checkpoint, then
         // RELEASE the localCheckpoint blocks — the q177 zero
         // persisted-RDD-delta discipline (Bench fails leaks loud)
-        val sc = s.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(java.nio.file.Files
-            .createTempDirectory("graft-rfm-ckpt").toString)
+        graft.core.Session.ensureCheckpointDir(s)
         val result = grid.checkpoint(eager = true)
         graft.llm.Dedup.checkpointRdd(per)
           .foreach(_.unpersist(blocking = false))

@@ -595,14 +595,30 @@ object Geo {
       minDwellS: Long = 1800L,
       zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
     val reps = stopReps(events, maxLegM, minDwellS)
-      .select(col("user_id"), col("run"), col("plat"), col("plon"),
-        col("dw"))
-    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"), zones)
-    reps.join(inz, Seq("user_id", "run"), "left")
-      .select(coalesce(col("zone_id"), lit(-1L)).as("zone_id"),
-        coalesce(col("zone_name"), lit("open_sea")).as("zone_name"),
-        col("user_id"), col("dw"))
-      .groupBy(col("zone_id"), col("zone_name"))
+      .select(col("user_id"), col("plat"), col("plon"), col("dw"))
+    // r21 (VERDICT r20 #5): the zone attribution as ONE codegen'd
+    // generator projection instead of the [[zonesFor]] broadcast-join
+    // ray cast + parity aggregate + join back (guide §3: eliminate the
+    // join outright — the registry is a literal, so each zone's
+    // crossing parity compiles to a branch-free integer expression).
+    // Semantics unchanged, including on OVERLAPPING registries: the
+    // per-stop array holds one struct per CONTAINING zone (one output
+    // row each, exactly zonesFor's contract), and an empty array rolls
+    // up under (-1, 'open_sea'). Three exchanges (parity groupBy, join
+    // back, final aggregate) become one (the final aggregate).
+    val hits = array(zones.sortBy(_._1).map { case (id, nm, vs) =>
+      when(zoneParity(col("plon"), col("plat"), vs),
+        struct(lit(id).as("zone_id"), lit(nm).as("zone_name")))
+    }: _*)
+    val zoned = filter(hits, _.isNotNull)
+    val openSea = array(struct(lit(-1L).as("zone_id"),
+      lit("open_sea").as("zone_name")))
+    reps
+      .select(col("user_id"), col("dw"),
+        explode(when(size(zoned) === 0, openSea).otherwise(zoned))
+          .as("z"))
+      .groupBy(col("z.zone_id").as("zone_id"),
+        col("z.zone_name").as("zone_name"))
       .agg(count(lit(1)).as("n_stops"),
         countDistinct(col("user_id")).as("n_vessels"),
         sum(col("dw").cast(Dec)).cast("long").as("dwell_s"))
@@ -618,19 +634,25 @@ object Geo {
     * inside whole-stage codegen. Same exact integer ray cast and
     * boundary convention as [[zonesFor]]. */
   private[graft] def zoneIdExpr(px: Column, py: Column,
-      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): Column = {
-    def parity(vs: Seq[(Long, Long)]): Column =
-      pmod((vs :+ vs.head).sliding(2).collect {
-        case Seq((x1, y1), (x2, y2)) if y1 != y2 =>
-          val straddle = (lit(y1) > py) =!= (lit(y2) > py)
-          val num = lit(x2 - x1) * (py - lit(y1)) -
-            (px - lit(x1)) * lit(y2 - y1)
-          when(straddle && (if (y2 > y1) num > 0 else num < 0), 1L)
-            .otherwise(0L)
-      }.reduce(_ + _), lit(2L)) === 1
+      zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): Column =
     coalesce(zones.sortBy(_._1).map { case (id, _, vs) =>
-      when(parity(vs), lit(id)) } :+ lit(-1L): _*)
-  }
+      when(zoneParity(px, py, vs), lit(id)) } :+ lit(-1L): _*)
+
+  /** One zone's crossing parity as a branch-free integer expression —
+    * [[zoneIdExpr]]'s per-zone building block, shared by the
+    * zero-join zone attributions (q273/q275/q277, streaming monitor):
+    * the same exact integer ray cast and half-open boundary convention
+    * as [[zonesFor]]. */
+  private def zoneParity(px: Column, py: Column,
+      vs: Seq[(Long, Long)]): Column =
+    pmod((vs :+ vs.head).sliding(2).collect {
+      case Seq((x1, y1), (x2, y2)) if y1 != y2 =>
+        val straddle = (lit(y1) > py) =!= (lit(y2) > py)
+        val num = lit(x2 - x1) * (py - lit(y1)) -
+          (px - lit(x1)) * lit(y2 - y1)
+        when(straddle && (if (y2 > y1) num > 0 else num < 0), 1L)
+          .otherwise(0L)
+    }.reduce(_ + _), lit(2L)) === 1
 
   /** [[zoneIdExpr]]'s DuckDB rendering, generated from the same
     * [[Zones]] constant — engines cannot drift. `px`/`py` are SQL
@@ -714,10 +736,7 @@ object Geo {
     // released before returning (zero persisted-RDD delta — Bench
     // fails leaks loud).
     val spark = events.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(java.nio.file.Files
-        .createTempDirectory("graft-fleet-ckpt").toString)
+    graft.core.Session.ensureCheckpointDir(spark)
     val prs = eps.groupBy(col("u1"), col("u2"))
       .agg(count(lit(1)).as("n_episodes"),
         sum(col("n_hours").cast(Dec)).cast("long").as("hours"))
@@ -801,15 +820,15 @@ object Geo {
   def zoneTransitions(events: DataFrame, maxLegM: Long = 200L,
       minDwellS: Long = 1800L,
       zones: Seq[(Long, String, Seq[(Long, Long)])] = Zones): DataFrame = {
-    val reps = stopReps(events, maxLegM, minDwellS)
-      .select(col("user_id"), col("run"), col("plat"), col("plon"),
-        col("sts"), col("peid"))
-    val inz = zonesFor(reps, "plon", "plat", Seq("user_id", "run"), zones)
-      .groupBy(col("user_id"), col("run"))
-      .agg(min(col("zone_id")).as("zone_id"))
-    val zs = reps.join(inz, Seq("user_id", "run"), "left")
+    // r21 (VERDICT r20 #5): MIN(containing zone_id) with -1 fallback IS
+    // [[zoneIdExpr]]'s lowest-id-wins contract verbatim, for ANY
+    // registry — so the zonesFor broadcast-join ray cast + parity
+    // aggregate + min + join back collapses to one branch-free
+    // projection (guide §3: eliminate the join outright). Three
+    // exchanges drop from the stop-summary path.
+    val zs = stopReps(events, maxLegM, minDwellS)
       .select(col("user_id"), col("sts"), col("peid"),
-        coalesce(col("zone_id"), lit(-1L)).as("zid"))
+        zoneIdExpr(col("plon"), col("plat"), zones).as("zid"))
     val ws = Window.partitionBy(col("user_id"))
       .orderBy(col("sts"), col("peid"))
     zs

@@ -18,7 +18,15 @@ import graft.core.Session
 object DiagJobs {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args(1).split(",").toSeq
+    // ADVICE r20: args.lift, not args(1) — a missing query list should
+    // print usage, not throw ArrayIndexOutOfBoundsException
+    val names = args.lift(1) match {
+      case Some(qs) => qs.split(",").toSeq
+      case None =>
+        System.err.println(
+          "usage: runMain graft.tools.DiagJobs <sfDir> <query>[,<query>...]")
+        sys.exit(2)
+    }
     val spark = Session.local()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -26,6 +34,11 @@ object DiagJobs {
         var t0: Long = 0L, var t1: Long = 0L,
         var stages: Int = 0, var tasks: Int = 0)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
+    // ADVICE r20: attribute stages to jobs via the jobStart stage list
+    // (stageId -> jobId), not "newest unfinished job" — AQE and
+    // concurrent actions overlap jobs, and the old heuristic miscounted
+    // tasks whenever they did.
+    val stageJob = mutable.Map.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
@@ -35,6 +48,7 @@ object DiagJobs {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("")
           j.stages = e.stageInfos.size
+          e.stageIds.foreach(sid => stageJob(sid) = e.jobId)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized {
@@ -42,10 +56,8 @@ object DiagJobs {
         }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          // attribute tasks to the newest unfinished job (single-query
-          // runs are sequential, so this is exact enough for a dev tool)
-          jobs.values.toSeq.reverseIterator
-            .find(_.t1 == 0L)
+          stageJob.get(e.stageInfo.stageId)
+            .flatMap(jobs.get)
             .foreach(_.tasks += e.stageInfo.numTasks)
         }
     }
@@ -60,6 +72,7 @@ object DiagJobs {
     names.foreach { n =>
       val warm = once(n) // JIT + codegen cache
       jobs.clear()
+      stageJob.clear()
       spark.sparkContext.addSparkListener(listener)
       val sec = once(n)
       spark.sparkContext.removeSparkListener(listener)
