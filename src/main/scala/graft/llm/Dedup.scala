@@ -209,12 +209,17 @@ object Dedup {
       .select((col("id") * 1000).cast("int").as("thr_bp"))
     val j = p.crossJoin(broadcast(thr))
       .filter(col("bp") >= col("thr_bp"))
-    val np = j.groupBy(col("thr_bp")).agg(count(lit(1)).as("n_pairs"))
-    val nd = j
+    // r21: pair count and distinct-doc count from ONE aggregate over
+    // ONE pass — the two branches each replayed the entire pair
+    // pipeline upstream (DiagJobs: the two 0.6 s jobs of q135). Every
+    // surviving pair contributes exactly two doc rows, so
+    // n_pairs = count/2 on the exploded frame, integer-exact.
+    val both = j
       .select(col("thr_bp"), explode(array(col("d1"), col("d2"))).as("doc"))
-      .groupBy(col("thr_bp")).agg(countDistinct(col("doc")).as("n_docs"))
-    thr.join(np, Seq("thr_bp"), "left")
-      .join(nd, Seq("thr_bp"), "left")
+      .groupBy(col("thr_bp"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
+    thr.join(both, Seq("thr_bp"), "left")
       .select((col("thr_bp") / lit(10000.0)).as("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
@@ -719,9 +724,19 @@ object Dedup {
     val hv = withShingleArray(docsDf)
       .select(col("doc_id"),
         graft.functions.Fns.md5Hash32(col("sh")).as("hv"))
+    // r21: materialize the signature side ONCE — it feeds the truth
+    // pass (df + both tp join sides + both certify joins) AND both
+    // banded candidate sides, and each lazy replay re-runs the
+    // shingle + md5 + minhash lambda chain (DiagJobs: two 0.8 s jobs
+    // in a 2.0 s query, each recomputing `side`). The q278/q241
+    // discipline: localCheckpoint for the call, land the 3-row report
+    // on a reliable checkpoint, release the blocks before returning
+    // (zero persisted-RDD delta — Bench fails leaks loud).
+    graft.core.Session.ensureCheckpointDir(docsDf.sparkSession)
     val side = hv.select(col("doc_id"),
       array_distinct(col("hv")).as("hvd"),
       graft.functions.Fns.md5MinhashSig(col("hv")).as("s"))
+      .localCheckpoint(true)
     // truth: df-capped shared-shingle pairs certified by true Jaccard
     val ex = side.select(col("doc_id"), explode(col("hvd")).as("h"))
     val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
@@ -760,7 +775,8 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select("bands", "rpb", "d1", "d2").distinct()
     val truthCount = truth.agg(count(lit(1)).as("n_truth"))
-    cand.join(truth.withColumn("t", lit(1)), Seq("d1", "d2"), "left")
+    val report = cand
+      .join(truth.withColumn("t", lit(1)), Seq("d1", "d2"), "left")
       .groupBy("bands", "rpb")
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_hits"))
@@ -774,7 +790,12 @@ object Dedup {
           .as("recall"),
         round(col("n_hits").cast("double") / col("n_candidates"), 4)
           .as("precision"))
-      .orderBy(col("bands"))
+      // |cfgs|-row grid: materialize before releasing side's blocks;
+      // the ORDER goes on after (the fleets convention — a checkpoint
+      // scan does not promise to preserve a pre-checkpoint sort)
+      .checkpoint(eager = true)
+    checkpointRdd(side).foreach(_.unpersist(blocking = false))
+    report.orderBy(col("bands"))
   }
 
   /** Banding choice over [[bandRecallReport]]: the one-row decision a
