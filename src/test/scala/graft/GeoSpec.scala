@@ -400,6 +400,39 @@ class GeoSpec extends AnyFunSuite with TestSpark {
     assert(both == Set(9L, 8L))
   }
 
+  test("zoneStops: overlapping zones count a stop once per CONTAINING " +
+      "zone (the zonesFor contract, preserved by the r21 zero-join " +
+      "projection); no-zone stops roll up under (-1, open_sea)") {
+    val evs = events((1L to 80L).flatMap(u =>
+      Seq((u * 10, u, 0L), (u * 10 + 1, u, 600L),
+        (u * 10 + 2, u, 4000L))): _*)
+    // a box covering the whole synthetic operating range
+    val box = Seq((-1000000L, -1000000L), (1000000L, -1000000L),
+      (1000000L, 1000000L), (-1000000L, 1000000L))
+    val one = Geo.zoneStops(evs, zones = Seq((1L, "a", box)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(one.length == 1 && one.head._1 == 1L && one.head._3 > 0,
+      s"single-zone fixture vacuous: ${one.toSeq}")
+    // two fully overlapping zones: every stop lands in BOTH
+    val two = Geo.zoneStops(evs,
+        zones = Seq((1L, "a", box), (2L, "b", box)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(two.toSeq == Seq(
+      (1L, "a", one.head._3, one.head._4, one.head._5),
+      (2L, "b", one.head._3, one.head._4, one.head._5)),
+      s"overlap multi-count drifted: ${two.toSeq}")
+    // a zone far outside the box: everything is open sea
+    val far = Seq((3L, "far",
+      Seq((9000000L, 9000000L), (9000010L, 9000000L),
+        (9000010L, 9000010L), (9000000L, 9000010L))))
+    val sea = Geo.zoneStops(evs, zones = far)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sea.toSeq == Seq((-1L, "open_sea", one.head._3)),
+      s"open-sea fallback drifted: ${sea.toSeq}")
+  }
+
   test("trackInterpolate: grid instants exactly in (t1, t2], legs " +
       "over maxGap interpolate NOTHING, positions are the half-up " +
       "exact integers") {
