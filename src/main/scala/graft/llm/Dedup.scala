@@ -46,8 +46,29 @@ object Dedup {
     * <1 s at sf0.1. At cluster scale the same repartition also defeats
     * input-file skew. The shuffled payload (doc_id + text) is tiny
     * relative to the compute it unlocks.
+    *
+    * Two variants (r21): the bare `repartition(col)` is an
+    * AQE-COALESCIBLE exchange — right for the shingle self-join family,
+    * whose deep multi-exchange pipelines measured 10–15 % SLOWER with a
+    * pinned width (more, smaller shuffle blocks downstream; q143/q147/
+    * q74/q101 A/B) — while [[spreadWide]] pins the session's
+    * shuffle-partition count so AQE's byte-sized coalescing cannot fold
+    * a compute-heavy, byte-light stage back onto one core: the
+    * positional-gram family's tokenize/gram stages ran 1–6 tasks bare
+    * (q137 2.47 s → 1.50 s pinned, q139 2.74 → 1.86, q165 2.63 → 1.86,
+    * q138/q166 −17–22 %). The pinned count is the cluster-tuned conf,
+    * never a local constant; at TB scale the exchange exceeds the
+    * advisory size and the two forms plan identically.
     */
   private def spread(df: DataFrame): DataFrame = df.repartition(col("doc_id"))
+
+  /** [[spread]] with the partition count PINNED (non-coalescible) — for
+    * stages whose per-row compute dwarfs their bytes (positional grams,
+    * token reassembly); see the variant note above.
+    */
+  private def spreadWide(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
 
   /** Distinct 3-gram word shingles over an ALREADY-MATERIALIZED token
     * array column. The input must be a plain attribute, not the split()
@@ -299,9 +320,17 @@ object Dedup {
     * lesson); the 8-byte hash is what every downstream exchange carries.
     * Shared by the batch span operators and the streaming gram-index
     * probe ([[graft.streaming.StreamingDedup.startSpans]]).
+    *
+    * `wide` (default true, r21) pins the spread's partition count so
+    * AQE cannot fold the gram stage onto few cores (the [[spreadWide]]
+    * note) — the batch operators measured 17–39 % faster; streaming
+    * passes false so its per-MICRO-BATCH frames keep the coalescible
+    * exchange (32 scheduled tasks per small batch is pure overhead
+    * there; the per-batch plan is the rehearsal-measured optimum).
     */
-  private[graft] def positionalGrams(df: DataFrame, minRun: Int): DataFrame = {
-    val tok = spread(df)
+  private[graft] def positionalGrams(df: DataFrame, minRun: Int,
+      wide: Boolean = true): DataFrame = {
+    val tok = (if (wide) spreadWide(df) else spread(df))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= minRun)
     tok
@@ -453,7 +482,7 @@ object Dedup {
     val repCov = mergeIntervals(sp, "rep")
       .groupBy(col("rep"))
       .agg(sum(col("mx") - col("mn") + 1).as("cross_dup"))
-    spread(df)
+    spreadWide(df)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(members.select(col("doc_id"), col("rep"), col("sz")), Seq("doc_id"))
@@ -522,7 +551,7 @@ object Dedup {
       .groupBy(col("rep"))
       .agg(sort_array(collect_list(struct(col("mn").cast("long").as("mn"),
         col("mx").cast("long").as("mx")))).as("ivs"))
-    spread(df)
+    spreadWide(df)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
       .join(members, Seq("doc_id"))
       .join(ivs, Seq("rep"), "left")

@@ -1748,7 +1748,20 @@ object TextOps {
     * ranges. Aggregates are map-side combined on (source, n, gram).
     */
   def ngramDiversity(docsDf: DataFrame, maxN: Int): DataFrame = {
-    val t = docsDf.filter(trim(col("text")) =!= "")
+    // r21: spread the corpus across the shuffle-partition count BEFORE
+    // the per-row gram lambdas (the Dedup.spread rule): the documents
+    // parquet arrives as few row groups, and DiagJobs showed the whole
+    // tokenize + 3-way gram explode + partial count-distinct running
+    // as ONE 1.6 s task while 31 cores idled. The EXPLICIT partition
+    // count matters: a bare repartition(col) is an AQE-coalescible
+    // exchange, and the text payload is so small next to the per-row
+    // gram compute that AQE's byte-sized coalescing folded it straight
+    // back to one task; the count comes from the session's
+    // shuffle-partition conf (cluster-tuned), never a local constant.
+    val t = docsDf
+      .repartition(docsDf.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .filter(trim(col("text")) =!= "")
       .select(col("source"), tokens(col("text")).as("ts"))
     val g = t
       .select(col("source"), explode(sequence(lit(1), lit(maxN))).as("n"),

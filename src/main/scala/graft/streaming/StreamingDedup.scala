@@ -384,8 +384,10 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // suffix keys computed ONCE per batch, reused for probe + append
+        // (wide=false: a micro-batch frame keeps the AQE-coalescible
+        // spread — 32 pinned tasks per small batch is pure overhead)
         val docsB = batch.select(col("doc_id"), col("text"))
-        val grams = Dedup.positionalGrams(docsB, minRun)
+        val grams = Dedup.positionalGrams(docsB, minRun, wide = false)
           .localCheckpoint(true)
         var spans: DataFrame = null
         withBucketedScan(spark, buckets > 0) {
