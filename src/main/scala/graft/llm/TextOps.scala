@@ -1758,9 +1758,12 @@ object TextOps {
     // gram compute that AQE's byte-sized coalescing folded it straight
     // back to one task; the count comes from the session's
     // shuffle-partition conf (cluster-tuned), never a local constant.
+    // keyed on (source, text), not doc_id: the operator's contract is
+    // any (source, text) frame (TextOpsSpec feeds one), and hashing the
+    // text spreads rows deterministically at any doc-id scheme
     val t = docsDf
       .repartition(docsDf.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
+        col("source"), col("text"))
       .filter(trim(col("text")) =!= "")
       .select(col("source"), tokens(col("text")).as("ts"))
     val g = t
